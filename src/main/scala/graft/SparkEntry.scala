@@ -1,13 +1,96 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+import graft.sources.TxnGenerator
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 is exposed as a named query over the
+  * driver's parquet tables, paired (where ANSI-SQL-expressible) with the
+  * equivalent DuckDB oracle SQL. Column names and types are aligned between
+  * both sides; every query has a deterministic total order and exact
+  * (integer-cents) money arithmetic so hash comparison is stable.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    EtlQueries.etlTransform(spark, "/root/testdata/sf0.001")
+
+  type Q = (SparkSession, String) => DataFrame
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] = Map[String, Q](
+    // [REF] chain — SURVEY §2c/§2d
+    "q_etl_transform"  -> (EtlQueries.etlTransform _),
+    "q_filter_notnull" -> (EtlQueries.filterNotNull _),
+    "q_cast_coerce"    -> (EtlQueries.castCoerce _),
+    "q_bucket_case"    -> (EtlQueries.bucketCase _),
+    "q_bucket_udf"     -> (EtlQueries.bucketUdf _),
+    "q_date_parts"     -> (EtlQueries.dateParts _),
+    "q_text_clean"     -> (EtlQueries.textClean _),
+    "q_abs_round"      -> (EtlQueries.absRound _),
+    "q_count_stats"    -> (EtlQueries.countStats _),
+    // [REF] sources/sinks — SURVEY §2a/§2b
+    "q_csv_roundtrip"  -> (EtlQueries.csvRoundtrip _),
+    "q_json_roundtrip" -> (EtlQueries.jsonRoundtrip _),
+    "q_generate"       -> ((s: SparkSession, _: String) =>
+      TxnGenerator.generate(s, 1000).orderBy("transaction_id")),
+    // [EXT] relational — SURVEY §2e-§2i
+    "q_join_enrich"     -> (Relational.joinEnrich _),
+    "q_join_left"       -> (Relational.joinLeft _),
+    "q_join_semi"       -> (Relational.joinSemi _),
+    "q_join_anti"       -> (Relational.joinAnti _),
+    "q_agg_q1"          -> (Relational.aggPricingSummary _),
+    "q_agg_distinct"    -> (Relational.aggDistinct _),
+    "q_approx_distinct" -> (Relational.aggApproxDistinct _),
+    "q_rollup"          -> (Relational.aggRollup _),
+    "q_cube"            -> (Relational.aggCube _),
+    "q_setops"          -> (Relational.setOps _),
+    "q_topk"            -> (Relational.topK _),
+    "q_window_analytic" -> (Relational.windowAnalytic _),
+    "q_upsert_lww"      -> (Relational.upsertLww _),
+    // [EXT] event-time / streaming batch-equivalents — SURVEY §2k
+    "q_window_tumbling" -> (EventOps.tumbling _),
+    "q_window_sliding"  -> (EventOps.sliding _),
+    "q_window_session"  -> (EventOps.sessionize _),
+    "q_json_extract"    -> (EventOps.jsonExtract _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for engine-specific operators
+    * (approximate sketches) → driver records a rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_etl_transform"   -> EtlQueries.etlTransformSql,
+    "q_filter_notnull"  -> EtlQueries.filterNotNullSql,
+    "q_cast_coerce"     -> EtlQueries.castCoerceSql,
+    "q_bucket_case"     -> EtlQueries.bucketRollupSql,
+    "q_bucket_udf"      -> EtlQueries.bucketRollupSql,
+    "q_date_parts"      -> EtlQueries.datePartsSql,
+    "q_text_clean"      -> EtlQueries.textCleanSql,
+    "q_abs_round"       -> EtlQueries.absRoundSql,
+    "q_count_stats"     -> EtlQueries.countStatsSql,
+    "q_csv_roundtrip"   -> EtlQueries.csvRoundtripSql,
+    "q_json_roundtrip"  -> EtlQueries.jsonRoundtripSql,
+    "q_generate"        -> TxnGenerator.oracleSql(1000),
+    "q_join_enrich"     -> Relational.joinEnrichSql,
+    "q_join_left"       -> Relational.joinLeftSql,
+    "q_join_semi"       -> Relational.joinSemiSql,
+    "q_join_anti"       -> Relational.joinAntiSql,
+    "q_agg_q1"          -> Relational.aggPricingSummarySql,
+    "q_agg_distinct"    -> Relational.aggDistinctSql,
+    "q_rollup"          -> Relational.aggRollupSql,
+    "q_cube"            -> Relational.aggCubeSql,
+    "q_setops"          -> Relational.setOpsSql,
+    "q_topk"            -> Relational.topKSql,
+    "q_window_analytic" -> Relational.windowAnalyticSql,
+    "q_upsert_lww"      -> Relational.upsertLwwSql,
+    "q_window_tumbling" -> EventOps.tumblingSql,
+    "q_window_sliding"  -> EventOps.slidingSql,
+    "q_window_session"  -> EventOps.sessionizeSql,
+    "q_json_extract"    -> EventOps.jsonExtractSql
+  )
 }

@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.RefTransforms._
+
+/** The [REF] operator surface (SURVEY.md §2a-§2d, §2j) transplanted onto the
+  * driver's tables — scan → filter → coercing casts → derived columns →
+  * bucketing → text cleanup, each as an oracle-checked query.
+  *
+  * Every query here is a single narrow stage (no shuffle) except the grouped
+  * bucket counts — exactly the plan shape the reference's per-file Lambda
+  * chain (lambda_function.py:96-151) should compile to on a cluster: scan
+  * partitions in parallel, fused into one WholeStageCodegen loop.
+  */
+object EtlQueries {
+
+  /** DuckDB-side emulation of `initcap` for single-token values (DuckDB has
+    * no initcap; testdata text columns are single words — SURVEY §7).
+    */
+  private def initcapSql(x: String): String =
+    s"upper(substr(trim($x), 1, 1)) || lower(substr(trim($x), 2))"
+
+  private val amountSql =
+    "CASE WHEN l_returnflag = 'R' THEN -1.0 ELSE 1.0 END * " +
+      "l_extendedprice * (1.0 - l_discount) / 100.0"
+
+  private val bucketSql =
+    s"""CASE WHEN ($amountSql) IS NULL THEN 'unknown'
+       |     WHEN abs($amountSql) < 25 THEN 'small'
+       |     WHEN abs($amountSql) < 100 THEN 'medium'
+       |     WHEN abs($amountSql) < 500 THEN 'large'
+       |     ELSE 'very_large' END""".stripMargin
+
+  /** Flagship: the full reference transform chain (F1, P1-P11, P14) over
+    * lineitem. One narrow stage; the final sort exists only for the oracle's
+    * deterministic hash.
+    */
+  def etlTransform(s: SparkSession, d: String): DataFrame = {
+    val amount = lineitemAmount
+    Tables.lineitem(s, d)
+      .na.drop(Seq("l_orderkey", "l_extendedprice")) // F1
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        synthesizeId(col("l_shipdate").cast("date"), col("l_linenumber"))
+          .as("txn_id"), // P11
+        amount.as("amount"),
+        abs(amount).as("amount_abs"), // P6
+        categorizeAmount(amount).as("amount_category"), // P5
+        col("l_shipdate").cast("date").as("ship_date"), // P2
+        date_format(col("l_shipdate"), "EEEE").as("day_of_week"), // P7
+        month(col("l_shipdate")).cast("long").as("month"), // P8
+        year(col("l_shipdate")).cast("long").as("year"), // P9
+        cleanText(col("l_returnflag")).as("flag_clean"), // P10
+        cleanText(col("l_linestatus")).as("status_clean"),
+        lit("lambda-etl-pipeline").as("processed_by")) // P4
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val etlTransformSql: String =
+    s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |       'TXN_' || strftime(CAST(l_shipdate AS DATE), '%Y%m%d') || '_' ||
+       |         lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS txn_id,
+       |       $amountSql AS amount,
+       |       abs($amountSql) AS amount_abs,
+       |       $bucketSql AS amount_category,
+       |       CAST(l_shipdate AS DATE) AS ship_date,
+       |       dayname(CAST(l_shipdate AS DATE)) AS day_of_week,
+       |       CAST(month(l_shipdate) AS BIGINT) AS month,
+       |       CAST(year(l_shipdate) AS BIGINT) AS year,
+       |       ${initcapSql("l_returnflag")} AS flag_clean,
+       |       ${initcapSql("l_linestatus")} AS status_clean,
+       |       'lambda-etl-pipeline' AS processed_by
+       |FROM lineitem
+       |WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** F1 — critical-key NOT NULL filter (lambda_function.py:107-109). */
+  def filterNotNull(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .na.drop(Seq("l_orderkey", "l_extendedprice", "l_quantity"))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val filterNotNullSql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+      |  AND l_quantity IS NOT NULL
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** P1-P3 — coercing casts: parseable values cast, garbage coerces to null
+    * (pandas errors='coerce' ≡ Spark/DuckDB TRY_CAST).
+    */
+  def castCoerce(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        toNumericCoerce(col("l_quantity").cast("string")).as("ok_num"),
+        toNumericCoerce(col("l_returnflag")).as("bad_num"),
+        toDateCoerce(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("ok_date"),
+        toDateCoerce(col("l_linestatus")).as("bad_date"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val castCoerceSql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS ok_num,
+      |       TRY_CAST(l_returnflag AS DOUBLE) AS bad_num,
+      |       TRY_CAST(strftime(l_shipdate, '%Y-%m-%d') AS DATE) AS ok_date,
+      |       TRY_CAST(l_linestatus AS DATE) AS bad_date
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  private def bucketRollup(bucket: Column => Column)(
+      s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .select(lineitemAmount.as("amount"))
+      .groupBy(bucket(col("amount")).as("amount_category"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("amount"))).as("sum_cents"))
+      .orderBy(col("amount_category"))
+  }
+
+  val bucketRollupSql: String =
+    s"""SELECT $bucketSql AS amount_category, COUNT(*) AS n,
+       |       CAST(SUM(CAST(floor(($amountSql) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+       |FROM lineitem GROUP BY 1 ORDER BY amount_category""".stripMargin
+
+  /** P5 (production path) — when/otherwise bucket, grouped. */
+  def bucketCase(s: SparkSession, d: String): DataFrame =
+    bucketRollup(categorizeAmount)(s, d)
+
+  /** P5 (UDF path) — the same bucketing through a Scala UDF, proving the
+    * reference's `Series.apply` surface (lambda_function.py:128). Same
+    * oracle as bucketCase — identical semantics, different physical path
+    * (UDF breaks codegen; kept OUT of every other query for that reason).
+    */
+  def bucketUdf(s: SparkSession, d: String): DataFrame =
+    bucketRollup(categorizeAmountUdf(_))(s, d)
+
+  /** P7-P9 — date-part extraction. */
+  def dateParts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_shipdate").cast("date").as("ship_date"),
+        date_format(col("l_shipdate"), "EEEE").as("day_of_week"),
+        dayofweek(col("l_shipdate")).cast("long").as("dow_num"),
+        month(col("l_shipdate")).cast("long").as("month"),
+        year(col("l_shipdate")).cast("long").as("year"),
+        quarter(col("l_shipdate")).cast("long").as("quarter"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val datePartsSql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       CAST(l_shipdate AS DATE) AS ship_date,
+      |       dayname(CAST(l_shipdate AS DATE)) AS day_of_week,
+      |       CAST(dayofweek(l_shipdate) + 1 AS BIGINT) AS dow_num,
+      |       CAST(month(l_shipdate) AS BIGINT) AS month,
+      |       CAST(year(l_shipdate) AS BIGINT) AS year,
+      |       CAST(quarter(l_shipdate) AS BIGINT) AS quarter
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** P10 + 2j strings — trim/title/upper/lower/length/concat. */
+  def textClean(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        cleanText(col("c_mktsegment")).as("segment_clean"),
+        lower(col("c_mktsegment")).as("segment_lower"),
+        upper(col("c_name")).as("name_upper"),
+        length(col("c_name")).cast("long").as("name_len"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("name_seg"),
+        regexp_replace(col("c_name"), "Customer", "Cust").as("name_short"))
+      .orderBy(col("c_custkey"))
+
+  val textCleanSql: String =
+    s"""SELECT c_custkey,
+       |       ${initcapSql("c_mktsegment")} AS segment_clean,
+       |       lower(c_mktsegment) AS segment_lower,
+       |       upper(c_name) AS name_upper,
+       |       CAST(length(c_name) AS BIGINT) AS name_len,
+       |       c_name || '|' || c_mktsegment AS name_seg,
+       |       regexp_replace(c_name, 'Customer', 'Cust') AS name_short
+       |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** P6 + math surface — abs/floor/ceil/round (both engines round half away
+    * from zero).
+    */
+  def absRound(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        lineitemAmount.as("amount"),
+        abs(lineitemAmount).as("amount_abs"),
+        floor(lineitemAmount).as("amount_floor"),
+        ceil(lineitemAmount).as("amount_ceil"),
+        round(lineitemAmount, 1).as("amount_round1"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val absRoundSql: String =
+    s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |       $amountSql AS amount,
+       |       abs($amountSql) AS amount_abs,
+       |       CAST(floor($amountSql) AS BIGINT) AS amount_floor,
+       |       CAST(ceil($amountSql) AS BIGINT) AS amount_ceil,
+       |       round($amountSql, 1) AS amount_round1
+       |FROM lineitem
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** A1 — counts (the reference's only aggregate, lambda_function.py:52). */
+  def countStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        count(col("l_partkey")).as("n_nonnull_part"))
+      .orderBy(col("l_returnflag"))
+
+  val countStatsSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n, COUNT(l_partkey) AS n_nonnull_part
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** S1/K2 — CSV sink + schema'd CSV scan round-trip, Hive-partitioned by
+    * the partition column like the reference's year=/month=/day= layout
+    * (` s3_uploader.py`:113-118). Result must equal computing directly on
+    * the parquet source — which is exactly what the oracle does.
+    */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft_rt/${new java.io.File(d).getName}/csv"
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .write.mode("overwrite").option("header", "true")
+      .partitionBy("l_returnflag").csv(dir)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_returnflag", StringType)))
+    s.read.schema(schema).option("header", "true").csv(dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** K1/S4 — JSON-lines sink + scan round-trip (the reference's output
+    * format, lambda_function.py:285; JSON-lines vs JSON-array delta
+    * documented in SURVEY §7).
+    */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft_rt/${new java.io.File(d).getName}/json"
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    s.read.schema(schema).json(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+}

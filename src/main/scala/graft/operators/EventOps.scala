@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.RefTransforms.cents
+
+/** Event-time operators over the `events` table — the batch-equivalent forms
+  * of the streaming windows (SURVEY.md §2k), plus JSON column extraction.
+  *
+  * The reference's streaming model is event-per-file micro-batch
+  * (README.md:155-187); the true Structured Streaming path (file source +
+  * Trigger.AvailableNow, watermarks, session windows) lives in
+  * graft.streaming.Streams and is exercised by its spec. These batch forms
+  * compute the identical answers and are what the DuckDB oracle can check.
+  *
+  * All window bucketing is done in epoch-millis integer arithmetic so
+  * Spark and DuckDB agree bit-for-bit regardless of timestamp physical
+  * precision (events.ts is parquet timestamp[ns]; both engines read it
+  * at micro precision, and ms arithmetic is exact in both).
+  */
+object EventOps {
+
+  /** Adds `ts_ms: long`. Tolerates the ns-as-long reading mode some engines
+    * use for parquet TIMESTAMP(NANOS) columns.
+    */
+  def withTsMs(events: DataFrame): DataFrame = {
+    val tsType = events.schema("ts").dataType.typeName
+    if (tsType == "long") // nanosAsLong mode; integer div keeps 64-bit exact
+      events.withColumn("ts_ms", expr("ts div 1000000"))
+    else events.withColumn("ts_ms", unix_millis(col("ts")))
+  }
+
+  private val HourMs  = 3600000L
+  private val SlideMs = 1800000L
+  private val GapMs   = 1800000L
+
+  /** Tumbling 1-hour event-time windows via the native `window()` function
+    * (same operator Structured Streaming uses with a watermark).
+    */
+  def tumbling(s: SparkSession, d: String): DataFrame = {
+    val e = withTsMs(Tables.events(s, d))
+      .withColumn("ts_t", timestamp_millis(col("ts_ms")))
+    e.groupBy(window(col("ts_t"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("n"), col("value_cents"))
+      .orderBy(col("window_start_ms"))
+  }
+
+  val tumblingSql: String =
+    s"""SELECT (epoch_ms(ts) // $HourMs) * $HourMs AS window_start_ms,
+       |       COUNT(*) AS n,
+       |       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+       |FROM events GROUP BY 1 ORDER BY window_start_ms""".stripMargin
+
+  /** Sliding windows: 1 hour long, every 30 minutes — each event lands in
+    * exactly two windows.
+    */
+  def sliding(s: SparkSession, d: String): DataFrame = {
+    val e = withTsMs(Tables.events(s, d))
+      .withColumn("ts_t", timestamp_millis(col("ts_ms")))
+    e.groupBy(window(col("ts_t"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("n"), col("value_cents"))
+      .orderBy(col("window_start_ms"))
+  }
+
+  val slidingSql: String =
+    s"""WITH exploded AS (
+       |  SELECT (epoch_ms(ts) // $SlideMs) * $SlideMs AS s, value FROM events
+       |  UNION ALL
+       |  SELECT (epoch_ms(ts) // $SlideMs) * $SlideMs - $SlideMs AS s, value
+       |  FROM events)
+       |SELECT s AS window_start_ms, COUNT(*) AS n,
+       |       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+       |FROM exploded GROUP BY s ORDER BY window_start_ms""".stripMargin
+
+  /** Session windows (30-minute inactivity gap) per user, batch form:
+    * lag → gap flag → running-sum session id → per-session rollup. The
+    * streaming twin is `session_window()` / flatMapGroupsWithState in
+    * graft.streaming.Streams.
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val e  = withTsMs(Tables.events(s, d))
+    val w  = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > GapMs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(wr))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"),
+        sum(cents(col("value"))).as("value_cents"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  val sessionizeSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+       |         CASE WHEN lag(epoch_ms(ts), 1) OVER w IS NULL
+       |                OR epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w > $GapMs
+       |              THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+       |), sessions AS (
+       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+       |                                ORDER BY ts_ms, event_id
+       |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |  FROM flagged)
+       |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
+       |       MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+       |       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+       |FROM sessions GROUP BY user_id, sess_id
+       |ORDER BY user_id, sess_id""".stripMargin
+
+  /** 2j JSON — extract a typed value out of the `props` JSON-string column
+    * (the column-level JSON surface; the reference's JSON handling is at
+    * file level, lambda_function.py:285).
+    */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"),
+        max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type,
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |       COUNT(*) AS n,
+      |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+}

@@ -1,0 +1,320 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.RefTransforms.cents
+
+/** Relational [EXT] operators over the driver's star schema (SURVEY.md
+  * §2e-§2i): joins, aggregations, rollup/cube, set ops, top-k, window
+  * analytics, and the upsert/last-writer-wins pattern that replaces the
+  * reference's per-row `INSERT ... ON CONFLICT` (lambda_function.py:224-256)
+  * with one set-oriented window dedup.
+  *
+  * Scale notes (100 TB thinking, verified via .explain on local runs):
+  *  - fact⋈fact joins (orders⋈lineitem) stay sort-merge on the join key —
+  *    both sides shuffle once on the key; at cluster scale bucketing both
+  *    tables by orderkey would eliminate that shuffle entirely.
+  *  - genuinely-small dimensions (nation: 25 rows at ANY scale factor) are
+  *    broadcast explicitly; customer/orders are NOT broadcast since they
+  *    grow with SF.
+  *  - all money aggregates sum exact integer cents (RefTransforms.cents) so
+  *    results are partition-order-independent — required both for the DuckDB
+  *    oracle hash and for deterministic re-runs on a real cluster.
+  *  - aggregates are partial (map-side combine) by construction: groupBy.agg
+  *    with sum/count compiles to HashAggregate(partial) → shuffle →
+  *    HashAggregate(final).
+  */
+object Relational {
+
+  /** J1 — three-way equi-join: filtered customers ⋈ orders ⋈ lineitem,
+    * revenue per order, top 10. TPC-H Q3 shape. The customer filter is
+    * pushed to the parquet scan; join order left to Catalyst/AQE.
+    */
+  def joinEnrich(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val joinEnrichSql: String =
+    """SELECT l_orderkey,
+      |       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       COUNT(*) AS n_lines
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue_cents DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** J1 left join + broadcast dim: per-customer order stats with nation name.
+    * `broadcast(nation)` is correct at every scale — nation is 25 rows at
+    * SF100k too.
+    */
+  def joinLeft(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = broadcast(Tables.nation(s, d))
+    val o = Tables.orders(s, d)
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("n_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(cents(col("o_totalprice"))), lit(0L)).as("spend_cents"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinLeftSql: String =
+    """SELECT c_custkey, n_name,
+      |       COUNT(o_orderkey) AS n_orders,
+      |       COALESCE(CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT), 0) AS spend_cents
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, n_name
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J2 — left-semi: customers holding at least one 'F' order. */
+  def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J2 — left-anti: customers with no orders at all. */
+  def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** A2 — TPC-H Q1-shaped grouped aggregate: partial+final hash agg, exact
+    * cent arithmetic, avg derived as exact-sum / count (deterministic double
+    * division, identical in DuckDB).
+    */
+  def aggPricingSummary(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).filter(col("l_quantity") <= 45)
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")))).as("sum_charge_cents"),
+        count(lit(1)).as("n"))
+      .withColumn("avg_qty",
+        col("sum_qty").cast("double") / col("n").cast("double"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val aggPricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+      |       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+      |       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+      |       COUNT(*) AS n,
+      |       CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+      |FROM lineitem
+      |WHERE l_quantity <= 45
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** A3 — exact distinct counts per group (expands to two-phase distinct
+    * aggregation; at scale the partial distinct happens map-side).
+    */
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val aggDistinctSql: String =
+    """SELECT l_returnflag,
+      |       COUNT(DISTINCT l_partkey) AS n_parts,
+      |       COUNT(DISTINCT l_suppkey) AS n_supps,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** A3 — HyperLogLog++ approximate distinct: the scale path for dedup-style
+    * counting (constant memory per group regardless of cardinality). Sketch
+    * internals are engine-specific, so this query has no DuckDB oracle —
+    * the driver records a rows-only check; the ScalaTest spec bounds its
+    * error against the exact count instead.
+    */
+  def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** A4 — rollup over the time hierarchy implied by the reference's
+    * year=/month= partition layout (` s3_uploader.py`:113-118).
+    */
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        col("o_totalprice"))
+      .rollup(col("y"), col("m"))
+      .agg(sum(cents(col("o_totalprice"))).as("total_cents"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("y").cast("string"), lit("ALL")).as("y"),
+        coalesce(col("m").cast("string"), lit("ALL")).as("m"),
+        col("total_cents"), col("n"))
+      .orderBy(col("y"), col("m"))
+
+  val aggRollupSql: String =
+    """SELECT COALESCE(CAST(y AS VARCHAR), 'ALL') AS y,
+      |       COALESCE(CAST(m AS VARCHAR), 'ALL') AS m,
+      |       total_cents, n
+      |FROM (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+      |             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+      |             COUNT(*) AS n
+      |      FROM orders GROUP BY ROLLUP (y, m))
+      |ORDER BY y, m""".stripMargin
+
+  /** A4 — cube over two categorical dimensions. */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total_cents"))
+      .orderBy(col("status"), col("priority"))
+
+  val aggCubeSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Set operations: (F ∩ O customers) ∪ P customers, minus big spenders.
+    * Spark intersect/except are distinct-set semantics — same as SQL.
+    */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def keys(status: String) =
+      o.filter(col("o_orderstatus") === status).select(col("o_custkey"))
+    val big = o.filter(col("o_totalprice") > 400000.0).select(col("o_custkey"))
+    keys("F").intersect(keys("O")).union(keys("P")).except(big)
+      .orderBy(col("o_custkey"))
+  }
+
+  val setOpsSql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  UNION
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+      |) ORDER BY o_custkey""".stripMargin
+
+  /** Top-k: TakeOrderedAndProject — per-partition top-k then a k-row merge on
+    * the driver; no global sort even at 100 TB. FP tie risk handled by the
+    * o_orderkey tie-break.
+    */
+  def topK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("total_cents"))
+      .orderBy(col("total_cents").desc, col("o_orderkey").asc)
+      .limit(25)
+
+  val topKSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+      |FROM orders ORDER BY total_cents DESC, o_orderkey ASC LIMIT 25""".stripMargin
+
+  /** K3/J3 — upsert as last-writer-wins: one window dedup replaces the
+    * reference's per-row ON CONFLICT loop (lambda_function.py:226-235).
+    * Deterministic tie-break on the key so re-runs are idempotent.
+    */
+  def upsertLww(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val upsertLwwSql: String =
+    """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS order_ms
+      |FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  /** 2g — analytic window functions (lag + running sum) over the events
+    * stream table, per-user ordered by event time.
+    */
+  def windowAnalytic(s: SparkSession, d: String): DataFrame = {
+    val e = EventOps.withTsMs(Tables.events(s, d))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    e.select(
+        col("user_id"), col("event_id"),
+        row_number().over(w).cast("long").as("rn"),
+        lag(col("event_id"), 1).over(w).as("prev_event_id"),
+        sum(cents(col("value")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_cents"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  val windowAnalyticSql: String =
+    """SELECT user_id, event_id,
+      |       row_number() OVER w AS rn,
+      |       lag(event_id, 1) OVER w AS prev_event_id,
+      |       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+      |              OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS running_cents
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |ORDER BY user_id, rn""".stripMargin
+}
