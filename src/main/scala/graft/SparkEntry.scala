@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.functions.TextAnalysis
 import graft.operators._
 import graft.sources.TxnGenerator
 
@@ -56,7 +57,24 @@ object SparkEntry {
     "q_window_tumbling" -> (EventOps.tumbling _),
     "q_window_sliding"  -> (EventOps.sliding _),
     "q_window_session"  -> (EventOps.sessionize _),
-    "q_json_extract"    -> (EventOps.jsonExtract _)
+    "q_json_extract"    -> (EventOps.jsonExtract _),
+    // [EXT] LLM-pipeline: text analysis — SURVEY §0 north star
+    "q_text_stats"    -> (TextAnalysis.textStats _),
+    "q_token_count"   -> (TextAnalysis.tokenCount _),
+    "q_lang_id"       -> (TextAnalysis.langId _),
+    "q_quality_score" -> (TextAnalysis.qualityScore _),
+    "q_fingerprint"   -> (TextAnalysis.fingerprintDf _),
+    // [EXT] LLM-pipeline: deduplication
+    "q_dedup_exact"       -> (Dedup.exact _),
+    "q_dedup_ngram"       -> (Dedup.ngramJaccard _),
+    "q_dedup_minhash"     -> (Dedup.minhashLsh _),
+    "q_minhash_signature" -> (Dedup.minhashSignatures _),
+    "q_dedup_simhash"     -> (Dedup.simhashPairs _),
+    // [EXT] LLM-pipeline: similarity search + multimodal
+    "q_ann_brute"       -> (Ann.bruteForceTopK _),
+    "q_ann_lsh"         -> (Ann.lshTopK _),
+    "q_embed_neardup"   -> (Ann.embeddingNearDup _),
+    "q_multimodal_meta" -> (Multimodal.blobMeta _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,6 +109,20 @@ object SparkEntry {
     "q_window_tumbling" -> EventOps.tumblingSql,
     "q_window_sliding"  -> EventOps.slidingSql,
     "q_window_session"  -> EventOps.sessionizeSql,
-    "q_json_extract"    -> EventOps.jsonExtractSql
+    "q_json_extract"    -> EventOps.jsonExtractSql,
+    "q_text_stats"      -> TextAnalysis.textStatsSql,
+    "q_token_count"     -> TextAnalysis.tokenCountSql,
+    "q_lang_id"         -> TextAnalysis.langIdSql,
+    "q_quality_score"   -> TextAnalysis.qualityScoreSql,
+    "q_fingerprint"     -> TextAnalysis.fingerprintSql,
+    "q_dedup_exact"     -> Dedup.exactSql,
+    "q_dedup_ngram"     -> Dedup.ngramJaccardSql,
+    // LSH misses a true pair at J=0.8 w.p. ≈2e-4; planted dups sit at
+    // J≈0.99 (miss ≈1e-7), so the verified LSH output equals the exact
+    // inverted-index result and shares its oracle.
+    "q_dedup_minhash"   -> Dedup.ngramJaccardSql,
+    "q_ann_brute"       -> Ann.bruteForceTopKSql,
+    "q_embed_neardup"   -> Ann.embeddingNearDupSql,
+    "q_multimodal_meta" -> Multimodal.blobMetaSql
   )
 }

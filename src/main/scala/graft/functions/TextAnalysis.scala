@@ -1,0 +1,211 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table: corpus statistics, tokenization, heuristic language
+  * identification, quality scoring, and content fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins (split / higher-order array
+  * functions / regexp), so each query is one narrow scan stage plus at most
+  * one aggregation shuffle — the shape that holds at 100 TB (per-document
+  * work is embarrassingly parallel; only the final per-language rollup
+  * moves data).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Multiset count of `words` occurrences among the tokens. */
+  def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(t === _).reduce(_ || _))).cast("long")
+
+  private def markerCountSql(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains($arr, x))) AS BIGINT)"
+  }
+
+  /** Corpus statistics per language: doc counts, token/char volumes, source
+    * diversity — the per-shard profile a data pipeline reports before
+    * training.
+    */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_words"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        (sum(col("n_chars")).cast("double") / sum(col("n_words")).cast("double"))
+          .as("chars_per_word"))
+      .orderBy(col("lang"))
+
+  val textStatsSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+      |       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      |       COUNT(DISTINCT source) AS n_sources,
+      |       CAST(SUM(length(text)) AS DOUBLE) /
+      |         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS chars_per_word
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * pre-tokenizer (letter runs | digit runs | single punctuation), the
+    * standard first pass before byte-pair encoding.
+    */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("bpe_tokens"))
+      .groupBy(col("lang"))
+      .agg(sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpe_tokens")).as("total_bpe_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  val tokenCountSql: String =
+    """SELECT lang,
+      |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+      |       CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_bpe_tokens,
+      |       COUNT(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Marker-word sets for the n-gram-heuristic language ID. Real pipelines
+    * use character-n-gram profiles (textcat-style); the mechanism here is the
+    * same — per-class marker scoring + argmax — expressed in pure column
+    * algebra. Marker sets are disjoint draws from the corpus vocabulary.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("hash", "key", "group"),
+    "en" -> Seq("the", "fast", "table"),
+    "es" -> Seq("data", "row", "join"),
+    "fr" -> Seq("a", "merge", "stream"),
+    "zh" -> Seq("scan", "sort", "column"))
+
+  /** Language ID: score each language's markers, argmax with deterministic
+    * first-wins tie-break in marker-list order; reported as a confusion
+    * matrix against the labeled `lang`.
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val docs   = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+    val scored = langMarkers.foldLeft(docs) { case (df, (l, ws)) =>
+      df.withColumn(s"s_$l", markerCount(col("toks"), ws))
+    }
+    val scores    = langMarkers.map { case (l, _) => col(s"s_$l") }
+    val predicted = langMarkers.init.foldRight(lit(langMarkers.last._1)) {
+      case ((l, _), rest) =>
+        when(col(s"s_$l") >= greatest(scores: _*), lit(l)).otherwise(rest)
+    }
+    scored.withColumn("predicted", predicted)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val langIdSql: String = {
+    val scoreDefs = langMarkers
+      .map { case (l, ws) => s"${markerCountSql(ws)} AS s_$l" }
+      .mkString(",\n         ")
+    val great = langMarkers.map { case (l, _) => s"s_$l" }
+      .mkString("greatest(", ", ", ")")
+    val caseChain = langMarkers.init
+      .map { case (l, _) => s"WHEN s_$l >= $great THEN '$l'" }
+      .mkString("\n                ")
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |         $scoreDefs
+       |  FROM documents)
+       |SELECT lang,
+       |       CASE $caseChain
+       |            ELSE '${langMarkers.last._1}' END AS predicted,
+       |       COUNT(*) AS n
+       |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+  }
+
+  val stopwords: Seq[String] = Seq("the", "a")
+
+  /** Per-document quality scoring: length, token stats, stopword ratio,
+    * rare-token ("dup" marker) flag — bucketed into keep/review/drop like a
+    * pretraining quality filter.
+    */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val t        = tokens(col("text"))
+    val nWords   = size(t).cast("long")
+    val stopCnt  = markerCount(t, stopwords)
+    val stopRatio = stopCnt.cast("double") / nWords.cast("double")
+    val avgLen   = (length(col("text")) - nWords + 1).cast("double") /
+      nWords.cast("double")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        nWords.as("n_words"),
+        length(col("text")).cast("long").as("n_chars"),
+        avgLen.as("avg_word_len"),
+        stopRatio.as("stop_ratio"),
+        array_contains(t, "dup").cast("boolean").as("has_dup_marker"))
+      .withColumn("quality",
+        when(col("n_words") < 20, "drop")
+          .when(col("has_dup_marker") || col("stop_ratio") > 0.12, "review")
+          .otherwise("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String = {
+    val stopArr = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH m AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |         CAST(length(text) AS BIGINT) AS n_chars,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |                x -> list_contains($stopArr, x))) AS BIGINT) AS stop_cnt,
+       |         list_contains(string_split(text, ' '), 'dup') AS has_dup_marker
+       |  FROM documents)
+       |SELECT doc_id, lang, n_words, n_chars,
+       |       CAST(n_chars - n_words + 1 AS DOUBLE) / CAST(n_words AS DOUBLE) AS avg_word_len,
+       |       CAST(stop_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+       |       has_dup_marker,
+       |       CASE WHEN n_words < 20 THEN 'drop'
+       |            WHEN has_dup_marker
+       |                 OR CAST(stop_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.12
+       |              THEN 'review'
+       |            ELSE 'keep' END AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  private val FpMod = 1000000007L
+
+  /** Content fingerprint: polynomial rolling hash over the character stream
+    * (mod 1e9+7) — order-sensitive, so token swaps change it while staying
+    * cheap to compare/join on. The same left fold is expressed in DuckDB via
+    * list_reduce, making even this "custom hash" oracle-checkable.
+    */
+  def fingerprintDf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        aggregate(
+          transform(sequence(lit(1), length(col("text"))),
+            i => ascii(col("text").substr(i, lit(1))).cast("long")),
+          lit(0L),
+          (acc, c) => (acc * 31L + c) % FpMod).as("fingerprint"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |         list_transform(range(1, length(text) + 1),
+       |           i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+       |         (acc, x) -> (acc * 31 + x) % $FpMod) AS fingerprint,
+       |       CAST(length(text) AS BIGINT) AS n_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+}

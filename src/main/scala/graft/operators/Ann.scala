@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>`, dim 64): exact brute-force cosine top-k as the
+  * oracle-checked baseline, random-hyperplane LSH bucketing as the scale
+  * path, plus threshold "near-duplicate" retrieval.
+  *
+  * Scale design: brute force is O(Q·N) dot products — fine when Q is small
+  * (its real use: re-ranking inside a candidate bucket). The LSH variant
+  * hashes every vector to a `nBits`-bit signed-projection code; only
+  * same-code (or here, same band) vectors are compared, so the join volume
+  * drops from N² to Σ bucket². Hyperplanes are generated deterministically
+  * from hash-mixing, not RNG, so results are reproducible at any
+  * parallelism.
+  */
+object Ann {
+
+  val TopK       = 5
+  val NumQueries = 16 // vec_id < 16 are the query vectors
+
+  /** Exact top-k by cosine: broadcast the (small) query set against the full
+    * collection, window-rank per query. The ORDER BY ties on neighbor id so
+    * ranking is deterministic even under FP-equal similarities.
+    */
+  def bruteForceTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = broadcast(e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    q.join(n, col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val bruteForceTopKSql: String = {
+    val sim = cosineSql("q.v", "n.v")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |     q AS (SELECT * FROM e WHERE vec_id < $NumQueries),
+       |     scored AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, $sim AS sim,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY $sim DESC, n.vec_id ASC) AS rank
+       |  FROM q, e n WHERE q.vec_id <> n.vec_id)
+       |SELECT q_id, rank, n_id, sim FROM scored
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
+
+  val NearDupThreshold = 0.4
+
+  /** Exact all-pairs retrieval above a cosine threshold — the embedding
+    * near-duplicate primitive. Kept exact (and oracle-checked); the LSH
+    * query below is the subquadratic variant of the same primitive.
+    */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    a.join(b, col("v1") < col("v2"))
+      .withColumn("sim", cosine(col("e1"), col("e2")))
+      .filter(col("sim") >= NearDupThreshold)
+      .select(col("v1"), col("v2"), col("sim"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  val embeddingNearDupSql: String = {
+    val sim = cosineSql("a.v", "b.v")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings)
+       |SELECT a.vec_id AS v1, b.vec_id AS v2, $sim AS sim
+       |FROM e a, e b
+       |WHERE a.vec_id < b.vec_id AND $sim >= $NearDupThreshold
+       |ORDER BY v1, v2""".stripMargin
+  }
+
+  val Dim     = 64
+  val LshBits = 16
+  val LshBands = 4 // 4 bands × 4 bits
+
+  /** Deterministic pseudo-random hyperplane component (plane i, dim j):
+    * a sign in {-1,+1} derived by integer hash mixing — reproducible across
+    * runs/partitions with no RNG state. Sign-projection LSH with ±1
+    * components is the standard SimHash-for-vectors construction.
+    */
+  private def planeSign(i: Int, j: Int): Long = {
+    var x = i * 2654435761L + j * 40503L + 2166136261L
+    x ^= (x >>> 16); x *= 73244475L; x ^= (x >>> 13)
+    if ((x & 1L) == 0L) -1L else 1L
+  }
+
+  /** `LshBits`-bit signed-projection code of an embedding column. */
+  def lshBits(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until LshBits).map { i =>
+      val proj = (0 until Dim).map { j =>
+        element_at(emb, j + 1).cast("double") * lit(planeSign(i, j).toDouble)
+      }.reduce(_ + _)
+      when(proj >= 0, 1L).otherwise(0L)
+    }: _*)
+
+  /** LSH-bucketed ANN: vectors meet only inside 4-bit band buckets (any of
+    * 4 bands matching makes a candidate), then exact cosine re-ranks.
+    * Approximate — recall is bounded against bruteForceTopK by AnnSpec, so
+    * this is a rows-only check for the driver.
+    */
+  def lshTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), lshBits(col("embedding")).as("bits"))
+    val banded = e.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until LshBands).map { b =>
+        (0 until 4).map { k =>
+          element_at(col("bits"), b * 4 + k + 1) * lit(1L << k)
+        }.reduce(_ + _)
+      }: _*)))
+      .select(col("vec_id"), col("embedding"),
+        col("pos").as("band"), col("col").as("bkey"))
+    val q = banded.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("band"), col("bkey"))
+    val cand = q.join(
+        banded.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    cand.withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+}
