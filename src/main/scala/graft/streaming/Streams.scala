@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.RefTransforms
+
+/** Structured Streaming re-expression of the reference's streaming model
+  * (SURVEY.md §2k): the reference is event-per-file micro-batch — an S3
+  * ObjectCreated notification fires one Lambda per landed CSV
+  * (README.md:155-187), each file processed independently and idempotently.
+  *
+  * Spark-first mapping:
+  *  - S3-notification trigger    → file source (`readStream.csv(dir)`) —
+  *    new-file discovery is built into the source.
+  *  - run-to-completion per file → `Trigger.AvailableNow` (drain everything
+  *    present, then stop) — the batch-like semantics the Lambda had.
+  *  - no cross-file state in the reference; the [EXT] event-time operators
+  *    (watermarked tumbling windows, session windows, custom per-key state
+  *    via flatMapGroupsWithState) cover what a streaming events pipeline
+  *    needs beyond it.
+  *
+  * At scale the same topology runs continuously (ProcessingTime trigger):
+  * state lives in the state store keyed by group, watermarks bound it, and
+  * the sink is exactly-once via checkpoint + idempotent file commits.
+  */
+object Streams {
+
+  /** The reference's 9-column CSV input schema (FIXTURES.md §A1). */
+  val transactionSchema: StructType = StructType(Seq(
+    StructField("transaction_id", StringType),
+    StructField("date", StringType),
+    StructField("timestamp", StringType),
+    StructField("amount", StringType),
+    StructField("category", StringType),
+    StructField("description", StringType),
+    StructField("transaction_type", StringType),
+    StructField("account", StringType),
+    StructField("location", StringType)))
+
+  /** E1 as a stream: watch `inDir` for CSVs, run the full reference
+    * transform chain, land parquet in `outDir`. Returns the started query;
+    * callers await termination (AvailableNow stops by itself).
+    */
+  def fileEtlPipeline(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(transactionSchema)
+      .option("header", "true")
+      .csv(inDir)
+    val transformed = RefTransforms.transformTransactions(raw, inDir)
+    transformed.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
+  /** Watermarked tumbling event-time aggregation over a stream with
+    * (ts: timestamp, user_id: long, value: double) — late data beyond
+    * 10 minutes is dropped, state for closed windows is evicted.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(RefTransforms.cents(col("value"))).as("value_cents"))
+      .select(col("window.start").as("window_start"), col("n"),
+        col("value_cents"))
+
+  /** Event-time session windows (30-minute gap) per user — the streaming
+    * twin of EventOps.sessionize.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserRunning(user_id: Long, n: Long, total_cents: Long)
+
+  /** Custom keyed state via flatMapGroupsWithState: per-user running count
+    * and cent-exact running total, emitted on every update — the arbitrary-
+    * state surface (KeyValueGroupedDataset) beyond built-in windows.
+    */
+  def runningTotals(spark: SparkSession, events: Dataset[UserEvent])
+      : Dataset[UserRunning] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[UserEvent],
+         state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0L))
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            UserRunning(userId, acc.n + 1,
+              acc.total_cents + math.floor(e.value * 100 + 0.5).toLong)
+          }
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

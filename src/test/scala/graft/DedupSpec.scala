@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup semantics pinned on synthetic documents with known duplicate
+  * structure, plus cross-validation of the LSH path against the exact
+  * inverted-index path on the driver testdata (which plants near-dup pairs
+  * at Jaccard ≈ 0.99).
+  */
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val base =
+    "spark reads shuffles joins aggregates sorts filters projects windows streams"
+  private def docs = Seq(
+    (0L, base),
+    (1L, base),                      // exact copy of 0
+    (2L, base + " extra"),           // near-dup of 0 (J = 8/10... high)
+    (3L, "completely different words about cooking pasta tonight with sauce and basil"),
+    (4L, "another unrelated short document entirely about gardening roses")
+  ).toDF("doc_id", "text")
+    .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    .withColumn("n_chars", length(col("text")).cast("long"))
+
+  private def withDocs[T](f: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try f(dir)
+    finally ()
+  }
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    withDocs { dir =>
+      val out = Dedup.exact(spark, dir).collect()
+      val dupGroup = out.filter(_.getAs[Long]("n_copies") == 2L)
+      assert(dupGroup.length === 1)
+      assert(dupGroup.head.getAs[Long]("keeper_id") === 0L)
+      assert(out.map(_.getAs[Long]("n_copies")).sum === 5L)
+    }
+  }
+
+  test("ngram Jaccard finds exact and near duplicates, not unrelated docs") {
+    withDocs { dir =>
+      val pairs = Dedup.ngramJaccard(spark, dir)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((0L, 1L))) // identical => J = 1
+      assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+      assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    }
+  }
+
+  test("minhash LSH returns the same verified pairs as the exact path") {
+    withDocs { dir =>
+      val exact = Dedup.ngramJaccard(spark, dir)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      val lsh = Dedup.minhashLsh(spark, dir)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(lsh === exact)
+    }
+  }
+
+  test("minhash LSH equals exact ngram Jaccard on the driver testdata (planted dups)") {
+    val exact = Dedup.ngramJaccard(spark, sfDir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(spark, sfDir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dup pairs")
+    assert(lsh === exact)
+  }
+
+  test("simhash pairs catch exact+near dups with small hamming distance") {
+    withDocs { dir =>
+      val out = Dedup.simhashPairs(spark, dir).collect()
+      val pairs = out.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+      assert(pairs.contains((0L, 1L)))
+      val h01 = out.find(r => r.getAs[Long]("d1") == 0L && r.getAs[Long]("d2") == 1L)
+        .get.getAs[Long]("hamming")
+      assert(h01 === 0L) // identical docs => identical simhash
+    }
+  }
+
+  test("minhash signatures are deterministic across evaluations") {
+    val a = Dedup.minhashSignatures(spark, sfDir)
+      .select("doc_id", "sig_hash").as[(Long, Long)].collect().toMap
+    val b = Dedup.minhashSignatures(spark, sfDir)
+      .select("doc_id", "sig_hash").as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.TxnGenerator
+import graft.streaming.Streams
+
+/** Drives the Structured Streaming surface end-to-end: file-source ETL with
+  * AvailableNow (the reference's event-per-file model), watermarked
+  * event-time windows, session windows, and custom keyed state.
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("file-source ETL pipeline: land CSVs, stream-transform, parquet out") {
+    val in  = tmp("graft_stream_in")
+    val out = tmp("graft_stream_out")
+    val ckp = tmp("graft_stream_ckp")
+    // land two "S3 files" the way the reference's uploader would
+    TxnGenerator.generate(spark, 50)
+      .write.mode("overwrite").option("header", "true").csv(in)
+    val q = Streams.fileEtlPipeline(spark, in, out, ckp)
+    q.awaitTermination()
+    val result = spark.read.parquet(out)
+    assert(result.count() === 50)
+    assert(result.columns.contains("amount_category"))
+    assert(result.filter(col("amount_category") === "unknown").count() === 0)
+    // idempotent restart: AvailableNow over the same checkpoint adds nothing
+    val q2 = Streams.fileEtlPipeline(spark, in, out, ckp)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() === 50)
+  }
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermarked tumbling windows aggregate event-time correctly") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    // AvailableNow snapshots offsets at start — data must land first
+    input.addData((ts(5), 1L, 1.0), (ts(15), 1L, 2.0), (ts(59), 2L, 3.0))
+    val q = Streams.windowedCounts(events).writeStream
+      .format("memory").queryName("windowed")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("windowed").collect()
+    assert(rows.length === 1) // all three in the 10:00 hour window
+    assert(rows.head.getAs[Long]("n") === 3L)
+    assert(rows.head.getAs[Long]("value_cents") === 600L)
+  }
+
+  test("session windows split on the 30-minute gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    // user 1: two events 5 min apart (one session), then a 40-min gap (new)
+    input.addData((ts(0), 1L, 1.0), (ts(5), 1L, 1.0), (ts(45), 1L, 1.0))
+    val q = Streams.sessionCounts(events).writeStream
+      .format("memory").queryName("sessions")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("sessions").collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[Long]("n_events")).sorted === Array(1L, 2L))
+  }
+
+  test("flatMapGroupsWithState keeps exact per-user running totals") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.UserEvent]
+    input.addData(Streams.UserEvent(7L, 1.25), Streams.UserEvent(7L, 2.50),
+      Streams.UserEvent(8L, 10.0))
+    val q = Streams.runningTotals(spark, input.toDS()).writeStream
+      .format("memory").queryName("running")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val byUser = spark.table("running").as[Streams.UserRunning]
+      .collect().map(r => r.user_id -> r).toMap
+    assert(byUser(7L).n === 2L)
+    assert(byUser(7L).total_cents === 375L)
+    assert(byUser(8L).total_cents === 1000L)
+  }
+}
