@@ -12,32 +12,49 @@ import graft.functions.VectorFunctions._
   * oracle-checked baseline, random-hyperplane LSH bucketing as the scale
   * path, plus threshold "near-duplicate" retrieval.
   *
+  * Performance notes (measured on sf0.1 bench):
+  *  - dot products are statically unrolled ([[dotN]]) — the generic
+  *    zip_with/aggregate fold allocates an intermediate array per pair and
+  *    was ~100× slower across the N² near-dup join.
+  *  - norms are computed ONCE per vector before any join and carried as a
+  *    column; only the single cross-pair dot runs inside the join.
+  *  - results stay bit-identical to the naive formulation (same add order),
+  *    so the DuckDB oracles are unaffected.
+  *
   * Scale design: brute force is O(Q·N) dot products — fine when Q is small
   * (its real use: re-ranking inside a candidate bucket). The LSH variant
-  * hashes every vector to a `nBits`-bit signed-projection code; only
-  * same-code (or here, same band) vectors are compared, so the join volume
-  * drops from N² to Σ bucket². Hyperplanes are generated deterministically
-  * from hash-mixing, not RNG, so results are reproducible at any
+  * hashes every vector to a signed-projection code; only same-band vectors
+  * are compared, dropping join volume from N² to Σ bucket². Hyperplanes are
+  * derived by integer hash mixing, not RNG — reproducible at any
   * parallelism.
   */
 object Ann {
 
+  val Dim        = 64
   val TopK       = 5
   val NumQueries = 16 // vec_id < 16 are the query vectors
+
+  /** (vec_id, embedding, nrm) with the L2 norm precomputed once. */
+  private def normed(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      normN(col("embedding"), Dim).as("nrm"))
 
   /** Exact top-k by cosine: broadcast the (small) query set against the full
     * collection, window-rank per query. The ORDER BY ties on neighbor id so
     * ranking is deterministic even under FP-equal similarities.
     */
   def bruteForceTopK(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = normed(s, d)
     val q = broadcast(e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
-    val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")))
+    val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("nrm").as("n_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
     q.join(n, col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("sim",
+        dotN(col("q_emb"), col("n_emb"), Dim) / (col("q_nrm") * col("n_nrm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
@@ -65,13 +82,53 @@ object Ann {
     * query below is the subquadratic variant of the same primitive.
     */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
-    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
-    a.join(b, col("v1") < col("v2"))
-      .withColumn("sim", cosine(col("e1"), col("e2")))
-      .filter(col("sim") >= NearDupThreshold)
-      .select(col("v1"), col("v2"), col("sim"))
+    import s.implicits._
+    // The N² pair loop is the one place a declarative formulation loses
+    // badly: the 64-term dot as a Catalyst expression tree (~400 nodes with
+    // ANSI checks) exceeds JIT method limits and runs effectively
+    // interpreted — measured 170s (filter pushed into the BNLJ condition)
+    // and still 60s with the expression in a post-join projection, vs ~1s
+    // for this fused kernel at sf0.1. So: broadcast the collection side as
+    // a primitive double matrix and run a tight per-partition loop — the
+    // documented mapPartitions "last resort", used exactly once in this
+    // engine. Arithmetic is ascending-index, left-associated — bit-identical
+    // to the DuckDB oracle's list_dot_product.
+    // Scale note: the broadcast side must fit in executor memory (64-dim
+    // floats: ~0.5 GB per million vectors); beyond that, shard the
+    // broadcast side into blocks and union the block results, or use the
+    // LSH variant below.
+    val rows = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val collected = rows.collect().sortBy(_._1)
+    val ids  = collected.map(_._1)
+    val vecs = collected.map(_._2.map(_.toDouble))
+    val norms = vecs.map { v =>
+      var acc = 0.0; var j = 0
+      while (j < v.length) { acc += v(j) * v(j); j += 1 }
+      math.sqrt(acc)
+    }
+    val bc = s.sparkContext.broadcast((ids, vecs, norms))
+    val thr = NearDupThreshold
+    rows.mapPartitions { it =>
+      val (bIds, bVecs, bNorms) = bc.value
+      it.flatMap { case (id, fvec) =>
+        val v = fvec.map(_.toDouble)
+        var acc = 0.0; var j = 0
+        while (j < v.length) { acc += v(j) * v(j); j += 1 }
+        val nrm = math.sqrt(acc)
+        val out = Iterator.tabulate(bIds.length) { k =>
+          if (bIds(k) > id) {
+            val w = bVecs(k)
+            var dotAcc = 0.0; var i = 0
+            while (i < v.length) { dotAcc += v(i) * w(i); i += 1 }
+            val sim = dotAcc / (nrm * bNorms(k))
+            if (sim >= thr) Some((id, bIds(k), sim)) else None
+          } else None
+        }
+        out.flatten
+      }
+    }.toDF("v1", "v2", "sim")
       .orderBy(col("v1"), col("v2"))
   }
 
@@ -85,8 +142,7 @@ object Ann {
        |ORDER BY v1, v2""".stripMargin
   }
 
-  val Dim     = 64
-  val LshBits = 16
+  val LshBits  = 16
   val LshBands = 4 // 4 bands × 4 bits
 
   /** Deterministic pseudo-random hyperplane component (plane i, dim j):
@@ -115,29 +171,32 @@ object Ann {
     * this is a rows-only check for the driver.
     */
   def lshTopK(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), lshBits(col("embedding")).as("bits"))
-    val banded = e.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until LshBands).map { b =>
+    val e = normed(s, d)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        lshBits(col("embedding")).as("bits"))
+    val banded = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      posexplode_outer(array((0 until LshBands).map { b =>
         (0 until 4).map { k =>
           element_at(col("bits"), b * 4 + k + 1) * lit(1L << k)
         }.reduce(_ + _)
       }: _*)))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("nrm"),
         col("pos").as("band"), col("col").as("bkey"))
     val q = banded.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("band"), col("bkey"))
+        col("nrm").as("q_nrm"), col("band"), col("bkey"))
     val cand = q.join(
         banded.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-          col("band"), col("bkey")),
+          col("nrm").as("n_nrm"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("n_id"),
+        col("n_emb"), col("n_nrm"))
       .distinct()
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
-    cand.withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+    cand.withColumn("sim",
+        dotN(col("q_emb"), col("n_emb"), Dim) / (col("q_nrm") * col("n_nrm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))

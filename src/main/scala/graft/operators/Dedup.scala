@@ -14,36 +14,59 @@ import graft.Tables
   *
   * Scale design (the 100 TB story):
   *  - exact dedup: one shuffle on a 128-bit content hash — optimal.
-  *  - n-gram Jaccard: the candidate join explodes doc×shingle (inverted
-  *    index) and self-joins per shingle. Exact, but the per-shingle bucket
-  *    join is quadratic in bucket size — safe here (uniform vocabulary,
-  *    buckets ≈ a few docs), and the honest scale path is MinHash below.
-  *  - MinHash/LSH: per-doc signature is a narrow map (64 hashes folded in
-  *    one pass over the shingle array); only band keys shuffle. Candidate
-  *    volume is controlled by band size (r=4, b=16 → P(collide)≈J⁴
-  *    amplified over 16 bands), then candidates are verified exactly.
-  *  - SimHash: 64-bit signature; hamming-≤k retrieval via 4×16-bit band
-  *    exact-match buckets (pigeonhole: hamming ≤3 ⇒ ≥1 of 4 bands equal).
+  *  - n-gram Jaccard: inverted index (explode doc×shingle, self-join per
+  *    shingle). Exact; the join runs on 64-bit shingle hashes (not strings)
+  *    and a size-ratio prefilter (J ≥ θ ⇒ θ·|B| ≤ |A| ≤ |B|/θ) prunes
+  *    candidates before the pair aggregation. Per-shingle buckets are small
+  *    here (uniform vocabulary); at extreme skew you cap bucket size and
+  *    fall back to MinHash — which is the next operator.
+  *  - MinHash/LSH: signatures via ONE explode + 64 min-aggregates (flat
+  *    codegen'd hash aggregation — measured ~3× faster than per-row array
+  *    folds); only band keys shuffle afterward. Candidate volume is
+  *    controlled by band shape (r=4, b=16 ⇒ P(collide)≈1-(1-J⁴)¹⁶), then
+  *    candidates are verified exactly.
+  *  - SimHash: 64-bit signature via explode + 64 conditional sums; hamming
+  *    ≤ k retrieval via 16-bit band exact-match buckets (pigeonhole:
+  *    hamming ≤ 3 ⇒ ≥ 1 of 4 bands equal).
   */
 object Dedup {
 
   // ---------- shared shingling ----------
 
-  /** Distinct word-3-shingles per document (empty if <3 tokens). */
-  def shingles(text: Column): Column = {
-    val toks = split(text, " ")
+  /** Distinct word-3-shingles from an ALREADY-MATERIALIZED token array
+    * column. Higher-order array functions are CodegenFallback (interpreted),
+    * and the interpreted path has no common-subexpression elimination — if
+    * `toks` were the split() expression itself, it would be re-evaluated on
+    * every element_at reference (~270 splits per document, measured 4.4s of
+    * pure re-splitting at sf0.1). Callers must bind `toks` as its own
+    * projection first; CollapseProject keeps a non-cheap alias referenced
+    * this often un-inlined.
+    */
+  def shinglesOfTokens(toks: Column): Column =
     when(size(toks) >= 3,
       array_distinct(transform(sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ",
           element_at(toks, i), element_at(toks, i + 1),
           element_at(toks, i + 2)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  def shingles(text: Column): Column = shinglesOfTokens(split(text, " "))
 
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), shinglesOfTokens(col("toks")).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
+
+  /** (doc_id, n_sh, shingle-hash) inverted index — one row per distinct
+    * shingle occurrence, 64-bit hashed so joins/aggregations move longs
+    * instead of strings (collision odds over a corpus-wide shingle
+    * vocabulary V are ≈ V²/2⁶⁵ — negligible).
+    */
+  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
+      .select(col("doc_id"), col("n_sh"), explode_outer(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("h"))
 
   val JaccardThreshold = 0.8
 
@@ -66,21 +89,22 @@ object Dedup {
 
   // ---------- n-gram Jaccard (exact, inverted-index join) ----------
 
-  /** Near-dup pairs by exact 3-gram Jaccard ≥ 0.8. Candidates come from an
-    * inverted index (explode shingle → self-join per shingle → count of
-    * shared shingles per pair), so only docs sharing ≥1 shingle are ever
-    * paired — never the full N² cross join.
+  /** Near-dup pairs by exact 3-gram Jaccard ≥ 0.8. Candidates come from the
+    * inverted index (docs pair only through a shared shingle), with the
+    * size-ratio prefilter inside the join condition.
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh    = shingled(s, d)
-    val index = sh.select(col("doc_id"), col("n_sh"),
-      explode(col("sh")).as("shingle"))
-    val a = index.select(col("doc_id").as("d1"), col("n_sh").as("n1"),
-      col("shingle"))
-    val b = index.select(col("doc_id").as("d2"), col("n_sh").as("n2"),
-      col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("d1") < col("d2"))
+    // Self-join through ONE aliased subtree (not two re-derived pipelines):
+    // the canonical plans of both sides match, so ReuseExchange computes the
+    // shingle index + its shuffle once instead of twice.
+    val index = shingleIndex(s, d)
+    index.as("a").join(index.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          // J ≥ θ requires min(n1,n2) ≥ θ·max(n1,n2)
+          col("a.n_sh") * lit(JaccardThreshold) <= col("b.n_sh") &&
+          col("b.n_sh") * lit(JaccardThreshold) <= col("a.n_sh"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n_sh").as("n1"), col("b.n_sh").as("n2"))
       .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
@@ -116,25 +140,28 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
-  val NumHashes = 64
-  val Bands     = 16
+  val NumHashes   = 64
+  val Bands       = 16
   val RowsPerBand = NumHashes / Bands // 4
-  private val P = 2147483647L // 2^31 - 1, Mersenne prime
+  private val P   = 2147483647L // 2^31 - 1, Mersenne prime
 
-  /** 64-wide MinHash signature: base-hash each shingle once (xxhash64,
-    * reduced into 31-bit space so the affine permutations below never
-    * overflow a signed 64-bit long — Spark 4 runs ANSI arithmetic), then
-    * apply 64 affine permutations and take per-permutation minima. The
-    * permutation index is a compile-time constant, so each lane is a static
-    * codegen'd expression — one fused pass over the shingle array.
+  /** Per-doc 64-lane MinHash signatures, computed as one explode over
+    * distinct shingles followed by 64 static min-aggregates over affine
+    * permutations of a 31-bit-reduced base hash (31-bit keeps every product
+    * inside a signed 64-bit long under Spark 4's ANSI arithmetic). Output:
+    * (doc_id, n_sh, sig array<long>).
     */
-  def minhashSignature(sh: Column): Column =
-    array((0 until NumHashes).map { i =>
-      array_min(transform(sh, t => {
-        val h0 = pmod(xxhash64(t), lit(P))
-        pmod(h0 * lit(i * 2L + 1L) + lit(i * 40503L + 17L), lit(P))
-      }))
-    }: _*)
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val idx = shingleIndex(s, d).withColumn("h0", pmod(col("h"), lit(P)))
+    val mins = (0 until NumHashes).map { i =>
+      min(pmod(col("h0") * lit(i * 2L + 1L) + lit(i * 40503L + 17L), lit(P)))
+        .as(s"m$i")
+    }
+    idx.groupBy(col("doc_id"), col("n_sh"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), col("n_sh"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** The 16 LSH band keys of a signature (hash of 4 consecutive lanes). */
   def bandKeys(sig: Column): Column =
@@ -146,9 +173,7 @@ object Dedup {
     * aren't portable SQL; correctness is pinned by DedupSpec instead).
     */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    shingled(s, d)
-      .filter(col("n_sh") > 0)
-      .withColumn("sig", minhashSignature(col("sh")))
+    signatures(s, d)
       .select(col("doc_id"), col("n_sh"),
         hash(col("sig")).cast("long").as("sig_hash"),
         bandKeys(col("sig")).as("band_keys"))
@@ -161,22 +186,22 @@ object Dedup {
     * and shares its oracle.
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh  = shingled(s, d).filter(col("n_sh") > 0)
-      .withColumn("sig", minhashSignature(col("sh")))
-    val banded = sh.select(col("doc_id"), posexplode(bandKeys(col("sig"))))
+    val sig = signatures(s, d)
+    val banded = sig.select(col("doc_id"), posexplode_outer(bandKeys(col("sig"))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val sets = sh.select(col("doc_id"), col("sh"), col("n_sh"))
+    val sets = shingled(s, d)
     cand
       .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1"),
         col("n_sh").as("n1")), Seq("d1"))
       .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2"),
         col("n_sh").as("n2")), Seq("d2"))
-      .withColumn("common", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("common",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("n1") + col("n2") - col("common")).cast("double"))
@@ -187,24 +212,23 @@ object Dedup {
 
   // ---------- SimHash ----------
 
-  /** 64-bit SimHash over the token multiset: per token-hash, each bit
-    * contributes ±1 to its lane; the signature takes the sign of each lane.
-    * Expressed as one aggregate over a 64-long lane array — single pass,
-    * no shuffle.
+  /** Per-doc 64-bit SimHash over the token multiset, via explode + 64
+    * conditional sums (each token-hash bit votes ±1 on its lane; the
+    * signature takes the lane signs). Output: (doc_id, bits array<long>).
     */
-  def simhashBits(text: Column): Column = {
-    val toks  = split(text, " ")
-    val lanes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        val tokenBits = array((0 until 64).map { i =>
-          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)
-        }: _*)
-        zip_with(acc, tokenBits, (a, b) => a + b)
-      })
-    transform(lanes, l => when(l > 0, 1L).otherwise(0L))
+  private def simhashDf(s: SparkSession, d: String): DataFrame = {
+    val exploded = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val laneSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"l$i")
+    }
+    exploded.groupBy(col("doc_id"))
+      .agg(laneSums.head, laneSums.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 64).map(i =>
+          when(col(s"l$i") > 0, 1L).otherwise(0L)): _*).as("bits"))
   }
 
   /** Pack bit lanes into 4×16-bit band keys for hamming-bucket retrieval. */
@@ -217,28 +241,29 @@ object Dedup {
 
   /** SimHash near-dup pairs with hamming distance ≤ 6: candidates from
     * 16-bit band equality (pigeonhole guarantees recall for hamming ≤ 3;
-    * planted near-dups land well inside that), verified by exact popcount
-    * of the XOR. Rows-only check (xxhash64 isn't portable SQL); DedupSpec
-    * pins semantics.
+    * planted near-dups land well inside that), verified by exact popcount —
+    * `bit_count(xor)` over the four packed band words, 8 integer ops per
+    * pair instead of 64 array lookups. Rows-only check (xxhash64 isn't
+    * portable SQL); DedupSpec pins semantics.
     */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), simhashBits(col("text")).as("bits"))
-      .withColumn("bands", simhashBands(col("bits")))
-    val banded = docs.select(col("doc_id"), col("bits"),
-      posexplode(col("bands"))).select(col("doc_id"), col("bits"),
+    val docs = simhashDf(s, d)
+      .select(col("doc_id"), simhashBands(col("bits")).as("bands"))
+    val banded = docs.select(col("doc_id"), col("bands"),
+      posexplode_outer(col("bands"))).select(col("doc_id"), col("bands"),
       col("pos").as("band"), col("col").as("bkey"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("x.bits").as("bits1"),
-        col("y.doc_id").as("d2"), col("y.bits").as("bits2"))
+      .select(col("x.doc_id").as("d1"), col("x.bands").as("bands1"),
+        col("y.doc_id").as("d2"), col("y.bands").as("bands2"))
       .distinct()
+    val hamming = (1 to 4).map { b =>
+      bit_count(element_at(col("bands1"), b)
+        .bitwiseXOR(element_at(col("bands2"), b))).cast("long")
+    }.reduce(_ + _)
     cand
-      .withColumn("hamming",
-        aggregate(zip_with(col("bits1"), col("bits2"),
-          (a, b) => when(a =!= b, 1L).otherwise(0L)),
-          lit(0L), (acc, x) => acc + x))
+      .withColumn("hamming", hamming)
       .filter(col("hamming") <= 6)
       .select(col("d1"), col("d2"), col("hamming"))
       .orderBy(col("d1"), col("d2"))
