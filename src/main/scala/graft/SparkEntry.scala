@@ -39,6 +39,8 @@ object SparkEntry {
     "q_json_roundtrip" -> (EtlQueries.jsonRoundtrip _),
     "q_generate"       -> ((s: SparkSession, _: String) =>
       TxnGenerator.generate(s, 1000).orderBy("transaction_id")),
+    "q_etl_txn"        -> (PipelineQueries.etlTransactions _),
+    "q_partition_prune" -> (PipelineQueries.partitionPrune _),
     // [EXT] relational — SURVEY §2e-§2i
     "q_join_enrich"     -> (Relational.joinEnrich _),
     "q_join_left"       -> (Relational.joinLeft _),
@@ -94,6 +96,8 @@ object SparkEntry {
     "q_csv_roundtrip"   -> EtlQueries.csvRoundtripSql,
     "q_json_roundtrip"  -> EtlQueries.jsonRoundtripSql,
     "q_generate"        -> TxnGenerator.oracleSql(1000),
+    "q_etl_txn"         -> PipelineQueries.etlTransactionsSql,
+    "q_partition_prune" -> PipelineQueries.partitionPruneSql,
     "q_join_enrich"     -> Relational.joinEnrichSql,
     "q_join_left"       -> Relational.joinLeftSql,
     "q_join_semi"       -> Relational.joinSemiSql,

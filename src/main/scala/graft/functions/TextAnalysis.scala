@@ -147,6 +147,7 @@ object TextAnalysis {
     val avgLen   = (length(col("text")) - nWords + 1).cast("double") /
       nWords.cast("double")
     Tables.documents(s, d)
+      .orderBy(col("doc_id"))
       .select(col("doc_id"), col("lang"),
         nWords.as("n_words"),
         length(col("text")).cast("long").as("n_chars"),
@@ -157,7 +158,6 @@ object TextAnalysis {
         when(col("n_words") < 20, "drop")
           .when(col("has_dup_marker") || col("stop_ratio") > 0.12, "review")
           .otherwise("keep"))
-      .orderBy(col("doc_id"))
   }
 
   val qualityScoreSql: String = {
@@ -191,6 +191,7 @@ object TextAnalysis {
     */
   def fingerprintDf(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .orderBy(col("doc_id"))
       .select(col("doc_id"),
         aggregate(
           transform(sequence(lit(1), length(col("text"))),
@@ -198,7 +199,6 @@ object TextAnalysis {
           lit(0L),
           (acc, c) => (acc * 31L + c) % FpMod).as("fingerprint"),
         length(col("text")).cast("long").as("n_chars"))
-      .orderBy(col("doc_id"))
 
   val fingerprintSql: String =
     s"""SELECT doc_id,

@@ -41,6 +41,16 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine similarity as the native codegen'd expression
+    * ([[CosineSimilarity]]) — the hot-path variant; same FP result as
+    * [[cosine]].
+    */
+  def cosineSim(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** SQL fragment computing the same cosine in DuckDB given two DOUBLE[]
     * expressions — kept textually adjacent to `cosine` so both sides stay in
     * lockstep.

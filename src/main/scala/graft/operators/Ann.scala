@@ -34,27 +34,19 @@ object Ann {
   val TopK       = 5
   val NumQueries = 16 // vec_id < 16 are the query vectors
 
-  /** (vec_id, embedding, nrm) with the L2 norm precomputed once. */
-  private def normed(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-      normN(col("embedding"), Dim).as("nrm"))
-
   /** Exact top-k by cosine: broadcast the (small) query set against the full
     * collection, window-rank per query. The ORDER BY ties on neighbor id so
     * ranking is deterministic even under FP-equal similarities.
     */
   def bruteForceTopK(s: SparkSession, d: String): DataFrame = {
-    val e = normed(s, d)
+    val e = Tables.embeddings(s, d)
     val q = broadcast(e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm")))
-    val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-      col("nrm").as("n_nrm"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
     q.join(n, col("q_id") =!= col("n_id"))
-      .withColumn("sim",
-        dotN(col("q_emb"), col("n_emb"), Dim) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("sim", cosineSim(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
@@ -150,20 +142,31 @@ object Ann {
     * runs/partitions with no RNG state. Sign-projection LSH with ±1
     * components is the standard SimHash-for-vectors construction.
     */
-  private def planeSign(i: Int, j: Int): Long = {
+  private[operators] def planeSign(i: Int, j: Int): Long = {
     var x = i * 2654435761L + j * 40503L + 2166136261L
     x ^= (x >>> 16); x *= 73244475L; x ^= (x >>> 13)
     if ((x & 1L) == 0L) -1L else 1L
   }
 
-  /** `LshBits`-bit signed-projection code of an embedding column. */
-  def lshBits(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    array((0 until LshBits).map { i =>
-      val proj = (0 until Dim).map { j =>
-        element_at(emb, j + 1).cast("double") * lit(planeSign(i, j).toDouble)
-      }.reduce(_ + _)
-      when(proj >= 0, 1L).otherwise(0L)
-    }: _*)
+  /** `LshBits`-bit signed-projection code of an embedding column.
+    * Implemented as a Scala UDF with a tight loop: the same math as a
+    * column expression is a 1024-term tree (16 planes × 64 dims) that
+    * chokes the JIT; the UDF runs once per VECTOR (not per pair), on the
+    * narrow signature stage, where breaking codegen costs nothing
+    * measurable and the loop itself JITs cleanly.
+    */
+  val lshBits: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (emb: Array[Float]) =>
+      Array.tabulate(LshBits) { i =>
+        var proj = 0.0
+        var j = 0
+        while (j < Dim && j < emb.length) {
+          proj += emb(j).toDouble * planeSign(i, j).toDouble
+          j += 1
+        }
+        if (proj >= 0) 1L else 0L
+      }
+    }
 
   /** LSH-bucketed ANN: vectors meet only inside 4-bit band buckets (any of
     * 4 bands matching makes a candidate), then exact cosine re-ranks.
@@ -171,32 +174,30 @@ object Ann {
     * this is a rows-only check for the driver.
     */
   def lshTopK(s: SparkSession, d: String): DataFrame = {
-    val e = normed(s, d)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
         lshBits(col("embedding")).as("bits"))
-    val banded = e.select(col("vec_id"), col("embedding"), col("nrm"),
+    val banded = e.select(col("vec_id"), col("embedding"),
       posexplode_outer(array((0 until LshBands).map { b =>
         (0 until 4).map { k =>
           element_at(col("bits"), b * 4 + k + 1) * lit(1L << k)
         }.reduce(_ + _)
       }: _*)))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
+      .select(col("vec_id"), col("embedding"),
         col("pos").as("band"), col("col").as("bkey"))
     val q = banded.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("band"), col("bkey"))
+        col("band"), col("bkey"))
     val cand = q.join(
         banded.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-          col("nrm").as("n_nrm"), col("band"), col("bkey")),
+          col("band"), col("bkey")),
         Seq("band", "bkey"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("n_id"),
-        col("n_emb"), col("n_nrm"))
+      .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"))
       .distinct()
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
-    cand.withColumn("sim",
-        dotN(col("q_emb"), col("n_emb"), Dim) / (col("q_nrm") * col("n_nrm")))
+    cand.withColumn("sim", cosineSim(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))

@@ -43,6 +43,9 @@ object EtlQueries {
     val amount = lineitemAmount
     Tables.lineitem(s, d)
       .na.drop(Seq("l_orderkey", "l_extendedprice")) // F1
+      // sort BEFORE the wide projection: the range-partitioner's sampling
+      // pass then evaluates only the sort keys, not the whole chain
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
       .select(
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         synthesizeId(col("l_shipdate").cast("date"), col("l_linenumber"))
@@ -57,7 +60,6 @@ object EtlQueries {
         cleanText(col("l_returnflag")).as("flag_clean"), // P10
         cleanText(col("l_linestatus")).as("status_clean"),
         lit("lambda-etl-pipeline").as("processed_by")) // P4
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   val etlTransformSql: String =
@@ -82,9 +84,9 @@ object EtlQueries {
   def filterNotNull(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .na.drop(Seq("l_orderkey", "l_extendedprice", "l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_quantity"), col("l_extendedprice"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   val filterNotNullSql: String =
     """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
@@ -99,13 +101,13 @@ object EtlQueries {
     */
   def castCoerce(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
       .select(
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         toNumericCoerce(col("l_quantity").cast("string")).as("ok_num"),
         toNumericCoerce(col("l_returnflag")).as("bad_num"),
         toDateCoerce(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("ok_date"),
         toDateCoerce(col("l_linestatus")).as("bad_date"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   val castCoerceSql: String =
     """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
@@ -145,6 +147,7 @@ object EtlQueries {
   /** P7-P9 — date-part extraction. */
   def dateParts(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
       .select(
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_shipdate").cast("date").as("ship_date"),
@@ -153,7 +156,6 @@ object EtlQueries {
         month(col("l_shipdate")).cast("long").as("month"),
         year(col("l_shipdate")).cast("long").as("year"),
         quarter(col("l_shipdate")).cast("long").as("quarter"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   val datePartsSql: String =
     """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
@@ -194,6 +196,7 @@ object EtlQueries {
     */
   def absRound(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
       .select(
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         lineitemAmount.as("amount"),
@@ -201,7 +204,6 @@ object EtlQueries {
         floor(lineitemAmount).as("amount_floor"),
         ceil(lineitemAmount).as("amount_ceil"),
         round(lineitemAmount, 1).as("amount_round1"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   val absRoundSql: String =
     s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.TxnGenerator
+
+/** End-to-end reference-pipeline queries: the generator's 9-column
+  * transaction schema through the full transform chain (E1+E2 composed,
+  * SURVEY.md §3), and the Hive-partitioned sink/scan pair (S3/K2).
+  */
+object PipelineQueries {
+
+  val N = 1000L
+
+  /** E2→E1 composed: generate the reference's raw transactions, run the
+    * complete 17-column transform chain, return the deterministic columns.
+    * This is the closest thing to "the reference, end to end, as one lazy
+    * Spark plan" — generation and transformation fuse into a single narrow
+    * codegen stage with no input I/O at all.
+    */
+  def etlTransactions(s: SparkSession, d: String): DataFrame =
+    RefTransforms.transformTransactions(TxnGenerator.generate(s, N), "generated")
+      .select(
+        col("transaction_id"), col("date"), col("timestamp"), col("amount"),
+        col("category"), col("description"), col("transaction_type"),
+        col("account"), col("location"), col("amount_category"),
+        col("amount_abs"), col("day_of_week"), col("month"), col("year"),
+        col("processed_by"), col("source_file"))
+      .orderBy(col("transaction_id"))
+
+  /** DuckDB-side multi-word title-case (pandas str.title / Spark initcap):
+    * upper first letter, lower the rest, per whitespace token.
+    */
+  private def titleSql(x: String): String =
+    s"array_to_string(list_transform(string_split(trim($x), ' '), " +
+      s"w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ')"
+
+  val etlTransactionsSql: String = {
+    val bucket =
+      """CASE WHEN amount IS NULL THEN 'unknown'
+        |            WHEN abs(amount) < 25 THEN 'small'
+        |            WHEN abs(amount) < 100 THEN 'medium'
+        |            WHEN abs(amount) < 500 THEN 'large'
+        |            ELSE 'very_large' END""".stripMargin
+    s"""WITH gen AS (${TxnGenerator.oracleSql(N)})
+       |SELECT transaction_id,
+       |       TRY_CAST("date" AS DATE) AS "date",
+       |       TRY_CAST("timestamp" AS TIMESTAMP) AS "timestamp",
+       |       amount,
+       |       ${titleSql("category")} AS category,
+       |       ${titleSql("description")} AS description,
+       |       transaction_type, account,
+       |       ${titleSql("location")} AS location,
+       |       $bucket AS amount_category,
+       |       abs(amount) AS amount_abs,
+       |       dayname(TRY_CAST("date" AS DATE)) AS day_of_week,
+       |       CAST(month(TRY_CAST("date" AS DATE)) AS BIGINT) AS month,
+       |       CAST(year(TRY_CAST("date" AS DATE)) AS BIGINT) AS year,
+       |       'lambda-etl-pipeline' AS processed_by,
+       |       'generated' AS source_file
+       |FROM gen
+       |ORDER BY transaction_id""".stripMargin
+  }
+
+  /** S3/K2 — Hive-partitioned parquet sink + partition-PRUNED scan: write
+    * orders under year=YYYY/month=MM (the reference's S3 key layout,
+    * ` s3_uploader.py`:113-118), read back with a partition predicate.
+    * `.explain` on the re-read shows PartitionFilters + a pruned
+    * InMemoryFileIndex — only matching directories are listed/scanned,
+    * which is the property that matters at 100 TB. The oracle computes the
+    * same answer straight off the unpartitioned source.
+    */
+  def partitionPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft_rt/${new java.io.File(d).getName}/orders_part"
+    Tables.orders(s, d)
+      .withColumn("year", year(col("o_orderdate")))
+      .withColumn("month", month(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("year", "month").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("year") === 1995 && col("month") <= 6)
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(RefTransforms.cents(col("o_totalprice"))).as("total_cents"))
+      .select(col("month").cast("long").as("month"), col("n"),
+        col("total_cents"))
+      .orderBy(col("month"))
+  }
+
+  val partitionPruneSql: String =
+    """SELECT CAST(month(o_orderdate) AS BIGINT) AS month, COUNT(*) AS n,
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders
+      |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 6
+      |GROUP BY 1 ORDER BY month""".stripMargin
+}

@@ -17,6 +17,7 @@ object SparkSpecBase {
     .master("local[4]")
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
