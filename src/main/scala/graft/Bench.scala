@@ -19,6 +19,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // inferred isnotnull constraints re-evaluate expensive computed
+      // expressions (shingle chains) at the scans; every graft query
+      // carries its filters explicitly, so inference only costs
+      .config("spark.sql.constraintPropagation.enabled", false)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -47,6 +47,8 @@ object SparkEntry {
     "q_join_semi"       -> (Relational.joinSemi _),
     "q_join_anti"       -> (Relational.joinAnti _),
     "q_agg_q1"          -> (Relational.aggPricingSummary _),
+    "q_typed_agg"       -> (TypedOps.typedAgg _),
+    "q_salted_agg"      -> (TypedOps.saltedAgg _),
     "q_agg_distinct"    -> (Relational.aggDistinct _),
     "q_approx_distinct" -> (Relational.aggApproxDistinct _),
     "q_rollup"          -> (Relational.aggRollup _),
@@ -103,6 +105,8 @@ object SparkEntry {
     "q_join_semi"       -> Relational.joinSemiSql,
     "q_join_anti"       -> Relational.joinAntiSql,
     "q_agg_q1"          -> Relational.aggPricingSummarySql,
+    "q_typed_agg"       -> TypedOps.typedAggSql,
+    "q_salted_agg"      -> TypedOps.saltedAggSql,
     "q_agg_distinct"    -> Relational.aggDistinctSql,
     "q_rollup"          -> Relational.aggRollupSql,
     "q_cube"            -> Relational.aggCubeSql,

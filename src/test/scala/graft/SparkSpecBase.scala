@@ -18,6 +18,10 @@ object SparkSpecBase {
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // inferred isnotnull constraints re-evaluate expensive computed
+      // expressions (shingle chains) at the scans; every graft query
+      // carries its filters explicitly, so inference only costs
+      .config("spark.sql.constraintPropagation.enabled", false)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
