@@ -62,6 +62,9 @@ object SparkEntry {
     "q_window_sliding"  -> (EventOps.sliding _),
     "q_window_session"  -> (EventOps.sessionize _),
     "q_json_extract"    -> (EventOps.jsonExtract _),
+    "q_pivot"           -> (EventOps.pivotEvents _),
+    "q_word_counts"     -> ((s: SparkSession, d: String) =>
+      TextAnalysis.wordCounts(s, d)),
     // [EXT] LLM-pipeline: text analysis — SURVEY §0 north star
     "q_text_stats"    -> (TextAnalysis.textStats _),
     "q_token_count"   -> (TextAnalysis.tokenCount _),
@@ -118,6 +121,8 @@ object SparkEntry {
     "q_window_sliding"  -> EventOps.slidingSql,
     "q_window_session"  -> EventOps.sessionizeSql,
     "q_json_extract"    -> EventOps.jsonExtractSql,
+    "q_pivot"           -> EventOps.pivotEventsSql,
+    "q_word_counts"     -> TextAnalysis.wordCountsSql,
     "q_text_stats"      -> TextAnalysis.textStatsSql,
     "q_token_count"     -> TextAnalysis.tokenCountSql,
     "q_lang_id"         -> TextAnalysis.langIdSql,

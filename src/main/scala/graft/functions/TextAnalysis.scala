@@ -182,6 +182,22 @@ object TextAnalysis {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Explode/flatten: token frequency table — the unnest side of the 2j
+    * array family. Explode of a cheap split (not a computed chain) keeps
+    * the generator narrow; counts shuffle once.
+    */
+  def wordCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+
+  val wordCountsSql: String =
+    """SELECT word, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word ORDER BY n DESC, word""".stripMargin
+
   private val FpMod = 1000000007L
 
   /** Content fingerprint: polynomial rolling hash over the character stream

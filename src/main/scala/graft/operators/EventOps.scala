@@ -121,6 +121,29 @@ object EventOps {
        |FROM sessions GROUP BY user_id, sess_id
        |ORDER BY user_id, sess_id""".stripMargin
 
+  /** Pivot: one row per user, one column per event type — conditional
+    * aggregation under the hood, so the oracle is plain FILTERed counts.
+    * The value list is fixed (deterministic schema — at scale you never
+    * want pivot's value-discovery scan anyway).
+    */
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy(col("user_id"))
+
+  val pivotEventsSql: String = {
+    val cols = EventTypes.map(t =>
+      s"""COUNT(*) FILTER (WHERE event_type = '$t') AS "$t"""").mkString(",\n       ")
+    s"""SELECT user_id,
+       |       $cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   /** 2j JSON — extract a typed value out of the `props` JSON-string column
     * (the column-level JSON surface; the reference's JSON handling is at
     * file level, lambda_function.py:285).

@@ -300,6 +300,7 @@ object Relational {
         col("user_id"), col("event_id"),
         row_number().over(w).cast("long").as("rn"),
         lag(col("event_id"), 1).over(w).as("prev_event_id"),
+        lead(col("event_id"), 1).over(w).as("next_event_id"),
         sum(cents(col("value")))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("running_cents"))
@@ -310,6 +311,7 @@ object Relational {
     """SELECT user_id, event_id,
       |       row_number() OVER w AS rn,
       |       lag(event_id, 1) OVER w AS prev_event_id,
+      |       lead(event_id, 1) OVER w AS next_event_id,
       |       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
       |              OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
