@@ -74,6 +74,7 @@ object SparkEntry {
     // [EXT] LLM-pipeline: deduplication
     "q_dedup_exact"       -> (Dedup.exact _),
     "q_dedup_ngram"       -> (Dedup.ngramJaccard _),
+    "q_dedup_clusters"    -> (Dedup.dedupClusters _),
     "q_dedup_minhash"     -> (Dedup.minhashLsh _),
     "q_minhash_signature" -> (Dedup.minhashSignatures _),
     "q_dedup_simhash"     -> (Dedup.simhashPairs _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "q_fingerprint"     -> TextAnalysis.fingerprintSql,
     "q_dedup_exact"     -> Dedup.exactSql,
     "q_dedup_ngram"     -> Dedup.ngramJaccardSql,
+    "q_dedup_clusters"  -> Dedup.dedupClustersSql,
     // LSH misses a true pair at J=0.8 w.p. ≈2e-4; planted dups sit at
     // J≈0.99 (miss ≈1e-7), so the verified LSH output equals the exact
     // inverted-index result and shares its oracle.

@@ -138,6 +138,54 @@ object Dedup {
        |      >= $JaccardThreshold
        |ORDER BY d1, d2""".stripMargin
 
+  /** Dedup clusters: connected components over the near-dup pair graph —
+    * the step that turns pairs into "keep one per cluster" decisions.
+    * Iterative min-label propagation: each round joins labels across edges
+    * and keeps the minimum; converges in O(diameter) rounds (dup clusters
+    * are tiny cliques, so 2-3 rounds in practice; capped + fixpoint-checked).
+    * Each round is a distributed join/agg — the driver only steers.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select(col("d1"), col("d2"))
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).cache()
+    var converged = false
+    var rounds    = 0
+    while (!converged && rounds < 20) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.select(col("doc_id"), col("label")).union(viaEdges)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label")).cache()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.label") =!= col("o.label")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: transitive closure by recursive CTE over the same pair SQL. */
+  val dedupClustersSql: String = {
+    val pairsSubquery = ngramJaccardSql
+      .replace("ORDER BY d1, d2", "")
+    s"""WITH RECURSIVE pairs AS ($pairsSubquery),
+       |edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+  }
+
   // ---------- MinHash + LSH ----------
 
   val NumHashes   = 64
