@@ -15,17 +15,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // inferred isnotnull constraints re-evaluate expensive computed
-      // expressions (shingle chains) at the scans; every graft query
-      // carries its filters explicitly, so inference only costs
-      .config("spark.sql.constraintPropagation.enabled", false)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.build(s"local[$cpus]", cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     spark.range(10000000L).selectExpr("sum(id)").collect() // warmup
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

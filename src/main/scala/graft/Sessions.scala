@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The one place the engine's session knobs live — Bench, Verify, the dev
+  * mains, and the test base all build through here so the configuration
+  * (extensions registration included) cannot drift.
+  */
+object Sessions {
+  def build(master: String, shufflePartitions: String,
+      appName: String = "graft"): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // inferred isnotnull constraints re-evaluate expensive computed
+      // expressions (shingle chains) at the scans; every graft query
+      // carries its filters explicitly, so inference only costs
+      .config("spark.sql.constraintPropagation.enabled", false)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

@@ -49,7 +49,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // ragged input: surface, don't guess
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -70,10 +71,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val na  = ctx.freshName("na")
       val nb  = ctx.freshName("nb")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |boolean ${ev.isNull}_elem = false;
-         |for (int $i = 0; $i < $n; $i++) {
+         |boolean ${ev.isNull}_elem = ($n != $b.numElements());
+         |for (int $i = 0; !${ev.isNull}_elem && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull}_elem = true; break; }
          |  double x = (double) $a.getFloat($i);
          |  double y = (double) $b.getFloat($i);

@@ -174,30 +174,34 @@ object Ann {
     * this is a rows-only check for the driver.
     */
   def lshTopK(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        lshBits(col("embedding")).as("bits"))
-    val banded = e.select(col("vec_id"), col("embedding"),
-      posexplode_outer(array((0 until LshBands).map { b =>
-        (0 until 4).map { k =>
-          element_at(col("bits"), b * 4 + k + 1) * lit(1L << k)
-        }.reduce(_ + _)
-      }: _*)))
-      .select(col("vec_id"), col("embedding"),
-        col("pos").as("band"), col("col").as("bkey"))
-    val q = banded.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("band"), col("bkey"))
-    val cand = q.join(
-        banded.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-          col("band"), col("bkey")),
-        Seq("band", "bkey"))
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"))
+    val banded = Tables.embeddings(s, d)
+      .select(col("vec_id"), lshBits(col("embedding")).as("bits"))
+      .select(col("vec_id"),
+        posexplode_outer(array((0 until LshBands).map { b =>
+          (0 until 4).map { k =>
+            element_at(col("bits"), b * 4 + k + 1) * lit(1L << k)
+          }.reduce(_ + _)
+        }: _*)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bkey"))
+    // Candidate pairs dedup on IDs ONLY (a pair can collide in several
+    // bands); embeddings are joined back after — the distinct's shuffle
+    // moves 16 bytes/row instead of two 64-float payloads.
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < lit(NumQueries) &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"))
       .distinct()
+    val e = Tables.embeddings(s, d)
+    val withVecs = cand
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        Seq("q_id"))
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        Seq("n_id"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
-    cand.withColumn("sim", cosineSim(col("q_emb"), col("n_emb")))
+    withVecs.withColumn("sim", cosineSim(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))

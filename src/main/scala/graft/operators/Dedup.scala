@@ -93,7 +93,11 @@ object Dedup {
     * inverted index (docs pair only through a shared shingle), with the
     * size-ratio prefilter inside the join condition.
     */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+  /** The near-dup pair set WITHOUT the presentation sort — shared by the
+    * oracle-facing query (which sorts) and clustering (which doesn't care,
+    * and shouldn't pay a global sort for input it immediately re-shuffles).
+    */
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
     // Self-join through ONE aliased subtree (not two re-derived pipelines):
     // the canonical plans of both sides match, so ReuseExchange computes the
     // shingle index + its shuffle once instead of twice.
@@ -112,8 +116,10 @@ object Dedup {
           (col("n1") + col("n2") - col("common")).cast("double"))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("d1"), col("d2"), col("jaccard"))
-      .orderBy(col("d1"), col("d2"))
   }
+
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramPairs(s, d).orderBy(col("d1"), col("d2"))
 
   /** Quadratic reference formulation — fine at oracle scale (500 docs),
     * which is exactly why the Spark side above uses the inverted index
@@ -146,7 +152,7 @@ object Dedup {
     * Each round is a distributed join/agg — the driver only steers.
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccard(s, d).select(col("d1"), col("d2"))
+    val pairs = ngramPairs(s, d).select(col("d1"), col("d2"))
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("src", "dst").cache()
@@ -163,12 +169,16 @@ object Dedup {
       converged = next.as("n")
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
         .filter(col("n.label") =!= col("o.label")).isEmpty
+      labels.unpersist() // next is materialized by the convergence check
       labels = next
       rounds += 1
     }
     edges.unpersist()
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    val out = labels.select(col("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
+      .localCheckpoint() // pin the result, then release the cached labels
+    labels.unpersist()
+    out
   }
 
   /** Oracle: transitive closure by recursive CTE over the same pair SQL. */
@@ -253,7 +263,11 @@ object Dedup {
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("n1") + col("n2") - col("common")).cast("double"))
-      .filter(col("jaccard") >= JaccardThreshold)
+      // common > 0 is implied by J ≥ θ for real pairs; it additionally
+      // rejects the degenerate empty-shingle candidates (docs with <3
+      // tokens share a null-hash band signature and would verify as
+      // jaccard = 0/0 = NaN, which Spark orders ABOVE the threshold)
+      .filter(col("common") > 0 && col("jaccard") >= JaccardThreshold)
       .select(col("d1"), col("d2"), col("jaccard"))
       .orderBy(col("d1"), col("d2"))
   }

@@ -71,6 +71,12 @@ object Multimodal {
     * byte, and rolling checksum of the payload, joined back to metadata.
     * (checksum ≡ TextAnalysis.fingerprint, since the stub payload is the
     * utf-8 text — which is what makes the stub oracle-expressible.)
+    *
+    * Precondition the oracle depends on: document text is ASCII (true of
+    * the testdata), so byte length == char length and the per-byte fold ==
+    * the oracle's per-character fold. A real media payload has no text
+    * oracle at all — the decode side would be pinned by golden outputs
+    * instead, and the Spark-side plumbing here is unchanged by that swap.
     */
   def blobMeta(s: SparkSession, d: String): DataFrame = {
     val feats = extractFeatures(s, blobTable(s, d))

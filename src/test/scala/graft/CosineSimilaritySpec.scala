@@ -26,6 +26,11 @@ class CosineSimilaritySpec extends SparkSpecBase {
     assert(pairs.count() > 0)
   }
 
+  test("ragged arrays (dimension mismatch) yield null, not a prefix similarity") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosineSim(col("a"), col("b"))).head.isNullAt(0))
+  }
+
   test("null array or null element yields null") {
     val df = Seq(
       (Some(Array(1f, 2f)), None: Option[Array[Float]])

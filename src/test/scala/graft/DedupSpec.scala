@@ -82,6 +82,23 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("sub-3-token docs never pair up (no NaN jaccard from empty shingle sets)") {
+    val shorties = Seq(
+      (10L, "one two"), (11L, "three"), (12L, "four five"),
+      (13L, base), (14L, base))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_short").toString
+    shorties.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val lsh = Dedup.minhashLsh(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccard(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(lsh === Set((13L, 14L))) // only the real dup pair
+    assert(exact === lsh)
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     val a = Dedup.minhashSignatures(spark, sfDir)
       .select("doc_id", "sig_hash").as[(Long, Long)].collect().toMap

@@ -13,16 +13,6 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpecBase {
-  lazy val session: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-tests")
-    .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // inferred isnotnull constraints re-evaluate expensive computed
-      // expressions (shingle chains) at the scans; every graft query
-      // carries its filters explicitly, so inference only costs
-      .config("spark.sql.constraintPropagation.enabled", false)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val session: SparkSession =
+    Sessions.build("local[4]", "4", "graft-tests")
 }
