@@ -19,6 +19,7 @@ object Sessions {
       // carries its filters explicitly, so inference only costs
       .config("spark.sql.constraintPropagation.enabled", false)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 }

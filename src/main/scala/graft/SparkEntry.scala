@@ -45,6 +45,7 @@ object SparkEntry {
     "q_join_enrich"     -> (Relational.joinEnrich _),
     "q_join_left"       -> (Relational.joinLeft _),
     "q_join_semi"       -> (Relational.joinSemi _),
+    "q_bucketed_join"   -> (Relational.bucketedJoin _),
     "q_join_anti"       -> (Relational.joinAnti _),
     "q_agg_q1"          -> (Relational.aggPricingSummary _),
     "q_typed_agg"       -> (TypedOps.typedAgg _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "q_join_enrich"     -> Relational.joinEnrichSql,
     "q_join_left"       -> Relational.joinLeftSql,
     "q_join_semi"       -> Relational.joinSemiSql,
+    "q_bucketed_join"   -> Relational.bucketedJoinSql,
     "q_join_anti"       -> Relational.joinAntiSql,
     "q_agg_q1"          -> Relational.aggPricingSummarySql,
     "q_typed_agg"       -> TypedOps.typedAggSql,

@@ -116,6 +116,56 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** J1 at scale — bucketed co-located join: both fact tables are written
+    * bucketed+sorted on the join key, so the sort-merge join needs NO
+    * exchange and NO sort on either side (verify: the plan between the two
+    * scans and the SortMergeJoin contains no `Exchange hashpartitioning` —
+    * asserted by RelationalSpec). This is the technique that removes the
+    * dominant shuffle of repeated fact⋈fact joins at 100 TB: pay the
+    * bucketed write once, join shuffle-free forever after.
+    */
+  val JoinBuckets = 8
+
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = new java.io.File(d).getName.replace('.', '_')
+    val (ot, lt) = (s"orders_b_$tag", s"lineitem_b_$tag")
+    if (!s.catalog.tableExists(ot)) {
+      // the in-memory catalog forgets tables across JVMs but the warehouse
+      // directories persist — clear any stale locations first
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Seq(ot, lt).foreach { t =>
+        val dir = java.nio.file.Paths.get(wh, t)
+        if (java.nio.file.Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ot)
+      Tables.lineitem(s, d).write.mode("overwrite")
+        .bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(lt)
+    }
+    // merge hint: at test scale AQE would broadcast the small side, hiding
+    // the point; at 100 TB SMJ is the only option and the buckets make it
+    // exchange-free
+    s.table(ot).hint("merge")
+      .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_lines,
+      |       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** A2 — TPC-H Q1-shaped grouped aggregate: partial+final hash agg, exact
     * cent arithmetic, avg derived as exact-sum / count (deterministic double
     * division, identical in DuckDB).
