@@ -49,6 +49,8 @@ object SparkEntry {
     "q_join_anti"       -> (Relational.joinAnti _),
     "q_agg_q1"          -> (Relational.aggPricingSummary _),
     "q_typed_agg"       -> (TypedOps.typedAgg _),
+    "q_percentiles"     -> (Relational.percentiles _),
+    "q_stats_exact"     -> (Relational.statsExact _),
     "q_salted_agg"      -> (TypedOps.saltedAgg _),
     "q_agg_distinct"    -> (Relational.aggDistinct _),
     "q_approx_distinct" -> (Relational.aggApproxDistinct _),
@@ -112,6 +114,8 @@ object SparkEntry {
     "q_join_anti"       -> Relational.joinAntiSql,
     "q_agg_q1"          -> Relational.aggPricingSummarySql,
     "q_typed_agg"       -> TypedOps.typedAggSql,
+    "q_percentiles"     -> Relational.percentilesSql,
+    "q_stats_exact"     -> Relational.statsExactSql,
     "q_salted_agg"      -> TypedOps.saltedAggSql,
     "q_agg_distinct"    -> Relational.aggDistinctSql,
     "q_rollup"          -> Relational.aggRollupSql,

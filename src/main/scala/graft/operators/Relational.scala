@@ -278,6 +278,68 @@ object Relational {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** Exact interpolated percentiles (same linear-interpolation definition
+    * as DuckDB's quantile_cont) over the integer-valued quantity column —
+    * deterministic because sorting + interpolation over exact values has
+    * no accumulation order. At scale the approximate sibling is
+    * approx_percentile (t-digest); kept exact here because the oracle can
+    * check exactness.
+    */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.95)").as("p95"),
+        expr("percentile(l_extendedprice, 0.5)").as("price_p50"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.5) AS p50,
+      |       quantile_cont(l_quantity, 0.95) AS p95,
+      |       quantile_cont(l_extendedprice, 0.5) AS price_p50,
+      |       COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Deterministic moment statistics: mean/variance/stddev derived from
+    * EXACT integer sums (Σcents, Σcents²) rather than floating
+    * accumulation — the only way `stddev` is reproducible across partition
+    * orders (and comparable to an oracle). Population variance:
+    * (Σx² − (Σx)²/n) / n, all inputs exact, math identical in DuckDB.
+    */
+  def statsExact(s: SparkSession, d: String): DataFrame = {
+    val c = cents(col("o_totalprice"))
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(c).as("s1"), sum(c * c).as("s2"), count(lit(1)).as("n"))
+      .select(
+        col("o_orderstatus"),
+        col("n"),
+        (col("s1").cast("double") / col("n").cast("double") / 100.0)
+          .as("mean"),
+        (sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") /
+            col("n").cast("double")) / col("n").cast("double")) / 100.0)
+          .as("stddev_pop"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val statsExactSql: String =
+    """SELECT o_orderstatus, n,
+      |       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+      |       sqrt((CAST(s2 AS DOUBLE) -
+      |             CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |            / CAST(n AS DOUBLE)) / 100.0 AS stddev_pop
+      |FROM (SELECT o_orderstatus,
+      |             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+      |             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) *
+      |                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s2,
+      |             COUNT(*) AS n
+      |      FROM orders GROUP BY o_orderstatus)
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** Set operations: (F ∩ O customers) ∪ P customers, minus big spenders.
     * Spark intersect/except are distinct-set semantics — same as SQL.
     */
