@@ -311,15 +311,21 @@ object Relational {
     */
   def statsExact(s: SparkSession, d: String): DataFrame = {
     val c = cents(col("o_totalprice"))
+    // Σc² overflows int64 at large group sizes (c² ≈ 3e15 × 10⁵ rows), so
+    // the squared moment accumulates in decimal (exact, 128-bit-backed) and
+    // converts to double once at the end — DuckDB's HUGEINT sum + CAST
+    // rounds to the identical double.
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
-      .agg(sum(c).as("s1"), sum(c * c).as("s2"), count(lit(1)).as("n"))
+      .agg(sum(c).as("s1"),
+        sum((c * c).cast("decimal(38,0)")).cast("double").as("s2"),
+        count(lit(1)).as("n"))
       .select(
         col("o_orderstatus"),
         col("n"),
         (col("s1").cast("double") / col("n").cast("double") / 100.0)
           .as("mean"),
-        (sqrt((col("s2").cast("double") -
+        (sqrt((col("s2") -
           col("s1").cast("double") * col("s1").cast("double") /
             col("n").cast("double")) / col("n").cast("double")) / 100.0)
           .as("stddev_pop"))
@@ -329,13 +335,13 @@ object Relational {
   val statsExactSql: String =
     """SELECT o_orderstatus, n,
       |       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
-      |       sqrt((CAST(s2 AS DOUBLE) -
+      |       sqrt((s2 -
       |             CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
       |            / CAST(n AS DOUBLE)) / 100.0 AS stddev_pop
       |FROM (SELECT o_orderstatus,
       |             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
       |             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) *
-      |                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s2,
+      |                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS s2,
       |             COUNT(*) AS n
       |      FROM orders GROUP BY o_orderstatus)
       |ORDER BY o_orderstatus""".stripMargin
