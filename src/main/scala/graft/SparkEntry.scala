@@ -32,6 +32,8 @@ object SparkEntry {
     "q_bucket_udf"     -> (EtlQueries.bucketUdf _),
     "q_date_parts"     -> (EtlQueries.dateParts _),
     "q_text_clean"     -> (EtlQueries.textClean _),
+    "q_string_funcs"   -> (EtlQueries.stringFuncs _),
+    "q_date_arith"     -> (EtlQueries.dateArith _),
     "q_abs_round"      -> (EtlQueries.absRound _),
     "q_count_stats"    -> (EtlQueries.countStats _),
     // [REF] sources/sinks — SURVEY §2a/§2b
@@ -100,6 +102,8 @@ object SparkEntry {
     "q_bucket_udf"      -> EtlQueries.bucketRollupSql,
     "q_date_parts"      -> EtlQueries.datePartsSql,
     "q_text_clean"      -> EtlQueries.textCleanSql,
+    "q_string_funcs"    -> EtlQueries.stringFuncsSql,
+    "q_date_arith"      -> EtlQueries.dateArithSql,
     "q_abs_round"       -> EtlQueries.absRoundSql,
     "q_count_stats"     -> EtlQueries.countStatsSql,
     "q_csv_roundtrip"   -> EtlQueries.csvRoundtripSql,

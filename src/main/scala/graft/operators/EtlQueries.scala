@@ -215,6 +215,67 @@ object EtlQueries {
        |FROM lineitem
        |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** 2j string family consolidated: pad/slice/search/reverse/split_part —
+    * the full surface the reference touches via f-strings/strip/replace
+    * plus the neighbors a user expects.
+    */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .orderBy(col("c_custkey"))
+      .select(
+        col("c_custkey"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        reverse(col("c_name")).as("reversed"),
+        instr(col("c_name"), "0").cast("long").as("first_zero"),
+        element_at(split(col("c_name"), "#"), 2).as("num_part"),
+        repeat(col("c_mktsegment"), 2).as("doubled"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("translated"),
+        substring_index(col("c_name"), "#", 1).as("before_hash"))
+
+  val stringFuncsSql: String =
+    """SELECT c_custkey,
+      |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+      |       substr(c_name, 1, 8) AS prefix,
+      |       reverse(c_name) AS reversed,
+      |       CAST(instr(c_name, '0') AS BIGINT) AS first_zero,
+      |       string_split(c_name, '#')[2] AS num_part,
+      |       repeat(c_mktsegment, 2) AS doubled,
+      |       translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+      |       split_part(c_name, '#', 1) AS before_hash
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** 2j date family consolidated: interval arithmetic, diffs, truncation,
+    * month boundaries — all integer-calendar logic, engine-portable.
+    */
+  def dateArith(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_orderkey"))
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("days_to_2002"),
+        date_trunc("month", col("o_orderdate").cast("timestamp")).cast("date")
+          .as("month_start"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"))
+
+  val dateArithSql: String =
+    """SELECT o_orderkey,
+      |       CAST(o_orderdate AS DATE) AS od,
+      |       CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS plus30,
+      |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      |       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+      |       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+      |       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** A1 — counts (the reference's only aggregate, lambda_function.py:52). */
   def countStats(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
