@@ -19,7 +19,11 @@ object Sessions {
       // carries its filters explicitly, so inference only costs
       .config("spark.sql.constraintPropagation.enabled", false)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // per-JVM warehouse: bucketed-table dirs are session-scoped anyway
+      // (in-memory catalog), and a shared path would let concurrent JVMs
+      // delete each other's table directories mid-read
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 }

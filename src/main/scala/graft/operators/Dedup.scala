@@ -166,10 +166,11 @@ object Dedup {
         .select(col("dst").as("doc_id"), col("label"))
       val next = labels.select(col("doc_id"), col("label")).union(viaEdges)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label")).cache()
+      next.count() // fully materialize the cache (isEmpty short-circuits)
       converged = next.as("n")
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
         .filter(col("n.label") =!= col("o.label")).isEmpty
-      labels.unpersist() // next is materialized by the convergence check
+      labels.unpersist()
       labels = next
       rounds += 1
     }

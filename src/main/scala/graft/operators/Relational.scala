@@ -127,18 +127,26 @@ object Relational {
   val JoinBuckets = 8
 
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val tag = new java.io.File(d).getName.replace('.', '_')
+    // cache key = full dataset path (not basename: two datasets named
+    // "sf0.1" in different parents must not alias), sanitized for the
+    // catalog; both tables checked so a failure between the two writes
+    // can't wedge the session with a half-created pair
+    val canonical = new java.io.File(d).getCanonicalPath
+    val tag = s"${canonical.replaceAll("[^A-Za-z0-9]", "_")}".toLowerCase
     val (ot, lt) = (s"orders_b_$tag", s"lineitem_b_$tag")
-    if (!s.catalog.tableExists(ot)) {
-      // the in-memory catalog forgets tables across JVMs but the warehouse
-      // directories persist — clear any stale locations first
+    if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
+      // the in-memory catalog forgets tables across sessions in one JVM
+      // but the warehouse directories persist — clear stale locations
+      // (warehouse itself is per-JVM, see Sessions)
       val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
       Seq(ot, lt).foreach { t =>
         val dir = java.nio.file.Paths.get(wh, t)
         if (java.nio.file.Files.exists(dir)) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          val st = java.nio.file.Files.walk(dir)
+          try st.iterator().asScala.toSeq.reverse
             .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally st.close()
         }
       }
       Tables.orders(s, d).write.mode("overwrite")
