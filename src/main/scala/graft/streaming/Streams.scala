@@ -84,6 +84,16 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Streaming dedup: drop re-deliveries of the same event id arriving
+    * within the watermark window — the streaming face of the engine's
+    * dedup family (state is bounded by the watermark, so this runs forever
+    * on unbounded input; exact dedup over all history is the batch job).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total_cents: Long)
 

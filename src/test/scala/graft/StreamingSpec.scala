@@ -77,6 +77,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("n_events")).sorted === Array(1L, 2L))
   }
 
+  test("streaming dedup drops watermark-window re-deliveries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    // event 1 delivered twice (at-least-once source), event 2 once
+    input.addData((1L, ts(0), 5.0), (1L, ts(1), 5.0), (2L, ts(2), 7.0))
+    val q = Streams.dedupStream(events).writeStream
+      .format("memory").queryName("deduped")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = spark.table("deduped").select("event_id").as[Long].collect()
+    assert(ids.sorted === Array(1L, 2L))
+  }
+
   test("flatMapGroupsWithState keeps exact per-user running totals") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.UserEvent]
