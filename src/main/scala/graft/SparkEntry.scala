@@ -57,6 +57,9 @@ object SparkEntry {
     "q_agg_distinct"    -> (Relational.aggDistinct _),
     "q_approx_distinct" -> (Relational.aggApproxDistinct _),
     "q_rollup"          -> (Relational.aggRollup _),
+    "q_grouping_sets"   -> (Relational.groupingSets _),
+    "q_array_funcs"     -> ((s: SparkSession, d: String) =>
+      TextAnalysis.arrayFuncs(s, d)),
     "q_cube"            -> (Relational.aggCube _),
     "q_setops"          -> (Relational.setOps _),
     "q_topk"            -> (Relational.topK _),
@@ -123,6 +126,8 @@ object SparkEntry {
     "q_salted_agg"      -> TypedOps.saltedAggSql,
     "q_agg_distinct"    -> Relational.aggDistinctSql,
     "q_rollup"          -> Relational.aggRollupSql,
+    "q_grouping_sets"   -> Relational.groupingSetsSql,
+    "q_array_funcs"     -> TextAnalysis.arrayFuncsSql,
     "q_cube"            -> Relational.aggCubeSql,
     "q_setops"          -> Relational.setOpsSql,
     "q_topk"            -> Relational.topKSql,

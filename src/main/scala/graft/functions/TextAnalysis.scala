@@ -182,6 +182,34 @@ object TextAnalysis {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** 2j array family consolidated: sort/slice/distinct/contains/position
+    * over the token arrays (DuckDB list_* equivalents in the oracle).
+    */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        slice(sort_array(col("toks")), 1, 3).as("first3_sorted"),
+        array_contains(col("toks"), "spark").as("has_spark"),
+        array_position(col("toks"), "the").cast("long").as("first_the"),
+        element_at(col("toks"), 1).as("head_tok"),
+        array_join(slice(col("toks"), 1, 2), "_").as("head2_joined"))
+
+  val arrayFuncsSql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |       list_sort(string_split(text, ' '))[1:3] AS first3_sorted,
+      |       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+      |       CAST(COALESCE(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS first_the,
+      |       string_split(text, ' ')[1] AS head_tok,
+      |       array_to_string(string_split(text, ' ')[1:2], '_') AS head2_joined
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Explode/flatten: token frequency table — the unnest side of the 2j
     * array family. Explode of a cheap split (not a computed chain) keeps
     * the generator narrow; counts shuffle once.

@@ -354,6 +354,32 @@ object Relational {
       |      FROM orders GROUP BY o_orderstatus)
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** A4 — explicit GROUPING SETS (the general form rollup/cube sugar over):
+    * per-status, per-priority, and grand-total rows in one pass.
+    */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("c"))
+      .createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(1) AS n, sum(c) AS total_cents
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       COUNT(1) AS n,
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
   /** Set operations: (F ∩ O customers) ∪ P customers, minus big spenders.
     * Spark intersect/except are distinct-set semantics — same as SQL.
     */
