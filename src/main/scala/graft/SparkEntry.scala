@@ -71,6 +71,7 @@ object SparkEntry {
     "q_window_session"  -> (EventOps.sessionize _),
     "q_json_extract"    -> (EventOps.jsonExtract _),
     "q_pivot"           -> (EventOps.pivotEvents _),
+    "q_asof_join"       -> (EventOps.asofJoin _),
     "q_word_counts"     -> ((s: SparkSession, d: String) =>
       TextAnalysis.wordCounts(s, d)),
     // [EXT] LLM-pipeline: text analysis — SURVEY §0 north star
@@ -138,6 +139,7 @@ object SparkEntry {
     "q_window_session"  -> EventOps.sessionizeSql,
     "q_json_extract"    -> EventOps.jsonExtractSql,
     "q_pivot"           -> EventOps.pivotEventsSql,
+    "q_asof_join"       -> EventOps.asofJoinSql,
     "q_word_counts"     -> TextAnalysis.wordCountsSql,
     "q_text_stats"      -> TextAnalysis.textStatsSql,
     "q_token_count"     -> TextAnalysis.tokenCountSql,

@@ -121,6 +121,47 @@ object EventOps {
        |FROM sessions GROUP BY user_id, sess_id
        |ORDER BY user_id, sess_id""".stripMargin
 
+  /** As-of join — for each event, the user's most recent order at or
+    * before the event time. Spark has no native ASOF operator; composed
+    * from built-ins per the preference order (SURVEY §0): non-equi left
+    * join bounded by the time condition, then a window keeps the latest
+    * match per event (deterministic tie-break on orderkey). Events with no
+    * prior order survive with null order columns, matching ASOF LEFT
+    * semantics. Scale path: pre-bucket both sides by (key, coarse time
+    * bucket) so each event meets only a bounded slice of order history
+    * instead of all of it.
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = withTsMs(Tables.events(s, d))
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      col("o_orderkey"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id"))
+      .orderBy(col("order_ms").desc_nulls_last,
+        col("o_orderkey").desc_nulls_last)
+    e.join(o,
+        col("user_id") === col("o_custkey") && col("order_ms") <= col("ts_ms"),
+        "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("o_orderkey"), col("order_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, o_orderkey, order_ms
+      |FROM events LEFT JOIN
+      |  (SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS order_ms
+      |   FROM orders) o
+      |  ON user_id = o_custkey AND order_ms <= epoch_ms(ts)
+      |QUALIFY row_number() OVER (PARTITION BY event_id
+      |                           ORDER BY order_ms DESC NULLS LAST,
+      |                                    o_orderkey DESC NULLS LAST) = 1
+      |ORDER BY event_id""".stripMargin
+
   /** Pivot: one row per user, one column per event type — conditional
     * aggregation under the hood, so the oracle is plain FILTERed counts.
     * The value list is fixed (deterministic schema — at scale you never
