@@ -84,6 +84,47 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** The reference's real topology, E1 end-to-end: files land → per-batch
+    * upsert into the target table (lambda_function.py's INSERT..ON CONFLICT,
+    * SURVEY §2b K3) — expressed as a foreachBatch sink running the
+    * set-oriented last-writer-wins merge. Each micro-batch merges the new
+    * rows with the current target state and rewrites atomically
+    * (overwrite-into-temp-view pattern; a real deployment swaps in a Delta
+    * `MERGE INTO` with the same LWW window and no full rewrite).
+    */
+  def fileUpsertPipeline(spark: SparkSession, inDir: String, targetDir: String,
+      checkpointDir: String): StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val raw = spark.readStream
+      .schema(transactionSchema)
+      .option("header", "true")
+      .csv(inDir)
+    RefTransforms.transformTransactions(raw, inDir).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val target   = new java.io.File(targetDir)
+        val existing =
+          if (target.exists() && target.list().exists(_.endsWith(".parquet")))
+            spark.read.parquet(targetDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            batch.schema)
+        val w = Window.partitionBy(col("transaction_id"))
+          .orderBy(col("__priority").desc)
+        val merged = batch.withColumn("__priority", lit(1))
+          .unionByName(existing.withColumn("__priority", lit(0)))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__priority", "__rn")
+        val tmp = targetDir + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(targetDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming dedup: drop re-deliveries of the same event id arriving
     * within the watermark window — the streaming face of the engine's
     * dedup family (state is bounded by the watermark, so this runs forever

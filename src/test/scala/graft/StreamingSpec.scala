@@ -77,6 +77,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("n_events")).sorted === Array(1L, 2L))
   }
 
+  test("foreachBatch upsert sink: last writer wins across arriving files") {
+    val in  = tmp("graft_ups_in")
+    val out = tmp("graft_ups_out") + "/table"
+    val ckp = tmp("graft_ups_ckp")
+    def land(name: String, rows: Seq[(String, String)]): Unit = {
+      val csv = ("transaction_id,date,timestamp,amount,category,description," +
+        "transaction_type,account,location\n") +
+        rows.map { case (id, amt) =>
+          s"$id,2024-07-01,2024-07-01 10:00:00,$amt,food,d,expense,checking,Online"
+        }.mkString("\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(in, name), csv)
+    }
+    land("a.csv", Seq("T1" -> "10.0", "T2" -> "20.0"))
+    Streams.fileUpsertPipeline(spark, in, out, ckp).awaitTermination()
+    land("b.csv", Seq("T2" -> "99.0", "T3" -> "30.0")) // T2 updated
+    Streams.fileUpsertPipeline(spark, in, out, ckp).awaitTermination()
+    val state = spark.read.parquet(out)
+      .select("transaction_id", "amount").as[(String, Double)]
+      .collect().toMap
+    assert(state === Map("T1" -> 10.0, "T2" -> 99.0, "T3" -> 30.0))
+  }
+
   test("streaming dedup drops watermark-window re-deliveries") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
