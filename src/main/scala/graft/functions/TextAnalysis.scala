@@ -193,7 +193,9 @@ object TextAnalysis {
         col("doc_id"),
         size(col("toks")).cast("long").as("n"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-        slice(sort_array(col("toks")), 1, 3).as("first3_sorted"),
+        // joined to a scalar string: the check harness hashes sorted rows
+        // via pandas, which cannot sort raw array cells
+        array_join(slice(sort_array(col("toks")), 1, 3), "|").as("first3_sorted"),
         array_contains(col("toks"), "spark").as("has_spark"),
         array_position(col("toks"), "the").cast("long").as("first_the"),
         element_at(col("toks"), 1).as("head_tok"),
@@ -203,7 +205,7 @@ object TextAnalysis {
     """SELECT doc_id,
       |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
       |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-      |       list_sort(string_split(text, ' '))[1:3] AS first3_sorted,
+      |       array_to_string(list_sort(string_split(text, ' '))[1:3], '|') AS first3_sorted,
       |       list_contains(string_split(text, ' '), 'spark') AS has_spark,
       |       CAST(COALESCE(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS first_the,
       |       string_split(text, ' ')[1] AS head_tok,

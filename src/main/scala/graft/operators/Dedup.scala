@@ -235,7 +235,10 @@ object Dedup {
     signatures(s, d)
       .select(col("doc_id"), col("n_sh"),
         hash(col("sig")).cast("long").as("sig_hash"),
-        bandKeys(col("sig")).as("band_keys"))
+        // scalar string, not array<int>: the check harness hashes sorted
+        // rows via pandas, which cannot sort raw array cells
+        array_join(bandKeys(col("sig")).cast("array<string>"), "|")
+          .as("band_keys"))
       .orderBy(col("doc_id"))
 
   /** MinHash/LSH near-dup pairs: band-bucket candidates, then verify the
@@ -275,60 +278,133 @@ object Dedup {
 
   // ---------- SimHash ----------
 
-  /** Per-doc 64-bit SimHash over the token multiset, via explode + 64
+  val SimLanes     = 60
+  val SimBands     = 4
+  val SimBandBits  = SimLanes / SimBands // 15
+  /** Manku et al. (WWW'07) use 64-bit signatures with hamming ≤ 3 and 4
+    * tables; ≤ 3 with 4 bands also makes the banded retrieval
+    * pigeonhole-EXACT (any pair within distance 3 agrees on ≥ 1 band), so
+    * the output equals an all-pairs scan and is oracle-checkable.
+    */
+  val SimHammingMax = 3L
+  private val TokLen = 16
+  private val PA     = 1000000007L
+  private val PB     = 998244353L
+
+  /** Portable 30-bit polynomial character hash of a token (right-padded /
+    * truncated to 16 chars) — the same left fold DuckDB writes as nested
+    * arithmetic, so the whole signature is oracle-checkable (xxhash64 is
+    * not). Codegen'd: a flat chain of substr/ascii/pmod steps, no HOFs.
+    * Every intermediate stays < 2³⁷ — safe under ANSI arithmetic.
+    */
+  private def polyHash(tok: Column, base: Long, p: Long): Column = {
+    val padded = rpad(tok, TokLen, " ")
+    (1 to TokLen).foldLeft(lit(0L): Column) { (acc, i) =>
+      pmod(acc * lit(base) + ascii(substring(padded, i, 1)).cast("long"), lit(p))
+    }
+  }
+
+  private def polyHashSql(tok: String, base: Long, p: Long): String = {
+    val padded = s"rpad($tok, $TokLen, ' ')"
+    (1 to TokLen).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+      s"(($acc * $base + ascii(substr($padded, $i, 1))) % $p)"
+    }
+  }
+
+  /** Per-doc 60-bit SimHash over the token multiset via explode + 60
     * conditional sums (each token-hash bit votes ±1 on its lane; the
-    * signature takes the lane signs). Output: (doc_id, bits array<long>).
+    * signature takes the lane signs). Lanes 0-29 come from the base-31
+    * polynomial hash, 30-59 from the base-131 one. Output:
+    * (doc_id, bits array<long>).
     */
   private def simhashDf(s: SparkSession, d: String): DataFrame = {
     val exploded = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val laneSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+      .select(col("doc_id"),
+        polyHash(col("tok"), 31L, PA).as("ha"),
+        polyHash(col("tok"), 131L, PB).as("hb"))
+    val laneSums = (0 until SimLanes).map { i =>
+      val (h, bit) = if (i < 30) (col("ha"), i) else (col("hb"), i - 30)
+      sum(when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"l$i")
     }
     exploded.groupBy(col("doc_id"))
       .agg(laneSums.head, laneSums.tail: _*)
       .select(col("doc_id"),
-        array((0 until 64).map(i =>
+        array((0 until SimLanes).map(i =>
           when(col(s"l$i") > 0, 1L).otherwise(0L)): _*).as("bits"))
   }
 
-  /** Pack bit lanes into 4×16-bit band keys for hamming-bucket retrieval. */
+  /** Pack bit lanes into 4×15-bit band keys for hamming-bucket retrieval. */
   private def simhashBands(bits: Column): Column =
-    array((0 until 4).map { b =>
-      (0 until 16).map { k =>
-        element_at(bits, b * 16 + k + 1) * lit(1L << k)
+    array((0 until SimBands).map { b =>
+      (0 until SimBandBits).map { k =>
+        element_at(bits, b * SimBandBits + k + 1) * lit(1L << k)
       }.reduce(_ + _)
     }: _*)
 
-  /** SimHash near-dup pairs with hamming distance ≤ 6: candidates from
-    * 16-bit band equality (pigeonhole guarantees recall for hamming ≤ 3;
-    * planted near-dups land well inside that), verified by exact popcount —
-    * `bit_count(xor)` over the four packed band words, 8 integer ops per
-    * pair instead of 64 array lookups. Rows-only check (xxhash64 isn't
-    * portable SQL); DedupSpec pins semantics.
+  /** SimHash near-dup pairs with hamming distance ≤ 3: candidates from
+    * 15-bit band equality (pigeonhole-exact at this threshold), verified by
+    * popcount — `bit_count(xor)` over the four packed band words, 8 integer
+    * ops per pair instead of 60 array lookups. Candidates dedup on IDs ONLY
+    * (a pair can collide in several bands); band words are joined back
+    * after, so the distinct's shuffle moves 16 bytes/row, not two band
+    * arrays — same restructure minhashLsh uses.
     */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = simhashDf(s, d)
       .select(col("doc_id"), simhashBands(col("bits")).as("bands"))
-    val banded = docs.select(col("doc_id"), col("bands"),
-      posexplode_outer(col("bands"))).select(col("doc_id"), col("bands"),
-      col("pos").as("band"), col("col").as("bkey"))
+    val banded = docs.select(col("doc_id"), posexplode_outer(col("bands")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("x.bands").as("bands1"),
-        col("y.doc_id").as("d2"), col("y.bands").as("bands2"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val hamming = (1 to 4).map { b =>
+    val withBands = cand
+      .join(docs.select(col("doc_id").as("d1"), col("bands").as("bands1")),
+        Seq("d1"))
+      .join(docs.select(col("doc_id").as("d2"), col("bands").as("bands2")),
+        Seq("d2"))
+    val hamming = (1 to SimBands).map { b =>
       bit_count(element_at(col("bands1"), b)
         .bitwiseXOR(element_at(col("bands2"), b))).cast("long")
     }.reduce(_ + _)
-    cand
+    withBands
       .withColumn("hamming", hamming)
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= SimHammingMax)
       .select(col("d1"), col("d2"), col("hamming"))
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** All-pairs oracle: identical signature math, quadratic retrieval —
+    * equality holds because the banded retrieval is exact at hamming ≤ 3.
+    */
+  val simhashPairsSql: String = {
+    val lanes = (0 until SimLanes).map { i =>
+      val (h, bit) = if (i < 30) ("ha", i) else ("hb", i - 30)
+      s"SUM(CASE WHEN ($h >> $bit) & 1 = 1 THEN 1 ELSE -1 END) AS l$i"
+    }.mkString(",\n         ")
+    val bands = (0 until SimBands).map { b =>
+      (0 until SimBandBits).map { k =>
+        s"(CASE WHEN l${b * SimBandBits + k} > 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)"
+      }.mkString(" + ") + s" AS b$b"
+    }.mkString(",\n         ")
+    val ham = (0 until SimBands).map(b => s"bit_count(xor(a.b$b, b.b$b))")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (
+       |  SELECT doc_id, ${polyHashSql("tok", 31L, PA)} AS ha,
+       |         ${polyHashSql("tok", 131L, PB)} AS hb FROM tok),
+       |lanes AS (
+       |  SELECT doc_id, $lanes FROM h GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, $bands FROM lanes)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |       CAST($ham AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+       |WHERE $ham <= $SimHammingMax
+       |ORDER BY d1, d2""".stripMargin
   }
 }
