@@ -73,6 +73,14 @@ object Ann {
     * near-duplicate primitive. Kept exact (and oracle-checked); the LSH
     * query below is the subquadratic variant of the same primitive.
     */
+  /** Blocks per side for the exact all-pairs kernel. Each vector is
+    * replicated to `EmbedBlocks` block-pair groups, so shuffle volume is
+    * B·N rows and peak task memory is 2·N/B vectors — at 100 TB pick
+    * B ≈ N·rowBytes / targetBlockBytes (e.g. 1 B vectors × 256 B at 512 MB
+    * blocks → B ≈ 500) and both bounds hold with no driver involvement.
+    */
+  val EmbedBlocks = 8
+
   def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // The N² pair loop is the one place a declarative formulation loses
@@ -80,47 +88,63 @@ object Ann {
     // ANSI checks) exceeds JIT method limits and runs effectively
     // interpreted — measured 170s (filter pushed into the BNLJ condition)
     // and still 60s with the expression in a post-join projection, vs ~1s
-    // for this fused kernel at sf0.1. So: broadcast the collection side as
-    // a primitive double matrix and run a tight per-partition loop — the
-    // documented mapPartitions "last resort", used exactly once in this
-    // engine. Arithmetic is ascending-index, left-associated — bit-identical
-    // to the DuckDB oracle's list_dot_product.
-    // Scale note: the broadcast side must fit in executor memory (64-dim
-    // floats: ~0.5 GB per million vectors); beyond that, shard the
-    // broadcast side into blocks and union the block results, or use the
-    // LSH variant below.
+    // for this fused kernel at sf0.1. So: block-matrix all-pairs — each
+    // vector lands in the B block-pair groups its block participates in,
+    // and a tight per-group loop computes the pairs (the documented
+    // mapPartitions-family "last resort", used exactly once in this
+    // engine). Fully distributed: no driver collect, no broadcast; one
+    // shuffle of B·N rows. Arithmetic is ascending-index, left-associated —
+    // bit-identical to the DuckDB oracle's list_dot_product (dot and norm
+    // products commute, so block orientation cannot change the value).
+    val B   = EmbedBlocks
+    val thr = NearDupThreshold
     val rows = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val collected = rows.collect().sortBy(_._1)
-    val ids  = collected.map(_._1)
-    val vecs = collected.map(_._2.map(_.toDouble))
-    val norms = vecs.map { v =>
-      var acc = 0.0; var j = 0
-      while (j < v.length) { acc += v(j) * v(j); j += 1 }
-      math.sqrt(acc)
+    // group key (i, j), i <= j, encoded i*B+j: a row in block b joins every
+    // group where b is the lower or the upper block.
+    val tagged = rows.flatMap { case (id, emb) =>
+      val b = (id % B).toInt
+      (b until B).map(j => (b * B + j, id, emb)) ++
+        (0 until b).map(i => (i * B + b, id, emb))
     }
-    val bc = s.sparkContext.broadcast((ids, vecs, norms))
-    val thr = NearDupThreshold
-    rows.mapPartitions { it =>
-      val (bIds, bVecs, bNorms) = bc.value
-      it.flatMap { case (id, fvec) =>
-        val v = fvec.map(_.toDouble)
-        var acc = 0.0; var j = 0
-        while (j < v.length) { acc += v(j) * v(j); j += 1 }
-        val nrm = math.sqrt(acc)
-        val out = Iterator.tabulate(bIds.length) { k =>
-          if (bIds(k) > id) {
-            val w = bVecs(k)
-            var dotAcc = 0.0; var i = 0
-            while (i < v.length) { dotAcc += v(i) * w(i); i += 1 }
-            val sim = dotAcc / (nrm * bNorms(k))
-            if (sim >= thr) Some((id, bIds(k), sim)) else None
-          } else None
+    tagged.groupByKey(_._1).flatMapGroups { (key, iter) =>
+      val bi  = key / B
+      val bj  = key % B
+      val all = iter.toArray
+      def prep(block: Int) = {
+        val rowsB = all.filter(t => (t._2 % B).toInt == block)
+        val ids   = rowsB.map(_._2)
+        val vecs  = rowsB.map(_._3.map(_.toDouble))
+        val norms = vecs.map { v =>
+          var acc = 0.0; var j = 0
+          while (j < v.length) { acc += v(j) * v(j); j += 1 }
+          math.sqrt(acc)
         }
-        out.flatten
+        (ids, vecs, norms)
       }
-    }.toDF("v1", "v2", "sim")
+      val diag = bi == bj
+      val (lIds, lVecs, lNorms) = prep(bi)
+      val (rIds, rVecs, rNorms) =
+        if (diag) (lIds, lVecs, lNorms) else prep(bj)
+      // diagonal groups: id order de-dupes the symmetric (p,q)/(q,p) visits;
+      // cross-block groups visit each pair once, in either id order, so
+      // orient the output pair instead of filtering.
+      for {
+        p <- Iterator.range(0, lIds.length)
+        q <- Iterator.range(0, rIds.length)
+        if !diag || lIds(p) < rIds(q)
+      } yield {
+        val v = lVecs(p); val w = rVecs(q)
+        val n = math.min(v.length, w.length)
+        var dotAcc = 0.0; var i = 0
+        while (i < n) { dotAcc += v(i) * w(i); i += 1 }
+        val sim = dotAcc / (lNorms(p) * rNorms(q))
+        if (lIds(p) < rIds(q)) (lIds(p), rIds(q), sim)
+        else (rIds(q), lIds(p), sim)
+      }
+    }.filter(_._3 >= thr)
+      .toDF("v1", "v2", "sim")
       .orderBy(col("v1"), col("v2"))
   }
 

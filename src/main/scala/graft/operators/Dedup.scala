@@ -352,8 +352,12 @@ object Dedup {
     * arrays — same restructure minhashLsh uses.
     */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    // the signature table is tiny (doc_id + 4 longs) but referenced three
+    // times (band explode + both payload rejoins) — materialize it once
+    // instead of re-running the explode + 60-lane aggregation per reference
     val docs = simhashDf(s, d)
       .select(col("doc_id"), simhashBands(col("bits")).as("bands"))
+      .localCheckpoint()
     val banded = docs.select(col("doc_id"), posexplode_outer(col("bands")))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
     val cand = banded.as("x").join(banded.as("y"),

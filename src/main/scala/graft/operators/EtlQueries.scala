@@ -39,13 +39,26 @@ object EtlQueries {
     * lineitem. One narrow stage; the final sort exists only for the oracle's
     * deterministic hash.
     */
-  def etlTransform(s: SparkSession, d: String): DataFrame = {
+  def etlTransform(s: SparkSession, d: String): DataFrame =
+    etlProjection(
+      Tables.lineitem(s, d)
+        .na.drop(Seq("l_orderkey", "l_extendedprice")) // F1
+        // sort BEFORE the wide projection: the range-partitioner's sampling
+        // pass then evaluates only the sort keys, not the whole chain
+        .orderBy(col("l_orderkey"), col("l_linenumber")))
+
+  /** Production form of the chain: identical transforms, NO global sort —
+    * the orderBy in [[etlTransform]] exists only so the oracle's row hash
+    * is deterministic. This is what Bench measures (and what a real
+    * pipeline runs): one narrow map-only stage, zero shuffles.
+    */
+  def etlTransformProd(s: SparkSession, d: String): DataFrame =
+    etlProjection(
+      Tables.lineitem(s, d).na.drop(Seq("l_orderkey", "l_extendedprice")))
+
+  private def etlProjection(filtered: DataFrame): DataFrame = {
     val amount = lineitemAmount
-    Tables.lineitem(s, d)
-      .na.drop(Seq("l_orderkey", "l_extendedprice")) // F1
-      // sort BEFORE the wide projection: the range-partitioner's sampling
-      // pass then evaluates only the sort keys, not the whole chain
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    filtered
       .select(
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         synthesizeId(col("l_shipdate").cast("date"), col("l_linenumber"))

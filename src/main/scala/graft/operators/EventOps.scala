@@ -122,32 +122,43 @@ object EventOps {
        |ORDER BY user_id, sess_id""".stripMargin
 
   /** As-of join — for each event, the user's most recent order at or
-    * before the event time. Spark has no native ASOF operator; composed
-    * from built-ins per the preference order (SURVEY §0): non-equi left
-    * join bounded by the time condition, then a window keeps the latest
-    * match per event (deterministic tie-break on orderkey). Events with no
-    * prior order survive with null order columns, matching ASOF LEFT
-    * semantics. Scale path: pre-bucket both sides by (key, coarse time
-    * bucket) so each event meets only a bounded slice of order history
-    * instead of all of it.
+    * before the event time. Spark has no native ASOF operator; this is the
+    * merge-scan formulation every time-series engine uses: union both
+    * sides on the key, sort each key's timeline once, and let a running
+    * `last(..., ignoreNulls)` carry the most recent order forward past
+    * each event row. ONE shuffle on the key, O(rows) work, no
+    * event×order-history intermediate at any scale (the previous non-equi
+    * left join paired every event with the user's whole prior history
+    * before row_number kept one). Sort order (t, is_order DESC, orderkey):
+    * an order at exactly the event time counts ("at or before"), and equal
+    * order timestamps resolve to the highest orderkey — same tie-break as
+    * the oracle. Events with no prior order keep null order columns,
+    * matching ASOF LEFT semantics.
     */
   def asofJoin(s: SparkSession, d: String): DataFrame = {
     val e = withTsMs(Tables.events(s, d))
       .select(col("event_id"), col("user_id"), col("ts_ms"))
-    val o = Tables.orders(s, d).select(col("o_custkey"),
+    val o = Tables.orders(s, d).select(
+      col("o_custkey").as("user_id"),
       col("o_orderkey"),
       unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_id"))
-      .orderBy(col("order_ms").desc_nulls_last,
-        col("o_orderkey").desc_nulls_last)
-    e.join(o,
-        col("user_id") === col("o_custkey") && col("order_ms") <= col("ts_ms"),
-        "left")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val merged = e.select(col("user_id"), col("ts_ms").as("t"),
+        lit(0L).as("is_order"), col("event_id"), col("ts_ms"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("long").as("order_ms"))
+      .unionByName(o.select(col("user_id"), col("order_ms").as("t"),
+        lit(1L).as("is_order"), lit(null).cast("long").as("event_id"),
+        lit(null).cast("long").as("ts_ms"),
+        col("o_orderkey"), col("order_ms")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("is_order").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("asof_key", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_ms", last(col("order_ms"), ignoreNulls = true).over(w))
+      .filter(col("is_order") === 0L)
       .select(col("event_id"), col("user_id"), col("ts_ms"),
-        col("o_orderkey"), col("order_ms"))
+        col("asof_key").as("o_orderkey"), col("asof_ms").as("order_ms"))
       .orderBy(col("event_id"))
   }
 
