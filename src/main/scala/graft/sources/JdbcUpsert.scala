@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** JDBC upsert sink — the reference's warehouse load re-expressed for Spark
+  * (lambda_function.py:176-271): CREATE TABLE IF NOT EXISTS with the
+  * 17-column transaction DDL, then INSERT .. ON CONFLICT (transaction_id)
+  * DO UPDATE SET amount, processed_timestamp.
+  *
+  * Set-oriented instead of the reference's per-row cursor loop: executors
+  * append partitions in parallel into a staging table via `df.write.jdbc`,
+  * then ONE `MERGE INTO target USING staging` statement applies the
+  * conflict semantics on the database side. That is the only shape that
+  * holds at scale — the row-at-a-time INSERT loop serializes the whole
+  * batch through the driver; the staged MERGE moves data in parallel and
+  * leaves conflict resolution to the warehouse's own set execution.
+  *
+  * Exercised against embedded Derby (`jdbc:derby:memory:`; supports
+  * ANSI MERGE) in JdbcUpsertSpec; the same calls run against any MERGE-
+  * capable JDBC warehouse. All identifiers are written lowercase-quoted so
+  * reserved-word column names from the reference DDL ("date", "timestamp",
+  * "month", "year") survive every dialect's folding rules.
+  */
+object JdbcUpsert {
+
+  /** Mirror of `is_redshift_configured` (lambda_function.py:170-173):
+    * the sink activates only when the connection env vars are present.
+    */
+  def fromEnv(env: Map[String, String] = sys.env): Option[(String, Properties)] =
+    env.get("GRAFT_JDBC_URL").map { url =>
+      val props = new Properties()
+      env.get("GRAFT_JDBC_DRIVER").foreach(props.setProperty("driver", _))
+      env.get("GRAFT_JDBC_USER").foreach(props.setProperty("user", _))
+      env.get("GRAFT_JDBC_PASSWORD").foreach(props.setProperty("password", _))
+      (url, props)
+    }
+
+  /** The reference's 17-column target DDL (lambda_function.py:186-207),
+    * ANSI types, every identifier lowercase-quoted.
+    */
+  def targetDdl(table: String): String =
+    s"""CREATE TABLE $table (
+       |  "transaction_id" VARCHAR(50) PRIMARY KEY,
+       |  "date" DATE,
+       |  "timestamp" TIMESTAMP,
+       |  "amount" DECIMAL(10,2),
+       |  "amount_abs" DECIMAL(10,2),
+       |  "amount_category" VARCHAR(20),
+       |  "category" VARCHAR(50),
+       |  "description" VARCHAR(200),
+       |  "transaction_type" VARCHAR(20),
+       |  "account" VARCHAR(50),
+       |  "location" VARCHAR(100),
+       |  "day_of_week" VARCHAR(20),
+       |  "month" INTEGER,
+       |  "year" INTEGER,
+       |  "processed_timestamp" TIMESTAMP,
+       |  "processed_by" VARCHAR(50),
+       |  "source_file" VARCHAR(500))""".stripMargin
+
+  /** VARCHAR widths for the staging table (Spark's Derby default for
+    * StringType is CLOB, which cannot appear in a MERGE join condition).
+    */
+  private val stagingStringTypes: String = Seq(
+    "transaction_id VARCHAR(50)", "amount_category VARCHAR(20)",
+    "category VARCHAR(50)", "description VARCHAR(200)",
+    "transaction_type VARCHAR(20)", "account VARCHAR(50)",
+    "location VARCHAR(100)", "day_of_week VARCHAR(20)",
+    "processed_by VARCHAR(50)", "source_file VARCHAR(500)").mkString(", ")
+
+  /** Upsert `df` into `table` with the reference's conflict semantics:
+    * insert new transaction_ids; on conflict update ONLY amount and
+    * processed_timestamp (lambda_function.py:230-236). Within-batch key
+    * conflicts resolve last-writer-wins on processed_timestamp before
+    * staging (a MERGE source must be key-unique).
+    */
+  def upsert(df: DataFrame, url: String, table: String,
+      props: Properties): Unit = {
+    val deduped =
+      if (df.columns.contains("processed_timestamp")) {
+        val w = Window.partitionBy(col("transaction_id"))
+          .orderBy(col("processed_timestamp").desc_nulls_last)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      } else df.dropDuplicates("transaction_id")
+    // month/year arrive as long (Spark date-part convention); the target
+    // DDL says INTEGER — align before staging so MERGE assigns cleanly
+    val aligned = Seq("month", "year").foldLeft(deduped) { (d, c) =>
+      if (d.columns.contains(c)) d.withColumn(c, col(c).cast("int")) else d
+    }
+    val stage = s"${table}_stg"
+    aligned.write.mode("overwrite")
+      .option("createTableColumnTypes", stagingStringTypes)
+      .jdbc(url, stage, props)
+    val cols    = aligned.columns
+    val colList = cols.map(c => s""""$c"""").mkString(", ")
+    val valList = cols.map(c => s"""s."$c"""").mkString(", ")
+    // the reference updates ONLY these two on conflict; restrict further to
+    // what the batch actually carries (the deterministic transform chain
+    // omits processed_timestamp)
+    val setList = Seq("amount", "processed_timestamp").filter(cols.contains)
+      .map(c => s""""$c" = s."$c"""").mkString(", ")
+    withConnection(url, props) { conn =>
+      ensureTable(conn, table)
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(
+          s"""MERGE INTO $table t USING $stage s
+             |ON t."transaction_id" = s."transaction_id"
+             |WHEN MATCHED THEN UPDATE SET $setList
+             |WHEN NOT MATCHED THEN INSERT ($colList) VALUES ($valList)"""
+            .stripMargin)
+        st.executeUpdate(s"DROP TABLE $stage")
+      } finally st.close()
+    }
+  }
+
+  /** CREATE TABLE IF NOT EXISTS via metadata probe (Derby has no native
+    * IF NOT EXISTS; the probe form is portable).
+    */
+  private def ensureTable(conn: java.sql.Connection, table: String): Unit = {
+    val rs = conn.getMetaData.getTables(null, null,
+      table.toUpperCase(java.util.Locale.ROOT), null)
+    val exists = try rs.next() finally rs.close()
+    if (!exists) {
+      val st = conn.createStatement()
+      try st.executeUpdate(targetDdl(table)) finally st.close()
+    }
+  }
+
+  private def withConnection[T](url: String, props: Properties)
+      (f: java.sql.Connection => T): T = {
+    Option(props.getProperty("driver"))
+      .foreach(d => Class.forName(d)) // register before DriverManager lookup
+    val conn = DriverManager.getConnection(url, props)
+    try f(conn) finally conn.close()
+  }
+}

@@ -84,13 +84,23 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Hash buckets in the upsert target layout (`bucket=N/` partitions).
+    * Sized so per-bucket rewrite I/O stays bounded: at scale you pick
+    * table-size / buckets ≈ a few hundred MB; a batch then rewrites only
+    * `touched-buckets × that`, not O(table).
+    */
+  val UpsertBuckets = 16
+
   /** The reference's real topology, E1 end-to-end: files land → per-batch
     * upsert into the target table (lambda_function.py's INSERT..ON CONFLICT,
     * SURVEY §2b K3) — expressed as a foreachBatch sink running the
-    * set-oriented last-writer-wins merge. Each micro-batch merges the new
-    * rows with the current target state and rewrites atomically
-    * (overwrite-into-temp-view pattern; a real deployment swaps in a Delta
-    * `MERGE INTO` with the same LWW window and no full rewrite).
+    * set-oriented last-writer-wins merge INCREMENTALLY. The target is
+    * hash-bucketed by `transaction_id` into `bucket=N/` partitions; each
+    * micro-batch reads back only the buckets its keys hash into (partition
+    * pruning on the bucket column), merges LWW, and dynamic partition
+    * overwrite replaces exactly those buckets — untouched bucket files are
+    * never rewritten. Same shape a Delta/Iceberg MERGE compiles to; I/O per
+    * batch is O(touched buckets), not O(table).
     */
   def fileUpsertPipeline(spark: SparkSession, inDir: String, targetDir: String,
       checkpointDir: String): StreamingQuery = {
@@ -100,25 +110,40 @@ object Streams {
       .schema(transactionSchema)
       .option("header", "true")
       .csv(inDir)
+    val bucketOf = pmod(xxhash64(col("transaction_id")),
+      lit(UpsertBuckets.toLong))
     RefTransforms.transformTransactions(raw, inDir).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bucketed = batch.withColumn("bucket", bucketOf)
         val target   = new java.io.File(targetDir)
+        val hasData  = target.exists() &&
+          target.list().exists(_.startsWith("bucket="))
+        // recompute `bucket` from the key instead of trusting partition-
+        // column type inference; the isin filter prunes to touched
+        // partition directories before any file is opened
         val existing =
-          if (target.exists() && target.list().exists(_.endsWith(".parquet")))
+          if (hasData) {
+            val touched = bucketed.select(col("bucket")).distinct()
+              .collect().map(_.getLong(0)) // bounded by UpsertBuckets
             spark.read.parquet(targetDir)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            batch.schema)
+              .filter(col("bucket").isin(touched: _*))
+              .drop("bucket").withColumn("bucket", bucketOf)
+          } else bucketed.limit(0)
         val w = Window.partitionBy(col("transaction_id"))
           .orderBy(col("__priority").desc)
-        val merged = batch.withColumn("__priority", lit(1))
+        val merged = bucketed.withColumn("__priority", lit(1))
           .unionByName(existing.withColumn("__priority", lit(0)))
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .drop("__priority", "__rn")
-        val tmp = targetDir + "__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(targetDir)
+          // materialize before the write: the merge reads the same bucket
+          // files dynamic overwrite is about to replace
+          .localCheckpoint()
+        merged.write
+          .partitionBy("bucket")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(targetDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

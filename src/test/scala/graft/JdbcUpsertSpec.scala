@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+import java.util.Properties
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.JdbcUpsert
+
+/** Round-trips the reference's 17-column DDL + conflict semantics
+  * (lambda_function.py:176-271) against embedded Derby over real JDBC:
+  * parallel staged write, one MERGE, ON-CONFLICT updates limited to
+  * amount + processed_timestamp.
+  */
+class JdbcUpsertSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val url   = "jdbc:derby:memory:graftjdbc;create=true"
+  private val table = "portfolio_transactions"
+  private val props = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  /** Full 17-column batch; amount/category vary per row, processed_timestamp
+    * is the batch's logical write time (drives within-batch LWW).
+    */
+  private def batch(rows: Seq[(String, Double, String)], pts: String): DataFrame =
+    rows.toDF("transaction_id", "amount", "category")
+      .withColumn("date", lit(Date.valueOf("2024-07-01")))
+      .withColumn("timestamp", lit(Timestamp.valueOf("2024-07-01 10:00:00")))
+      .withColumn("amount_abs", abs(col("amount")))
+      .withColumn("amount_category", lit("small"))
+      .withColumn("description", lit("Desc"))
+      .withColumn("transaction_type", lit("expense"))
+      .withColumn("account", lit("checking"))
+      .withColumn("location", lit("Online"))
+      .withColumn("day_of_week", lit("Monday"))
+      .withColumn("month", lit(7L))
+      .withColumn("year", lit(2024L))
+      .withColumn("processed_timestamp", lit(Timestamp.valueOf(pts)))
+      .withColumn("processed_by", lit("graft"))
+      .withColumn("source_file", lit("test.csv"))
+
+  test("staged MERGE upsert: insert, conflict-update amount only, idempotent") {
+    JdbcUpsert.upsert(
+      batch(Seq(("T1", 10.0, "food"), ("T2", 20.0, "travel")),
+        "2024-07-01 12:00:00"), url, table, props)
+    // conflict on T2: amount changes, category does NOT (reference updates
+    // only amount + processed_timestamp on conflict); T3 is a fresh insert
+    JdbcUpsert.upsert(
+      batch(Seq(("T2", 99.0, "changed"), ("T3", 30.0, "gear")),
+        "2024-07-01 13:00:00"), url, table, props)
+    val state = spark.read.jdbc(url, table, props)
+      .select(col("transaction_id"),
+        col("amount").cast("double").as("amount"), col("category"))
+      .as[(String, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(state === Map(
+      "T1" -> ((10.0, "food")),
+      "T2" -> ((99.0, "travel")), // amount updated, category preserved
+      "T3" -> ((30.0, "gear"))))
+    // within-batch LWW on processed_timestamp: later timestamp wins
+    JdbcUpsert.upsert(
+      batch(Seq(("T1", 50.0, "x"), ("T1", 77.0, "x")), "2024-07-01 14:00:00")
+        .withColumn("processed_timestamp",
+          when(col("amount") === 77.0,
+            lit(Timestamp.valueOf("2024-07-01 15:00:00")))
+            .otherwise(col("processed_timestamp"))),
+      url, table, props)
+    val t1 = spark.read.jdbc(url, table, props)
+      .filter(col("transaction_id") === "T1")
+      .select(col("amount").cast("double")).as[Double].collect()
+    assert(t1.toSeq === Seq(77.0))
+    // re-applying a batch is idempotent (same MERGE, same end state)
+    JdbcUpsert.upsert(
+      batch(Seq(("T3", 30.0, "gear")), "2024-07-01 16:00:00"),
+      url, table, props)
+    assert(spark.read.jdbc(url, table, props).count() === 3)
+  }
+
+  test("transform-chain batches (no processed_timestamp) upsert cleanly") {
+    val t = "txn_chain"
+    val chain = batch(Seq(("C1", 5.0, "food")), "2024-07-01 12:00:00")
+      .drop("processed_timestamp")
+    JdbcUpsert.upsert(chain, url, t, props)
+    JdbcUpsert.upsert(chain.withColumn("amount", lit(6.5)), url, t, props)
+    val got = spark.read.jdbc(url, t, props)
+      .select(col("amount").cast("double")).as[Double].collect()
+    assert(got.toSeq === Seq(6.5))
+  }
+
+  test("fromEnv gates on connection settings like the reference") {
+    assert(JdbcUpsert.fromEnv(Map.empty).isEmpty)
+    val got = JdbcUpsert.fromEnv(Map(
+      "GRAFT_JDBC_URL" -> url, "GRAFT_JDBC_DRIVER" -> "d"))
+    assert(got.map(_._1).contains(url))
+    assert(got.exists(_._2.getProperty("driver") == "d"))
+  }
+}

@@ -92,12 +92,33 @@ class StreamingSpec extends SparkSpecBase {
     }
     land("a.csv", Seq("T1" -> "10.0", "T2" -> "20.0"))
     Streams.fileUpsertPipeline(spark, in, out, ckp).awaitTermination()
+    def parquetMtimes: Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(out)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = parquetMtimes
     land("b.csv", Seq("T2" -> "99.0", "T3" -> "30.0")) // T2 updated
     Streams.fileUpsertPipeline(spark, in, out, ckp).awaitTermination()
     val state = spark.read.parquet(out)
       .select("transaction_id", "amount").as[(String, Double)]
       .collect().toMap
     assert(state === Map("T1" -> 10.0, "T2" -> 99.0, "T3" -> 30.0))
+    // incremental: buckets NOT touched by batch b keep their exact files
+    def bucketOf(id: String): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(id)), lit(Streams.UpsertBuckets.toLong)))
+      .as[Long].head()
+    val touchedB = Set("T2", "T3").map(b => s"bucket=${bucketOf(b)}")
+    val untouchedBefore = before.filter { case (p, _) =>
+      !touchedB.exists(p.contains)
+    }
+    assert(untouchedBefore.nonEmpty, "test needs an untouched bucket")
+    val after = parquetMtimes
+    untouchedBefore.foreach { case (path, mtime) =>
+      assert(after.get(path).contains(mtime),
+        s"untouched bucket file was rewritten: $path")
+    }
   }
 
   test("streaming dedup drops watermark-window re-deliveries") {
