@@ -94,6 +94,18 @@ object RefTransforms {
       .withColumn("source_file", lit(sourceFile)) // P14
   }
 
+  /** P14, multi-file form: per-row lineage from the file each row was
+    * actually scanned from (`input_file_name()`), reduced to the basename so
+    * the value is stable across mount points. This is what a partitioned
+    * ingest needs — one batch can drain many landed files; the
+    * `lit(path)` variant above stays in the oracle-gated queries because a
+    * literal is deterministic under the hash compare.
+    */
+  def transformTransactionsWithLineage(df: DataFrame): DataFrame =
+    transformTransactions(df, "")
+      .withColumn("source_file",
+        regexp_extract(input_file_name(), "[^/]+$", 0))
+
   /** Signed "transaction amount" derived from lineitem for the transplanted
     * chain: discounted price scaled into the reference's bucket range
     * (±25/100/500), negated for returned lines so abs()/bucketing see both

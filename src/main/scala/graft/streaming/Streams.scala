@@ -50,7 +50,8 @@ object Streams {
       .schema(transactionSchema)
       .option("header", "true")
       .csv(inDir)
-    val transformed = RefTransforms.transformTransactions(raw, inDir)
+    // per-row lineage: one micro-batch can drain many landed files
+    val transformed = RefTransforms.transformTransactionsWithLineage(raw)
     transformed.writeStream
       .format("parquet")
       .option("path", outDir)
@@ -112,7 +113,7 @@ object Streams {
       .csv(inDir)
     val bucketOf = pmod(xxhash64(col("transaction_id")),
       lit(UpsertBuckets.toLong))
-    RefTransforms.transformTransactions(raw, inDir).writeStream
+    RefTransforms.transformTransactionsWithLineage(raw).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val bucketed = batch.withColumn("bucket", bucketOf)
         val target   = new java.io.File(targetDir)

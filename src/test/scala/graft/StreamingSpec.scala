@@ -33,6 +33,12 @@ class StreamingSpec extends SparkSpecBase {
     assert(result.count() === 50)
     assert(result.columns.contains("amount_category"))
     assert(result.filter(col("amount_category") === "unknown").count() === 0)
+    // P14 multi-file lineage: every row carries the basename of the CSV it
+    // was scanned from, not a directory-level literal
+    val sources = result.select("source_file").distinct()
+      .as[String].collect()
+    assert(sources.nonEmpty && sources.forall(_.endsWith(".csv")))
+    assert(sources.forall(!_.contains("/")))
     // idempotent restart: AvailableNow over the same checkpoint adds nothing
     val q2 = Streams.fileEtlPipeline(spark, in, out, ckp)
     q2.awaitTermination()
