@@ -90,6 +90,7 @@ object SparkEntry {
     // [EXT] LLM-pipeline: similarity search + multimodal
     "q_ann_brute"       -> (Ann.bruteForceTopK _),
     "q_ann_lsh"         -> (Ann.lshTopK _),
+    "q_ann_ivf"         -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
     "q_embed_neardup"   -> (Ann.embeddingNearDup _),
     "q_multimodal_meta" -> (Multimodal.blobMeta _)
   )

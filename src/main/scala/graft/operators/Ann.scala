@@ -217,6 +217,15 @@ object Ann {
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"))
       .distinct()
+    exactRerank(s, d, cand)
+  }
+
+  /** Shared tail of every candidate-generating ANN variant: join the
+    * embeddings back onto the (q_id, n_id) candidate set (candidates travel
+    * as IDs only until here), exact cosine, deterministic per-query top-k.
+    */
+  private def exactRerank(s: SparkSession, d: String,
+      cand: DataFrame): DataFrame = {
     val e = Tables.embeddings(s, d)
     val withVecs = cand
       .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
@@ -231,4 +240,65 @@ object Ann {
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  // ---------- IVF (inverted-file) ANN ----------
+
+  val IvfLists = 16
+
+  /** Deterministic coarse quantizer: the `IvfLists` vectors with vec_id in
+    * [NumQueries, NumQueries + IvfLists) ARE the centroids — no RNG, no
+    * training pass, reproducible at any parallelism. (On this corpus of
+    * random unit vectors a Lloyd round barely moves the cells; a real
+    * deployment would train k-means offline and broadcast the artifact the
+    * same way.)
+    */
+  private def ivfCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + IvfLists)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+
+  /** IVF list assignment: nearest centroid per vector. Broadcast the K
+    * centroids, codegen'd cosine, argmax via max(struct) — deterministic
+    * tie-break on centroid id. The build is the engine's only N×K stage
+    * (one-time index construction); queries then open `nprobe` lists.
+    */
+  def ivfAssign(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(ivfCentroids(s, d)))
+      .withColumn("sim", cosineSim(col("embedding"), col("c_emb")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim").as("s"), col("cid").as("c"))).as("m"))
+      .select(col("vec_id"), col("m.c").as("cid"))
+
+  /** IVF-bucketed ANN top-k: queries rank the K centroids, open the
+    * `nprobe` nearest lists, and exact cosine re-ranks the union of those
+    * lists. `nprobe = IvfLists` probes every list — then the result equals
+    * brute force exactly (AnnSpec pins this), which is the correctness
+    * anchor for the approximate settings.
+    */
+  def ivfTopK(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val assign = ivfAssign(s, d)
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    val probes = Tables.embeddings(s, d)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(ivfCentroids(s, d)))
+      .withColumn("sim", cosineSim(col("q_emb"), col("c_emb")))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("cid"))
+    val cand = probes.join(assign, Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .distinct()
+    exactRerank(s, d, cand)
+  }
+
+  val IvfProbe = 4
+
+  def ivfTopK(s: SparkSession, d: String): DataFrame =
+    ivfTopK(s, d, IvfProbe)
 }

@@ -156,30 +156,30 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("src", "dst").cache()
+    // every label round is localCheckpoint'd (eager): the plan — and the
+    // recovery lineage — stays ONE round deep regardless of graph diameter,
+    // instead of growing a round-per-iteration expression tree. Superseded
+    // rounds' blocks are released by the context cleaner once unreferenced.
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).cache()
+      .withColumn("label", col("doc_id")).localCheckpoint()
     var converged = false
     var rounds    = 0
     while (!converged && rounds < 20) {
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .select(col("dst").as("doc_id"), col("label"))
-      val next = labels.select(col("doc_id"), col("label")).union(viaEdges)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label")).cache()
-      next.count() // fully materialize the cache (isEmpty short-circuits)
+      val next = labels.union(viaEdges)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
       converged = next.as("n")
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
         .filter(col("n.label") =!= col("o.label")).isEmpty
-      labels.unpersist()
       labels = next
       rounds += 1
     }
     edges.unpersist()
-    val out = labels.select(col("doc_id"), col("label").as("cluster_id"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
-      .localCheckpoint() // pin the result, then release the cached labels
-    labels.unpersist()
-    out
   }
 
   /** Oracle: transitive closure by recursive CTE over the same pair SQL. */

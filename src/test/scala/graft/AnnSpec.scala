@@ -45,6 +45,26 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.2, s"recall@${Ann.TopK} = $recall")
   }
 
+  test("IVF with exhaustive probing equals brute force exactly") {
+    val truth = Ann.bruteForceTopK(spark, sfDir)
+      .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(spark, sfDir, Ann.IvfLists)
+      .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().toSet
+    assert(ivf === truth) // probing every list degenerates to exact search
+  }
+
+  test("IVF at default nprobe achieves usable recall against brute force") {
+    val truth = Ann.bruteForceTopK(spark, sfDir)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.ivfTopK(spark, sfDir)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    // nprobe/lists = 4/16 on random unit vectors: expected recall well
+    // above the 25% list mass because near neighbors concentrate in the
+    // query's nearest cells; bound documents observed behavior.
+    assert(recall >= 0.3, s"recall@${Ann.TopK} = $recall")
+  }
+
   test("near-dup retrieval is symmetric-free (v1 < v2) and above threshold") {
     val out = Ann.embeddingNearDup(spark, sfDir).collect()
     assert(out.nonEmpty)
