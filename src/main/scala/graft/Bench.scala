@@ -18,11 +18,14 @@ object Bench {
     val spark = Sessions.build(s"local[$cpus]", cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JVM/codegen startup AND first-touch of every table's parquet
-    // footers, so the alphabetically-first query doesn't absorb them
+    // footers, so the alphabetically-first query doesn't absorb them.
+    // Reads go through Tables (events needs its nanosAsLong read conf).
     spark.range(10000000L).selectExpr("sum(id)").collect()
-    Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
+    Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
+      Tables.lineitem, Tables.orders, Tables.customer,
+      Tables.events, Tables.documents, Tables.embeddings)
       .foreach { t =>
-        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        try t(spark, sfDir).count()
         catch { case _: Throwable => () }
       }
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -99,4 +99,98 @@ object Multimodal {
       |       CAST(n_chars % 64 + 1 AS BIGINT) AS width,
       |       CAST(doc_id % 48 + 1 AS BIGINT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------- resize ----------
+
+  /** Stride used by the resize stub ("downsample 3×"). */
+  val ResizeStride = 3
+
+  /** STUB resize: keep every `stride`-th byte — the deterministic stand-in
+    * for an image downscale. Same swap-only-this-body contract as
+    * [[decodeStub]].
+    */
+  def resizeStub(payload: Array[Byte], stride: Int): Array[Byte] =
+    payload.indices.collect { case i if i % stride == 0 => payload(i) }.toArray
+
+  case class ResizedBlob(doc_id: Long, n_bytes: Long, resized_bytes: Long,
+      resized_checksum: Long)
+
+  /** Resize pipeline: batch decode → stride resize → checksum of the
+    * resized payload, all inside one partition-batched pass (no shuffle;
+    * the binary column never survives past this stage).
+    */
+  def resizeBlobs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    blobTable(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val resized   = resizeStub(bytes, ResizeStride)
+          val (_, sum)  = decodeStub(resized)
+          ResizedBlob(id, bytes.length.toLong, resized.length.toLong, sum)
+        }
+      }.toDF().orderBy(col("doc_id"))
+  }
+
+  val resizeBlobsSql: String =
+    s"""SELECT doc_id,
+       |       CAST(length(text) AS BIGINT) AS n_bytes,
+       |       CAST(len(range(1, length(text) + 1, $ResizeStride)) AS BIGINT)
+       |         AS resized_bytes,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |         list_transform(range(1, length(text) + 1, $ResizeStride),
+       |           i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+       |         (acc, x) -> (acc * 31 + x) % 1000000007) AS resized_checksum
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------- frame sampling ----------
+
+  val FrameBytes  = 16
+  val FrameStride = 2
+
+  case class Frame(doc_id: Long, frame_idx: Long, n_bytes: Long,
+      checksum: Long)
+
+  /** Frame sampling: treat the payload as fixed-size frames (a video's
+    * decode unit), keep every `FrameStride`-th frame, checksum each kept
+    * frame — the explode side of the multimodal family. Emitted from the
+    * same partition-batched pass (rows fan out ~payload/`FrameBytes`/stride
+    * per blob, still shuffle-free until a consumer aggregates).
+    */
+  def sampleFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    blobTable(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val nFrames = (bytes.length + FrameBytes - 1) / FrameBytes
+          Iterator.range(0, nFrames, FrameStride).map { f =>
+            val start    = f * FrameBytes
+            val end      = math.min(start + FrameBytes, bytes.length)
+            val slice    = java.util.Arrays.copyOfRange(bytes, start, end)
+            val (_, sum) = decodeStub(slice)
+            Frame(id, f.toLong, (end - start).toLong, sum)
+          }
+        }
+      }.toDF().orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val sampleFramesSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |         unnest(range(0, CAST(ceil(length(text) / $FrameBytes.0)
+       |                              AS BIGINT), $FrameStride)) AS frame_idx
+       |  FROM documents)
+       |SELECT doc_id, frame_idx,
+       |       CAST(length(substr(text, CAST(frame_idx * $FrameBytes + 1 AS INTEGER),
+       |                          $FrameBytes)) AS BIGINT) AS n_bytes,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |         list_transform(
+       |           range(1, length(substr(text, CAST(frame_idx * $FrameBytes + 1 AS INTEGER),
+       |                                  $FrameBytes)) + 1),
+       |           i -> CAST(ascii(substr(substr(text,
+       |                  CAST(frame_idx * $FrameBytes + 1 AS INTEGER),
+       |                  $FrameBytes), i, 1)) AS BIGINT))),
+       |         (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 }
