@@ -161,6 +161,24 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: events matched to orders of the same user
+    * that happened in the hour before the event. Both sides carry
+    * watermarks AND the join has a time-range condition — the two things
+    * Spark needs to bound both state stores (a side's row is evicted once
+    * the other side's watermark passes the end of its match window), so
+    * this runs forever on unbounded inputs with finite state.
+    */
+  def eventOrderJoin(events: DataFrame, orders: DataFrame): DataFrame = {
+    val e = events.withWatermark("ts", "10 minutes")
+    val o = orders.withWatermark("order_ts", "10 minutes")
+    e.join(o,
+      col("user_id") === col("o_custkey") &&
+        col("order_ts") <= col("ts") &&
+        col("order_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderkey"), col("order_ts"))
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total_cents: Long)
 

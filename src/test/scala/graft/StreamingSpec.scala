@@ -143,6 +143,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(ids.sorted === Array(1L, 2L))
   }
 
+  test("stream-stream join matches orders in the hour before each event") {
+    implicit val sqlCtx = spark.sqlContext
+    val evIn = MemoryStream[(Long, Long, Timestamp)]
+    val orIn = MemoryStream[(Long, Long, Timestamp)]
+    val events = evIn.toDF().toDF("event_id", "user_id", "ts")
+    val orders = orIn.toDF().toDF("o_orderkey", "o_custkey", "order_ts")
+    // user 1: order 30 min before event (match), order 2h before (too old);
+    // user 2: order AFTER the event (no match)
+    evIn.addData((100L, 1L, ts(30)), (200L, 2L, ts(30)))
+    orIn.addData(
+      (10L, 1L, ts(0)),
+      (11L, 1L, Timestamp.valueOf("2024-01-01 08:00:00")),
+      (20L, 2L, ts(45)))
+    val q = Streams.eventOrderJoin(events, orders).writeStream
+      .format("memory").queryName("ssjoin")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("ssjoin")
+      .select("event_id", "o_orderkey").as[(Long, Long)].collect().toSet
+    assert(got === Set((100L, 10L)))
+  }
+
   test("flatMapGroupsWithState keeps exact per-user running totals") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.UserEvent]
