@@ -80,6 +80,8 @@ object SparkEntry {
     "q_lang_id"       -> (TextAnalysis.langId _),
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_fingerprint"   -> (TextAnalysis.fingerprintDf _),
+    "q_stratified_sample" -> (TextAnalysis.stratifiedSample _),
+    "q_range_join"        -> (EventOps.rangeJoin _),
     // [EXT] LLM-pipeline: deduplication
     "q_dedup_exact"       -> (Dedup.exact _),
     "q_dedup_ngram"       -> (Dedup.ngramJaccard _),
@@ -159,6 +161,8 @@ object SparkEntry {
     "q_lang_id"         -> TextAnalysis.langIdSql,
     "q_quality_score"   -> TextAnalysis.qualityScoreSql,
     "q_fingerprint"     -> TextAnalysis.fingerprintSql,
+    "q_stratified_sample" -> TextAnalysis.stratifiedSampleSql,
+    "q_range_join"        -> EventOps.rangeJoinSql,
     "q_dedup_exact"     -> Dedup.exactSql,
     "q_dedup_ngram"     -> Dedup.ngramJaccardSql,
     "q_dedup_clusters"  -> Dedup.dedupClustersSql,

@@ -228,6 +228,47 @@ object TextAnalysis {
       |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       |GROUP BY word ORDER BY n DESC, word""".stripMargin
 
+  /** Per-language keep quotas (percent of the 0-99 hash space) for the
+    * stratified sampler — the downsample-the-majority-language shape every
+    * pretraining mix uses (en dominates this corpus ~3:1).
+    */
+  val SampleQuota: Seq[(String, Int)] =
+    Seq("de" -> 50, "en" -> 10, "es" -> 50, "fr" -> 50, "zh" -> 50)
+
+  /** Deterministic stratified sampling: a multiplicative-hash coin in
+    * [0, 100) per doc_id, kept when it lands under the document's language
+    * quota. Pure integer column arithmetic — no RNG, no sample() operator —
+    * so the selected set is identical at any parallelism, reproducible in
+    * plain SQL, and stable across reruns (the property a training-data
+    * pipeline needs for resumable dataset builds). Narrow map + filter:
+    * no shuffle at any scale. Inner `pmod` keeps products 64-bit-safe for
+    * arbitrarily large ids.
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val coin = pmod(
+      pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L) + lit(40503L),
+      lit(999983L)) % 100
+    val quota = SampleQuota.tail.foldLeft(
+      when(col("lang") === SampleQuota.head._1, lit(SampleQuota.head._2))) {
+      case (acc, (l, q)) => acc.when(col("lang") === l, lit(q))
+    }.otherwise(lit(0))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), coin.as("coin"))
+      .filter(col("coin") < quota)
+      .orderBy(col("doc_id"))
+  }
+
+  val stratifiedSampleSql: String = {
+    val cases = SampleQuota
+      .map { case (l, q) => s"WHEN lang = '$l' THEN $q" }.mkString(" ")
+    s"""SELECT doc_id, lang,
+       |       ((doc_id % 1000003) * 2654435761 + 40503) % 999983 % 100 AS coin
+       |FROM documents
+       |WHERE ((doc_id % 1000003) * 2654435761 + 40503) % 999983 % 100
+       |      < CASE $cases ELSE 0 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val FpMod = 1000000007L
 
   /** Content fingerprint: polynomial rolling hash over the character stream

@@ -173,6 +173,50 @@ object EventOps {
       |                                    o_orderkey DESC NULLS LAST) = 1
       |ORDER BY event_id""".stripMargin
 
+  /** Tier dimension for the range join: (tier, lo, hi), half-open [lo, hi). */
+  val ValueTiers: Seq[(String, Double, Double)] = Seq(
+    ("t0", 0.0, 5.0), ("t1", 5.0, 25.0), ("t2", 25.0, 75.0),
+    ("t3", 75.0, 150.0), ("t4", 150.0, 250.0), ("t5", 250.0, 400.0),
+    ("t6", 400.0, 1000.0))
+
+  val RangeBinWidth = 50.0
+
+  /** Range join — each event matched to the tier whose [lo, hi) interval
+    * contains its value, WITHOUT a non-equi join: both sides are binned
+    * (each tier replicated to every `RangeBinWidth` bin it overlaps, each
+    * event assigned its one bin), the join is a plain equi-join on the bin,
+    * and the residual range predicate filters the joined rows. This is the
+    * standard trick that keeps interval joins hash-partitionable at any
+    * scale — the naive `value BETWEEN lo AND hi` condition compiles to a
+    * nested-loop join that compares every event to every interval.
+    */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tiers = ValueTiers.toDF("tier", "lo", "hi")
+      .withColumn("bin", explode(sequence(
+        floor(col("lo") / RangeBinWidth).cast("long"),
+        floor((col("hi") - lit(1e-9)) / RangeBinWidth).cast("long"))))
+    val e = Tables.events(s, d)
+      .select(col("value"),
+        floor(col("value") / RangeBinWidth).cast("long").as("bin"))
+    e.join(tiers, Seq("bin"))
+      .filter(col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      .orderBy(col("tier"))
+  }
+
+  val rangeJoinSql: String = {
+    val values = ValueTiers
+      .map { case (t, lo, hi) => s"('$t', $lo, $hi)" }.mkString(", ")
+    s"""WITH tiers(tier, lo, hi) AS (VALUES $values)
+       |SELECT tier, COUNT(*) AS n,
+       |       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       |         AS value_cents
+       |FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+       |GROUP BY tier ORDER BY tier""".stripMargin
+  }
+
   /** Pivot: one row per user, one column per event type — conditional
     * aggregation under the hood, so the oracle is plain FILTERed counts.
     * The value list is fixed (deterministic schema — at scale you never
