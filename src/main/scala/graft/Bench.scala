@@ -22,7 +22,8 @@ object Bench {
     // Reads go through Tables (events needs its nanosAsLong read conf).
     spark.range(10000000L).selectExpr("sum(id)").collect()
     Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
-      Tables.lineitem, Tables.orders, Tables.customer,
+      Tables.region, Tables.nation, Tables.customer, Tables.supplier,
+      Tables.part, Tables.orders, Tables.lineitem,
       Tables.events, Tables.documents, Tables.embeddings)
       .foreach { t =>
         try t(spark, sfDir).count()

@@ -47,15 +47,8 @@ object EtlQueries {
         // pass then evaluates only the sort keys, not the whole chain
         .orderBy(col("l_orderkey"), col("l_linenumber")))
 
-  /** Production form of the chain: identical transforms, NO global sort —
-    * the orderBy in [[etlTransform]] exists only so the oracle's row hash
-    * is deterministic. This is what Bench measures (and what a real
-    * pipeline runs): one narrow map-only stage, zero shuffles.
-    */
-  def etlTransformProd(s: SparkSession, d: String): DataFrame =
-    etlProjection(
-      Tables.lineitem(s, d).na.drop(Seq("l_orderkey", "l_extendedprice")))
-
+  // (the production — unsorted — form of this chain is what Bench measures,
+  // via SparkEntry.benchQueries' generic presentation-sort strip)
   private def etlProjection(filtered: DataFrame): DataFrame = {
     val amount = lineitemAmount
     filtered

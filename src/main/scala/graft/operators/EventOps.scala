@@ -142,6 +142,10 @@ object EventOps {
       col("o_custkey").as("user_id"),
       col("o_orderkey"),
       unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"))
+      // null-dated orders can never satisfy "at or before" (the join form's
+      // order_ms <= ts is null-rejecting, and so is the oracle); without
+      // this they'd sort first and leak their orderkey into last()
+      .filter(col("order_ms").isNotNull)
     val merged = e.select(col("user_id"), col("ts_ms").as("t"),
         lit(0L).as("is_order"), col("event_id"), col("ts_ms"),
         lit(null).cast("long").as("o_orderkey"),

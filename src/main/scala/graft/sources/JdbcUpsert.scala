@@ -81,13 +81,20 @@ object JdbcUpsert {
     */
   def upsert(df: DataFrame, url: String, table: String,
       props: Properties): Unit = {
-    val deduped =
-      if (df.columns.contains("processed_timestamp")) {
-        val w = Window.partitionBy(col("transaction_id"))
-          .orderBy(col("processed_timestamp").desc_nulls_last)
-        df.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-      } else df.dropDuplicates("transaction_id")
+    // within-batch LWW: latest processed_timestamp wins; ties (the common
+    // case — a batch usually carries ONE timestamp literal) break on a
+    // deterministic full-row hash, never on partition/scan order
+    val rowHash = xxhash64(
+      df.columns.map(c => col(c).cast("string")): _*)
+    val deduped = {
+      val order =
+        if (df.columns.contains("processed_timestamp"))
+          Seq(col("processed_timestamp").desc_nulls_last, rowHash.desc)
+        else Seq(rowHash.desc)
+      val w = Window.partitionBy(col("transaction_id")).orderBy(order: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
     // month/year arrive as long (Spark date-part convention); the target
     // DDL says INTEGER — align before staging so MERGE assigns cleanly
     val aligned = Seq("month", "year").foldLeft(deduped) { (d, c) =>
@@ -105,6 +112,10 @@ object JdbcUpsert {
     // omits processed_timestamp)
     val setList = Seq("amount", "processed_timestamp").filter(cols.contains)
       .map(c => s""""$c" = s."$c"""").mkString(", ")
+    // a batch with neither updatable column degenerates to insert-only —
+    // an empty WHEN MATCHED clause would not parse
+    val matchedClause =
+      if (setList.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $setList\n" else ""
     withConnection(url, props) { conn =>
       ensureTable(conn, table)
       val st = conn.createStatement()
@@ -112,8 +123,7 @@ object JdbcUpsert {
         st.executeUpdate(
           s"""MERGE INTO $table t USING $stage s
              |ON t."transaction_id" = s."transaction_id"
-             |WHEN MATCHED THEN UPDATE SET $setList
-             |WHEN NOT MATCHED THEN INSERT ($colList) VALUES ($valList)"""
+             |${matchedClause}WHEN NOT MATCHED THEN INSERT ($colList) VALUES ($valList)"""
             .stripMargin)
         st.executeUpdate(s"DROP TABLE $stage")
       } finally st.close()
@@ -124,8 +134,13 @@ object JdbcUpsert {
     * IF NOT EXISTS; the probe form is portable).
     */
   private def ensureTable(conn: java.sql.Connection, table: String): Unit = {
-    val rs = conn.getMetaData.getTables(null, null,
-      table.toUpperCase(java.util.Locale.ROOT), null)
+    val md  = conn.getMetaData
+    // getTables takes a PATTERN: '_' is a single-char wildcard, so escape it
+    // or PORTFOLIOxTRANSACTIONS would false-positive and skip the CREATE
+    val esc = md.getSearchStringEscape
+    val pattern = table.toUpperCase(java.util.Locale.ROOT)
+      .replace("_", s"${esc}_")
+    val rs = md.getTables(null, null, pattern, Array("TABLE"))
     val exists = try rs.next() finally rs.close()
     if (!exists) {
       val st = conn.createStatement()

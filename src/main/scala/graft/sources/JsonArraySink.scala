@@ -26,9 +26,12 @@ object JsonArraySink {
     */
   def write(df: DataFrame, outFile: String, originalFile: String,
       processedTimestamp: String): Long = {
-    val count = df.count()
-    val tmp   = outFile + ".tmpdir"
-    df.toJSON.coalesce(1).rdd.mapPartitions { it =>
+    // one upstream execution: the count and the serialization pass share
+    // the cached rows instead of re-running the whole transform chain
+    val cached = df.persist()
+    val count  = cached.count()
+    val tmp    = outFile + ".tmpdir"
+    cached.toJSON.coalesce(1).rdd.mapPartitions { it =>
       var first = true
       val body = it.map { rec =>
         val line = if (first) rec else "," + rec
@@ -37,6 +40,7 @@ object JsonArraySink {
       }
       Iterator.single("[") ++ body ++ Iterator.single("]")
     }.saveAsTextFile(tmp)
+    cached.unpersist()
     val out = Paths.get(outFile)
     Option(out.getParent).foreach(Files.createDirectories(_))
     val part = new java.io.File(tmp).listFiles()
@@ -54,9 +58,20 @@ object JsonArraySink {
       "record_count"        -> count.toString,
       "processing_stage"    -> "transformed")
     Files.writeString(Paths.get(outFile + ".meta.json"),
-      meta.map { case (k, v) => s""""$k": "${v.replace("\"", "\\\"")}"""" }
+      meta.map { case (k, v) => s""""$k": "${jsonEscape(v)}"""" }
         .mkString("{", ", ", "}"))
     count
+  }
+
+  /** Full JSON string escaping — backslash FIRST, then quote + controls. */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '\\'         => "\\\\"
+    case '"'          => "\\\""
+    case '\n'         => "\\n"
+    case '\r'         => "\\r"
+    case '\t'         => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -115,7 +115,10 @@ object Streams {
       lit(UpsertBuckets.toLong))
     RefTransforms.transformTransactionsWithLineage(raw).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bucketed = batch.withColumn("bucket", bucketOf)
+        // materialize the batch once: touched-bucket discovery and the
+        // merge both read it, and without this each would re-scan the
+        // batch's source files
+        val bucketed = batch.withColumn("bucket", bucketOf).localCheckpoint()
         val target   = new java.io.File(targetDir)
         val hasData  = target.exists() &&
           target.list().exists(_.startsWith("bucket="))

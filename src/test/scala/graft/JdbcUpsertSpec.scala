@@ -92,6 +92,15 @@ class JdbcUpsertSpec extends SparkSpecBase {
     assert(got.toSeq === Seq(6.5))
   }
 
+  test("insert-only batches (no updatable columns) merge without error") {
+    val t  = "txn_insert_only"
+    val df = batch(Seq(("I1", 1.0, "x"), ("I1", 1.0, "x")),
+      "2024-07-01 12:00:00").drop("amount", "processed_timestamp")
+    JdbcUpsert.upsert(df, url, t, props) // exercises the no-SET MERGE form
+    JdbcUpsert.upsert(df, url, t, props) // idempotent re-apply
+    assert(spark.read.jdbc(url, t, props).count() === 1) // deduped + merged
+  }
+
   test("fromEnv gates on connection settings like the reference") {
     assert(JdbcUpsert.fromEnv(Map.empty).isEmpty)
     val got = JdbcUpsert.fromEnv(Map(
