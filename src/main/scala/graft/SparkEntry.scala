@@ -82,6 +82,7 @@ object SparkEntry {
     "q_fingerprint"   -> (TextAnalysis.fingerprintDf _),
     "q_stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "q_range_join"        -> (EventOps.rangeJoin _),
+    "q_skew_join"         -> (EventOps.skewJoin _),
     // [EXT] LLM-pipeline: deduplication
     "q_dedup_exact"       -> (Dedup.exact _),
     "q_dedup_ngram"       -> (Dedup.ngramJaccard _),
@@ -163,6 +164,7 @@ object SparkEntry {
     "q_fingerprint"     -> TextAnalysis.fingerprintSql,
     "q_stratified_sample" -> TextAnalysis.stratifiedSampleSql,
     "q_range_join"        -> EventOps.rangeJoinSql,
+    "q_skew_join"         -> EventOps.skewJoinSql,
     "q_dedup_exact"     -> Dedup.exactSql,
     "q_dedup_ngram"     -> Dedup.ngramJaccardSql,
     "q_dedup_clusters"  -> Dedup.dedupClustersSql,

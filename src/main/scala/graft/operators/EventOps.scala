@@ -177,6 +177,53 @@ object EventOps {
       |                                    o_orderkey DESC NULLS LAST) = 1
       |ORDER BY event_id""".stripMargin
 
+  /** Fixed event-type domain (deterministic schema — at scale you never
+    * want pivot's value-discovery scan anyway). Declared before its users:
+    * object vals initialize in declaration order.
+    */
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val SaltFactor = 8
+
+  /** Salted skew join: events carry only `EventTypes.size` = 5 distinct
+    * join keys — a shuffle join on the raw key funnels the whole table
+    * into 5 reducers no matter how many executors exist. The dimension
+    * side is replicated `SaltFactor`× with a salt column, the fact side
+    * draws a deterministic salt from event_id, and the join runs on
+    * (key, salt) — each hot key now spreads over SaltFactor reducers. The
+    * result provably equals the unsalted join (the oracle IS the unsalted
+    * join). The merge hint forces the shuffle path the technique exists
+    * for; at 100 TB AQE's skew split handles moderate SMJ skew
+    * automatically, and explicit salting is the remedy when single keys
+    * dominate whole partitions.
+    */
+  def skewJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = EventTypes.zipWithIndex
+      .map { case (t, i) => (t, i + 1L) }.toDF("event_type", "weight")
+    val salted = dim.withColumn("salt",
+      explode(sequence(lit(0L), lit(SaltFactor - 1L))))
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("value"),
+        pmod(col("event_id"), lit(SaltFactor.toLong)).as("salt"))
+    e.join(salted.hint("merge"), Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("value")) * col("weight")).as("weighted_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val skewJoinSql: String = {
+    val values = EventTypes.zipWithIndex
+      .map { case (t, i) => s"('$t', ${i + 1})" }.mkString(", ")
+    s"""WITH dim(event_type, weight) AS (VALUES $values)
+       |SELECT e.event_type, COUNT(*) AS n,
+       |       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT) * weight)
+       |            AS BIGINT) AS weighted_cents
+       |FROM events e JOIN dim USING (event_type)
+       |GROUP BY e.event_type ORDER BY event_type""".stripMargin
+  }
+
   /** Tier dimension for the range join: (tier, lo, hi), half-open [lo, hi). */
   val ValueTiers: Seq[(String, Double, Double)] = Seq(
     ("t0", 0.0, 5.0), ("t1", 5.0, 25.0), ("t2", 25.0, 75.0),
@@ -223,11 +270,7 @@ object EventOps {
 
   /** Pivot: one row per user, one column per event type — conditional
     * aggregation under the hood, so the oracle is plain FILTERed counts.
-    * The value list is fixed (deterministic schema — at scale you never
-    * want pivot's value-discovery scan anyway).
     */
-  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
-
   def pivotEvents(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("user_id"))
