@@ -168,13 +168,17 @@ object Dedup {
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .select(col("dst").as("doc_id"), col("label"))
-      val next = labels.union(viaEdges)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+      // each doc's previous label rides along as `own` (exactly one labels
+      // row per doc; propagated rows carry MaxValue so min() ignores them):
+      // convergence = no doc improved, read off the checkpointed result
+      // with a cheap scan — no per-round self-join, no overflow-prone sums
+      val next = labels.withColumn("own", col("label"))
+        .unionByName(viaEdges.withColumn("own", lit(Long.MaxValue)))
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"), min(col("own")).as("own"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.label") =!= col("o.label")).isEmpty
-      labels = next
+      converged = next.filter(col("label") < col("own")).isEmpty
+      labels = next.drop("own")
       rounds += 1
     }
     edges.unpersist()
