@@ -64,6 +64,7 @@ object SparkEntry {
     "q_setops"          -> (Relational.setOps _),
     "q_topk"            -> (Relational.topK _),
     "q_window_analytic" -> (Relational.windowAnalytic _),
+    "q_window_range"    -> (Relational.windowRange _),
     "q_upsert_lww"      -> (Relational.upsertLww _),
     // [EXT] event-time / streaming batch-equivalents — SURVEY §2k
     "q_window_tumbling" -> (EventOps.tumbling _),
@@ -149,6 +150,7 @@ object SparkEntry {
     "q_setops"          -> Relational.setOpsSql,
     "q_topk"            -> Relational.topKSql,
     "q_window_analytic" -> Relational.windowAnalyticSql,
+    "q_window_range"    -> Relational.windowRangeSql,
     "q_upsert_lww"      -> Relational.upsertLwwSql,
     "q_window_tumbling" -> EventOps.tumblingSql,
     "q_window_sliding"  -> EventOps.slidingSql,

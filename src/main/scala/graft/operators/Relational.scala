@@ -478,4 +478,38 @@ object Relational {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
       |ORDER BY user_id, rn""".stripMargin
+
+  private val TrailingMs = 3600000L
+
+  /** 2g — RANGE-framed window + rank family: per-user trailing-hour sum
+    * over EVENT TIME (`rangeBetween` on epoch-ms — value-based frame
+    * bounds, tie-insensitive by construction, unlike the ROWS frames
+    * above), plus ntile/percent_rank over a totally-ordered ROWS window
+    * (tie-broken on event_id so both are deterministic).
+    */
+  def windowRange(s: SparkSession, d: String): DataFrame = {
+    val e  = EventOps.withTsMs(Tables.events(s, d))
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-TrailingMs, 0L)
+    val wn = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    e.select(
+        col("user_id"), col("event_id"), col("ts_ms"),
+        sum(cents(col("value"))).over(wr).as("trailing_hour_cents"),
+        ntile(4).over(wn).cast("long").as("quartile"),
+        percent_rank().over(wn).as("pct_rank"))
+      .orderBy(col("event_id"))
+  }
+
+  val windowRangeSql: String =
+    s"""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+       |       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+       |              OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+       |                    RANGE BETWEEN $TrailingMs PRECEDING AND CURRENT ROW)
+       |            AS BIGINT) AS trailing_hour_cents,
+       |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       |       percent_rank() OVER w AS pct_rank
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+       |ORDER BY event_id""".stripMargin
 }
