@@ -1,0 +1,45 @@
+package graft.operators
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.{JdbcUpsert, JsonArraySink}
+import graft.streaming.Streams
+
+/** The reference's `lambda_handler` as one composed entry point
+  * (lambda_function.py:22-93): landed CSV → transform chain → JSON output
+  * (+ warehouse upsert when configured). A user of the reference switches
+  * to this library by calling [[processFile]] where the Lambda fired.
+  *
+  * The streaming form of the same topology (many files, incremental
+  * target) is `Streams.fileEtlPipeline` / `Streams.fileUpsertPipeline`;
+  * this batch form is the single-file unit of work the reference
+  * processes per invocation, which is why the JSON-array document output
+  * is bounded by design.
+  */
+object EtlPipeline {
+
+  /** Process one landed CSV exactly like the reference handler:
+    * read (9-column schema, header) → full transform chain with per-file
+    * lineage → single-JSON-array output with object metadata → optional
+    * JDBC upsert (active when `jdbc` is configured, like
+    * `is_redshift_configured`). Returns (record count, transformed frame).
+    */
+  def processFile(spark: SparkSession, csvPath: String, outJsonPath: String,
+      processedTimestamp: String,
+      jdbc: Option[(String, String, Properties)] = None)
+      : (Long, DataFrame) = {
+    val raw = spark.read
+      .schema(Streams.transactionSchema)
+      .option("header", "true")
+      .csv(csvPath)
+    val transformed = RefTransforms.transformTransactionsWithLineage(raw)
+    val n = JsonArraySink.write(transformed, outJsonPath, csvPath,
+      processedTimestamp)
+    jdbc.foreach { case (url, table, props) =>
+      JdbcUpsert.upsert(transformed, url, table, props)
+    }
+    (n, transformed)
+  }
+}

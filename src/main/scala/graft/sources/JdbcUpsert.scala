@@ -6,6 +6,8 @@ import java.util.Properties
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}
+import org.apache.spark.sql.types.{DataType, StringType}
 
 /** JDBC upsert sink — the reference's warehouse load re-expressed for Spark
   * (lambda_function.py:176-271): CREATE TABLE IF NOT EXISTS with the
@@ -27,6 +29,24 @@ import org.apache.spark.sql.functions._
   * "month", "year") survive every dialect's folding rules.
   */
 object JdbcUpsert {
+
+  /** Spark's stock Derby mapping writes StringType as CLOB, which (a)
+    * cannot appear in a MERGE join condition and (b) makes `setNull` fail
+    * against VARCHAR staging columns (the driver validates the null's JDBC
+    * type against the declared column). Stage strings as VARCHAR with a
+    * VARCHAR null type instead; every other type falls through to Spark's
+    * defaults.
+    */
+  private object VarcharDerbyDialect extends JdbcDialect {
+    override def canHandle(url: String): Boolean =
+      url.startsWith("jdbc:derby")
+    override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+      case _: StringType =>
+        Some(JdbcType("VARCHAR(500)", java.sql.Types.VARCHAR))
+      case _ => None
+    }
+  }
+  JdbcDialects.registerDialect(VarcharDerbyDialect)
 
   /** Mirror of `is_redshift_configured` (lambda_function.py:170-173):
     * the sink activates only when the connection env vars are present.

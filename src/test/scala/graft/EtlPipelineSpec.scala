@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.Properties
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EtlPipeline
+import graft.sources.TxnGenerator
+
+/** End-to-end: the composed lambda_handler equivalent — CSV in, JSON-array
+  * document + metadata out, rows upserted into the JDBC warehouse.
+  */
+class EtlPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("processFile: csv -> transform -> json array -> jdbc upsert") {
+    val dir = Files.createTempDirectory("graft_pipeline").toString
+    val csv = s"$dir/raw-data/batch1.csv"
+    Files.createDirectories(Paths.get(s"$dir/raw-data"))
+    val header = "transaction_id,date,timestamp,amount,category,description," +
+      "transaction_type,account,location"
+    Files.writeString(Paths.get(csv),
+      s"""$header
+         |TXN_A,2024-07-01,2024-07-01 10:00:00,12.5,food,lunch,expense,checking,Online
+         |TXN_B,2024-07-02,2024-07-02 11:00:00,250.0,travel,flight,expense,credit,Airport
+         |TXN_C,bad-date,2024-07-03 09:00:00,-40.0,fees,charge,expense,checking,Branch
+         |""".stripMargin)
+    val out   = s"$dir/processed-data/batch1.json"
+    val url   = "jdbc:derby:memory:graftpipe;create=true"
+    val props = new Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+    val (n, _) = EtlPipeline.processFile(spark, csv, out,
+      "2024-07-01T12:00:00", Some((url, "pipe_txns", props)))
+    assert(n === 3L)
+
+    // JSON side: one array document, transform applied, lineage = basename
+    val back = spark.read.option("multiLine", "true").json(out)
+    assert(back.count() === 3)
+    val rows = back.select("transaction_id", "amount_category", "date",
+        "source_file")
+      .as[(String, String, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows("TXN_A")._2 === "small")
+    assert(rows("TXN_B")._2 === "large")
+    assert(rows("TXN_C")._3 === null) // coerced bad date -> null, row kept
+    assert(rows.values.forall(_._4 == "batch1.csv"))
+    val meta = Files.readString(Paths.get(out + ".meta.json"))
+    assert(meta.contains("\"record_count\": \"3\""))
+
+    // JDBC side: rows landed; re-running the same file is idempotent
+    assert(spark.read.jdbc(url, "pipe_txns", props).count() === 3)
+    EtlPipeline.processFile(spark, csv, out, "2024-07-01T13:00:00",
+      Some((url, "pipe_txns", props)))
+    assert(spark.read.jdbc(url, "pipe_txns", props).count() === 3)
+  }
+}
