@@ -275,16 +275,30 @@ object TextAnalysis {
     * (mod 1e9+7) — order-sensitive, so token swaps change it while staying
     * cheap to compare/join on. The same left fold is expressed in DuckDB via
     * list_reduce, making even this "custom hash" oracle-checkable.
+    *
+    * Implemented as a tight-loop Scala UDF on the narrow per-document
+    * stage (the lshBits precedent): the HOF formulation
+    * (`aggregate(transform(sequence(...)))`) is CodegenFallback and ran
+    * interpreted per character — ~2× the whole query's time at sf0.1.
+    * charAt == ascii() on this ASCII corpus, so the value (and the DuckDB
+    * oracle) is unchanged.
     */
+  private val fingerprintUdf =
+    udf { (text: String) =>
+      var acc = 0L
+      var i   = 0
+      while (i < text.length) {
+        acc = (acc * 31L + text.charAt(i)) % FpMod
+        i += 1
+      }
+      acc
+    }
+
   def fingerprintDf(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .orderBy(col("doc_id"))
       .select(col("doc_id"),
-        aggregate(
-          transform(sequence(lit(1), length(col("text"))),
-            i => ascii(col("text").substr(i, lit(1))).cast("long")),
-          lit(0L),
-          (acc, c) => (acc * 31L + c) % FpMod).as("fingerprint"),
+        fingerprintUdf(col("text")).as("fingerprint"),
         length(col("text")).cast("long").as("n_chars"))
 
   val fingerprintSql: String =
