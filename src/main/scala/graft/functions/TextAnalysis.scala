@@ -285,13 +285,16 @@ object TextAnalysis {
     */
   private val fingerprintUdf =
     udf { (text: String) =>
-      var acc = 0L
-      var i   = 0
-      while (i < text.length) {
-        acc = (acc * 31L + text.charAt(i)) % FpMod
-        i += 1
+      if (text == null) null // propagate null like the HOF form did
+      else {
+        var acc = 0L
+        var i   = 0
+        while (i < text.length) {
+          acc = (acc * 31L + text.charAt(i)) % FpMod
+          i += 1
+        }
+        java.lang.Long.valueOf(acc)
       }
-      acc
     }
 
   def fingerprintDf(s: SparkSession, d: String): DataFrame =

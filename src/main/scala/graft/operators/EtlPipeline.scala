@@ -34,12 +34,17 @@ object EtlPipeline {
       .schema(Streams.transactionSchema)
       .option("header", "true")
       .csv(csvPath)
+    // both sinks consume the chain; persist so the CSV is read and
+    // transformed once per invocation, not once per sink
     val transformed = RefTransforms.transformTransactionsWithLineage(raw)
-    val n = JsonArraySink.write(transformed, outJsonPath, csvPath,
-      processedTimestamp)
-    jdbc.foreach { case (url, table, props) =>
-      JdbcUpsert.upsert(transformed, url, table, props)
-    }
-    (n, transformed)
+      .persist()
+    try {
+      val n = JsonArraySink.write(transformed, outJsonPath, csvPath,
+        processedTimestamp)
+      jdbc.foreach { case (url, table, props) =>
+        JdbcUpsert.upsert(transformed, url, table, props)
+      }
+      (n, transformed)
+    } finally transformed.unpersist()
   }
 }

@@ -205,7 +205,10 @@ object EventOps {
       explode(sequence(lit(0L), lit(SaltFactor - 1L))))
     val e = Tables.events(s, d)
       .select(col("event_type"), col("value"),
-        pmod(col("event_id"), lit(SaltFactor.toLong)).as("salt"))
+        // coalesce: a null event_id must still join (the oracle joins on
+        // event_type alone) — park such rows in salt 0
+        coalesce(pmod(col("event_id"), lit(SaltFactor.toLong)), lit(0L))
+          .as("salt"))
     e.join(salted.hint("merge"), Seq("event_type", "salt"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

@@ -35,14 +35,17 @@ object JdbcUpsert {
     * against VARCHAR staging columns (the driver validates the null's JDBC
     * type against the declared column). Stage strings as VARCHAR with a
     * VARCHAR null type instead; every other type falls through to Spark's
-    * defaults.
+    * defaults. Registration is JVM-global for jdbc:derby URLs, so the
+    * default width is Derby's VARCHAR maximum (32672) — narrower columns
+    * come from `createTableColumnTypes`; only >32k-char strings (which the
+    * transaction schema cannot produce) would need the old CLOB mapping.
     */
   private object VarcharDerbyDialect extends JdbcDialect {
     override def canHandle(url: String): Boolean =
       url.startsWith("jdbc:derby")
     override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
       case _: StringType =>
-        Some(JdbcType("VARCHAR(500)", java.sql.Types.VARCHAR))
+        Some(JdbcType("VARCHAR(32672)", java.sql.Types.VARCHAR))
       case _ => None
     }
   }

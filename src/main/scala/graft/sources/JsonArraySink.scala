@@ -27,8 +27,11 @@ object JsonArraySink {
   def write(df: DataFrame, outFile: String, originalFile: String,
       processedTimestamp: String): Long = {
     // one upstream execution: the count and the serialization pass share
-    // the cached rows instead of re-running the whole transform chain
-    val cached = df.persist()
+    // cached rows instead of re-running the whole transform chain. Respect
+    // a caller-managed cache (don't persist-then-unpersist under them).
+    val callerCached = df.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (callerCached) df else df.persist()
     val count  = cached.count()
     val tmp    = outFile + ".tmpdir"
     cached.toJSON.coalesce(1).rdd.mapPartitions { it =>
@@ -40,7 +43,7 @@ object JsonArraySink {
       }
       Iterator.single("[") ++ body ++ Iterator.single("]")
     }.saveAsTextFile(tmp)
-    cached.unpersist()
+    if (!callerCached) cached.unpersist()
     val out = Paths.get(outFile)
     Option(out.getParent).foreach(Files.createDirectories(_))
     val part = new java.io.File(tmp).listFiles()

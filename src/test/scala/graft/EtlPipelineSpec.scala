@@ -3,10 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import java.util.Properties
 
-import org.apache.spark.sql.functions._
-
 import graft.operators.EtlPipeline
-import graft.sources.TxnGenerator
 
 /** End-to-end: the composed lambda_handler equivalent — CSV in, JSON-array
   * document + metadata out, rows upserted into the JDBC warehouse.
