@@ -82,6 +82,7 @@ object SparkEntry {
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_fingerprint"   -> (TextAnalysis.fingerprintDf _),
     "q_stratified_sample" -> (TextAnalysis.stratifiedSample _),
+    "q_corpus_build"      -> (CorpusPipeline.corpusBuild _),
     "q_range_join"        -> (EventOps.rangeJoin _),
     "q_skew_join"         -> (EventOps.skewJoin _),
     // [EXT] LLM-pipeline: deduplication
@@ -165,6 +166,7 @@ object SparkEntry {
     "q_quality_score"   -> TextAnalysis.qualityScoreSql,
     "q_fingerprint"     -> TextAnalysis.fingerprintSql,
     "q_stratified_sample" -> TextAnalysis.stratifiedSampleSql,
+    "q_corpus_build"      -> CorpusPipeline.corpusBuildSql,
     "q_range_join"        -> EventOps.rangeJoinSql,
     "q_skew_join"         -> EventOps.skewJoinSql,
     "q_dedup_exact"     -> Dedup.exactSql,

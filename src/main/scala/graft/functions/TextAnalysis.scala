@@ -244,30 +244,39 @@ object TextAnalysis {
     * no shuffle at any scale. Inner `pmod` keeps products 64-bit-safe for
     * arbitrarily large ids.
     */
-  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
-    val coin = pmod(
-      pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L) + lit(40503L),
-      lit(999983L)) % 100
-    val quota = SampleQuota.tail.foldLeft(
+  /** The sampling coin/quota as reusable expressions (corpus pipeline
+    * composes them after quality + dedup filtering).
+    */
+  private[graft] def sampleCoin: Column = pmod(
+    pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L) + lit(40503L),
+    lit(999983L)) % 100
+
+  private[graft] def sampleQuota: Column =
+    SampleQuota.tail.foldLeft(
       when(col("lang") === SampleQuota.head._1, lit(SampleQuota.head._2))) {
       case (acc, (l, q)) => acc.when(col("lang") === l, lit(q))
     }.otherwise(lit(0))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), coin.as("coin"))
-      .filter(col("coin") < quota)
-      .orderBy(col("doc_id"))
-  }
 
-  val stratifiedSampleSql: String = {
+  private[graft] val sampleCoinSql =
+    "((doc_id % 1000003) * 2654435761 + 40503) % 999983 % 100"
+
+  private[graft] val sampleQuotaSql: String = {
     val cases = SampleQuota
       .map { case (l, q) => s"WHEN lang = '$l' THEN $q" }.mkString(" ")
-    s"""SELECT doc_id, lang,
-       |       ((doc_id % 1000003) * 2654435761 + 40503) % 999983 % 100 AS coin
-       |FROM documents
-       |WHERE ((doc_id % 1000003) * 2654435761 + 40503) % 999983 % 100
-       |      < CASE $cases ELSE 0 END
-       |ORDER BY doc_id""".stripMargin
+    s"CASE $cases ELSE 0 END"
   }
+
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), sampleCoin.as("coin"))
+      .filter(col("coin") < sampleQuota)
+      .orderBy(col("doc_id"))
+
+  val stratifiedSampleSql: String =
+    s"""SELECT doc_id, lang, $sampleCoinSql AS coin
+       |FROM documents
+       |WHERE $sampleCoinSql < $sampleQuotaSql
+       |ORDER BY doc_id""".stripMargin
 
   private val FpMod = 1000000007L
 
