@@ -26,7 +26,9 @@ object CorpusPipeline {
     val quality = TextAnalysis.qualityScore(s, d)
       .filter(col("quality") =!= "drop")
       .select(col("doc_id"), col("lang"))
-    val losers = Dedup.ngramJaccard(s, d)
+    // unsorted pair set: the losers feed a distinct + anti join, which
+    // would just re-shuffle away ngramJaccard's presentation sort
+    val losers = Dedup.ngramPairs(s, d)
       .select(col("d2").as("doc_id")).distinct()
     quality
       .join(losers, Seq("doc_id"), "left_anti")

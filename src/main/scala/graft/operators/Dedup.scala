@@ -97,7 +97,7 @@ object Dedup {
     * oracle-facing query (which sorts) and clustering (which doesn't care,
     * and shouldn't pay a global sort for input it immediately re-shuffles).
     */
-  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def ngramPairs(s: SparkSession, d: String): DataFrame = {
     // Self-join through ONE aliased subtree (not two re-derived pipelines):
     // the canonical plans of both sides match, so ReuseExchange computes the
     // shingle index + its shuffle once instead of twice.
