@@ -39,6 +39,7 @@ object SparkEntry {
     // [REF] sources/sinks — SURVEY §2a/§2b
     "q_csv_roundtrip"  -> (EtlQueries.csvRoundtrip _),
     "q_json_roundtrip" -> (EtlQueries.jsonRoundtrip _),
+    "q_schema_evolution" -> (EtlQueries.schemaEvolution _),
     "q_generate"       -> ((s: SparkSession, _: String) =>
       TxnGenerator.generate(s, 1000).orderBy("transaction_id")),
     "q_etl_txn"        -> (PipelineQueries.etlTransactions _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "q_count_stats"     -> EtlQueries.countStatsSql,
     "q_csv_roundtrip"   -> EtlQueries.csvRoundtripSql,
     "q_json_roundtrip"  -> EtlQueries.jsonRoundtripSql,
+    "q_schema_evolution" -> EtlQueries.schemaEvolutionSql,
     "q_generate"        -> TxnGenerator.oracleSql(1000),
     "q_etl_txn"         -> PipelineQueries.etlTransactionsSql,
     "q_partition_prune" -> PipelineQueries.partitionPruneSql,

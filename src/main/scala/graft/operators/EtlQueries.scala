@@ -317,6 +317,39 @@ object EtlQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** S-family, schema evolution: a dataset whose parquet batches disagree
+    * on schema (batch "b" added a column) read back as ONE frame via
+    * `mergeSchema` — old rows surface the new column as null. This is the
+    * append-only schema-drift situation every long-lived ingest hits; the
+    * oracle states the same semantics with `UNION ALL BY NAME`.
+    */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft_rt/${new java.io.File(d).getName}/evo"
+    val base = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"))
+    base.select(lit("a").as("batch"), col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").parquet(s"$dir/batch1")
+    base.select(lit("b").as("batch"), col("n_nationkey"), col("n_name"),
+        length(col("n_name")).cast("long").as("name_len"))
+      .write.mode("overwrite").parquet(s"$dir/batch2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$dir/batch1", s"$dir/batch2")
+      .select(col("batch"), col("n_nationkey"), col("n_name"),
+        col("name_len"))
+      .orderBy(col("batch"), col("n_nationkey"))
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT 'a' AS batch, CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      |       n_name, CAST(NULL AS BIGINT) AS name_len
+      |FROM nation
+      |UNION ALL BY NAME
+      |SELECT 'b' AS batch, CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      |       n_name, CAST(length(n_name) AS BIGINT) AS name_len
+      |FROM nation
+      |ORDER BY batch, n_nationkey""".stripMargin
+
   val csvRoundtripSql: String =
     """SELECT l_returnflag, COUNT(*) AS n,
       |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
