@@ -285,32 +285,22 @@ object TextAnalysis {
     * cheap to compare/join on. The same left fold is expressed in DuckDB via
     * list_reduce, making even this "custom hash" oracle-checkable.
     *
-    * Implemented as a tight-loop Scala UDF on the narrow per-document
-    * stage (the lshBits precedent): the HOF formulation
+    * Implemented by the native [[PolyCharHash]] expression (whole-string
+    * mode): the original HOF formulation
     * (`aggregate(transform(sequence(...)))`) is CodegenFallback and ran
-    * interpreted per character — ~2× the whole query's time at sf0.1.
-    * charAt == ascii() on this ASCII corpus, so the value (and the DuckDB
-    * oracle) is unchanged.
+    * interpreted per character — ~2× the whole query's time at sf0.1 —
+    * and the Scala-UDF interim broke codegen at the projection. Byte fold
+    * == ascii() fold on this ASCII corpus, so the value (and the DuckDB
+    * oracle) is unchanged; null text propagates to a null fingerprint.
     */
-  private val fingerprintUdf =
-    udf { (text: String) =>
-      if (text == null) null // propagate null like the HOF form did
-      else {
-        var acc = 0L
-        var i   = 0
-        while (i < text.length) {
-          acc = (acc * 31L + text.charAt(i)) % FpMod
-          i += 1
-        }
-        java.lang.Long.valueOf(acc)
-      }
-    }
-
   def fingerprintDf(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .orderBy(col("doc_id"))
       .select(col("doc_id"),
-        fingerprintUdf(col("text")).as("fingerprint"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          PolyCharHash(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")),
+            31L, FpMod, -1)).as("fingerprint"),
         length(col("text")).cast("long").as("n_chars"))
 
   val fingerprintSql: String =

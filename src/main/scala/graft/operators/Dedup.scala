@@ -298,15 +298,15 @@ object Dedup {
   /** Portable 30-bit polynomial character hash of a token (right-padded /
     * truncated to 16 chars) — the same left fold DuckDB writes as nested
     * arithmetic, so the whole signature is oracle-checkable (xxhash64 is
-    * not). Codegen'd: a flat chain of substr/ascii/pmod steps, no HOFs.
-    * Every intermediate stays < 2³⁷ — safe under ANSI arithmetic.
+    * not). Implemented by the native [[graft.functions.PolyCharHash]]
+    * expression: one fused codegen'd loop per token instead of the 2×16
+    * substr/ascii/pmod expression nodes the first version generated.
     */
-  private def polyHash(tok: Column, base: Long, p: Long): Column = {
-    val padded = rpad(tok, TokLen, " ")
-    (1 to TokLen).foldLeft(lit(0L): Column) { (acc, i) =>
-      pmod(acc * lit(base) + ascii(substring(padded, i, 1)).cast("long"), lit(p))
-    }
-  }
+  private def polyHash(tok: Column, base: Long, p: Long): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PolyCharHash(
+        org.apache.spark.sql.graft.ColumnBridge.expression(tok),
+        base, p, TokLen))
 
   private def polyHashSql(tok: String, base: Long, p: Long): String = {
     val padded = s"rpad($tok, $TokLen, ' ')"
