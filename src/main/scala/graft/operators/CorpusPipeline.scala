@@ -39,15 +39,15 @@ object CorpusPipeline {
   }
 
   val corpusBuildSql: String = {
-    val pairs = Dedup.ngramJaccardSql.replace("ORDER BY d1, d2", "")
-    // quality 'drop' is exactly n_words < 20 (qualityScoreSql's CASE), so
-    // the keep-set predicate inlines without nesting that query's CTE
-    s"""WITH pairs AS ($pairs),
+    // quality 'drop' is exactly n_words < 20 (qualityScoreSql's CASE);
+    // a NULL text falls through Spark's CASE to 'keep', so the inlined
+    // predicate must also pass NULLs — hence the explicit IS NULL arm
+    s"""WITH pairs AS (${Dedup.ngramPairsSql}),
        |losers AS (SELECT DISTINCT d2 AS doc_id FROM pairs)
        |SELECT doc_id, lang,
        |       ${TextAnalysis.sampleCoinSql} AS coin
        |FROM documents
-       |WHERE len(string_split(text, ' ')) >= 20
+       |WHERE (text IS NULL OR len(string_split(text, ' ')) >= 20)
        |  AND doc_id NOT IN (SELECT doc_id FROM losers)
        |  AND ${TextAnalysis.sampleCoinSql} < ${TextAnalysis.sampleQuotaSql}
        |ORDER BY doc_id""".stripMargin

@@ -124,8 +124,10 @@ object Dedup {
   /** Quadratic reference formulation — fine at oracle scale (500 docs),
     * which is exactly why the Spark side above uses the inverted index
     * instead: the oracle states WHAT, the engine shows HOW at scale.
+    * The unsorted form is shared by every SQL consumer that embeds the
+    * pair set in a CTE (clusters, corpus build).
     */
-  val ngramJaccardSql: String =
+  private[operators] val ngramPairsSql: String =
     s"""WITH s AS (
        |  SELECT doc_id,
        |         list_distinct(list_transform(
@@ -141,8 +143,10 @@ object Dedup {
        |WHERE a.doc_id < b.doc_id
        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
        |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |      >= $JaccardThreshold
-       |ORDER BY d1, d2""".stripMargin
+       |      >= $JaccardThreshold""".stripMargin
+
+  val ngramJaccardSql: String =
+    ngramPairsSql + "\nORDER BY d1, d2"
 
   /** Dedup clusters: connected components over the near-dup pair graph —
     * the step that turns pairs into "keep one per cluster" decisions.
@@ -188,9 +192,7 @@ object Dedup {
 
   /** Oracle: transitive closure by recursive CTE over the same pair SQL. */
   val dedupClustersSql: String = {
-    val pairsSubquery = ngramJaccardSql
-      .replace("ORDER BY d1, d2", "")
-    s"""WITH RECURSIVE pairs AS ($pairsSubquery),
+    s"""WITH RECURSIVE pairs AS ($ngramPairsSql),
        |edges AS (SELECT d1 AS u, d2 AS v FROM pairs
        |          UNION ALL SELECT d2, d1 FROM pairs),
        |reach(u, v) AS (
