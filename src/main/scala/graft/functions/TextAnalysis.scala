@@ -139,15 +139,24 @@ object TextAnalysis {
     * rare-token ("dup" marker) flag — bucketed into keep/review/drop like a
     * pretraining quality filter.
     */
-  def qualityScore(s: SparkSession, d: String): DataFrame = {
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    qualityCols(Tables.documents(s, d).orderBy(col("doc_id")))
+
+  /** Unsorted form for composition (CorpusPipeline): same projection, no
+    * presentation sort — a downstream join/filter would only re-shuffle it
+    * away, and it would trip the BenchParitySpec no-Sort plan invariant.
+    */
+  private[graft] def qualityScored(s: SparkSession, d: String): DataFrame =
+    qualityCols(Tables.documents(s, d))
+
+  private def qualityCols(base: DataFrame): DataFrame = {
     val t        = tokens(col("text"))
     val nWords   = size(t).cast("long")
     val stopCnt  = markerCount(t, stopwords)
     val stopRatio = stopCnt.cast("double") / nWords.cast("double")
     val avgLen   = (length(col("text")) - nWords + 1).cast("double") /
       nWords.cast("double")
-    Tables.documents(s, d)
-      .orderBy(col("doc_id"))
+    base
       .select(col("doc_id"), col("lang"),
         nWords.as("n_words"),
         length(col("text")).cast("long").as("n_chars"),

@@ -23,7 +23,7 @@ object CorpusPipeline {
     * sampling quota. Output: (doc_id, lang, coin), ordered.
     */
   def corpusBuild(s: SparkSession, d: String): DataFrame = {
-    val quality = TextAnalysis.qualityScore(s, d)
+    val quality = TextAnalysis.qualityScored(s, d)
       .filter(col("quality") =!= "drop")
       .select(col("doc_id"), col("lang"))
     // unsorted pair set: the losers feed a distinct + anti join, which

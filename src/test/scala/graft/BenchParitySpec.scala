@@ -15,6 +15,30 @@ class BenchParitySpec extends SparkSpecBase {
     "q_window_range",   // RANGE window + sort
     "q_corpus_build")   // multi-stage composition
 
+  test("strip engages on every presentation-sorted query and leaves no Sort node") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+    var engaged = 0
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val presentationSorted = df.queryExecution.logical match {
+        case s: Sort if s.global                 => true
+        case Project(_, s: Sort) if s.global     => true
+        case _                                   => false
+      }
+      if (presentationSorted) {
+        engaged += 1
+        val stripped = SparkEntry.benchQueries(name)(spark, sfDir)
+        val leftover = stripped.queryExecution.logical.collect { case s: Sort => s }
+        assert(leftover.isEmpty,
+          s"$name: stripped plan still contains ${leftover.size} Sort node(s)")
+      }
+    }
+    // Most of the contract ends in a presentation sort; if the strip stops
+    // engaging (e.g. a plan-shape drift puts a node between Project and
+    // Sort), this count collapses and the bench silently re-measures sorts.
+    assert(engaged >= 40, s"sort-strip engaged on only $engaged queries")
+  }
+
   test("bench (stripped) and verify (sorted) plans return identical rows") {
     sampled.foreach { name =>
       val sorted = SparkEntry.queries(name)(spark, sfDir)
