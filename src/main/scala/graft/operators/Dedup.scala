@@ -52,23 +52,72 @@ object Dedup {
 
   def shingles(text: Column): Column = shinglesOfTokens(split(text, " "))
 
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private def shingledOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), shinglesOfTokens(col("toks")).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
+
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    shingledOf(Tables.documents(s, d))
 
   /** (doc_id, n_sh, shingle-hash) inverted index — one row per distinct
     * shingle occurrence, 64-bit hashed so joins/aggregations move longs
     * instead of strings (collision odds over a corpus-wide shingle
     * vocabulary V are ≈ V²/2⁶⁵ — negligible).
     */
-  private def shingleIndex(s: SparkSession, d: String): DataFrame =
-    shingled(s, d)
+  private def shingleIndexOf(docs: DataFrame): DataFrame =
+    shingledOf(docs)
       .select(col("doc_id"), col("n_sh"), explode_outer(col("sh")).as("shingle"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("h"))
 
+  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+    shingleIndexOf(Tables.documents(s, d))
+
   val JaccardThreshold = 0.8
+
+  /** Posting lists (docs per shingle hash) above this size are removed from
+    * the shingle universe before the pair join: a bucket of size m emits
+    * m²/2 pair rows, so one corpus-wide stop-shingle ("in the of") would
+    * otherwise go quadratic on a real corpus. Frequent shingles carry no
+    * dedup signal — a genuinely near-duplicate pair shares plenty of rare
+    * shingles — so dropping them (the standard stop-gram removal of
+    * production dedup pipelines) redefines the Jaccard consistently over
+    * the informative-shingle universe: BOTH the intersection count and the
+    * per-doc set sizes exclude hot shingles, so the ratio stays unbiased
+    * (capping only the numerator would systematically underestimate J).
+    * 1024 bounds any bucket to ≤ ~0.5M pair rows while sitting 40× above
+    * the densest shingle in the testdata (df 25 at sf0.1), so the cap
+    * never engages there — asserted by DedupSpec.
+    */
+  val MaxPostingList = 1024
+
+  /** Per-doc 64-bit-hashed distinct shingle arrays — joins and set algebra
+    * from here on move longs, not 3-word strings.
+    */
+  private def hashedShingles(docs: DataFrame): DataFrame =
+    shingledOf(docs).select(col("doc_id"),
+      transform(col("sh"), x => xxhash64(x)).as("hs"))
+
+  /** The capped inverted index: hot shingles (df > cap) are collected into
+    * a single-row broadcast set (normally empty — only corpus-wide
+    * stop-shingles exceed the cap) and removed from every doc's shingle
+    * array with one narrow `array_except`, so the downstream explode,
+    * self-join, and n_sh sizes all see the same capped universe. Costs one
+    * extra narrow pass + a tiny aggregation over the exchange the pair
+    * join shuffles anyway — no extra sort, nothing driver-side.
+    */
+  private[graft] def cappedShingleIndex(docs: DataFrame, cap: Int): DataFrame = {
+    val hashed = hashedShingles(docs)
+    val hot = hashed.select(explode_outer(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap && col("h").isNotNull)
+      .agg(collect_list(col("h")).as("hot"))
+    hashed.crossJoin(broadcast(hot))
+      .select(col("doc_id"), array_except(col("hs"), col("hot")).as("hs"))
+      .withColumn("n_sh", size(col("hs")).cast("long"))
+      .select(col("doc_id"), col("n_sh"), explode_outer(col("hs")).as("h"))
+  }
 
   // ---------- exact dedup ----------
 
@@ -97,11 +146,17 @@ object Dedup {
     * oracle-facing query (which sorts) and clustering (which doesn't care,
     * and shouldn't pay a global sort for input it immediately re-shuffles).
     */
-  private[operators] def ngramPairs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def ngramPairs(s: SparkSession, d: String): DataFrame =
+    ngramPairsOf(Tables.documents(s, d), MaxPostingList)
+
+  private[graft] def ngramPairsOf(docs: DataFrame, cap: Int): DataFrame = {
     // Self-join through ONE aliased subtree (not two re-derived pipelines):
     // the canonical plans of both sides match, so ReuseExchange computes the
-    // shingle index + its shuffle once instead of twice.
-    val index = shingleIndex(s, d)
+    // capped shingle index + its shuffle once instead of twice. Empty-array
+    // docs surface as null-h rows (explode_outer), which can never satisfy
+    // the equi-join — so every joined pair has common ≥ 1 and the jaccard
+    // denominator ≥ max(n1, n2) ≥ 1: no ANSI 0/0.
+    val index = cappedShingleIndex(docs, cap)
     index.as("a").join(index.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           // J ≥ θ requires min(n1,n2) ≥ θ·max(n1,n2)
@@ -155,6 +210,8 @@ object Dedup {
     * are tiny cliques, so 2-3 rounds in practice; capped + fixpoint-checked).
     * Each round is a distributed join/agg — the driver only steers.
     */
+  val MaxClusterRounds = 20
+
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = ngramPairs(s, d).select(col("d1"), col("d2"))
     val edges = pairs
@@ -168,24 +225,36 @@ object Dedup {
       .withColumn("label", col("doc_id")).localCheckpoint()
     var converged = false
     var rounds    = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < MaxClusterRounds) {
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .select(col("dst").as("doc_id"), col("label"))
       // each doc's previous label rides along as `own` (exactly one labels
-      // row per doc; propagated rows carry MaxValue so min() ignores them):
-      // convergence = no doc improved, read off the checkpointed result
-      // with a cheap scan — no per-round self-join, no overflow-prone sums
+      // row per doc; propagated rows carry MaxValue so min() ignores them).
+      // Convergence = no doc improved, observed as a metric on the SAME job
+      // that materializes the checkpoint — one driver action per round, and
+      // `own` is dropped before the checkpoint so the bookkeeping column is
+      // never stored or carried into the next round.
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$rounds")
       val next = labels.withColumn("own", col("label"))
         .unionByName(viaEdges.withColumn("own", lit(Long.MaxValue)))
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"), min(col("own")).as("own"))
+        .observe(obs, count(when(col("label") < col("own"), 1)).as("improved"))
+        .drop("own")
         .localCheckpoint()
-      converged = next.filter(col("label") < col("own")).isEmpty
-      labels = next.drop("own")
+      converged = obs.get("improved").asInstanceOf[Long] == 0L
+      labels = next
       rounds += 1
     }
     edges.unpersist()
+    // an unconverged result is silently WRONG (labels short of the true
+    // component minimum), so refuse to return it — a component of diameter
+    // > MaxClusterRounds needs a large-star/small-star rewrite, not more
+    // min-propagation rounds
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters: label propagation did not converge in " +
+        s"$MaxClusterRounds rounds — component diameter exceeds the cap")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

@@ -99,6 +99,46 @@ class DedupSpec extends SparkSpecBase {
     assert(exact === lsh)
   }
 
+  test("posting-list cap bounds stop-shingle buckets without losing real near-dups") {
+    // pathological corpus: every doc opens with the same stop-shingle
+    // preamble (a posting list of 30 docs), docs 100/101 are a planted
+    // near-dup pair through rare content shingles
+    val preamble = "in the of at in the of at"
+    val filler = (0 until 30).map { i =>
+      (i.toLong, s"$preamble unique$i words$i about$i topic$i number$i item$i")
+    }
+    val rare = (0 until 30).map(k => s"rareword$k").mkString(" ")
+    val planted = Seq((100L, s"$preamble $rare"), (101L, s"$preamble $rare changed"))
+    val corpus = (filler ++ planted).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val cap = 5
+    // the cap actually engages: every surviving posting list is ≤ cap while
+    // the uncapped index has the 32-doc stop-shingle bucket
+    val bucketSizes = Dedup.cappedShingleIndex(corpus, cap)
+      .groupBy("h").count().agg(max("count")).as[Long].head()
+    val uncappedMax = Dedup.cappedShingleIndex(corpus, Int.MaxValue)
+      .groupBy("h").count().agg(max("count")).as[Long].head()
+    assert(uncappedMax > cap)
+    assert(bucketSizes <= cap)
+    // the planted pair still surfaces (through its rare shingles), with the
+    // exact full-set jaccard, and the stop-shingle flood creates no pairs
+    val capped = Dedup.ngramPairsOf(corpus, cap)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.ngramPairsOf(corpus, Int.MaxValue)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(capped === Set((100L, 101L)))
+    assert(capped === uncapped)
+  }
+
+  test("default posting-list cap never engages on the driver testdata") {
+    val docs = Tables.documents(spark, sfDir)
+    val capped = Dedup.ngramPairsOf(docs, Dedup.MaxPostingList).collect()
+    val uncapped = Dedup.ngramPairsOf(docs, Int.MaxValue).collect()
+    assert(capped.map(_.toString).sorted.toSeq ===
+      uncapped.map(_.toString).sorted.toSeq)
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     val a = Dedup.minhashSignatures(spark, sfDir)
       .select("doc_id", "sig_hash").as[(Long, Long)].collect().toMap
