@@ -178,6 +178,7 @@ object SparkEntry {
     // J≈0.99 (miss ≈1e-7), so the verified LSH output equals the exact
     // inverted-index result and shares its oracle.
     "q_dedup_minhash"   -> Dedup.ngramJaccardSql,
+    "q_minhash_signature" -> Dedup.minhashSignaturesSql,
     "q_dedup_simhash"   -> Dedup.simhashPairsSql,
     "q_ann_brute"       -> Ann.bruteForceTopKSql,
     "q_embed_neardup"   -> Ann.embeddingNearDupSql,

@@ -61,19 +61,6 @@ object Dedup {
   private def shingled(s: SparkSession, d: String): DataFrame =
     shingledOf(Tables.documents(s, d))
 
-  /** (doc_id, n_sh, shingle-hash) inverted index — one row per distinct
-    * shingle occurrence, 64-bit hashed so joins/aggregations move longs
-    * instead of strings (collision odds over a corpus-wide shingle
-    * vocabulary V are ≈ V²/2⁶⁵ — negligible).
-    */
-  private def shingleIndexOf(docs: DataFrame): DataFrame =
-    shingledOf(docs)
-      .select(col("doc_id"), col("n_sh"), explode_outer(col("sh")).as("shingle"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("h"))
-
-  private def shingleIndex(s: SparkSession, d: String): DataFrame =
-    shingleIndexOf(Tables.documents(s, d))
-
   val JaccardThreshold = 0.8
 
   /** Posting lists (docs per shingle hash) above this size are removed from
@@ -278,15 +265,33 @@ object Dedup {
   val Bands       = 16
   val RowsPerBand = NumHashes / Bands // 4
   private val P   = 2147483647L // 2^31 - 1, Mersenne prime
+  private val BandBase = 1000003L
+
+  /** Shingle base hash for MinHash: whole-string polynomial fold mod P via
+    * the native [[graft.functions.PolyCharHash]] expression — the same
+    * nested `(acc*31 + byte) % P` arithmetic DuckDB spells with
+    * list_reduce, so the ENTIRE signature pipeline (base hash, 64 affine
+    * permutations, band keys) is portable and the signature query gets a
+    * full hash-checked oracle instead of a rows-only check (xxhash64, the
+    * previous base hash, is not DuckDB-expressible). Docs with no shingles
+    * (< 3 tokens) are dropped — no shingles means no signature — matching
+    * the oracle's unnest semantics.
+    */
+  private def portableShingleIndex(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
+      .select(col("doc_id"), col("n_sh"), explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .select(col("doc_id"), col("n_sh"),
+        polyHashFull(col("shingle"), 31L, P).as("h0"))
 
   /** Per-doc 64-lane MinHash signatures, computed as one explode over
     * distinct shingles followed by 64 static min-aggregates over affine
-    * permutations of a 31-bit-reduced base hash (31-bit keeps every product
-    * inside a signed 64-bit long under Spark 4's ANSI arithmetic). Output:
-    * (doc_id, n_sh, sig array<long>).
+    * permutations of the 31-bit portable base hash (31-bit keeps every
+    * product inside a signed 64-bit long under Spark 4's ANSI arithmetic).
+    * Output: (doc_id, n_sh, sig array<long>).
     */
   private def signatures(s: SparkSession, d: String): DataFrame = {
-    val idx = shingleIndex(s, d).withColumn("h0", pmod(col("h"), lit(P)))
+    val idx = portableShingleIndex(s, d)
     val mins = (0 until NumHashes).map { i =>
       min(pmod(col("h0") * lit(i * 2L + 1L) + lit(i * 40503L + 17L), lit(P)))
         .as(s"m$i")
@@ -297,24 +302,69 @@ object Dedup {
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** The 16 LSH band keys of a signature (hash of 4 consecutive lanes). */
+  /** The 16 LSH band keys of a signature: a polynomial combine of each
+    * band's 4 lanes mod P, seeded with the band index — plain portable
+    * arithmetic (lanes < 2³¹, BandBase ≈ 2²⁰, so every intermediate stays
+    * < 2⁵² under ANSI).
+    */
   def bandKeys(sig: Column): Column =
     array((0 until Bands).map { b =>
-      hash(slice(sig, b * RowsPerBand + 1, RowsPerBand), lit(b))
+      (0 until RowsPerBand).foldLeft(lit(b.toLong): Column) { (acc, k) =>
+        pmod(acc * lit(BandBase) + element_at(sig, b * RowsPerBand + k + 1),
+          lit(P))
+      }
     }: _*)
 
-  /** Per-document signatures + band keys (rows-only check: sketch internals
-    * aren't portable SQL; correctness is pinned by DedupSpec instead).
+  /** Per-document signatures + band keys, fully oracle-checked (the lanes
+    * and band keys are emitted as '|'-joined strings: the check harness
+    * hashes sorted rows via pandas, which cannot sort raw array cells).
     */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     signatures(s, d)
       .select(col("doc_id"), col("n_sh"),
-        hash(col("sig")).cast("long").as("sig_hash"),
-        // scalar string, not array<int>: the check harness hashes sorted
-        // rows via pandas, which cannot sort raw array cells
+        array_join(col("sig").cast("array<string>"), "|").as("sig_str"),
         array_join(bandKeys(col("sig")).cast("array<string>"), "|")
           .as("band_keys"))
       .orderBy(col("doc_id"))
+
+  /** Oracle: identical shingling, base-hash fold, affine permutations, and
+    * band combines in DuckDB SQL — exact integer arithmetic end to end.
+    */
+  val minhashSignaturesSql: String = {
+    val polyFold =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(range(1, length(shingle) + 1),
+         |           i -> CAST(ascii(substr(shingle, i, 1)) AS BIGINT))),
+         |         (acc, x) -> (acc * 31 + x) % $P)""".stripMargin
+    val mins = (0 until NumHashes).map(i =>
+      s"MIN((h0 * ${i * 2 + 1} + ${i * 40503 + 17}) % $P) AS m$i")
+      .mkString(",\n         ")
+    val sigList = (0 until NumHashes).map(i => s"m$i")
+      .mkString("list_value(", ", ", ")")
+    val bandList = (0 until Bands).map { b =>
+      (0 until RowsPerBand).foldLeft(s"CAST($b AS BIGINT)") { (acc, k) =>
+        s"(($acc) * $BandBase + m${b * RowsPerBand + k}) % $P"
+      }
+    }.mkString("list_value(", ", ", ")")
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+       |           i -> string_split(text, ' ')[i] || ' ' ||
+       |                string_split(text, ' ')[i+1] || ' ' ||
+       |                string_split(text, ' ')[i+2])) AS sh
+       |  FROM documents),
+       |e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
+       |             unnest(sh) AS shingle FROM s),
+       |h AS (SELECT doc_id, n_sh, $polyFold AS h0 FROM e),
+       |m AS (SELECT doc_id, n_sh,
+       |         $mins
+       |      FROM h GROUP BY doc_id, n_sh)
+       |SELECT doc_id, n_sh,
+       |       array_to_string($sigList, '|') AS sig_str,
+       |       array_to_string($bandList, '|') AS band_keys
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
 
   /** MinHash/LSH near-dup pairs: band-bucket candidates, then verify the
     * exact Jaccard on shingle sets. With r=4,b=16 a true pair at J=0.8 is
@@ -378,6 +428,13 @@ object Dedup {
       graft.functions.PolyCharHash(
         org.apache.spark.sql.graft.ColumnBridge.expression(tok),
         base, p, TokLen))
+
+  /** Whole-string mode (padTo = -1): fold every byte, no padding. */
+  private def polyHashFull(c: Column, base: Long, p: Long): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PolyCharHash(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c),
+        base, p, -1))
 
   private def polyHashSql(tok: String, base: Long, p: Long): String = {
     val padded = s"rpad($tok, $TokLen, ' ')"

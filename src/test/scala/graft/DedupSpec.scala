@@ -141,9 +141,9 @@ class DedupSpec extends SparkSpecBase {
 
   test("minhash signatures are deterministic across evaluations") {
     val a = Dedup.minhashSignatures(spark, sfDir)
-      .select("doc_id", "sig_hash").as[(Long, Long)].collect().toMap
+      .select("doc_id", "sig_str").as[(Long, String)].collect().toMap
     val b = Dedup.minhashSignatures(spark, sfDir)
-      .select("doc_id", "sig_hash").as[(Long, Long)].collect().toMap
+      .select("doc_id", "sig_str").as[(Long, String)].collect().toMap
     assert(a === b)
   }
 }
