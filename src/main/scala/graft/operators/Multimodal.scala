@@ -34,9 +34,12 @@ object Multimodal {
         (col("n_chars") % 64 + 1).cast("int").as("width"),
         (col("doc_id") % 48 + 1).cast("int").as("height")).as("meta"))
 
-  /** Feature row produced by the batch extractor. */
-  case class BlobFeatures(doc_id: Long, n_bytes: Long, header_byte: Long,
-      checksum: Long)
+  /** Feature row produced by the batch extractor. `None` fields mean the
+    * payload itself was NULL (an undecodable blob) — features propagate the
+    * null rather than NPE-ing the task, mirroring SQL NULL-in/NULL-out.
+    */
+  case class BlobFeatures(doc_id: Long, n_bytes: Option[Long],
+      header_byte: Option[Long], checksum: Option[Long])
 
   /** STUB decoder: stands in for an image/audio decode. Deterministic pure
     * function of the bytes so tests and the oracle can pin it; a real
@@ -61,8 +64,11 @@ object Multimodal {
     pruned.mapPartitions { it =>
       // per-partition init would go here (codec/model load) — amortized
       it.map { case (id, bytes) =>
-        val (header, sum) = decodeStub(bytes)
-        BlobFeatures(id, bytes.length.toLong, header, sum)
+        if (bytes == null) BlobFeatures(id, None, None, None)
+        else {
+          val (header, sum) = decodeStub(bytes)
+          BlobFeatures(id, Some(bytes.length.toLong), Some(header), Some(sum))
+        }
       }
     }.toDF()
   }
@@ -78,24 +84,41 @@ object Multimodal {
     * oracle at all — the decode side would be pinned by golden outputs
     * instead, and the Spark-side plumbing here is unchanged by that swap.
     */
+  private case class BlobMetaRow(doc_id: Long, n_bytes: Option[Long],
+      header_byte: Option[Long], checksum: Option[Long],
+      width: Option[Long], height: Option[Long])
+
   def blobMeta(s: SparkSession, d: String): DataFrame = {
-    val feats = extractFeatures(s, blobTable(s, d))
-    feats.join(blobTable(s, d).select(col("doc_id"), col("meta.width"),
-        col("meta.height")), Seq("doc_id"))
-      .select(col("doc_id"), col("n_bytes"), col("header_byte"),
-        col("checksum"), col("width").cast("long").as("width"),
-        col("height").cast("long").as("height"))
-      .orderBy(col("doc_id"))
+    import s.implicits._
+    // width/height ride along through the extractor — ONE scan, zero joins
+    // (they are cheap column functions of the metadata, so recomputing the
+    // blob table and joining features back was pure waste)
+    blobTable(s, d)
+      .select(col("doc_id"), col("payload"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"))
+      .as[(Long, Array[Byte], Option[Long], Option[Long])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, w, h) =>
+          if (bytes == null) BlobMetaRow(id, None, None, None, w, h)
+          else {
+            val (header, sum) = decodeStub(bytes)
+            BlobMetaRow(id, Some(bytes.length.toLong), Some(header),
+              Some(sum), w, h)
+          }
+        }
+      }.toDF().orderBy(col("doc_id"))
   }
 
   val blobMetaSql: String =
     """SELECT doc_id,
       |       CAST(length(text) AS BIGINT) AS n_bytes,
       |       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS header_byte,
-      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |         list_transform(range(1, length(text) + 1),
-      |           i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
-      |         (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
+      |       CASE WHEN text IS NULL THEN NULL ELSE
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(range(1, length(text) + 1),
+      |             i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+      |           (acc, x) -> (acc * 31 + x) % 1000000007) END AS checksum,
       |       CAST(n_chars % 64 + 1 AS BIGINT) AS width,
       |       CAST(doc_id % 48 + 1 AS BIGINT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -112,8 +135,8 @@ object Multimodal {
   def resizeStub(payload: Array[Byte], stride: Int): Array[Byte] =
     payload.indices.collect { case i if i % stride == 0 => payload(i) }.toArray
 
-  case class ResizedBlob(doc_id: Long, n_bytes: Long, resized_bytes: Long,
-      resized_checksum: Long)
+  case class ResizedBlob(doc_id: Long, n_bytes: Option[Long],
+      resized_bytes: Option[Long], resized_checksum: Option[Long])
 
   /** Resize pipeline: batch decode → stride resize → checksum of the
     * resized payload, all inside one partition-batched pass (no shuffle;
@@ -125,9 +148,13 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val resized   = resizeStub(bytes, ResizeStride)
-          val (_, sum)  = decodeStub(resized)
-          ResizedBlob(id, bytes.length.toLong, resized.length.toLong, sum)
+          if (bytes == null) ResizedBlob(id, None, None, None)
+          else {
+            val resized  = resizeStub(bytes, ResizeStride)
+            val (_, sum) = decodeStub(resized)
+            ResizedBlob(id, Some(bytes.length.toLong),
+              Some(resized.length.toLong), Some(sum))
+          }
         }
       }.toDF().orderBy(col("doc_id"))
   }
@@ -137,10 +164,11 @@ object Multimodal {
        |       CAST(length(text) AS BIGINT) AS n_bytes,
        |       CAST(len(range(1, length(text) + 1, $ResizeStride)) AS BIGINT)
        |         AS resized_bytes,
-       |       list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |         list_transform(range(1, length(text) + 1, $ResizeStride),
-       |           i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
-       |         (acc, x) -> (acc * 31 + x) % 1000000007) AS resized_checksum
+       |       CASE WHEN text IS NULL THEN NULL ELSE
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(1, length(text) + 1, $ResizeStride),
+       |             i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+       |           (acc, x) -> (acc * 31 + x) % 1000000007) END AS resized_checksum
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------- frame sampling ----------
@@ -162,7 +190,9 @@ object Multimodal {
     blobTable(s, d).select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.flatMap { case (id, bytes) =>
+        // NULL payload → no frames, matching the oracle's unnest semantics
+        // (range(0, NULL) unnests to zero rows)
+        it.filter(_._2 != null).flatMap { case (id, bytes) =>
           val nFrames = (bytes.length + FrameBytes - 1) / FrameBytes
           Iterator.range(0, nFrames, FrameStride).map { f =>
             val start    = f * FrameBytes
