@@ -3,7 +3,7 @@ package graft.sources
 import java.sql.DriverManager
 import java.util.Properties
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}
@@ -86,24 +86,60 @@ object JdbcUpsert {
        |  "processed_by" VARCHAR(50),
        |  "source_file" VARCHAR(500))""".stripMargin
 
+  /** The target DDL's VARCHAR widths — the single source both for the
+    * staging column types and for the pre-MERGE row validity guard.
+    */
+  private val varcharWidths: Seq[(String, Int)] = Seq(
+    "transaction_id" -> 50, "amount_category" -> 20, "category" -> 50,
+    "description" -> 200, "transaction_type" -> 20, "account" -> 50,
+    "location" -> 100, "day_of_week" -> 20, "processed_by" -> 50,
+    "source_file" -> 500)
+
+  /** DECIMAL(10,2) columns — values at or beyond 10⁸ overflow the target. */
+  private val decimalCols = Seq("amount", "amount_abs")
+
   /** VARCHAR widths for the staging table (Spark's Derby default for
     * StringType is CLOB, which cannot appear in a MERGE join condition).
     */
-  private val stagingStringTypes: String = Seq(
-    "transaction_id VARCHAR(50)", "amount_category VARCHAR(20)",
-    "category VARCHAR(50)", "description VARCHAR(200)",
-    "transaction_type VARCHAR(20)", "account VARCHAR(50)",
-    "location VARCHAR(100)", "day_of_week VARCHAR(20)",
-    "processed_by VARCHAR(50)", "source_file VARCHAR(500)").mkString(", ")
+  private val stagingStringTypes: String =
+    varcharWidths.map { case (c, w) => s"$c VARCHAR($w)" }.mkString(", ")
+
+  /** Row validity against the target DDL, evaluated over whichever of the
+    * guarded columns the batch carries: VARCHAR width fits, DECIMAL(10,2)
+    * magnitude fits, and the primary key is non-null. Mirrors the
+    * reference's per-row tolerance (lambda_function.py:258-260 logs and
+    * skips un-insertable rows) set-orientedly: one un-insertable row must
+    * not abort the whole MERGE.
+    */
+  private def validityPredicate(cols: Seq[String]): Column = {
+    val widthOk = varcharWidths.collect {
+      case (c, w) if cols.contains(c) => col(c).isNull || length(col(c)) <= w
+    }
+    val decimalOk = decimalCols.collect {
+      case c if cols.contains(c) => col(c).isNull || abs(col(c)) < 1e8
+    }
+    val keyOk = Seq(col("transaction_id").isNotNull)
+    (widthOk ++ decimalOk ++ keyOk).reduce(_ && _)
+  }
 
   /** Upsert `df` into `table` with the reference's conflict semantics:
     * insert new transaction_ids; on conflict update ONLY amount and
     * processed_timestamp (lambda_function.py:230-236). Within-batch key
     * conflicts resolve last-writer-wins on processed_timestamp before
     * staging (a MERGE source must be key-unique).
+    *
+    * Rows that cannot land in the target DDL (oversized VARCHAR, decimal
+    * overflow, null key) are filtered out BEFORE staging and returned as a
+    * lazy side-output DataFrame, so one dirty row no longer aborts the
+    * whole batch — the reference's per-row log-and-skip tolerance,
+    * set-orientedly. Callers that care sink or count the returned frame;
+    * callers that don't can ignore it (nothing is computed unless read).
     */
   def upsert(df: DataFrame, url: String, table: String,
-      props: Properties): Unit = {
+      props: Properties): DataFrame = {
+    val isValid  = validityPredicate(df.columns.toSeq)
+    val rejected = df.filter(!isValid)
+    val clean    = df.filter(isValid)
     // within-batch LWW: latest processed_timestamp wins; ties (the common
     // case — a batch usually carries ONE timestamp literal) break on a
     // deterministic full-row hash, never on partition/scan order
@@ -115,7 +151,7 @@ object JdbcUpsert {
           Seq(col("processed_timestamp").desc_nulls_last, rowHash.desc)
         else Seq(rowHash.desc)
       val w = Window.partitionBy(col("transaction_id")).orderBy(order: _*)
-      df.withColumn("__rn", row_number().over(w))
+      clean.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }
     // month/year arrive as long (Spark date-part convention); the target
@@ -123,7 +159,10 @@ object JdbcUpsert {
     val aligned = Seq("month", "year").foldLeft(deduped) { (d, c) =>
       if (d.columns.contains(c)) d.withColumn(c, col(c).cast("int")) else d
     }
-    val stage = s"${table}_stg"
+    // per-invocation staging name: concurrent upserts into the same target
+    // must not clobber each other's staging data
+    val stage = s"${table}_stg_${java.util.UUID.randomUUID().toString
+      .replace("-", "").take(10)}"
     aligned.write.mode("overwrite")
       .option("createTableColumnTypes", stagingStringTypes)
       .jdbc(url, stage, props)
@@ -148,9 +187,15 @@ object JdbcUpsert {
              |ON t."transaction_id" = s."transaction_id"
              |${matchedClause}WHEN NOT MATCHED THEN INSERT ($colList) VALUES ($valList)"""
             .stripMargin)
-        st.executeUpdate(s"DROP TABLE $stage")
-      } finally st.close()
+      } finally {
+        // drop staging even when the MERGE throws — a failed run must not
+        // leak staging tables into the warehouse
+        try st.executeUpdate(s"DROP TABLE $stage")
+        catch { case _: java.sql.SQLException => () }
+        st.close()
+      }
     }
+    rejected
   }
 
   /** CREATE TABLE IF NOT EXISTS via metadata probe (Derby has no native
@@ -167,7 +212,13 @@ object JdbcUpsert {
     val exists = try rs.next() finally rs.close()
     if (!exists) {
       val st = conn.createStatement()
-      try st.executeUpdate(targetDdl(table)) finally st.close()
+      // a concurrent upsert can win the probe-create race; losing it is
+      // fine — the table exists, which is all this method guarantees
+      try st.executeUpdate(targetDdl(table))
+      catch {
+        case e: java.sql.SQLException
+            if Option(e.getSQLState).contains("X0Y32") => ()
+      } finally st.close()
     }
   }
 

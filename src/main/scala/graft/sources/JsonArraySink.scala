@@ -34,6 +34,9 @@ object JsonArraySink {
     val cached = if (callerCached) df else df.persist()
     val count  = cached.count()
     val tmp    = outFile + ".tmpdir"
+    // a crashed prior run can leave the tmp dir behind, and Hadoop refuses
+    // to write to an existing path — clear it so write() is retry-safe
+    deleteRecursively(new java.io.File(tmp))
     cached.toJSON.coalesce(1).rdd.mapPartitions { it =>
       var first = true
       val body = it.map { rec =>
@@ -46,7 +49,7 @@ object JsonArraySink {
     if (!callerCached) cached.unpersist()
     val out = Paths.get(outFile)
     Option(out.getParent).foreach(Files.createDirectories(_))
-    val part = new java.io.File(tmp).listFiles()
+    val part = Option(new java.io.File(tmp).listFiles()).toSeq.flatten
       .find(_.getName.startsWith("part-"))
     part match {
       case Some(p) =>
@@ -78,7 +81,8 @@ object JsonArraySink {
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    if (f.isDirectory)
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
     f.delete()
   }
 }

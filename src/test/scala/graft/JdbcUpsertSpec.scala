@@ -101,6 +101,41 @@ class JdbcUpsertSpec extends SparkSpecBase {
     assert(spark.read.jdbc(url, t, props).count() === 1) // deduped + merged
   }
 
+  test("invalid rows are side-output, the rest of the batch still lands") {
+    val t = "txn_tolerant"
+    val dirty = batch(
+      Seq(("V1", 1.0, "ok"), ("BAD", 2.0, "oversized"), ("V2", 3.0, "ok"),
+        ("OVER", 1.23e8, "overflow")),
+      "2024-07-01 12:00:00")
+      // a 501-char source_file overflows VARCHAR(500) — the reference logs
+      // and skips such rows inside its insert loop
+      .withColumn("source_file",
+        when(col("transaction_id") === "BAD", lit("x" * 501))
+          .otherwise(col("source_file")))
+    val rejected = JdbcUpsert.upsert(dirty, url, t, props)
+    assert(rejected.select("transaction_id").as[String].collect().toSet ===
+      Set("BAD", "OVER"))
+    val landed = spark.read.jdbc(url, t, props)
+      .select("transaction_id").as[String].collect().toSet
+    assert(landed === Set("V1", "V2"))
+  }
+
+  test("concurrent upserts into one target use distinct staging tables") {
+    val t  = "txn_concurrent"
+    val b1 = batch(Seq(("P1", 1.0, "a")), "2024-07-01 12:00:00")
+    val b2 = batch(Seq(("P2", 2.0, "b")), "2024-07-01 12:00:00")
+    val f1 = scala.concurrent.Future(JdbcUpsert.upsert(b1, url, t, props))(
+      scala.concurrent.ExecutionContext.global)
+    val f2 = scala.concurrent.Future(JdbcUpsert.upsert(b2, url, t, props))(
+      scala.concurrent.ExecutionContext.global)
+    import scala.concurrent.duration._
+    scala.concurrent.Await.result(f1, 120.seconds)
+    scala.concurrent.Await.result(f2, 120.seconds)
+    val landed = spark.read.jdbc(url, t, props)
+      .select("transaction_id").as[String].collect().toSet
+    assert(landed === Set("P1", "P2"))
+  }
+
   test("fromEnv gates on connection settings like the reference") {
     assert(JdbcUpsert.fromEnv(Map.empty).isEmpty)
     val got = JdbcUpsert.fromEnv(Map(

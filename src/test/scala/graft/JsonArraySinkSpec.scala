@@ -35,6 +35,19 @@ class JsonArraySinkSpec extends SparkSpecBase {
     assert(meta.contains("\"processing_stage\": \"transformed\""))
   }
 
+  test("write is retry-safe over a stale tmp dir from a crashed run") {
+    val dir = Files.createTempDirectory("graft_jsonarr_r").toString
+    val out = s"$dir/retry.json"
+    // simulate a crashed prior run: stale tmp dir with leftover content
+    Files.createDirectories(Paths.get(s"$out.tmpdir"))
+    Files.writeString(Paths.get(s"$out.tmpdir/part-00000"), "stale")
+    val df = Seq((1L, "fresh")).toDF("id", "name")
+    val n = JsonArraySink.write(df, out, "raw/f.csv", "2024-07-01T12:00:00")
+    assert(n === 1L)
+    val back = spark.read.option("multiLine", "true").json(out)
+    assert(back.select(col("name")).as[String].collect().toSeq === Seq("fresh"))
+  }
+
   test("empty input produces a valid empty array") {
     val dir = Files.createTempDirectory("graft_jsonarr_e").toString
     val out = s"$dir/empty.json"
