@@ -35,8 +35,15 @@ object EtlPipeline {
       .option("header", "true")
       .csv(csvPath)
     // both sinks consume the chain; persist so the CSV is read and
-    // transformed once per invocation, not once per sink
+    // transformed once per invocation, not once per sink. The caller's
+    // processedTimestamp becomes a real column here — the reference stamps
+    // it on every row (lambda_function.py:121-122) and its warehouse DDL
+    // carries it; the oracle-checked queries exclude it only because a
+    // wall-clock column can't be hash-compared (SURVEY §5).
     val transformed = RefTransforms.transformTransactionsWithLineage(raw)
+      .withColumn("processed_timestamp",
+        org.apache.spark.sql.functions.to_timestamp(
+          org.apache.spark.sql.functions.lit(processedTimestamp)))
       .persist()
     try {
       val n = JsonArraySink.write(transformed, outJsonPath, csvPath,

@@ -45,7 +45,8 @@ object Streams {
     * callers await termination (AvailableNow stops by itself).
     */
   def fileEtlPipeline(spark: SparkSession, inDir: String, outDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val raw = spark.readStream
       .schema(transactionSchema)
       .option("header", "true")
@@ -56,7 +57,7 @@ object Streams {
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .outputMode(OutputMode.Append())
       .start()
   }
@@ -103,8 +104,13 @@ object Streams {
     * never rewritten. Same shape a Delta/Iceberg MERGE compiles to; I/O per
     * batch is O(touched buckets), not O(table).
     */
+  /** `trigger` defaults to drain-and-stop; pass `Trigger.ProcessingTime`
+    * for the run-forever deployment — same topology, same checkpoint
+    * recovery, the state simply keeps accumulating across micro-batches.
+    */
   def fileUpsertPipeline(spark: SparkSession, inDir: String, targetDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.row_number
     val raw = spark.readStream
@@ -150,7 +156,7 @@ object Streams {
           .parquet(targetDir)
       }
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
   }
 

@@ -45,11 +45,23 @@ class EtlPipelineSpec extends SparkSpecBase {
     assert(rows.values.forall(_._4 == "batch1.csv"))
     val meta = Files.readString(Paths.get(out + ".meta.json"))
     assert(meta.contains("\"record_count\": \"3\""))
+    // the caller-supplied processed_timestamp is a real column in the
+    // JSON document, like the reference's per-row stamp
+    assert(back.select("processed_timestamp").as[String].collect()
+      .forall(_ startsWith "2024-07-01T12:00:00"))
 
-    // JDBC side: rows landed; re-running the same file is idempotent
-    assert(spark.read.jdbc(url, "pipe_txns", props).count() === 3)
+    // JDBC side: rows landed with the stamp; re-running the same file is
+    // idempotent in rows, and conflict-updates the stamp (reference's
+    // ON CONFLICT SET processed_timestamp)
+    val warehouse = spark.read.jdbc(url, "pipe_txns", props)
+    assert(warehouse.count() === 3)
+    assert(warehouse.select("processed_timestamp").as[String].collect()
+      .forall(_ startsWith "2024-07-01 12:00:00"))
     EtlPipeline.processFile(spark, csv, out, "2024-07-01T13:00:00",
       Some((url, "pipe_txns", props)))
-    assert(spark.read.jdbc(url, "pipe_txns", props).count() === 3)
+    val after = spark.read.jdbc(url, "pipe_txns", props)
+    assert(after.count() === 3)
+    assert(after.select("processed_timestamp").as[String].collect()
+      .forall(_ startsWith "2024-07-01 13:00:00"))
   }
 }

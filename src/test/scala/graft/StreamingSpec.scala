@@ -127,6 +127,51 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("ProcessingTime run ingests files as they land; restart over the " +
+      "same checkpoint resumes exactly-once") {
+    val in  = tmp("graft_cont_in")
+    val out = tmp("graft_cont_out") + "/table"
+    val ckp = tmp("graft_cont_ckp")
+    def land(name: String, rows: Seq[(String, String)]): Unit = {
+      val csv = ("transaction_id,date,timestamp,amount,category,description," +
+        "transaction_type,account,location\n") +
+        rows.map { case (id, amt) =>
+          s"$id,2024-07-01,2024-07-01 10:00:00,$amt,food,d,expense,checking,Online"
+        }.mkString("\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(in, name), csv)
+    }
+    // poll the target until the expected key->amount state appears (reads
+    // can transiently fail mid-overwrite — retry until the deadline)
+    def awaitState(expect: Map[String, Double], timeoutMs: Long = 90000): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var last: Option[Map[String, Double]] = None
+      while (System.currentTimeMillis() < deadline &&
+          !last.contains(expect)) {
+        last =
+          try Some(spark.read.parquet(out)
+            .select("transaction_id", "amount").as[(String, Double)]
+            .collect().toMap)
+          catch { case _: Exception => None }
+        if (!last.contains(expect)) Thread.sleep(250)
+      }
+      assert(last.contains(expect), s"timed out; last state: $last")
+    }
+    land("a.csv", Seq("T1" -> "10.0", "T2" -> "20.0"))
+    // run-forever mode: the query stays up and discovers files as they land
+    val q = Streams.fileUpsertPipeline(spark, in, out, ckp,
+      Trigger.ProcessingTime("250 milliseconds"))
+    try {
+      awaitState(Map("T1" -> 10.0, "T2" -> 20.0))
+      land("b.csv", Seq("T2" -> "99.0", "T3" -> "30.0"))
+      awaitState(Map("T1" -> 10.0, "T2" -> 99.0, "T3" -> 30.0))
+    } finally q.stop()
+    // files landing while the query is DOWN are picked up on restart from
+    // the same checkpoint, and already-processed files are not re-merged
+    land("c.csv", Seq("T3" -> "77.0"))
+    Streams.fileUpsertPipeline(spark, in, out, ckp).awaitTermination()
+    awaitState(Map("T1" -> 10.0, "T2" -> 99.0, "T3" -> 77.0), 5000)
+  }
+
   test("streaming dedup drops watermark-window re-deliveries") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
