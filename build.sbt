@@ -15,7 +15,7 @@ run / fork := true
 // bench driver can parse the JSON metric line; suppressing the [success]
 // trailer keeps that JSON line as the LAST line of stdout.
 outputStrategy := Some(OutputStrategy.StdoutOutput)
-showSuccess := false
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -258,15 +258,44 @@ object Ann {
         col("vec_id") < NumQueries + IvfLists)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
 
+  /** One distributed Lloyd refinement round over the seed centroids:
+    * assign every vector to its nearest seed, then average each cell with
+    * `Dim` flat avg-aggregates (codegen'd, one shuffle on cid — the same
+    * flat-aggregation shape the minhash signatures use). Gated behind
+    * `refine = true` in [[ivfTopK]] because a cross-partition FP average
+    * is not byte-stable under re-parallelization (sum order varies), which
+    * would break the engine's determinism contract for driver-checked
+    * queries; recall properties are pinned in AnnSpec instead. Cells left
+    * empty by the round simply drop out (a dead centroid), which no
+    * downstream step depends on.
+    */
+  private[graft] def lloydRefineOnce(s: SparkSession, d: String)
+      : DataFrame = {
+    val avgs = (0 until Dim).map(i =>
+      avg(element_at(col("embedding"), i + 1)).as(s"a$i"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .join(ivfAssign(s, d), Seq("vec_id"))
+      .groupBy(col("cid"))
+      .agg(avgs.head, avgs.tail: _*)
+      .select(col("cid"),
+        array((0 until Dim).map(i => col(s"a$i").cast("float")): _*)
+          .as("c_emb"))
+  }
+
   /** IVF list assignment: nearest centroid per vector. Broadcast the K
     * centroids, codegen'd cosine, argmax via max(struct) — deterministic
     * tie-break on centroid id. The build is the engine's only N×K stage
     * (one-time index construction); queries then open `nprobe` lists.
     */
   def ivfAssign(s: SparkSession, d: String): DataFrame =
+    ivfAssignTo(s, d, ivfCentroids(s, d))
+
+  private def ivfAssignTo(s: SparkSession, d: String,
+      centroids: DataFrame): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(ivfCentroids(s, d)))
+      .crossJoin(broadcast(centroids))
       .withColumn("sim", cosineSim(col("embedding"), col("c_emb")))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("sim").as("s"), col("cid").as("c"))).as("m"))
@@ -278,14 +307,18 @@ object Ann {
     * brute force exactly (AnnSpec pins this), which is the correctness
     * anchor for the approximate settings.
     */
-  def ivfTopK(s: SparkSession, d: String, nprobe: Int): DataFrame = {
-    val assign = ivfAssign(s, d)
+  def ivfTopK(s: SparkSession, d: String, nprobe: Int,
+      refine: Boolean = false): DataFrame = {
+    val centroids =
+      if (refine) lloydRefineOnce(s, d).localCheckpoint()
+      else ivfCentroids(s, d)
+    val assign = ivfAssignTo(s, d, centroids)
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("cid").asc)
     val probes = Tables.embeddings(s, d)
       .filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(ivfCentroids(s, d)))
+      .crossJoin(broadcast(centroids))
       .withColumn("sim", cosineSim(col("q_emb"), col("c_emb")))
       .withColumn("pr", row_number().over(wq))
       .filter(col("pr") <= nprobe)

@@ -65,6 +65,30 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.3, s"recall@${Ann.TopK} = $recall")
   }
 
+  test("IVF with one Lloyd refinement round: exhaustive probing still " +
+      "equals brute force, and the centroids actually moved") {
+    val truth = Ann.bruteForceTopK(spark, sfDir)
+      .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().toSet
+    // exactness under nprobe = K is independent of centroid quality: every
+    // vector lives in SOME list, so probing all lists is exact search
+    val ivf = Ann.ivfTopK(spark, sfDir, Ann.IvfLists, refine = true)
+      .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().toSet
+    assert(ivf === truth)
+    // the refinement is not a no-op: cell means differ from the seed
+    // vectors they replace
+    val refined = Ann.lloydRefineOnce(spark, sfDir)
+      .select("cid", "c_emb").as[(Long, Array[Float])].collect().toMap
+    val seeds = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= Ann.NumQueries &&
+        col("vec_id") < Ann.NumQueries + Ann.IvfLists)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    assert(refined.nonEmpty)
+    assert(refined.exists { case (cid, c) =>
+      !java.util.Arrays.equals(c, seeds(cid))
+    })
+  }
+
   test("near-dup retrieval is symmetric-free (v1 < v2) and above threshold") {
     val out = Ann.embeddingNearDup(spark, sfDir).collect()
     assert(out.nonEmpty)
