@@ -236,14 +236,90 @@ object Dedup {
     }
     edges.unpersist()
     // an unconverged result is silently WRONG (labels short of the true
-    // component minimum), so refuse to return it — a component of diameter
-    // > MaxClusterRounds needs a large-star/small-star rewrite, not more
-    // min-propagation rounds
-    if (!converged) throw new IllegalStateException(
-      s"dedupClusters: label propagation did not converge in " +
-        s"$MaxClusterRounds rounds — component diameter exceeds the cap")
+    // component minimum), so never return it: a component of diameter >
+    // MaxClusterRounds (pathological for near-dup cliques, but legal input)
+    // falls back to the alternating-star algorithm, whose round count is
+    // logarithmic in component size instead of linear in diameter
+    if (!converged) {
+      val ccEdges = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      return connectedComponents(ccEdges)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Rounds cap for [[connectedComponents]] — a safety net, not a tuning
+    * knob: alternating large-star/small-star contracts every component to
+    * a star in O(log² n) rounds (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14), so 50 covers graphs far beyond any
+    * corpus (2^25-node components converge in well under 20).
+    */
+  val CcMaxRounds = 50
+
+  /** Connected components over an undirected edge list (u, v) by
+    * alternating large-star / small-star rounds — the diameter-independent
+    * scale path behind [[dedupClusters]]'s min-label fast path.
+    *
+    * Each round is two bounded-fan-in distributed steps:
+    *  - large-star: every node connects its strictly-larger neighbors to
+    *    the minimum of its neighborhood (incl. itself);
+    *  - small-star: every node connects its smaller-or-equal neighbors
+    *    (and itself) to that minimum.
+    * Both only ever REPLACE an edge endpoint with a smaller one, so edge
+    * count never grows, and the fixpoint is a star per component centered
+    * on its minimum. Convergence is detected from a (count, hash-sum)
+    * signature observed on the same job that materializes each round's
+    * checkpoint — one driver action per round, same as the min-label loop.
+    * Output: (node, label) with label = component minimum.
+    */
+  private[graft] def connectedComponents(edges0: DataFrame): DataFrame = {
+    def swap(e: DataFrame) = e.select(col("v").as("u"), col("u").as("v"))
+    def neighborhoodMin(bidir: DataFrame): DataFrame =
+      bidir.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+    var edges = edges0.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var prev      = (-1L, -1L)
+    var converged = false
+    var rounds    = 0
+    while (!converged && rounds < CcMaxRounds) {
+      val bidir = edges.union(swap(edges))
+      val large = bidir.join(neighborhoodMin(bidir), Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star runs on large-star's output, oriented u = max endpoint
+      val dir = large.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val smins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = dir.join(smins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val obs = new org.apache.spark.sql.Observation(s"cc_star_$rounds")
+      // the hash-sum stays in pmod range so the ANSI sum cannot overflow
+      val next = small.observe(obs,
+        count(lit(1)).as("n"),
+        sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))).as("chk"))
+        .localCheckpoint()
+      val sig = (obs.get("n").asInstanceOf[Long],
+        Option(obs.get("chk")).map(_.asInstanceOf[Long]).getOrElse(0L))
+      converged = sig == prev
+      prev = sig
+      edges = next
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: no fixpoint in $CcMaxRounds rounds")
+    // at the fixpoint each component is a star around its minimum, so one
+    // neighborhood-min pass reads off every node's label
+    val bidir = edges.union(swap(edges))
+    neighborhoodMin(bidir)
+      .select(col("u").as("node"), col("m").as("label"))
   }
 
   /** Oracle: transitive closure by recursive CTE over the same pair SQL. */

@@ -139,6 +139,35 @@ class DedupSpec extends SparkSpecBase {
       uncapped.map(_.toString).sorted.toSeq)
   }
 
+  test("alternating-star connected components handle diameter far beyond " +
+      "the min-label cap") {
+    // a path graph of diameter 60: min-label would need 60 rounds (over
+    // its 20-round cap); the star algorithm contracts it in O(log n)
+    val path = (0L until 60L).map(i => (i, i + 1)).toDF("u", "v")
+    val labels = Dedup.connectedComponents(path)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.keySet === (0L to 60L).toSet)
+    assert(labels.values.toSet === Set(0L))
+    // two components + reversed/duplicated edges normalize away
+    val twoComp = Seq((5L, 3L), (3L, 9L), (9L, 5L), (20L, 21L), (21L, 20L))
+      .toDF("u", "v")
+    val got = Dedup.connectedComponents(twoComp)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("alternating-star components agree with min-label clusters on the " +
+      "driver testdata") {
+    val viaLabels = Dedup.dedupClusters(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val edges = Dedup.ngramJaccard(spark, sfDir)
+      .select(col("d1").as("u"), col("d2").as("v"))
+    val viaStars = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStars.nonEmpty)
+    assert(viaStars === viaLabels)
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     val a = Dedup.minhashSignatures(spark, sfDir)
       .select("doc_id", "sig_str").as[(Long, String)].collect().toMap
