@@ -160,6 +160,34 @@ object Streams {
       .start()
   }
 
+  /** The reference's literal production topology: landed file → transform
+    * → warehouse upsert (S3 notification → Lambda → Redshift ON CONFLICT,
+    * README.md:155-187 + lambda_function.py:176-271), as a streaming
+    * composition of the file source with the staged-MERGE JDBC sink. Each
+    * micro-batch runs one set-oriented MERGE; checkpointing makes a batch
+    * exactly-once against the warehouse because re-running the same batch
+    * re-applies the same idempotent MERGE. Rows the target DDL cannot
+    * accept are dropped per-batch by the sink's validity filter (the
+    * reference's per-row log-and-skip), surfaced through `onRejected`.
+    */
+  def fileWarehousePipeline(spark: SparkSession, inDir: String, url: String,
+      table: String, props: java.util.Properties, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      onRejected: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(transactionSchema)
+      .option("header", "true")
+      .csv(inDir)
+    RefTransforms.transformTransactionsWithLineage(raw).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rejected = graft.sources.JdbcUpsert.upsert(batch, url, table, props)
+        onRejected(rejected, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming dedup: drop re-deliveries of the same event id arriving
     * within the watermark window — the streaming face of the engine's
     * dedup family (state is bounded by the watermark, so this runs forever

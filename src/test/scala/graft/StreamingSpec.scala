@@ -172,6 +172,43 @@ class StreamingSpec extends SparkSpecBase {
     awaitState(Map("T1" -> 10.0, "T2" -> 99.0, "T3" -> 77.0), 5000)
   }
 
+  test("file -> transform -> warehouse MERGE topology, exactly-once with " +
+      "per-batch dirty-row tolerance") {
+    val in  = tmp("graft_wh_in")
+    val ckp = tmp("graft_wh_ckp")
+    val url = "jdbc:derby:memory:graftwh;create=true"
+    val t   = "wh_txns"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val header = "transaction_id,date,timestamp,amount,category,description," +
+      "transaction_type,account,location"
+    // W2's description would overflow VARCHAR(200) — reference logs+skips
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(in, "a.csv"),
+      s"""$header
+         |W1,2024-07-01,2024-07-01 10:00:00,10.0,food,ok,expense,checking,Online
+         |W2,2024-07-01,2024-07-01 10:00:00,20.0,food,${"x" * 201},expense,checking,Online
+         |""".stripMargin)
+    var rejectedIds = Set.empty[String]
+    Streams.fileWarehousePipeline(spark, in, url, t, props, ckp,
+      onRejected = (r, _) => rejectedIds ++=
+        r.select("transaction_id").collect().map(_.getString(0)))
+      .awaitTermination()
+    assert(rejectedIds === Set("W2"))
+    def landed = spark.read.jdbc(url, t, props)
+      .select("transaction_id").collect().map(_.getString(0)).toSet
+    assert(landed === Set("W1"))
+    // restart over the same checkpoint with a new file: only the new batch
+    // merges; W3 appears, W1 stays single (MERGE idempotence + checkpoint)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(in, "b.csv"),
+      s"""$header
+         |W3,2024-07-02,2024-07-02 10:00:00,30.0,travel,ok,expense,credit,Airport
+         |""".stripMargin)
+    Streams.fileWarehousePipeline(spark, in, url, t, props, ckp)
+      .awaitTermination()
+    assert(landed === Set("W1", "W3"))
+    assert(spark.read.jdbc(url, t, props).count() === 2)
+  }
+
   test("streaming dedup drops watermark-window re-deliveries") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
