@@ -125,13 +125,12 @@ object Dedup {
 
   // ---------- n-gram Jaccard (exact, inverted-index join) ----------
 
-  /** Near-dup pairs by exact 3-gram Jaccard ≥ 0.8. Candidates come from the
-    * inverted index (docs pair only through a shared shingle), with the
-    * size-ratio prefilter inside the join condition.
-    */
-  /** The near-dup pair set WITHOUT the presentation sort — shared by the
-    * oracle-facing query (which sorts) and clustering (which doesn't care,
-    * and shouldn't pay a global sort for input it immediately re-shuffles).
+  /** Near-dup pairs by exact 3-gram Jaccard ≥ 0.8: candidates come from the
+    * (capped) inverted index — docs pair only through a shared shingle,
+    * with the size-ratio prefilter inside the join condition. This is the
+    * pair set WITHOUT the presentation sort, shared by the oracle-facing
+    * query (which sorts) and clustering (which doesn't care, and shouldn't
+    * pay a global sort for input it immediately re-shuffles).
     */
   private[operators] def ngramPairs(s: SparkSession, d: String): DataFrame =
     ngramPairsOf(Tables.documents(s, d), MaxPostingList)
@@ -169,15 +168,22 @@ object Dedup {
     * The unsorted form is shared by every SQL consumer that embeds the
     * pair set in a CTE (clusters, corpus build).
     */
+  /** Shared DuckDB shingling CTE body (`s(doc_id, sh)`) — ONE definition
+    * for every oracle that shingles (pair join + minhash signatures), so a
+    * semantics fix cannot desynchronize them.
+    */
+  private[operators] val shingleCteSql: String =
+    """SELECT doc_id,
+      |         list_distinct(list_transform(
+      |           range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+      |           i -> string_split(text, ' ')[i] || ' ' ||
+      |                string_split(text, ' ')[i+1] || ' ' ||
+      |                string_split(text, ' ')[i+2])) AS sh
+      |  FROM documents""".stripMargin
+
   private[operators] val ngramPairsSql: String =
     s"""WITH s AS (
-       |  SELECT doc_id,
-       |         list_distinct(list_transform(
-       |           range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-       |           i -> string_split(text, ' ')[i] || ' ' ||
-       |                string_split(text, ' ')[i+1] || ' ' ||
-       |                string_split(text, ' ')[i+2])) AS sh
-       |  FROM documents)
+       |  $shingleCteSql)
        |SELECT a.doc_id AS d1, b.doc_id AS d2,
        |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
        |         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
@@ -190,15 +196,17 @@ object Dedup {
   val ngramJaccardSql: String =
     ngramPairsSql + "\nORDER BY d1, d2"
 
+  val MaxClusterRounds = 20
+
   /** Dedup clusters: connected components over the near-dup pair graph —
     * the step that turns pairs into "keep one per cluster" decisions.
     * Iterative min-label propagation: each round joins labels across edges
     * and keeps the minimum; converges in O(diameter) rounds (dup clusters
-    * are tiny cliques, so 2-3 rounds in practice; capped + fixpoint-checked).
-    * Each round is a distributed join/agg — the driver only steers.
+    * are tiny cliques, so 2-3 rounds in practice; capped + fixpoint-checked,
+    * with the alternating-star algorithm as the arbitrary-diameter
+    * fallback). Each round is a distributed join/agg — the driver only
+    * steers.
     */
-  val MaxClusterRounds = 20
-
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = ngramPairs(s, d).select(col("d1"), col("d2"))
     val edges = pairs
@@ -308,7 +316,12 @@ object Dedup {
         .localCheckpoint()
       val sig = (obs.get("n").asInstanceOf[Long],
         Option(obs.get("chk")).map(_.asInstanceOf[Long]).getOrElse(0L))
-      converged = sig == prev
+      // the signature is only a cheap screen: candidate convergence is
+      // confirmed EXACTLY (both sides are distinct sets with equal counts,
+      // so next ⊆ edges ⇔ equality) — a hash-sum collision must not end
+      // the loop on a non-fixpoint, which would return wrong labels. The
+      // except job runs once, at convergence, over two checkpointed sets.
+      converged = sig == prev && next.except(edges).isEmpty
       prev = sig
       edges = next
       rounds += 1
@@ -423,13 +436,7 @@ object Dedup {
       }
     }.mkString("list_value(", ", ", ")")
     s"""WITH s AS (
-       |  SELECT doc_id,
-       |         list_distinct(list_transform(
-       |           range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-       |           i -> string_split(text, ' ')[i] || ' ' ||
-       |                string_split(text, ' ')[i+1] || ' ' ||
-       |                string_split(text, ' ')[i+2])) AS sh
-       |  FROM documents),
+       |  $shingleCteSql),
        |e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
        |             unnest(sh) AS shingle FROM s),
        |h AS (SELECT doc_id, n_sh, $polyFold AS h0 FROM e),
@@ -468,10 +475,12 @@ object Dedup {
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("n1") + col("n2") - col("common")).cast("double"))
-      // common > 0 is implied by J ≥ θ for real pairs; it additionally
-      // rejects the degenerate empty-shingle candidates (docs with <3
-      // tokens share a null-hash band signature and would verify as
-      // jaccard = 0/0 = NaN, which Spark orders ABOVE the threshold)
+      // common > 0 is implied by J ≥ θ for real pairs; no-shingle docs can
+      // no longer be candidates at all (portableShingleIndex filters them,
+      // so they have no signature rows), but the guard stays as the
+      // structural left arm of the conjunction: it short-circuits before
+      // the division, so NO candidate shape — present or future — can
+      // reach a 0/0 under ANSI
       .filter(col("common") > 0 && col("jaccard") >= JaccardThreshold)
       .select(col("d1"), col("d2"), col("jaccard"))
       .orderBy(col("d1"), col("d2"))

@@ -49,7 +49,14 @@ object EtlPipeline {
       val n = JsonArraySink.write(transformed, outJsonPath, csvPath,
         processedTimestamp)
       jdbc.foreach { case (url, table, props) =>
-        JdbcUpsert.upsert(transformed, url, table, props)
+        val rejected = JdbcUpsert.upsert(transformed, url, table, props)
+        // the reference logs every skipped row (lambda_function.py:258-260);
+        // rows invalid against the DDL must not vanish silently — the count
+        // is cheap here (rejected reads the persisted chain)
+        val nRejected = rejected.count()
+        if (nRejected > 0) System.err.println(
+          s"[etl] $table: skipped $nRejected row(s) invalid against the " +
+            "target DDL")
       }
       (n, transformed)
     } finally transformed.unpersist()

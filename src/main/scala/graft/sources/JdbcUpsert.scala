@@ -163,9 +163,17 @@ object JdbcUpsert {
     // must not clobber each other's staging data
     val stage = s"${table}_stg_${java.util.UUID.randomUUID().toString
       .replace("-", "").take(10)}"
-    aligned.write.mode("overwrite")
-      .option("createTableColumnTypes", stagingStringTypes)
-      .jdbc(url, stage, props)
+    try {
+      aligned.write.mode("overwrite")
+        .option("createTableColumnTypes", stagingStringTypes)
+        .jdbc(url, stage, props)
+    } catch { case e: Throwable =>
+      // the write creates the table before inserting partitions — a
+      // mid-insert failure must not leak the orphan staging table either
+      try withConnection(url, props)(dropStage(_, stage))
+      catch { case _: Throwable => () }
+      throw e
+    }
     val cols    = aligned.columns
     val colList = cols.map(c => s""""$c"""").mkString(", ")
     val valList = cols.map(c => s"""s."$c"""").mkString(", ")
@@ -190,12 +198,18 @@ object JdbcUpsert {
       } finally {
         // drop staging even when the MERGE throws — a failed run must not
         // leak staging tables into the warehouse
-        try st.executeUpdate(s"DROP TABLE $stage")
-        catch { case _: java.sql.SQLException => () }
+        dropStage(conn, stage)
         st.close()
       }
     }
     rejected
+  }
+
+  private def dropStage(conn: java.sql.Connection, stage: String): Unit = {
+    val st = conn.createStatement()
+    try st.executeUpdate(s"DROP TABLE $stage")
+    catch { case _: java.sql.SQLException => () }
+    finally st.close()
   }
 
   /** CREATE TABLE IF NOT EXISTS via metadata probe (Derby has no native

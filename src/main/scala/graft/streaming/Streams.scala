@@ -103,8 +103,8 @@ object Streams {
     * overwrite replaces exactly those buckets — untouched bucket files are
     * never rewritten. Same shape a Delta/Iceberg MERGE compiles to; I/O per
     * batch is O(touched buckets), not O(table).
-    */
-  /** `trigger` defaults to drain-and-stop; pass `Trigger.ProcessingTime`
+    *
+    * `trigger` defaults to drain-and-stop; pass `Trigger.ProcessingTime`
     * for the run-forever deployment — same topology, same checkpoint
     * recovery, the state simply keeps accumulating across micro-batches.
     */
@@ -180,7 +180,14 @@ object Streams {
       .csv(inDir)
     RefTransforms.transformTransactionsWithLineage(raw).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val rejected = graft.sources.JdbcUpsert.upsert(batch, url, table, props)
+        // per-batch wall-clock stamp, like the reference's per-invocation
+        // datetime.now() (lambda_function.py:121-122): lands in the DDL's
+        // processed_timestamp column, drives within-batch LWW, and is what
+        // ON CONFLICT refreshes for re-delivered keys
+        val stamped = batch.withColumn("processed_timestamp",
+          current_timestamp())
+        val rejected = graft.sources.JdbcUpsert.upsert(stamped, url, table,
+          props)
         onRejected(rejected, batchId)
       }
       .option("checkpointLocation", checkpointDir)
