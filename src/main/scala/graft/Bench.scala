@@ -21,10 +21,21 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // before the session builds: SparkContext startup logs at INFO under
+    // the classpath default config, and that preamble is pure noise in the
+    // driver's bounded output tail (the sbt fork strategy merges stderr
+    // into stdout) — spark.log.level is applied by SparkContext itself at
+    // construction, so the startup chatter never happens, and the only
+    // lines this main emits are the JSON metric + real `[bench]` failures
+    System.setProperty("spark.log.level", "ERROR")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.build(s"local[$cpus]", cpus, "graft-bench")
-    spark.sparkContext.setLogLevel("WARN")
+    // the driver keeps only a small stderr tail and parses the LAST stdout
+    // line as JSON — so nothing below ERROR may reach either stream, and
+    // the only prints this main makes are the metric line and explicit
+    // `[bench]` failure markers
+    spark.sparkContext.setLogLevel("ERROR")
     // warmup: JVM/codegen startup AND first-touch of every table's parquet
     // footers, so the alphabetically-first query doesn't absorb them.
     // Reads go through Tables (events needs its nanosAsLong read conf).
@@ -49,14 +60,17 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       // a failed run returns in milliseconds — it must not masquerade as
-      // the steady-state cost, so the min is over SUCCESSFUL runs (falling
-      // back to the failure time only when both runs failed)
+      // the steady-state cost, so the min is over SUCCESSFUL runs; a query
+      // with NO successful run reports the sentinel -1 (stderr carries the
+      // failure message), so a regression-to-failure can never read as a
+      // speedup in round-over-round comparisons
       val good = runs.collect { case (t, true) => t }
-      name -> (if (good.nonEmpty) good.min else runs.map(_._1).min)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // total sums successes only — the -1 sentinels must not deflate it
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

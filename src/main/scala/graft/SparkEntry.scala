@@ -96,7 +96,12 @@ object SparkEntry {
     // [EXT] LLM-pipeline: similarity search + multimodal
     "q_ann_brute"       -> (Ann.bruteForceTopK _),
     "q_ann_lsh"         -> (Ann.lshTopK _),
-    "q_ann_ivf"         -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
+    // exhaustive probe (nprobe = IvfLists) ≡ brute force — AnnSpec pins the
+    // equivalence, which lets the driver hash-check the whole IVF pipeline
+    // (assign → probe → rerank) against the brute-force oracle; the
+    // approximate nprobe=4 setting stays recall-bounded in AnnSpec.
+    "q_ann_ivf"         -> ((s: SparkSession, d: String) =>
+      Ann.ivfTopK(s, d, Ann.IvfLists)),
     "q_embed_neardup"   -> (Ann.embeddingNearDup _),
     "q_multimodal_meta"   -> (Multimodal.blobMeta _),
     "q_multimodal_resize" -> (Multimodal.resizeBlobs _),
@@ -181,6 +186,9 @@ object SparkEntry {
     "q_minhash_signature" -> Dedup.minhashSignaturesSql,
     "q_dedup_simhash"   -> Dedup.simhashPairsSql,
     "q_ann_brute"       -> Ann.bruteForceTopKSql,
+    // exhaustive-probe IVF visits every list, so its output is exactly the
+    // brute-force ranking (pinned in AnnSpec) — same oracle applies.
+    "q_ann_ivf"         -> Ann.bruteForceTopKSql,
     "q_embed_neardup"   -> Ann.embeddingNearDupSql,
     "q_multimodal_meta"   -> Multimodal.blobMetaSql,
     "q_multimodal_resize" -> Multimodal.resizeBlobsSql,

@@ -258,30 +258,72 @@ object Ann {
         col("vec_id") < NumQueries + IvfLists)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
 
-  /** One distributed Lloyd refinement round over the seed centroids:
-    * assign every vector to its nearest seed, then average each cell with
-    * `Dim` flat avg-aggregates (codegen'd, one shuffle on cid — the same
-    * flat-aggregation shape the minhash signatures use). Gated behind
-    * `refine = true` in [[ivfTopK]] because a cross-partition FP average
-    * is not byte-stable under re-parallelization (sum order varies), which
-    * would break the engine's determinism contract for driver-checked
-    * queries; recall properties are pinned in AnnSpec instead. Cells left
-    * empty by the round simply drop out (a dead centroid), which no
-    * downstream step depends on.
+  /** Distributed Lloyd refinement over the seed centroids, `rounds` times:
+    * assign every vector to its nearest centroid, then average each cell
+    * with `Dim` flat avg-aggregates (codegen'd, one shuffle on cid — the
+    * same flat-aggregation shape the minhash signatures use). A cell left
+    * EMPTY by a round (a dead centroid) is reseeded from the globally
+    * farthest-assigned vector (lowest nearest-centroid cosine, ties on
+    * vec_id) — the standard k-means empty-cluster repair, so the index
+    * never silently shrinks below K lists. Each round is checkpointed:
+    * plan depth stays one round regardless of `rounds`.
+    *
+    * Gated behind `refineRounds > 0` in [[ivfTopK]] because a
+    * cross-partition FP average is not byte-stable under
+    * re-parallelization (sum order varies), which would break the engine's
+    * determinism contract for driver-checked queries; recall properties
+    * are pinned in AnnSpec instead.
     */
-  private[graft] def lloydRefineOnce(s: SparkSession, d: String)
-      : DataFrame = {
+  private[graft] def lloydRefine(s: SparkSession, d: String,
+      rounds: Int): DataFrame = {
+    var centroids = ivfCentroids(s, d).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      centroids = lloydStep(s, d, centroids).localCheckpoint()
+      r += 1
+    }
+    centroids
+  }
+
+  /** One Lloyd round against an explicit centroid set: cell means + dead-
+    * cell reseed. The reseed ranks dead cids and farthest vectors with two
+    * tiny rank-joins (≤ K rows meet ≤ K rows) — index-build-time work, no
+    * driver collect. The farthest-vector window is global but runs on
+    * (vec_id, cid, sim) triples only, never payloads; at 100 TB the same
+    * selection would be a TakeOrdered over the K worst fits.
+    */
+  private def lloydStep(s: SparkSession, d: String,
+      centroids: DataFrame): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosineSim(col("embedding"), col("c_emb")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim").as("s"), col("cid").as("c"))).as("m"))
+      .select(col("vec_id"), col("m.c").as("cid"), col("m.s").as("sim"))
     val avgs = (0 until Dim).map(i =>
       avg(element_at(col("embedding"), i + 1)).as(s"a$i"))
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
-      .join(ivfAssign(s, d), Seq("vec_id"))
+    val means = e.join(assigned.select("vec_id", "cid"), Seq("vec_id"))
       .groupBy(col("cid"))
       .agg(avgs.head, avgs.tail: _*)
       .select(col("cid"),
         array((0 until Dim).map(i => col(s"a$i").cast("float")): _*)
           .as("c_emb"))
+    val dead = centroids.select(col("cid"))
+      .except(means.select(col("cid")))
+      .withColumn("rk", row_number().over(Window.orderBy(col("cid"))))
+    val farthest = assigned
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("sim").asc, col("vec_id").asc)))
+      .join(e, Seq("vec_id"))
+      .select(col("rk"), col("embedding"))
+    val reseeded = dead.join(farthest, Seq("rk"))
+      .select(col("cid"), col("embedding").as("c_emb"))
+    means.unionByName(reseeded)
   }
+
+  /** Single-round form — kept as the spec-facing name. */
+  private[graft] def lloydRefineOnce(s: SparkSession, d: String): DataFrame =
+    lloydRefine(s, d, 1)
 
   /** IVF list assignment: nearest centroid per vector. Broadcast the K
     * centroids, codegen'd cosine, argmax via max(struct) — deterministic
@@ -305,12 +347,13 @@ object Ann {
     * `nprobe` nearest lists, and exact cosine re-ranks the union of those
     * lists. `nprobe = IvfLists` probes every list — then the result equals
     * brute force exactly (AnnSpec pins this), which is the correctness
-    * anchor for the approximate settings.
+    * anchor for the approximate settings. `refineRounds` Lloyd rounds
+    * (default 0 — see [[lloydRefine]] for why) train the centroids first.
     */
   def ivfTopK(s: SparkSession, d: String, nprobe: Int,
-      refine: Boolean = false): DataFrame = {
+      refineRounds: Int = 0): DataFrame = {
     val centroids =
-      if (refine) lloydRefineOnce(s, d).localCheckpoint()
+      if (refineRounds > 0) lloydRefine(s, d, refineRounds)
       else ivfCentroids(s, d)
     val assign = ivfAssignTo(s, d, centroids)
     val wq = Window.partitionBy(col("q_id"))

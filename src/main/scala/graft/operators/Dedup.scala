@@ -181,9 +181,23 @@ object Dedup {
       |                string_split(text, ' ')[i+2])) AS sh
       |  FROM documents""".stripMargin
 
+  /** The pair oracle sees the SAME capped shingle universe as the engine:
+    * shingles appearing in more than [[MaxPostingList]] documents are
+    * removed from every document's set before the Jaccard (df computed over
+    * per-doc-distinct shingles, exactly like `cappedShingleIndex`). On the
+    * testdata the hot set is empty (max df ≈ 25), so the oracle is also
+    * byte-equal to the uncapped closure there — but on any corpus where the
+    * cap engages, parity now checks the shipped capped semantics directly
+    * instead of vacuously passing.
+    */
   private[operators] val ngramPairsSql: String =
-    s"""WITH s AS (
-       |  $shingleCteSql)
+    s"""WITH s0 AS (
+       |  $shingleCteSql),
+       |gd AS (SELECT doc_id, unnest(sh) AS g FROM s0),
+       |hot AS (SELECT g FROM gd GROUP BY g
+       |        HAVING COUNT(*) > $MaxPostingList),
+       |s AS (SELECT doc_id, list(g ORDER BY g) AS sh FROM gd
+       |      WHERE g NOT IN (SELECT g FROM hot) GROUP BY doc_id)
        |SELECT a.doc_id AS d1, b.doc_id AS d2,
        |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
        |         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
@@ -242,20 +256,25 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    edges.unpersist()
     // an unconverged result is silently WRONG (labels short of the true
     // component minimum), so never return it: a component of diameter >
     // MaxClusterRounds (pathological for near-dup cliques, but legal input)
     // falls back to the alternating-star algorithm, whose round count is
-    // logarithmic in component size instead of linear in diameter
-    if (!converged) {
-      val ccEdges = pairs.select(col("d1").as("u"), col("d2").as("v"))
-      return connectedComponents(ccEdges)
-        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-        .orderBy(col("doc_id"))
-    }
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("doc_id"))
+    // logarithmic in component size instead of linear in diameter. The
+    // fallback reads the CACHED edge set (connectedComponents tolerates the
+    // bidirectional form — it re-orients and distincts on entry), not a
+    // re-derivation of the pair join: re-running the most expensive stage
+    // exactly on the pathological inputs that trigger the fallback would
+    // double its cost. Both branches materialize eagerly via localCheckpoint
+    // before this function returns, so the unpersist below never exposes a
+    // lazy consumer to a cold recompute.
+    val out =
+      if (!converged)
+        connectedComponents(edges.select(col("src").as("u"), col("dst").as("v")))
+          .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      else labels.select(col("doc_id"), col("label").as("cluster_id"))
+    edges.unpersist()
+    out.orderBy(col("doc_id"))
   }
 
   /** Rounds cap for [[connectedComponents]] — a safety net, not a tuning
@@ -454,6 +473,17 @@ object Dedup {
     * missed with probability (1-0.8⁴)^16 ≈ 2·10⁻⁴, and the planted dups sit
     * at J≈0.99 — so the verified output equals the exact ngramJaccard result
     * and shares its oracle.
+    *
+    * Hash-quality caveat: the miss bound assumes near-uniform permutations.
+    * The base hash is a base-31 polynomial mod 2³¹−1 (chosen for DuckDB
+    * portability, not avalanche), so lanes can correlate on families of
+    * very similar shingles, inflating the miss rate above the formula —
+    * and a missed candidate is a FALSE NEGATIVE the exact-Jaccard
+    * verification cannot repair (it only removes false positives). The
+    * testdata pins recall empirically (DedupSpec: LSH output == exact
+    * inverted-index output); a deployment needing the formula's guarantee
+    * verbatim should swap `polyHashFull` for xxhash64 here and accept a
+    * rows-only oracle for the signature query.
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val sig = signatures(s, d)

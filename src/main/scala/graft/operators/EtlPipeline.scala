@@ -20,6 +20,49 @@ import graft.streaming.Streams
   */
 object EtlPipeline {
 
+  /** The reference handler's response envelope (lambda_function.py:54-71):
+    * 200 + message/record-count on success, 200 + skip message when the
+    * file is outside the watched folder (lambda_function.py:29-34), 500 +
+    * the error message on any failure — always carrying the source file.
+    */
+  final case class EtlResult(statusCode: Int, message: String,
+      recordsProcessed: Option[Long], sourceFile: String,
+      error: Option[String])
+
+  /** Folder gate the reference applies before processing
+    * (lambda_function.py:29): only keys under `raw-data/` are processed.
+    */
+  val WatchedFolder = "raw-data"
+
+  /** [[processFile]] wrapped in the reference's full handler contract
+    * (lambda_function.py:20-71): the folder gate short-circuits to a 200
+    * skip, any failure anywhere in the chain (unreadable file, sink error,
+    * upsert error) is caught and returned as a structured 500 result with
+    * the message and source file — never a raw throw. `watchedFolder =
+    * None` disables the gate (process any path).
+    */
+  def handle(spark: SparkSession, csvPath: String, outJsonPath: String,
+      processedTimestamp: String,
+      jdbc: Option[(String, String, Properties)] = None,
+      watchedFolder: Option[String] = None): EtlResult = {
+    val inWatched = watchedFolder.forall(dir =>
+      csvPath.split('/').dropRight(1).contains(dir))
+    if (!inWatched)
+      EtlResult(200, s"File skipped - not in $WatchedFolder folder",
+        None, csvPath, None)
+    else
+      try {
+        val (n, _) = processFile(spark, csvPath, outJsonPath,
+          processedTimestamp, jdbc)
+        EtlResult(200, "ETL pipeline completed successfully", Some(n),
+          csvPath, None)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          EtlResult(500, "ETL pipeline failed", None, csvPath, Some(msg))
+      }
+  }
+
   /** Process one landed CSV exactly like the reference handler:
     * read (9-column schema, header) → full transform chain with per-file
     * lineage → single-JSON-array output with object metadata → optional

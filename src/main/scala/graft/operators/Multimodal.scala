@@ -84,7 +84,7 @@ object Multimodal {
     * oracle at all — the decode side would be pinned by golden outputs
     * instead, and the Spark-side plumbing here is unchanged by that swap.
     */
-  private case class BlobMetaRow(doc_id: Long, n_bytes: Option[Long],
+  case class BlobMetaRow(doc_id: Long, n_bytes: Option[Long],
       header_byte: Option[Long], checksum: Option[Long],
       width: Option[Long], height: Option[Long])
 

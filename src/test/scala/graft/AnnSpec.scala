@@ -71,7 +71,7 @@ class AnnSpec extends SparkSpecBase {
       .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().toSet
     // exactness under nprobe = K is independent of centroid quality: every
     // vector lives in SOME list, so probing all lists is exact search
-    val ivf = Ann.ivfTopK(spark, sfDir, Ann.IvfLists, refine = true)
+    val ivf = Ann.ivfTopK(spark, sfDir, Ann.IvfLists, refineRounds = 1)
       .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().toSet
     assert(ivf === truth)
     // the refinement is not a no-op: cell means differ from the seed
@@ -87,6 +87,29 @@ class AnnSpec extends SparkSpecBase {
     assert(refined.exists { case (cid, c) =>
       !java.util.Arrays.equals(c, seeds(cid))
     })
+  }
+
+  test("multi-round Lloyd keeps exactly K lists (dead cells reseeded) " +
+      "and refined recall is not below seed recall") {
+    // every round must hand back K centroids with K distinct cids — a dead
+    // cell is reseeded from the farthest-assigned vector, never dropped
+    (1 to 3).foreach { r =>
+      val cids = Ann.lloydRefine(spark, sfDir, r)
+        .select("cid").as[Long].collect()
+      assert(cids.length === Ann.IvfLists, s"rounds=$r")
+      assert(cids.toSet.size === Ann.IvfLists, s"rounds=$r")
+    }
+    val truth = Ann.bruteForceTopK(spark, sfDir)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recallAt(rounds: Int): Double = {
+      val got = Ann.ivfTopK(spark, sfDir, Ann.IvfProbe, refineRounds = rounds)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val seed = recallAt(0)
+    val refined = recallAt(3)
+    assert(refined >= seed,
+      s"recall degraded: seed=$seed refined(3 rounds)=$refined")
   }
 
   test("near-dup retrieval is symmetric-free (v1 < v2) and above threshold") {

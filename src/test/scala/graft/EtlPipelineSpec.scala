@@ -64,4 +64,53 @@ class EtlPipelineSpec extends SparkSpecBase {
     assert(after.select("processed_timestamp").as[String].collect()
       .forall(_ startsWith "2024-07-01 13:00:00"))
   }
+
+  test("handle: the reference handler envelope — 200 success, 200 skip, " +
+      "structured 500 on failure (never a raw throw)") {
+    val dir = Files.createTempDirectory("graft_handle").toString
+    Files.createDirectories(Paths.get(s"$dir/raw-data"))
+    Files.createDirectories(Paths.get(s"$dir/other"))
+    val header = "transaction_id,date,timestamp,amount,category,description," +
+      "transaction_type,account,location"
+    val csv = s"$dir/raw-data/batch2.csv"
+    Files.writeString(Paths.get(csv),
+      s"""$header
+         |TXN_H1,2024-07-05,2024-07-05 08:00:00,5.0,food,coffee,expense,checking,Cafe
+         |TXN_H2,2024-07-05,2024-07-05 09:00:00,80.0,bills,power,expense,checking,Online
+         |""".stripMargin)
+
+    // success arm: 200 + message + record count + source file
+    val ok = EtlPipeline.handle(spark, csv, s"$dir/out/batch2.json",
+      "2024-07-05T12:00:00", watchedFolder = Some(EtlPipeline.WatchedFolder))
+    assert(ok.statusCode === 200)
+    assert(ok.message === "ETL pipeline completed successfully")
+    assert(ok.recordsProcessed === Some(2L))
+    assert(ok.sourceFile === csv)
+    assert(ok.error.isEmpty)
+
+    // skip arm: a file outside the watched folder is acknowledged, not
+    // processed (lambda_function.py:29-34) — it need not even exist
+    val skip = EtlPipeline.handle(spark, s"$dir/other/batch3.csv",
+      s"$dir/out/batch3.json", "2024-07-05T12:00:00",
+      watchedFolder = Some(EtlPipeline.WatchedFolder))
+    assert(skip.statusCode === 200)
+    assert(skip.message.contains("skipped"))
+    assert(skip.recordsProcessed.isEmpty)
+    assert(!Files.exists(Paths.get(s"$dir/out/batch3.json")))
+
+    // failure arm: an unreadable input yields the structured 500 carrying
+    // the error message AND the source file (lambda_function.py:63-71) —
+    // the caller never sees a raw exception. (A merely-malformed CSV is
+    // NOT an error: per-cell coercion tolerance keeps the row — the test
+    // above pins that — so the canonical infrastructure failure here is a
+    // missing file.)
+    val missing = s"$dir/raw-data/no_such.csv"
+    val bad = EtlPipeline.handle(spark, missing, s"$dir/out/no_such.json",
+      "2024-07-05T12:00:00", watchedFolder = Some(EtlPipeline.WatchedFolder))
+    assert(bad.statusCode === 500)
+    assert(bad.message === "ETL pipeline failed")
+    assert(bad.error.isDefined && bad.error.get.contains("no_such"))
+    assert(bad.sourceFile === missing)
+    assert(bad.recordsProcessed.isEmpty)
+  }
 }
