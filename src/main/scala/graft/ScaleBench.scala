@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Dedup
+
+/** Scale-evidence bench: times the heavy dedup/ANN family (the queries
+  * whose cost is dominated by the documents/embeddings tables, so they run
+  * against a [[ScaleData]] directory that carries only those two tables) at
+  * any data size, with the same noop-sink min-of-2 protocol as [[Bench]].
+  *
+  * Usage: ScaleBench <dir> [name ...] [ngram_cap=N]
+  *  - no names: the whole family
+  *  - `ngram_cap=N`: additionally time the n-gram pair join with an
+  *    explicit posting-list cap N (the stop-shingle knob) — the scaling
+  *    study uses this to show the cap bounding the pair-join blowup on
+  *    corpora whose shingle document-frequencies grow with corpus size.
+  */
+object ScaleBench {
+
+  val Family: Seq[String] = Seq(
+    "q_dedup_exact", "q_dedup_ngram", "q_dedup_clusters", "q_dedup_minhash",
+    "q_minhash_signature", "q_dedup_simhash", "q_corpus_build",
+    "q_embed_neardup", "q_ann_brute", "q_ann_lsh", "q_ann_ivf",
+    "q_text_stats", "q_quality_score", "q_fingerprint",
+    "q_stratified_sample")
+
+  def main(args: Array[String]): Unit = {
+    System.setProperty("spark.log.level", "ERROR")
+    val dir   = args(0)
+    val caps  = args.drop(1).filter(_.startsWith("ngram_cap="))
+      .map(_.stripPrefix("ngram_cap=").toInt)
+    val names = args.drop(1).filterNot(_.startsWith("ngram_cap=")) match {
+      case Array() => Family
+      case picked  => picked.toSeq
+    }
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.build(s"local[$cpus]", cpus, "graft-scalebench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10000000L).selectExpr("sum(id)").collect() // JVM warmup
+    Tables.documents(spark, dir).count()
+    Tables.embeddings(spark, dir).count()
+    val bench = SparkEntry.benchQueries
+    val capped: Seq[(String, (SparkSession, String) => DataFrame)] =
+      caps.toSeq.map { cap =>
+        s"q_dedup_ngram_cap$cap" -> ((s: SparkSession, d: String) =>
+          Dedup.ngramPairsOf(Tables.documents(s, d), cap))
+      }
+    val results =
+      (names.map(n => n -> bench(n)) ++ capped).map { case (name, fn) =>
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[scalebench] $name failed: ${e.getMessage}")
+              false
+            }
+          ((System.nanoTime() - t0) / 1e9, ok)
+        }
+        val good = runs.collect { case (t, true) => t }
+        name -> (if (good.nonEmpty) good.min else -1.0)
+      }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","queries":$qs,"dir":"$dir"}""")
+    spark.stop()
+  }
+}

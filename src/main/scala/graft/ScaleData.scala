@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic scale-up generator for the `documents` / `embeddings`
+  * tables (the two tables behind the heavy dedup/ANN family), mimicking the
+  * driver testdata's shape at an arbitrary multiple: same 30-word vocabulary,
+  * 10-100 word documents, ~2.5% planted near-duplicate copies (one word
+  * swapped for the rare `dup` marker, J ≈ 0.95 at the median length), and
+  * unit-norm 64-dim embeddings. Everything is a pure function of the row id
+  * via splitmix64 — no RNG state, identical output at any parallelism —
+  * the same design as [[graft.sources.TxnGenerator]].
+  *
+  * Usage: ScaleData <outDir> <nDocs> <nVecs>
+  * The driver testdata is sf0.1 = 5000 docs / 2000 vecs, so a 10× "sf1"
+  * run is `ScaleData /tmp/graft_sf1 50000 20000`.
+  */
+object ScaleData {
+
+  /** The driver testdata's document vocabulary minus the `dup` marker. */
+  val Vocab: Array[String] = Array(
+    "a", "agg", "batch", "big", "column", "customer", "data", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window")
+
+  def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  private def baseWords(id: Long): Array[String] = {
+    val len = 10 + (Math.floorMod(mix(id * 31L + 7L), 91L)).toInt
+    Array.tabulate(len)(i =>
+      Vocab(Math.floorMod(mix(id * 1000003L + i), Vocab.length.toLong).toInt))
+  }
+
+  /** Every 40th id is a near-copy of an earlier document with one interior
+    * word replaced by the `dup` marker — the planted-pair density (~2.5%
+    * of docs are copies, so ~5% of docs sit in a near-dup pair) and
+    * J ≈ 0.9+ match the driver corpus.
+    */
+  def docText(id: Long, nDocs: Long): String = {
+    if (id % 40L == 39L && id > 0) {
+      val span = math.min(id, math.max(nDocs / 10L, 1L))
+      val orig = id - 1L - Math.floorMod(mix(id * 7919L), span)
+      val w = baseWords(orig)
+      w(1 + Math.floorMod(mix(id * 104729L), (w.length - 1).toLong).toInt) = "dup"
+      w.mkString(" ")
+    } else baseWords(id).mkString(" ")
+  }
+
+  def embedding(id: Long): Array[Float] = {
+    val raw = Array.tabulate(64) { j =>
+      // uniform in [-1, 1) from the high 53 bits
+      (mix(id * 524287L + j) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    val norm = math.sqrt(raw.map(v => v * v).sum)
+    raw.map(v => (v / norm).toFloat)
+  }
+
+  def main(args: Array[String]): Unit = {
+    System.setProperty("spark.log.level", "ERROR")
+    val outDir = args(0)
+    val nDocs  = args(1).toLong
+    val nVecs  = args(2).toLong
+    val spark  = Sessions.build("local[8]", "32", "graft-scaledata")
+    import spark.implicits._
+    spark.range(nDocs).map { id =>
+      val text = docText(id, nDocs)
+      (id, text, "en", s"src${Math.floorMod(mix(id + 13L), 20L)}",
+        text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    spark.range(nVecs).map(id => (id, embedding(id), id % 10L))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    println(s"""{"docs":$nDocs,"vecs":$nVecs,"dir":"$outDir"}""")
+    spark.stop()
+  }
+}

@@ -236,13 +236,22 @@ object Relational {
   /** A3 — HyperLogLog++ approximate distinct: the scale path for dedup-style
     * counting (constant memory per group regardless of cardinality). Sketch
     * internals are engine-specific, so this query has no DuckDB oracle —
-    * the driver records a rows-only check; the ScalaTest spec bounds its
-    * error against the exact count instead.
+    * the driver records a rows-only check — but the output is
+    * SELF-VALIDATING: the exact distinct rides along in the same row with
+    * the relative error and a within-5%-bound flag, so even the rows-only
+    * record shows the sketch inside its configured rsd on inspection (the
+    * ScalaTest spec asserts the flag; both aggregates come out of ONE
+    * partial+final pass, no extra scan).
     */
   def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .withColumn("rel_err",
+        abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts").cast("double"))
+      .withColumn("within_bound", col("rel_err") <= 0.05)
       .orderBy(col("l_returnflag"))
 
   /** A4 — rollup over the time hierarchy implied by the reference's

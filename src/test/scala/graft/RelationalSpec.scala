@@ -36,4 +36,15 @@ class RelationalSpec extends SparkSpecBase {
     val plan = Relational.topK(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  test("approx distinct is self-validating: every group inside the 5% bound") {
+    val rows = Relational.aggApproxDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"),
+        s"${r.getAs[String]("l_returnflag")}: approx=" +
+          s"${r.getAs[Long]("approx_parts")} exact=" +
+          s"${r.getAs[Long]("exact_parts")} err=${r.getAs[Double]("rel_err")}")
+    }
+  }
 }
