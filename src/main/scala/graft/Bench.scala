@@ -67,11 +67,20 @@ object Bench {
       val good = runs.collect { case (t, true) => t }
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
+    println(metricLine(results, sfDir))
+    spark.stop()
+  }
+
+  /** The one stdout line the driver parses. Factored out so BenchJsonSpec
+    * can assert it is machine-parseable JSON of the expected shape (query
+    * names are [A-Za-z0-9_] and timings are finite doubles, so no quoting
+    * or NaN/Infinity hazards exist by construction — the spec pins that).
+    */
+  def metricLine(results: Seq[(String, Double)], sfDir: String): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total sums successes only — the -1 sentinels must not deflate it
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 }

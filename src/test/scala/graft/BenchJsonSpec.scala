@@ -1,0 +1,38 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver parses the LAST stdout line of a Bench run as JSON; a
+  * malformed metric line silently voids a whole round's performance
+  * record. Parse the exact string Bench prints with a real JSON parser
+  * (Jackson, already on the Spark classpath) across the shapes a run can
+  * produce — including the -1 failure sentinel and every actual query
+  * name — so no formatting regression can ship.
+  */
+class BenchJsonSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper
+
+  test("metric line is valid JSON with the expected fields") {
+    val line = Bench.metricLine(
+      Seq("q_a" -> 0.25, "q_b" -> 1.5E-3, "q_failed" -> -1.0), "/data/sf")
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText() === "total")
+    assert(node.get("unit").asText() === "sec")
+    assert(node.get("sf").asText() === "/data/sf")
+    // total excludes the -1 sentinel
+    assert(math.abs(node.get("value").asDouble() - 0.2515) < 1e-12)
+    assert(node.get("queries").get("q_failed").asDouble() === -1.0)
+    assert(node.get("queries").size() === 3)
+  }
+
+  test("every real query name round-trips through the metric line") {
+    val results = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
+      .map { case (n, i) => n -> i * 0.1 }
+    val node = mapper.readTree(Bench.metricLine(results, "/root/testdata/sf0.1"))
+    assert(node.get("queries").size() === SparkEntry.queries.size)
+    results.foreach { case (n, v) =>
+      assert(math.abs(node.get("queries").get(n).asDouble() - v) < 1e-12, n)
+    }
+  }
+}
