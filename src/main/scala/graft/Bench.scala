@@ -81,6 +81,19 @@ object Bench {
       .mkString("{", ",", "}")
     // total sums successes only — the -1 sentinels must not deflate it
     val total = results.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val sf = jsonEscape(sfDir)
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf"}"""
   }
+
+  /** The sf directory is the one operator-controlled string in the metric
+    * line (query names are identifier-safe, timings are finite doubles) —
+    * a quote or backslash in the path must not void the round's record.
+    */
+  def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
 }

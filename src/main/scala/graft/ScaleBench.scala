@@ -30,10 +30,14 @@ object ScaleBench {
     val dir   = args(0)
     val caps  = args.drop(1).filter(_.startsWith("ngram_cap="))
       .map(_.stripPrefix("ngram_cap=").toInt)
-    val names = args.drop(1).filterNot(_.startsWith("ngram_cap=")) match {
-      case Array() => Family
-      case picked  => picked.toSeq
-    }
+    val picked = args.drop(1).filterNot(_.startsWith("ngram_cap=")).toSeq
+    // an unknown name must not kill the whole run after minutes of timing:
+    // report it and measure the rest (same spirit as the -1 sentinel)
+    val (names0, unknown) =
+      (if (picked.isEmpty) Family else picked)
+        .partition(SparkEntry.queries.contains)
+    unknown.foreach(n => System.err.println(s"[scalebench] unknown query: $n"))
+    val names = names0
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.build(s"local[$cpus]", cpus, "graft-scalebench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -64,7 +68,8 @@ object ScaleBench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","queries":$qs,"dir":"$dir"}""")
+    val d = Bench.jsonEscape(dir)
+    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","queries":$qs,"dir":"$d"}""")
     spark.stop()
   }
 }

@@ -44,8 +44,12 @@ object ScaleData {
     */
   def docText(id: Long, nDocs: Long): String = {
     if (id % 40L == 39L && id > 0) {
-      val span = math.min(id, math.max(nDocs / 10L, 1L))
-      val orig = id - 1L - Math.floorMod(mix(id * 7919L), span)
+      val span  = math.min(id, math.max(nDocs / 10L, 1L))
+      val orig0 = id - 1L - Math.floorMod(mix(id * 7919L), span)
+      // the source must be a BASE doc: a copy-of-a-copy would differ from
+      // the stored source text in two words, silently diluting the planted
+      // pair's Jaccard below threshold on short documents
+      val orig = if (orig0 % 40L == 39L) orig0 - 1L else orig0
       val w = baseWords(orig)
       w(1 + Math.floorMod(mix(id * 104729L), (w.length - 1).toLong).toInt) = "dup"
       w.mkString(" ")

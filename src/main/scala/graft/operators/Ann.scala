@@ -286,11 +286,13 @@ object Ann {
   }
 
   /** One Lloyd round against an explicit centroid set: cell means + dead-
-    * cell reseed. The reseed ranks dead cids and farthest vectors with two
-    * tiny rank-joins (≤ K rows meet ≤ K rows) — index-build-time work, no
-    * driver collect. The farthest-vector window is global but runs on
-    * (vec_id, cid, sim) triples only, never payloads; at 100 TB the same
-    * selection would be a TakeOrdered over the K worst fits.
+    * cell reseed. The K worst-fitting vectors come out of an
+    * `orderBy.limit(K)` — TakeOrderedAndProject, distributed top-K over
+    * (vec_id, cid, sim) triples, no global sort, no full-N window — and
+    * only those ≤ K rows rejoin the embedding payload before the ≤ K-row
+    * rank-join against the dead cids. When no cell is dead (the common
+    * case) the reseed side evaluates to zero rows; everything stays
+    * in-plan, no driver collect.
     */
   private def lloydStep(s: SparkSession, d: String,
       centroids: DataFrame): DataFrame = {
@@ -312,6 +314,7 @@ object Ann {
       .except(means.select(col("cid")))
       .withColumn("rk", row_number().over(Window.orderBy(col("cid"))))
     val farthest = assigned
+      .orderBy(col("sim").asc, col("vec_id").asc).limit(IvfLists)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("sim").asc, col("vec_id").asc)))
       .join(e, Seq("vec_id"))

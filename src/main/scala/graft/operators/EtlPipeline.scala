@@ -48,7 +48,9 @@ object EtlPipeline {
     val inWatched = watchedFolder.forall(dir =>
       csvPath.split('/').dropRight(1).contains(dir))
     if (!inWatched)
-      EtlResult(200, s"File skipped - not in $WatchedFolder folder",
+      // name the folder the gate actually checked, not the default constant
+      EtlResult(200,
+        s"File skipped - not in ${watchedFolder.getOrElse(WatchedFolder)} folder",
         None, csvPath, None)
     else
       try {

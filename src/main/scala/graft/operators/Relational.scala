@@ -240,8 +240,13 @@ object Relational {
     * SELF-VALIDATING: the exact distinct rides along in the same row with
     * the relative error and a within-5%-bound flag, so even the rows-only
     * record shows the sketch inside its configured rsd on inspection (the
-    * ScalaTest spec asserts the flag; both aggregates come out of ONE
-    * partial+final pass, no extra scan).
+    * ScalaTest spec asserts the flag; one scan — the distinct aggregate
+    * makes it an Expand-based multi-phase aggregation, not a single
+    * partial+final pass). The exact twin exists to VALIDATE the sketch —
+    * the same verify-the-candidates pattern the dedup sketches use — and
+    * is what a deployment drops at the cardinalities where only the
+    * constant-memory HLL++ path survives; the pure sketch shape is
+    * `q_agg_distinct`'s plan minus the exact columns.
     */
   def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

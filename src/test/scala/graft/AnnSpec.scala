@@ -108,7 +108,12 @@ class AnnSpec extends SparkSpecBase {
     }
     val seed = recallAt(0)
     val refined = recallAt(3)
-    assert(refined >= seed,
+    // Lloyd does not guarantee monotone recall at fixed nprobe, and the
+    // cell-mean avg() is not byte-stable across shuffle merge orders (the
+    // reason refinement is gated off for driver queries), so near-tie
+    // assignments can flip between runs: allow a one-neighbor slip rather
+    // than flake, while still catching any real regression
+    assert(refined >= seed - 1.0 / truth.size,
       s"recall degraded: seed=$seed refined(3 rounds)=$refined")
   }
 

@@ -26,6 +26,13 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(node.get("queries").size() === 3)
   }
 
+  test("a hostile sf path (quotes, backslashes, control chars) still " +
+      "yields parseable JSON") {
+    val hostile = "/data/sf\"1\\x\n"
+    val node = mapper.readTree(Bench.metricLine(Seq("q_a" -> 1.0), hostile))
+    assert(node.get("sf").asText() === hostile)
+  }
+
   test("every real query name round-trips through the metric line") {
     val results = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
       .map { case (n, i) => n -> i * 0.1 }

@@ -27,6 +27,16 @@ class ScaleDataSpec extends SparkSpecBase {
     dupDocs.foreach { case (t, id) =>
       assert(id % 40 === 39, s"doc $id")
       assert(t.split(" ").count(_ == "dup") === 1)
+      // the copy's source is a stored BASE document: exactly one position
+      // differs from SOME other doc's stored text (phantom pairs — a copy
+      // sourced from another copy's base words — would differ in two)
+      val words = t.split(" ")
+      val oneAway = texts.zipWithIndex.exists { case (o, oid) =>
+        val ow = o.split(" ")
+        oid != id && ow.length == words.length &&
+          ow.zip(words).count { case (a, b) => a != b } == 1
+      }
+      assert(oneAway, s"doc $id has no stored one-word-away original")
     }
   }
 
