@@ -39,6 +39,7 @@ object SparkEntry {
     // [REF] sources/sinks — SURVEY §2a/§2b
     "q_csv_roundtrip"  -> (EtlQueries.csvRoundtrip _),
     "q_json_roundtrip" -> (EtlQueries.jsonRoundtrip _),
+    "q_orc_roundtrip"  -> (EtlQueries.orcRoundtrip _),
     "q_schema_evolution" -> (EtlQueries.schemaEvolution _),
     "q_generate"       -> ((s: SparkSession, _: String) =>
       TxnGenerator.generate(s, 1000).orderBy("transaction_id")),
@@ -83,6 +84,8 @@ object SparkEntry {
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_fingerprint"   -> (TextAnalysis.fingerprintDf _),
     "q_stratified_sample" -> (TextAnalysis.stratifiedSample _),
+    "q_chunk"             -> (TextAnalysis.chunkDocs _),
+    "q_doc_repetition"    -> (TextAnalysis.docRepetition _),
     "q_corpus_build"      -> (CorpusPipeline.corpusBuild _),
     "q_range_join"        -> (EventOps.rangeJoin _),
     "q_skew_join"         -> (EventOps.skewJoin _),
@@ -93,6 +96,7 @@ object SparkEntry {
     "q_dedup_minhash"     -> (Dedup.minhashLsh _),
     "q_minhash_signature" -> (Dedup.minhashSignatures _),
     "q_dedup_simhash"     -> (Dedup.simhashPairs _),
+    "q_decontaminate"     -> (Dedup.decontaminate _),
     // [EXT] LLM-pipeline: similarity search + multimodal
     "q_ann_brute"       -> (Ann.bruteForceTopK _),
     "q_ann_lsh"         -> (Ann.lshTopK _),
@@ -136,6 +140,7 @@ object SparkEntry {
     "q_count_stats"     -> EtlQueries.countStatsSql,
     "q_csv_roundtrip"   -> EtlQueries.csvRoundtripSql,
     "q_json_roundtrip"  -> EtlQueries.jsonRoundtripSql,
+    "q_orc_roundtrip"   -> EtlQueries.orcRoundtripSql,
     "q_schema_evolution" -> EtlQueries.schemaEvolutionSql,
     "q_generate"        -> TxnGenerator.oracleSql(1000),
     "q_etl_txn"         -> PipelineQueries.etlTransactionsSql,
@@ -173,6 +178,8 @@ object SparkEntry {
     "q_quality_score"   -> TextAnalysis.qualityScoreSql,
     "q_fingerprint"     -> TextAnalysis.fingerprintSql,
     "q_stratified_sample" -> TextAnalysis.stratifiedSampleSql,
+    "q_chunk"             -> TextAnalysis.chunkDocsSql,
+    "q_doc_repetition"    -> TextAnalysis.docRepetitionSql,
     "q_corpus_build"      -> CorpusPipeline.corpusBuildSql,
     "q_range_join"        -> EventOps.rangeJoinSql,
     "q_skew_join"         -> EventOps.skewJoinSql,
@@ -185,6 +192,7 @@ object SparkEntry {
     "q_dedup_minhash"   -> Dedup.ngramJaccardSql,
     "q_minhash_signature" -> Dedup.minhashSignaturesSql,
     "q_dedup_simhash"   -> Dedup.simhashPairsSql,
+    "q_decontaminate"   -> Dedup.decontaminateSql,
     "q_ann_brute"       -> Ann.bruteForceTopKSql,
     // exhaustive-probe IVF visits every list, so its output is exactly the
     // brute-force ranking (pinned in AnnSpec) — same oracle applies.

@@ -320,4 +320,134 @@ object TextAnalysis {
        |         (acc, x) -> (acc * 31 + x) % $FpMod) AS fingerprint,
        |       CAST(length(text) AS BIGINT) AS n_chars
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------- context-window chunking ----------
+
+  /** Tokens per chunk / stride between chunk starts. 64/48 gives a 16-token
+    * overlap — the sliding-window shape used to cut documents into
+    * model-context-sized training sequences.
+    */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** Sliding-window chunking: each document becomes
+    * `1 + max(0, ceil((n_tok - W) / S))` chunks starting at 0, S, 2S, … —
+    * the last window absorbs the tail (up to W tokens), so every token is
+    * covered and no chunk is wholly contained in its predecessor. Purely
+    * narrow (token array → generate → slice): no shuffle at any scale, and
+    * the chunk count is derived per-row, so skewed document lengths cost
+    * nothing beyond their own output rows.
+    */
+  def chunkDocs(s: SparkSession, d: String): DataFrame = {
+    val W = ChunkTokens
+    val S = ChunkStride
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tok"))
+    val nStarts = lit(1L) + greatest(lit(0L),
+      ceil((col("n_tok") - lit(W.toLong)).cast("double") / lit(S.toDouble)))
+    base
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        explode_outer(sequence(lit(0L), nStarts - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("toks"), (col("chunk_idx") * S + 1).cast("int"), lit(W)))
+          .as("chunk_text"),
+        least(col("n_tok") - col("chunk_idx") * S, lit(W.toLong))
+          .as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val chunkDocsSql: String = {
+    val W = ChunkTokens
+    val S = ChunkStride
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t),
+       |c AS (SELECT doc_id, toks, n_tok,
+       |             unnest(range(0, 1 + greatest(0,
+       |               CAST(ceil((n_tok - $W) / $S.0) AS BIGINT)))) AS chunk_idx
+       |      FROM n)
+       |SELECT doc_id, chunk_idx,
+       |       array_to_string(toks[chunk_idx*$S+1 : chunk_idx*$S+$W], ' ')
+       |         AS chunk_text,
+       |       CAST(least(n_tok - chunk_idx*$S, $W) AS BIGINT) AS n_tokens
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  // ---------- repetition scoring (Gopher-style quality signals) ----------
+
+  /** Flag thresholds for [[docRepetition]]: a document is `repetitive` when
+    * duplicate tokens exceed 90% of its mass or its most frequent bigram
+    * fills more than 15% of the bigram slots — the boilerplate/
+    * degenerate-text signals used by published pretraining filters
+    * (duplicate-line and top-n-gram fractions).
+    */
+  val DupTokenFracMax  = 0.9
+  val TopBigramFracMax = 0.15
+
+  /** Per-document repetition metrics: duplicate-token fraction
+    * (`1 - distinct/total`) and the share of bigram slots occupied by the
+    * modal bigram (`top_cnt / (n_tok - 1)`, both in [0, 1]). Shape at
+    * scale: one narrow scan computes the per-doc token stats, then ONE
+    * aggregation pair on (doc_id, gram) → (doc_id) finds the modal bigram
+    * count — the mode is found distributively (partial max per partition),
+    * never by collecting per-doc histograms.
+    */
+  def docRepetition(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    // guard: Spark's sequence(1, 0) would run DESCENDING, not empty —
+    // single-token docs must produce an empty gram array explicitly
+    val grams = base.select(
+      col("doc_id"), col("n_tok"), col("n_distinct"),
+      explode_outer(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ",
+            element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val dupFrac = (col("n_tok") - col("n_distinct")).cast("double") /
+      col("n_tok").cast("double")
+    val topFrac = col("top_cnt").cast("double") /
+      greatest(col("n_tok") - 1, lit(1L)).cast("double")
+    grams
+      .groupBy(col("doc_id"), col("n_tok"), col("n_distinct"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("n_tok"), col("n_distinct"))
+      .agg(max(when(col("gram").isNotNull, col("cnt")).otherwise(lit(0L)))
+        .as("top_cnt"))
+      .select(col("doc_id"), col("n_tok"),
+        dupFrac.as("dup_token_frac"),
+        topFrac.as("top_bigram_frac"),
+        (dupFrac > DupTokenFracMax || topFrac > TopBigramFracMax)
+          .as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docRepetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |b AS (SELECT doc_id, toks, len(toks) AS n_tok,
+       |             len(list_distinct(toks)) AS n_distinct FROM t),
+       |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |               i -> toks[i] || ' ' || toks[i+1])) AS gram FROM b),
+       |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g
+       |      GROUP BY doc_id, gram),
+       |m AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM c GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
+       |       CAST(b.n_tok - b.n_distinct AS DOUBLE) /
+       |         CAST(b.n_tok AS DOUBLE) AS dup_token_frac,
+       |       CAST(COALESCE(m.top_cnt, 0) AS DOUBLE) /
+       |         CAST(greatest(b.n_tok - 1, 1) AS DOUBLE) AS top_bigram_frac,
+       |       (CAST(b.n_tok - b.n_distinct AS DOUBLE) /
+       |          CAST(b.n_tok AS DOUBLE) > $DupTokenFracMax
+       |        OR CAST(COALESCE(m.top_cnt, 0) AS DOUBLE) /
+       |          CAST(greatest(b.n_tok - 1, 1) AS DOUBLE) > $TopBigramFracMax)
+       |         AS repetitive
+       |FROM b LEFT JOIN m ON b.doc_id = m.doc_id
+       |ORDER BY b.doc_id""".stripMargin
 }

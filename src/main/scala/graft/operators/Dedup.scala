@@ -210,6 +210,46 @@ object Dedup {
   val ngramJaccardSql: String =
     ngramPairsSql + "\nORDER BY d1, d2"
 
+  // ---------- benchmark decontamination ----------
+
+  /** Deterministic eval holdout for [[decontaminate]]: documents with
+    * doc_id ≡ 0 (mod EvalMod) play the role of the benchmark/eval set the
+    * training corpus must not overlap.
+    */
+  val EvalMod = 10L
+
+  /** Train-vs-eval decontamination: every (train doc, eval doc) pair whose
+    * 3-shingle Jaccard reaches the near-dup threshold — the contamination
+    * report a pretraining pipeline runs against its benchmark suites before
+    * training (the train side of each pair is what gets dropped). Reuses
+    * the capped inverted-index pair machinery wholesale: candidates only
+    * meet through a shared informative shingle, so the cross-corpus check
+    * costs the same one bucketed join the within-corpus dedup pays — no
+    * train × eval cross product at any scale. Pairs internal to one side
+    * (train-train, eval-eval) are near-dups but not contamination, and are
+    * filtered before the report.
+    */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val e1 = pmod(col("d1"), lit(EvalMod)) === 0
+    val e2 = pmod(col("d2"), lit(EvalMod)) === 0
+    ngramPairs(s, d)
+      .filter(e1 =!= e2)
+      .select(
+        when(e1, col("d2")).otherwise(col("d1")).as("train_id"),
+        when(e1, col("d1")).otherwise(col("d2")).as("eval_id"),
+        col("jaccard"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH pairs AS ($ngramPairsSql)
+       |SELECT CASE WHEN d1 % $EvalMod = 0 THEN d2 ELSE d1 END AS train_id,
+       |       CASE WHEN d1 % $EvalMod = 0 THEN d1 ELSE d2 END AS eval_id,
+       |       jaccard
+       |FROM pairs
+       |WHERE (d1 % $EvalMod = 0) <> (d2 % $EvalMod = 0)
+       |ORDER BY train_id, eval_id""".stripMargin
+
   val MaxClusterRounds = 20
 
   /** Dedup clusters: connected components over the near-dup pair graph —

@@ -355,6 +355,30 @@ object EtlQueries {
       |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** S/K-family, ORC roundtrip: the documents profile written as
+    * Hive-partitioned ORC (the other columnar warehouse format Spark ships
+    * a vectorized reader for) and read back through the ORC scan into a
+    * per-(lang, source) rollup. The oracle aggregates the same rows from
+    * parquet — the format must be content-transparent, so both sides agree
+    * byte-for-byte exactly when the ORC write/read preserves values and
+    * partition keys losslessly.
+    */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft_rt/${new java.io.File(d).getName}/orc"
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").partitionBy("lang").orc(dir)
+    s.read.orc(dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   /** K1/S4 — JSON-lines sink + scan round-trip (the reference's output
     * format, lambda_function.py:285; JSON-lines vs JSON-array delta
     * documented in SURVEY §7).

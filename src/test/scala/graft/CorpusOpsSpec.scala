@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, EtlQueries}
+
+/** Pins the round-5 corpus operators on synthetic documents with known
+  * structure: sliding-window chunking (coverage + tail absorption),
+  * repetition scoring (hand-computed fractions), train/eval benchmark
+  * decontamination (cross-split pairs only), and the ORC sink/scan
+  * round-trip (content-transparent vs the parquet source).
+  */
+class CorpusOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def words(n: Int, prefix: String = "w"): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("chunkDocs: short doc is one full-coverage chunk") {
+    val dir = writeDocs(Seq((1L, words(10))))
+    val out = TextAnalysis.chunkDocs(spark, dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("chunk_idx") === 0L)
+    assert(out.head.getAs[Long]("n_tokens") === 10L)
+    assert(out.head.getAs[String]("chunk_text") === words(10))
+  }
+
+  test("chunkDocs: window boundary and stride tail absorption") {
+    val W = TextAnalysis.ChunkTokens   // 64
+    val S = TextAnalysis.ChunkStride   // 48
+    // exactly W tokens -> 1 chunk; W+1 -> 2 chunks (tail starts at S)
+    val dir = writeDocs(Seq((1L, words(W)), (2L, words(W + 1))))
+    val out = TextAnalysis.chunkDocs(spark, dir)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(out(1L).length === 1)
+    assert(out(1L).head.getAs[Long]("n_tokens") === W.toLong)
+    assert(out(2L).length === 2)
+    val second = out(2L).find(_.getAs[Long]("chunk_idx") == 1L).get
+    assert(second.getAs[Long]("n_tokens") === (W + 1 - S).toLong)
+    assert(second.getAs[String]("chunk_text").split(" ").head === s"w$S")
+    // every token appears in some chunk (coverage)
+    val covered = out(2L).flatMap(_.getAs[String]("chunk_text").split(" ")).toSet
+    assert(covered === (0 until W + 1).map(i => s"w$i").toSet)
+  }
+
+  test("docRepetition: hand-computed fractions and flags") {
+    val dir = writeDocs(Seq(
+      (1L, "a a a a a"),   // dup 4/5, modal bigram "a a" = 4/4 slots
+      (2L, words(10)),     // all distinct, modal bigram 1/9
+      (3L, "solo")         // single token: no bigram slots
+    ))
+    val out = TextAnalysis.docRepetition(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("dup_token_frac") === 0.8)
+    assert(out(1L).getAs[Double]("top_bigram_frac") === 1.0)
+    assert(out(1L).getAs[Boolean]("repetitive"))
+    assert(out(2L).getAs[Double]("dup_token_frac") === 0.0)
+    assert(math.abs(out(2L).getAs[Double]("top_bigram_frac") - 1.0 / 9) < 1e-12)
+    assert(!out(2L).getAs[Boolean]("repetitive"))
+    assert(out(3L).getAs[Double]("dup_token_frac") === 0.0)
+    assert(out(3L).getAs[Double]("top_bigram_frac") === 0.0)
+    assert(!out(3L).getAs[Boolean]("repetitive"))
+  }
+
+  test("decontaminate reports only cross-split near-dup pairs, train side first") {
+    val base = "spark reads shuffles joins aggregates sorts filters projects windows streams"
+    val dir = writeDocs(Seq(
+      (10L, base),             // eval (10 % 10 == 0)
+      (1L, base),              // train, exact copy -> contaminated
+      (2L, base + " extra"),   // train, near-dup -> contaminated
+      (3L, "completely different words about cooking pasta tonight with sauce")
+    ))
+    val out = Dedup.decontaminate(spark, dir).collect()
+    val pairs = out.map(r =>
+      (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"))).toSet
+    assert(pairs === Set((1L, 10L), (2L, 10L))) // train-train (1,2) excluded
+    assert(out.forall(_.getAs[Double]("jaccard") >= Dedup.JaccardThreshold))
+  }
+
+  test("ORC round-trip matches the parquet-side aggregate exactly") {
+    val viaOrc = EtlQueries.orcRoundtrip(spark, sfDir).collect().toSeq
+    val viaParquet = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("source")).collect().toSeq
+    assert(viaOrc === viaParquet)
+  }
+}
