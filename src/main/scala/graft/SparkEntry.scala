@@ -40,6 +40,7 @@ object SparkEntry {
     "q_csv_roundtrip"  -> (EtlQueries.csvRoundtrip _),
     "q_json_roundtrip" -> (EtlQueries.jsonRoundtrip _),
     "q_orc_roundtrip"  -> (EtlQueries.orcRoundtrip _),
+    "q_xml_roundtrip"  -> (EtlQueries.xmlRoundtrip _),
     "q_schema_evolution" -> (EtlQueries.schemaEvolution _),
     "q_generate"       -> ((s: SparkSession, _: String) =>
       TxnGenerator.generate(s, 1000).orderBy("transaction_id")),
@@ -86,6 +87,8 @@ object SparkEntry {
     "q_stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "q_chunk"             -> (TextAnalysis.chunkDocs _),
     "q_doc_repetition"    -> (TextAnalysis.docRepetition _),
+    "q_pii_redact"        -> (TextAnalysis.piiRedact _),
+    "q_tfidf"             -> (TextAnalysis.tfidf _),
     "q_corpus_build"      -> (CorpusPipeline.corpusBuild _),
     "q_range_join"        -> (EventOps.rangeJoin _),
     "q_skew_join"         -> (EventOps.skewJoin _),
@@ -107,6 +110,7 @@ object SparkEntry {
     "q_ann_ivf"         -> ((s: SparkSession, d: String) =>
       Ann.ivfTopK(s, d, Ann.IvfLists)),
     "q_embed_neardup"   -> (Ann.embeddingNearDup _),
+    "q_embed_quantize"  -> (Ann.embedQuantize _),
     "q_multimodal_meta"   -> (Multimodal.blobMeta _),
     "q_multimodal_resize" -> (Multimodal.resizeBlobs _),
     "q_frame_sample"      -> (Multimodal.sampleFrames _)
@@ -141,6 +145,7 @@ object SparkEntry {
     "q_csv_roundtrip"   -> EtlQueries.csvRoundtripSql,
     "q_json_roundtrip"  -> EtlQueries.jsonRoundtripSql,
     "q_orc_roundtrip"   -> EtlQueries.orcRoundtripSql,
+    "q_xml_roundtrip"   -> EtlQueries.xmlRoundtripSql,
     "q_schema_evolution" -> EtlQueries.schemaEvolutionSql,
     "q_generate"        -> TxnGenerator.oracleSql(1000),
     "q_etl_txn"         -> PipelineQueries.etlTransactionsSql,
@@ -180,6 +185,8 @@ object SparkEntry {
     "q_stratified_sample" -> TextAnalysis.stratifiedSampleSql,
     "q_chunk"             -> TextAnalysis.chunkDocsSql,
     "q_doc_repetition"    -> TextAnalysis.docRepetitionSql,
+    "q_pii_redact"        -> TextAnalysis.piiRedactSql,
+    "q_tfidf"             -> TextAnalysis.tfidfSql,
     "q_corpus_build"      -> CorpusPipeline.corpusBuildSql,
     "q_range_join"        -> EventOps.rangeJoinSql,
     "q_skew_join"         -> EventOps.skewJoinSql,
@@ -198,6 +205,7 @@ object SparkEntry {
     // brute-force ranking (pinned in AnnSpec) — same oracle applies.
     "q_ann_ivf"         -> Ann.bruteForceTopKSql,
     "q_embed_neardup"   -> Ann.embeddingNearDupSql,
+    "q_embed_quantize"  -> Ann.embedQuantizeSql,
     "q_multimodal_meta"   -> Multimodal.blobMetaSql,
     "q_multimodal_resize" -> Multimodal.resizeBlobsSql,
     "q_frame_sample"      -> Multimodal.sampleFramesSql

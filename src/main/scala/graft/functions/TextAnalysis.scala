@@ -450,4 +450,117 @@ object TextAnalysis {
        |         AS repetitive
        |FROM b LEFT JOIN m ON b.doc_id = m.doc_id
        |ORDER BY b.doc_id""".stripMargin
+
+  // ---------- PII redaction ----------
+
+  /** Email / phone patterns shared by the engine and the oracle. Kept to
+    * the regex subset where Java (Spark) and RE2 (DuckDB) agree: character
+    * classes, bounded repetition, no backreferences or lookaround.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\d{3}-\\d{3,4}-\\d{4}"
+
+  /** PII scrubbing — the redaction pass a training-data pipeline runs
+    * before text leaves the ingest boundary. The corpus vocabulary carries
+    * no PII, so the query first APPENDS a deterministic contact line
+    * derived from (doc_id, source) — identically on the oracle side — and
+    * then redacts it: parity checks the actual replacement semantics on
+    * every row (non-zero match counts), not a vacuous no-op. Emails are
+    * replaced first; `<EMAIL>` contains no digits, so the phone pass cannot
+    * touch a prior replacement. Purely narrow (regexp over each row): no
+    * shuffle at any scale.
+    */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val raw = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@"), col("source"), lit(".org call 555-0"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("redacted"),
+        size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiRedactSql: String =
+    s"""WITH withpii AS (
+       |  SELECT doc_id,
+       |         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' ||
+       |           source || '.org call 555-0' ||
+       |           lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |       regexp_replace(regexp_replace(raw, '$EmailRe', '<EMAIL>', 'g'),
+       |                      '$PhoneRe', '<PHONE>', 'g') AS redacted,
+       |       CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT)
+       |         AS n_emails,
+       |       CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS BIGINT)
+       |         AS n_phones
+       |FROM withpii ORDER BY doc_id""".stripMargin
+
+  // ---------- TF-IDF keyword extraction ----------
+
+  /** Top terms kept per document by [[tfidf]]. */
+  val TfidfTopK = 3
+
+  /** Per-document top-k salient terms by tf-idf. The idf factor is the
+    * LINEAR form `N / df` rather than `ln(N / df)`: log from two different
+    * libm builds can disagree in the last ulp, while IEEE multiply/divide
+    * on exact integer inputs are correctly rounded and thus bit-identical
+    * across engines — and the ranking it induces is the same (ln is
+    * monotone). Shape at scale: explode → (doc_id, term) partial+final
+    * count, the document-frequency table folds to vocabulary size (tiny)
+    * and is BROADCAST back, the corpus count is a 1-row broadcast, and the
+    * top-k is a per-document window over ≤ vocab rows. The tf subtree
+    * feeds both the tf and df sides — one shuffle, reused via
+    * ReuseExchange, not recomputed.
+    */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n     = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TfidfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |              FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM toks GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       |          FROM tf GROUP BY term),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       |         CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.df AS score
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER
+       |      (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT)
+       |      AS rank
+       |  FROM scored)
+       |SELECT doc_id, term, tf, df, score, rank FROM ranked
+       |WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin
 }

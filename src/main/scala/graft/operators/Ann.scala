@@ -380,4 +380,56 @@ object Ann {
 
   def ivfTopK(s: SparkSession, d: String): DataFrame =
     ivfTopK(s, d, IvfProbe)
+
+  // ---------- int8 scalar quantization ----------
+
+  /** Per-vector symmetric int8 quantization — the compression step an
+    * embedding store applies before an ANN index is built (4× smaller than
+    * f32, dequantized on the fly during re-rank). `scale` is the vector's
+    * max |component|; each component maps to `floor(x·127/scale + 0.5)` ∈
+    * [−127, 127] (floor(+0.5), not round(): IEEE multiply/divide/floor on
+    * exact inputs are correctly rounded and bit-identical across engines,
+    * while half-even vs half-up round() conventions differ). `max_err`
+    * reports the per-vector worst reconstruction error, making the query
+    * self-validating: the bound scale/254 is asserted in AnnSpec. Purely
+    * narrow — one scan, per-row array math, no shuffle at any scale.
+    *
+    * All arithmetic runs in double (float→double widening is exact), and
+    * every expression mirrors the oracle's operation order left-to-right,
+    * so the hash comparison holds bit-for-bit. The cast array is
+    * materialized once per projection step — higher-order array functions
+    * get no common-subexpression elimination, so chaining them over a
+    * shared input must be staged explicitly.
+    */
+  def embedQuantize(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("xd"))
+      .select(col("vec_id"), col("xd"),
+        array_max(transform(col("xd"), v => abs(v))).as("scale"))
+      .select(col("vec_id"), col("scale"), col("xd"),
+        transform(col("xd"),
+          v => floor(v * lit(127.0) / col("scale") + lit(0.5)).cast("int"))
+          .as("qvec"))
+      .select(col("vec_id"), col("scale"), col("qvec"),
+        array_max(zip_with(col("xd"), col("qvec"),
+          (v, q) => abs(v - q.cast("double") * col("scale") / lit(127.0))))
+          .as("max_err"))
+      .orderBy(col("vec_id"))
+
+  val embedQuantizeSql: String =
+    """WITH e AS (SELECT vec_id,
+      |             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+      |           FROM embeddings),
+      |s AS (SELECT vec_id, xd,
+      |        list_max(list_transform(xd, v -> abs(v))) AS scale FROM e),
+      |q AS (SELECT vec_id, scale, xd,
+      |        list_transform(xd,
+      |          v -> CAST(floor(v * 127.0 / scale + 0.5) AS INTEGER)) AS qvec
+      |      FROM s)
+      |SELECT vec_id, scale, qvec,
+      |       list_max(list_transform(list_zip(xd, qvec),
+      |         z -> abs(z[1] - CAST(z[2] AS DOUBLE) * scale / 127.0)))
+      |         AS max_err
+      |FROM q ORDER BY vec_id""".stripMargin
 }

@@ -379,6 +379,41 @@ object EtlQueries {
       |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  /** S/K-family, XML roundtrip through Spark 4's built-in XML data source
+    * (the format the reference's README floats alongside JSON for extended
+    * ingest, README.md:372): the documents profile written as
+    * `<doc>` row elements and read back through the schema'd XML scan into
+    * a per-source rollup. XML serializes every value as text, so the read
+    * schema does the typing — exactly the inferred-vs-declared schema
+    * situation of the reference's CSV path (lambda_function.py:84), and the
+    * oracle on the parquet source pins that the text round-trip is
+    * lossless for the profiled columns.
+    */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft_rt/${new java.io.File(d).getName}/xml"
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite")
+      .option("rootTag", "docs").option("rowTag", "doc")
+      .format("xml").save(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema).option("rowTag", "doc").format("xml").load(dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("source"))
+  }
+
+  val xmlRoundtripSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |       COUNT(DISTINCT lang) AS n_langs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** K1/S4 — JSON-lines sink + scan round-trip (the reference's output
     * format, lambda_function.py:285; JSON-lines vs JSON-array delta
     * documented in SURVEY §7).

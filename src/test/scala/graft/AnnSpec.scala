@@ -125,4 +125,21 @@ class AnnSpec extends SparkSpecBase {
       assert(r.getAs[Double]("sim") >= Ann.NearDupThreshold)
     }
   }
+
+  test("int8 quantization: codes bounded, max component hits ±127, " +
+      "reconstruction error within the scale/254 bound") {
+    val out = Ann.embedQuantize(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val qvec  = r.getAs[scala.collection.Seq[Int]]("qvec")
+      assert(scale > 0.0)
+      assert(qvec.forall(q => q >= -127 && q <= 127))
+      // the max-|x| component quantizes to exactly ±127 by construction
+      assert(qvec.exists(q => math.abs(q) == 127))
+      // |x - q·scale/127| ≤ (scale/127)·0.5 — floor(+0.5) rounds to the
+      // nearest code, so the worst case is half a quantization step
+      assert(r.getAs[Double]("max_err") <= scale / 254.0 * (1 + 1e-9))
+    }
+  }
 }

@@ -95,4 +95,61 @@ class CorpusOpsSpec extends SparkSpecBase {
       .orderBy(col("lang"), col("source")).collect().toSeq
     assert(viaOrc === viaParquet)
   }
+
+  test("XML round-trip matches the parquet-side aggregate exactly") {
+    val viaXml = EtlQueries.xmlRoundtrip(spark, sfDir).collect().toSeq
+    val viaParquet = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("source")).collect().toSeq
+    assert(viaXml === viaParquet)
+  }
+
+  test("piiRedact scrubs every email and phone, counting both in-text " +
+      "and appended PII") {
+    val dir = writeDocs(Seq(
+      (1L, "reach me at alice@example.com or 555-123-4567 thanks"),
+      (2L, "no pii in this text at all")))
+    val out = TextAnalysis.piiRedact(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: one email + one phone in the text, plus the appended contact
+    // line's email + phone
+    assert(out(1L).getAs[Long]("n_emails") === 2L)
+    assert(out(1L).getAs[Long]("n_phones") === 2L)
+    assert(out(2L).getAs[Long]("n_emails") === 1L)
+    assert(out(2L).getAs[Long]("n_phones") === 1L)
+    out.values.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>"))
+      // nothing matching either pattern survives redaction
+      assert(TextAnalysis.EmailRe.r.findFirstIn(red).isEmpty)
+      assert(TextAnalysis.PhoneRe.r.findFirstIn(red).isEmpty)
+    }
+  }
+
+  test("tfidf ranks rare high-frequency terms above ubiquitous ones") {
+    val dir = writeDocs(Seq(
+      (1L, "x x x common"),
+      (2L, "y common"),
+      (3L, "z common")))
+    val rows = TextAnalysis.tfidf(spark, dir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    // rank-1 term is the document-exclusive one (idf N/df = 3 vs 1)
+    assert(byDoc(1L).minBy(_.getAs[Long]("rank")).getAs[String]("term") === "x")
+    assert(byDoc(2L).minBy(_.getAs[Long]("rank")).getAs[String]("term") === "y")
+    // doc 1: score(x) = tf 3 · (3/1) = 9, score(common) = 1 · (3/3) = 1
+    val d1 = byDoc(1L).map(r =>
+      r.getAs[String]("term") -> r.getAs[Double]("score")).toMap
+    assert(d1("x") === 9.0)
+    assert(d1("common") === 1.0)
+    // ranks are 1..k and scores non-increasing within each document
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ===
+        (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getAs[Double]("score")).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
