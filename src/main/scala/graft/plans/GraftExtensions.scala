@@ -3,13 +3,14 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, PolyCharHash}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions into the session FunctionRegistry, so plain SQL can call
-  * them (`SELECT cosine_sim(a.embedding, b.embedding) ...`).
+  * them (`SELECT cosine_sim(a.embedding, b.embedding) ...`,
+  * `SELECT poly_char_hash(text, 31, 2147483647, -1)`).
   *
   * Enable with:
   * {{{
@@ -25,5 +26,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionRegistryBase.build[CosineSimilarity]("cosine_sim", since = None)
     ext.injectFunction((FunctionIdentifier("cosine_sim"), info,
       (children: Seq[Expression]) => builder(children)))
+
+    // poly_char_hash(str, base, mod, padTo): the hash parameters shape the
+    // generated code (they are compiled into the codegen'd fold call), so
+    // they must be integer LITERALS at analysis time — the builder runs
+    // before constant folding, exactly like Spark's own parameterized
+    // builtins (e.g. the format strings of to_char).
+    ext.injectFunction((FunctionIdentifier("poly_char_hash"),
+      new ExpressionInfo(classOf[PolyCharHash].getName, "poly_char_hash"),
+      { children: Seq[Expression] =>
+        if (children.length != 4)
+          throw new IllegalArgumentException(
+            "poly_char_hash requires (str, base, mod, padTo)")
+        PolyCharHash(children(0),
+          intLit(children(1), "base"),
+          intLit(children(2), "mod"),
+          intLit(children(3), "padTo").toInt)
+      }))
+  }
+
+  private def intLit(e: Expression, name: String): Long = e match {
+    case Literal(v: Long, _)  => v
+    case Literal(v: Int, _)   => v.toLong
+    case Literal(v: Short, _) => v.toLong
+    case Literal(v: Byte, _)  => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"poly_char_hash: $name must be an integer literal, got $other")
   }
 }

@@ -46,4 +46,18 @@ class PolyCharHashSpec extends SparkSpecBase {
       .collect()
     assert(nullRow.head.isNullAt(0))
   }
+
+  test("registered in SQL via GraftExtensions: poly_char_hash callable " +
+      "from spark.sql, parameters must be literals") {
+    val got = spark.sql(s"SELECT poly_char_hash('hello world', 31, $P, -1)")
+      .collect().head.getLong(0)
+    val direct = Seq("hello world").toDF("s")
+      .select(expr(col("s"), 31L, P, -1)).as[Long].collect().head
+    assert(got === direct)
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT poly_char_hash('x', length('abc'), $P, -1)")
+        .collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
 }
