@@ -519,9 +519,11 @@ object TextAnalysis {
     * monotone). Shape at scale: explode → (doc_id, term) partial+final
     * count, the document-frequency table folds to vocabulary size (tiny)
     * and is BROADCAST back, the corpus count is a 1-row broadcast, and the
-    * top-k is a per-document window over ≤ vocab rows. The tf subtree
-    * feeds both the tf and df sides — one shuffle, reused via
-    * ReuseExchange, not recomputed.
+    * top-k is a per-document window over ≤ vocab rows, which Spark's
+    * InferWindowGroupLimit additionally pushes to a partial per-partition
+    * top-k BEFORE that shuffle. The tf subtree feeds both the tf and df
+    * sides — one shuffle, reused via ReuseExchange, not recomputed (see
+    * the pruning guard below that keeps the subtrees identical).
     */
   def tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -529,7 +531,14 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // the tf>=1 guard is vacuous (count of an existing group is ≥1) but
+    // keeps the tf column REFERENCED on the df branch: without it, column
+    // pruning rewrites this subtree into a distinct-style aggregate that
+    // no longer matches the tf branch's exchange, and the corpus gets
+    // tokenized twice — with it, both branches share one shuffle via
+    // ReuseExchange (plan-asserted in CorpusOpsSpec)
+    val dfreq = tf.filter(col("tf") >= 1)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n     = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))

@@ -128,6 +128,20 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("tfidf tokenizes the corpus once: the df branch reuses the tf " +
+      "exchange") {
+    // visible statically only with AQE off (AQE performs the same reuse at
+    // runtime via query-stage canonicalization, but the initial plan
+    // prints both subtrees); restored in finally — suites run sequentially
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextAnalysis.tfidf(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"))
+      assert("Generate explode".r.findAllIn(plan).size === 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("tfidf ranks rare high-frequency terms above ubiquitous ones") {
     val dir = writeDocs(Seq(
       (1L, "x x x common"),
