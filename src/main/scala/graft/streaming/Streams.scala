@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.operators.RefTransforms
@@ -247,5 +247,47 @@ object Streams {
           state.update(next)
           Iterator.single(next)
       }
+  }
+
+  /** The same running totals on `transformWithState` — Spark 4's
+    * arbitrary-state API (typed named state cells with optional TTL,
+    * timers, and list/map state, over the RocksDB state store). Kept
+    * semantically identical to [[runningTotals]] so StreamingSpec pins
+    * both state APIs to the same answer on the same input; the processor
+    * shape (init → per-key handleInputRows) is what a production pipeline
+    * migrating off GroupState adopts.
+    */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, UserEvent, UserRunning] {
+    @transient private var state: ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning]("running",
+        Encoders.product[UserRunning], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev =
+        if (state.exists()) state.get() else UserRunning(userId, 0L, 0L)
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        UserRunning(userId, acc.n + 1,
+          acc.total_cents + math.floor(e.value * 100 + 0.5).toLong)
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (transformWithState's only supported
+    * store; the spec sets it on the session before starting the query).
+    */
+  def runningTotalsTws(spark: SparkSession, events: Dataset[UserEvent])
+      : Dataset[UserRunning] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

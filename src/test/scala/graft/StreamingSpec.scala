@@ -266,4 +266,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(byUser(7L).total_cents === 375L)
     assert(byUser(8L).total_cents === 1000L)
   }
+
+  test("transformWithState (RocksDB store) matches the GroupState running " +
+      "totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState supports only the RocksDB state store; session
+    // conf restored in finally — suites run sequentially
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Streams.UserEvent]
+      input.addData(Streams.UserEvent(7L, 1.25), Streams.UserEvent(8L, 10.0))
+      val q = Streams.runningTotalsTws(spark, input.toDS()).writeStream
+        .format("memory").queryName("running_tws")
+        .outputMode("update")
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      q.processAllAvailable()
+      // second micro-batch: ValueState must carry user 7's totals forward
+      input.addData(Streams.UserEvent(7L, 2.50))
+      q.processAllAvailable()
+      q.stop()
+      val latest = spark.table("running_tws").as[Streams.UserRunning]
+        .collect().groupBy(_.user_id)
+        .map { case (u, rs) => u -> rs.maxBy(_.n) }
+      assert(latest(7L).n === 2L)
+      assert(latest(7L).total_cents === 375L)
+      assert(latest(8L).n === 1L)
+      assert(latest(8L).total_cents === 1000L)
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
