@@ -36,6 +36,7 @@ object SparkEntry {
     "q_date_arith"     -> (EtlQueries.dateArith _),
     "q_abs_round"      -> (EtlQueries.absRound _),
     "q_count_stats"    -> (EtlQueries.countStats _),
+    "q_histogram"      -> (EtlQueries.histogram _),
     // [REF] sources/sinks — SURVEY §2a/§2b
     "q_csv_roundtrip"  -> (EtlQueries.csvRoundtrip _),
     "q_json_roundtrip" -> (EtlQueries.jsonRoundtrip _),
@@ -142,6 +143,7 @@ object SparkEntry {
     "q_date_arith"      -> EtlQueries.dateArithSql,
     "q_abs_round"       -> EtlQueries.absRoundSql,
     "q_count_stats"     -> EtlQueries.countStatsSql,
+    "q_histogram"       -> EtlQueries.histogramSql,
     "q_csv_roundtrip"   -> EtlQueries.csvRoundtripSql,
     "q_json_roundtrip"  -> EtlQueries.jsonRoundtripSql,
     "q_orc_roundtrip"   -> EtlQueries.orcRoundtripSql,

@@ -482,10 +482,10 @@ object TextAnalysis {
         regexp_replace(
           regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
           PhoneRe, "<PHONE>").as("redacted"),
-        size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0)))
-          .cast("long").as("n_emails"),
-        size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0)))
-          .cast("long").as("n_phones"))
+        // regexp_count, not size(regexp_extract_all(..)): same value, but
+        // counts matches without materializing the match array per row
+        regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(PhoneRe)).cast("long").as("n_phones"))
       .orderBy(col("doc_id"))
   }
 

@@ -379,6 +379,46 @@ object EtlQueries {
       |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  /** 2j-math — fixed-width histogram of transaction amounts. Bucketing
+    * runs on EXACT integer cents with integer multiply + integer division
+    * (`DIV` / DuckDB `//`), not on a double `width_bucket`: a double
+    * boundary computed with different operation order can flip a value
+    * sitting one ulp from a bucket edge, while the integer form is
+    * bit-exact on both engines by construction. Out-of-range values land
+    * in the standard underflow/overflow buckets 0 and N+1. One narrow
+    * projection + one aggregation shuffle on ≤ N+2 keys.
+    */
+  val HistBuckets = 8
+  val HistLoCents = -50000L
+  val HistHiCents = 50000L
+
+  def histogram(s: SparkSession, d: String): DataFrame = {
+    val span = HistHiCents - HistLoCents
+    Tables.lineitem(s, d)
+      .select(cents(lineitemAmount).as("c"))
+      .select(col("c"),
+        when(col("c") < HistLoCents, lit(0L))
+          .when(col("c") >= HistHiCents, lit(HistBuckets + 1L))
+          .otherwise(
+            expr(s"((c - (${HistLoCents}L)) * $HistBuckets) DIV ${span}L")
+              + lit(1L))
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_cents"))
+      .orderBy(col("bucket"))
+  }
+
+  val histogramSql: String =
+    s"""WITH a AS (
+       |  SELECT CAST(floor(($amountSql) * 100 + 0.5) AS BIGINT) AS c
+       |  FROM lineitem)
+       |SELECT CASE WHEN c < $HistLoCents THEN 0
+       |            WHEN c >= $HistHiCents THEN ${HistBuckets + 1}
+       |            ELSE ((c - ($HistLoCents)) * $HistBuckets)
+       |                   // ${HistHiCents - HistLoCents} + 1 END AS bucket,
+       |       COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sum_cents
+       |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** S/K-family, XML roundtrip through Spark 4's built-in XML data source
     * (the format the reference's README floats alongside JSON for extended
     * ingest, README.md:372): the documents profile written as

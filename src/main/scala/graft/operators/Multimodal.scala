@@ -223,4 +223,28 @@ object Multimodal {
        |                  $FrameBytes), i, 1)) AS BIGINT))),
        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Raw media-file ingest through the `binaryFile` source — how an image/
+    * audio corpus actually enters a Spark pipeline (one row per file:
+    * path, modification time, length, content bytes). Emits the stable
+    * per-file profile (name, length, CRC32); the opaque bytes then flow
+    * into the same blob machinery as the parquet-backed binary columns.
+    * Scale note: the source splits at FILE granularity (each file is one
+    * task's row), so parallelism equals file count — right for media
+    * corpora of many moderate files; pathological single-huge-file inputs
+    * belong in a format with internal splits. `pathGlobFilter` keeps
+    * sidecar/metadata files out of the scan at listing time. Zero-byte
+    * files yield NO row (the listing schedules no split for them) —
+    * spec-pinned, since a corpus audit must count them separately if they
+    * matter.
+    */
+  def ingestBinaryDir(s: SparkSession, dir: String,
+      glob: String = "*.bin"): DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("length"),
+        crc32(col("content")).as("checksum"))
+      .orderBy(col("file_name"))
 }

@@ -63,4 +63,30 @@ class MultimodalSpec extends SparkSpecBase {
       assert(frames.exists(_.getAs[Long]("doc_id") == 1L))
     }
   }
+
+  test("binaryFile ingest: one row per media file with exact length and " +
+      "CRC32, sidecars filtered at listing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin")
+    val payloads = Map(
+      "a.bin" -> Array[Byte](1, 2, 3, 4, 5),
+      "b.bin" -> "opaque media bytes".getBytes("UTF-8"),
+      "c.bin" -> Array[Byte](0))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    }
+    java.nio.file.Files.write(dir.resolve("sidecar.json"),
+      "{\"not\": \"media\"}".getBytes("UTF-8"))
+    // zero-byte files produce NO row (the listing schedules no split for
+    // them) — a real source semantic a corpus auditor must know about
+    java.nio.file.Files.write(dir.resolve("empty.bin"), Array.empty[Byte])
+    val rows = Multimodal.ingestBinaryDir(spark, dir.toString)
+      .collect().map(r => r.getAs[String]("file_name") -> r).toMap
+    assert(rows.keySet === payloads.keySet) // sidecar + empty excluded
+    payloads.foreach { case (name, bytes) =>
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes)
+      assert(rows(name).getAs[Long]("length") === bytes.length.toLong)
+      assert(rows(name).getAs[Long]("checksum") === crc.getValue)
+    }
+  }
 }
