@@ -23,7 +23,10 @@ object ScaleBench {
     "q_minhash_signature", "q_dedup_simhash", "q_corpus_build",
     "q_embed_neardup", "q_ann_brute", "q_ann_lsh", "q_ann_ivf",
     "q_text_stats", "q_quality_score", "q_fingerprint",
-    "q_stratified_sample")
+    "q_stratified_sample",
+    // round-4/5 corpus-prep additions (documents/embeddings-driven)
+    "q_chunk", "q_doc_repetition", "q_decontaminate",
+    "q_pii_redact", "q_tfidf", "q_embed_quantize")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("spark.log.level", "ERROR")
