@@ -37,6 +37,41 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("shuffle joins are eligible for runtime bloom-filter pruning " +
+      "(fires once the 100TB-scale size thresholds are met)") {
+    // the 10 GB application-side threshold exists so the optimization only
+    // pays off at real scale; lowering it (and removing the broadcast
+    // escape hatch) on test data proves OUR join shape qualifies — a
+    // disqualifying pattern (expression on the key, missing selective
+    // filter) would leave the plan bloom-free no matter the thresholds
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val filteredOrders = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = Tables.lineitem(spark, sfDir)
+        .join(filteredOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter"),
+        "runtime bloom filter was not injected into the probe side")
+      // and the pruned plan still computes the right answer
+      val expected = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .count()
+      assert(joined.collect().head.getAs[Long]("n") === expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("approx distinct is self-validating: every group inside the 5% bound") {
     val rows = Relational.aggApproxDistinct(spark, sfDir).collect()
     assert(rows.nonEmpty)
