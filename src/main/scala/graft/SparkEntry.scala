@@ -91,6 +91,7 @@ object SparkEntry {
     "q_pii_redact"        -> (TextAnalysis.piiRedact _),
     "q_tfidf"             -> (TextAnalysis.tfidf _),
     "q_corpus_build"      -> (CorpusPipeline.corpusBuild _),
+    "q_corpus_shards"     -> (CorpusPipeline.corpusShards _),
     "q_range_join"        -> (EventOps.rangeJoin _),
     "q_skew_join"         -> (EventOps.skewJoin _),
     // [EXT] LLM-pipeline: deduplication
@@ -190,6 +191,7 @@ object SparkEntry {
     "q_pii_redact"        -> TextAnalysis.piiRedactSql,
     "q_tfidf"             -> TextAnalysis.tfidfSql,
     "q_corpus_build"      -> CorpusPipeline.corpusBuildSql,
+    "q_corpus_shards"     -> CorpusPipeline.corpusShardsSql,
     "q_range_join"        -> EventOps.rangeJoinSql,
     "q_skew_join"         -> EventOps.skewJoinSql,
     "q_dedup_exact"     -> Dedup.exactSql,

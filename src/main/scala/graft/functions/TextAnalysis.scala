@@ -338,25 +338,32 @@ object TextAnalysis {
     * the chunk count is derived per-row, so skewed document lengths cost
     * nothing beyond their own output rows.
     */
-  def chunkDocs(s: SparkSession, d: String): DataFrame = {
-    val W = ChunkTokens
-    val S = ChunkStride
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).cast("long").as("n_tok"))
+  def chunkDocs(s: SparkSession, d: String): DataFrame =
+    chunkOf(Tables.documents(s, d)).orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Chunking over any (doc_id, text, …) frame — [[chunkDocs]] is this on
+    * the documents table; `extra` columns ride through to each chunk row
+    * (the composed shard pipeline threads `lang` for downstream mixing).
+    */
+  def chunkOf(docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val W  = ChunkTokens
+    val S  = ChunkStride
+    val ex = extra.map(col)
+    val base = docs
+      .select(col("doc_id") +: tokens(col("text")).as("toks") +: ex: _*)
+      .select(col("doc_id") +: col("toks") +:
+        size(col("toks")).cast("long").as("n_tok") +: ex: _*)
     val nStarts = lit(1L) + greatest(lit(0L),
       ceil((col("n_tok") - lit(W.toLong)).cast("double") / lit(S.toDouble)))
     base
-      .select(col("doc_id"), col("toks"), col("n_tok"),
-        explode_outer(sequence(lit(0L), nStarts - 1)).as("chunk_idx"))
-      .select(col("doc_id"), col("chunk_idx"),
+      .select(col("doc_id") +: col("toks") +: col("n_tok") +:
+        explode_outer(sequence(lit(0L), nStarts - 1)).as("chunk_idx") +: ex: _*)
+      .select(col("doc_id") +: col("chunk_idx") +:
         concat_ws(" ",
           slice(col("toks"), (col("chunk_idx") * S + 1).cast("int"), lit(W)))
-          .as("chunk_text"),
+          .as("chunk_text") +:
         least(col("n_tok") - col("chunk_idx") * S, lit(W.toLong))
-          .as("n_tokens"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
+          .as("n_tokens") +: ex: _*)
   }
 
   val chunkDocsSql: String = {
@@ -460,6 +467,17 @@ object TextAnalysis {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\d{3}-\\d{3,4}-\\d{4}"
 
+  /** Emails replaced first; `<EMAIL>` contains no digits, so the phone
+    * pass cannot touch a prior replacement.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** The same two replacement passes as DuckDB SQL over `expr`. */
+  def scrubPiiSql(expr: String): String =
+    s"regexp_replace(regexp_replace($expr, '$EmailRe', '<EMAIL>', 'g'), " +
+      s"'$PhoneRe', '<PHONE>', 'g')"
+
   /** PII scrubbing — the redaction pass a training-data pipeline runs
     * before text leaves the ingest boundary. The corpus vocabulary carries
     * no PII, so the query first APPENDS a deterministic contact line
@@ -479,9 +497,7 @@ object TextAnalysis {
     Tables.documents(s, d)
       .select(col("doc_id"), raw.as("raw"))
       .select(col("doc_id"),
-        regexp_replace(
-          regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>").as("redacted"),
+        scrubPii(col("raw")).as("redacted"),
         // regexp_count, not size(regexp_extract_all(..)): same value, but
         // counts matches without materializing the match array per row
         regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_emails"),
@@ -498,8 +514,7 @@ object TextAnalysis {
        |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
        |  FROM documents)
        |SELECT doc_id,
-       |       regexp_replace(regexp_replace(raw, '$EmailRe', '<EMAIL>', 'g'),
-       |                      '$PhoneRe', '<PHONE>', 'g') AS redacted,
+       |       ${scrubPiiSql("raw")} AS redacted,
        |       CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT)
        |         AS n_emails,
        |       CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS BIGINT)

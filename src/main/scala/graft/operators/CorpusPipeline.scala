@@ -22,7 +22,13 @@ object CorpusPipeline {
     * cluster representative survives), and (3) land under their language's
     * sampling quota. Output: (doc_id, lang, coin), ordered.
     */
-  def corpusBuild(s: SparkSession, d: String): DataFrame = {
+  def corpusBuild(s: SparkSession, d: String): DataFrame =
+    keptCorpus(s, d).orderBy(col("doc_id"))
+
+  /** The kept set (doc_id, lang, coin) without the presentation sort —
+    * shared by [[corpusBuild]] and the shard pipeline below.
+    */
+  private def keptCorpus(s: SparkSession, d: String): DataFrame = {
     val quality = TextAnalysis.qualityScored(s, d)
       .filter(col("quality") =!= "drop")
       .select(col("doc_id"), col("lang"))
@@ -35,7 +41,6 @@ object CorpusPipeline {
       .select(col("doc_id"), col("lang"),
         TextAnalysis.sampleCoin.as("coin"))
       .filter(col("coin") < TextAnalysis.sampleQuota)
-      .orderBy(col("doc_id"))
   }
 
   val corpusBuildSql: String = {
@@ -51,5 +56,51 @@ object CorpusPipeline {
        |  AND doc_id NOT IN (SELECT doc_id FROM losers)
        |  AND ${TextAnalysis.sampleCoinSql} < ${TextAnalysis.sampleQuotaSql}
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The shard step the kept corpus feeds: scrub PII from each kept
+    * document, then window it into training-ready chunks, `lang` riding
+    * along for downstream mixture weighting. Composition shape at 100 TB:
+    * the kept-id set (already the product of one bucketed dedup + narrow
+    * gates) joins back to the text ONCE (ids-only until this point), then
+    * everything after is narrow per-row work — regex scrub, tokenize,
+    * windowed slice — so the shard build adds zero shuffles beyond the
+    * kept-id join itself.
+    */
+  def corpusShards(s: SparkSession, d: String): DataFrame = {
+    val kept = keptCorpus(s, d).select(col("doc_id"))
+    val redacted = graft.Tables.documents(s, d)
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.scrubPii(col("text")).as("text"))
+    TextAnalysis.chunkOf(redacted, Seq("lang"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val corpusShardsSql: String = {
+    val W = TextAnalysis.ChunkTokens
+    val S = TextAnalysis.ChunkStride
+    s"""WITH pairs AS (${Dedup.ngramPairsSql}),
+       |losers AS (SELECT DISTINCT d2 AS doc_id FROM pairs),
+       |kept AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE (text IS NULL OR len(string_split(text, ' ')) >= 20)
+       |    AND doc_id NOT IN (SELECT doc_id FROM losers)
+       |    AND ${TextAnalysis.sampleCoinSql} < ${TextAnalysis.sampleQuotaSql}),
+       |red AS (
+       |  SELECT doc_id, lang, ${TextAnalysis.scrubPiiSql("text")} AS text
+       |  FROM documents WHERE doc_id IN (SELECT doc_id FROM kept)),
+       |t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM red),
+       |n AS (SELECT doc_id, lang, toks, len(toks) AS n_tok FROM t),
+       |c AS (SELECT doc_id, lang, toks, n_tok,
+       |             unnest(range(0, 1 + greatest(0,
+       |               CAST(ceil((n_tok - $W) / $S.0) AS BIGINT)))) AS chunk_idx
+       |      FROM n)
+       |SELECT doc_id, chunk_idx,
+       |       array_to_string(toks[chunk_idx*$S+1 : chunk_idx*$S+$W], ' ')
+       |         AS chunk_text,
+       |       CAST(least(n_tok - chunk_idx*$S, $W) AS BIGINT) AS n_tokens,
+       |       lang
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, EtlQueries}
+import graft.operators.{CorpusPipeline, Dedup, EtlQueries}
 
 /** Pins the round-5 corpus operators on synthetic documents with known
   * structure: sliding-window chunking (coverage + tail absorption),
@@ -140,6 +140,22 @@ class CorpusOpsSpec extends SparkSpecBase {
       assert(plan.contains("ReusedExchange"))
       assert("Generate explode".r.findAllIn(plan).size === 1)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("corpusShards chunks exactly the kept corpus, bounded windows, " +
+      "no surviving PII patterns") {
+    val kept = CorpusPipeline.corpusBuild(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val shards = CorpusPipeline.corpusShards(spark, sfDir).collect()
+    assert(shards.map(_.getAs[Long]("doc_id")).toSet === kept)
+    shards.foreach { r =>
+      val t = r.getAs[String]("chunk_text")
+      assert(TextAnalysis.EmailRe.r.findFirstIn(t).isEmpty)
+      assert(TextAnalysis.PhoneRe.r.findFirstIn(t).isEmpty)
+      val n = r.getAs[Long]("n_tokens")
+      assert(n >= 1L && n <= TextAnalysis.ChunkTokens.toLong)
+      assert(t.split(" ").length.toLong === n)
+    }
   }
 
   test("tfidf ranks rare high-frequency terms above ubiquitous ones") {
