@@ -344,12 +344,18 @@ object TextAnalysis {
   /** Chunking over any (doc_id, text, …) frame — [[chunkDocs]] is this on
     * the documents table; `extra` columns ride through to each chunk row
     * (the composed shard pipeline threads `lang` for downstream mixing).
+    * A document with NULL text produces NO chunks: without the explicit
+    * filter, Spark's generate-over-null emits a phantom row with empty
+    * text but a non-empty token count, while the oracle's `unnest(NULL)`
+    * emits nothing — the filter makes both sides state the same (sensible)
+    * semantics.
     */
   def chunkOf(docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     val W  = ChunkTokens
     val S  = ChunkStride
     val ex = extra.map(col)
     val base = docs
+      .filter(col("text").isNotNull)
       .select(col("doc_id") +: tokens(col("text")).as("toks") +: ex: _*)
       .select(col("doc_id") +: col("toks") +:
         size(col("toks")).cast("long").as("n_tok") +: ex: _*)
@@ -366,22 +372,29 @@ object TextAnalysis {
           .as("n_tokens") +: ex: _*)
   }
 
-  val chunkDocsSql: String = {
+  /** The chunk CTE chain + final select over a named source CTE/table —
+    * ONE definition shared by `chunkDocsSql` and the composed shard oracle
+    * so a window-math fix cannot desynchronize them. `extra` is a
+    * comma-prefixed passthrough column list (e.g. ", lang").
+    */
+  def chunkCtesSql(src: String, extra: String = ""): String = {
     val W = ChunkTokens
     val S = ChunkStride
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-       |           FROM documents),
-       |n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t),
-       |c AS (SELECT doc_id, toks, n_tok,
+    s"""t AS (SELECT doc_id$extra, string_split(text, ' ') AS toks
+       |      FROM $src WHERE text IS NOT NULL),
+       |n AS (SELECT doc_id$extra, toks, len(toks) AS n_tok FROM t),
+       |c AS (SELECT doc_id$extra, toks, n_tok,
        |             unnest(range(0, 1 + greatest(0,
        |               CAST(ceil((n_tok - $W) / $S.0) AS BIGINT)))) AS chunk_idx
        |      FROM n)
        |SELECT doc_id, chunk_idx,
        |       array_to_string(toks[chunk_idx*$S+1 : chunk_idx*$S+$W], ' ')
        |         AS chunk_text,
-       |       CAST(least(n_tok - chunk_idx*$S, $W) AS BIGINT) AS n_tokens
+       |       CAST(least(n_tok - chunk_idx*$S, $W) AS BIGINT) AS n_tokens$extra
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   }
+
+  val chunkDocsSql: String = "WITH " + chunkCtesSql("documents")
 
   // ---------- repetition scoring (Gopher-style quality signals) ----------
 
@@ -530,8 +543,15 @@ object TextAnalysis {
     * LINEAR form `N / df` rather than `ln(N / df)`: log from two different
     * libm builds can disagree in the last ulp, while IEEE multiply/divide
     * on exact integer inputs are correctly rounded and thus bit-identical
-    * across engines — and the ranking it induces is the same (ln is
-    * monotone). Shape at scale: explode → (doc_id, term) partial+final
+    * across engines. This is a documented WEIGHTING VARIANT, not an
+    * order-preserving transform of log-idf — `tf·N/df` can rank a rarer
+    * term above a more frequent one where `tf·ln(N/df)` would not (the
+    * orders agree only at fixed tf); linear idf simply penalizes common
+    * terms harder, which is the right trade here because determinism is a
+    * gate requirement and the gap only matters in the df≈N regime that
+    * stop-term handling removes anyway. A deployment wanting textbook
+    * log-idf swaps `ln()` in at the cost of a rows-only oracle.
+    * Shape at scale: explode → (doc_id, term) partial+final
     * count, the document-frequency table folds to vocabulary size (tiny)
     * and is BROADCAST back, the corpus count is a 1-row broadcast, and the
     * top-k is a per-document window over ≤ vocab rows, which Spark's

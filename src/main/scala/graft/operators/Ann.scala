@@ -400,6 +400,14 @@ object Ann {
     * materialized once per projection step — higher-order array functions
     * get no common-subexpression elimination, so chaining them over a
     * shared input must be staged explicitly.
+    *
+    * An all-zero vector has scale 0 and NO representable codes (0/0);
+    * both sides emit NULL codes + NULL error for it rather than NaN
+    * (which ANSI would refuse to cast) — spec-pinned on a synthetic
+    * zero-padded store. Codes leave the query '|'-joined to a scalar
+    * string: the check harness hashes sorted rows via pandas, which
+    * cannot sort raw array cells (same contract as `q_array_funcs` /
+    * `q_minhash_signature`).
     */
   def embedQuantize(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -408,10 +416,13 @@ object Ann {
       .select(col("vec_id"), col("xd"),
         array_max(transform(col("xd"), v => abs(v))).as("scale"))
       .select(col("vec_id"), col("scale"), col("xd"),
-        transform(col("xd"),
-          v => floor(v * lit(127.0) / col("scale") + lit(0.5)).cast("int"))
+        when(col("scale") === 0.0, lit(null).cast("array<int>"))
+          .otherwise(transform(col("xd"),
+            v => floor(v * lit(127.0) / col("scale") + lit(0.5)).cast("int")))
           .as("qvec"))
-      .select(col("vec_id"), col("scale"), col("qvec"),
+      .select(col("vec_id"), col("scale"),
+        array_join(transform(col("qvec"), q => q.cast("string")), "|")
+          .as("qvec_str"),
         array_max(zip_with(col("xd"), col("qvec"),
           (v, q) => abs(v - q.cast("double") * col("scale") / lit(127.0))))
           .as("max_err"))
@@ -424,10 +435,13 @@ object Ann {
       |s AS (SELECT vec_id, xd,
       |        list_max(list_transform(xd, v -> abs(v))) AS scale FROM e),
       |q AS (SELECT vec_id, scale, xd,
-      |        list_transform(xd,
-      |          v -> CAST(floor(v * 127.0 / scale + 0.5) AS INTEGER)) AS qvec
+      |        CASE WHEN scale = 0 THEN NULL
+      |             ELSE list_transform(xd,
+      |               v -> CAST(floor(v * 127.0 / scale + 0.5) AS INTEGER))
+      |        END AS qvec
       |      FROM s)
-      |SELECT vec_id, scale, qvec,
+      |SELECT vec_id, scale,
+      |       array_to_string(qvec, '|') AS qvec_str,
       |       list_max(list_transform(list_zip(xd, qvec),
       |         z -> abs(z[1] - CAST(z[2] AS DOUBLE) * scale / 127.0)))
       |         AS max_err

@@ -43,20 +43,25 @@ object CorpusPipeline {
       .filter(col("coin") < TextAnalysis.sampleQuota)
   }
 
-  val corpusBuildSql: String = {
-    // quality 'drop' is exactly n_words < 20 (qualityScoreSql's CASE);
-    // a NULL text falls through Spark's CASE to 'keep', so the inlined
-    // predicate must also pass NULLs — hence the explicit IS NULL arm
+  // quality 'drop' is exactly n_words < 20 (qualityScoreSql's CASE);
+  // a NULL text falls through Spark's CASE to 'keep', so the inlined
+  // predicate must also pass NULLs — hence the explicit IS NULL arm.
+  // ONE definition shared by corpusBuildSql and corpusShardsSql so a
+  // gate/quota fix cannot desynchronize the two oracles (expects a
+  // `losers` CTE in scope).
+  private val keptPredicateSql: String =
+    s"""(text IS NULL OR len(string_split(text, ' ')) >= 20)
+       |  AND doc_id NOT IN (SELECT doc_id FROM losers)
+       |  AND ${TextAnalysis.sampleCoinSql} < ${TextAnalysis.sampleQuotaSql}""".stripMargin
+
+  val corpusBuildSql: String =
     s"""WITH pairs AS (${Dedup.ngramPairsSql}),
        |losers AS (SELECT DISTINCT d2 AS doc_id FROM pairs)
        |SELECT doc_id, lang,
        |       ${TextAnalysis.sampleCoinSql} AS coin
        |FROM documents
-       |WHERE (text IS NULL OR len(string_split(text, ' ')) >= 20)
-       |  AND doc_id NOT IN (SELECT doc_id FROM losers)
-       |  AND ${TextAnalysis.sampleCoinSql} < ${TextAnalysis.sampleQuotaSql}
+       |WHERE $keptPredicateSql
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** The shard step the kept corpus feeds: scrub PII from each kept
     * document, then window it into training-ready chunks, `lang` riding
@@ -77,30 +82,14 @@ object CorpusPipeline {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
-  val corpusShardsSql: String = {
-    val W = TextAnalysis.ChunkTokens
-    val S = TextAnalysis.ChunkStride
+  val corpusShardsSql: String =
     s"""WITH pairs AS (${Dedup.ngramPairsSql}),
        |losers AS (SELECT DISTINCT d2 AS doc_id FROM pairs),
        |kept AS (
        |  SELECT doc_id FROM documents
-       |  WHERE (text IS NULL OR len(string_split(text, ' ')) >= 20)
-       |    AND doc_id NOT IN (SELECT doc_id FROM losers)
-       |    AND ${TextAnalysis.sampleCoinSql} < ${TextAnalysis.sampleQuotaSql}),
+       |  WHERE $keptPredicateSql),
        |red AS (
        |  SELECT doc_id, lang, ${TextAnalysis.scrubPiiSql("text")} AS text
        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM kept)),
-       |t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM red),
-       |n AS (SELECT doc_id, lang, toks, len(toks) AS n_tok FROM t),
-       |c AS (SELECT doc_id, lang, toks, n_tok,
-       |             unnest(range(0, 1 + greatest(0,
-       |               CAST(ceil((n_tok - $W) / $S.0) AS BIGINT)))) AS chunk_idx
-       |      FROM n)
-       |SELECT doc_id, chunk_idx,
-       |       array_to_string(toks[chunk_idx*$S+1 : chunk_idx*$S+$W], ' ')
-       |         AS chunk_text,
-       |       CAST(least(n_tok - chunk_idx*$S, $W) AS BIGINT) AS n_tokens,
-       |       lang
-       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
-  }
+       |${TextAnalysis.chunkCtesSql("red", ", lang")}""".stripMargin
 }

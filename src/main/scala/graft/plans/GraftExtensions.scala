@@ -38,10 +38,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (children.length != 4)
           throw new IllegalArgumentException(
             "poly_char_hash requires (str, base, mod, padTo)")
+        val padTo = intLit(children(3), "padTo")
+        if (padTo < Int.MinValue || padTo > Int.MaxValue)
+          throw new IllegalArgumentException(
+            s"poly_char_hash: padTo out of int range: $padTo")
         PolyCharHash(children(0),
           intLit(children(1), "base"),
           intLit(children(2), "mod"),
-          intLit(children(3), "padTo").toInt)
+          padTo.toInt)
       }))
   }
 

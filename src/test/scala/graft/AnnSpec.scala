@@ -132,7 +132,7 @@ class AnnSpec extends SparkSpecBase {
     assert(out.nonEmpty)
     out.foreach { r =>
       val scale = r.getAs[Double]("scale")
-      val qvec  = r.getAs[scala.collection.Seq[Int]]("qvec")
+      val qvec  = r.getAs[String]("qvec_str").split('|').map(_.toInt)
       assert(scale > 0.0)
       assert(qvec.forall(q => q >= -127 && q <= 127))
       // the max-|x| component quantizes to exactly ±127 by construction
@@ -141,5 +141,22 @@ class AnnSpec extends SparkSpecBase {
       // nearest code, so the worst case is half a quantization step
       assert(r.getAs[Double]("max_err") <= scale / 254.0 * (1 + 1e-9))
     }
+  }
+
+  test("int8 quantization: an all-zero vector yields NULL codes and NULL " +
+      "error, not NaN or an ANSI cast failure") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_qz").toString
+    Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f), 0),   // zero-padding row
+      (1L, Array(1.0f, -2.0f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Ann.embedQuantize(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(rows(0L).getAs[Double]("scale") === 0.0)
+    assert(rows(0L).isNullAt(rows(0L).fieldIndex("qvec_str")))
+    assert(rows(0L).isNullAt(rows(0L).fieldIndex("max_err")))
+    assert(rows(1L).getAs[String]("qvec_str") === "64|-127|32")
   }
 }

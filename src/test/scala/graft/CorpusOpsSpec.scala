@@ -132,14 +132,19 @@ class CorpusOpsSpec extends SparkSpecBase {
       "exchange") {
     // visible statically only with AQE off (AQE performs the same reuse at
     // runtime via query-stage canonicalization, but the initial plan
-    // prints both subtrees); restored in finally — suites run sequentially
+    // prints both subtrees); prior value restored in finally — suites run
+    // sequentially
+    val saved = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = TextAnalysis.tfidf(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("ReusedExchange"))
       assert("Generate explode".r.findAllIn(plan).size === 1)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("corpusShards chunks exactly the kept corpus, bounded windows, " +
