@@ -72,6 +72,37 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("parquet footer-stats aggregate pushdown: whole-table MIN/MAX/COUNT " +
+      "answered from metadata, values unchanged") {
+    // the V2 parquet reader can answer un-grouped MIN/MAX/COUNT from row-
+    // group statistics without scanning data — at 100 TB that is the
+    // difference between a metadata read and a full-table scan. V1 is the
+    // default reader, so the spec opts this one read into V2 + pushdown.
+    val confs = Seq(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val agg = Tables.lineitem(spark, sfDir)
+        .agg(min(col("l_orderkey")).as("min_k"), max(col("l_orderkey")).as("max_k"),
+          count(lit(1)).as("n"))
+      assert(agg.queryExecution.executedPlan.toString
+        .contains("PushedAggregation: [MIN(l_orderkey), MAX(l_orderkey), COUNT(*)]"))
+      val row = agg.collect().head
+      val (mn, mx, n) = (row.getAs[Long]("min_k"), row.getAs[Long]("max_k"),
+        row.getAs[Long]("n"))
+      confs.foreach { case (k, _) => spark.conf.unset(k) } // plain V1 scan
+      val plain = Tables.lineitem(spark, sfDir)
+        .agg(min(col("l_orderkey")), max(col("l_orderkey")), count(lit(1)))
+        .collect().head
+      assert((mn, mx, n) === (plain.getLong(0), plain.getLong(1), plain.getLong(2)))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("approx distinct is self-validating: every group inside the 5% bound") {
     val rows = Relational.aggApproxDistinct(spark, sfDir).collect()
     assert(rows.nonEmpty)
