@@ -113,4 +113,40 @@ class EtlPipelineSpec extends SparkSpecBase {
     assert(bad.sourceFile === missing)
     assert(bad.recordsProcessed.isEmpty)
   }
+
+  test("dirty CSV ingest modes: PERMISSIVE keeps + tags, DROPMALFORMED " +
+      "drops, FAILFAST aborts") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_dirty").toString
+    // row 2 has a non-numeric amount, row 3 too few columns
+    Files.write(Paths.get(s"$dir/batch.csv"),
+      ("id,amount\n" + "1,10.5\n" + "2,notanumber\n" + "3\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType),
+      StructField("_corrupt_record", StringType)))
+
+    val permissive = spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir).cache()
+    // all rows survive; the broken cells are null and the raw line is
+    // preserved in the corrupt-record column for a quarantine side-channel
+    assert(permissive.count() === 3L)
+    val byId = permissive.collect()
+      .map(r => Option(r.getAs[String]("_corrupt_record")) -> r).toMap
+    assert(byId.keys.flatten.toSet === Set("2,notanumber", "3"))
+    permissive.unpersist()
+
+    val dropped = spark.read
+      .schema(StructType(schema.fields.take(2)))
+      .option("header", "true").option("mode", "DROPMALFORMED").csv(dir)
+    assert(dropped.collect().map(_.getLong(0)).toSeq === Seq(1L))
+
+    val failFast = spark.read
+      .schema(StructType(schema.fields.take(2)))
+      .option("header", "true").option("mode", "FAILFAST").csv(dir)
+    val err = intercept[org.apache.spark.SparkException] { failFast.collect() }
+    assert(err.getMessage.contains("FAILFAST") ||
+      Option(err.getCause).exists(_.getMessage.contains("Malformed")))
+  }
 }
