@@ -60,6 +60,9 @@ object SparkEntry {
     "q_salted_agg"      -> (TypedOps.saltedAgg _),
     "q_agg_distinct"    -> (Relational.aggDistinct _),
     "q_approx_distinct" -> (Relational.aggApproxDistinct _),
+    // rows-only by design (order-dependent sketch merge) but
+    // self-validating: rank-bound flag computed in-row
+    "q_approx_quantiles" -> (Relational.approxQuantiles _),
     "q_rollup"          -> (Relational.aggRollup _),
     "q_grouping_sets"   -> (Relational.groupingSets _),
     "q_array_funcs"     -> ((s: SparkSession, d: String) =>

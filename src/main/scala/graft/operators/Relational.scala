@@ -259,6 +259,55 @@ object Relational {
       .withColumn("within_bound", col("rel_err") <= 0.05)
       .orderBy(col("l_returnflag"))
 
+  /** A3-family sketch: approximate quantiles (the KLL/GK-style mergeable
+    * sketch behind `percentile_approx`) beside their own validity check.
+    * The sketch's merge is order-dependent, so the value is not
+    * byte-reproducible and the driver records a rows-only check — but the
+    * GUARANTEE it ships with is a RANK bound, not a value bound, and that
+    * is checkable in-query: the returned value is an actual data point
+    * whose rank RANGE `[count(<v), count(≤v)]/n` must intersect
+    * `[p−1/accuracy, p+1/accuracy]` — on discrete data a single value can
+    * hold percent-scale probability mass, so checking only `count(≤v)/n`
+    * against p would false-fail the sketch. The query
+    * emits both rank fractions and the bound flag per group, so even the
+    * rows-only entry is self-validating (same pattern as
+    * `q_approx_distinct`; bound also asserted in RelationalSpec). Shape at
+    * scale: one partial+final sketch aggregation, then the tiny per-group
+    * sketch results broadcast back for ONE conditional-count pass — two
+    * scans, no wide shuffle.
+    */
+  val QuantileAccuracy = 1000
+  val QuantileProbes   = Seq(0.25, 0.5, 0.75)
+
+  def approxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val probes = QuantileProbes
+    val ap = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_quantity"),
+        array(probes.map(lit): _*), lit(QuantileAccuracy)).as("qs"),
+        count(lit(1)).as("n"))
+    val rankFracs = probes.indices.flatMap { i =>
+      Seq(
+        (sum(when(col("l_quantity") < col("qs")(i), 1L).otherwise(0L))
+          .cast("double") / first(col("n")).cast("double")).as(s"rf_lo$i"),
+        (sum(when(col("l_quantity") <= col("qs")(i), 1L).otherwise(0L))
+          .cast("double") / first(col("n")).cast("double")).as(s"rf_hi$i"))
+    }
+    val eps = 1.0 / QuantileAccuracy + 1e-9
+    val bounds = probes.zipWithIndex.map { case (p, i) =>
+      col(s"rf_lo$i") <= lit(p + eps) && col(s"rf_hi$i") >= lit(p - eps)
+    }
+    val aggCols =
+      Seq(first(col("qs")(0)).as("q25"), first(col("qs")(1)).as("q50"),
+        first(col("qs")(2)).as("q75")) ++ rankFracs
+    Tables.lineitem(s, d)
+      .join(broadcast(ap), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("within_bound", bounds.reduce(_ && _))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** A4 — rollup over the time hierarchy implied by the reference's
     * year=/month= partition layout (` s3_uploader.py`:113-118).
     */

@@ -103,6 +103,18 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("approx quantiles are self-validating: every probe's rank fraction " +
+      "inside the 1/accuracy bound") {
+    val rows = Relational.approxQuantiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"))
+      // quantiles are ordered by construction
+      assert(r.getAs[Double]("q25") <= r.getAs[Double]("q50"))
+      assert(r.getAs[Double]("q50") <= r.getAs[Double]("q75"))
+    }
+  }
+
   test("approx distinct is self-validating: every group inside the 5% bound") {
     val rows = Relational.aggApproxDistinct(spark, sfDir).collect()
     assert(rows.nonEmpty)
