@@ -107,7 +107,9 @@ object SparkEntry {
     "q_decontaminate"     -> (Dedup.decontaminate _),
     // [EXT] LLM-pipeline: similarity search + multimodal
     "q_ann_brute"       -> (Ann.bruteForceTopK _),
-    "q_ann_lsh"         -> (Ann.lshTopK _),
+    // rows-only by design (recall < 1) but self-validating: each row
+    // carries whether it appears in the exact top-k (AnnSpec bounds it)
+    "q_ann_lsh"         -> (Ann.lshTopKValidated _),
     // exhaustive probe (nprobe = IvfLists) ≡ brute force — AnnSpec pins the
     // equivalence, which lets the driver hash-check the whole IVF pipeline
     // (assign → probe → rerank) against the brute-force oracle; the

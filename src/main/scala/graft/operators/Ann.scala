@@ -220,6 +220,26 @@ object Ann {
     exactRerank(s, d, cand)
   }
 
+  /** The driver-visible LSH entry: the LSH ranking with its own ground
+    * truth riding in-row (`in_exact_topk` = whether the neighbor is in
+    * the exact brute-force top-k). The sketch result cannot be
+    * oracle-hashed (recall < 1 by design), so — like `q_approx_distinct`
+    * and `q_approx_quantiles` — the rows-only entry validates itself;
+    * AnnSpec asserts the recall bound over the flag. The brute-force arm
+    * exists only for this validation: a production index build runs
+    * [[lshTopK]] alone (the demo corpus has Q=16 query vectors, so the
+    * validation arm is O(Q·N), not O(N²)).
+    */
+  def lshTopKValidated(s: SparkSession, d: String): DataFrame = {
+    val truth = bruteForceTopK(s, d)
+      .select(col("q_id"), col("n_id"), lit(true).as("hit"))
+    lshTopK(s, d)
+      .join(truth, Seq("q_id", "n_id"), "left")
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"),
+        coalesce(col("hit"), lit(false)).as("in_exact_topk"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Shared tail of every candidate-generating ANN variant: join the
     * embeddings back onto the (q_id, n_id) candidate set (candidates travel
     * as IDs only until here), exact cosine, deterministic per-query top-k.

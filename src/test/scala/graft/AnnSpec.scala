@@ -34,7 +34,8 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
-  test("LSH top-k achieves usable recall against brute force") {
+  test("LSH top-k achieves usable recall against brute force, and the " +
+      "driver entry's in-row flag measures the same thing") {
     val truth = Ann.bruteForceTopK(spark, sfDir)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val approx = Ann.lshTopK(spark, sfDir)
@@ -43,6 +44,11 @@ class AnnSpec extends SparkSpecBase {
     // 16-bit sign-projection on 64-dim random vectors: weak but real signal;
     // the bound documents observed behavior and guards regressions.
     assert(recall >= 0.2, s"recall@${Ann.TopK} = $recall")
+    // the self-validating driver entry: hits flagged in-row agree with the
+    // set computation above
+    val flagged = Ann.lshTopKValidated(spark, sfDir).collect()
+    val hits = flagged.count(_.getAs[Boolean]("in_exact_topk"))
+    assert(hits === (truth & approx).size)
   }
 
   test("IVF with exhaustive probing equals brute force exactly") {
