@@ -231,9 +231,14 @@ object Ann {
     * validation arm is O(Q·N), not O(N²)).
     */
   def lshTopKValidated(s: SparkSession, d: String): DataFrame = {
-    val truth = bruteForceTopK(s, d)
+    import org.apache.spark.sql.graft.PlanBridge.stripPresentationSort
+    // Both arms are standalone driver entries ending in their own
+    // presentation sort; under this join those inner sorts are pure
+    // overhead AND would survive Bench's root-only strip — drop them
+    // here so the one trailing orderBy below is the plan's only Sort.
+    val truth = stripPresentationSort(bruteForceTopK(s, d))
       .select(col("q_id"), col("n_id"), lit(true).as("hit"))
-    lshTopK(s, d)
+    stripPresentationSort(lshTopK(s, d))
       .join(truth, Seq("q_id", "n_id"), "left")
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"),
         coalesce(col("hit"), lit(false)).as("in_exact_topk"))
