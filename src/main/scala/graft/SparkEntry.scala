@@ -73,6 +73,7 @@ object SparkEntry {
     "q_window_analytic" -> (Relational.windowAnalytic _),
     "q_window_range"    -> (Relational.windowRange _),
     "q_upsert_lww"      -> (Relational.upsertLww _),
+    "q_snapshot_diff"   -> (Relational.snapshotDiff _),
     // [EXT] event-time / streaming batch-equivalents — SURVEY §2k
     "q_window_tumbling" -> (EventOps.tumbling _),
     "q_window_sliding"  -> (EventOps.sliding _),
@@ -93,6 +94,7 @@ object SparkEntry {
     "q_doc_repetition"    -> (TextAnalysis.docRepetition _),
     "q_pii_redact"        -> (TextAnalysis.piiRedact _),
     "q_tfidf"             -> (TextAnalysis.tfidf _),
+    "q_vocab_coverage"    -> (TextAnalysis.vocabCoverage _),
     "q_corpus_build"      -> (CorpusPipeline.corpusBuild _),
     "q_corpus_shards"     -> (CorpusPipeline.corpusShards _),
     "q_range_join"        -> (EventOps.rangeJoin _),
@@ -105,6 +107,7 @@ object SparkEntry {
     "q_minhash_signature" -> (Dedup.minhashSignatures _),
     "q_dedup_simhash"     -> (Dedup.simhashPairs _),
     "q_decontaminate"     -> (Dedup.decontaminate _),
+    "q_chunk_dedup"       -> (Dedup.chunkDedup _),
     // [EXT] LLM-pipeline: similarity search + multimodal
     "q_ann_brute"       -> (Ann.bruteForceTopK _),
     // rows-only by design (recall < 1) but self-validating: each row
@@ -178,6 +181,7 @@ object SparkEntry {
     "q_window_analytic" -> Relational.windowAnalyticSql,
     "q_window_range"    -> Relational.windowRangeSql,
     "q_upsert_lww"      -> Relational.upsertLwwSql,
+    "q_snapshot_diff"   -> Relational.snapshotDiffSql,
     "q_window_tumbling" -> EventOps.tumblingSql,
     "q_window_sliding"  -> EventOps.slidingSql,
     "q_window_session"  -> EventOps.sessionizeSql,
@@ -195,6 +199,7 @@ object SparkEntry {
     "q_doc_repetition"    -> TextAnalysis.docRepetitionSql,
     "q_pii_redact"        -> TextAnalysis.piiRedactSql,
     "q_tfidf"             -> TextAnalysis.tfidfSql,
+    "q_vocab_coverage"    -> TextAnalysis.vocabCoverageSql,
     "q_corpus_build"      -> CorpusPipeline.corpusBuildSql,
     "q_corpus_shards"     -> CorpusPipeline.corpusShardsSql,
     "q_range_join"        -> EventOps.rangeJoinSql,
@@ -209,6 +214,7 @@ object SparkEntry {
     "q_minhash_signature" -> Dedup.minhashSignaturesSql,
     "q_dedup_simhash"   -> Dedup.simhashPairsSql,
     "q_decontaminate"   -> Dedup.decontaminateSql,
+    "q_chunk_dedup"     -> Dedup.chunkDedupSql,
     "q_ann_brute"       -> Ann.bruteForceTopKSql,
     // exhaustive-probe IVF visits every list, so its output is exactly the
     // brute-force ranking (pinned in AnnSpec) — same oracle applies.

@@ -237,6 +237,55 @@ object TextAnalysis {
       |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       |GROUP BY word ORDER BY n DESC, word""".stripMargin
 
+  /** Vocabulary size for [[vocabCoverage]] — small enough that the corpus'
+    * ~50-word synthetic vocabulary leaves a real OOV tail to measure.
+    */
+  val VocabSize = 32
+
+  /** Tokenizer-coverage audit: build the top-[[VocabSize]] vocabulary by
+    * global token frequency (ties broken lexicographically so the cut is
+    * deterministic), then score every document's out-of-vocabulary rate
+    * against it — the "how much of my corpus does this vocab explain"
+    * check run before committing to a tokenizer. Shape at scale: the
+    * vocabulary is ONE combiner-backed token-count aggregation capped by
+    * TakeOrderedAndProject (top-V never materializes the full frequency
+    * table on the driver), and the per-token membership probe is a
+    * broadcast join (V rows), so the only wide stage over the corpus is
+    * the final per-document aggregation.
+    */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val vocab = toks
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(VocabSize)
+      .select(col("word"), lit(true).as("in_vocab"))
+    toks
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |              FROM documents),
+       |     vocab AS (SELECT word FROM (
+       |       SELECT word, COUNT(*) AS n FROM toks
+       |       GROUP BY word ORDER BY n DESC, word LIMIT $VocabSize))
+       |SELECT t.doc_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       |       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_oov,
+       |       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / COUNT(*) AS oov_rate
+       |FROM toks t LEFT JOIN vocab v USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   /** Per-language keep quotas (percent of the 0-99 hash space) for the
     * stratified sampler — the downsample-the-majority-language shape every
     * pretraining mix uses (en dominates this corpus ~3:1).
@@ -350,9 +399,8 @@ object TextAnalysis {
     * emits nothing — the filter makes both sides state the same (sensible)
     * semantics.
     */
-  def chunkOf(docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
-    val W  = ChunkTokens
-    val S  = ChunkStride
+  def chunkOf(docs: DataFrame, extra: Seq[String] = Nil,
+      W: Int = ChunkTokens, S: Int = ChunkStride): DataFrame = {
     val ex = extra.map(col)
     val base = docs
       .filter(col("text").isNotNull)
@@ -377,9 +425,8 @@ object TextAnalysis {
     * so a window-math fix cannot desynchronize them. `extra` is a
     * comma-prefixed passthrough column list (e.g. ", lang").
     */
-  def chunkCtesSql(src: String, extra: String = ""): String = {
-    val W = ChunkTokens
-    val S = ChunkStride
+  def chunkCtesSql(src: String, extra: String = "",
+      W: Int = ChunkTokens, S: Int = ChunkStride): String = {
     s"""t AS (SELECT doc_id$extra, string_split(text, ' ') AS toks
        |      FROM $src WHERE text IS NOT NULL),
        |n AS (SELECT doc_id$extra, toks, len(toks) AS n_tok FROM t),

@@ -250,6 +250,72 @@ object Dedup {
        |WHERE (d1 % $EvalMod = 0) <> (d2 % $EvalMod = 0)
        |ORDER BY train_id, eval_id""".stripMargin
 
+  /** Segment width for [[chunkDedup]]: non-overlapping [[SegTokens]]-token
+    * windows (stride = width), so a kept document reconstructs by plain
+    * concatenation — the C4/RefinedWeb span-dedup unit.
+    */
+  val SegTokens = 32
+
+  /** Cross-document span dedup, C4-style: cut every document into
+    * non-overlapping [[SegTokens]]-token segments, keep only the FIRST
+    * occurrence of each distinct segment text corpus-wide (first = lowest
+    * (doc_id, chunk_idx) — deterministic and idempotent), and reconstruct
+    * each document from its surviving segments. Documents whose every
+    * segment already appeared elsewhere come back with NULL text — the
+    * fully-boilerplate case a downstream quality gate drops. Shape at
+    * scale: the segment generator is narrow ([[TextAnalysis.chunkOf]]);
+    * the keep-first decision is ONE window shuffle partitioned by segment
+    * text (≤ [[SegTokens]] tokens travel per row; a petabyte deployment
+    * would bucket by a 128-bit content hash instead — kept text-exact here
+    * so the oracle checks the same plan); reconstruction is ONE
+    * per-document aggregation. No stage holds more than a document's
+    * segments in memory.
+    */
+  def chunkDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = graft.functions.TextAnalysis
+      .chunkOf(Tables.documents(s, d), W = SegTokens, S = SegTokens)
+    val w = Window.partitionBy(col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    segs
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_seg"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        nullif(
+          concat_ws(" ",
+            transform(
+              array_sort(collect_list(
+                when(col("keep"),
+                  struct(col("chunk_idx"), col("chunk_text"))))),
+              x => x("chunk_text"))),
+          lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val chunkDedupSql: String = {
+    val segCtes = graft.functions.TextAnalysis
+      .chunkCtesSql("documents", W = SegTokens, S = SegTokens)
+      .replaceAll("(?s)\nSELECT.*$", "") // keep CTE chain, drop final select
+    s"""WITH $segCtes,
+       |     segs AS (
+       |  SELECT doc_id, chunk_idx,
+       |         array_to_string(
+       |           toks[chunk_idx*$SegTokens+1 : chunk_idx*$SegTokens+$SegTokens],
+       |           ' ') AS chunk_text,
+       |         row_number() OVER (PARTITION BY array_to_string(
+       |             toks[chunk_idx*$SegTokens+1 : chunk_idx*$SegTokens+$SegTokens],
+       |             ' ') ORDER BY doc_id, chunk_idx) = 1 AS keep
+       |  FROM c)
+       |SELECT doc_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_seg,
+       |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       string_agg(CASE WHEN keep THEN chunk_text END, ' '
+       |                  ORDER BY chunk_idx) AS clean_text
+       |FROM segs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val MaxClusterRounds = 20
 
   /** Dedup clusters: connected components over the near-dup pair graph —

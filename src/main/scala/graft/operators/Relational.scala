@@ -511,6 +511,67 @@ object Relational {
       |                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
       |ORDER BY o_custkey""".stripMargin
 
+  /** K3 companion — CDC-style snapshot diff: classify every key across two
+    * table snapshots as insert / update / delete (unchanged rows are
+    * dropped — the CDC feed a downstream MERGE consumes). The two
+    * snapshots are derived deterministically from `orders`: snapshot A
+    * lacks keys ≡0 (mod 10) (they arrive later → inserts), snapshot B
+    * lacks keys ≡0 (mod 13) (deletes) and reclassifies the priority of
+    * keys ≡0 (mod 7) (updates). Change detection is a generic null-safe
+    * comparison over every non-key column — no per-table column list to
+    * maintain. Shape at scale: ONE full-outer sort-merge join, each side
+    * shuffled once on the key; with both snapshots bucketed by key (the
+    * layout [[bucketedJoin]] demonstrates) the diff is exchange-free —
+    * the incremental-maintenance shape a 100 TB nightly snapshot needs.
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_orderkey") % 10 =!= 0)
+    val b = o.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 7 === 0, lit("9-RECLASS"))
+          .otherwise(col("o_orderpriority")))
+    val changed = o.columns.filterNot(_ == "o_orderkey")
+      .map(c => !(col(s"a.$c") <=> col(s"b.$c")))
+      .reduce(_ || _)
+    a.as("a")
+      .join(b.as("b"), col("a.o_orderkey") === col("b.o_orderkey"),
+        "full_outer")
+      .select(
+        coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+        when(col("a.o_orderkey").isNull, lit("insert"))
+          .when(col("b.o_orderkey").isNull, lit("delete"))
+          .when(changed, lit("update"))
+          .otherwise(lit("unchanged")).as("change_type"),
+        col("a.o_orderpriority").as("old_priority"),
+        col("b.o_orderpriority").as("new_priority"))
+      .filter(col("change_type") =!= "unchanged")
+      .orderBy(col("o_orderkey"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH a AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+      |     b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |                  o_orderdate,
+      |                  CASE WHEN o_orderkey % 7 = 0 THEN '9-RECLASS'
+      |                       ELSE o_orderpriority END AS o_orderpriority
+      |           FROM orders WHERE o_orderkey % 13 <> 0),
+      |     d AS (
+      |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |         CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+      |              WHEN b.o_orderkey IS NULL THEN 'delete'
+      |              WHEN (a.o_custkey       IS DISTINCT FROM b.o_custkey)
+      |                OR (a.o_orderstatus   IS DISTINCT FROM b.o_orderstatus)
+      |                OR (a.o_totalprice    IS DISTINCT FROM b.o_totalprice)
+      |                OR (a.o_orderdate     IS DISTINCT FROM b.o_orderdate)
+      |                OR (a.o_orderpriority IS DISTINCT FROM b.o_orderpriority)
+      |              THEN 'update' ELSE 'unchanged' END AS change_type,
+      |         a.o_orderpriority AS old_priority,
+      |         b.o_orderpriority AS new_priority
+      |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+      |SELECT * FROM d WHERE change_type <> 'unchanged'
+      |ORDER BY o_orderkey""".stripMargin
+
   /** 2g — analytic window functions (lag + running sum) over the events
     * stream table, per-user ordered by event time.
     */

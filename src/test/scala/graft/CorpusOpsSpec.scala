@@ -163,6 +163,55 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("chunkDedup keeps first occurrence per segment and reconstructs docs") {
+    val W = Dedup.SegTokens
+    val A = words(W, "a"); val B = words(W, "b"); val C = words(W, "c")
+    val dir = writeDocs(Seq(
+      (1L, s"$A $B"),   // first occurrence of both segments
+      (2L, s"$A $C"),   // A is boilerplate here; C survives
+      (3L, s"$A $B")))  // fully boilerplate → NULL text
+    val out = Dedup.chunkDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_seg"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) === ((2L, 2L, s"$A $B")))
+    assert(out(2L) === ((2L, 1L, C)))
+    assert(out(3L) === ((2L, 0L, null)))
+  }
+
+  test("chunkDedup is idempotent: re-running on its own output drops nothing") {
+    val dir = writeDocs(Seq(
+      (1L, words(Dedup.SegTokens, "a") + " " + words(Dedup.SegTokens, "b")),
+      (2L, words(Dedup.SegTokens, "a") + " " + words(Dedup.SegTokens, "c"))))
+    val first = Dedup.chunkDedup(spark, dir).collect()
+    val dir2 = writeDocs(first.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toSeq)
+    Dedup.chunkDedup(spark, dir2).collect().foreach { r =>
+      assert(r.getAs[Long]("n_kept") === r.getAs[Long]("n_seg"))
+    }
+  }
+
+  test("vocabCoverage: deterministic top-V cut and per-doc OOV accounting") {
+    val V = TextAnalysis.VocabSize
+    val wordsAll = (0 until V + 8).map(i => s"w$i")
+    val dir = writeDocs(Seq(
+      (1L, wordsAll.mkString(" ")),     // every word once
+      (2L, s"w${V + 7} w${V + 7}")))    // boost the lexicographically-last word
+    val rows = TextAnalysis.vocabCoverage(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate"))).toMap
+    // expected vocab: boosted word (count 3) + lexicographically-first V-1
+    // of the remaining count-1 words
+    val boosted = s"w${V + 7}"
+    val vocab = Set(boosted) ++
+      wordsAll.filterNot(_ == boosted).sorted.take(V - 1)
+    val oov1 = wordsAll.count(!vocab.contains(_)).toLong
+    assert(rows(1L) === ((wordsAll.size.toLong, oov1,
+      oov1.toDouble / wordsAll.size)))
+    assert(rows(2L) === ((2L, 0L, 0.0)))
+  }
+
   test("tfidf ranks rare high-frequency terms above ubiquitous ones") {
     val dir = writeDocs(Seq(
       (1L, "x x x common"),

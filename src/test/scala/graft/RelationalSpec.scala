@@ -115,6 +115,31 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("snapshot diff classifies exactly the keys the snapshots disagree on") {
+    val keys = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val got = Relational.snapshotDiff(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[String]("change_type"))
+      .toMap
+    val expected = keys.flatMap { k =>
+      val inA = k % 10 != 0
+      val inB = k % 13 != 0
+      (inA, inB) match {
+        case (false, true)              => Some(k -> "insert")
+        case (true, false)              => Some(k -> "delete")
+        case (true, true) if k % 7 == 0 => Some(k -> "update")
+        case _                          => None
+      }
+    }.toMap
+    assert(got === expected)
+    // updates surface the reclassification, old value intact
+    Relational.snapshotDiff(spark, sfDir)
+      .filter(col("change_type") === "update").collect().foreach { r =>
+        assert(r.getAs[String]("new_priority") === "9-RECLASS")
+        assert(r.getAs[String]("old_priority") !== "9-RECLASS")
+      }
+  }
+
   test("approx distinct is self-validating: every group inside the 5% bound") {
     val rows = Relational.aggApproxDistinct(spark, sfDir).collect()
     assert(rows.nonEmpty)
