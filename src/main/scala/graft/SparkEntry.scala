@@ -90,6 +90,7 @@ object SparkEntry {
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_fingerprint"   -> (TextAnalysis.fingerprintDf _),
     "q_stratified_sample" -> (TextAnalysis.stratifiedSample _),
+    "q_lang_mix"          -> (TextAnalysis.langMix _),
     "q_chunk"             -> (TextAnalysis.chunkDocs _),
     "q_doc_repetition"    -> (TextAnalysis.docRepetition _),
     "q_pii_redact"        -> (TextAnalysis.piiRedact _),
@@ -97,6 +98,7 @@ object SparkEntry {
     "q_vocab_coverage"    -> (TextAnalysis.vocabCoverage _),
     "q_corpus_build"      -> (CorpusPipeline.corpusBuild _),
     "q_corpus_shards"     -> (CorpusPipeline.corpusShards _),
+    "q_pack_sequences"    -> (CorpusPipeline.packSequences _),
     "q_range_join"        -> (EventOps.rangeJoin _),
     "q_skew_join"         -> (EventOps.skewJoin _),
     // [EXT] LLM-pipeline: deduplication
@@ -120,6 +122,7 @@ object SparkEntry {
     "q_ann_ivf"         -> ((s: SparkSession, d: String) =>
       Ann.ivfTopK(s, d, Ann.IvfLists)),
     "q_embed_neardup"   -> (Ann.embeddingNearDup _),
+    "q_semantic_dedup"  -> (Ann.semanticDedup _),
     "q_embed_quantize"  -> (Ann.embedQuantize _),
     "q_multimodal_meta"   -> (Multimodal.blobMeta _),
     "q_multimodal_resize" -> (Multimodal.resizeBlobs _),
@@ -195,6 +198,7 @@ object SparkEntry {
     "q_quality_score"   -> TextAnalysis.qualityScoreSql,
     "q_fingerprint"     -> TextAnalysis.fingerprintSql,
     "q_stratified_sample" -> TextAnalysis.stratifiedSampleSql,
+    "q_lang_mix"          -> TextAnalysis.langMixSql,
     "q_chunk"             -> TextAnalysis.chunkDocsSql,
     "q_doc_repetition"    -> TextAnalysis.docRepetitionSql,
     "q_pii_redact"        -> TextAnalysis.piiRedactSql,
@@ -202,6 +206,7 @@ object SparkEntry {
     "q_vocab_coverage"    -> TextAnalysis.vocabCoverageSql,
     "q_corpus_build"      -> CorpusPipeline.corpusBuildSql,
     "q_corpus_shards"     -> CorpusPipeline.corpusShardsSql,
+    "q_pack_sequences"    -> CorpusPipeline.packSequencesSql,
     "q_range_join"        -> EventOps.rangeJoinSql,
     "q_skew_join"         -> EventOps.skewJoinSql,
     "q_dedup_exact"     -> Dedup.exactSql,
@@ -220,6 +225,7 @@ object SparkEntry {
     // brute-force ranking (pinned in AnnSpec) — same oracle applies.
     "q_ann_ivf"         -> Ann.bruteForceTopKSql,
     "q_embed_neardup"   -> Ann.embeddingNearDupSql,
+    "q_semantic_dedup"  -> Ann.semanticDedupSql,
     "q_embed_quantize"  -> Ann.embedQuantizeSql,
     "q_multimodal_meta"   -> Multimodal.blobMetaSql,
     "q_multimodal_resize" -> Multimodal.resizeBlobsSql,

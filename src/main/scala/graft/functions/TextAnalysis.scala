@@ -336,6 +336,67 @@ object TextAnalysis {
        |WHERE $sampleCoinSql < $sampleQuotaSql
        |ORDER BY doc_id""".stripMargin
 
+  // ---------- temperature-based language re-mixing ----------
+
+  /** Temperature-smoothed language mixing — the α-sampling multilingual
+    * pretraining applies (XLM-R's exponential smoothing: sample languages
+    * ∝ n^α so head languages shrink and tail languages survive). Language
+    * `l` with `n_l` documents keeps each document with probability
+    * `(n_min / n_l)^(1-α)`, α = 1/2 — i.e. `sqrt(n_min / n_l)` — so kept
+    * counts are proportional to `sqrt(n_l)` and the rarest language keeps
+    * everything. Unlike [[stratifiedSample]]'s hand-set quotas, the rates
+    * here are DERIVED from the observed distribution in the same query.
+    * α = 1/2 is not just a demo choice: `sqrt`, division, and `floor` are
+    * all IEEE correctly-rounded, so the per-language rate is bit-identical
+    * on any engine, whereas a general `pow(x, 1-α)` is not correctly
+    * rounded and could flip a boundary coin. No FP aggregation exists
+    * anywhere: the only global statistic is an integer `MIN`.
+    *
+    * The keep decision reuses the stratified sampler's multiplicative-hash
+    * coin at 1/10000 resolution — deterministic, RNG-free,
+    * parallelism-independent. Scale shape: one combiner-backed count on
+    * the language key, a 1-row MIN and a |languages|-row rate table both
+    * broadcast back, then the corpus pays a narrow map + filter — the
+    * entire re-mix adds zero shuffles over the corpus at 100 TB.
+    */
+  val MixCoinMod = 10000L
+
+  private[graft] def mixCoin: Column = pmod(
+    pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L) + lit(40503L),
+    lit(999983L)) % MixCoinMod
+
+  private[graft] val mixCoinSql =
+    s"((doc_id % 1000003) * 2654435761 + 40503) % 999983 % $MixCoinMod"
+
+  def langMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+    val nMin = counts.agg(min(col("n_lang")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col("lang"), col("n_lang"),
+        floor(sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))
+          * lit(MixCoinMod.toDouble)).cast("long").as("keep_rate_q"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(mixCoin < col("keep_rate_q"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_lang"), col("keep_rate_q"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langMixSql: String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n_lang
+       |           FROM documents GROUP BY lang),
+       |m AS (SELECT MIN(n_lang) AS n_min FROM c),
+       |r AS (SELECT lang, n_lang,
+       |        CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_lang AS DOUBLE))
+       |               * $MixCoinMod.0) AS BIGINT) AS keep_rate_q
+       |      FROM c, m)
+       |SELECT d.doc_id, d.lang, d.source, r.n_lang, r.keep_rate_q
+       |FROM documents d JOIN r USING (lang)
+       |WHERE $mixCoinSql < r.keep_rate_q
+       |ORDER BY d.doc_id""".stripMargin
+
   private val FpMod = 1000000007L
 
   /** Content fingerprint: polynomial rolling hash over the character stream

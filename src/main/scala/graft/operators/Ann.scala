@@ -406,6 +406,77 @@ object Ann {
   def ivfTopK(s: SparkSession, d: String): DataFrame =
     ivfTopK(s, d, IvfProbe)
 
+  // ---------- semantic deduplication (cluster-then-prune) ----------
+
+  /** Cosine threshold above which two same-cluster embeddings are semantic
+    * duplicates. Shares [[NearDupThreshold]] so the planted near-dup pairs
+    * in the testdata exercise the pruning path.
+    */
+  val SemDedupThreshold: Double = NearDupThreshold
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * assign every embedding to its nearest coarse-quantizer centroid, then
+    * WITHIN each cluster drop any vector whose cosine similarity to a
+    * lower-id cluster member is ≥ [[SemDedupThreshold]] (keep-first over
+    * the full pairwise matrix — the paper's per-cluster construction with
+    * id order standing in for its centroid-distance order, making the
+    * result deterministic and oracle-expressible). Output: the kept
+    * vectors with their cluster id.
+    *
+    * Scale shape: the assignment is the broadcast N×K argmax [[ivfAssign]]
+    * already uses (narrow, codegen'd cosine); the pairwise stage is ONE
+    * shuffle on `cid` followed by a same-key self-join, so total pair work
+    * is Σ cellᵢ² — the SemDeDup cost model. The demo quantizer has
+    * K = [[IvfLists]] cells; a production run sizes K ≈ N / targetCell
+    * (the paper uses 50k clusters for LAION-440M) so each cell's quadratic
+    * stays bounded, and the pruned-id set stays ids-only until the final
+    * anti-join. No driver collect; no broadcast of anything N-sized.
+    */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val members = e.join(ivfAssign(s, d), Seq("vec_id"))
+    val pruned = members.as("a")
+      .join(members.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          cosineSim(col("a.embedding"), col("b.embedding"))
+            >= SemDedupThreshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    members.join(pruned, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Mirrors [[semanticDedup]] exactly: same centroid seeds, same
+    * max(struct)-compatible tie-break (sim DESC, cid DESC), same keep-first
+    * pruning rule, same cosine formula.
+    */
+  val semanticDedupSql: String = {
+    val assignSim = cosineSql("e.v", "c.cv")
+    val pairSim   = cosineSql("a.v", "b.v")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |     c AS (SELECT vec_id AS cid, v AS cv FROM e
+       |           WHERE vec_id >= $NumQueries
+       |             AND vec_id < ${NumQueries + IvfLists}),
+       |     sc AS (SELECT e.vec_id, c.cid, $assignSim AS sim FROM e, c),
+       |     rk AS (SELECT vec_id, cid,
+       |              row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY sim DESC, cid DESC) AS r
+       |            FROM sc),
+       |     m AS (SELECT rk.vec_id, rk.cid, e.v
+       |           FROM rk JOIN e ON rk.vec_id = e.vec_id WHERE rk.r = 1),
+       |     pruned AS (SELECT DISTINCT b.vec_id
+       |                FROM m a JOIN m b
+       |                  ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |                WHERE $pairSim >= $SemDedupThreshold)
+       |SELECT vec_id, cid FROM m
+       |WHERE vec_id NOT IN (SELECT vec_id FROM pruned)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ---------- int8 scalar quantization ----------
 
   /** Per-vector symmetric int8 quantization — the compression step an

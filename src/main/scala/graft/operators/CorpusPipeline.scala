@@ -92,4 +92,92 @@ object CorpusPipeline {
        |  SELECT doc_id, lang, ${TextAnalysis.scrubPiiSql("text")} AS text
        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM kept)),
        |${TextAnalysis.chunkCtesSql("red", ", lang")}""".stripMargin
+
+  // ---------- sequence packing (concatenate-and-cut) ----------
+
+  /** Tokens per packed training sequence / number of independent packing
+    * shards. Shards bound the sequential region: the running token offset
+    * is a per-shard window, so parallelism equals the shard count and no
+    * global single-partition sort ever exists.
+    */
+  val PackSeqLen = 128
+  val PackShards = 8
+
+  /** GPT-style sequence packing: concatenate every document's token stream
+    * in a deterministic order and cut it into fixed-[[PackSeqLen]] training
+    * sequences, emitting the packing MANIFEST a training loader consumes —
+    * one row per (document × sequence it lands in), with the span's offset
+    * inside the document (`doc_off`), its offset inside the sequence
+    * (`seq_off`), and its length. A document longer than a sequence simply
+    * straddles several rows; no padding, no token dropped (the classic
+    * "concat-then-chunk" packing that wastes zero compute on pad tokens).
+    *
+    * Layout: documents are first split into [[PackShards]] independent
+    * streams (`doc_id % PackShards` here — dense demo ids; production
+    * would use any uniform hash, which changes the shard key, not the
+    * shape). Within a shard the token offset of each document is a running
+    * sum over `doc_id` order — ONE window per shard, evaluated in a single
+    * pass after ONE shuffle on `shard`. At 100 TB: shard count scales with
+    * the cluster (each shard's window is a linear scan of its own docs),
+    * and the manifest is pure integer arithmetic on (offset, n_tok) — the
+    * text itself never moves; the loader fetches it by doc_id at training
+    * time. The alternative (a global offset via two-phase partial sums)
+    * buys nothing: packing across shard boundaries has no training
+    * semantics, since sequence boundaries are arbitrary cut points anyway.
+    *
+    * All derivations are integer multiply/divide on non-negative operands
+    * — bit-exact on both engines by construction.
+    */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = PackSeqLen.toLong
+    val docs = graft.Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        (col("doc_id") % PackShards).as("shard"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"off DIV ${L}L"),
+          expr(s"(off + n_tok - 1) DIV ${L}L"))))
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        greatest(lit(0L), col("seq_id") * L - col("off")).as("doc_off"),
+        col("off"), col("n_tok"))
+      .select(col("shard"), col("seq_id"), col("doc_id"), col("doc_off"),
+        (col("off") + col("doc_off") - col("seq_id") * L).as("seq_off"),
+        (least(col("n_tok"), (col("seq_id") + 1) * L - col("off"))
+          - col("doc_off")).as("span_len"))
+      .orderBy(col("shard"), col("seq_id"), col("doc_id"))
+  }
+
+  val packSequencesSql: String = {
+    val L = PackSeqLen
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |         len(string_split(text, ' ')) AS n_tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |o AS (
+       |  SELECT doc_id, shard, n_tok,
+       |         CAST(COALESCE(SUM(n_tok) OVER (
+       |           PARTITION BY shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS off
+       |  FROM d),
+       |x AS (
+       |  SELECT shard, doc_id, n_tok, off,
+       |         unnest(range(off // $L, (off + n_tok - 1) // $L + 1))
+       |           AS seq_id
+       |  FROM o),
+       |sp AS (
+       |  SELECT shard, seq_id, doc_id,
+       |         greatest(0, seq_id * $L - off) AS doc_off, off, n_tok
+       |  FROM x)
+       |SELECT shard, seq_id, doc_id, doc_off,
+       |       off + doc_off - seq_id * $L AS seq_off,
+       |       least(n_tok, (seq_id + 1) * $L - off) - doc_off AS span_len
+       |FROM sp ORDER BY shard, seq_id, doc_id""".stripMargin
+  }
 }

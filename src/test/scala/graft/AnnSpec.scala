@@ -165,4 +165,36 @@ class AnnSpec extends SparkSpecBase {
     assert(rows(0L).isNullAt(rows(0L).fieldIndex("max_err")))
     assert(rows(1L).getAs[String]("qvec_str") === "64|-127|32")
   }
+
+  test("semantic dedup: kept/pruned partition the store, no kept " +
+      "same-cluster pair is above threshold, every pruned vector is " +
+      "justified by a lower-id member") {
+    val assign = Ann.ivfAssign(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toMap.map { case (id, v) => id -> v.map(_.toDouble) }
+    def sim(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val kept = Ann.semanticDedup(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    // cluster ids in the output are the assignment's
+    kept.foreach { case (id, cid) => assert(assign(id) === cid) }
+    val keptIds   = kept.keySet
+    val prunedIds = vecs.keySet -- keptIds
+    // keep-first semantics, checked against an exhaustive local reference:
+    // pruned  ⇔  some lower-id same-cluster member is >= threshold
+    for (id <- vecs.keys) {
+      val justified = vecs.keys.exists(o => o < id &&
+        assign(o) === assign(id) &&
+        sim(vecs(o), vecs(id)) >= Ann.SemDedupThreshold)
+      assert(justified === prunedIds.contains(id),
+        s"vec $id: justified=$justified pruned=${prunedIds.contains(id)}")
+    }
+    // the testdata's planted near-dups make the pruning path non-vacuous
+    assert(prunedIds.nonEmpty)
+  }
 }

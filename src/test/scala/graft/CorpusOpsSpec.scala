@@ -236,4 +236,83 @@ class CorpusOpsSpec extends SparkSpecBase {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("packSequences: spans tile every sequence exactly, cover every " +
+      "document completely, and no token is dropped or padded") {
+    val L = CorpusPipeline.PackSeqLen.toLong
+    val spans = CorpusPipeline.packSequences(spark, sfDir).collect()
+    // per (shard, seq): spans tile [0, L) contiguously from seq_off 0;
+    // only a shard's LAST sequence may stop short (the stream just ends)
+    val byShard = spans.groupBy(_.getAs[Long]("shard"))
+    byShard.foreach { case (_, rows) =>
+      val bySeq  = rows.groupBy(_.getAs[Long]("seq_id"))
+      val lastSeq = bySeq.keys.max
+      bySeq.foreach { case (seqId, ss) =>
+        val sorted = ss.sortBy(_.getAs[Long]("seq_off"))
+        assert(sorted.head.getAs[Long]("seq_off") === 0L)
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getAs[Long]("seq_off") + a.getAs[Long]("span_len") ===
+              b.getAs[Long]("seq_off"))
+          case _ =>
+        }
+        val filled = sorted.last.getAs[Long]("seq_off") +
+          sorted.last.getAs[Long]("span_len")
+        if (seqId < lastSeq) assert(filled === L,
+          s"interior sequence $seqId filled $filled of $L")
+        else assert(filled <= L)
+        assert(ss.forall(r => r.getAs[Long]("span_len") > 0))
+      }
+    }
+    // per document: spans are contiguous from doc_off 0 and sum to n_tok
+    val nTok = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val byDoc = spans.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === nTok.keySet) // every doc packed, none invented
+    byDoc.foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_.getAs[Long]("doc_off"))
+      assert(sorted.head.getAs[Long]("doc_off") === 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("doc_off") + a.getAs[Long]("span_len") ===
+            b.getAs[Long]("doc_off"))
+        case _ =>
+      }
+      assert(ss.map(_.getAs[Long]("span_len")).sum === nTok(id))
+    }
+    // the testdata actually exercises straddling (some doc crosses a cut)
+    assert(byDoc.values.exists(_.length > 1))
+  }
+
+  test("langMix: exact match with a local reference, rarest language kept " +
+      "whole, the head language actually down-sampled") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val nLang = docs.groupBy(_._2).map { case (l, ds) => l -> ds.length.toLong }
+    val nMin = nLang.values.min
+    def rate(n: Long): Long =
+      math.floor(math.sqrt(nMin.toDouble / n.toDouble) *
+        TextAnalysis.MixCoinMod.toDouble).toLong
+    def coin(id: Long): Long =
+      (((id % 1000003L) * 2654435761L + 40503L) % 999983L) %
+        TextAnalysis.MixCoinMod
+    val expected = docs.collect {
+      case (id, l) if coin(id) < rate(nLang(l)) => id
+    }.toSet
+    val got = TextAnalysis.langMix(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === expected)
+    val keptByLang = docs.filter(t => got.contains(t._1))
+      .groupBy(_._2).map { case (l, ds) => l -> ds.length.toLong }
+    // rarest language keeps every document (rate == MixCoinMod)
+    val rarest = nLang.minBy(_._2)._1
+    assert(keptByLang.getOrElse(rarest, 0L) === nLang(rarest))
+    // the head language (en, ~3:1 in this corpus) was actually
+    // down-sampled — the re-mix is non-vacuous on the testdata
+    val head = nLang.maxBy(_._2)._1
+    assert(keptByLang.getOrElse(head, 0L) < nLang(head))
+  }
 }
