@@ -435,7 +435,13 @@ object Ann {
     */
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val members = e.join(ivfAssign(s, d), Seq("vec_id"))
+    // materialize (vec_id, embedding, cid) ONCE: the frame feeds three
+    // consumers (both sides of the pair self-join and the anti-join's
+    // keep side), and without the checkpoint each consumer would re-run
+    // the N×K assignment — the plan showed three copies of the argmax
+    // subtree. At scale this is "write the assignment table once", the
+    // same move the dedup cluster iteration makes.
+    val members = e.join(ivfAssign(s, d), Seq("vec_id")).localCheckpoint()
     val pruned = members.as("a")
       .join(members.as("b"),
         col("a.cid") === col("b.cid") &&
