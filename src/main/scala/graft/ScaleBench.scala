@@ -27,7 +27,8 @@ object ScaleBench {
     // round-4/5 corpus-prep additions (documents/embeddings-driven)
     "q_chunk", "q_doc_repetition", "q_decontaminate",
     "q_pii_redact", "q_tfidf", "q_embed_quantize",
-    "q_semantic_dedup", "q_pack_sequences", "q_lang_mix")
+    "q_semantic_dedup", "q_pack_sequences", "q_lang_mix",
+    "q_quality_topp", "q_token_budget")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("spark.log.level", "ERROR")

@@ -91,6 +91,8 @@ object SparkEntry {
     "q_fingerprint"   -> (TextAnalysis.fingerprintDf _),
     "q_stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "q_lang_mix"          -> (TextAnalysis.langMix _),
+    "q_quality_topp"      -> (TextAnalysis.qualityTopP _),
+    "q_token_budget"      -> (TextAnalysis.tokenBudget _),
     "q_chunk"             -> (TextAnalysis.chunkDocs _),
     "q_doc_repetition"    -> (TextAnalysis.docRepetition _),
     "q_pii_redact"        -> (TextAnalysis.piiRedact _),
@@ -199,6 +201,8 @@ object SparkEntry {
     "q_fingerprint"     -> TextAnalysis.fingerprintSql,
     "q_stratified_sample" -> TextAnalysis.stratifiedSampleSql,
     "q_lang_mix"          -> TextAnalysis.langMixSql,
+    "q_quality_topp"      -> TextAnalysis.qualityTopPSql,
+    "q_token_budget"      -> TextAnalysis.tokenBudgetSql,
     "q_chunk"             -> TextAnalysis.chunkDocsSql,
     "q_doc_repetition"    -> TextAnalysis.docRepetitionSql,
     "q_pii_redact"        -> TextAnalysis.piiRedactSql,

@@ -397,6 +397,120 @@ object TextAnalysis {
        |WHERE $mixCoinSql < r.keep_rate_q
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------- rank-based quality gating (top-p% per language) ----------
+
+  /** Keep the top `TopPNum/TopPDen` of each language by score — the
+    * "top-scoring fraction by quality classifier" gate (FineWeb-Edu-style)
+    * in its scale-correct, FP-safe form. Rank-based rather than
+    * threshold-based on purpose: a percentile THRESHOLD interpolates
+    * doubles (engine-order-sensitive), while a rank CUT is pure integer
+    * arithmetic once the sort key is fixed — `rk · TopPDen ≤ n_lang`
+    * admits exactly ⌊n/5⌋ documents, bit-identically on any engine. The
+    * score here is the stopword-density proxy [[qualityScore]] already
+    * computes (identical expression both sides); ties break on doc_id so
+    * the cut is total-ordered.
+    *
+    * Scale shape: ONE shuffle on the stratum key (lang), then a
+    * row_number + partition-count window pair inside each stratum —
+    * no global sort exists; parallelism = stratum count (a production
+    * gate stratifies by language × dump, thousands of cells). NULL-text
+    * documents are excluded up front (no score), keeping NULL ordering
+    * out of the sort key entirely.
+    */
+  val TopPDen = 5
+
+  def qualityTopP(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        (markerCount(tokens(col("text")), stopwords).cast("double") /
+          size(tokens(col("text"))).cast("double")).as("score"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val wAll = Window.partitionBy(col("lang"))
+    scored
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(wAll))
+      .filter(col("rk") * TopPDen <= col("n_lang"))
+      .select(col("doc_id"), col("lang"), col("score"), col("rk"),
+        col("n_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityTopPSql: String = {
+    val stopArr = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH m AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |                x -> list_contains($stopArr, x))) AS DOUBLE) /
+       |           CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+       |  FROM documents WHERE text IS NOT NULL),
+       |r AS (
+       |  SELECT doc_id, lang, score,
+       |         row_number() OVER (PARTITION BY lang
+       |                            ORDER BY score DESC, doc_id ASC) AS rk,
+       |         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+       |  FROM m)
+       |SELECT doc_id, lang, score, rk, n_lang FROM r
+       |WHERE rk * $TopPDen <= n_lang
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------- token-budget sampling ----------
+
+  /** Deterministic token-budget cut: per language, admit documents in the
+    * multiplicative-hash coin order (a deterministic shuffle) until the
+    * language's token budget is reached — "sample N tokens per language",
+    * the exact-budget counterpart of [[langMix]]'s rates (a training mix
+    * is usually specified in TOKENS, not document rates). A document is
+    * kept iff the tokens admitted before it are still under budget, so
+    * the first document crossing the line is included and every language
+    * reaches ≥ budget coverage (when it has that many tokens at all).
+    *
+    * The running sum is integer, the order key is (coin, doc_id) — fully
+    * deterministic, no RNG, no FP anywhere. Scale shape: identical to
+    * [[graft.operators.CorpusPipeline.packSequences]] — ONE shuffle on
+    * the language key, one linear window pass per language; parallelism =
+    * stratum count.
+    */
+  val LangTokenBudget = 2500L
+
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        mixCoin.as("coin"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("coin").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .filter(col("cum_before") < LangTokenBudget)
+      .select(col("doc_id"), col("lang"), col("coin"), col("n_tok"),
+        col("cum_before"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         $mixCoinSql AS coin
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (
+       |  SELECT doc_id, lang, coin, n_tok,
+       |         CAST(COALESCE(SUM(n_tok) OVER (
+       |           PARTITION BY lang ORDER BY coin ASC, doc_id ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS cum_before
+       |  FROM d)
+       |SELECT doc_id, lang, coin, n_tok, cum_before FROM c
+       |WHERE cum_before < $LangTokenBudget
+       |ORDER BY doc_id""".stripMargin
+
   private val FpMod = 1000000007L
 
   /** Content fingerprint: polynomial rolling hash over the character stream

@@ -315,4 +315,61 @@ class CorpusOpsSpec extends SparkSpecBase {
     val head = nLang.maxBy(_._2)._1
     assert(keptByLang.getOrElse(head, 0L) < nLang(head))
   }
+
+  test("qualityTopP keeps exactly floor(n/5) per language, and they are " +
+      "the top-ranked by (score desc, doc_id)") {
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        (size(filter(split(col("text"), " "),
+          w => w === "the" || w === "a")).cast("double") /
+          size(split(col("text"), " ")).cast("double")).as("score"))
+      .as[(Long, String, Double)].collect()
+    val kept = TextAnalysis.qualityTopP(spark, sfDir)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val keptByLang = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    all.groupBy(_._2).foreach { case (lang, docs) =>
+      val expectN = docs.length / TextAnalysis.TopPDen
+      val expect  = docs.sortBy { case (id, _, sc) => (-sc, id) }
+        .take(expectN).map(_._1).toSet
+      assert(keptByLang.getOrElse(lang, Set.empty) === expect,
+        s"lang $lang")
+    }
+  }
+
+  test("tokenBudget: per language, kept docs follow coin order and stop " +
+      "at the first doc crossing the budget; coverage reaches the budget") {
+    val B = TextAnalysis.LangTokenBudget
+    def coin(id: Long): Long =
+      (((id % 1000003L) * 2654435761L + 40503L) % 999983L) %
+        TextAnalysis.MixCoinMod
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .as[(Long, String, Long)].collect()
+    val kept = TextAnalysis.tokenBudget(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    all.groupBy(_._2).foreach { case (lang, docs) =>
+      val ordered = docs.sortBy { case (id, _, _) => (coin(id), id) }
+      var cum = 0L
+      val expect = ordered.takeWhile { case (_, _, n) =>
+        val in = cum < B; cum += n; in
+      }.map(_._1).toSet
+      // local reference: take while the PRE-sum is under budget
+      var cum2 = 0L
+      val expect2 = ordered.flatMap { case (id, _, n) =>
+        val r = if (cum2 < B) Some(id) else None; cum2 += n; r
+      }.toSet
+      assert(expect === expect2)
+      assert(docs.map(_._1).toSet.intersect(kept) === expect, s"lang $lang")
+      // the kept set covers the budget (or the language ran dry)
+      val keptTok = docs.filter(t => kept.contains(t._1)).map(_._3).sum
+      val allTok  = docs.map(_._3).sum
+      assert(keptTok >= math.min(B, allTok), s"lang $lang coverage")
+      // and the budget actually cut something on the testdata's head lang
+    }
+    val cutSomething = all.map(_._1).toSet.diff(kept).nonEmpty
+    assert(cutSomething)
+  }
 }
