@@ -47,6 +47,7 @@ object SparkEntry {
       TxnGenerator.generate(s, 1000).orderBy("transaction_id")),
     "q_etl_txn"        -> (PipelineQueries.etlTransactions _),
     "q_partition_prune" -> (PipelineQueries.partitionPrune _),
+    "q_cluster_layout"  -> (PipelineQueries.clusterLayout _),
     // [EXT] relational — SURVEY §2e-§2i
     "q_join_enrich"     -> (Relational.joinEnrich _),
     "q_join_left"       -> (Relational.joinLeft _),
@@ -70,6 +71,7 @@ object SparkEntry {
     "q_cube"            -> (Relational.aggCube _),
     "q_setops"          -> (Relational.setOps _),
     "q_topk"            -> (Relational.topK _),
+    "q_topk_group"      -> (Relational.topKGroup _),
     "q_window_analytic" -> (Relational.windowAnalytic _),
     "q_window_range"    -> (Relational.windowRange _),
     "q_upsert_lww"      -> (Relational.upsertLww _),
@@ -90,6 +92,8 @@ object SparkEntry {
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_fingerprint"   -> (TextAnalysis.fingerprintDf _),
     "q_stratified_sample" -> (TextAnalysis.stratifiedSample _),
+    "q_group_sample"      -> ((s: SparkSession, d: String) =>
+      TextAnalysis.groupSample(s, d)),
     "q_lang_mix"          -> (TextAnalysis.langMix _),
     "q_quality_topp"      -> (TextAnalysis.qualityTopP _),
     "q_token_budget"      -> (TextAnalysis.tokenBudget _),
@@ -166,6 +170,7 @@ object SparkEntry {
     "q_generate"        -> TxnGenerator.oracleSql(1000),
     "q_etl_txn"         -> PipelineQueries.etlTransactionsSql,
     "q_partition_prune" -> PipelineQueries.partitionPruneSql,
+    "q_cluster_layout"  -> PipelineQueries.clusterLayoutSql,
     "q_join_enrich"     -> Relational.joinEnrichSql,
     "q_join_left"       -> Relational.joinLeftSql,
     "q_join_semi"       -> Relational.joinSemiSql,
@@ -183,6 +188,7 @@ object SparkEntry {
     "q_cube"            -> Relational.aggCubeSql,
     "q_setops"          -> Relational.setOpsSql,
     "q_topk"            -> Relational.topKSql,
+    "q_topk_group"      -> Relational.topKGroupSql,
     "q_window_analytic" -> Relational.windowAnalyticSql,
     "q_window_range"    -> Relational.windowRangeSql,
     "q_upsert_lww"      -> Relational.upsertLwwSql,
@@ -200,6 +206,7 @@ object SparkEntry {
     "q_quality_score"   -> TextAnalysis.qualityScoreSql,
     "q_fingerprint"     -> TextAnalysis.fingerprintSql,
     "q_stratified_sample" -> TextAnalysis.stratifiedSampleSql,
+    "q_group_sample"      -> TextAnalysis.groupSampleSql,
     "q_lang_mix"          -> TextAnalysis.langMixSql,
     "q_quality_topp"      -> TextAnalysis.qualityTopPSql,
     "q_token_budget"      -> TextAnalysis.tokenBudgetSql,

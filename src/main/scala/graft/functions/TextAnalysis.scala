@@ -336,6 +336,45 @@ object TextAnalysis {
        |WHERE $sampleCoinSql < $sampleQuotaSql
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-source document cap — "at most k documents per domain", the
+    * classic crawl-corpus balancing gate (one overrepresented domain must
+    * not dominate the training mix). WHICH k survive is decided by a
+    * deterministic multiplicative-hash priority (largest hash wins, doc_id
+    * breaks ties), so the pick is uniform-ish over the domain, RNG-free,
+    * and stable across reruns and parallelism — and because the selector is
+    * the bounded-heap [[graft.functions.TopKPairs]] aggregate, the shuffle
+    * carries ≤ k·partitions rows per source instead of every row of the
+    * dominant domain (exactly the skew case: the domain that needs capping
+    * is the one whose window partition would not fit an executor).
+    */
+  def groupSample(s: SparkSession, d: String): DataFrame = {
+    val prio = pmod(
+      pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L) + lit(12345L),
+      lit(999983L))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), prio.as("prio"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKPairs.topKPairs(
+        col("prio"), col("doc_id"), 10).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("doc_id"), col("col.ord").as("prio"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  val groupSampleSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |         ((doc_id % 1000003) * 2654435761 + 12345) % 999983 AS prio
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY source ORDER BY prio DESC, doc_id) AS rk
+      |  FROM t)
+      |SELECT source, CAST(rk AS BIGINT) AS rnk, doc_id, prio
+      |FROM r WHERE rk <= 10
+      |ORDER BY source, rnk""".stripMargin
+
   // ---------- temperature-based language re-mixing ----------
 
   /** Temperature-smoothed language mixing — the α-sampling multilingual

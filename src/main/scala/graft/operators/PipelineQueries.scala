@@ -98,4 +98,55 @@ object PipelineQueries {
       |FROM orders
       |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 6
       |GROUP BY 1 ORDER BY month""".stripMargin
+
+  /** Range-clustered layout + zone-map skipping — the lakehouse `CLUSTER
+    * BY` story, one level finer than [[partitionPrune]]'s directory
+    * pruning. The write-once layout range-partitions lineitem on
+    * `l_shipdate` ([[ClusterFiles]] disjoint date ranges, ordered within
+    * each file), so every parquet row group's footer min/max covers a
+    * narrow date slice; the point-range read below then skips all but the
+    * file(s) covering the predicate AT THE ROW-GROUP LEVEL via the pushed
+    * filter — no directory scheme needed, and (unlike Hive partitioning)
+    * no small-files explosion for a high-cardinality key. At 100 TB this
+    * is how a date-scoped scan touches ~1/[[ClusterFiles]] of the bytes
+    * with zero extra metadata service: the stats ride in the files.
+    * `.explain` shows the predicate in PushedFilters; the layout
+    * properties (disjoint per-file ranges) are pinned in the spec.
+    */
+  val ClusterFiles = 8
+
+  def clusterLayout(s: SparkSession, d: String): DataFrame = {
+    val dir = clusterLayoutDir(s, d)
+    s.read.parquet(dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("date") &&
+        col("l_shipdate") < lit("1995-04-01").cast("date"))
+      .groupBy(month(col("l_shipdate")).cast("long").as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(RefTransforms.cents(col("l_extendedprice"))).as("price_cents"))
+      .orderBy(col("month"))
+  }
+
+  /** Lays down (once per JVM) and returns the clustered copy's directory —
+    * shared with the spec, which asserts the per-file ranges are disjoint.
+    */
+  private[graft] def clusterLayoutDir(s: SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_rt/${new java.io.File(d).getName}/lineitem_clustered"
+    graft.sources.SetupOnce(dir) {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("date").as("l_shipdate"),
+          col("l_quantity"), col("l_extendedprice"))
+        .repartitionByRange(ClusterFiles, col("l_shipdate"))
+        .sortWithinPartitions(col("l_shipdate"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  val clusterLayoutSql: String =
+    """SELECT CAST(month(l_shipdate) AS BIGINT) AS month, COUNT(*) AS n,
+      |       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-04-01'
+      |GROUP BY 1 ORDER BY month""".stripMargin
 }

@@ -489,6 +489,42 @@ object Relational {
       |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
       |FROM orders ORDER BY total_cents DESC, o_orderkey ASC LIMIT 25""".stripMargin
 
+  /** 2h, grouped — top-3 orders per priority class through the bounded-heap
+    * [[graft.functions.TopKPairs]] aggregate instead of a window rank. The
+    * window form shuffles every order row and sorts whole partitions; the
+    * aggregate's map-side partials cut each input partition to ≤ k pairs
+    * per group before the exchange, so the shuffle carries k·partitions
+    * rows per group no matter the table size — the grouped analogue of
+    * what TakeOrderedAndProject ([[topK]]) does globally. The oracle states
+    * the same result in the window formulation.
+    */
+  def topKGroup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("total_cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TopKPairs.topKPairs(
+        col("total_cents"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("o_orderkey"), col("col.ord").as("total_cents"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+
+  val topKGroupSql: String =
+    """WITH t AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+      |  FROM orders),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY o_orderpriority
+      |    ORDER BY total_cents DESC, o_orderkey) AS rk
+      |  FROM t)
+      |SELECT o_orderpriority, CAST(rk AS BIGINT) AS rnk, o_orderkey,
+      |       total_cents
+      |FROM r WHERE rk <= 3
+      |ORDER BY o_orderpriority, rnk""".stripMargin
+
   /** K3/J3 — upsert as last-writer-wins: one window dedup replaces the
     * reference's per-row ON CONFLICT loop (lambda_function.py:226-235).
     * Deterministic tie-break on the key so re-runs are idempotent.
