@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph analytics beyond connected components: PageRank-style
+  * authority over the part co-purchase graph (parts are adjacent when some
+  * order contains both — the classic item-affinity network; the corpus
+  * analogue ranks web domains on the link graph to derive crawl-quality
+  * priors).
+  *
+  * Every quantity is integer: ranks are micro-units (10⁶ per node seeded),
+  * damping is `(rank·85) div 100`, the per-neighbor share is a further
+  * `div deg`. Long sums are associative-commutative, so the result is
+  * bit-identical at ANY parallelism and the DuckDB oracle can state the
+  * same arithmetic — the same exact-cents discipline the money aggregates
+  * use, applied to an iterative fixpoint computation (floating-point
+  * PageRank would differ by summation order on every shuffle).
+  *
+  * Scale shape (100 TB lens):
+  *  - the edge build is one self-equi-join on the order key — partitioned
+  *    by `l_orderkey`, never all-pairs; per-order fanout is C(parts,2)
+  *    with TPC-H-style bounded order width;
+  *  - the edge table is a write-once materialized parquet layout (one
+  *    build job, many analyses — a cluster deployment writes it to S3);
+  *    degrees are one cached row per node, so each power iteration scans
+  *    the edge table once and never re-derives the build join;
+  *  - per-iteration work is edges ⋈ contributions + one partial-agg
+  *    shuffle of (node, mass); the contribution table is one row per NODE
+  *    (20k at sf0.1, domains-not-pages at corpus scale) — broadcastable
+  *    far beyond the edge table's growth, so the join is exchange-free on
+  *    the 2.4M-row edge side.
+  */
+object GraphOps {
+
+  val RankIters = 3
+  val SeedUnits = 1000000L
+  val BaseUnits = 150000L // (1-d)·seed with d = 0.85
+
+  def copurchaseRank(s: SparkSession, d: String): DataFrame = {
+    // The graph is a write-once materialized table (the production shape:
+    // a link/affinity graph is derived by one build job and analyzed by
+    // many), laid down per JVM like the other derived layouts. The build
+    // is one self-equi-join on the order key + two distincts — all hash-
+    // partitioned, nothing quadratic beyond the bounded per-order fanout.
+    val edir = s"/tmp/graft_rt/${new java.io.File(d).getName}/copurchase_edges"
+    graft.sources.SetupOnce(edir) {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct() // same part twice in one order is one co-occurrence
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .distinct() // co-purchase in many orders is one edge
+      pairs
+        .unionByName(pairs.select(col("p2").as("p1"), col("p1").as("p2")))
+        .write.mode("overwrite").parquet(edir)
+    }
+    val edges = s.read.parquet(edir)
+    // one tiny row per node — cached so the per-iteration left join and
+    // the contribution projection don't re-aggregate 2.4M edges each time
+    val nodes = edges.groupBy(col("p1").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .persist()
+
+    var ranks = nodes.select(col("node"), col("deg"),
+      lit(SeedUnits).as("rank"))
+    for (_ <- 1 to RankIters) {
+      val contrib = ranks.select(col("node").as("src"),
+        expr(s"((rank * 85) div 100) div deg").as("c"))
+      val inbound = edges.join(broadcast(contrib), col("p1") === col("src"))
+        .groupBy(col("p2").as("node"))
+        .agg(sum(col("c")).as("in_c"))
+      // inbound is one row per node — broadcast it over the node table
+      // rather than letting size estimates force a sort-merge join
+      ranks = nodes.join(broadcast(inbound), Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          (lit(BaseUnits) + coalesce(col("in_c"), lit(0L))).as("rank"))
+    }
+    ranks.select(col("node").as("p_partkey"), col("deg"), col("rank"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** The identical integer arithmetic, iterations unrolled as CTEs
+    * (`//` is DuckDB floor division ≡ `div` on the all-positive units).
+    */
+  val copurchaseRankSql: String = {
+    val iters = (1 to RankIters).map { i =>
+      s"""c$i AS (SELECT node AS src, ((rank * 85) // 100) // deg AS c
+         |        FROM r${i - 1}),
+         |i$i AS (SELECT e.p2 AS node, CAST(SUM(c) AS BIGINT) AS in_c
+         |        FROM ed e JOIN c$i ON e.p1 = c$i.src GROUP BY 1),
+         |r$i AS (SELECT d.node, d.deg,
+         |               CAST($BaseUnits + COALESCE(in_c, 0) AS BIGINT) AS rank
+         |        FROM dg d LEFT JOIN i$i ON d.node = i$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |pr AS (SELECT a.pk AS p1, b.pk AS p2
+       |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |       GROUP BY 1, 2),
+       |ed AS (SELECT p1, p2 FROM pr
+       |       UNION ALL SELECT p2, p1 FROM pr),
+       |dg AS (SELECT p1 AS node, COUNT(*) AS deg FROM ed GROUP BY 1),
+       |r0 AS (SELECT node, deg, CAST($SeedUnits AS BIGINT) AS rank FROM dg),
+       |$iters
+       |SELECT node AS p_partkey, deg, rank FROM r$RankIters
+       |ORDER BY p_partkey""".stripMargin
+  }
+}

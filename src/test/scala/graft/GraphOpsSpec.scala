@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphOps
+
+/** Integer PageRank over the co-purchase graph: parity with a sequential
+  * in-memory reference (the distributed result must be bit-identical —
+  * that is the point of the integer-units construction), invariants, and
+  * the broadcast-join plan shape each iteration relies on.
+  */
+class GraphOpsSpec extends SparkSpecBase {
+
+  private lazy val result =
+    GraphOps.copurchaseRank(spark, sfDir).collect()
+
+  test("matches a sequential reference implementation bit-for-bit") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values
+    val undirected = byOrder.flatMap { ls =>
+      val ps = ls.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val edges = undirected.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = deg.keys.map(_ -> GraphOps.SeedUnits).toMap
+    (1 to GraphOps.RankIters).foreach { _ =>
+      val contrib = rank.map { case (n, r) => n -> (r * 85 / 100) / deg(n) }
+      val in = edges.groupBy(_._2).view
+        .mapValues(_.map(e => contrib(e._1)).sum).toMap
+      rank = deg.keys.map(n =>
+        n -> (GraphOps.BaseUnits + in.getOrElse(n, 0L))).toMap
+    }
+    val got = result.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == rank.size)
+    got.foreach { case (node, d, r) =>
+      assert(d == deg(node), s"deg mismatch at $node")
+      assert(r == rank(node), s"rank mismatch at $node: got $r want ${rank(node)}")
+    }
+  }
+
+  test("every rank is at least the damping base; floor only leaks mass") {
+    val total = result.map(_.getLong(2)).sum
+    assert(result.forall(_.getLong(2) >= GraphOps.BaseUnits))
+    assert(total <= result.length * GraphOps.SeedUnits,
+      s"mass created: $total > ${result.length * GraphOps.SeedUnits}")
+  }
+
+  test("iterations join contributions by broadcast, never sort-merge") {
+    val plan = GraphOps.copurchaseRank(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2 * GraphOps.RankIters,
+      plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "the iteration DAG must not shuffle the edge table for a join")
+  }
+}
