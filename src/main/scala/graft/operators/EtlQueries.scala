@@ -303,7 +303,7 @@ object EtlQueries {
     * the parquet source — which is exactly what the oracle does.
     */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_rt/${new java.io.File(d).getName}/csv"
+    val dir = graft.sources.SetupOnce.runtimeDir(d, "csv")
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_returnflag"))
@@ -327,7 +327,7 @@ object EtlQueries {
     * oracle states the same semantics with `UNION ALL BY NAME`.
     */
   def schemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_rt/${new java.io.File(d).getName}/evo"
+    val dir = graft.sources.SetupOnce.runtimeDir(d, "evo")
     // write-once drifted layout (the drift accumulated over past ingests);
     // the mergeSchema READ below is the operator under test
     graft.sources.SetupOnce(dir) {
@@ -371,7 +371,7 @@ object EtlQueries {
     * partition keys losslessly.
     */
   def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_rt/${new java.io.File(d).getName}/orc"
+    val dir = graft.sources.SetupOnce.runtimeDir(d, "orc")
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").partitionBy("lang").orc(dir)
@@ -437,7 +437,7 @@ object EtlQueries {
     * lossless for the profiled columns.
     */
   def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_rt/${new java.io.File(d).getName}/xml"
+    val dir = graft.sources.SetupOnce.runtimeDir(d, "xml")
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite")
@@ -466,7 +466,7 @@ object EtlQueries {
     * documented in SURVEY §7).
     */
   def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_rt/${new java.io.File(d).getName}/json"
+    val dir = graft.sources.SetupOnce.runtimeDir(d, "json")
     Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
       .write.mode("overwrite").json(dir)

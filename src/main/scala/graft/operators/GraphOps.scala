@@ -45,7 +45,7 @@ object GraphOps {
     // many), laid down per JVM like the other derived layouts. The build
     // is one self-equi-join on the order key + two distincts — all hash-
     // partitioned, nothing quadratic beyond the bounded per-order fanout.
-    val edir = s"/tmp/graft_rt/${new java.io.File(d).getName}/copurchase_edges"
+    val edir = graft.sources.SetupOnce.runtimeDir(d, "copurchase_edges")
     graft.sources.SetupOnce(edir) {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))

@@ -73,7 +73,7 @@ object PipelineQueries {
     * same answer straight off the unpartitioned source.
     */
   def partitionPrune(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_rt/${new java.io.File(d).getName}/orders_part"
+    val dir = graft.sources.SetupOnce.runtimeDir(d, "orders_part")
     // write-once layout (production shape: one ingest, many scans) — the
     // pruned READ below is what this operator demonstrates and measures
     graft.sources.SetupOnce(dir) {
@@ -130,7 +130,7 @@ object PipelineQueries {
     * shared with the spec, which asserts the per-file ranges are disjoint.
     */
   private[graft] def clusterLayoutDir(s: SparkSession, d: String): String = {
-    val dir = s"/tmp/graft_rt/${new java.io.File(d).getName}/lineitem_clustered"
+    val dir = graft.sources.SetupOnce.runtimeDir(d, "lineitem_clustered")
     graft.sources.SetupOnce(dir) {
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),

@@ -21,4 +21,16 @@ object SetupOnce {
   def apply(key: String)(write: => Unit): Unit = synchronized {
     if (!done.contains(key)) { write; done += key }
   }
+
+  /** The runtime-fixture directory for a dataset: keyed by basename PLUS a
+    * canonical-path hash, so two datasets that happen to share a directory
+    * name (two `sf0.1`s under different parents) can never alias each
+    * other's layouts within a JVM (same reasoning as the bucketed-join
+    * table tag). Basename kept for human-debuggable paths.
+    */
+  def runtimeDir(sfDir: String, sub: String): String = {
+    val f = new java.io.File(sfDir)
+    val h = java.lang.Integer.toHexString(f.getCanonicalPath.hashCode)
+    s"/tmp/graft_rt/${f.getName}_$h/$sub"
+  }
 }
