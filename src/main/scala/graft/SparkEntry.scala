@@ -95,6 +95,11 @@ object SparkEntry {
     "q_stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "q_group_sample"      -> ((s: SparkSession, d: String) =>
       TextAnalysis.groupSample(s, d)),
+    // rows-only by design (binary CMS not DuckDB-evaluable) but
+    // self-validating: exact count, overcount, and the eps*N guarantee
+    // flag ride in every row (same pattern as q_approx_distinct)
+    "q_heavy_hitters"     -> ((s: SparkSession, d: String) =>
+      TextAnalysis.heavyHitters(s, d)),
     "q_lang_mix"          -> (TextAnalysis.langMix _),
     "q_quality_topp"      -> (TextAnalysis.qualityTopP _),
     "q_token_budget"      -> (TextAnalysis.tokenBudget _),

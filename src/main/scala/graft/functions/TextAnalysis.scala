@@ -237,6 +237,57 @@ object TextAnalysis {
       |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       |GROUP BY word ORDER BY n DESC, word""".stripMargin
 
+  /** Count-Min-Sketch accuracy knobs for [[heavyHitters]]: ε bounds the
+    * overcount at ε·N (N = total token instances) with probability ≥ the
+    * confidence, and the fixed seed makes the sketch — counter sums being
+    * commutative — fully deterministic at any parallelism.
+    */
+  val CmsEps = 0.001
+  val CmsConfidence = 0.99
+  val CmsSeed = 42
+
+  /** Heavy hitters with a Count-Min sketch beside their exact counts — the
+    * sketch tier the engine was missing (HLL++ cardinality and KLL
+    * quantiles are covered; CMS is the frequency member of the family).
+    * At 100 TB the CMS side is the one that survives: constant
+    * `depth×width` memory per partition merged by counter addition,
+    * against an exact per-token aggregation whose state grows with the
+    * vocabulary. Here both run — the exact top-k selects WHICH tokens to
+    * probe and serves as in-row ground truth, the same self-validating
+    * shape as the HLL++/KLL entries: each row carries the estimate, the
+    * exact count, the overcount, and the CMS guarantee check
+    * (exact ≤ est ≤ exact + ε·N). Rows-only for the driver (DuckDB cannot
+    * evaluate the sketch), but every row ships its own verdict; the probe
+    * is the native codegen'd [[CmsEstimate]] expression over ONE broadcast
+    * sketch row.
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val sketch = toks.agg(
+      expr(s"count_min_sketch(tok, ${CmsEps}d, ${CmsConfidence}d, $CmsSeed)")
+        .as("sk"),
+      count(lit(1)).as("n_total"))
+    val top = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+      .limit(20)
+    top.crossJoin(broadcast(sketch))
+      .select(col("tok"), col("exact_cnt"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.CmsEstimate(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("sk")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("tok"))))
+          .as("est_cnt"),
+        col("n_total"))
+      .withColumn("overcount", col("est_cnt") - col("exact_cnt"))
+      .withColumn("within_bound",
+        col("est_cnt") >= col("exact_cnt") &&
+          col("overcount").cast("double") <= lit(CmsEps) * col("n_total"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
   /** Vocabulary size for [[vocabCoverage]] — small enough that the corpus'
     * ~50-word synthetic vocabulary leaves a real OOV tail to measure.
     */
