@@ -18,10 +18,12 @@ import org.apache.spark.util.sketch.CountMinSketch
   *
   * Deserializing the sketch is O(depth·width); doing that per probed row
   * would swamp the O(depth) estimate. Probe rows carry the SAME binary
-  * (one sketch broadcast against the candidate keys), so a per-thread
-  * last-sketch cache keyed by array identity parses each distinct sketch
-  * once per task — no shared mutable state across tasks, deterministic
-  * output regardless of cache hits.
+  * (one sketch broadcast against the candidate keys) but each row hands
+  * the expression a FRESH copy of it (UnsafeRow.getBinary copies), so the
+  * per-thread last-sketch cache compares CONTENT (length + Arrays.equals
+  * — nanoseconds against the parse it saves), parsing each distinct
+  * sketch once per task; no shared mutable state across tasks,
+  * deterministic output regardless of cache hits.
   *
   * Codegen'd via a static helper call (the [[PolyCharHash]] pattern), so
   * the expression stays inside whole-stage codegen and passes the
@@ -64,7 +66,8 @@ object CmsEstimate {
   def estimate(bytes: Array[Byte], key: UTF8String): Long = {
     val cached = lastSketch.get()
     val sketch =
-      if (cached != null && (cached._1 eq bytes)) cached._2
+      if (cached != null && java.util.Arrays.equals(cached._1, bytes))
+        cached._2
       else {
         val parsed = CountMinSketch.readFrom(bytes)
         lastSketch.set((bytes, parsed))
@@ -73,4 +76,11 @@ object CmsEstimate {
     // byte[] probe = the aggregate's addBinary(UTF8String.getBytes) path
     sketch.estimateCount(key.getBytes)
   }
+
+  /** Column-API entry, mirroring [[TopKPairs.topKPairs]]. */
+  def probe(sketch: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(CmsEstimate(
+      org.apache.spark.sql.graft.ColumnBridge.expression(sketch),
+      org.apache.spark.sql.graft.ColumnBridge.expression(key)))
 }

@@ -275,10 +275,7 @@ object TextAnalysis {
       .limit(20)
     top.crossJoin(broadcast(sketch))
       .select(col("tok"), col("exact_cnt"),
-        org.apache.spark.sql.graft.ColumnBridge.column(
-          graft.functions.CmsEstimate(
-            org.apache.spark.sql.graft.ColumnBridge.expression(col("sk")),
-            org.apache.spark.sql.graft.ColumnBridge.expression(col("tok"))))
+        graft.functions.CmsEstimate.probe(col("sk"), col("tok"))
           .as("est_cnt"),
         col("n_total"))
       .withColumn("overcount", col("est_cnt") - col("exact_cnt"))
@@ -402,14 +399,14 @@ object TextAnalysis {
     val prio = pmod(
       pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L) + lit(12345L),
       lit(999983L))
-    Tables.documents(s, d)
-      .select(col("source"), col("doc_id"), prio.as("prio"))
-      .groupBy(col("source"))
-      .agg(graft.functions.TopKPairs.topKPairs(
-        col("prio"), col("doc_id"), 10).as("top"))
-      .select(col("source"), posexplode(col("top")))
-      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
-        col("col.id").as("doc_id"), col("col.ord").as("prio"))
+    graft.functions.TopKPairs.explodeRanked(
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), prio.as("prio"))
+        .groupBy(col("source"))
+        .agg(graft.functions.TopKPairs.topKPairs(
+          col("prio"), col("doc_id"), 10).as("top")),
+      Seq("source"), "doc_id", "prio")
+      .select(col("source"), col("rnk"), col("doc_id"), col("prio"))
       .orderBy(col("source"), col("rnk"))
   }
 

@@ -150,4 +150,23 @@ object TopKPairs {
       TopKPairs(
         ColumnBridge.expression(ord),
         ColumnBridge.expression(id), k).toAggregateExpression())
+
+  /** Unpacks an aggregated `top` array into ranked rows: one row per kept
+    * pair, rank = 1-based position (the array is emitted best-first), the
+    * struct fields renamed to caller vocabulary. ONE definition of the
+    * posexplode idiom so the struct layout in [[resultType]] has a single
+    * consumer to stay in sync with.
+    */
+  def explodeRanked(
+      agged: org.apache.spark.sql.DataFrame,
+      keep: Seq[String], idName: String, ordName: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    agged
+      .select(keep.map(col) :+ posexplode(col("top")): _*)
+      .select(keep.map(col) ++ Seq(
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as(idName),
+        col("col.ord").as(ordName)): _*)
+  }
 }

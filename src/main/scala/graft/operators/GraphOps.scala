@@ -39,6 +39,9 @@ object GraphOps {
   val SeedUnits = 1000000L
   val BaseUnits = 150000L // (1-d)·seed with d = 0.85
 
+  private val nodesCache =
+    scala.collection.mutable.HashMap[String, DataFrame]()
+
   def copurchaseRank(s: SparkSession, d: String): DataFrame = {
     // The graph is a write-once materialized table (the production shape:
     // a link/affinity graph is derived by one build job and analyzed by
@@ -59,11 +62,18 @@ object GraphOps {
         .write.mode("overwrite").parquet(edir)
     }
     val edges = s.read.parquet(edir)
-    // one tiny row per node — cached so the per-iteration left join and
-    // the contribution projection don't re-aggregate 2.4M edges each time
-    val nodes = edges.groupBy(col("p1").as("node"))
-      .agg(count(lit(1)).as("deg"))
-      .persist()
+    // one tiny row per node (~0.5 MB at sf0.1) — cached so the
+    // per-iteration left join and the contribution projection don't
+    // re-aggregate 2.4M edges each time. Memoized per edge layout so
+    // repeated calls reuse ONE persisted frame instead of pinning a new
+    // cache entry (and logging re-registration churn) every run; the
+    // entry lives for the JVM like the layout it derives from.
+    val nodes = GraphOps.synchronized {
+      nodesCache.getOrElseUpdate(edir,
+        edges.groupBy(col("p1").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .persist())
+    }
 
     var ranks = nodes.select(col("node"), col("deg"),
       lit(SeedUnits).as("rank"))

@@ -499,15 +499,16 @@ object Relational {
     * the same result in the window formulation.
     */
   def topKGroup(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .select(col("o_orderpriority"), col("o_orderkey"),
-        cents(col("o_totalprice")).as("total_cents"))
-      .groupBy(col("o_orderpriority"))
-      .agg(graft.functions.TopKPairs.topKPairs(
-        col("total_cents"), col("o_orderkey"), 3).as("top"))
-      .select(col("o_orderpriority"), posexplode(col("top")))
-      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rnk"),
-        col("col.id").as("o_orderkey"), col("col.ord").as("total_cents"))
+    graft.functions.TopKPairs.explodeRanked(
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopKPairs.topKPairs(
+          col("total_cents"), col("o_orderkey"), 3).as("top")),
+      Seq("o_orderpriority"), "o_orderkey", "total_cents")
+      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+        col("total_cents"))
       .orderBy(col("o_orderpriority"), col("rnk"))
 
   val topKGroupSql: String =

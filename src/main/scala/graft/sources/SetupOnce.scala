@@ -23,14 +23,18 @@ object SetupOnce {
   }
 
   /** The runtime-fixture directory for a dataset: keyed by basename PLUS a
-    * canonical-path hash, so two datasets that happen to share a directory
-    * name (two `sf0.1`s under different parents) can never alias each
-    * other's layouts within a JVM (same reasoning as the bucketed-join
-    * table tag). Basename kept for human-debuggable paths.
+    * canonical-path hash (two datasets that happen to share a directory
+    * name — two `sf0.1`s under different parents — can never alias each
+    * other's layouts; same reasoning as the bucketed-join table tag) PLUS
+    * the JVM's pid. The pid term makes the whole /tmp/graft_rt tree
+    * process-private: the in-JVM `done` guard is all the synchronization
+    * the layout ever needs, and a concurrent JVM (tests beside a bench)
+    * can never mode-overwrite a directory this JVM is still scanning.
+    * Basename kept for human-debuggable paths.
     */
   def runtimeDir(sfDir: String, sub: String): String = {
     val f = new java.io.File(sfDir)
     val h = java.lang.Integer.toHexString(f.getCanonicalPath.hashCode)
-    s"/tmp/graft_rt/${f.getName}_$h/$sub"
+    s"/tmp/graft_rt/${f.getName}_${h}_${ProcessHandle.current().pid()}/$sub"
   }
 }

@@ -11,11 +11,7 @@ import graft.functions.{CmsEstimate, TextAnalysis}
   */
 class CmsEstimateSpec extends SparkSpecBase {
 
-  private def probe(sk: org.apache.spark.sql.Column,
-      key: org.apache.spark.sql.Column) =
-    org.apache.spark.sql.graft.ColumnBridge.column(CmsEstimate(
-      org.apache.spark.sql.graft.ColumnBridge.expression(sk),
-      org.apache.spark.sql.graft.ColumnBridge.expression(key)))
+  private val probe = CmsEstimate.probe _
 
   test("every heavy hitter is within the eps*N guarantee, est >= exact") {
     val rows = TextAnalysis.heavyHitters(spark, sfDir).collect()
