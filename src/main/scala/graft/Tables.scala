@@ -32,6 +32,22 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
+
+  /** Small-input spread guard for compute-dominated per-row chains
+    * (shingling, 64-lane hashing): a local single-row-group parquet file
+    * yields ONE scan partition, serializing everything up to the first
+    * exchange onto one core. When the scan's parallelism is well under
+    * the session's (× 2 hysteresis so an already-parallel input is never
+    * reshuffled), redistribute the raw rows first — the extra exchange
+    * moves only the small input, not the exploded intermediate. At
+    * warehouse scale inputs arrive in many splits and this is an
+    * identity; the guard exists exactly for the
+    * tiny-file/expensive-chain corner.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
   def embeddings(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")
 }

@@ -74,7 +74,10 @@ object CorpusPipeline {
     */
   def corpusShards(s: SparkSession, d: String): DataFrame = {
     val kept = keptCorpus(s, d).select(col("doc_id"))
-    val redacted = graft.Tables.documents(s, d)
+    // spread BEFORE the broadcast join: kept is broadcast, so the regex
+    // scrub downstream would otherwise inherit the scan's single local
+    // partition and run 1-core
+    val redacted = graft.Tables.spread(graft.Tables.documents(s, d))
       .join(kept, Seq("doc_id"))
       .select(col("doc_id"), col("lang"),
         TextAnalysis.scrubPii(col("text")).as("text"))

@@ -53,7 +53,7 @@ object Dedup {
   def shingles(text: Column): Column = shinglesOfTokens(split(text, " "))
 
   private def shingledOf(docs: DataFrame): DataFrame =
-    docs
+    Tables.spread(docs) // tiny-file guard: shingling must not run 1-core
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), shinglesOfTokens(col("toks")).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
@@ -274,7 +274,8 @@ object Dedup {
   def chunkDedup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val segs = graft.functions.TextAnalysis
-      .chunkOf(Tables.documents(s, d), W = SegTokens, S = SegTokens)
+      .chunkOf(Tables.spread(Tables.documents(s, d)),
+        W = SegTokens, S = SegTokens)
     val w = Window.partitionBy(col("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_idx"))
     segs
@@ -671,7 +672,7 @@ object Dedup {
     * (doc_id, bits array<long>).
     */
   private def simhashDf(s: SparkSession, d: String): DataFrame = {
-    val exploded = Tables.documents(s, d)
+    val exploded = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"),
         polyHash(col("tok"), 31L, PA).as("ha"),
