@@ -43,10 +43,17 @@ object Tables {
     * warehouse scale inputs arrive in many splits and this is an
     * identity; the guard exists exactly for the
     * tiny-file/expensive-chain corner.
+    *
+    * The caller names a distribution key: HASH repartitioning exchanges
+    * rows as they stream, while keyless round-robin first runs a LOCAL
+    * SORT of the full rows for retry determinism — measured 3× worse
+    * than no spread at all on a 600k-row single-split input, exactly the
+    * case this guard targets.
     */
-  def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target, key)
+    else df
   }
   def embeddings(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")

@@ -77,7 +77,7 @@ object CorpusPipeline {
     // spread BEFORE the broadcast join: kept is broadcast, so the regex
     // scrub downstream would otherwise inherit the scan's single local
     // partition and run 1-core
-    val redacted = graft.Tables.spread(graft.Tables.documents(s, d))
+    val redacted = graft.Tables.spread(graft.Tables.documents(s, d), col("doc_id"))
       .join(kept, Seq("doc_id"))
       .select(col("doc_id"), col("lang"),
         TextAnalysis.scrubPii(col("text")).as("text"))

@@ -53,7 +53,7 @@ object Dedup {
   def shingles(text: Column): Column = shinglesOfTokens(split(text, " "))
 
   private def shingledOf(docs: DataFrame): DataFrame =
-    Tables.spread(docs) // tiny-file guard: shingling must not run 1-core
+    Tables.spread(docs, col("doc_id")) // tiny-file guard: no 1-core shingling
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), shinglesOfTokens(col("toks")).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
@@ -274,7 +274,7 @@ object Dedup {
   def chunkDedup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val segs = graft.functions.TextAnalysis
-      .chunkOf(Tables.spread(Tables.documents(s, d)),
+      .chunkOf(Tables.spread(Tables.documents(s, d), col("doc_id")),
         W = SegTokens, S = SegTokens)
     val w = Window.partitionBy(col("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_idx"))
@@ -672,7 +672,7 @@ object Dedup {
     * (doc_id, bits array<long>).
     */
   private def simhashDf(s: SparkSession, d: String): DataFrame = {
-    val exploded = Tables.spread(Tables.documents(s, d))
+    val exploded = Tables.spread(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"),
         polyHash(col("tok"), 31L, PA).as("ha"),

@@ -249,7 +249,10 @@ object Relational {
     * `q_agg_distinct`'s plan minus the exact columns.
     */
   def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    // spread: the Expand doubles every input row before the first
+    // exchange, so the single-split local file serializes 2x600k rows of
+    // HLL updates onto one core without it
+    Tables.spread(Tables.lineitem(s, d), col("l_partkey"))
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
