@@ -41,7 +41,7 @@ object EtlQueries {
     */
   def etlTransform(s: SparkSession, d: String): DataFrame =
     etlProjection(
-      Tables.lineitem(s, d)
+      Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
         .na.drop(Seq("l_orderkey", "l_extendedprice")) // F1
         // sort BEFORE the wide projection: the range-partitioner's sampling
         // pass then evaluates only the sort keys, not the whole chain
@@ -106,7 +106,10 @@ object EtlQueries {
     * (pandas errors='coerce' ≡ Spark/DuckDB TRY_CAST).
     */
   def castCoerce(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    // spread: four per-row parses and nothing else — on a single-split
+    // local file the whole query would otherwise run on one core (the
+    // guard is an identity for multi-split warehouse inputs)
+    Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
       .select(
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
