@@ -309,4 +309,38 @@ object EventOps {
       |       COUNT(*) AS n,
       |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** 2j JSON, modernized — Spark 4 VARIANT: `parse_json` decodes each
+    * payload ONCE into the binary variant encoding, then every
+    * `variant_get` is a typed descent into that binary. [[jsonExtract]]'s
+    * `get_json_object` re-parses the JSON STRING per extracted path — fine
+    * for one path, linear blowup for many. At 100 TB the variant column is
+    * what lands in parquet at ingest (shredded binary, parsed exactly
+    * once), and every downstream query does typed O(paths) access instead
+    * of per-query string parsing. `n_typed` counts payloads whose `k`
+    * decodes as BIGINT — the schema-drift audit a semi-structured feed
+    * needs (a malformed or re-typed field surfaces as a null, not an
+    * error). Same oracle family as jsonExtract: DuckDB states the
+    * semantics over the JSON text.
+    */
+  def variantExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_typed"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+
+  val variantExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_typed,
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+      |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }
