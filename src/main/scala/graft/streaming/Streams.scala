@@ -223,6 +223,21 @@ object Streams {
         col("o_orderkey"), col("order_ts"))
   }
 
+  /** Stream-static enrichment: the unbounded event stream joined against a
+    * bounded dimension with an explicit broadcast — NO state store at all
+    * (unlike the stream-stream join above): each micro-batch hash-probes
+    * the dim and emits immediately, and Spark re-resolves the static side
+    * per batch, so a dim refresh (new parquet snapshot under the same
+    * path) is picked up without restarting the query. This is the
+    * workhorse topology at 100 TB/day ingest — fact stream ⋈ slowly-
+    * changing dims — and the broadcast keeps it shuffle-free on the
+    * stream side at any rate.
+    */
+  def streamStaticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+        col("user_id") === col("segment_user_id"))
+      .select(col("event_id"), col("user_id"), col("segment"), col("value"))
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total_cents: Long)
 

@@ -249,6 +249,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === Set((100L, 10L)))
   }
 
+  test("stream-static enrichment broadcasts the dim, keeps no state, and " +
+      "matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evIn = MemoryStream[(Long, Long, Double)]
+    val events = evIn.toDF().toDF("event_id", "user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "basic"))
+      .toDF("segment_user_id", "segment")
+    evIn.addData((100L, 1L, 2.5), (200L, 2L, 1.0), (300L, 9L, 4.0))
+    val q = Streams.streamStaticEnrich(events, dim).writeStream
+      .format("memory").queryName("enrich")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // inner join semantics: user 9 has no dim row and is dropped —
+    // identical to the batch join of the same inputs
+    val got = spark.table("enrich")
+      .select("event_id", "segment").as[(Long, String)].collect().toSet
+    assert(got === Set((100L, "gold"), (200L, "basic")))
+    // stateless: nothing in the state store for a plain broadcast join
+    assert(q.lastProgress.stateOperators.isEmpty ||
+      q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+  }
+
   test("flatMapGroupsWithState keeps exact per-user running totals") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.UserEvent]
