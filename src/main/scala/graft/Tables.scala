@@ -49,11 +49,20 @@ object Tables {
     * SORT of the full rows for retry determinism — measured 3× worse
     * than no spread at all on a 600k-row single-split input, exactly the
     * case this guard targets.
+    *
+    * The probe is the input's catalog-statistics size (no second full
+    * QueryExecution — `df.rdd` would physically plan the query twice just
+    * to read its partition count): an input at or under ONE default split
+    * (128 MB) is the degenerate case that serializes onto one core, and
+    * re-exchanging it costs at most that one split's worth of shuffle; a
+    * bigger input arrives in multiple splits and skips the guard.
     */
+  val SpreadMaxBytes: Long = 128L << 20
+
   def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target, key)
-    else df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= SpreadMaxBytes) df.repartition(target, key) else df
   }
   def embeddings(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")

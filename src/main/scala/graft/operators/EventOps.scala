@@ -319,15 +319,17 @@ object EventOps {
     * once), and every downstream query does typed O(paths) access instead
     * of per-query string parsing. `n_typed` counts payloads whose `k`
     * decodes as BIGINT — the schema-drift audit a semi-structured feed
-    * needs (a malformed or re-typed field surfaces as a null, not an
-    * error). Same oracle family as jsonExtract: DuckDB states the
-    * semantics over the JSON text.
+    * needs, which is why both steps are the TRY forms: a malformed
+    * payload or a re-typed field surfaces as a null (and a dropped
+    * `n_typed`), never as a crashed ingest. Same oracle family as
+    * jsonExtract, with DuckDB's TRY_CAST stating the identical
+    * coerce-to-null semantics over the JSON text.
     */
   def variantExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"), try_parse_json(col("props")).as("v"))
       .select(col("event_type"),
-        expr("variant_get(v, '$.k', 'long')").as("k"))
+        expr("try_variant_get(v, '$.k', 'long')").as("k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         count(col("k")).as("n_typed"),
@@ -338,9 +340,9 @@ object EventOps {
 
   val variantExtractSql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_typed,
-      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-      |       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
-      |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+      |       COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_typed,
+      |       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |       CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+      |       CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }

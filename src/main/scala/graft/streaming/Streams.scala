@@ -226,12 +226,15 @@ object Streams {
   /** Stream-static enrichment: the unbounded event stream joined against a
     * bounded dimension with an explicit broadcast — NO state store at all
     * (unlike the stream-stream join above): each micro-batch hash-probes
-    * the dim and emits immediately, and Spark re-resolves the static side
-    * per batch, so a dim refresh (new parquet snapshot under the same
-    * path) is picked up without restarting the query. This is the
-    * workhorse topology at 100 TB/day ingest — fact stream ⋈ slowly-
-    * changing dims — and the broadcast keeps it shuffle-free on the
-    * stream side at any rate.
+    * the dim and emits immediately. This is the workhorse topology at
+    * 100 TB/day ingest — fact stream ⋈ slowly-changing dims — and the
+    * broadcast keeps it shuffle-free on the stream side at any rate.
+    * Refresh caveat: a plain-parquet dim's file listing is fixed when its
+    * DataFrame is created, so replacing the snapshot in place is NOT
+    * picked up (and deleting the old files fails the next batch);
+    * per-micro-batch re-resolution of the static side needs a
+    * table-format dim (catalog table / transactional table format) —
+    * with one, this same join sees each refresh without a restart.
     */
   def streamStaticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim),
