@@ -28,7 +28,8 @@ object ScaleBench {
     "q_chunk", "q_doc_repetition", "q_decontaminate",
     "q_pii_redact", "q_tfidf", "q_embed_quantize",
     "q_semantic_dedup", "q_pack_sequences", "q_lang_mix",
-    "q_quality_topp", "q_token_budget", "q_group_sample")
+    "q_quality_topp", "q_token_budget", "q_group_sample",
+    "q_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("spark.log.level", "ERROR")
