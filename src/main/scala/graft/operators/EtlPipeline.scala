@@ -34,6 +34,12 @@ object EtlPipeline {
     */
   val WatchedFolder = "raw-data"
 
+  /** Name of the observed-metrics set [[processFile]] attaches to its
+    * transform chain; read them after the run via
+    * `result._2.queryExecution.observedMetrics(MetricsName)`.
+    */
+  val MetricsName = "etl_quality"
+
   /** [[processFile]] wrapped in the reference's full handler contract
     * (lambda_function.py:20-71): the folder gate short-circuits to a 200
     * skip, any failure anywhere in the chain (unreadable file, sink error,
@@ -85,10 +91,20 @@ object EtlPipeline {
     // it on every row (lambda_function.py:121-122) and its warehouse DDL
     // carries it; the oracle-checked queries exclude it only because a
     // wall-clock column can't be hash-compared (SURVEY §5).
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
     val transformed = RefTransforms.transformTransactionsWithLineage(raw)
       .withColumn("processed_timestamp",
         org.apache.spark.sql.functions.to_timestamp(
           org.apache.spark.sql.functions.lit(processedTimestamp)))
+      // the reference logs per-file record counts (lambda_function.py:60,
+      // 151); observe() is the Spark-native form — data-quality metrics
+      // (row count, exact cent sum, coerced-null-amount count) as a
+      // CollectMetrics node: no extra scan or shuffle in the plan, just
+      // accumulators riding whichever execution flows the rows
+      .observe(MetricsName,
+        count(lit(1)).as("n_rows"),
+        sum(RefTransforms.cents(col("amount"))).as("amount_cents"),
+        count(when(col("amount").isNull, 1)).as("n_null_amount"))
       .persist()
     try {
       val n = JsonArraySink.write(transformed, outJsonPath, csvPath,
@@ -103,6 +119,20 @@ object EtlPipeline {
           s"[etl] $table: skipped $nRejected row(s) invalid against the " +
             "target DDL")
       }
+      // metrics land on the QueryExecution that runs them; the sinks
+      // execute DERIVED plans, so flow the persisted frame once through
+      // its OWN execution (a cheap cache pass, no shuffle) — after this,
+      // queryExecution.observedMetrics(MetricsName) is populated on the
+      // returned frame, and the count line below is the reference's
+      // per-file log (lambda_function.py:60) in structured form
+      transformed.foreach(_ => ())
+      transformed.queryExecution.observedMetrics.get(MetricsName)
+        .foreach { m =>
+          System.err.println(s"[etl] $csvPath: rows=" +
+            m.getAs[Long]("n_rows") + " amount_cents=" +
+            m.getAs[Any]("amount_cents") + " null_amounts=" +
+            m.getAs[Long]("n_null_amount"))
+        }
       (n, transformed)
     } finally transformed.unpersist()
   }

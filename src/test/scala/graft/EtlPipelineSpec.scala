@@ -149,4 +149,31 @@ class EtlPipelineSpec extends SparkSpecBase {
     assert(err.getMessage.contains("FAILFAST") ||
       Option(err.getCause).exists(_.getMessage.contains("Malformed")))
   }
+
+  test("observed data-quality metrics match direct aggregation, including " +
+      "the coerced-null-amount count") {
+    val dir = Files.createTempDirectory("graft_obs").toString
+    val csv = s"$dir/raw-data/batch.csv"
+    Files.createDirectories(Paths.get(s"$dir/raw-data"))
+    val header = "transaction_id,date,timestamp,amount,category,description," +
+      "transaction_type,account,location"
+    Files.writeString(Paths.get(csv),
+      s"""$header
+         |TXN_A,2024-07-01,2024-07-01 10:00:00,12.5,food,lunch,expense,checking,Online
+         |TXN_B,2024-07-02,2024-07-02 11:00:00,-7.25,fees,charge,expense,credit,Branch
+         |TXN_C,2024-07-03,2024-07-03 09:00:00,abc,misc,unknown,expense,checking,Online
+         |""".stripMargin)
+    // TXN_C's amount is a non-numeric STRING: it survives the F1 raw-null
+    // drop and then coerces to null (pd.to_numeric errors='coerce') — the
+    // exact dirty-data case the null-amount metric exists to count
+    val (n, transformed) = EtlPipeline.processFile(spark, csv,
+      s"$dir/processed-data/batch.json", "2024-07-01T12:00:00")
+    assert(n === 3L)
+    val m = transformed.queryExecution
+      .observedMetrics(EtlPipeline.MetricsName)
+    assert(m.getAs[Long]("n_rows") === 3L)
+    // exact cents over the non-null amounts: 1250 + (-725)
+    assert(m.getAs[Long]("amount_cents") === 525L)
+    assert(m.getAs[Long]("n_null_amount") === 1L)
+  }
 }
