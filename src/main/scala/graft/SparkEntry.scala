@@ -83,6 +83,7 @@ object SparkEntry {
     "q_window_session"  -> (EventOps.sessionize _),
     "q_json_extract"    -> (EventOps.jsonExtract _),
     "q_variant_extract" -> (EventOps.variantExtract _),
+    "q_map_funcs"       -> (EventOps.mapFuncs _),
     "q_pivot"           -> (EventOps.pivotEvents _),
     "q_asof_join"       -> (EventOps.asofJoin _),
     "q_word_counts"     -> ((s: SparkSession, d: String) =>
@@ -206,6 +207,7 @@ object SparkEntry {
     "q_window_session"  -> EventOps.sessionizeSql,
     "q_json_extract"    -> EventOps.jsonExtractSql,
     "q_variant_extract" -> EventOps.variantExtractSql,
+    "q_map_funcs"       -> EventOps.mapFuncsSql,
     "q_pivot"           -> EventOps.pivotEventsSql,
     "q_asof_join"       -> EventOps.asofJoinSql,
     "q_word_counts"     -> TextAnalysis.wordCountsSql,

@@ -310,6 +310,44 @@ object EventOps {
       |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** 2j map family — the complex-type surface the array queries don't
+    * touch: per-user event-type counts built into a MapType column
+    * (`map_from_entries` over collected structs), pruned in-place with
+    * `map_filter` (keep types seen ≥ 2×), sized with `size` BEFORE the
+    * prune (the map-cardinality audit), then exploded back to relational
+    * rows via `map_entries` for the oracle. The map stage is where a
+    * feature-store-style pipeline keeps per-entity key→value state in one
+    * row; the oracle states the same semantics relationally (HAVING for
+    * the filter, a distinct-count window for the pre-filter size).
+    */
+  def mapFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("event_type"), col("n"))))).as("m"))
+      .select(col("user_id"),
+        size(col("m")).cast("long").as("n_types"),
+        map_filter(col("m"), (_, v) => v >= 2).as("m"))
+      .select(col("user_id"), col("n_types"),
+        explode(map_entries(col("m"))).as("e"))
+      .select(col("user_id"), col("n_types"),
+        col("e.key").as("event_type"), col("e.value").as("n"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val mapFuncsSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_types
+      |  FROM c GROUP BY 1)
+      |SELECT c.user_id, s.n_types, c.event_type, c.n
+      |FROM c JOIN s ON c.user_id = s.user_id
+      |WHERE c.n >= 2
+      |ORDER BY c.user_id, c.event_type""".stripMargin
+
   /** 2j JSON, modernized — Spark 4 VARIANT: `parse_json` decodes each
     * payload ONCE into the binary variant encoding, then every
     * `variant_get` is a typed descent into that binary. [[jsonExtract]]'s
