@@ -58,8 +58,25 @@ object Dedup {
       .select(col("doc_id"), shinglesOfTokens(col("toks")).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
 
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    shingledOf(Tables.documents(s, d))
+  /** Capped STRING-shingle sets: [[shingledOf]] minus the corpus-wide hot
+    * shingles (document frequency > cap) — the string-level twin of
+    * [[cappedShingleIndex]], for the consumers that need whole arrays
+    * (MinHash signatures + LSH exact verification). The whole minhash
+    * family thereby sees the SAME capped universe as the ngram pair join
+    * and the DuckDB oracles: without this, a corpus where the cap engages
+    * would make `q_dedup_minhash` (uncapped sets) disagree with both
+    * `q_dedup_ngram` and its own registered oracle.
+    */
+  private def cappedShingledOf(docs: DataFrame, cap: Int): DataFrame = {
+    val sh = shingledOf(docs)
+    val hot = sh.select(explode_outer(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap && col("s").isNotNull)
+      .agg(collect_list(col("s")).as("hot"))
+    sh.crossJoin(broadcast(hot))
+      .select(col("doc_id"), array_except(col("sh"), col("hot")).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+  }
 
   val JaccardThreshold = 0.8
 
@@ -181,23 +198,33 @@ object Dedup {
       |                string_split(text, ' ')[i+2])) AS sh
       |  FROM documents""".stripMargin
 
-  /** The pair oracle sees the SAME capped shingle universe as the engine:
-    * shingles appearing in more than [[MaxPostingList]] documents are
-    * removed from every document's set before the Jaccard (df computed over
-    * per-doc-distinct shingles, exactly like `cappedShingleIndex`). On the
-    * testdata the hot set is empty (max df ≈ 25), so the oracle is also
-    * byte-equal to the uncapped closure there — but on any corpus where the
-    * cap engages, parity now checks the shipped capped semantics directly
-    * instead of vacuously passing.
+  /** CAPPED DuckDB shingle CTE chain ending in `s(doc_id, sh)`: shingles
+    * appearing in more than [[MaxPostingList]] documents are removed from
+    * every document's set (df computed over per-doc-distinct shingles,
+    * exactly like `cappedShingleIndex` / [[cappedShingledOf]]). ONE
+    * definition shared by the pair oracle AND the minhash-signature oracle,
+    * mirroring the one [[cappedShingledOf]] feeding their Spark twins. Docs
+    * whose every shingle is hot (or that have no shingles) produce no `s`
+    * row — matching the engine, where an empty capped array yields no
+    * exploded shingle rows.
     */
-  private[operators] val ngramPairsSql: String =
-    s"""WITH s0 AS (
+  private[operators] val cappedShingleCteSql: String =
+    s"""s0 AS (
        |  $shingleCteSql),
        |gd AS (SELECT doc_id, unnest(sh) AS g FROM s0),
        |hot AS (SELECT g FROM gd GROUP BY g
        |        HAVING COUNT(*) > $MaxPostingList),
        |s AS (SELECT doc_id, list(g ORDER BY g) AS sh FROM gd
-       |      WHERE g NOT IN (SELECT g FROM hot) GROUP BY doc_id)
+       |      WHERE g NOT IN (SELECT g FROM hot) GROUP BY doc_id)""".stripMargin
+
+  /** The pair oracle sees the SAME capped shingle universe as the engine.
+    * On the testdata the hot set is empty (max df ≈ 25), so the oracle is
+    * also byte-equal to the uncapped closure there — but on any corpus
+    * where the cap engages, parity checks the shipped capped semantics
+    * directly instead of vacuously passing.
+    */
+  private[operators] val ngramPairsSql: String =
+    s"""WITH $cappedShingleCteSql
        |SELECT a.doc_id AS d1, b.doc_id AS d2,
        |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
        |         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
@@ -284,14 +311,20 @@ object Dedup {
       .agg(
         count(lit(1)).as("n_seg"),
         count(when(col("keep"), 1)).as("n_kept"),
-        nullif(
-          concat_ws(" ",
-            transform(
-              array_sort(collect_list(
-                when(col("keep"),
-                  struct(col("chunk_idx"), col("chunk_text"))))),
-              x => x("chunk_text"))),
-          lit("")).as("clean_text"))
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("keep"),
+                struct(col("chunk_idx"), col("chunk_text"))))),
+            x => x("chunk_text"))).as("__joined"))
+      // NULL means "every segment already appeared elsewhere" — gate on
+      // the kept COUNT, not (as an earlier version did) on the joined
+      // text being empty: a document whose single kept segment IS the
+      // empty string keeps '' here, matching the oracle's string_agg
+      .withColumn("clean_text",
+        when(col("n_kept") === 0, lit(null).cast("string"))
+          .otherwise(col("__joined")))
+      .select(col("doc_id"), col("n_seg"), col("n_kept"), col("clean_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -488,12 +521,18 @@ object Dedup {
     * list_reduce, so the ENTIRE signature pipeline (base hash, 64 affine
     * permutations, band keys) is portable and the signature query gets a
     * full hash-checked oracle instead of a rows-only check (xxhash64, the
-    * previous base hash, is not DuckDB-expressible). Docs with no shingles
-    * (< 3 tokens) are dropped — no shingles means no signature — matching
-    * the oracle's unnest semantics.
+    * previous base hash, is not DuckDB-expressible). Built over the CAPPED
+    * shingle universe ([[cappedShingledOf]]) so the whole minhash family
+    * computes the same Jaccard as the ngram pair join it shares an oracle
+    * with. Docs with no surviving shingles (< 3 tokens, or every shingle
+    * hot) are dropped — no shingles means no signature — matching the
+    * oracle's unnest semantics. `explode_outer` + isNotNull (rather than
+    * plain `explode`) is deliberate: InferFiltersFromGenerate would turn a
+    * generator over the computed array into an inferred size() filter that
+    * re-derives the whole capped-array subtree a second time.
     */
-  private def portableShingleIndex(s: SparkSession, d: String): DataFrame =
-    shingled(s, d)
+  private def portableShingleIndexOf(docs: DataFrame, cap: Int): DataFrame =
+    cappedShingledOf(docs, cap)
       .select(col("doc_id"), col("n_sh"), explode_outer(col("sh")).as("shingle"))
       .filter(col("shingle").isNotNull)
       .select(col("doc_id"), col("n_sh"),
@@ -505,8 +544,8 @@ object Dedup {
     * product inside a signed 64-bit long under Spark 4's ANSI arithmetic).
     * Output: (doc_id, n_sh, sig array<long>).
     */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    val idx = portableShingleIndex(s, d)
+  private def signaturesOf(docs: DataFrame, cap: Int): DataFrame = {
+    val idx = portableShingleIndexOf(docs, cap)
     val mins = (0 until NumHashes).map { i =>
       min(pmod(col("h0") * lit(i * 2L + 1L) + lit(i * 40503L + 17L), lit(P)))
         .as(s"m$i")
@@ -516,6 +555,9 @@ object Dedup {
       .select(col("doc_id"), col("n_sh"),
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
+
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    signaturesOf(Tables.documents(s, d), MaxPostingList)
 
   /** The 16 LSH band keys of a signature: a polynomial combine of each
     * band's 4 lanes mod P, seeded with the band index — plain portable
@@ -542,8 +584,9 @@ object Dedup {
           .as("band_keys"))
       .orderBy(col("doc_id"))
 
-  /** Oracle: identical shingling, base-hash fold, affine permutations, and
-    * band combines in DuckDB SQL — exact integer arithmetic end to end.
+  /** Oracle: identical CAPPED shingling ([[cappedShingleCteSql]]), base-hash
+    * fold, affine permutations, and band combines in DuckDB SQL — exact
+    * integer arithmetic end to end.
     */
   val minhashSignaturesSql: String = {
     val polyFold =
@@ -561,8 +604,7 @@ object Dedup {
         s"(($acc) * $BandBase + m${b * RowsPerBand + k}) % $P"
       }
     }.mkString("list_value(", ", ", ")")
-    s"""WITH s AS (
-       |  $shingleCteSql),
+    s"""WITH $cappedShingleCteSql,
        |e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
        |             unnest(sh) AS shingle FROM s),
        |h AS (SELECT doc_id, n_sh, $polyFold AS h0 FROM e),
@@ -592,8 +634,11 @@ object Dedup {
     * verbatim should swap `polyHashFull` for xxhash64 here and accept a
     * rows-only oracle for the signature query.
     */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sig = signatures(s, d)
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshOf(Tables.documents(s, d), MaxPostingList)
+
+  private[graft] def minhashLshOf(docs: DataFrame, cap: Int): DataFrame = {
+    val sig = signaturesOf(docs, cap)
     val banded = sig.select(col("doc_id"), posexplode_outer(bandKeys(col("sig"))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
     val cand = banded.as("x").join(banded.as("y"),
@@ -601,7 +646,10 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val sets = shingled(s, d)
+    // exact verification over the SAME capped sets the signatures hashed —
+    // signature recall and verified Jaccard agree with ngramPairs (and the
+    // shared oracle) even on a corpus where the cap engages
+    val sets = cappedShingledOf(docs, cap)
     cand
       .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1"),
         col("n_sh").as("n1")), Seq("d1"))

@@ -125,9 +125,18 @@ object Streams {
         // merge both read it, and without this each would re-scan the
         // batch's source files
         val bucketed = batch.withColumn("bucket", bucketOf).localCheckpoint()
-        val target   = new java.io.File(targetDir)
-        val hasData  = target.exists() &&
-          target.list().exists(_.startsWith("bucket="))
+        // target detection through the Hadoop filesystem of the PATH (not
+        // java.io.File, which silently answers "absent" for hdfs://|s3a://
+        // targets — on a remote warehouse that would make every batch
+        // treat the table as empty and dynamic-overwrite away previously
+        // merged rows), and guarded for a non-directory path
+        val targetPath = new org.apache.hadoop.fs.Path(targetDir)
+        val fs = targetPath.getFileSystem(
+          spark.sessionState.newHadoopConf())
+        val hasData = fs.exists(targetPath) &&
+          fs.getFileStatus(targetPath).isDirectory &&
+          fs.listStatus(targetPath)
+            .exists(_.getPath.getName.startsWith("bucket="))
         // recompute `bucket` from the key instead of trusting partition-
         // column type inference; the isin filter prunes to touched
         // partition directories before any file is opened
@@ -139,8 +148,16 @@ object Streams {
               .filter(col("bucket").isin(touched: _*))
               .drop("bucket").withColumn("bucket", bucketOf)
           } else bucketed.limit(0)
+        // batch beats target (__priority), and WITHIN the batch — one
+        // AvailableNow trigger can drain a file and its correction
+        // together — ties break on a deterministic full-row hash exactly
+        // as JdbcUpsert.upsert does, never on partition/scan order: a
+        // replayed batch re-picks the same winner, which is what makes
+        // the checkpointed merge idempotent in fact, not just in shape
+        val rowHash = xxhash64(
+          batch.columns.map(c => col(c).cast("string")): _*)
         val w = Window.partitionBy(col("transaction_id"))
-          .orderBy(col("__priority").desc)
+          .orderBy(col("__priority").desc, rowHash.desc)
         val merged = bucketed.withColumn("__priority", lit(1))
           .unionByName(existing.withColumn("__priority", lit(0)))
           .withColumn("__rn", row_number().over(w))
@@ -244,6 +261,18 @@ object Streams {
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total_cents: Long)
 
+  /** ONE definition of the running-totals fold (count + exact-cents sum,
+    * the Scala form of RefTransforms.cents) shared by the GroupState and
+    * transformWithState processors — StreamingSpec pins the two APIs to
+    * the same answer, and a single fold makes that true by construction.
+    */
+  private def foldRunning(userId: Long, prev: UserRunning,
+      rows: Iterator[UserEvent]): UserRunning =
+    rows.foldLeft(prev) { (acc, e) =>
+      UserRunning(userId, acc.n + 1,
+        acc.total_cents + math.floor(e.value * 100 + 0.5).toLong)
+    }
+
   /** Custom keyed state via flatMapGroupsWithState: per-user running count
     * and cent-exact running total, emitted on every update — the arbitrary-
     * state surface (KeyValueGroupedDataset) beyond built-in windows.
@@ -258,10 +287,7 @@ object Streams {
         (userId: Long, rows: Iterator[UserEvent],
          state: GroupState[UserRunning]) =>
           val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0L))
-          val next = rows.foldLeft(prev) { (acc, e) =>
-            UserRunning(userId, acc.n + 1,
-              acc.total_cents + math.floor(e.value * 100 + 0.5).toLong)
-          }
+          val next = foldRunning(userId, prev, rows)
           state.update(next)
           Iterator.single(next)
       }
@@ -287,10 +313,7 @@ object Streams {
         timerValues: TimerValues): Iterator[UserRunning] = {
       val prev =
         if (state.exists()) state.get() else UserRunning(userId, 0L, 0L)
-      val next = rows.foldLeft(prev) { (acc, e) =>
-        UserRunning(userId, acc.n + 1,
-          acc.total_cents + math.floor(e.value * 100 + 0.5).toLong)
-      }
+      val next = foldRunning(userId, prev, rows)
       state.update(next)
       Iterator.single(next)
     }

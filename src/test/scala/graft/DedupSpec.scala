@@ -131,6 +131,30 @@ class DedupSpec extends SparkSpecBase {
     assert(capped === uncapped)
   }
 
+  test("minhash family shares the capped universe when the cap engages") {
+    // same pathological stop-shingle corpus as above: with cap=5 the
+    // minhash signatures, LSH candidates, and exact verification must all
+    // see the capped shingle sets, so LSH output equals the capped
+    // inverted-index pair set (NOT the uncapped one, which would disagree
+    // with the oracle's capped Jaccard on a real corpus)
+    val preamble = "in the of at in the of at"
+    val filler = (0 until 30).map { i =>
+      (i.toLong, s"$preamble unique$i words$i about$i topic$i number$i item$i")
+    }
+    val rare = (0 until 30).map(k => s"rareword$k").mkString(" ")
+    val planted = Seq((100L, s"$preamble $rare"), (101L, s"$preamble $rare changed"))
+    val corpus = (filler ++ planted).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val cap = 5
+    val viaLsh = Dedup.minhashLshOf(corpus, cap)
+      .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val viaIndex = Dedup.ngramPairsOf(corpus, cap)
+      .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(viaLsh === viaIndex) // jaccard VALUES agree, not just the pairs
+    assert(viaLsh.map(p => (p._1, p._2)) === Set((100L, 101L)))
+  }
+
   test("default posting-list cap never engages on the driver testdata") {
     val docs = Tables.documents(spark, sfDir)
     val capped = Dedup.ngramPairsOf(docs, Dedup.MaxPostingList).collect()
