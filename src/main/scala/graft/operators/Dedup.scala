@@ -531,8 +531,8 @@ object Dedup {
     * generator over the computed array into an inferred size() filter that
     * re-derives the whole capped-array subtree a second time.
     */
-  private def portableShingleIndexOf(docs: DataFrame, cap: Int): DataFrame =
-    cappedShingledOf(docs, cap)
+  private def portableShingleIndexOf(capped: DataFrame): DataFrame =
+    capped
       .select(col("doc_id"), col("n_sh"), explode_outer(col("sh")).as("shingle"))
       .filter(col("shingle").isNotNull)
       .select(col("doc_id"), col("n_sh"),
@@ -544,8 +544,8 @@ object Dedup {
     * product inside a signed 64-bit long under Spark 4's ANSI arithmetic).
     * Output: (doc_id, n_sh, sig array<long>).
     */
-  private def signaturesOf(docs: DataFrame, cap: Int): DataFrame = {
-    val idx = portableShingleIndexOf(docs, cap)
+  private def signaturesOf(capped: DataFrame): DataFrame = {
+    val idx = portableShingleIndexOf(capped)
     val mins = (0 until NumHashes).map { i =>
       min(pmod(col("h0") * lit(i * 2L + 1L) + lit(i * 40503L + 17L), lit(P)))
         .as(s"m$i")
@@ -557,7 +557,7 @@ object Dedup {
   }
 
   private def signatures(s: SparkSession, d: String): DataFrame =
-    signaturesOf(Tables.documents(s, d), MaxPostingList)
+    signaturesOf(cappedShingledOf(Tables.documents(s, d), MaxPostingList))
 
   /** The 16 LSH band keys of a signature: a polynomial combine of each
     * band's 4 lanes mod P, seeded with the band index — plain portable
@@ -638,7 +638,14 @@ object Dedup {
     minhashLshOf(Tables.documents(s, d), MaxPostingList)
 
   private[graft] def minhashLshOf(docs: DataFrame, cap: Int): DataFrame = {
-    val sig = signaturesOf(docs, cap)
+    // ONE lazy capped frame feeds the signature derivation and both
+    // verification rejoins; the embedded hot-shingle aggregation appears
+    // multiple times in the STATIC plan but AQE stage reuse dedupes the
+    // identical aggregate stages at runtime — an eager localCheckpoint
+    // here was measured SLOWER (2.2 vs 1.8 s steady-state at sf0.1): the
+    // array materialization costs more than the recompute it saves
+    val capped = cappedShingledOf(docs, cap)
+    val sig = signaturesOf(capped)
     val banded = sig.select(col("doc_id"), posexplode_outer(bandKeys(col("sig"))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
     val cand = banded.as("x").join(banded.as("y"),
@@ -649,7 +656,7 @@ object Dedup {
     // exact verification over the SAME capped sets the signatures hashed —
     // signature recall and verified Jaccard agree with ngramPairs (and the
     // shared oracle) even on a corpus where the cap engages
-    val sets = cappedShingledOf(docs, cap)
+    val sets = capped
     cand
       .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1"),
         col("n_sh").as("n1")), Seq("d1"))
