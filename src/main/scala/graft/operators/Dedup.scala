@@ -59,13 +59,13 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")).cast("long"))
 
   /** Capped STRING-shingle sets: [[shingledOf]] minus the corpus-wide hot
-    * shingles (document frequency > cap) — the string-level twin of
-    * [[cappedShingleIndex]], for the consumers that need whole arrays
-    * (MinHash signatures + LSH exact verification). The whole minhash
-    * family thereby sees the SAME capped universe as the ngram pair join
-    * and the DuckDB oracles: without this, a corpus where the cap engages
-    * would make `q_dedup_minhash` (uncapped sets) disagree with both
-    * `q_dedup_ngram` and its own registered oracle.
+    * shingles (document frequency > cap). THE single cap definition —
+    * [[cappedShingleIndex]] (ngram pair join) derives from it by
+    * explode + hash, and the MinHash signatures + LSH exact verification
+    * consume its whole arrays directly — so every dedup family and both
+    * DuckDB oracles see the SAME capped universe: without this, a corpus
+    * where the cap engages would make `q_dedup_minhash` disagree with
+    * both `q_dedup_ngram` and its own registered oracle.
     */
   private def cappedShingledOf(docs: DataFrame, cap: Int): DataFrame = {
     val sh = shingledOf(docs)
@@ -96,32 +96,23 @@ object Dedup {
     */
   val MaxPostingList = 1024
 
-  /** Per-doc 64-bit-hashed distinct shingle arrays — joins and set algebra
-    * from here on move longs, not 3-word strings.
+  /** The capped inverted index: [[cappedShingledOf]]'s capped string sets
+    * exploded and 64-bit-hashed, so the pair self-join moves longs, not
+    * 3-word strings. Deriving from the ONE cap definition (instead of a
+    * parallel hash-domain copy, as an earlier version did) makes the
+    * capped universe identical across the ngram and minhash families BY
+    * CONSTRUCTION: a hash-domain df count could merge two distinct
+    * shingles' posting lists on an xxhash64 collision and push the
+    * combined df over the cap on one side only. Hashing happens AFTER
+    * capping — fewer elements — and empty capped arrays surface as
+    * null-h rows (explode_outer + null-preserving hash) which can never
+    * satisfy the downstream equi-join.
     */
-  private def hashedShingles(docs: DataFrame): DataFrame =
-    shingledOf(docs).select(col("doc_id"),
-      transform(col("sh"), x => xxhash64(x)).as("hs"))
-
-  /** The capped inverted index: hot shingles (df > cap) are collected into
-    * a single-row broadcast set (normally empty — only corpus-wide
-    * stop-shingles exceed the cap) and removed from every doc's shingle
-    * array with one narrow `array_except`, so the downstream explode,
-    * self-join, and n_sh sizes all see the same capped universe. Costs one
-    * extra narrow pass + a tiny aggregation over the exchange the pair
-    * join shuffles anyway — no extra sort, nothing driver-side.
-    */
-  private[graft] def cappedShingleIndex(docs: DataFrame, cap: Int): DataFrame = {
-    val hashed = hashedShingles(docs)
-    val hot = hashed.select(explode_outer(col("hs")).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap && col("h").isNotNull)
-      .agg(collect_list(col("h")).as("hot"))
-    hashed.crossJoin(broadcast(hot))
-      .select(col("doc_id"), array_except(col("hs"), col("hot")).as("hs"))
-      .withColumn("n_sh", size(col("hs")).cast("long"))
-      .select(col("doc_id"), col("n_sh"), explode_outer(col("hs")).as("h"))
-  }
+  private[graft] def cappedShingleIndex(docs: DataFrame, cap: Int): DataFrame =
+    cappedShingledOf(docs, cap)
+      .select(col("doc_id"), col("n_sh"), explode_outer(col("sh")).as("s"))
+      .select(col("doc_id"), col("n_sh"),
+        when(col("s").isNotNull, xxhash64(col("s"))).as("h"))
 
   // ---------- exact dedup ----------
 

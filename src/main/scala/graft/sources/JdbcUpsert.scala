@@ -104,6 +104,22 @@ object JdbcUpsert {
   private val stagingStringTypes: String =
     varcharWidths.map { case (c, w) => s"$c VARCHAR($w)" }.mkString(", ")
 
+  /** Deterministic full-row hash for LWW tie-breaks, shared by this
+    * upsert and the streaming warehouse merge (Streams.fileWarehouse
+    * pipeline) so the two merge paths can never desynchronize. xxhash64
+    * SKIPS null inputs (the accumulator is unchanged by a null child),
+    * so hashing raw string casts would collide rows whose non-null
+    * values align after null-skipping — e.g. (a=NULL, b="x") vs
+    * (a="x", b=NULL) — and the "deterministic" winner would silently
+    * fall back to partition order. Each column therefore contributes an
+    * explicit null marker plus its coalesced value, making the null
+    * PATTERN part of the hash.
+    */
+  private[graft] def fullRowHash(columns: Seq[String]): Column =
+    xxhash64(columns.flatMap(c => Seq(
+      isnull(col(c)).cast("string"),
+      coalesce(col(c).cast("string"), lit("")))): _*)
+
   /** Row validity against the target DDL, evaluated over whichever of the
     * guarded columns the batch carries: VARCHAR width fits, DECIMAL(10,2)
     * magnitude fits, and the primary key is non-null. Mirrors the
@@ -147,8 +163,7 @@ object JdbcUpsert {
     // within-batch LWW: latest processed_timestamp wins; ties (the common
     // case — a batch usually carries ONE timestamp literal) break on a
     // deterministic full-row hash, never on partition/scan order
-    val rowHash = xxhash64(
-      df.columns.map(c => col(c).cast("string")): _*)
+    val rowHash = JdbcUpsert.fullRowHash(df.columns.toSeq)
     val deduped = {
       val order =
         if (df.columns.contains("processed_timestamp"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types._
 
 import graft.operators.RefTransforms
+import graft.sources.JdbcUpsert
 
 /** Structured Streaming re-expression of the reference's streaming model
   * (SURVEY.md §2k): the reference is event-per-file micro-batch — an S3
@@ -150,12 +151,12 @@ object Streams {
           } else bucketed.limit(0)
         // batch beats target (__priority), and WITHIN the batch — one
         // AvailableNow trigger can drain a file and its correction
-        // together — ties break on a deterministic full-row hash exactly
-        // as JdbcUpsert.upsert does, never on partition/scan order: a
-        // replayed batch re-picks the same winner, which is what makes
-        // the checkpointed merge idempotent in fact, not just in shape
-        val rowHash = xxhash64(
-          batch.columns.map(c => col(c).cast("string")): _*)
+        // together — ties break on THE deterministic full-row hash
+        // JdbcUpsert.upsert uses (one shared null-pattern-aware
+        // definition), never on partition/scan order: a replayed batch
+        // re-picks the same winner, which is what makes the
+        // checkpointed merge idempotent in fact, not just in shape
+        val rowHash = JdbcUpsert.fullRowHash(batch.columns.toSeq)
         val w = Window.partitionBy(col("transaction_id"))
           .orderBy(col("__priority").desc, rowHash.desc)
         val merged = bucketed.withColumn("__priority", lit(1))
@@ -203,8 +204,7 @@ object Streams {
         // ON CONFLICT refreshes for re-delivered keys
         val stamped = batch.withColumn("processed_timestamp",
           current_timestamp())
-        val rejected = graft.sources.JdbcUpsert.upsert(stamped, url, table,
-          props)
+        val rejected = JdbcUpsert.upsert(stamped, url, table, props)
         onRejected(rejected, batchId)
       }
       .option("checkpointLocation", checkpointDir)

@@ -143,4 +143,22 @@ class JdbcUpsertSpec extends SparkSpecBase {
     assert(got.map(_._1).contains(url))
     assert(got.exists(_._2.getProperty("driver") == "d"))
   }
+
+  test("the LWW tie-break hash distinguishes null patterns") {
+    // xxhash64 skips null children, so a hash of raw casts would give
+    // (a=NULL, b="x") and (a="x", b=NULL) the SAME value — two distinct
+    // rows tying on the "deterministic" tie-break and falling back to
+    // partition order. The shared fullRowHash makes the null pattern
+    // part of the hash; both merge paths (JDBC upsert + streaming
+    // warehouse MERGE) use this one definition.
+    val rows = Seq(
+      (1L, Option.empty[String], Option("x")),
+      (1L, Option("x"), Option.empty[String]),
+      (1L, Option("x"), Option("x")))
+      .toDF("transaction_id", "a", "b")
+    val hashes = rows
+      .select(JdbcUpsert.fullRowHash(rows.columns.toSeq).as("h"))
+      .as[Long].collect()
+    assert(hashes.distinct.length === 3)
+  }
 }

@@ -5,36 +5,39 @@
 # in a covered family (PLANS.md "Determinism re-verified" protocol —
 # one SparkContext per JVM means this cannot be an in-process spec).
 # Usage: tools/determinism.sh [sfDir] [threadsA] [threadsB]
-set -e
+set -e -o pipefail
 cd "$(dirname "$0")/.."
+. tools/env.sh
 SF=${1:-/root/testdata/sf0.01}
 A=${2:-5}
 B=${3:-16}
 OUT_A=/tmp/graft_det_${A}t
 OUT_B=/tmp/graft_det_${B}t
-ADD_OPENS=""
-for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
-         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
-         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
-  ADD_OPENS="$ADD_OPENS --add-opens=java.base/$p=ALL-UNNAMED"
-done
 for T in "$A:$OUT_A" "$B:$OUT_B"; do
   CPUS=${T%%:*}; OUT=${T##*:}
   rm -rf "$OUT"
-  SPARK_GRAFT_CPUS=$CPUS java $ADD_OPENS \
-    -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-    -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
-    graft.Verify "$SF" "$OUT" 2>&1 | grep -E "\[verify\]|Exception" || true
+  # pipefail + grep wrapped in || true: a crashed Verify run fails the
+  # script here instead of silently shrinking the compared query set
+  SPARK_GRAFT_CPUS=$CPUS java $ADD_OPENS $GRAFT_JAVA_FLAGS \
+    -cp "$GRAFT_CP" graft.Verify "$SF" "$OUT" 2>&1 \
+    | { grep -E "\[verify\]|Exception" || true; }
 done
 python3 - "$OUT_A" "$OUT_B" <<'PY'
 import duckdb, os, sys
 a, b = sys.argv[1], sys.argv[2]
-qs = sorted(d for d in os.listdir(a)
-            if os.path.isdir(os.path.join(a, d)))
+def dirs(root):
+    return {d for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))}
+# union of BOTH runs' dumps: a query missing from either side (e.g. a
+# per-query failure Verify isolated and skipped) is a failure, not a
+# silent shrink of the denominator
+qs = sorted(dirs(a) | dirs(b))
 bad = 0
 for q in qs:
+    if not os.path.isdir(os.path.join(a, q)):
+        print(f"MISSING  {q} (absent from {a})"); bad += 1; continue
     if not os.path.isdir(os.path.join(b, q)):
-        print(f"MISSING  {q} (only in {a})"); bad += 1; continue
+        print(f"MISSING  {q} (absent from {b})"); bad += 1; continue
     n = duckdb.sql(
         f"SELECT count(*) FROM ("
         f"(SELECT * FROM '{a}/{q}/*.parquet' EXCEPT ALL "

@@ -1,20 +1,14 @@
 #!/bin/bash
 # Dev loop: run graft.Verify directly (bypasses sbt JVM spin-up) then the
 # DuckDB compare. Usage: tools/verify.sh [sfDir] [outDir]
-set -e
+set -e -o pipefail
 cd "$(dirname "$0")/.."
+. tools/env.sh
 SF=${1:-/root/testdata/sf0.001}
 OUT=${2:-/tmp/graft_verify}
-ADD_OPENS=""
-for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
-         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
-  ADD_OPENS="$ADD_OPENS --add-opens=java.base/$p=ALL-UNNAMED"
-done
-for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
-  ADD_OPENS="$ADD_OPENS --add-opens=java.base/$p=ALL-UNNAMED"
-done
-SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java $ADD_OPENS \
-  -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
-  graft.Verify "$SF" "$OUT" 2>&1 | grep -E "\[verify\]|Exception" || true
+# pipefail + grep wrapped in || true: a crashed Verify run fails here
+# instead of handing check.py a partial dump
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java $ADD_OPENS $GRAFT_JAVA_FLAGS \
+  -cp "$GRAFT_CP" graft.Verify "$SF" "$OUT" 2>&1 \
+  | { grep -E "\[verify\]|Exception" || true; }
 python3 tools/check.py "$SF" "$OUT"
