@@ -32,6 +32,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the INTENDED query set, so downstream compares (check.py,
+    // determinism.sh) can flag a query whose dump is missing — e.g. a
+    // rows-only query that failed in the isolated-per-query loop above —
+    // instead of silently shrinking their denominator to the dirs that
+    // happen to exist
+    val manifest = SparkEntry.queries.keys.toSeq.sorted
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     spark.stop()
   }
 }

@@ -63,13 +63,27 @@ def main():
         else:
             print(f"OK       {name} ({len(got)} rows)")
             n_pass += 1
-    # rows-only checks for queries without an oracle
-    for d in sorted(glob.glob(f"{out_dir}/*/")):
-        name = os.path.basename(d.rstrip("/"))
-        if name not in oracle:
-            files = glob.glob(f"{d}/*.parquet")
-            n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
-            print(f"ROWSONLY {name}: {n} rows")
+    # rows-only checks for queries without an oracle, enumerated from the
+    # INTENDED set (manifest.json) when available — a rows-only query that
+    # crashed leaves no dump dir, and iterating only existing dirs would
+    # pass right over it; without a manifest (older dumps) fall back to
+    # the dirs that exist
+    manifest_path = f"{out_dir}/manifest.json"
+    if os.path.exists(manifest_path):
+        rows_only = [n for n in json.load(open(manifest_path))
+                     if n not in oracle]
+    else:
+        rows_only = [os.path.basename(d.rstrip("/"))
+                     for d in sorted(glob.glob(f"{out_dir}/*/"))
+                     if os.path.basename(d.rstrip("/")) not in oracle]
+    for name in sorted(rows_only):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"MISSING  {name}: no spark output (rows-only)")
+            n_fail += 1
+            continue
+        n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
+        print(f"ROWSONLY {name}: {n} rows")
     print(f"\n{n_pass} passed, {n_fail} failed, "
           f"{len(oracle)} oracle queries")
     sys.exit(1 if n_fail else 0)

@@ -23,15 +23,20 @@ for T in "$A:$OUT_A" "$B:$OUT_B"; do
     | { grep -E "\[verify\]|Exception" || true; }
 done
 python3 - "$OUT_A" "$OUT_B" <<'PY'
-import duckdb, os, sys
+import duckdb, json, os, sys
 a, b = sys.argv[1], sys.argv[2]
 def dirs(root):
     return {d for d in os.listdir(root)
             if os.path.isdir(os.path.join(root, d))}
-# union of BOTH runs' dumps: a query missing from either side (e.g. a
-# per-query failure Verify isolated and skipped) is a failure, not a
-# silent shrink of the denominator
-qs = sorted(dirs(a) | dirs(b))
+def manifest(root):
+    p = os.path.join(root, "manifest.json")
+    return set(json.load(open(p))) if os.path.exists(p) else set()
+# the INTENDED query set (manifest.json written by Verify) unioned with
+# whatever dumps exist: a query that failed in BOTH runs is still in the
+# manifest and is flagged MISSING, not silently dropped from the
+# denominator (the dirs-union alone would pass over a deterministic
+# per-query crash)
+qs = sorted(manifest(a) | manifest(b) | dirs(a) | dirs(b))
 bad = 0
 for q in qs:
     if not os.path.isdir(os.path.join(a, q)):

@@ -2,6 +2,9 @@
 # verify.sh and determinism.sh so the JDK17 --add-opens list and Spark
 # flags stay in lock-step (a package added in one script only would
 # leave the other failing with InaccessibleObjectException).
+# NOTE: build.sbt carries its own copy of this list (jdk17AddOpens) for
+# sbt-forked test/run JVMs — a package added here must be added there
+# too, and vice versa.
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
