@@ -68,6 +68,12 @@ object Bench {
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
     println(metricLine(results, sfDir))
+    // The per-query line above is ~4 KiB at 93 queries and the driver keeps
+    // only a bounded stdout tail, parsing the LAST line as JSON — rounds 4-6
+    // lost their totals when the big line overflowed that tail. So the very
+    // last line printed is a compact total-only record that cannot outgrow
+    // the tail no matter how many queries exist.
+    println(totalLine(results))
     spark.stop()
   }
 
@@ -83,6 +89,19 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val sf = jsonEscape(sfDir)
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf"}"""
+  }
+
+  /** The LAST stdout line of a run: a fixed-size total-only record (~80
+    * bytes regardless of query count), so the driver's bounded tail always
+    * captures a parseable total even when the per-query line above it is
+    * truncated. `n_queries` counts everything attempted; `n_failed` the -1
+    * sentinels, so a regression-to-failure is visible in the compact record
+    * too.
+    */
+  def totalLine(results: Seq[(String, Double)]): String = {
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
+    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed}"""
   }
 
   /** The sf directory is the one operator-controlled string in the metric

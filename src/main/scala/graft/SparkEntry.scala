@@ -60,10 +60,11 @@ object SparkEntry {
     "q_stats_exact"     -> (Relational.statsExact _),
     "q_salted_agg"      -> (TypedOps.saltedAgg _),
     "q_agg_distinct"    -> (Relational.aggDistinct _),
-    "q_approx_distinct" -> (Relational.aggApproxDistinct _),
-    // rows-only by design (order-dependent sketch merge) but
-    // self-validating: rank-bound flag computed in-row
-    "q_approx_quantiles" -> (Relational.approxQuantiles _),
+    // hash-gated checked projections: sketch estimates are engine-specific,
+    // but the exact twins + the in-row guarantee flag are oracle-derivable,
+    // so a sketch violating its contract fails the hash compare
+    "q_approx_distinct" -> (Relational.aggApproxDistinctChecked _),
+    "q_approx_quantiles" -> (Relational.approxQuantilesChecked _),
     "q_rollup"          -> (Relational.aggRollup _),
     "q_grouping_sets"   -> (Relational.groupingSets _),
     "q_array_funcs"     -> ((s: SparkSession, d: String) =>
@@ -97,11 +98,10 @@ object SparkEntry {
     "q_stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "q_group_sample"      -> ((s: SparkSession, d: String) =>
       TextAnalysis.groupSample(s, d)),
-    // rows-only by design (binary CMS not DuckDB-evaluable) but
-    // self-validating: exact count, overcount, and the eps*N guarantee
-    // flag ride in every row (same pattern as q_approx_distinct)
+    // hash-gated checked projection (same pattern as q_approx_distinct):
+    // exact top-20 counts + the eps*N guarantee flag, oracle-recomputed
     "q_heavy_hitters"     -> ((s: SparkSession, d: String) =>
-      TextAnalysis.heavyHitters(s, d)),
+      TextAnalysis.heavyHittersChecked(s, d)),
     "q_lang_mix"          -> (TextAnalysis.langMix _),
     "q_quality_topp"      -> (TextAnalysis.qualityTopP _),
     "q_token_budget"      -> (TextAnalysis.tokenBudget _),
@@ -126,8 +126,13 @@ object SparkEntry {
     "q_chunk_dedup"       -> (Dedup.chunkDedup _),
     // [EXT] LLM-pipeline: similarity search + multimodal
     "q_ann_brute"       -> (Ann.bruteForceTopK _),
-    // rows-only by design (recall < 1) but self-validating: each row
-    // carries whether it appears in the exact top-k (AnnSpec bounds it)
+    // rows-only BY NECESSITY, the one remaining entry outside the hash
+    // gate: the LSH candidate set is decided by hyperplane dot-product
+    // SIGNS, and near-zero dots flip sign under summation reordering — a
+    // SQL mirror of the bucketing would be flaky at exactly the margins
+    // LSH is approximate about, unlike the sketch queries whose contract
+    // is a boolean over exact counts. Self-validating instead: each row
+    // carries whether it appears in the exact top-k (AnnSpec bounds recall)
     "q_ann_lsh"         -> (Ann.lshTopKValidated _),
     // exhaustive probe (nprobe = IvfLists) ≡ brute force — AnnSpec pins the
     // equivalence, which lets the driver hash-check the whole IVF pipeline
@@ -190,6 +195,8 @@ object SparkEntry {
     "q_stats_exact"     -> Relational.statsExactSql,
     "q_salted_agg"      -> TypedOps.saltedAggSql,
     "q_agg_distinct"    -> Relational.aggDistinctSql,
+    "q_approx_distinct" -> Relational.aggApproxDistinctCheckedSql,
+    "q_approx_quantiles" -> Relational.approxQuantilesCheckedSql,
     "q_rollup"          -> Relational.aggRollupSql,
     "q_grouping_sets"   -> Relational.groupingSetsSql,
     "q_array_funcs"     -> TextAnalysis.arrayFuncsSql,
@@ -218,6 +225,7 @@ object SparkEntry {
     "q_fingerprint"     -> TextAnalysis.fingerprintSql,
     "q_stratified_sample" -> TextAnalysis.stratifiedSampleSql,
     "q_group_sample"      -> TextAnalysis.groupSampleSql,
+    "q_heavy_hitters"     -> TextAnalysis.heavyHittersCheckedSql,
     "q_lang_mix"          -> TextAnalysis.langMixSql,
     "q_quality_topp"      -> TextAnalysis.qualityTopPSql,
     "q_token_budget"      -> TextAnalysis.tokenBudgetSql,

@@ -285,6 +285,30 @@ object TextAnalysis {
       .orderBy(col("exact_cnt").desc, col("tok"))
   }
 
+  /** The hash-gated shape of [[heavyHitters]]: the CMS estimate itself is
+    * not DuckDB-evaluable, but every deterministic column around it is —
+    * the top-20 tokens, their exact counts, the total token count — and
+    * the sketch's `exact ≤ est ≤ exact + ε·N` contract is a boolean
+    * computed in-row, which the oracle states as literal TRUE. A sketch
+    * regression (under- or over-count past ε·N) flips the flag and fails
+    * the HASH gate; the estimate/overcount diagnostics stay on
+    * [[heavyHitters]], asserted by CmsEstimateSpec.
+    */
+  def heavyHittersChecked(s: SparkSession, d: String): DataFrame =
+    heavyHitters(s, d)
+      .select(col("tok"), col("exact_cnt"), col("n_total"), col("within_bound"))
+
+  val heavyHittersCheckedSql: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+      |           FROM documents),
+      |     tt AS (SELECT tok FROM t WHERE length(tok) > 0),
+      |     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tt)
+      |SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+      |       (SELECT n_total FROM tot) AS n_total,
+      |       TRUE AS within_bound
+      |FROM tt GROUP BY tok
+      |ORDER BY exact_cnt DESC, tok LIMIT 20""".stripMargin
+
   /** Vocabulary size for [[vocabCoverage]] — small enough that the corpus'
     * ~50-word synthetic vocabulary leaves a real OOV tail to measure.
     */

@@ -282,19 +282,33 @@ object Dedup {
     * segment already appeared elsewhere come back with NULL text — the
     * fully-boilerplate case a downstream quality gate drops. Shape at
     * scale: the segment generator is narrow ([[TextAnalysis.chunkOf]]);
-    * the keep-first decision is ONE window shuffle partitioned by segment
-    * text (≤ [[SegTokens]] tokens travel per row; a petabyte deployment
-    * would bucket by a 128-bit content hash instead — kept text-exact here
-    * so the oracle checks the same plan); reconstruction is ONE
-    * per-document aggregation. No stage holds more than a document's
-    * segments in memory.
+    * the keep-first decision is ONE window shuffle partitioned by the
+    * 128-bit MD5 of the segment — the shuffle key is a fixed 32-byte
+    * digest, never the raw text, so shuffle width per row is constant no
+    * matter how wide segments get (at petabyte scale the text column is
+    * the dominant byte volume; it travels once as payload, not as the
+    * sort/partition key). Keying by digest yields the identical keep-first
+    * decision as keying by text (same distinct groups) — [[DedupSpec]]
+    * pins the two plans row-for-row — so the text-keyed oracle checks the
+    * same semantics; reconstruction is ONE per-document aggregation. No
+    * stage holds more than a document's segments in memory.
     */
-  def chunkDedup(s: SparkSession, d: String): DataFrame = {
+  def chunkDedup(s: SparkSession, d: String): DataFrame =
+    chunkDedupKeyed(s, d, hashKey = true)
+
+  /** [[chunkDedup]] with the window key selectable: digest-keyed (the
+    * scale shape, the default) or raw-text-keyed (the reference shape).
+    * Both produce identical output — the spec pins it — the flag exists
+    * only so that equivalence is testable forever.
+    */
+  private[graft] def chunkDedupKeyed(
+      s: SparkSession, d: String, hashKey: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val segs = graft.functions.TextAnalysis
       .chunkOf(Tables.spread(Tables.documents(s, d), col("doc_id")),
         W = SegTokens, S = SegTokens)
-    val w = Window.partitionBy(col("chunk_text"))
+    val key = if (hashKey) md5(col("chunk_text")) else col("chunk_text")
+    val w = Window.partitionBy(key)
       .orderBy(col("doc_id"), col("chunk_idx"))
     segs
       .withColumn("keep", row_number().over(w) === 1)

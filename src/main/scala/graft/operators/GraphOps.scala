@@ -31,13 +31,27 @@ import graft.Tables
   *    shuffle of (node, mass); the contribution table is one row per NODE
   *    (20k at sf0.1, domains-not-pages at corpus scale) — broadcastable
   *    far beyond the edge table's growth, so the join is exchange-free on
-  *    the 2.4M-row edge side.
+  *    the 2.4M-row edge side. The broadcast is size-GATED on the actual
+  *    node count vs the session broadcast threshold: past the ceiling
+  *    (page-level graphs, 10⁹ nodes) every join falls back to a plain
+  *    shuffle join, the shape that scales without executor-memory limits.
   */
 object GraphOps {
 
   val RankIters = 3
   val SeedUnits = 1000000L
   val BaseUnits = 150000L // (1-d)·seed with d = 0.85
+
+  /** Conservative wire size of one (long, long) contribution/inbound row
+    * inside a broadcast hash relation — key + value + table overhead.
+    */
+  val BytesPerNodeRow = 48L
+
+  /** Conf key overriding the node-count ceiling for broadcasting the
+    * per-node tables inside the rank loop (tests lower it to force the
+    * shuffle path; a deployment can raise it with executor memory).
+    */
+  val MaxBroadcastNodesKey = "graft.graph.maxBroadcastNodes"
 
   private val nodesCache =
     scala.collection.mutable.HashMap[String, DataFrame]()
@@ -75,17 +89,46 @@ object GraphOps {
           .persist())
     }
 
+    // The per-node tables (contrib, inbound) are broadcastable far beyond
+    // the edge table's growth at domain-graph scale — but "one row per
+    // node" is NOT unconditionally small (a page-level web graph has 10⁹+
+    // nodes), so the broadcast is size-GATED: one count of the cached
+    // node table (a scalar off an already-persisted frame) against the
+    // session's broadcast threshold. Over the ceiling, both joins fall
+    // back to plain shuffle joins — edges hash-partition on p1 and nodes
+    // on node, the normal distributed shape; GraphOpsSpec pins that both
+    // paths produce bit-identical ranks (integer arithmetic, so this is
+    // exact, not approximate).
+    val nodeCount = nodes.count()
+    val maxBroadcastNodes = s.conf.getOption(MaxBroadcastNodesKey)
+      .map(_.toLong)
+      .getOrElse {
+        // the threshold conf accepts "10MB" forms; -1 (auto-broadcast off)
+        // still leaves the EXPLICIT hint meaningful, so fall back to the
+        // Spark default size rather than disabling the gate entirely
+        val thresh = s.conf
+          .get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
+        val bytes =
+          if (thresh.startsWith("-")) 10485760L
+          else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thresh)
+        bytes / BytesPerNodeRow
+      }
+    val canBroadcast = nodeCount <= maxBroadcastNodes
+    def hinted(df: DataFrame): DataFrame =
+      if (canBroadcast) broadcast(df) else df
+
     var ranks = nodes.select(col("node"), col("deg"),
       lit(SeedUnits).as("rank"))
     for (_ <- 1 to RankIters) {
       val contrib = ranks.select(col("node").as("src"),
         expr(s"((rank * 85) div 100) div deg").as("c"))
-      val inbound = edges.join(broadcast(contrib), col("p1") === col("src"))
+      val inbound = edges.join(hinted(contrib), col("p1") === col("src"))
         .groupBy(col("p2").as("node"))
         .agg(sum(col("c")).as("in_c"))
-      // inbound is one row per node — broadcast it over the node table
-      // rather than letting size estimates force a sort-merge join
-      ranks = nodes.join(broadcast(inbound), Seq("node"), "left")
+      // inbound is one row per node — when it fits, broadcast it over the
+      // node table rather than letting size estimates force a sort-merge
+      // join; when it doesn't, the left join shuffles on `node`
+      ranks = nodes.join(hinted(inbound), Seq("node"), "left")
         .select(col("node"), col("deg"),
           (lit(BaseUnits) + coalesce(col("in_c"), lit(0L))).as("rank"))
     }

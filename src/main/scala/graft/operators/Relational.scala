@@ -262,6 +262,25 @@ object Relational {
       .withColumn("within_bound", col("rel_err") <= 0.05)
       .orderBy(col("l_returnflag"))
 
+  /** The hash-gated shape of [[aggApproxDistinct]]: the HLL++ estimate is
+    * engine-specific (DuckDB cannot evaluate the sketch), but its 5%
+    * relative-error contract against the exact distinct is a boolean this
+    * query computes in-row. Emit only the oracle-derivable columns — group,
+    * exact distinct, and the bound flag the oracle states as TRUE — so a
+    * sketch regression fails the HASH gate instead of hiding behind a
+    * rows-only record. Rich estimate/error columns stay on
+    * [[aggApproxDistinct]] (spec-asserted).
+    */
+  def aggApproxDistinctChecked(s: SparkSession, d: String): DataFrame =
+    aggApproxDistinct(s, d)
+      .select(col("l_returnflag"), col("exact_parts"), col("within_bound"))
+
+  val aggApproxDistinctCheckedSql: String =
+    """SELECT l_returnflag,
+      |       COUNT(DISTINCT l_partkey) AS exact_parts,
+      |       TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** A3-family sketch: approximate quantiles (the KLL/GK-style mergeable
     * sketch behind `percentile_approx`) beside their own validity check.
     * The sketch's merge is order-dependent, so the value is not
@@ -301,7 +320,8 @@ object Relational {
       col(s"rf_lo$i") <= lit(p + eps) && col(s"rf_hi$i") >= lit(p - eps)
     }
     val aggCols =
-      Seq(first(col("qs")(0)).as("q25"), first(col("qs")(1)).as("q50"),
+      Seq(first(col("n")).as("n"),
+        first(col("qs")(0)).as("q25"), first(col("qs")(1)).as("q50"),
         first(col("qs")(2)).as("q75")) ++ rankFracs
     Tables.lineitem(s, d)
       .join(broadcast(ap), Seq("l_returnflag"))
@@ -309,6 +329,47 @@ object Relational {
       .agg(aggCols.head, aggCols.tail: _*)
       .withColumn("within_bound", bounds.reduce(_ && _))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Per-mille probe positions and their ±1‰ rank windows — the integer
+    * restatement of [[QuantileProbes]] ± 1/[[QuantileAccuracy]], shared by
+    * the checked projection and its oracle so both state the same bounds.
+    */
+  val QuantilePermille: Seq[Int] = QuantileProbes.map(p => (p * 1000).round.toInt)
+
+  /** The hash-gated shape of [[approxQuantiles]]: the sketch VALUES are
+    * engine-specific (order-dependent KLL merge) and can never match a
+    * DuckDB recomputation byte-for-byte, but the sketch's CONTRACT — each
+    * returned value's rank lies inside the ±1/accuracy window — is a
+    * boolean the query computes exactly from its own data. So the checked
+    * projection emits only columns the oracle derives independently: the
+    * exact group count, the integer rank windows (pure functions of n and
+    * the probe), and `within_bound`, which the oracle states as literal
+    * TRUE. A sketch regression that breaks the rank guarantee flips the
+    * flag and fails the HASH gate — strictly stronger than the old
+    * rows-only record, with the rich diagnostic columns still available in
+    * [[approxQuantiles]] (spec-asserted).
+    */
+  def approxQuantilesChecked(s: SparkSession, d: String): DataFrame = {
+    val bounds = QuantilePermille.flatMap { pm =>
+      Seq(
+        expr(s"(${pm - 1} * n + 999) div 1000").as(s"lo_rank_$pm"),
+        expr(s"(${pm + 1} * n) div 1000").as(s"hi_rank_$pm"))
+    }
+    approxQuantiles(s, d)
+      .select(col("l_returnflag") +: col("n") +: bounds :+ col("within_bound"): _*)
+  }
+
+  val approxQuantilesCheckedSql: String = {
+    val bounds = QuantilePermille.flatMap { pm =>
+      Seq(
+        s"CAST((${pm - 1} * COUNT(*) + 999) // 1000 AS BIGINT) AS lo_rank_$pm",
+        s"CAST((${pm + 1} * COUNT(*)) // 1000 AS BIGINT) AS hi_rank_$pm")
+    }.mkString(",\n      |       ")
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+      |       $bounds,
+      |       TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
 
   /** A4 — rollup over the time hierarchy implied by the reference's

@@ -33,6 +33,24 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(node.get("sf").asText() === hostile)
   }
 
+  test("the final compact total line parses, carries the total, and stays " +
+      "tail-sized at the full query count") {
+    val results = Seq("q_a" -> 0.25, "q_b" -> 1.5E-3, "q_failed" -> -1.0)
+    val line = Bench.totalLine(results)
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText() === "total")
+    assert(node.get("unit").asText() === "sec")
+    assert(math.abs(node.get("value").asDouble() - 0.2515) < 1e-12)
+    assert(node.get("n_queries").asInt() === 3)
+    assert(node.get("n_failed").asInt() === 1)
+    // the whole point: the last line must fit any bounded tail, independent
+    // of how many queries the engine grows — pin it at the real query count
+    val full = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1.0)
+    assert(Bench.totalLine(full).length < 120)
+    assert(mapper.readTree(Bench.totalLine(full)).get("n_queries").asInt()
+      === SparkEntry.queries.size)
+  }
+
   test("every real query name round-trips through the metric line") {
     val results = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
       .map { case (n, i) => n -> i * 0.1 }

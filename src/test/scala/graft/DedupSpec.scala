@@ -192,6 +192,21 @@ class DedupSpec extends SparkSpecBase {
     assert(viaStars === viaLabels)
   }
 
+  test("digest-keyed chunk dedup equals text-keyed chunk dedup row-for-row " +
+      "on the driver testdata") {
+    // The production path partitions the keep-first window by
+    // md5(chunk_text) so the shuffle key is a constant-width digest; the
+    // oracle (and the reference semantics) key by raw text. Same distinct
+    // groups => same keep decisions => identical output — pin it on real
+    // data, where cross-document duplicate segments actually occur.
+    val hashed = Dedup.chunkDedupKeyed(spark, sfDir, hashKey = true)
+      .collect().map(_.toSeq).toSeq
+    val texted = Dedup.chunkDedupKeyed(spark, sfDir, hashKey = false)
+      .collect().map(_.toSeq).toSeq
+    assert(hashed.nonEmpty)
+    assert(hashed === texted)
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     val a = Dedup.minhashSignatures(spark, sfDir)
       .select("doc_id", "sig_str").as[(Long, String)].collect().toMap

@@ -56,4 +56,28 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"),
       "the iteration DAG must not shuffle the edge table for a join")
   }
+
+  test("over the broadcast ceiling the rank loop falls back to shuffle " +
+      "joins and produces bit-identical ranks") {
+    // Force the gate shut: a 1-node ceiling means no per-node table may be
+    // broadcast-hinted, exercising the path a page-scale graph would take.
+    spark.conf.set(GraphOps.MaxBroadcastNodesKey, "1")
+    try {
+      val df = GraphOps.copurchaseRank(spark, sfDir)
+      // the gate must actually have engaged: broadcast() leaves a
+      // ResolvedHint in the analyzed plan, so with the ceiling at 1 there
+      // must be none (AQE may still pick a broadcast join from SIZE at
+      // this SF — that is its call, not a forced hint, and it is exactly
+      // what a real cluster would do only when the table truly fits)
+      assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        "broadcast hint must not be applied over the node ceiling")
+      val shuffled = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val hinted = result
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(shuffled.nonEmpty)
+      assert(shuffled === hinted,
+        "shuffle-join fallback must compute the identical integer ranks")
+    } finally spark.conf.unset(GraphOps.MaxBroadcastNodesKey)
+  }
 }
