@@ -11,9 +11,19 @@ import org.apache.spark.sql.SparkSession
   * via splitmix64 — no RNG state, identical output at any parallelism —
   * the same design as [[graft.sources.TxnGenerator]].
   *
-  * Usage: ScaleData <outDir> <nDocs> <nVecs>
+  * Usage: ScaleData <outDir> <nDocs> <nVecs> [vocabMul]
   * The driver testdata is sf0.1 = 5000 docs / 2000 vecs, so a 10× "sf1"
   * run is `ScaleData /tmp/graft_sf1 50000 20000`.
+  *
+  * `vocabMul` (default 1) scales the vocabulary: 1 reproduces the driver
+  * corpus's fixed 30-word vocabulary exactly (the DEGENERATE regime —
+  * shingle document-frequency grows with the corpus, the adversarial case
+  * for candidate-join operators); M > 1 draws each word from a 30·M-word
+  * vocabulary (the first 30 are the driver words, the rest synthetic), so
+  * setting M ∝ corpus multiple holds per-shingle df roughly FLAT — the
+  * realistic regime, where real corpora grow vocabulary with size. The
+  * scale study measures both, because PLANS.md's superlinear rows are
+  * claims about exactly this distinction.
   */
 object ScaleData {
 
@@ -31,10 +41,14 @@ object ScaleData {
     x ^ (x >>> 31)
   }
 
-  private def baseWords(id: Long): Array[String] = {
+  private def word(k: Int): String =
+    if (k < Vocab.length) Vocab(k) else s"w$k"
+
+  private def baseWords(id: Long, vocabMul: Int): Array[String] = {
+    val vocabSize = Vocab.length.toLong * vocabMul
     val len = 10 + (Math.floorMod(mix(id * 31L + 7L), 91L)).toInt
     Array.tabulate(len)(i =>
-      Vocab(Math.floorMod(mix(id * 1000003L + i), Vocab.length.toLong).toInt))
+      word(Math.floorMod(mix(id * 1000003L + i), vocabSize).toInt))
   }
 
   /** Every 40th id is a near-copy of an earlier document with one interior
@@ -42,7 +56,9 @@ object ScaleData {
     * of docs are copies, so ~5% of docs sit in a near-dup pair) and
     * J ≈ 0.9+ match the driver corpus.
     */
-  def docText(id: Long, nDocs: Long): String = {
+  def docText(id: Long, nDocs: Long): String = docText(id, nDocs, 1)
+
+  def docText(id: Long, nDocs: Long, vocabMul: Int): String = {
     if (id % 40L == 39L && id > 0) {
       val span  = math.min(id, math.max(nDocs / 10L, 1L))
       val orig0 = id - 1L - Math.floorMod(mix(id * 7919L), span)
@@ -50,10 +66,10 @@ object ScaleData {
       // the stored source text in two words, silently diluting the planted
       // pair's Jaccard below threshold on short documents
       val orig = if (orig0 % 40L == 39L) orig0 - 1L else orig0
-      val w = baseWords(orig)
+      val w = baseWords(orig, vocabMul)
       w(1 + Math.floorMod(mix(id * 104729L), (w.length - 1).toLong).toInt) = "dup"
       w.mkString(" ")
-    } else baseWords(id).mkString(" ")
+    } else baseWords(id, vocabMul).mkString(" ")
   }
 
   def embedding(id: Long): Array[Float] = {
@@ -70,10 +86,11 @@ object ScaleData {
     val outDir = args(0)
     val nDocs  = args(1).toLong
     val nVecs  = args(2).toLong
+    val vocabMul = if (args.length > 3) args(3).toInt else 1
     val spark  = Sessions.build("local[8]", "32", "graft-scaledata")
     import spark.implicits._
     spark.range(nDocs).map { id =>
-      val text = docText(id, nDocs)
+      val text = docText(id, nDocs, vocabMul)
       (id, text, "en", s"src${Math.floorMod(mix(id + 13L), 20L)}",
         text.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -81,7 +98,7 @@ object ScaleData {
     spark.range(nVecs).map(id => (id, embedding(id), id % 10L))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    println(s"""{"docs":$nDocs,"vecs":$nVecs,"dir":"$outDir"}""")
+    println(s"""{"docs":$nDocs,"vecs":$nVecs,"vocabMul":$vocabMul,"dir":"$outDir"}""")
     spark.stop()
   }
 }

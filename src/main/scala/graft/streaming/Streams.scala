@@ -41,20 +41,45 @@ object Streams {
     StructField("account", StringType),
     StructField("location", StringType)))
 
+  /** Name under which [[fileEtlPipeline]] reports its per-batch observed
+    * metrics (`n_rows`, `amount_cents`) — read them from
+    * `query.recentProgress(i).observedMetrics.get(EtlObservation)`. The
+    * metrics are additive (count + exact-cents sum), so totals compose
+    * across micro-batches AND across checkpoint restarts: the sum over all
+    * progress rows of all runs equals the whole-input total exactly once —
+    * the observability a production ingest alarms on (row counts and money
+    * totals per batch) without a second pass over the data.
+    */
+  val EtlObservation = "etl"
+
   /** E1 as a stream: watch `inDir` for CSVs, run the full reference
     * transform chain, land parquet in `outDir`. Returns the started query;
     * callers await termination (AvailableNow stops by itself).
+    *
+    * `dim`, when given, is a bounded dimension joined in-stream via
+    * [[streamStaticEnrich]] (broadcast left join on `category`) — the
+    * fact-stream ⋈ slowly-changing-dim topology, stateless and
+    * shuffle-free on the stream side. Left join: an unmapped category
+    * must never drop a transaction (the reference's chain has no such
+    * filter), it just leaves the enrichment columns null.
     */
   def fileEtlPipeline(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      dim: Option[DataFrame] = None): StreamingQuery = {
     val raw = spark.readStream
       .schema(transactionSchema)
       .option("header", "true")
       .csv(inDir)
     // per-row lineage: one micro-batch can drain many landed files
     val transformed = RefTransforms.transformTransactionsWithLineage(raw)
-    transformed.writeStream
+    val enriched = dim.fold(transformed)(
+      streamStaticEnrich(transformed, _, "category"))
+    enriched
+      .observe(EtlObservation,
+        count(lit(1)).as("n_rows"),
+        sum(RefTransforms.cents(col("amount"))).as("amount_cents"))
+      .writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
@@ -257,6 +282,16 @@ object Streams {
     events.join(org.apache.spark.sql.functions.broadcast(dim),
         col("user_id") === col("segment_user_id"))
       .select(col("event_id"), col("user_id"), col("segment"), col("value"))
+
+  /** Keyed form of [[streamStaticEnrich]], the shape [[fileEtlPipeline]]
+    * wires in: broadcast LEFT join on a shared column name, so enrichment
+    * can never change the stream's row count — dim misses surface as
+    * nulls, not dropped facts. Same stateless per-micro-batch hash probe.
+    */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim),
+      Seq(key), "left")
 
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total_cents: Long)

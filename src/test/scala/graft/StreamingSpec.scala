@@ -45,6 +45,58 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() === 50)
   }
 
+  test("etl pipeline enriches against a static dim and its observed " +
+      "metrics total exactly once across a checkpoint restart") {
+    val in  = tmp("graft_enr_in")
+    val out = tmp("graft_enr_out")
+    val ckp = tmp("graft_enr_ckp")
+    def land(name: String, rows: Seq[(String, String, String)]): Unit = {
+      val csv = ("transaction_id,date,timestamp,amount,category,description," +
+        "transaction_type,account,location\n") +
+        rows.map { case (id, amt, cat) =>
+          s"$id,2024-07-01,2024-07-01 10:00:00,$amt,$cat,d,expense,checking,Online"
+        }.mkString("\n")
+      Files.writeString(java.nio.file.Paths.get(in, name), csv)
+    }
+    // transform initcaps category, so the dim keys the CLEANED values —
+    // the dim also deliberately misses "Fuel" to pin the left-join contract
+    val dim = Seq(("Food", "essential"), ("Rent", "housing"))
+      .toDF("category", "category_group")
+    def observedTotals(q: org.apache.spark.sql.streaming.StreamingQuery)
+        : (Long, Long) =
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get(Streams.EtlObservation)))
+        .foldLeft((0L, 0L)) { case ((n, c), row) =>
+          (n + row.getAs[Long]("n_rows"), c + row.getAs[Long]("amount_cents"))
+        }
+
+    land("a.csv", Seq(("T1", "10.0", "food"), ("T2", "20.0", "fuel")))
+    val q1 = Streams.fileEtlPipeline(spark, in, out, ckp, dim = Some(dim))
+    q1.awaitTermination()
+    val (n1, cents1) = observedTotals(q1)
+    assert((n1, cents1) === (2L, 3000L))
+    val r1 = spark.read.parquet(out)
+    assert(r1.count() === 2)
+    assert(r1.filter(col("transaction_id") === "T1")
+      .select("category_group").as[String].head() === "essential")
+    // dim miss: the fact survives with a null enrichment, never dropped
+    assert(r1.filter(col("transaction_id") === "T2")
+      .select("category_group").collect().head.isNullAt(0))
+
+    // restart over the same checkpoint with one new file: the observed
+    // totals of run 2 cover ONLY the new file (exactly-once), and the two
+    // runs' totals compose to the whole-input truth
+    land("b.csv", Seq(("T3", "5.5", "rent")))
+    val q2 = Streams.fileEtlPipeline(spark, in, out, ckp, dim = Some(dim))
+    q2.awaitTermination()
+    val (n2, cents2) = observedTotals(q2)
+    assert((n2, cents2) === (1L, 550L))
+    val all = spark.read.parquet(out)
+    assert(all.count() === n1 + n2)
+    assert(all.agg(sum(graft.operators.RefTransforms.cents(col("amount"))))
+      .as[Long].head() === cents1 + cents2)
+  }
+
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
