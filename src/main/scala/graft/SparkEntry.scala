@@ -126,13 +126,13 @@ object SparkEntry {
     "q_chunk_dedup"       -> (Dedup.chunkDedup _),
     // [EXT] LLM-pipeline: similarity search + multimodal
     "q_ann_brute"       -> (Ann.bruteForceTopK _),
-    // rows-only BY NECESSITY, the one remaining entry outside the hash
-    // gate: the LSH candidate set is decided by hyperplane dot-product
-    // SIGNS, and near-zero dots flip sign under summation reordering — a
-    // SQL mirror of the bucketing would be flaky at exactly the margins
-    // LSH is approximate about, unlike the sketch queries whose contract
-    // is a boolean over exact counts. Self-validating instead: each row
-    // carries whether it appears in the exact top-k (AnnSpec bounds recall)
+    // hash-checked DESPITE being approximate: the hyperplane signs are
+    // integer-hash constants and both engines evaluate the projection
+    // dots in the same ascending left-associated order (the equivalence
+    // the hash-green embedding oracles already pin), so the oracle can
+    // replicate the bucketing itself — recall < 1 just means both sides
+    // compute the same approximate result. Each row additionally carries
+    // its exact-top-k membership (AnnSpec bounds recall over the flag).
     "q_ann_lsh"         -> (Ann.lshTopKValidated _),
     // exhaustive probe (nprobe = IvfLists) ≡ brute force — AnnSpec pins the
     // equivalence, which lets the driver hash-check the whole IVF pipeline
@@ -251,6 +251,7 @@ object SparkEntry {
     "q_decontaminate"   -> Dedup.decontaminateSql,
     "q_chunk_dedup"     -> Dedup.chunkDedupSql,
     "q_ann_brute"       -> Ann.bruteForceTopKSql,
+    "q_ann_lsh"         -> Ann.lshTopKValidatedSql,
     // exhaustive-probe IVF visits every list, so its output is exactly the
     // brute-force ranking (pinned in AnnSpec) — same oracle applies.
     "q_ann_ivf"         -> Ann.bruteForceTopKSql,

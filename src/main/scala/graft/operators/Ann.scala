@@ -194,8 +194,10 @@ object Ann {
 
   /** LSH-bucketed ANN: vectors meet only inside 4-bit band buckets (any of
     * 4 bands matching makes a candidate), then exact cosine re-ranks.
-    * Approximate — recall is bounded against bruteForceTopK by AnnSpec, so
-    * this is a rows-only check for the driver.
+    * Approximate relative to the exact top-k (recall bounded by AnnSpec) —
+    * but fully DETERMINISTIC: the hyperplanes are integer-hash signs, so
+    * the bucketing itself is replicable in SQL and the driver entry is
+    * hash-checked against [[lshTopKValidatedSql]].
     */
   def lshTopK(s: SparkSession, d: String): DataFrame = {
     val banded = Tables.embeddings(s, d)
@@ -222,13 +224,13 @@ object Ann {
 
   /** The driver-visible LSH entry: the LSH ranking with its own ground
     * truth riding in-row (`in_exact_topk` = whether the neighbor is in
-    * the exact brute-force top-k). The sketch result cannot be
-    * oracle-hashed (recall < 1 by design), so — like `q_approx_distinct`
-    * and `q_approx_quantiles` — the rows-only entry validates itself;
-    * AnnSpec asserts the recall bound over the flag. The brute-force arm
-    * exists only for this validation: a production index build runs
-    * [[lshTopK]] alone (the demo corpus has Q=16 query vectors, so the
-    * validation arm is O(Q·N), not O(N²)).
+    * the exact brute-force top-k; AnnSpec asserts the recall bound over
+    * the flag). Recall < 1 does NOT put this outside the hash gate: the
+    * approximation is deterministic, so [[lshTopKValidatedSql]] replicates
+    * the bucketing itself and the oracle hashes the same approximate
+    * result. The brute-force arm exists only for the in-row flag: a
+    * production index build runs [[lshTopK]] alone (the demo corpus has
+    * Q=16 query vectors, so the validation arm is O(Q·N), not O(N²)).
     */
   def lshTopKValidated(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graft.PlanBridge.stripPresentationSort
@@ -243,6 +245,64 @@ object Ann {
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"),
         coalesce(col("hit"), lit(false)).as("in_exact_topk"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB twin of [[lshTopKValidated]]. The oracle replicates the LSH
+    * BUCKETING itself, not just the rerank: the `LshBits` plane-sign
+    * vectors are inlined as literal DOUBLE[] rows generated from the same
+    * [[planeSign]] function (a drifted constant cannot desynchronize the
+    * two sides); signatures come from `list_dot_product`, which the
+    * hash-green embedding oracles already prove bit-identical to an
+    * ascending, left-associated double loop — precisely what [[lshBits]]
+    * runs — so there is no summation reordering on either side and the
+    * `>= 0` sign threshold sees the same double in both engines; band keys,
+    * candidate join, exact rerank, and the brute-force `in_exact_topk`
+    * flag then mirror the DataFrame pipeline stage for stage.
+    */
+  val lshTopKValidatedSql: String = {
+    val planeRows = (0 until LshBits).map { i =>
+      val arr = (0 until Dim).map(j => s"${planeSign(i, j)}.0").mkString(",")
+      s"($i, CAST([$arr] AS DOUBLE[]))"
+    }.mkString(",\n       ")
+    val sim = cosineSql("q.v", "n.v")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |planes(i, pl) AS (VALUES
+       |       $planeRows),
+       |bits AS (
+       |  SELECT vec_id, i,
+       |         CASE WHEN list_dot_product(v, pl) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM e CROSS JOIN planes),
+       |bands AS (
+       |  SELECT vec_id, i // 4 AS band,
+       |         CAST(SUM(bit * (1 << (i % 4))) AS BIGINT) AS bkey
+       |  FROM bits GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS n_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE x.vec_id < $NumQueries AND x.vec_id <> y.vec_id),
+       |scored AS (
+       |  SELECT c.q_id, c.n_id, $sim AS sim,
+       |         row_number() OVER (PARTITION BY c.q_id
+       |                            ORDER BY $sim DESC, c.n_id ASC) AS rank
+       |  FROM cand c
+       |  JOIN e q ON q.vec_id = c.q_id
+       |  JOIN e n ON n.vec_id = c.n_id),
+       |truth AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |                              ORDER BY $sim DESC, n.vec_id ASC) AS rank
+       |    FROM e q, e n
+       |    WHERE q.vec_id < $NumQueries AND q.vec_id <> n.vec_id)
+       |  WHERE rank <= $TopK)
+       |SELECT s.q_id, s.rank, s.n_id, s.sim,
+       |       (t.n_id IS NOT NULL) AS in_exact_topk
+       |FROM scored s
+       |LEFT JOIN truth t ON t.q_id = s.q_id AND t.n_id = s.n_id
+       |WHERE s.rank <= $TopK
+       |ORDER BY s.q_id, s.rank""".stripMargin
   }
 
   /** Shared tail of every candidate-generating ANN variant: join the

@@ -757,6 +757,18 @@ object Dedup {
       }.reduce(_ + _)
     }: _*)
 
+  /** The linear signature stage of [[simhashPairs]] exposed on its own —
+    * (doc_id, band, bkey) band-bucket membership — so scale diagnostics
+    * (ScaleStats) can measure the bucket histogram, and with it the pair
+    * join's true candidate volume Σ C(m,2), without running the join those
+    * numbers exist to predict.
+    */
+  def simhashBandKeys(s: SparkSession, d: String): DataFrame =
+    simhashDf(s, d)
+      .select(col("doc_id"), simhashBands(col("bits")).as("bands"))
+      .select(col("doc_id"), posexplode_outer(col("bands")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+
   /** SimHash near-dup pairs with hamming distance ≤ 3: candidates from
     * 15-bit band equality (pigeonhole-exact at this threshold), verified by
     * popcount — `bit_count(xor)` over the four packed band words, 8 integer
