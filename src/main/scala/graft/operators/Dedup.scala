@@ -769,38 +769,71 @@ object Dedup {
       .select(col("doc_id"), posexplode_outer(col("bands")))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
 
+  /** Conf key overriding the banded-table broadcast gate of
+    * [[simhashPairs]] (documents, not rows — each document contributes
+    * [[SimBands]] banded rows of ~80 bytes plus hash-relation overhead, so
+    * the default 1M-doc ceiling builds a ≲1 GiB broadcast relation).
+    */
+  val MaxBroadcastSimDocsKey = "graft.simhash.maxBroadcastDocs"
+
   /** SimHash near-dup pairs with hamming distance ≤ 3: candidates from
     * 15-bit band equality (pigeonhole-exact at this threshold), verified by
     * popcount — `bit_count(xor)` over the four packed band words, 8 integer
-    * ops per pair instead of 60 array lookups. Candidates dedup on IDs ONLY
-    * (a pair can collide in several bands); band words are joined back
-    * after, so the distinct's shuffle moves 16 bytes/row, not two band
-    * arrays — same restructure minhashLsh uses.
+    * ops per pair instead of 60 array lookups.
+    *
+    * Each side of the band join carries its packed band words, and a pair
+    * colliding in several bands is emitted ONLY from its first matching
+    * band — so every candidate pair exists exactly once by construction
+    * and flows straight into the popcount filter. The previous shape
+    * (IDs-only candidates → `distinct()` → two payload rejoins) priced the
+    * dedup at one shuffle of the FULL candidate volume: on a
+    * band-collapsed corpus (the degenerate fixed-vocabulary regime at
+    * 100×, Σ C(m,2) ≈ 8.4B) that one exchange moves ~130 GB and dominated
+    * a run that never finished; first-band-wins removes it entirely, at
+    * the cost of 32 extra bytes per banded row through the join input —
+    * linear in documents, not in candidates.
+    *
+    * The build side is broadcast below a document-count gate (conf
+    * [[MaxBroadcastSimDocsKey]], same size-gate pattern as
+    * [[GraphOps.copurchaseRank]]): with a broadcast hash join the stream
+    * side's rows distribute a dense bucket's C(m,2) pair generation across
+    * all of its scan partitions, where the sort-merge fallback necessarily
+    * colocates each bucket in one task — and a dense bucket is exactly
+    * what AQE's byte-based skew split cannot see (54,777 banded rows are
+    * ~1.3 MB of input but 1.5B output pairs). Past the gate the join
+    * falls back to hash-partitioned SMJ, the normal distributed shape.
     */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    // the signature table is tiny (doc_id + 4 longs) but referenced three
-    // times (band explode + both payload rejoins) — materialize it once
-    // instead of re-running the explode + 60-lane aggregation per reference
+    // the signature table is tiny (doc_id + 4 longs) but referenced twice
+    // (both join sides) — materialize it once instead of re-running the
+    // explode + 60-lane aggregation per reference; eager, so the count
+    // below is a cheap metadata action on the checkpointed blocks
     val docs = simhashDf(s, d)
       .select(col("doc_id"), simhashBands(col("bits")).as("bands"))
       .localCheckpoint()
-    val banded = docs.select(col("doc_id"), posexplode_outer(col("bands")))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
-    val withBands = cand
-      .join(docs.select(col("doc_id").as("d1"), col("bands").as("bands1")),
-        Seq("d1"))
-      .join(docs.select(col("doc_id").as("d2"), col("bands").as("bands2")),
-        Seq("d2"))
+    val banded = docs
+      .select(col("doc_id"), col("bands"), posexplode_outer(col("bands")))
+    val x = banded.select(col("doc_id").as("d1"), col("bands").as("bands1"),
+      col("pos").as("band"), col("col").as("bkey"))
+    val y0 = banded.select(col("doc_id").as("d2"), col("bands").as("bands2"),
+      col("pos").as("band_y"), col("col").as("bkey_y"))
+    val maxBroadcastDocs = s.conf.getOption(MaxBroadcastSimDocsKey)
+      .map(_.toLong).getOrElse(1000000L)
+    val y = if (docs.count() <= maxBroadcastDocs) broadcast(y0) else y0
+    // first matching band index for the pair — emitting only there keeps
+    // the pair set identical to the distinct() of all collisions
+    val firstBand = (0 until SimBands).foldRight(lit(-1): Column) { (j, acc) =>
+      when(element_at(col("bands1"), j + 1) === element_at(col("bands2"), j + 1),
+        lit(j)).otherwise(acc)
+    }
     val hamming = (1 to SimBands).map { b =>
       bit_count(element_at(col("bands1"), b)
         .bitwiseXOR(element_at(col("bands2"), b))).cast("long")
     }.reduce(_ + _)
-    withBands
+    x.join(y,
+        col("band") === col("band_y") && col("bkey") === col("bkey_y") &&
+          col("d1") < col("d2"))
+      .filter(col("band") === firstBand)
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= SimHammingMax)
       .select(col("d1"), col("d2"), col("hamming"))

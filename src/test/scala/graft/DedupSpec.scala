@@ -76,9 +76,24 @@ class DedupSpec extends SparkSpecBase {
       val out = Dedup.simhashPairs(spark, dir).collect()
       val pairs = out.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
       assert(pairs.contains((0L, 1L)))
-      val h01 = out.find(r => r.getAs[Long]("d1") == 0L && r.getAs[Long]("d2") == 1L)
-        .get.getAs[Long]("hamming")
-      assert(h01 === 0L) // identical docs => identical simhash
+      val rows01 = out.filter(r =>
+        r.getAs[Long]("d1") == 0L && r.getAs[Long]("d2") == 1L)
+      assert(rows01.head.getAs[Long]("hamming") === 0L) // identical signature
+      // identical docs collide in ALL four bands — first-band-wins must
+      // still emit the pair exactly once
+      assert(rows01.length === 1)
+    }
+  }
+
+  test("simhash SMJ fallback (past the broadcast gate) emits identical pairs") {
+    withDocs { dir =>
+      val broadcastPath = Dedup.simhashPairs(spark, dir).collect().toSet
+      spark.conf.set(Dedup.MaxBroadcastSimDocsKey, "0")
+      try {
+        val shufflePath = Dedup.simhashPairs(spark, dir).collect().toSet
+        assert(shufflePath === broadcastPath)
+        assert(broadcastPath.nonEmpty)
+      } finally spark.conf.unset(Dedup.MaxBroadcastSimDocsKey)
     }
   }
 
