@@ -23,15 +23,23 @@ import graft.operators.RefTransforms.cents
   */
 object EventOps {
 
-  /** Adds `ts_ms: long`. Tolerates the ns-as-long reading mode some engines
-    * use for parquet TIMESTAMP(NANOS) columns.
+  /** Adds `ts_ms: long`. Tolerates every physical encoding the parquet
+    * writer may have used for `ts`: TIMESTAMP(NANOS) read as raw long
+    * (nanosAsLong mode), naive TIMESTAMP_NTZ (isAdjustedToUTC=false, the
+    * shape `unix_millis` rejects outright), and instant TIMESTAMP.
     */
-  def withTsMs(events: DataFrame): DataFrame = {
-    val tsType = events.schema("ts").dataType.typeName
-    if (tsType == "long") // nanosAsLong mode; integer div keeps 64-bit exact
-      events.withColumn("ts_ms", expr("ts div 1000000"))
-    else events.withColumn("ts_ms", unix_millis(col("ts")))
-  }
+  def withTsMs(events: DataFrame): DataFrame =
+    events.withColumn("ts_ms", events.schema("ts").dataType.typeName match {
+      case "long" => // nanosAsLong mode; integer div keeps 64-bit exact
+        expr("ts div 1000000")
+      case "timestamp_ntz" =>
+        // the cast interprets the naive wall clock in the session timezone —
+        // pinned to UTC in Sessions.build, so this equals DuckDB's
+        // epoch_ms(ts) on the same naive column
+        unix_millis(col("ts").cast("timestamp"))
+      case _ =>
+        unix_millis(col("ts"))
+    })
 
   private val HourMs  = 3600000L
   private val SlideMs = 1800000L
