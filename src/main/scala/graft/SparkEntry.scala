@@ -123,6 +123,8 @@ object SparkEntry {
     "q_minhash_signature" -> (Dedup.minhashSignatures _),
     "q_dedup_simhash"     -> (Dedup.simhashPairs _),
     "q_decontaminate"     -> (Dedup.decontaminate _),
+    "q_bloom_decontaminate" -> (Dedup.bloomDecontaminate _),
+    "q_dedup_incremental" -> (Dedup.dedupIncremental _),
     "q_chunk_dedup"       -> (Dedup.chunkDedup _),
     // [EXT] LLM-pipeline: similarity search + multimodal
     "q_ann_brute"       -> (Ann.bruteForceTopK _),
@@ -249,6 +251,8 @@ object SparkEntry {
     "q_minhash_signature" -> Dedup.minhashSignaturesSql,
     "q_dedup_simhash"   -> Dedup.simhashPairsSql,
     "q_decontaminate"   -> Dedup.decontaminateSql,
+    "q_bloom_decontaminate" -> Dedup.bloomDecontaminateSql,
+    "q_dedup_incremental" -> Dedup.dedupIncrementalSql,
     "q_chunk_dedup"     -> Dedup.chunkDedupSql,
     "q_ann_brute"       -> Ann.bruteForceTopKSql,
     "q_ann_lsh"         -> Ann.lshTopKValidatedSql,

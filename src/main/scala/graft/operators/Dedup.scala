@@ -268,6 +268,207 @@ object Dedup {
        |WHERE (d1 % $EvalMod = 0) <> (d2 % $EvalMod = 0)
        |ORDER BY train_id, eval_id""".stripMargin
 
+  // ---------- Bloom-filter decontamination ----------
+
+  /** Bloom bitset geometry for [[bloomDecontaminate]]: [[BloomBits]] bits
+    * stored as 32-bit words in a (word, bits) table of at most
+    * BloomBits/32 = 8192 rows (~64 KB) — 31-bit word values keep every
+    * shifted mask positive in both engines' signed-64 arithmetic.
+    */
+  val BloomBits   = 1 << 18
+  val BloomHashes = 3
+
+  /** Probe position i of a 31-bit portable base hash: an affine map mod P
+    * folded onto the bitset — the same double-mod spelling the DuckDB
+    * oracle writes, so the filter contents are bit-identical across
+    * engines.
+    */
+  private def bloomPos(h0: Column, i: Int): Column =
+    pmod(pmod(h0 * lit(2L * i + 3L) + lit(7919L * i + 1L), lit(P)),
+      lit(BloomBits.toLong))
+
+  private def bloomMask(pos: Column): Column =
+    call_function("shiftleft", lit(1L), pmod(pos, lit(32L)).cast("int"))
+
+  /** Bloom-prefilter decontamination: the scale-path complement of the
+    * exact pair-join [[decontaminate]]. The EVAL side's shingle hashes are
+    * folded into one compact Bloom bitset (a (word, bits) table, built
+    * with a bit_or aggregate — size fixed by [[BloomBits]], independent of
+    * eval-set cardinality); every TRAIN document then probes its shingles
+    * against the broadcast bitset and reports how many are (probably)
+    * present. Per-doc output: shingle count, bloom-hit count, hit
+    * fraction, and a flag at containment ≥ [[JaccardThreshold]].
+    *
+    * Scale shape: NO train×eval candidate pairs exist anywhere in the
+    * plan — the three probe lookups are broadcast hash joins against the
+    * ≤8192-row bitset table, and the only shuffle is the final per-doc
+    * aggregation (one row per surviving shingle). At 100 TB the train
+    * side stays a single narrow pass; the bitset grows with the EVAL
+    * suite only (m sized at ~10 bits/shingle keeps FP ≈ (1-e^(-kn/m))^k
+    * below 1%), and eval suites are MBs, not TBs. Bloom filters have no
+    * false negatives, so the flagged set is a SUPERSET of the exact
+    * pair-join report's train side (containment ≥ Jaccard ≥ θ) — pinned
+    * in DedupSpec; the exact join then runs only on the flagged sliver.
+    *
+    * The probes reuse the minhash family's portable polynomial base hash
+    * over the SAME capped shingle universe, so the DuckDB oracle rebuilds
+    * the identical bitset and the whole report is hash-checked — FP
+    * positions and all.
+    */
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame =
+    bloomDecontaminateOf(Tables.documents(s, d), MaxPostingList)
+
+  private[graft] def bloomDecontaminateOf(docs: DataFrame, cap: Int): DataFrame = {
+    val idx = portableShingleIndexOf(cappedShingledOf(docs, cap))
+    val isEval = pmod(col("doc_id"), lit(EvalMod)) === 0
+    val bloom = idx.filter(isEval)
+      .select(explode(array((0 until BloomHashes).map(i =>
+        bloomPos(col("h0"), i)): _*)).as("pos"))
+      .select(expr("pos div 32").as("word"), bloomMask(col("pos")).as("m"))
+      .groupBy(col("word")).agg(bit_or(col("m")).as("bits"))
+    // one row per (train doc, shingle); the k probes ride along as columns
+    // so shingle-present is a row-local conjunction after k broadcast
+    // lookups — no per-probe explosion, no per-shingle re-aggregation
+    val probes = idx.filter(!isEval)
+      .select(Seq(col("doc_id"), col("n_sh")) ++
+        (0 until BloomHashes).map(i => bloomPos(col("h0"), i).as(s"p$i")): _*)
+    val joined = (0 until BloomHashes).foldLeft(probes) { (df, i) =>
+      df.join(
+        broadcast(bloom.select(col("word").as(s"word$i"), col("bits").as(s"bits$i"))),
+        expr(s"p$i div 32") === col(s"word$i"), "left")
+    }
+    val shinglePresent = (0 until BloomHashes).map { i =>
+      col(s"bits$i").isNotNull &&
+        (col(s"bits$i").bitwiseAND(bloomMask(col(s"p$i"))) =!= 0L)
+    }.reduce(_ && _)
+    joined.groupBy(col("doc_id"), col("n_sh"))
+      .agg(sum(when(shinglePresent, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("doc_id").as("train_id"), col("n_sh"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_sh").cast("double"))
+          .as("hit_frac"),
+        (col("n_hit").cast("double") >=
+          col("n_sh").cast("double") * lit(JaccardThreshold)).as("flagged"))
+      .orderBy(col("train_id"))
+  }
+
+  /** Oracle: the identical bitset built and probed in DuckDB — capped
+    * shingling, polynomial base hash, affine probe positions, bit_or
+    * word construction, and the three left-join lookups.
+    */
+  // lazy: interpolates [[P]], declared below in the MinHash section —
+  // an eager val here would capture the uninitialized 0
+  lazy val bloomDecontaminateSql: String = {
+    val polyFold =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(range(1, length(shingle) + 1),
+         |           i -> CAST(ascii(substr(shingle, i, 1)) AS BIGINT))),
+         |         (acc, x) -> (acc * 31 + x) % $P)""".stripMargin
+    val posExprs = (0 until BloomHashes).map(i =>
+      s"((h0 * ${2 * i + 3} + ${7919 * i + 1}) % $P) % $BloomBits AS p$i")
+      .mkString(",\n         ")
+    val posList = (0 until BloomHashes).map(i => s"p$i")
+      .mkString("list_value(", ", ", ")")
+    val lookups = (0 until BloomHashes).map(i =>
+      s"LEFT JOIN bloom b$i ON hp.p$i // 32 = b$i.word").mkString("\n      ")
+    val present = (0 until BloomHashes).map(i =>
+      s"b$i.bits IS NOT NULL AND " +
+        s"(b$i.bits & (CAST(1 AS BIGINT) << CAST(hp.p$i % 32 AS INT))) <> 0")
+      .mkString("\n              AND ")
+    s"""WITH $cappedShingleCteSql,
+       |e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
+       |             unnest(sh) AS shingle FROM s),
+       |h AS (SELECT doc_id, n_sh, $polyFold AS h0 FROM e),
+       |hp AS (SELECT doc_id, n_sh,
+       |         $posExprs
+       |       FROM h),
+       |bloom AS (
+       |  SELECT pos // 32 AS word,
+       |         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+       |  FROM (SELECT unnest($posList) AS pos FROM hp
+       |        WHERE doc_id % $EvalMod = 0)
+       |  GROUP BY 1),
+       |t AS (SELECT hp.doc_id, hp.n_sh,
+       |        CASE WHEN $present
+       |             THEN 1 ELSE 0 END AS sh_hit
+       |      FROM hp
+       |      $lookups
+       |      WHERE hp.doc_id % $EvalMod <> 0)
+       |SELECT doc_id AS train_id, n_sh, CAST(SUM(sh_hit) AS BIGINT) AS n_hit,
+       |       CAST(SUM(sh_hit) AS DOUBLE) / CAST(n_sh AS DOUBLE) AS hit_frac,
+       |       (CAST(SUM(sh_hit) AS DOUBLE) >=
+       |          CAST(n_sh AS DOUBLE) * $JaccardThreshold) AS flagged
+       |FROM t GROUP BY doc_id, n_sh ORDER BY train_id""".stripMargin
+  }
+
+  // ---------- incremental (batch-vs-corpus) near-dup ----------
+
+  /** Deterministic "incoming batch" slice for [[dedupIncremental]]:
+    * doc_id ≡ [[IncomingMod]]−1 (mod [[IncomingMod]]) plays the nightly
+    * ingest arriving against the standing corpus (distinct from
+    * [[EvalMod]]'s holdout so the two reports exercise different slices).
+    */
+  val IncomingMod = 5L
+
+  /** Incremental near-dup: every incoming document matched against the
+    * FULL corpus (standing + the rest of its own batch) at 3-gram
+    * Jaccard ≥ [[JaccardThreshold]] — the ingest-time variant of
+    * [[ngramJaccard]]. The asymmetric join is the scale point: the build
+    * side is the INCOMING slice's inverted index only, so candidate
+    * volume is Σ_shingle (batch-df × corpus-df), proportional to the
+    * batch — corpus×corpus pairs are never enumerated, unlike a full
+    * self-join filtered after the fact. At 100 TB standing corpus and a
+    * GB-scale nightly batch, the batch index broadcasts (AQE decides)
+    * and the standing index streams through unshuffled; re-running the
+    * corpus-wide dedup per ingest would be quadratic in corpus instead.
+    * A new-new pair reports once (lower id as new_id); a new-old pair
+    * reports under its incoming side with `matched_is_new = false`.
+    */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame =
+    dedupIncrementalOf(Tables.documents(s, d), MaxPostingList)
+
+  private[graft] def dedupIncrementalOf(docs: DataFrame, cap: Int): DataFrame = {
+    def isNewId(c: Column): Column =
+      pmod(c, lit(IncomingMod)) === lit(IncomingMod - 1L)
+    val index = cappedShingleIndex(docs, cap)
+    val newIdx = index.filter(isNewId(col("doc_id")))
+    newIdx.as("a").join(index.as("b"),
+        col("a.h") === col("b.h") &&
+          (!isNewId(col("b.doc_id")) || col("a.doc_id") < col("b.doc_id")) &&
+          col("a.n_sh") * lit(JaccardThreshold) <= col("b.n_sh") &&
+          col("b.n_sh") * lit(JaccardThreshold) <= col("a.n_sh"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("matched_id"),
+        col("a.n_sh").as("n1"), col("b.n_sh").as("n2"))
+      .groupBy(col("new_id"), col("matched_id"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n1") + col("n2") - col("common")).cast("double"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("new_id"), col("matched_id"), col("jaccard"),
+        isNewId(col("matched_id")).as("matched_is_new"))
+      .orderBy(col("new_id"), col("matched_id"))
+  }
+
+  /** Oracle: quadratic form over the same capped sets, restricted to pairs
+    * with an incoming side (common ≥ 1 is implied by J ≥ θ, so candidacy
+    * through a shared shingle loses nothing — the ngram-pair argument).
+    */
+  val dedupIncrementalSql: String = {
+    val jac =
+      """CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)""".stripMargin
+    s"""WITH $cappedShingleCteSql
+       |SELECT a.doc_id AS new_id, b.doc_id AS matched_id,
+       |       $jac AS jaccard,
+       |       (b.doc_id % $IncomingMod = ${IncomingMod - 1}) AS matched_is_new
+       |FROM s a, s b
+       |WHERE a.doc_id % $IncomingMod = ${IncomingMod - 1}
+       |  AND (b.doc_id % $IncomingMod <> ${IncomingMod - 1}
+       |       OR a.doc_id < b.doc_id)
+       |  AND $jac >= $JaccardThreshold
+       |ORDER BY new_id, matched_id""".stripMargin
+  }
+
   /** Segment width for [[chunkDedup]]: non-overlapping [[SegTokens]]-token
     * windows (stride = width), so a kept document reconstructs by plain
     * concatenation — the C4/RefinedWeb span-dedup unit.

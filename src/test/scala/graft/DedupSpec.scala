@@ -297,4 +297,76 @@ class DedupSpec extends SparkSpecBase {
       .select("doc_id", "sig_str").as[(Long, String)].collect().toMap
     assert(a === b)
   }
+
+  test("bloom decontamination flags a superset of the exact pair-join " +
+    "report (no false negatives) with a tiny false-positive overhead") {
+    // exact report: train docs in a J >= 0.8 pair with an eval doc
+    val exactTrain = Dedup.decontaminate(spark, sfDir)
+      .select("train_id").as[Long].collect().toSet
+    val bloom = Dedup.bloomDecontaminate(spark, sfDir)
+      .select("train_id", "n_sh", "n_hit", "flagged")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val flagged = bloom.filter(_._4).map(_._1).toSet
+    // a pair at J >= θ has containment >= θ, and the bitset unions every
+    // eval doc's shingles — bloom membership has no false negatives, so
+    // every exactly-contaminated train doc must cross the flag threshold
+    assert(exactTrain.subsetOf(flagged),
+      s"bloom missed ${(exactTrain -- flagged).size} exact-contaminated docs")
+    // the aggregate hit fraction counts TRUE positives too (planted dups
+    // share ~every shingle with their eval twin — measured ≈0.12 here),
+    // so this is only a sanity ceiling; the pure-FP bound lives in the
+    // next test, which subtracts exact membership per doc
+    val hitTotal = bloom.map(_._3).sum.toDouble
+    val shTotal = bloom.map(_._2).sum.toDouble
+    assert(hitTotal / shTotal < 0.5,
+      f"bloom hit fraction ${hitTotal / shTotal}%.4f implausibly high " +
+        "(FP rate blowup)")
+  }
+
+  test("bloom hit counts are >= exact eval-membership counts per doc, " +
+    "and the FP excess stays under 1% of probed shingles") {
+    // exact membership: train shingle ∈ union of eval shingle sets,
+    // computed in the plain string domain (no hashing) as ground truth
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sh = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"))).as("s"))
+    val evalSh = sh.filter(pmod(col("doc_id"), lit(10L)) === 0)
+      .select(col("s")).distinct()
+    val exact = sh.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+      .join(evalSh.withColumn("present", lit(1L)), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("present"), lit(0L))).as("n_exact"))
+      .as[(Long, Long)].collect().toMap
+    val bloom = Dedup.bloomDecontaminate(spark, sfDir)
+      .select("train_id", "n_sh", "n_hit")
+      .as[(Long, Long, Long)].collect()
+    var fpExcess = 0L; var probed = 0L
+    bloom.foreach { case (id, nSh, nHit) =>
+      val nExact = exact.getOrElse(id, 0L)
+      assert(nHit >= nExact,
+        s"doc $id: bloom reported $nHit hits < $nExact exact members " +
+          "(bloom false negative — impossible by construction)")
+      fpExcess += nHit - nExact; probed += nSh
+    }
+    assert(fpExcess.toDouble / probed < 0.01,
+      s"$fpExcess false-positive shingle hits over $probed probed")
+  }
+
+  test("incremental dedup equals the full pair join restricted to pairs " +
+    "with an incoming side") {
+    val inc = Dedup.dedupIncremental(spark, sfDir)
+      .select("new_id", "matched_id").as[(Long, Long)].collect().toSet
+    def isNew(id: Long) = id % Dedup.IncomingMod == Dedup.IncomingMod - 1
+    val full = Dedup.ngramJaccard(spark, sfDir)
+      .select("d1", "d2").as[(Long, Long)].collect()
+      .filter { case (d1, d2) => isNew(d1) || isNew(d2) }
+      .map { case (d1, d2) =>
+        if (isNew(d1)) (d1, d2) else (d2, d1) } // incoming side first
+      .map { case (a, b) =>
+        if (isNew(a) && isNew(b) && a > b) (b, a) else (a, b) }
+      .toSet
+    assert(inc === full)
+    // and no standing-corpus-only pair leaks in
+    assert(inc.forall { case (a, _) => isNew(a) })
+  }
 }
