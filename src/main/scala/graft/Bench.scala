@@ -48,6 +48,19 @@ object Bench {
         try t(spark, sfDir).count()
         catch { case _: Throwable => () }
       }
+    // shape warmup: one representative agg, join, and explode query through
+    // the full noop-write path BEFORE anything is measured. count() alone
+    // leaves the vectorized parquet reader, janino compilation, hash
+    // agg/broadcast join/generate operators, AQE re-planning and the noop
+    // commit protocol cold, and C2-compiling those engine internals lands
+    // in whichever queries run first — measured on the round-7 host:
+    // q_abs_round recorded 3.3 s (min-of-2, head of the alphabet) vs
+    // 0.6 s steady-state in isolation. Warmup time is not recorded.
+    Seq("q_agg_q1", "q_join_enrich", "q_word_counts").foreach { n =>
+      try SparkEntry.benchQueries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

@@ -332,14 +332,20 @@ object Dedup {
     val probes = idx.filter(!isEval)
       .select(Seq(col("doc_id"), col("n_sh")) ++
         (0 until BloomHashes).map(i => bloomPos(col("h0"), i).as(s"p$i")): _*)
+    // subquery aliases, NOT per-join column renames: the three probe
+    // lookups hit canonically-identical bloom subtrees, so AQE's runtime
+    // stage reuse can build and broadcast the bitset once — a rename
+    // changes each subtree's output schema and pins three independent
+    // builds unconditionally. (Cost either way is bounded by the EVAL
+    // side, ~1/EvalMod of the corpus; the train-side shingle hashing
+    // dominates this query.)
     val joined = (0 until BloomHashes).foldLeft(probes) { (df, i) =>
-      df.join(
-        broadcast(bloom.select(col("word").as(s"word$i"), col("bits").as(s"bits$i"))),
-        expr(s"p$i div 32") === col(s"word$i"), "left")
+      df.join(broadcast(bloom.as(s"b$i")),
+        expr(s"p$i div 32") === col(s"b$i.word"), "left")
     }
     val shinglePresent = (0 until BloomHashes).map { i =>
-      col(s"bits$i").isNotNull &&
-        (col(s"bits$i").bitwiseAND(bloomMask(col(s"p$i"))) =!= 0L)
+      col(s"b$i.bits").isNotNull &&
+        (col(s"b$i.bits").bitwiseAND(bloomMask(col(s"p$i"))) =!= 0L)
     }.reduce(_ && _)
     joined.groupBy(col("doc_id"), col("n_sh"))
       .agg(sum(when(shinglePresent, 1L).otherwise(0L)).as("n_hit"))
