@@ -40,6 +40,7 @@ object SparkEntry {
     // [REF] sources/sinks — SURVEY §2a/§2b
     "q_csv_roundtrip"  -> (EtlQueries.csvRoundtrip _),
     "q_json_roundtrip" -> (EtlQueries.jsonRoundtrip _),
+    "q_json_rescue"    -> (EtlQueries.jsonRescue _),
     "q_orc_roundtrip"  -> (EtlQueries.orcRoundtrip _),
     "q_xml_roundtrip"  -> (EtlQueries.xmlRoundtrip _),
     "q_schema_evolution" -> (EtlQueries.schemaEvolution _),
@@ -179,6 +180,7 @@ object SparkEntry {
     "q_histogram"       -> EtlQueries.histogramSql,
     "q_csv_roundtrip"   -> EtlQueries.csvRoundtripSql,
     "q_json_roundtrip"  -> EtlQueries.jsonRoundtripSql,
+    "q_json_rescue"     -> EtlQueries.jsonRescueSql,
     "q_orc_roundtrip"   -> EtlQueries.orcRoundtripSql,
     "q_xml_roundtrip"   -> EtlQueries.xmlRoundtripSql,
     "q_schema_evolution" -> EtlQueries.schemaEvolutionSql,

@@ -487,4 +487,60 @@ object EtlQueries {
     """SELECT event_type, COUNT(*) AS n,
       |       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** S4/F-family — PERMISSIVE JSON ingestion with corrupt-record
+    * quarantine: the malformed-input robustness a production ingest needs
+    * (a poison line must neither kill the job nor silently vanish). The
+    * fixture derives a JSON-lines file from `events` where every
+    * `event_id ≡ 3 (mod 7)` line is deterministically mangled; the read
+    * declares `_corrupt_record` and PERMISSIVE mode, so mangled lines
+    * surface as quarantine rows (raw text preserved, typed columns null)
+    * while clean lines parse normally. The report buckets clean rows per
+    * event_type beside one `_corrupt` row counting the quarantine —
+    * `value_cents` NULL there, since corrupt rows contribute no parsed
+    * values. FAILFAST would abort the batch; DROPMALFORMED would lose
+    * the rows with no audit trail: this shape keeps both counts in one
+    * pass. Scale: schema-with-corrupt-column parsing is per-row and
+    * narrow; the aggregation shuffles |event_types|+1 groups.
+    *
+    * The corruption rule is id-derived, so the oracle recomputes the
+    * entire report from the ORIGINAL table without parsing JSON — the
+    * engine must prove the quarantine matches the rule exactly.
+    */
+  def jsonRescue(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.sources.SetupOnce.runtimeDir(d, "json_rescue")
+    graft.sources.SetupOnce(dir) {
+      val payload = to_json(struct(
+        col("event_id"), col("event_type"), col("value")))
+      val isBad = pmod(col("event_id"), lit(7L)) === 3
+      Tables.events(s, d)
+        .select(when(isBad, concat(lit("oops"), payload))
+          .otherwise(payload).as("value"))
+        .write.mode("overwrite").text(dir)
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .groupBy(when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+        .otherwise(col("event_type")).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_corrupt_record").isNotNull, lit(null).cast("long"))
+          .otherwise(cents(col("value")))).as("value_cents"))
+      .orderBy(col("bucket"))
+  }
+
+  val jsonRescueSql: String =
+    """SELECT CASE WHEN event_id % 7 = 3 THEN '_corrupt'
+      |            ELSE event_type END AS bucket,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CASE WHEN event_id % 7 = 3 THEN NULL
+      |                     ELSE CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |                END) AS BIGINT) AS value_cents
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
 }

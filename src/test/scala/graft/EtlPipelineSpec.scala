@@ -176,4 +176,20 @@ class EtlPipelineSpec extends SparkSpecBase {
     assert(m.getAs[Long]("amount_cents") === 525L)
     assert(m.getAs[Long]("n_null_amount") === 1L)
   }
+
+  test("JSON rescue quarantines exactly the mangled lines and loses none") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.EtlQueries.jsonRescue(spark, sfDir).collect()
+    val events = Tables.events(spark, sfDir)
+    val total = events.count()
+    val nBad = events
+      .filter(pmod(col("event_id"), lit(7L)) === 3).count()
+    val corrupt = out.filter(_.getAs[String]("bucket") == "_corrupt")
+    assert(corrupt.length === 1)
+    assert(corrupt.head.getAs[Long]("n") === nBad)
+    assert(corrupt.head.isNullAt(corrupt.head.fieldIndex("value_cents")),
+      "quarantine bucket must not carry parsed values")
+    // conservation: clean buckets + quarantine account for every line
+    assert(out.map(_.getAs[Long]("n")).sum === total)
+  }
 }
