@@ -57,6 +57,11 @@ object Bench {
     // q_abs_round recorded 3.3 s (min-of-2, head of the alphabet) vs
     // 0.6 s steady-state in isolation. Warmup time is not recorded.
     Seq("q_agg_q1", "q_join_enrich", "q_word_counts").foreach { n =>
+      // loud on rename: a missing warmup name inside the swallow-all try
+      // would silently disable the warmup and re-skew the head of the
+      // record — exactly the drift this block exists to prevent
+      require(SparkEntry.benchQueries.contains(n),
+        s"warmup query $n no longer exists in SparkEntry.queries")
       try SparkEntry.benchQueries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

@@ -282,6 +282,18 @@ object TextAnalysis {
       .withColumn("within_bound",
         col("est_cnt") >= col("exact_cnt") &&
           col("overcount").cast("double") <= lit(CmsEps) * col("n_total"))
+      // the HASH-GATED flag: est >= exact is deterministic (CMS never
+      // undercounts), but the ε·N upper bound only holds w.p. ≥ confidence
+      // PER PROBE, and the driver regenerates testdata every round. On
+      // this corpus shape (≲100 distinct tokens into a 2000-wide sketch,
+      // depth 5) the realized overcount is ~always 0, but the gate takes
+      // 2ε·N headroom so a tail draw cannot read as an engine regression;
+      // a real sketch defect (wrong widths, broken min) overshoots both
+      // bounds by orders of magnitude. Tight ε·N stays above,
+      // spec-asserted on the current corpus.
+      .withColumn("within_gate",
+        col("est_cnt") >= col("exact_cnt") &&
+          col("overcount").cast("double") <= lit(2 * CmsEps) * col("n_total"))
       .orderBy(col("exact_cnt").desc, col("tok"))
   }
 
@@ -296,7 +308,7 @@ object TextAnalysis {
     */
   def heavyHittersChecked(s: SparkSession, d: String): DataFrame =
     heavyHitters(s, d)
-      .select(col("tok"), col("exact_cnt"), col("n_total"), col("within_bound"))
+      .select(col("tok"), col("exact_cnt"), col("n_total"), col("within_gate"))
 
   val heavyHittersCheckedSql: String =
     """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
@@ -305,7 +317,7 @@ object TextAnalysis {
       |     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tt)
       |SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
       |       (SELECT n_total FROM tot) AS n_total,
-      |       TRUE AS within_bound
+      |       TRUE AS within_gate
       |FROM tt GROUP BY tok
       |ORDER BY exact_cnt DESC, tok LIMIT 20""".stripMargin
 

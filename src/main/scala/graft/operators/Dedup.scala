@@ -143,17 +143,21 @@ object Dedup {
   private[operators] def ngramPairs(s: SparkSession, d: String): DataFrame =
     ngramPairsOf(Tables.documents(s, d), MaxPostingList)
 
-  private[graft] def ngramPairsOf(docs: DataFrame, cap: Int): DataFrame = {
-    // Self-join through ONE aliased subtree (not two re-derived pipelines):
-    // the canonical plans of both sides match, so ReuseExchange computes the
-    // capped shingle index + its shuffle once instead of twice. Empty-array
-    // docs surface as null-h rows (explode_outer), which can never satisfy
-    // the equi-join — so every joined pair has common ≥ 1 and the jaccard
-    // denominator ≥ max(n1, n2) ≥ 1: no ANSI 0/0.
-    val index = cappedShingleIndex(docs, cap)
-    index.as("a").join(index.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-          // J ≥ θ requires min(n1,n2) ≥ θ·max(n1,n2)
+  /** The ONE pair-join tail shared by the full self-join (ngram pairs) and
+    * the asymmetric incremental join: equi-join two shingle indexes on the
+    * hash under `extraPred` plus the size-ratio prefilter (J ≥ θ requires
+    * min(n1,n2) ≥ θ·max(n1,n2)), count common shingles per pair, compute
+    * the Jaccard, filter at the threshold. Factored so the prefilter /
+    * denominator / threshold can never silently diverge between the two
+    * reports DedupSpec pins against each other. Empty-array docs surface
+    * as null-h rows (explode_outer upstream), which can never satisfy the
+    * equi-join — so every joined pair has common ≥ 1 and the jaccard
+    * denominator ≥ max(n1, n2) ≥ 1: no ANSI 0/0.
+    */
+  private def pairJoinTail(left: DataFrame, right: DataFrame,
+      extraPred: Column): DataFrame =
+    left.as("a").join(right.as("b"),
+        col("a.h") === col("b.h") && extraPred &&
           col("a.n_sh") * lit(JaccardThreshold) <= col("b.n_sh") &&
           col("b.n_sh") * lit(JaccardThreshold) <= col("a.n_sh"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
@@ -165,6 +169,13 @@ object Dedup {
           (col("n1") + col("n2") - col("common")).cast("double"))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+
+  private[graft] def ngramPairsOf(docs: DataFrame, cap: Int): DataFrame = {
+    // Self-join through ONE aliased subtree (not two re-derived pipelines):
+    // the canonical plans of both sides match, so ReuseExchange computes the
+    // capped shingle index + its shuffle once instead of twice.
+    val index = cappedShingleIndex(docs, cap)
+    pairJoinTail(index, index, col("a.doc_id") < col("b.doc_id"))
   }
 
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
@@ -437,21 +448,10 @@ object Dedup {
       pmod(c, lit(IncomingMod)) === lit(IncomingMod - 1L)
     val index = cappedShingleIndex(docs, cap)
     val newIdx = index.filter(isNewId(col("doc_id")))
-    newIdx.as("a").join(index.as("b"),
-        col("a.h") === col("b.h") &&
-          (!isNewId(col("b.doc_id")) || col("a.doc_id") < col("b.doc_id")) &&
-          col("a.n_sh") * lit(JaccardThreshold) <= col("b.n_sh") &&
-          col("b.n_sh") * lit(JaccardThreshold) <= col("a.n_sh"))
-      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("matched_id"),
-        col("a.n_sh").as("n1"), col("b.n_sh").as("n2"))
-      .groupBy(col("new_id"), col("matched_id"), col("n1"), col("n2"))
-      .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("n1") + col("n2") - col("common")).cast("double"))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("new_id"), col("matched_id"), col("jaccard"),
-        isNewId(col("matched_id")).as("matched_is_new"))
+    pairJoinTail(newIdx, index,
+        !isNewId(col("b.doc_id")) || col("a.doc_id") < col("b.doc_id"))
+      .select(col("d1").as("new_id"), col("d2").as("matched_id"),
+        col("jaccard"), isNewId(col("d2")).as("matched_is_new"))
       .orderBy(col("new_id"), col("matched_id"))
   }
 

@@ -103,15 +103,13 @@ object GraphOps {
     val maxBroadcastNodes = s.conf.getOption(MaxBroadcastNodesKey)
       .map(_.toLong)
       .getOrElse {
-        // the threshold conf accepts "10MB" forms; -1 (auto-broadcast off)
-        // still leaves the EXPLICIT hint meaningful, so fall back to the
-        // Spark default size rather than disabling the gate entirely
-        val thresh = s.conf
-          .get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
-        val bytes =
-          if (thresh.startsWith("-")) 10485760L
-          else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thresh)
-        bytes / BytesPerNodeRow
+        // Spark's conf machinery already parses the "10MB" forms to bytes;
+        // no hand-rolled byte-string parser. A non-positive threshold
+        // (auto-broadcast off) still leaves the EXPLICIT hint meaningful,
+        // so fall back to the Spark default size rather than disabling
+        // the gate entirely
+        val bytes = s.sessionState.conf.autoBroadcastJoinThreshold
+        (if (bytes > 0) bytes else 10485760L) / BytesPerNodeRow
       }
     val canBroadcast = nodeCount <= maxBroadcastNodes
     def hinted(df: DataFrame): DataFrame =

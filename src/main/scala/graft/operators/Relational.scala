@@ -260,6 +260,13 @@ object Relational {
         abs(col("approx_parts") - col("exact_parts")).cast("double") /
           col("exact_parts").cast("double"))
       .withColumn("within_bound", col("rel_err") <= 0.05)
+      // the HASH-GATED flag is 4σ, not 2.5σ: rsd=0.02 makes the 5% flag a
+      // ~1.2%-per-group coin flip on REGENERATED data (the driver rebuilds
+      // testdata every round), which would read as an engine regression
+      // that isn't one. 8% ≈ 4σ → P(flip) ≈ 6e-5 per group; a real sketch
+      // regression blows far past either bound. The tight 5% stays here,
+      // spec-asserted on the current corpus.
+      .withColumn("within_gate", col("rel_err") <= 0.08)
       .orderBy(col("l_returnflag"))
 
   /** The hash-gated shape of [[aggApproxDistinct]]: the HLL++ estimate is
@@ -273,12 +280,12 @@ object Relational {
     */
   def aggApproxDistinctChecked(s: SparkSession, d: String): DataFrame =
     aggApproxDistinct(s, d)
-      .select(col("l_returnflag"), col("exact_parts"), col("within_bound"))
+      .select(col("l_returnflag"), col("exact_parts"), col("within_gate"))
 
   val aggApproxDistinctCheckedSql: String =
     """SELECT l_returnflag,
       |       COUNT(DISTINCT l_partkey) AS exact_parts,
-      |       TRUE AS within_bound
+      |       TRUE AS within_gate
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** A3-family sketch: approximate quantiles (the KLL/GK-style mergeable

@@ -287,10 +287,18 @@ object Streams {
     * wires in: broadcast LEFT join on a shared column name, so enrichment
     * can never change the stream's row count — dim misses surface as
     * nulls, not dropped facts. Same stateless per-micro-batch hash probe.
+    *
+    * PRECONDITION: `key` must be unique in `dim`. A duplicate-keyed dim
+    * multiplies every matching fact (left join fan-out), which would
+    * double-count the observed n_rows/amount_cents metrics downstream —
+    * enforced here with a cheap `dropDuplicates(key)` (a no-op on a
+    * well-formed dim, deterministic-keeper semantics are NOT promised for
+    * a malformed one: fix the dim, this guard only protects the counts).
     */
   def streamStaticEnrich(stream: DataFrame, dim: DataFrame,
       key: String): DataFrame =
-    stream.join(org.apache.spark.sql.functions.broadcast(dim),
+    stream.join(
+      org.apache.spark.sql.functions.broadcast(dim.dropDuplicates(key)),
       Seq(key), "left")
 
   case class UserEvent(user_id: Long, value: Double)

@@ -59,6 +59,12 @@ class GraphOpsSpec extends SparkSpecBase {
 
   test("over the broadcast ceiling the rank loop falls back to shuffle " +
       "joins and produces bit-identical ranks") {
+    // Force the lazy baseline BEFORE shutting the gate: if this test runs
+    // in isolation, a lazy `result` first dereferenced inside the ceiling
+    // would itself compute on the shuffle path and the parity assertion
+    // below would compare the gated path to itself
+    val hinted = result
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     // Force the gate shut: a 1-node ceiling means no per-node table may be
     // broadcast-hinted, exercising the path a page-scale graph would take.
     spark.conf.set(GraphOps.MaxBroadcastNodesKey, "1")
@@ -72,8 +78,6 @@ class GraphOpsSpec extends SparkSpecBase {
       assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
         "broadcast hint must not be applied over the node ceiling")
       val shuffled = df.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-      val hinted = result
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
       assert(shuffled.nonEmpty)
       assert(shuffled === hinted,

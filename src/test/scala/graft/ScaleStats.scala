@@ -38,9 +38,12 @@ object ScaleStats {
 
     // Σ m(m-1) summed exactly in integers, halved after (always even)
     def volume(hist: DataFrame, m: String): (Long, Long, Long) = {
+      // coalesce: sum/max over ZERO rows are null — a cap sweep value below
+      // every df (exactly the saturated-corpus case this tool sizes caps
+      // for) must print pairs:0, not NPE the whole stats run
       val r = hist.agg(
-        sum(col(m) * (col(m) - 1)).cast("long"),
-        max(col(m)).cast("long"),
+        coalesce(sum(col(m) * (col(m) - 1)), lit(0L)).cast("long"),
+        coalesce(max(col(m)), lit(0L)).cast("long"),
         count(lit(1))).head
       (r.getLong(0) / 2, r.getLong(1), r.getLong(2))
     }
