@@ -122,6 +122,7 @@ object SparkEntry {
     "q_dedup_clusters"    -> (Dedup.dedupClusters _),
     "q_dedup_minhash"     -> (Dedup.minhashLsh _),
     "q_minhash_signature" -> (Dedup.minhashSignatures _),
+    "q_minhash_est"       -> (Dedup.minhashEstimate _),
     "q_dedup_simhash"     -> (Dedup.simhashPairs _),
     "q_decontaminate"     -> (Dedup.decontaminate _),
     "q_bloom_decontaminate" -> (Dedup.bloomDecontaminate _),
@@ -251,6 +252,7 @@ object SparkEntry {
     // inverted-index result and shares its oracle.
     "q_dedup_minhash"   -> Dedup.ngramJaccardSql,
     "q_minhash_signature" -> Dedup.minhashSignaturesSql,
+    "q_minhash_est"       -> Dedup.minhashEstimateSql,
     "q_dedup_simhash"   -> Dedup.simhashPairsSql,
     "q_decontaminate"   -> Dedup.decontaminateSql,
     "q_bloom_decontaminate" -> Dedup.bloomDecontaminateSql,

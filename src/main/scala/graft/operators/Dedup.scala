@@ -796,11 +796,13 @@ object Dedup {
           .as("band_keys"))
       .orderBy(col("doc_id"))
 
-  /** Oracle: identical CAPPED shingling ([[cappedShingleCteSql]]), base-hash
-    * fold, affine permutations, and band combines in DuckDB SQL — exact
-    * integer arithmetic end to end.
+  /** The DuckDB signature CTE chain `e, h, m` (capped shingles exploded,
+    * polynomial base hash, 64 min-aggregated affine lanes as columns
+    * `m0..m63` keyed by doc_id) — ONE definition shared by the signature
+    * oracle and the estimation oracle, mirroring the one [[signaturesOf]]
+    * both Spark twins consume.
     */
-  val minhashSignaturesSql: String = {
+  private def signatureCtesSql: String = {
     val polyFold =
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
          |         list_transform(range(1, length(shingle) + 1),
@@ -809,6 +811,19 @@ object Dedup {
     val mins = (0 until NumHashes).map(i =>
       s"MIN((h0 * ${i * 2 + 1} + ${i * 40503 + 17}) % $P) AS m$i")
       .mkString(",\n         ")
+    s"""e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
+       |             unnest(sh) AS shingle FROM s),
+       |h AS (SELECT doc_id, n_sh, $polyFold AS h0 FROM e),
+       |m AS (SELECT doc_id, n_sh,
+       |         $mins
+       |      FROM h GROUP BY doc_id, n_sh)""".stripMargin
+  }
+
+  /** Oracle: identical CAPPED shingling ([[cappedShingleCteSql]]), base-hash
+    * fold, affine permutations, and band combines in DuckDB SQL — exact
+    * integer arithmetic end to end.
+    */
+  val minhashSignaturesSql: String = {
     val sigList = (0 until NumHashes).map(i => s"m$i")
       .mkString("list_value(", ", ", ")")
     val bandList = (0 until Bands).map { b =>
@@ -817,16 +832,64 @@ object Dedup {
       }
     }.mkString("list_value(", ", ", ")")
     s"""WITH $cappedShingleCteSql,
-       |e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
-       |             unnest(sh) AS shingle FROM s),
-       |h AS (SELECT doc_id, n_sh, $polyFold AS h0 FROM e),
-       |m AS (SELECT doc_id, n_sh,
-       |         $mins
-       |      FROM h GROUP BY doc_id, n_sh)
+       |$signatureCtesSql
        |SELECT doc_id, n_sh,
        |       array_to_string($sigList, '|') AS sig_str,
        |       array_to_string($bandList, '|') AS band_keys
        |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Signature-based Jaccard ESTIMATION beside the exact value, on the
+    * near-dup pair set: est = (matching lanes)/64, the unbiased MinHash
+    * estimator (each lane matches with probability J under a random
+    * permutation). This is the accuracy measurement for the trade a
+    * petabyte deployment makes: past the scale where the exact
+    * `array_intersect` verification can afford to ship full shingle
+    * arrays to the pair join, you threshold on the estimate instead —
+    * 64 longs per doc, constant size regardless of document length —
+    * and this query reports exactly how much accuracy that costs
+    * (σ = √(J(1−J)/64) ≈ 0.05 at J = 0.8). Every column is
+    * hash-checked: the signatures are bit-identical across engines
+    * (portable polynomial pipeline), so est, abs_err, and the 0.3
+    * (≈6σ) sanity flag are all deterministic — no probabilistic gate.
+    */
+  def minhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sig = signaturesOf(cappedShingledOf(docs, MaxPostingList))
+      .select(col("doc_id"), col("sig"))
+    val matches = aggregate(
+      zip_with(col("sig1"), col("sig2"),
+        (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+    ngramPairsOf(docs, MaxPostingList)
+      .join(sig.select(col("doc_id").as("d1"), col("sig").as("sig1")), Seq("d1"))
+      .join(sig.select(col("doc_id").as("d2"), col("sig").as("sig2")), Seq("d2"))
+      .withColumn("est_jaccard",
+        matches.cast("double") / lit(NumHashes.toDouble))
+      .select(col("d1"), col("d2"), col("jaccard"), col("est_jaccard"),
+        abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
+      .withColumn("est_ok", col("abs_err") <= 0.3)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Oracle: the shared pair CTE joined against the shared signature CTE
+    * chain, lane agreement summed as 64 CASE terms — everything exact.
+    */
+  lazy val minhashEstimateSql: String = {
+    val agree = (0 until NumHashes).map(i =>
+      s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $cappedShingleCteSql,
+       |$signatureCtesSql,
+       |pairs AS ($ngramPairsSql)
+       |SELECT p.d1, p.d2, p.jaccard,
+       |       CAST($agree AS DOUBLE) / $NumHashes AS est_jaccard,
+       |       ABS(CAST($agree AS DOUBLE) / $NumHashes - p.jaccard) AS abs_err,
+       |       (ABS(CAST($agree AS DOUBLE) / $NumHashes - p.jaccard) <= 0.3)
+       |         AS est_ok
+       |FROM pairs p
+       |JOIN m a ON a.doc_id = p.d1
+       |JOIN m b ON b.doc_id = p.d2
+       |ORDER BY d1, d2""".stripMargin
   }
 
   /** MinHash/LSH near-dup pairs: band-bucket candidates, then verify the

@@ -352,6 +352,26 @@ class DedupSpec extends SparkSpecBase {
       s"$fpExcess false-positive shingle hits over $probed probed")
   }
 
+  test("minhash estimate is exactly 1 on identical docs and within its " +
+    "6-sigma flag on every verified pair") {
+    withDocs { dir =>
+      val est = Dedup.minhashEstimate(spark, dir)
+        .select("d1", "d2", "jaccard", "est_jaccard", "est_ok")
+        .as[(Long, Long, Double, Double, Boolean)].collect()
+      assert(est.nonEmpty)
+      // identical shingle sets hash to identical signatures: the (0,1)
+      // exact-copy pair must estimate exactly 1.0, not approximately
+      val copy = est.find(e => e._1 == 0L && e._2 == 1L).get
+      assert(copy._3 === 1.0 && copy._4 === 1.0)
+      assert(est.forall(_._5), s"estimator outside 6-sigma flag: " +
+        est.filterNot(_._5).mkString(", "))
+    }
+    // and on the driver corpus: every verified pair carries a sane estimate
+    val driver = Dedup.minhashEstimate(spark, sfDir)
+      .select("est_ok").as[Boolean].collect()
+    assert(driver.nonEmpty && driver.forall(identity))
+  }
+
   test("incremental dedup equals the full pair join restricted to pairs " +
     "with an incoming side") {
     val inc = Dedup.dedupIncremental(spark, sfDir)
