@@ -49,6 +49,10 @@ object SparkEntry {
     "q_etl_txn"        -> (PipelineQueries.etlTransactions _),
     "q_partition_prune" -> (PipelineQueries.partitionPrune _),
     "q_cluster_layout"  -> (PipelineQueries.clusterLayout _),
+    // [EXT] lakehouse maintenance — incremental MV, compaction, Z-order
+    "q_mv_incremental"  -> (Maintenance.mvIncremental _),
+    "q_compact_plan"    -> (Maintenance.compactPlan _),
+    "q_zorder_layout"   -> (Maintenance.zorderLayout _),
     // [EXT] relational — SURVEY §2e-§2i
     "q_join_enrich"     -> (Relational.joinEnrich _),
     "q_join_left"       -> (Relational.joinLeft _),
@@ -88,6 +92,8 @@ object SparkEntry {
     "q_map_funcs"       -> (EventOps.mapFuncs _),
     "q_pivot"           -> (EventOps.pivotEvents _),
     "q_asof_join"       -> (EventOps.asofJoin _),
+    "q_funnel"          -> (EventOps.funnel _),
+    "q_retention"       -> (EventOps.retention _),
     "q_word_counts"     -> ((s: SparkSession, d: String) =>
       TextAnalysis.wordCounts(s, d)),
     // [EXT] LLM-pipeline: text analysis — SURVEY §0 north star
@@ -110,6 +116,7 @@ object SparkEntry {
     "q_doc_repetition"    -> (TextAnalysis.docRepetition _),
     "q_pii_redact"        -> (TextAnalysis.piiRedact _),
     "q_tfidf"             -> (TextAnalysis.tfidf _),
+    "q_bm25"              -> (TextAnalysis.bm25 _),
     "q_vocab_coverage"    -> (TextAnalysis.vocabCoverage _),
     "q_corpus_build"      -> (CorpusPipeline.corpusBuild _),
     "q_corpus_shards"     -> (CorpusPipeline.corpusShards _),
@@ -189,6 +196,9 @@ object SparkEntry {
     "q_etl_txn"         -> PipelineQueries.etlTransactionsSql,
     "q_partition_prune" -> PipelineQueries.partitionPruneSql,
     "q_cluster_layout"  -> PipelineQueries.clusterLayoutSql,
+    "q_mv_incremental"  -> Maintenance.mvIncrementalSql,
+    "q_compact_plan"    -> Maintenance.compactPlanSql,
+    "q_zorder_layout"   -> Maintenance.zorderLayoutSql,
     "q_join_enrich"     -> Relational.joinEnrichSql,
     "q_join_left"       -> Relational.joinLeftSql,
     "q_join_semi"       -> Relational.joinSemiSql,
@@ -222,6 +232,8 @@ object SparkEntry {
     "q_map_funcs"       -> EventOps.mapFuncsSql,
     "q_pivot"           -> EventOps.pivotEventsSql,
     "q_asof_join"       -> EventOps.asofJoinSql,
+    "q_funnel"          -> EventOps.funnelSql,
+    "q_retention"       -> EventOps.retentionSql,
     "q_word_counts"     -> TextAnalysis.wordCountsSql,
     "q_text_stats"      -> TextAnalysis.textStatsSql,
     "q_token_count"     -> TextAnalysis.tokenCountSql,
@@ -238,6 +250,7 @@ object SparkEntry {
     "q_doc_repetition"    -> TextAnalysis.docRepetitionSql,
     "q_pii_redact"        -> TextAnalysis.piiRedactSql,
     "q_tfidf"             -> TextAnalysis.tfidfSql,
+    "q_bm25"              -> TextAnalysis.bm25Sql,
     "q_vocab_coverage"    -> TextAnalysis.vocabCoverageSql,
     "q_corpus_build"      -> CorpusPipeline.corpusBuildSql,
     "q_corpus_shards"     -> CorpusPipeline.corpusShardsSql,

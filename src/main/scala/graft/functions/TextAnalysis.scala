@@ -952,4 +952,95 @@ object TextAnalysis {
        |  FROM scored)
        |SELECT doc_id, term, tf, df, score, rank FROM ranked
        |WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_bm25 — BM25 retrieval scoring (the ranking-function tier above tfidf)
+  // ---------------------------------------------------------------------
+
+  /** Fixed retrieval query (mid-frequency corpus terms). */
+  val Bm25Query: Seq[String] = Seq("hash", "join", "scan")
+
+  val Bm25TopK = 20
+
+  /** BM25 with k1 = 1.2, b = 0.75 in EXACT integer arithmetic. With
+    * k1 = 6/5 and b = 3/4, the term-frequency component over corpus token
+    * total L (so avgdl = L/N) clears to one integer ratio:
+    *
+    *   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *     = 44·tf·L / (20·tf·L + 6·L + 18·dl·N)
+    *
+    * and the idf uses the linear surrogate (N−df+1)/(df+1) — same
+    * portability decision as [[tfidf]]'s linear idf (ln() is not
+    * bit-reproducible across engines; the surrogate is order-equivalent
+    * on df). Each (doc, term) contribution is floored once into 1e4-scale
+    * fixed point, so the whole score is hash-exact cross-engine. Sized
+    * for BIGINT through sf0.1 (≈5e18 headroom); a petabyte corpus runs
+    * the same expressions over DECIMAL(38,0).
+    *
+    * Scale shape: the only corpus-wide statistics are N, L (one tiny agg,
+    * broadcast) and per-term df over the QUERY terms only (≤|query| rows,
+    * broadcast); the candidate set is pre-filtered to docs containing a
+    * query term, so the scoring join is |hits|-sized, never |corpus|, and
+    * the global top-k is TakeOrderedAndProject-shaped (k rows per
+    * partition cross the wire).
+    */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val dl = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
+    val tf = toks.filter(col("term").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("part",
+        expr("""(n_docs - df + 1) * 44 * tf * l_tot * 10000 div
+               |((df + 1) * (20 * tf * l_tot + 6 * l_tot + 18 * dl * n_docs))"""
+          .stripMargin.replace("\n", " ")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    contrib.groupBy(col("doc_id"))
+      .agg(sum(col("part")).as("score"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("doc_id"), col("n_terms"), col("score"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val bm25Sql: String = {
+    val qTerms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |                 CAST(SUM(dl) AS BIGINT) AS l_tot FROM dl),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |         FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM toks WHERE term IN ($qTerms) GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       |          FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |         (n_docs - df + 1) * 44 * tf * l_tot * 10000 //
+       |           ((df + 1) * (20 * tf * l_tot + 6 * l_tot + 18 * dl.dl * n_docs))
+       |           AS part
+       |  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats),
+       |scored AS (
+       |  SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score,
+       |         COUNT(*) AS n_terms
+       |  FROM contrib GROUP BY doc_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER
+       |      (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT doc_id, n_terms, score, rank FROM ranked
+       |WHERE rank <= $Bm25TopK ORDER BY rank""".stripMargin
+  }
 }

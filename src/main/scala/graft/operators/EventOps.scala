@@ -391,4 +391,130 @@ object EventOps {
       |       CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
       |       CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** The funnel's ordered stages: a user "reaches" stage k when an event
+    * of that type occurs STRICTLY AFTER their stage-(k−1) arrival time —
+    * the classic product-analytics sequential funnel, here over the
+    * reference's event-per-file feed generalized to an event table.
+    */
+  val FunnelStages: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** Sequential funnel analysis over `events`: per stage, how many users
+    * progressed through the full ordered prefix, plus the conversion rate
+    * vs stage 1 in exact parts-per-million (integer `div` — portable).
+    *
+    * Shape at scale: stage k's arrival time needs stage k−1's, so the
+    * computation is a chain of per-user min-aggregates with a join back
+    * to the event table — but every aggregate AND every join keys on
+    * `user_id`, so after the first exchange the per-user partitioning is
+    * reusable end-to-end (one logical shuffle key for the whole funnel;
+    * the stage tables are |users|-sized, far smaller than the event
+    * table, and broadcastable when users ≪ events). Nothing is
+    * quadratic: each stage touches each event at most once.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val e = withTsMs(Tables.events(s, d))
+      .select(col("user_id"), col("event_type"), col("ts_ms"))
+    // stage 1: first arrival, unconditional
+    val s1 = e.filter(col("event_type") === FunnelStages.head)
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t1"))
+    // stages 2..k: first arrival strictly after the previous stage's;
+    // scanLeft keeps every prefix (|users|-sized frames, cheap) so each
+    // stage's reach count comes from its own chain link
+    val prefixes = FunnelStages.indices.tail.scanLeft(s1) { case (prev, i) =>
+      e.filter(col("event_type") === FunnelStages(i))
+        .join(prev, Seq("user_id"))
+        .filter(col("ts_ms") > col(s"t$i"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts_ms")).as(s"t${i + 1}"))
+    }
+    val base = s1.agg(count(lit(1)).as("stage1_users"))
+    prefixes.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).cast("long").as("stage_idx"),
+          lit(FunnelStages(i)).as("stage"), col("users"))
+    }.reduce(_.unionByName(_))
+      .crossJoin(broadcast(base))
+      .withColumn("conv_ppm", expr("users * 1000000 div stage1_users"))
+      .select(col("stage_idx"), col("stage"), col("users"), col("conv_ppm"))
+      .orderBy(col("stage_idx"))
+  }
+
+  /** Week length for cohort bucketing: integer epoch-ms weeks. */
+  private val WeekMs = 7L * 24 * 3600 * 1000
+
+  /** Cohort retention matrix: users bucketed by their FIRST-event week
+    * (the cohort), then for each (cohort_week, week_offset ≥ 0) the count
+    * of cohort members active in that later week, plus retention in exact
+    * ppm of the cohort size. Week arithmetic is integer epoch-ms `div`,
+    * so the matrix is bit-identical cross-engine.
+    *
+    * Scale shape: first-event week is one per-user min-aggregate; the
+    * activity join keys on `user_id` (the same single logical shuffle key
+    * as the funnel chain — the cohort table is |users|-sized and
+    * broadcastable); the matrix aggregate groups |users|·|active weeks|
+    * pairs already deduplicated per (user, week), so nothing scales with
+    * raw event volume past the first distinct.
+    */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val e = withTsMs(Tables.events(s, d))
+      .select(col("user_id"), expr(s"ts_ms div $WeekMs").as("week"))
+    val cohorts = e.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val cohortSize = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    e.distinct() // one row per (user, active week)
+      .join(cohorts, Seq("user_id"))
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(cohortSize), Seq("cohort_week"))
+      .withColumn("retention_ppm",
+        expr("active_users * 1000000 div cohort_users"))
+      .select(col("cohort_week"), col("week_offset"), col("active_users"),
+        col("cohort_users"), col("retention_ppm"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val retentionSql: String =
+    s"""WITH weeks AS (
+       |  SELECT DISTINCT user_id, epoch_ms(ts) // $WeekMs AS week FROM events),
+       |cohorts AS (
+       |  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id),
+       |sizes AS (
+       |  SELECT cohort_week, COUNT(*) AS cohort_users
+       |  FROM cohorts GROUP BY cohort_week),
+       |matrix AS (
+       |  SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+       |         COUNT(*) AS active_users
+       |  FROM weeks w JOIN cohorts c USING (user_id)
+       |  GROUP BY 1, 2)
+       |SELECT m.cohort_week, m.week_offset, m.active_users, s.cohort_users,
+       |       m.active_users * 1000000 // s.cohort_users AS retention_ppm
+       |FROM matrix m JOIN sizes s USING (cohort_week)
+       |ORDER BY m.cohort_week, m.week_offset""".stripMargin
+
+  val funnelSql: String = {
+    // CTE chain mirroring the stage fold: sk = first qualifying arrival
+    val ctes = FunnelStages.zipWithIndex.tail.map { case (stage, i) =>
+      s"""s${i + 1} AS (
+         |  SELECT e.user_id, MIN(epoch_ms(e.ts)) AS t${i + 1}
+         |  FROM events e JOIN s$i USING (user_id)
+         |  WHERE e.event_type = '$stage' AND epoch_ms(e.ts) > s$i.t$i
+         |  GROUP BY e.user_id)""".stripMargin
+    }.mkString(",\n")
+    val unions = FunnelStages.zipWithIndex.map { case (stage, i) =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS stage_idx, '$stage' AS stage, " +
+        s"CAST((SELECT COUNT(*) FROM s${i + 1}) AS BIGINT) AS users"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s1 AS (
+       |  SELECT user_id, MIN(epoch_ms(ts)) AS t1 FROM events
+       |  WHERE event_type = '${FunnelStages.head}' GROUP BY user_id),
+       |$ctes,
+       |stages AS (
+       |$unions)
+       |SELECT stage_idx, stage, users,
+       |       users * 1000000 // (SELECT COUNT(*) FROM s1) AS conv_ppm
+       |FROM stages ORDER BY stage_idx""".stripMargin
+  }
 }

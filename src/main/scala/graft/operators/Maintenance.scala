@@ -1,0 +1,304 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.SetupOnce
+
+/** Lakehouse table-maintenance operators: the jobs that keep a 100 TB
+  * warehouse queryable BETWEEN queries. The reference pipeline re-processes
+  * each landed file from scratch and appends forever
+  * (lambda_function.py:96-151 re-runs the whole chain per S3 event, with no
+  * compaction or summary state anywhere); these operators are the
+  * scale-path replacements for that posture:
+  *
+  *   - [[mvIncremental]] — maintain an aggregate as mergeable partial
+  *     state + a delta merge, instead of re-scanning history per refresh;
+  *   - [[compactPlan]] — bin-pack a small-files manifest into target-size
+  *     compaction groups (the `OPTIMIZE` planning step);
+  *   - [[zorderLayout]] — multi-dimensional Z-order clustering so scans
+  *     constrained on EITHER (or both) of two keys skip row groups via
+  *     footer zone maps, where 1-D range clustering serves only one key.
+  *
+  * Everything is exact integer arithmetic (cents / micro-units, `div`),
+  * so every result is bit-identical in DuckDB and fully hash-gated.
+  */
+object Maintenance {
+
+  /** floor(x*100+0.5) as BIGINT — exact money cents (same convention as
+    * RefTransforms.cents; duplicated signature here to keep this module
+    * self-contained for column use).
+    */
+  private def cents(c: Column): Column =
+    floor(c * 100 + lit(0.5)).cast("long")
+
+  // ---------------------------------------------------------------------
+  // q_mv_incremental — incremental materialized-view maintenance
+  // ---------------------------------------------------------------------
+
+  /** Orders strictly before this date form the "historical" slice whose
+    * partial aggregates are materialized once; the rest is the live delta.
+    */
+  val MvCutoff = "2000-01-01"
+
+  /** Mergeable partial-aggregate state for the order-stats view: one row
+    * per (priority, year) group carrying count/sum/min/max — every one of
+    * which merges by a further count-sum/sum-sum/min-min/max-max, so any
+    * number of delta batches folds in without touching history. (avg is
+    * NOT stored: it is derived after the merge — the classic
+    * self-maintainable-view decomposition.)
+    */
+  private def mvPartials(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .groupBy(col("o_orderpriority"), col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price_cents")).as("sum_cents"),
+        min(col("price_cents")).as("min_cents"),
+        max(col("price_cents")).as("max_cents"))
+
+  /** Incremental MV refresh: read the STORED base partials (written once,
+    * like a warehouse summary table), aggregate only the delta slice, and
+    * merge. At 100 TB the refresh cost is O(delta + |groups|) — the
+    * historical 99% of the fact table is never re-scanned. The merged
+    * result is provably equal to a full recompute (the oracle IS the full
+    * recompute over the union, and MaintenanceSpec pins Spark-side parity
+    * too), because every stored statistic is an associative-commutative
+    * monoid fold.
+    */
+  def mvIncremental(s: SparkSession, d: String): DataFrame = {
+    val dir = SetupOnce.runtimeDir(d, "mv_orders_base")
+    SetupOnce(dir) {
+      mvPartials(Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit(MvCutoff).cast("date")))
+        .write.mode("overwrite").parquet(dir)
+    }
+    val base  = s.read.parquet(dir)
+    val delta = mvPartials(Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(MvCutoff).cast("date")))
+    base.unionByName(delta)
+      .groupBy(col("o_orderpriority"), col("o_year"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
+      .withColumn("avg_cents", expr("sum_cents div n"))
+      .select(col("o_orderpriority"), col("o_year"), col("n"),
+        col("sum_cents"), col("min_cents"), col("max_cents"),
+        col("avg_cents"))
+      .orderBy(col("o_year"), col("o_orderpriority"))
+  }
+
+  /** Full recompute — what the merged partials must equal. */
+  val mvIncrementalSql: String =
+    """SELECT o_orderpriority,
+      |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       CAST(MIN(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+      |       CAST(MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents,
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |         // COUNT(*) AS avg_cents
+      |FROM orders
+      |GROUP BY o_orderpriority, o_year
+      |ORDER BY o_year, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_compact_plan — small-files compaction planner
+  // ---------------------------------------------------------------------
+
+  /** The plan targets ~[[CompactBins]] output groups regardless of scale
+    * factor (target group size = ceil(total/CompactBins)).
+    */
+  val CompactBins = 8L
+
+  /** Bin-packs a file manifest into contiguous compaction groups by
+    * start-offset binning: a file whose cumulative start offset falls in
+    * [g·target, (g+1)·target) joins group g, so groups are contiguous in
+    * manifest order and each is bounded by target + max_file_size − 1
+    * rows (pinned in MaintenanceSpec). The "files" here are the
+    * (year, month) ingest partitions of orders — the reference's daily
+    * S3 drops (` s3_uploader.py`:113-118) produce exactly this
+    * small-files shape, one object per day.
+    *
+    * Scale shape: the planner runs over the MANIFEST (one row per file),
+    * not the data — a million files is still a tiny table, so the global
+    * ordering window is driver-cheap metadata work; the rewrite jobs it
+    * emits are each an independent group read. The per-group summary
+    * rides the same sorted exchange as the running sum (one window
+    * partition chain, no second shuffle of note).
+    */
+  def compactPlan(s: SparkSession, d: String): DataFrame = {
+    val files = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("f_year"),
+        month(col("o_orderdate")).cast("long").as("f_month"))
+      .agg(count(lit(1)).as("size_rows"))
+    val total = files.agg(sum(col("size_rows")).as("total_rows"))
+    val wCum = Window.orderBy(col("f_year"), col("f_month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val planned = files.crossJoin(broadcast(total))
+      .withColumn("target", expr(s"(total_rows + $CompactBins - 1) div $CompactBins"))
+      .withColumn("cum", sum(col("size_rows")).over(wCum))
+      .withColumn("grp", expr("(cum - size_rows) div target"))
+    planned
+      .withColumn("grp_rows",
+        sum(col("size_rows")).over(Window.partitionBy(col("grp"))))
+      .select(col("grp"), col("f_year"), col("f_month"), col("size_rows"),
+        col("grp_rows"))
+      .orderBy(col("f_year"), col("f_month"))
+  }
+
+  val compactPlanSql: String =
+    s"""WITH files AS (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS f_year,
+       |         CAST(month(o_orderdate) AS BIGINT) AS f_month,
+       |         COUNT(*) AS size_rows
+       |  FROM orders GROUP BY 1, 2),
+       |tot AS (SELECT CAST(SUM(size_rows) AS BIGINT) AS total_rows FROM files),
+       |planned AS (
+       |  SELECT f_year, f_month, size_rows,
+       |         (tot.total_rows + $CompactBins - 1) // $CompactBins AS target,
+       |         SUM(size_rows) OVER (ORDER BY f_year, f_month
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM files CROSS JOIN tot)
+       |SELECT CAST((cum - size_rows) // target AS BIGINT) AS grp,
+       |       f_year, f_month, size_rows,
+       |       CAST(SUM(size_rows) OVER
+       |         (PARTITION BY (cum - size_rows) // target) AS BIGINT) AS grp_rows
+       |FROM planned
+       |ORDER BY f_year, f_month""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_zorder_layout — multi-dimensional Z-order clustering
+  // ---------------------------------------------------------------------
+
+  /** Bits per dimension of the Z-curve (8 → a 256×256 grid). */
+  val ZBits = 8
+
+  /** Output files of the clustered layout. */
+  val ZFiles = 16
+
+  /** Interleaves the low [[ZBits]] bits of two bucket ids into a Morton
+    * code — pure shift/mask integer arithmetic, reproduced verbatim in the
+    * oracle SQL so the curve itself is hash-checked.
+    */
+  def morton(bx: Column, by: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftright(bx, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(by, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  private def mortonSql(bx: String, by: String): String =
+    (0 until ZBits).map { i =>
+      s"(($bx >> $i) & 1) * ${1L << (2 * i)} + (($by >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** Lays down (once per JVM) a copy of lineitem range-partitioned and
+    * sorted by the Morton code of (l_partkey, l_suppkey). Each of the
+    * [[ZFiles]] files then covers one contiguous Z-range ≈ a spatial
+    * BLOCK of the 2-D key grid, so its parquet footer min/max is narrow
+    * in BOTH dimensions — a predicate on either key (or a box on both)
+    * skips most files/row groups at plan time via the pushed filters.
+    * 1-D clustering ([[PipelineQueries.clusterLayout]]) gives this for
+    * one key only; at 100 TB, Z-order is how a second (and third) common
+    * scan key gets data-skipping without a second copy of the table.
+    */
+  private[graft] def zorderLayoutDir(s: SparkSession, d: String): String = {
+    val dir = SetupOnce.runtimeDir(d, "lineitem_zorder")
+    SetupOnce(dir) {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_extendedprice"))
+      val maxes = li.agg(max(col("l_partkey")).as("p_max"),
+        max(col("l_suppkey")).as("s_max"))
+      li.crossJoin(broadcast(maxes))
+        .withColumn("bx",
+          expr(s"(l_partkey * ${1L << ZBits}) div (p_max + 1)"))
+        .withColumn("by",
+          expr(s"(l_suppkey * ${1L << ZBits}) div (s_max + 1)"))
+        .withColumn("zcode", morton(col("bx"), col("by")))
+        .drop("p_max", "s_max")
+        .repartitionByRange(ZFiles, col("zcode"))
+        .sortWithinPartitions(col("zcode"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** Table-statistics cache: (max l_partkey, max l_suppkey), read ONCE
+    * per JVM per dataset by a 1-row aggregate — the information a catalog
+    * serves for free at warehouse scale. The query below needs the maxes
+    * only to phrase a scale-proportional predicate box as LITERALS, so
+    * the parquet reader sees pushable filters (a runtime comparison
+    * against a joined stats row would defeat the zone-map skip this
+    * operator exists to demonstrate).
+    */
+  private val statsCache =
+    scala.collection.mutable.HashMap[String, (Long, Long)]()
+
+  private[graft] def keyMaxes(s: SparkSession, d: String): (Long, Long) =
+    synchronized {
+      statsCache.getOrElseUpdate(d, {
+        val r = Tables.lineitem(s, d)
+          .agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+        (r.getLong(0), r.getLong(1))
+      })
+    }
+
+  /** The scale-proportional 2-D predicate box: partkey ∈ [30%, 40%] and
+    * suppkey ∈ [20%, 40%] of their respective domains (exact integer
+    * tenths of the max, mirrored by the oracle via the same arithmetic).
+    */
+  private[graft] def zBox(s: SparkSession, d: String): (Long, Long, Long, Long) = {
+    val (pMax, sMax) = keyMaxes(s, d)
+    (pMax * 3 / 10, pMax * 4 / 10, sMax * 2 / 10, sMax * 4 / 10)
+  }
+
+  /** Box scan over the Z-clustered copy: a predicate on BOTH clustered
+    * keys. `.explain` shows both predicates in PushedFilters against the
+    * layout's narrow per-file ranges; MaintenanceSpec pins the skipping
+    * property (few files' min/max boxes intersect the predicate box).
+    * The returned aggregate — including the Morton-code min/max, which
+    * forces the oracle to reproduce the bit-interleave exactly — matches
+    * the straight scan of the source table.
+    */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val dir = zorderLayoutDir(s, d)
+    val (pLo, pHi, sLo, sHi) = zBox(s, d)
+    s.read.parquet(dir)
+      .filter(col("l_partkey").between(pLo, pHi) &&
+        col("l_suppkey").between(sLo, sHi))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"),
+        min(col("zcode")).as("z_min"),
+        max(col("zcode")).as("z_max"))
+      .select(col("l_suppkey").cast("long").as("l_suppkey"), col("n"),
+        col("price_cents"), col("z_min"), col("z_max"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  val zorderLayoutSql: String = {
+    val b = 1L << ZBits
+    s"""WITH maxes AS (
+       |  SELECT MAX(l_partkey) AS p_max, MAX(l_suppkey) AS s_max FROM lineitem),
+       |coded AS (
+       |  SELECT l_suppkey, l_extendedprice,
+       |         ${mortonSql(s"((l_partkey * $b) // (p_max + 1))",
+                             s"((l_suppkey * $b) // (s_max + 1))")} AS zcode
+       |  FROM lineitem CROSS JOIN maxes
+       |  WHERE l_partkey BETWEEN (p_max * 3) // 10 AND (p_max * 4) // 10
+       |    AND l_suppkey BETWEEN (s_max * 2) // 10 AND (s_max * 4) // 10)
+       |SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey, COUNT(*) AS n,
+       |       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+       |       CAST(MIN(zcode) AS BIGINT) AS z_min,
+       |       CAST(MAX(zcode) AS BIGINT) AS z_max
+       |FROM coded
+       |GROUP BY l_suppkey
+       |ORDER BY l_suppkey""".stripMargin
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.EventOps
+
+/** Sequential in-memory reference parity for the product-analytics funnel
+  * and BM25 retrieval scoring — both are exact integer constructions, so
+  * the distributed result must match a straight single-threaded fold
+  * bit-for-bit.
+  */
+class AnalyticsOpsSpec extends SparkSpecBase {
+
+  test("funnel matches a sequential per-user scan") {
+    val events = EventOps.withTsMs(Tables.events(spark, sfDir))
+      .select(col("user_id"), col("event_type"), col("ts_ms"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = events.groupBy(_._1)
+    // per user: walk stages in order, each arrival strictly after the last
+    val reached = Array.fill(EventOps.FunnelStages.length)(0L)
+    byUser.values.foreach { es =>
+      var t = Long.MinValue
+      var stage = 0
+      var advanced = true
+      while (advanced && stage < EventOps.FunnelStages.length) {
+        val want = EventOps.FunnelStages(stage)
+        val nxt = es.filter(e => e._2 == want && (stage == 0 || e._3 > t))
+        if (nxt.nonEmpty) {
+          t = nxt.map(_._3).min
+          reached(stage) += 1
+          stage += 1
+        } else advanced = false
+      }
+    }
+    val got = EventOps.funnel(spark, sfDir).collect()
+    assert(got.length == EventOps.FunnelStages.length)
+    got.foreach { r =>
+      val i = r.getLong(0).toInt - 1
+      assert(r.getString(1) == EventOps.FunnelStages(i))
+      assert(r.getLong(2) == reached(i),
+        s"stage ${i + 1} users: got ${r.getLong(2)} want ${reached(i)}")
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / reached(0))
+    }
+    // funnel counts are non-increasing by construction
+    got.map(_.getLong(2)).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a)
+      case _           => ()
+    }
+  }
+
+  test("retention matrix matches a sequential per-user scan") {
+    val weekMs = 7L * 24 * 3600 * 1000
+    val weeks = EventOps.withTsMs(Tables.events(spark, sfDir))
+      .select(col("user_id"), col("ts_ms")).collect()
+      .map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), weekMs)))
+      .distinct
+    val cohort = weeks.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val sizes = cohort.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val matrix = weeks
+      .groupBy { case (u, w) => (cohort(u), w - cohort(u)) }.view
+      .mapValues(_.size.toLong).toMap
+    val got = EventOps.retention(spark, sfDir).collect()
+    assert(got.length == matrix.size && got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == matrix(key), s"active at $key")
+      assert(r.getLong(3) == sizes(key._1))
+      assert(r.getLong(4) == matrix(key) * 1000000L / sizes(key._1))
+    }
+    // offset 0 is every cohort member by construction
+    got.filter(_.getLong(1) == 0L).foreach(r =>
+      assert(r.getLong(4) == 1000000L))
+  }
+
+  test("bm25 matches a sequential reference in exact fixed point") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val n = docs.length.toLong
+    val lTot = docs.map(_._2.length.toLong).sum
+    val q = TextAnalysis.Bm25Query
+    val tf = for {
+      (id, toks) <- docs
+      t <- q
+      c = toks.count(_ == t).toLong if c > 0
+    } yield (id, t, c, toks.length.toLong)
+    val df = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val scores = tf.groupBy(_._1).map { case (id, rows) =>
+      val s = rows.map { case (_, t, c, dl) =>
+        (n - df(t) + 1) * 44 * c * lTot * 10000 /
+          ((df(t) + 1) * (20 * c * lTot + 6 * lTot + 18 * dl * n))
+      }.sum
+      (id, s, rows.size.toLong)
+    }.toSeq
+    val want = scores.sortBy { case (id, s, _) => (-s, id) }
+      .take(TextAnalysis.Bm25TopK)
+    val got = TextAnalysis.bm25(spark, sfDir).collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).zipWithIndex.foreach { case ((g, (id, s, nt)), i) =>
+      assert(g.getLong(0) == id, s"rank ${i + 1} doc: ${g.getLong(0)} vs $id")
+      assert(g.getLong(1) == nt)
+      assert(g.getLong(2) == s, s"rank ${i + 1} score")
+      assert(g.getLong(3) == i + 1)
+    }
+  }
+}

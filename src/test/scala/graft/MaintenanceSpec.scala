@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Maintenance
+
+/** Lakehouse-maintenance operators: incremental-MV merge parity with a
+  * full recompute, compaction-plan invariants, and the Z-order layout's
+  * data-skipping property (the reason the operator exists).
+  */
+class MaintenanceSpec extends SparkSpecBase {
+
+  test("mv_incremental merged partials equal a full recompute") {
+    val got = Maintenance.mvIncremental(spark, sfDir).collect()
+    val want = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .as("price_cents"))
+      .groupBy(col("o_orderpriority"), col("o_year"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        min(col("price_cents")).as("min_cents"),
+        max(col("price_cents")).as("max_cents"))
+      .withColumn("avg_cents", expr("sum_cents div n"))
+      .orderBy(col("o_year"), col("o_orderpriority"))
+      .select("o_orderpriority", "o_year", "n", "sum_cents", "min_cents",
+        "max_cents", "avg_cents")
+      .collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
+  test("mv base state is group-sized, not row-sized") {
+    // the stored partial-aggregate table must be |groups| rows — that is
+    // the whole point of incremental maintenance
+    val dir = graft.sources.SetupOnce.runtimeDir(sfDir, "mv_orders_base")
+    Maintenance.mvIncremental(spark, sfDir).collect() // ensure laid down
+    val baseRows = spark.read.parquet(dir).count()
+    val sourceRows = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit(Maintenance.MvCutoff).cast("date"))
+      .count()
+    assert(baseRows < sourceRows / 10,
+      s"base state $baseRows rows vs $sourceRows source rows")
+  }
+
+  test("compact_plan: contiguous groups, conservation, bounded group size") {
+    val rows = Maintenance.compactPlan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val sizes = rows.map(_.getLong(3))
+    val total = sizes.sum
+    val target = (total + Maintenance.CompactBins - 1) / Maintenance.CompactBins
+    // groups are contiguous and non-decreasing in manifest order
+    val grps = rows.map(_.getLong(0))
+    grps.sliding(2).foreach { case Array(a, b) =>
+      assert(b == a || b == a + 1, s"non-contiguous group jump $a -> $b")
+    case _ => ()
+    }
+    // conservation: per-group totals sum to the corpus total
+    val byGrp = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(3)).sum).toMap
+    assert(byGrp.values.sum == total)
+    // grp_rows column agrees with the recomputed per-group total
+    rows.foreach(r => assert(r.getLong(4) == byGrp(r.getLong(0))))
+    // bound: a group exceeds the target only by (its last file − 1) rows
+    val maxFile = sizes.max
+    byGrp.values.foreach(g =>
+      assert(g <= target + maxFile - 1, s"group of $g vs target $target"))
+  }
+
+  test("zorder layout: disjoint z-ranges, 2-D skipping beats 1-D on the second key") {
+    val dir = Maintenance.zorderLayoutDir(spark, sfDir)
+    // per-file stats off the layout's own footers-worth of data
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("zcode").as("zlo"), max("zcode").as("zhi"),
+        min("l_partkey").as("plo"), max("l_partkey").as("phi"),
+        min("l_suppkey").as("slo"), max("l_suppkey").as("shi"))
+      .collect()
+    assert(perFile.length > 1)
+    // z-ranges disjoint (range-partitioned layout)
+    val zr = perFile.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    zr.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(lo > hi, s"overlapping z-ranges: hi $hi vs next lo $lo")
+    case _ => ()
+    }
+    // the query's 2-D predicate box intersects only a minority of files:
+    // this is the zone-map skip a reader performs with footer min/max
+    val (pLo, pHi, sLo, sHi) = Maintenance.zBox(spark, sfDir)
+    val hit2d = perFile.count(r =>
+      r.getLong(3) <= pHi && r.getLong(4) >= pLo &&
+        r.getLong(5) <= sHi && r.getLong(6) >= sLo)
+    assert(hit2d < perFile.length / 2,
+      s"2-D box hits $hit2d of ${perFile.length} files — no skipping")
+    // the Z-curve's locality claim itself: most files cover a narrow span
+    // of BOTH dimensions (a 1-D layout on either key leaves the other
+    // key's span ≈ the full domain in every file)
+    val pDomain = perFile.map(_.getLong(4)).max - perFile.map(_.getLong(3)).min
+    val sDomain = perFile.map(_.getLong(6)).max - perFile.map(_.getLong(5)).min
+    val narrowBoth = perFile.count(r =>
+      (r.getLong(4) - r.getLong(3)) * 2 <= pDomain &&
+        (r.getLong(6) - r.getLong(5)) * 2 <= sDomain)
+    assert(narrowBoth * 2 >= perFile.length,
+      s"only $narrowBoth of ${perFile.length} files narrow in both dims")
+    // and the query over the layout matches the straight-scan aggregate
+    val got = Maintenance.zorderLayout(spark, sfDir).collect()
+    val want = Tables.lineitem(spark, sfDir)
+      .filter(col("l_partkey").between(pLo, pHi) &&
+        col("l_suppkey").between(sLo, sHi))
+      .groupBy(col("l_suppkey").cast("long").as("l_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+          .as("price_cents"))
+      .orderBy(col("l_suppkey"))
+      .collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1) &&
+        g.getLong(2) == w.getLong(2))
+    }
+  }
+
+  test("morton code interleaves bits exactly") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (5L, 3L))
+      .toDF("bx", "by")
+      .withColumn("z", Maintenance.morton(col("bx"), col("by")))
+      .collect()
+    def ref(x: Long, y: Long): Long =
+      (0 until Maintenance.ZBits).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.sum
+    df.foreach { r =>
+      assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1)),
+        s"morton(${r.getLong(0)},${r.getLong(1)})")
+    }
+  }
+}
