@@ -203,6 +203,71 @@ object Streams {
       .start()
   }
 
+  /** Applies ONE micro-batch to the stored MV summary state — exposed so
+    * the spec can replay a batch id and pin idempotence. The state layout
+    * under `stateDir` is `data/` (the |groups|-row summary parquet) plus
+    * zero-byte `applied_batch_<id>` markers: additive aggregate state is
+    * NOT naturally idempotent under foreachBatch's at-least-once replay
+    * (a crash between sink write and checkpoint commit re-delivers the
+    * batch id), so the marker is the commit record a table format would
+    * keep in its transaction log — already-applied ids are skipped
+    * wholesale.
+    */
+  private[graft] def applyMvBatch(batch: DataFrame, batchId: Long,
+      stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, s"applied_batch_$batchId")
+    if (fs.exists(marker)) return
+    val dataDir = s"$stateDir/data"
+    def partials(df: DataFrame): DataFrame = df
+      .select(col("category"),
+        RefTransforms.cents(expr("try_cast(amount AS DOUBLE)"))
+          .as("price_cents"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        min(col("price_cents")).as("min_cents"),
+        max(col("price_cents")).as("max_cents"))
+    val batchPartials = partials(batch)
+    val dataPath = new org.apache.hadoop.fs.Path(dataDir)
+    val existing =
+      if (fs.exists(dataPath)) spark.read.parquet(dataDir)
+      else batchPartials.limit(0)
+    val merged = batchPartials.unionByName(existing)
+      .groupBy(col("category"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
+      // materialize before overwriting the very files the merge reads
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(dataDir)
+    fs.create(marker, true).close()
+  }
+
+  /** Streaming materialized-view maintenance — the continuous form of
+    * `operators.Maintenance.mvIncremental`: each landed transaction file
+    * folds into a stored per-category count/sum/min/max summary, so the
+    * "view" is refreshed at O(batch + |groups|) per micro-batch while
+    * the raw history is never re-read. Restart-safe: the checkpoint
+    * resumes undrained files, and [[applyMvBatch]]'s marker protocol
+    * makes replayed batch ids no-ops (StreamingSpec pins both paths).
+    */
+  def mvPipeline(spark: SparkSession, inDir: String, stateDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(transactionSchema)
+      .option("header", "true")
+      .csv(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyMvBatch(batch, id, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** The reference's literal production topology: landed file → transform
     * → warehouse upsert (S3 notification → Lambda → Redshift ON CONFLICT,
     * README.md:155-187 + lambda_function.py:176-271), as a streaming
