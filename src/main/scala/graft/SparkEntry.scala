@@ -135,6 +135,7 @@ object SparkEntry {
     "q_bloom_decontaminate" -> (Dedup.bloomDecontaminate _),
     "q_dedup_incremental" -> (Dedup.dedupIncremental _),
     "q_chunk_dedup"       -> (Dedup.chunkDedup _),
+    "q_cdc_chunks"        -> (Dedup.cdcChunks _),
     // [EXT] LLM-pipeline: similarity search + multimodal
     "q_ann_brute"       -> (Ann.bruteForceTopK _),
     // hash-checked DESPITE being approximate: the hyperplane signs are
@@ -271,6 +272,7 @@ object SparkEntry {
     "q_bloom_decontaminate" -> Dedup.bloomDecontaminateSql,
     "q_dedup_incremental" -> Dedup.dedupIncrementalSql,
     "q_chunk_dedup"     -> Dedup.chunkDedupSql,
+    "q_cdc_chunks"      -> Dedup.cdcChunksSql,
     "q_ann_brute"       -> Ann.bruteForceTopKSql,
     "q_ann_lsh"         -> Ann.lshTopKValidatedSql,
     // exhaustive-probe IVF visits every list, so its output is exactly the

@@ -1140,4 +1140,114 @@ object Dedup {
        |WHERE $ham <= $SimHammingMax
        |ORDER BY d1, d2""".stripMargin
   }
+
+  // ---------- Content-defined chunking (CDC) ----------
+
+  /** Rolling-hash window width and boundary divisor: a chunk boundary
+    * falls after any token whose trailing-[[CdcWindow]] rolling hash is
+    * ≡ 0 mod [[CdcDivisor]] → expected chunk length ≈ CdcDivisor tokens.
+    */
+  val CdcWindow  = 4
+  val CdcDivisor = 8L
+  private val CdcP = 2147483647L // 2^31 − 1, same modulus as minhash
+
+  /** Content-defined chunks per document — the insertion-robust
+    * alternative to [[chunkDedup]]'s fixed 32-token grid. Boundaries are
+    * chosen by CONTENT (a rolling polynomial hash over the last
+    * [[CdcWindow]] token hashes hitting 0 mod [[CdcDivisor]]), so
+    * prepending or inserting tokens shifts only the chunks up to the
+    * first post-edit boundary; every later chunk re-synchronizes on the
+    * same content and keeps its fingerprint (the rsync/LBFS principle,
+    * pinned quantitatively in DedupSpec). The fixed grid, by contrast,
+    * re-phases EVERY chunk after a single-token insert.
+    *
+    * Shape: one shuffle on doc_id serves the lag window, the
+    * boundary-count running sum, and the per-chunk regroup (the group
+    * keys extend the partitioning key); everything after is narrow.
+    * Returns (doc_id, chunk_id, chunk_text).
+    */
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "tok")
+      .withColumn("th", polyHash(col("tok"), 31L, CdcP))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val rolled = toks
+      .withColumn("l1", lag(col("th"), 1).over(w))
+      .withColumn("l2", lag(col("th"), 2).over(w))
+      .withColumn("l3", lag(col("th"), 3).over(w))
+      .withColumn("b",
+        when(col("pos") >= CdcWindow - 1,
+          (expr(s"((((l3 * 31 + l2) % $CdcP) * 31 + l1) % $CdcP * 31 + th) % $CdcP")
+            % CdcDivisor === 0).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("chunk_id",
+        coalesce(sum(col("b")).over(wPrev), lit(0L)))
+    rolled.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("chunk_text"))
+  }
+
+  /** Cross-document CDC chunk dedup report: chunks keyed by their 128-bit
+    * content hash (md5 — DuckDB-portable, and the key stays 32 bytes
+    * through the shuffle regardless of chunk length, the same fix
+    * [[chunkDedup]] applies), duplicated-across-documents ones only.
+    * Output: (fp, chunk_text, n_docs, n_occ).
+    */
+  def cdcChunks(s: SparkSession, d: String): DataFrame =
+    cdcChunksOf(Tables.spread(Tables.documents(s, d), col("doc_id")))
+      .withColumn("fp", md5(col("chunk_text")))
+      .groupBy(col("fp"))
+      .agg(min(col("chunk_text")).as("chunk_text"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("fp"))
+
+  val cdcChunksSql: String = {
+    val tokHash = polyHashSql("tok", 31L, CdcP)
+    s"""WITH split AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |toku AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |           i -> {'pos': i - 1, 'tok': toks[i]})) AS u
+       |  FROM split),
+       |tok AS (
+       |  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok AS tok
+       |  FROM toku),
+       |th AS (SELECT doc_id, pos, $tokHash AS th FROM tok),
+       |roll AS (
+       |  SELECT doc_id, pos, th,
+       |         lag(th, 1) OVER w AS l1, lag(th, 2) OVER w AS l2,
+       |         lag(th, 3) OVER w AS l3
+       |  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |bounds AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos >= ${CdcWindow - 1} AND
+       |           ((((l3 * 31 + l2) % $CdcP) * 31 + l1) % $CdcP * 31 + th)
+       |             % $CdcP % $CdcDivisor = 0
+       |         THEN 1 ELSE 0 END AS b
+       |  FROM roll),
+       |chunked AS (
+       |  SELECT t.doc_id, t.pos, t.tok,
+       |         COALESCE(SUM(b.b) OVER (PARTITION BY t.doc_id ORDER BY t.pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS chunk_id
+       |  FROM tok t JOIN bounds b ON t.doc_id = b.doc_id AND t.pos = b.pos),
+       |chunks AS (
+       |  SELECT doc_id, chunk_id,
+       |         string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+       |  FROM chunked GROUP BY doc_id, chunk_id)
+       |SELECT md5(chunk_text) AS fp,
+       |       MIN(chunk_text) AS chunk_text,
+       |       COUNT(DISTINCT doc_id) AS n_docs,
+       |       COUNT(*) AS n_occ
+       |FROM chunks
+       |GROUP BY md5(chunk_text)
+       |HAVING COUNT(DISTINCT doc_id) >= 2
+       |ORDER BY fp""".stripMargin
+  }
 }

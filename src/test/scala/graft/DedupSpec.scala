@@ -389,4 +389,52 @@ class DedupSpec extends SparkSpecBase {
     // and no standing-corpus-only pair leaks in
     assert(inc.forall { case (a, _) => isNew(a) })
   }
+
+  test("cdc chunking re-synchronizes after an insertion; fixed grid does not") {
+    // a long deterministic pseudo-text (enough tokens for ~25 chunks)
+    val words = Array("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "julia", "kilo", "lima", "mike")
+    val text = (0 until 200)
+      .map(i => words((((i * 2654435761L) >>> 7) % words.length).toInt))
+      .mkString(" ")
+    val shifted = "inserted " + text
+    val df = Seq((0L, text), (1L, shifted)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunksOf(df)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text")).collect()
+    val c0 = chunks.filter(_.getLong(0) == 0L).sortBy(_.getLong(1))
+      .map(_.getString(2))
+    val c1 = chunks.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+      .map(_.getString(2))
+    // chunking is a partition: concatenation reconstructs the text
+    assert(c0.mkString(" ") == text)
+    assert(c1.mkString(" ") == shifted)
+    // content-defined boundaries re-synchronize: most of the original
+    // doc's distinct chunks survive the single-token insertion verbatim
+    val d0 = c0.toSet
+    val shared = d0.intersect(c1.toSet).size
+    assert(d0.size >= 10, s"want a multi-chunk doc, got ${d0.size} distinct")
+    assert(shared * 10 >= d0.size * 6,
+      s"only $shared of ${d0.size} distinct chunks survived the insertion")
+    // contrast: a fixed 32-token grid re-phases EVERY chunk after the
+    // insertion (the weakness cdc exists to fix)
+    val toks = text.split(" ")
+    val grid0 = toks.grouped(32).map(_.mkString(" ")).toSet
+    val grid1 = ("inserted" +: toks).grouped(32).map(_.mkString(" ")).toSet
+    assert(grid0.intersect(grid1).size <= 1)
+  }
+
+  test("cdc chunk report counts duplicated chunks across docs exactly") {
+    val df = Seq((0L, base), (1L, base)).toDF("doc_id", "text")
+    val rep = Dedup.cdcChunksOf(df)
+      .withColumn("fp", md5(col("chunk_text")))
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .collect()
+    // identical docs: every chunk fingerprint appears in both
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    }
+  }
 }
