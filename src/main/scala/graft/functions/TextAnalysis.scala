@@ -972,10 +972,12 @@ object TextAnalysis {
     * and the idf uses the linear surrogate (N−df+1)/(df+1) — same
     * portability decision as [[tfidf]]'s linear idf (ln() is not
     * bit-reproducible across engines; the surrogate is order-equivalent
-    * on df). Each (doc, term) contribution is floored once into 1e4-scale
-    * fixed point, so the whole score is hash-exact cross-engine. Sized
-    * for BIGINT through sf0.1 (≈5e18 headroom); a petabyte corpus runs
-    * the same expressions over DECIMAL(38,0).
+    * on df). Each factor is floored separately into 1e2 fixed point and
+    * the contribution is their product (1e4-scale overall), keeping the
+    * largest intermediate at 4400·tf·L — BIGINT-safe past a
+    * 10,000×-sf0.1 corpus (measured green at the 100× scale point; the
+    * one-product form overflowed exactly there). Hash-exact
+    * cross-engine.
     *
     * Scale shape: the only corpus-wide statistics are N, L (one tiny agg,
     * broadcast) and per-term df over the QUERY terms only (≤|query| rows,
@@ -998,10 +1000,11 @@ object TextAnalysis {
     val contrib = tf.join(broadcast(dfreq), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
-      .withColumn("part",
-        expr("""(n_docs - df + 1) * 44 * tf * l_tot * 10000 div
-               |((df + 1) * (20 * tf * l_tot + 6 * l_tot + 18 * dl * n_docs))"""
-          .stripMargin.replace("\n", " ")))
+      .withColumn("idf_c", expr("(n_docs - df + 1) * 100 div (df + 1)"))
+      .withColumn("tfc_c",
+        expr("44 * tf * l_tot * 100 div " +
+          "(20 * tf * l_tot + 6 * l_tot + 18 * dl * n_docs)"))
+      .withColumn("part", col("idf_c") * col("tfc_c"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id").asc)
     contrib.groupBy(col("doc_id"))
@@ -1027,8 +1030,9 @@ object TextAnalysis {
        |          FROM tf GROUP BY term),
        |contrib AS (
        |  SELECT tf.doc_id,
-       |         (n_docs - df + 1) * 44 * tf * l_tot * 10000 //
-       |           ((df + 1) * (20 * tf * l_tot + 6 * l_tot + 18 * dl.dl * n_docs))
+       |         ((n_docs - df + 1) * 100 // (df + 1)) *
+       |           (44 * tf * l_tot * 100 //
+       |             (20 * tf * l_tot + 6 * l_tot + 18 * dl.dl * n_docs))
        |           AS part
        |  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
        |  CROSS JOIN stats),

@@ -90,8 +90,9 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     val df = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val scores = tf.groupBy(_._1).map { case (id, rows) =>
       val s = rows.map { case (_, t, c, dl) =>
-        (n - df(t) + 1) * 44 * c * lTot * 10000 /
-          ((df(t) + 1) * (20 * c * lTot + 6 * lTot + 18 * dl * n))
+        ((n - df(t) + 1) * 100 / (df(t) + 1)) *
+          (44 * c * lTot * 100 /
+            (20 * c * lTot + 6 * lTot + 18 * dl * n))
       }.sum
       (id, s, rows.size.toLong)
     }.toSeq

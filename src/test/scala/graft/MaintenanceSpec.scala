@@ -119,6 +119,17 @@ class MaintenanceSpec extends SparkSpecBase {
     }
   }
 
+  test("zorder scan pushes both box predicates to the parquet source") {
+    // the stats-derived literals must reach the scan as PushedFilters —
+    // a runtime stats-join comparison would leave the source unfiltered
+    val plan = Maintenance.zorderLayout(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"))
+    val pushed = plan.split("PushedFilters: \\[").last.split("\\]").head
+    assert(pushed.contains("l_partkey") && pushed.contains("l_suppkey"),
+      s"box predicates not pushed: $pushed")
+  }
+
   test("morton code interleaves bits exactly") {
     import spark.implicits._
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (5L, 3L))
