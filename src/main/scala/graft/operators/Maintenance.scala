@@ -172,6 +172,30 @@ object Maintenance {
        |FROM planned
        |ORDER BY f_year, f_month""".stripMargin
 
+  /** Executes a compaction plan: rewrites the source so each planned
+    * group lands as ONE file (repartition by the group id — every group
+    * is an independent rewrite task, which is how OPTIMIZE parallelizes
+    * across a cluster), Hive-partitioned by `grp` so readers and the
+    * spec can address each compacted unit. The data rows are joined to
+    * their group via the (year, month) file key — broadcastable: the
+    * plan is manifest-sized. Returns the output directory.
+    */
+  def compactExecute(s: SparkSession, d: String): String = {
+    val dir = SetupOnce.runtimeDir(d, "orders_compacted")
+    SetupOnce(dir) {
+      val plan = compactPlan(s, d).select(col("grp"), col("f_year"),
+        col("f_month"))
+      Tables.orders(s, d)
+        .withColumn("f_year", year(col("o_orderdate")).cast("long"))
+        .withColumn("f_month", month(col("o_orderdate")).cast("long"))
+        .join(broadcast(plan), Seq("f_year", "f_month"))
+        .drop("f_year", "f_month")
+        .repartition(col("grp"))
+        .write.mode("overwrite").partitionBy("grp").parquet(dir)
+    }
+    dir
+  }
+
   // ---------------------------------------------------------------------
   // q_zorder_layout — multi-dimensional Z-order clustering
   // ---------------------------------------------------------------------

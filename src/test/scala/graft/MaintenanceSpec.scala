@@ -67,6 +67,28 @@ class MaintenanceSpec extends SparkSpecBase {
       assert(g <= target + maxFile - 1, s"group of $g vs target $target"))
   }
 
+  test("compact_execute rewrites each planned group; nothing lost or invented") {
+    val dir = Maintenance.compactExecute(spark, sfDir)
+    val out = spark.read.parquet(dir)
+      .withColumn("grp", col("grp").cast("long"))
+    val plan = Maintenance.compactPlan(spark, sfDir).collect()
+    val wantByGrp = plan.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(3)).sum).toMap
+    val gotByGrp = out.groupBy(col("grp")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotByGrp == wantByGrp)
+    // full-row conservation vs the source table
+    val src = Tables.orders(spark, sfDir)
+    assert(out.drop("grp").exceptAll(src).count() == 0L)
+    assert(src.exceptAll(out.drop("grp")).count() == 0L)
+    // the point of compaction: one data file per group
+    wantByGrp.keys.foreach { g =>
+      val files = new java.io.File(s"$dir/grp=$g")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"group $g has $files files")
+    }
+  }
+
   test("zorder layout: disjoint z-ranges, 2-D skipping beats 1-D on the second key") {
     val dir = Maintenance.zorderLayoutDir(spark, sfDir)
     // per-file stats off the layout's own footers-worth of data
