@@ -997,20 +997,29 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // only hit docs need their length in the scoring join: the semi
+    // filter (broadcast — hit ids are |hits|-sized) keeps the corpus-row
+    // dl table out of the shuffle
+    val hitDl = dl.join(broadcast(tf.select(col("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi")
     val contrib = tf.join(broadcast(dfreq), Seq("term"))
-      .join(dl, Seq("doc_id"))
+      .join(hitDl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf_c", expr("(n_docs - df + 1) * 100 div (df + 1)"))
       .withColumn("tfc_c",
         expr("44 * tf * l_tot * 100 div " +
           "(20 * tf * l_tot + 6 * l_tot + 18 * dl * n_docs)"))
       .withColumn("part", col("idf_c") * col("tfc_c"))
+    // global top-k via sort+limit (TakeOrderedAndProject — k rows per
+    // partition cross the wire); rank assignment's window then runs over
+    // the k survivors only, never the full hit set
+    val top = contrib.groupBy(col("doc_id"))
+      .agg(sum(col("part")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id").asc)
-    contrib.groupBy(col("doc_id"))
-      .agg(sum(col("part")).as("score"), count(lit(1)).as("n_terms"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= Bm25TopK)
+    top.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("n_terms"), col("score"), col("rank"))
       .orderBy(col("rank"))
   }

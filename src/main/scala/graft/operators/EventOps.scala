@@ -435,7 +435,10 @@ object EventOps {
           lit(FunnelStages(i)).as("stage"), col("users"))
     }.reduce(_.unionByName(_))
       .crossJoin(broadcast(base))
-      .withColumn("conv_ppm", expr("users * 1000000 div stage1_users"))
+      // greatest(_, 1): an event feed with no stage-1 arrivals yields an
+      // all-zero funnel, not an ANSI divide-by-zero
+      .withColumn("conv_ppm",
+        expr("users * 1000000 div greatest(stage1_users, 1)"))
       .select(col("stage_idx"), col("stage"), col("users"), col("conv_ppm"))
       .orderBy(col("stage_idx"))
   }
@@ -514,7 +517,8 @@ object EventOps {
        |stages AS (
        |$unions)
        |SELECT stage_idx, stage, users,
-       |       users * 1000000 // (SELECT COUNT(*) FROM s1) AS conv_ppm
+       |       users * 1000000 // greatest((SELECT COUNT(*) FROM s1), 1)
+       |         AS conv_ppm
        |FROM stages ORDER BY stage_idx""".stripMargin
   }
 }

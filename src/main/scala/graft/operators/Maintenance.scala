@@ -27,12 +27,8 @@ import graft.sources.SetupOnce
   */
 object Maintenance {
 
-  /** floor(x*100+0.5) as BIGINT — exact money cents (same convention as
-    * RefTransforms.cents; duplicated signature here to keep this module
-    * self-contained for column use).
-    */
-  private def cents(c: Column): Column =
-    floor(c * 100 + lit(0.5)).cast("long")
+  /** Exact money cents — the repo-wide FP-determinism convention. */
+  private def cents(c: Column): Column = RefTransforms.cents(c)
 
   // ---------------------------------------------------------------------
   // q_mv_incremental — incremental materialized-view maintenance
@@ -234,18 +230,17 @@ object Maintenance {
   private[graft] def zorderLayoutDir(s: SparkSession, d: String): String = {
     val dir = SetupOnce.runtimeDir(d, "lineitem_zorder")
     SetupOnce(dir) {
-      val li = Tables.lineitem(s, d)
+      // the same once-per-JVM stats the box predicate uses: literals in
+      // the bucket exprs, so the build is one narrow pass — no second
+      // max-aggregate, no crossJoin, no helper columns in the files
+      val (pMax, sMax) = keyMaxes(s, d)
+      val b = 1L << ZBits
+      Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_extendedprice"))
-      val maxes = li.agg(max(col("l_partkey")).as("p_max"),
-        max(col("l_suppkey")).as("s_max"))
-      li.crossJoin(broadcast(maxes))
-        .withColumn("bx",
-          expr(s"(l_partkey * ${1L << ZBits}) div (p_max + 1)"))
-        .withColumn("by",
-          expr(s"(l_suppkey * ${1L << ZBits}) div (s_max + 1)"))
-        .withColumn("zcode", morton(col("bx"), col("by")))
-        .drop("p_max", "s_max")
+        .withColumn("zcode", morton(
+          expr(s"(l_partkey * $b) div ${pMax + 1}"),
+          expr(s"(l_suppkey * $b) div ${sMax + 1}")))
         .repartitionByRange(ZFiles, col("zcode"))
         .sortWithinPartitions(col("zcode"))
         .write.mode("overwrite").parquet(dir)

@@ -205,13 +205,20 @@ object Streams {
 
   /** Applies ONE micro-batch to the stored MV summary state — exposed so
     * the spec can replay a batch id and pin idempotence. The state layout
-    * under `stateDir` is `data/` (the |groups|-row summary parquet) plus
-    * zero-byte `applied_batch_<id>` markers: additive aggregate state is
+    * under `stateDir` is versioned: `v<id>/` summary parquets plus
+    * zero-byte `applied_batch_<id>` commit markers, and the LIVE state is
+    * the `v` dir of the highest committed id. Additive aggregate state is
     * NOT naturally idempotent under foreachBatch's at-least-once replay
     * (a crash between sink write and checkpoint commit re-delivers the
-    * batch id), so the marker is the commit record a table format would
-    * keep in its transaction log — already-applied ids are skipped
-    * wholesale.
+    * batch id), and a two-step write-then-mark over a single `data/` dir
+    * would still double-count when the crash lands BETWEEN the steps —
+    * so each batch writes a fresh version (never touching the live one)
+    * and the single-file marker create is the atomic commit point, the
+    * transaction-log entry a table format provides. A crash before the
+    * marker leaves an orphan `v` dir that the replay simply overwrites;
+    * a crash after it makes the replay a no-op. Superseded versions are
+    * cheap |groups|-row files (vacuuming them is routine housekeeping,
+    * out of scope here).
     */
   private[graft] def applyMvBatch(batch: DataFrame, batchId: Long,
       stateDir: String): Unit = {
@@ -220,8 +227,7 @@ object Streams {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(root, s"applied_batch_$batchId")
     if (fs.exists(marker)) return
-    val dataDir = s"$stateDir/data"
-    def partials(df: DataFrame): DataFrame = df
+    val batchPartials = batch
       .select(col("category"),
         RefTransforms.cents(expr("try_cast(amount AS DOUBLE)"))
           .as("price_cents"))
@@ -229,20 +235,42 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
         min(col("price_cents")).as("min_cents"),
         max(col("price_cents")).as("max_cents"))
-    val batchPartials = partials(batch)
-    val dataPath = new org.apache.hadoop.fs.Path(dataDir)
-    val existing =
-      if (fs.exists(dataPath)) spark.read.parquet(dataDir)
-      else batchPartials.limit(0)
+    val existing = mvStateDir(fs, stateDir) match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None      => batchPartials.limit(0)
+    }
     val merged = batchPartials.unionByName(existing)
       .groupBy(col("category"))
       .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
         min(col("min_cents")).as("min_cents"),
         max(col("max_cents")).as("max_cents"))
-      // materialize before overwriting the very files the merge reads
-      .localCheckpoint()
-    merged.write.mode("overwrite").parquet(dataDir)
+    // fresh version dir: the live state's files are never rewritten, so
+    // no localCheckpoint is needed and a torn write cannot lose state
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
     fs.create(marker, true).close()
+  }
+
+  /** The current committed MV state's directory: highest marker id. */
+  private def mvStateDir(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    if (!fs.exists(root)) None
+    else {
+      val ids = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("applied_batch_"))
+        .map(_.stripPrefix("applied_batch_").toLong)
+      if (ids.isEmpty) None else Some(s"$stateDir/v${ids.max}")
+    }
+  }
+
+  /** Public reader for the committed MV state (empty-schema-free: callers
+    * get an error, not silent emptiness, when no batch ever committed).
+    */
+  def mvState(spark: SparkSession, stateDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    spark.read.parquet(mvStateDir(fs, stateDir).getOrElse(
+      sys.error(s"no committed MV state under $stateDir")))
   }
 
   /** Streaming materialized-view maintenance — the continuous form of

@@ -49,10 +49,12 @@ class MaintenanceSpec extends SparkSpecBase {
     val sizes = rows.map(_.getLong(3))
     val total = sizes.sum
     val target = (total + Maintenance.CompactBins - 1) / Maintenance.CompactBins
-    // groups are contiguous and non-decreasing in manifest order
+    // groups are non-decreasing in manifest order (contiguity); ids may
+    // SKIP under skew — a file larger than a whole bin advances the
+    // start offset past it — so only monotonicity is structural
     val grps = rows.map(_.getLong(0))
     grps.sliding(2).foreach { case Array(a, b) =>
-      assert(b == a || b == a + 1, s"non-contiguous group jump $a -> $b")
+      assert(b >= a, s"group order violated: $a -> $b")
     case _ => ()
     }
     // conservation: per-group totals sum to the corpus total

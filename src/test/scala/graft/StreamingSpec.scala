@@ -195,7 +195,7 @@ class StreamingSpec extends SparkSpecBase {
       ("T3", "5.25", "travel")))
     Streams.mvPipeline(spark, in, state, ckp).awaitTermination()
     def snap: Map[String, (Long, Long, Long, Long)] =
-      spark.read.parquet(s"$state/data")
+      Streams.mvState(spark, state)
         .collect()
         .map(r => r.getString(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
@@ -222,6 +222,16 @@ class StreamingSpec extends SparkSpecBase {
     // the marker, not inability to merge)
     Streams.applyMvBatch(replay, 99L, state)
     assert(snap("grocery") === ((2L, 20000L, 10000L, 10000L)))
+    // crash-window replay: version written but marker missing (the crash
+    // between sink write and commit) — the re-apply must CONVERGE to the
+    // same state, not double-count, because it merges from the previous
+    // COMMITTED version and overwrites the orphan
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(state, "applied_batch_99"), false)
+    Streams.applyMvBatch(replay, 99L, state)
+    assert(snap("grocery") === ((2L, 20000L, 10000L, 10000L)),
+      "partial-commit replay double-counted")
   }
 
   test("ProcessingTime run ingests files as they land; restart over the " +
