@@ -11,7 +11,11 @@ import org.apache.spark.sql.SparkSession
   * via splitmix64 — no RNG state, identical output at any parallelism —
   * the same design as [[graft.sources.TxnGenerator]].
   *
-  * Usage: ScaleData <outDir> <nDocs> <nVecs> [vocabMul]
+  * Usage: ScaleData <outDir> <nDocs> <nVecs> [vocabMul] [nEvents]
+  * `nEvents` > 0 additionally writes an `events` table in the driver
+  * shape (5 event types over a 60-day window, users ∝ events/67 — the
+  * driver ratio), extending the scale study to the events-driven
+  * analytics family (funnel, retention, event-time windows).
   * The driver testdata is sf0.1 = 5000 docs / 2000 vecs, so a 10× "sf1"
   * run is `ScaleData /tmp/graft_sf1 50000 20000`.
   *
@@ -98,7 +102,23 @@ object ScaleData {
     spark.range(nVecs).map(id => (id, embedding(id), id % 10L))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    println(s"""{"docs":$nDocs,"vecs":$nVecs,"vocabMul":$vocabMul,"dir":"$outDir"}""")
+    val nEvents = if (args.length > 4) args(4).toLong else 0L
+    if (nEvents > 0) {
+      val types = Array("signup", "view", "click", "purchase", "error")
+      val nUsers = math.max(nEvents / 67L, 1L) // driver ratio ~10k/150
+      val baseUs = 1704067200000000L           // 2024-01-01T00:00:00Z, µs
+      val spanUs = 60L * 24 * 3600 * 1000000L  // 60-day window
+      spark.range(nEvents).map { id =>
+        val ts = baseUs + Math.floorMod(mix(id * 31L + 3L), spanUs)
+        (id, new java.sql.Timestamp(ts / 1000L),
+          Math.floorMod(mix(id * 131L + 7L), nUsers),
+          types(Math.floorMod(mix(id * 997L + 11L), types.length.toLong).toInt),
+          Math.floorMod(mix(id * 8191L + 13L), 100000L) / 100.0d,
+          s"""{"k":${Math.floorMod(mix(id * 127L + 17L), 1000L)}}""")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
+    println(s"""{"docs":$nDocs,"vecs":$nVecs,"vocabMul":$vocabMul,"events":$nEvents,"dir":"$outDir"}""")
     spark.stop()
   }
 }
