@@ -51,6 +51,7 @@ object SparkEntry {
     "q_cluster_layout"  -> (PipelineQueries.clusterLayout _),
     // [EXT] lakehouse maintenance — incremental MV, compaction, Z-order
     "q_mv_incremental"  -> (Maintenance.mvIncremental _),
+    "q_mv_sketch"       -> (Maintenance.mvSketchDistinct _),
     "q_compact_plan"    -> (Maintenance.compactPlan _),
     "q_zorder_layout"   -> (Maintenance.zorderLayout _),
     // [EXT] relational — SURVEY §2e-§2i
@@ -198,6 +199,7 @@ object SparkEntry {
     "q_partition_prune" -> PipelineQueries.partitionPruneSql,
     "q_cluster_layout"  -> PipelineQueries.clusterLayoutSql,
     "q_mv_incremental"  -> Maintenance.mvIncrementalSql,
+    "q_mv_sketch"       -> Maintenance.mvSketchDistinctSql,
     "q_compact_plan"    -> Maintenance.compactPlanSql,
     "q_zorder_layout"   -> Maintenance.zorderLayoutSql,
     "q_join_enrich"     -> Relational.joinEnrichSql,

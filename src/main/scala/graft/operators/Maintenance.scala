@@ -89,6 +89,66 @@ object Maintenance {
       .orderBy(col("o_year"), col("o_orderpriority"))
   }
 
+  /** Relative-error gate (percent) for the sketch-state view — HLL at the
+    * default lgConfigK=12 carries ~1% relative standard error, so 5% is a
+    * hard-failure alarm, not a tuning target.
+    */
+  val MvSketchGatePct = 5
+
+  private def sketchPartials(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("cust_sketch"))
+
+  /** Incrementally-maintained DISTINCT-count view — the aggregate class
+    * [[mvIncremental]]'s monoid state cannot cover: exact distinct
+    * partials are not mergeable (two slices' distinct counts don't add),
+    * which is exactly why warehouse MV systems keep a SKETCH as the
+    * stored state. The historical slice's per-group HLL sketches are
+    * materialized once; each refresh sketches only the delta and merges
+    * with `hll_union_agg` (register-wise max — associative, commutative,
+    * idempotent, so replays and re-orderings are harmless). The driver
+    * row is the checked projection (same contract as
+    * `q_approx_distinct`): the exact distinct twin plus an in-row
+    * ±[[MvSketchGatePct]]% gate on the merged estimate — the oracle
+    * recomputes the twin and pins the gate TRUE, so a sketch drifting
+    * out of its guarantee fails the hash compare. MaintenanceSpec
+    * additionally pins merge-parity: the union of slice sketches
+    * estimates identically to one single-pass sketch of all rows.
+    */
+  def mvSketchDistinct(s: SparkSession, d: String): DataFrame = {
+    val dir = SetupOnce.runtimeDir(d, "mv_orders_sketch")
+    SetupOnce(dir) {
+      sketchPartials(Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit(MvCutoff).cast("date")))
+        .write.mode("overwrite").parquet(dir)
+    }
+    val base  = s.read.parquet(dir)
+    val delta = sketchPartials(Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(MvCutoff).cast("date")))
+    val merged = base.unionByName(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(hll_union_agg(col("cust_sketch")).as("sk"))
+      .withColumn("est", hll_sketch_estimate(col("sk")))
+    val exact = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"))
+    merged.join(exact, Seq("o_orderpriority"))
+      .withColumn("within_gate",
+        abs(col("est") - col("exact_customers")) * lit(100L) <=
+          col("exact_customers") * lit(MvSketchGatePct.toLong))
+      .select(col("o_orderpriority"), col("exact_customers"),
+        col("within_gate"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val mvSketchDistinctSql: String =
+    """SELECT o_orderpriority,
+      |       COUNT(DISTINCT o_custkey) AS exact_customers,
+      |       TRUE AS within_gate
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Full recompute — what the merged partials must equal. */
   val mvIncrementalSql: String =
     """SELECT o_orderpriority,

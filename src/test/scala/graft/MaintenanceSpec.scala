@@ -43,6 +43,30 @@ class MaintenanceSpec extends SparkSpecBase {
       s"base state $baseRows rows vs $sourceRows source rows")
   }
 
+  test("mv_sketch: merged slice sketches estimate exactly like one pass, " +
+      "and the gate holds") {
+    val rows = Maintenance.mvSketchDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(2), s"gate failed: $r"))
+    // merge-parity: union of the two slice sketches ≡ one single-pass
+    // sketch of all rows (register-wise max is order-insensitive)
+    val single = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lo = lit(Maintenance.MvCutoff).cast("date")
+    val slices = Seq(col("o_orderdate") < lo, col("o_orderdate") >= lo)
+    val mergedEst = slices.map(p =>
+        Tables.orders(spark, sfDir).filter(p)
+          .groupBy(col("o_orderpriority"))
+          .agg(hll_sketch_agg(col("o_custkey")).as("sk")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mergedEst == single)
+  }
+
   test("compact_plan: contiguous groups, conservation, bounded group size") {
     val rows = Maintenance.compactPlan(spark, sfDir).collect()
     assert(rows.nonEmpty)
