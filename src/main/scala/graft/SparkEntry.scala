@@ -64,6 +64,7 @@ object SparkEntry {
     "q_typed_agg"       -> (TypedOps.typedAgg _),
     "q_percentiles"     -> (Relational.percentiles _),
     "q_stats_exact"     -> (Relational.statsExact _),
+    "q_anomaly"         -> (Relational.anomalyExact _),
     "q_salted_agg"      -> (TypedOps.saltedAgg _),
     "q_agg_distinct"    -> (Relational.aggDistinct _),
     // hash-gated checked projections: sketch estimates are engine-specific,
@@ -94,6 +95,7 @@ object SparkEntry {
     "q_pivot"           -> (EventOps.pivotEvents _),
     "q_asof_join"       -> (EventOps.asofJoin _),
     "q_funnel"          -> (EventOps.funnel _),
+    "q_transitions"     -> (EventOps.transitions _),
     "q_retention"       -> (EventOps.retention _),
     "q_word_counts"     -> ((s: SparkSession, d: String) =>
       TextAnalysis.wordCounts(s, d)),
@@ -211,6 +213,7 @@ object SparkEntry {
     "q_typed_agg"       -> TypedOps.typedAggSql,
     "q_percentiles"     -> Relational.percentilesSql,
     "q_stats_exact"     -> Relational.statsExactSql,
+    "q_anomaly"         -> Relational.anomalyExactSql,
     "q_salted_agg"      -> TypedOps.saltedAggSql,
     "q_agg_distinct"    -> Relational.aggDistinctSql,
     "q_approx_distinct" -> Relational.aggApproxDistinctCheckedSql,
@@ -236,6 +239,7 @@ object SparkEntry {
     "q_pivot"           -> EventOps.pivotEventsSql,
     "q_asof_join"       -> EventOps.asofJoinSql,
     "q_funnel"          -> EventOps.funnelSql,
+    "q_transitions"     -> EventOps.transitionsSql,
     "q_retention"       -> EventOps.retentionSql,
     "q_word_counts"     -> TextAnalysis.wordCountsSql,
     "q_text_stats"      -> TextAnalysis.textStatsSql,

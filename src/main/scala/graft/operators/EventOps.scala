@@ -497,6 +497,51 @@ object EventOps {
        |FROM matrix m JOIN sizes s USING (cohort_week)
        |ORDER BY m.cohort_week, m.week_offset""".stripMargin
 
+  /** Next-event transition matrix — the Markov-chain view of user
+    * behavior: for each user's time-ordered event stream, count the
+    * (from_type → to_type) adjacent pairs, plus each row's share of its
+    * from-type's outgoing transitions in exact ppm. The lag window and
+    * the count aggregate both key on user_id/event pairs (one per-user
+    * shuffle, then a 25-row matrix); tie order within a timestamp is
+    * pinned by event_id so the chain is deterministic.
+    */
+  def transitions(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val pairs = withTsMs(Tables.events(s, d))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("out_n"))
+    pairs.join(broadcast(outTotals), Seq("from_type"))
+      .withColumn("share_ppm", expr("n * 1000000 div out_n"))
+      .select(col("from_type"), col("to_type"), col("n"), col("share_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val transitionsSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type, 1) OVER
+      |           (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |           AS to_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type AS from_type, to_type, COUNT(*) AS n
+      |  FROM ordered WHERE to_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS out_n
+      |  FROM pairs GROUP BY from_type)
+      |SELECT p.from_type, p.to_type, p.n,
+      |       p.n * 1000000 // t.out_n AS share_ppm
+      |FROM pairs p JOIN tot t USING (from_type)
+      |ORDER BY p.from_type, p.to_type""".stripMargin
+
   val funnelSql: String = {
     // CTE chain mirroring the stage fold: sk = first qualifying arrival
     val ctes = FunnelStages.zipWithIndex.tail.map { case (stage, i) =>

@@ -481,6 +481,54 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Exact 3σ outlier detection per group — the row-level data-quality
+    * gate [[statsExact]]'s group statistics feed. The flag |x − μ| > 3σ
+    * is evaluated WITHOUT any floating point: multiplying through by n²
+    * gives (n·x − Σx)² > 9·(n·Σx² − (Σx)²), every term an exact integer
+    * in DECIMAL(38,0) (DuckDB: HUGEINT) — so the boundary cases that
+    * make FP z-scores engine-dependent are bit-identical here, and the
+    * whole report is hash-gated. Shape: one group-stats aggregate (rows
+    * per group: 5), broadcast back over the fact table for a single
+    * narrow flag-and-count pass — two scans, no wide shuffle, same
+    * contract at any scale.
+    */
+  def anomalyExact(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        cents(col("o_totalprice")).cast("decimal(38,0)").as("x"))
+    val g = base.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("qx"))
+    base.join(broadcast(g), Seq("o_orderpriority"))
+      .withColumn("dev", col("n") * col("x") - col("sx"))
+      .withColumn("is_out",
+        (col("dev") * col("dev")) >
+          lit(9) * (col("n") * col("qx") - col("sx") * col("sx")))
+      .groupBy(col("o_orderpriority"))
+      .agg(first(col("n")).as("n"),
+        sum(col("is_out").cast("long")).as("n_out"))
+      .select(col("o_orderpriority"), col("n"), col("n_out"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val anomalyExactSql: String =
+    """WITH c AS (
+      |  SELECT o_orderpriority,
+      |         CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT)
+      |           AS x
+      |  FROM orders),
+      |g AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n, SUM(x) AS sx,
+      |         SUM(x * x) AS qx
+      |  FROM c GROUP BY o_orderpriority)
+      |SELECT c.o_orderpriority, CAST(g.n AS BIGINT) AS n,
+      |       CAST(SUM(CASE WHEN (g.n * c.x - g.sx) * (g.n * c.x - g.sx) >
+      |                          9 * (g.n * g.qx - g.sx * g.sx)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+      |FROM c JOIN g USING (o_orderpriority)
+      |GROUP BY c.o_orderpriority, g.n
+      |ORDER BY c.o_orderpriority""".stripMargin
+
   val statsExactSql: String =
     """SELECT o_orderstatus, n,
       |       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.EventOps
+import graft.operators.{EventOps, Relational}
 
 /** Sequential in-memory reference parity for the product-analytics funnel
   * and BM25 retrieval scoring — both are exact integer constructions, so
@@ -73,6 +73,74 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     // offset 0 is every cohort member by construction
     got.filter(_.getLong(1) == 0L).foreach(r =>
       assert(r.getLong(4) == 1000000L))
+  }
+
+  test("transitions match a sequential per-user walk") {
+    val events = EventOps.withTsMs(Tables.events(spark, sfDir))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairs = events.groupBy(_._1).values.flatMap { es =>
+      val ordered = es.sortBy(e => (e._3, e._2)).map(_._4)
+      ordered.zip(ordered.drop(1))
+    }.toSeq
+    val want = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val outN = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = EventOps.transitions(spark, sfDir).collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == want(k), s"count at $k")
+      assert(r.getLong(3) == want(k) * 1000000L / outN(k._1))
+    }
+    // each from-type's shares account for (nearly) the whole ppm space
+    got.groupBy(_.getString(0)).values.foreach { rs =>
+      val total = rs.map(_.getLong(3)).sum
+      assert(total > 1000000L - rs.length && total <= 1000000L)
+    }
+  }
+
+  test("exact 3-sigma outliers match a double-precision reference away " +
+      "from boundaries") {
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = rows.groupBy(_._1).map { case (p, xs) =>
+      val v = xs.map(_._2.toDouble)
+      val n = v.length
+      val mu = v.sum / n
+      val sd = math.sqrt(v.map(x => (x - mu) * (x - mu)).sum / n)
+      p -> (n.toLong, v.count(x => math.abs(x - mu) > 3 * sd).toLong)
+    }
+    val got = Relational.anomalyExact(spark, sfDir).collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { r =>
+      val (n, nOut) = want(r.getString(0))
+      assert(r.getLong(1) == n)
+      // FP reference can disagree only on exact-boundary points; none
+      // exist in this data, so the counts must coincide
+      assert(r.getLong(2) == nOut, s"outliers for ${r.getString(0)}")
+    }
+    // degenerate group: zero variance → no outliers, no 0/0 hazard
+    import spark.implicits._
+    val flat = Seq(("Z", 5.0), ("Z", 5.0), ("Z", 5.0))
+      .toDF("o_orderpriority", "o_totalprice")
+    val g = flat.select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .cast("decimal(38,0)").as("x"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("qx"))
+    val out = flat.select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .cast("decimal(38,0)").as("x"))
+      .join(g, Seq("o_orderpriority"))
+      .withColumn("dev", col("n") * col("x") - col("sx"))
+      .filter((col("dev") * col("dev")) >
+        lit(9) * (col("n") * col("qx") - col("sx") * col("sx")))
+    assert(out.count() == 0L)
   }
 
   test("bm25 matches a sequential reference in exact fixed point") {
