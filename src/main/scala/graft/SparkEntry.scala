@@ -85,6 +85,10 @@ object SparkEntry {
     "q_window_range"    -> (Relational.windowRange _),
     "q_upsert_lww"      -> (Relational.upsertLww _),
     "q_snapshot_diff"   -> (Relational.snapshotDiff _),
+    // [EXT] warehouse modeling — SCD2, unpivot, data-quality audit
+    "q_scd2"            -> (Warehouse.scd2 _),
+    "q_unpivot"         -> (Warehouse.unpivotMeasures _),
+    "q_dq_audit"        -> (Warehouse.dqAudit _),
     // [EXT] event-time / streaming batch-equivalents — SURVEY §2k
     "q_window_tumbling" -> (EventOps.tumbling _),
     "q_window_sliding"  -> (EventOps.sliding _),
@@ -97,6 +101,7 @@ object SparkEntry {
     "q_funnel"          -> (EventOps.funnel _),
     "q_transitions"     -> (EventOps.transitions _),
     "q_retention"       -> (EventOps.retention _),
+    "q_attribution"     -> (EventOps.attribution _),
     "q_word_counts"     -> ((s: SparkSession, d: String) =>
       TextAnalysis.wordCounts(s, d)),
     // [EXT] LLM-pipeline: text analysis — SURVEY §0 north star
@@ -139,6 +144,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (Dedup.dedupIncremental _),
     "q_chunk_dedup"       -> (Dedup.chunkDedup _),
     "q_cdc_chunks"        -> (Dedup.cdcChunks _),
+    "q_dedup_editdist"    -> (Dedup.editDistancePairs _),
     // [EXT] LLM-pipeline: similarity search + multimodal
     "q_ann_brute"       -> (Ann.bruteForceTopK _),
     // hash-checked DESPITE being approximate: the hyperplane signs are
@@ -230,6 +236,9 @@ object SparkEntry {
     "q_window_range"    -> Relational.windowRangeSql,
     "q_upsert_lww"      -> Relational.upsertLwwSql,
     "q_snapshot_diff"   -> Relational.snapshotDiffSql,
+    "q_scd2"            -> Warehouse.scd2Sql,
+    "q_unpivot"         -> Warehouse.unpivotMeasuresSql,
+    "q_dq_audit"        -> Warehouse.dqAuditSql,
     "q_window_tumbling" -> EventOps.tumblingSql,
     "q_window_sliding"  -> EventOps.slidingSql,
     "q_window_session"  -> EventOps.sessionizeSql,
@@ -241,6 +250,7 @@ object SparkEntry {
     "q_funnel"          -> EventOps.funnelSql,
     "q_transitions"     -> EventOps.transitionsSql,
     "q_retention"       -> EventOps.retentionSql,
+    "q_attribution"     -> EventOps.attributionSql,
     "q_word_counts"     -> TextAnalysis.wordCountsSql,
     "q_text_stats"      -> TextAnalysis.textStatsSql,
     "q_token_count"     -> TextAnalysis.tokenCountSql,
@@ -279,6 +289,7 @@ object SparkEntry {
     "q_dedup_incremental" -> Dedup.dedupIncrementalSql,
     "q_chunk_dedup"     -> Dedup.chunkDedupSql,
     "q_cdc_chunks"      -> Dedup.cdcChunksSql,
+    "q_dedup_editdist"  -> Dedup.editDistancePairsSql,
     "q_ann_brute"       -> Ann.bruteForceTopKSql,
     "q_ann_lsh"         -> Ann.lshTopKValidatedSql,
     // exhaustive-probe IVF visits every list, so its output is exactly the

@@ -1250,4 +1250,78 @@ object Dedup {
        |HAVING COUNT(DISTINCT doc_id) >= 2
        |ORDER BY fp""".stripMargin
   }
+
+  // ---------- edit-distance near-dup ----------
+
+  /** Length-band width (chars) for edit-distance blocking. */
+  val EditBand = 64
+  /** Maximum edit distance for a pair to count as a near-duplicate. */
+  val EditMaxDist = 15
+  /** Prefix length (chars) the distance is computed over. */
+  val EditPrefix = 60
+
+  /** Edit-distance (Levenshtein) near-duplicate pairs — the character-level
+    * complement of the token-set families (ngram/minhash/simhash): it
+    * catches small in-place edits that barely move Jaccard but also pairs
+    * whose shared prefix survives while the tails diverge.
+    *
+    * Scale design: all-pairs Levenshtein is O(N²·L²) — never. Blocking
+    * makes it tractable: each doc lands in its `n_chars div 64` length
+    * band AND the band above (so a pair within the ±15-char length gate
+    * always shares a bucket even across a band boundary), pairs form only
+    * inside `(lang, band)` buckets, and the O(L²) DP runs with the
+    * threshold variant of `levenshtein` (banded DP, O(k·L), early exit at
+    * distance > k) AFTER a free `abs(len diff) ≤ k` gate — a length gap
+    * over k already implies distance > k. Candidate volume is bounded by
+    * the largest (lang, band) bucket, exactly like the LSH band buckets;
+    * a production corpus would put a minhash prefilter in front (that
+    * operator exists upstream) and keep this as the exact verifier.
+    */
+  def editDistancePairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      substring(col("text"), 1, EditPrefix).as("prefix"))
+    val banded = docs.withColumn("band",
+      explode(array(expr(s"n_chars div $EditBand"),
+        expr(s"n_chars div $EditBand") + 1)))
+    val a = banded.select(col("lang"), col("band"),
+      col("doc_id").as("doc_id_1"), col("n_chars").as("len_1"),
+      col("prefix").as("p1"))
+    val b = banded.select(col("lang"), col("band"),
+      col("doc_id").as("doc_id_2"), col("n_chars").as("len_2"),
+      col("prefix").as("p2"))
+    a.join(b, Seq("lang", "band"))
+      .filter(col("doc_id_1") < col("doc_id_2") &&
+        abs(col("len_1") - col("len_2")) <= EditMaxDist)
+      // same-band pairs collide in BOTH their shared buckets — dedupe the
+      // candidate set before paying for the DP
+      .select(col("doc_id_1"), col("doc_id_2"), col("p1"), col("p2"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("p1"), col("p2"), EditMaxDist))
+      .filter(col("dist") >= 0)
+      .select(col("doc_id_1"), col("doc_id_2"), col("dist"))
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
+  }
+
+  val editDistancePairsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, n_chars, substr(text, 1, $EditPrefix) AS prefix
+       |  FROM documents
+       |), banded AS (
+       |  SELECT doc_id, lang, n_chars, prefix, n_chars // $EditBand AS band
+       |  FROM d
+       |  UNION ALL
+       |  SELECT doc_id, lang, n_chars, prefix, n_chars // $EditBand + 1
+       |  FROM d
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       |         a.prefix AS p1, b.prefix AS p2
+       |  FROM banded a JOIN banded b
+       |    ON a.lang = b.lang AND a.band = b.band
+       |   AND a.doc_id < b.doc_id
+       |   AND abs(a.n_chars - b.n_chars) <= $EditMaxDist
+       |)
+       |SELECT doc_id_1, doc_id_2, CAST(levenshtein(p1, p2) AS INT) AS dist
+       |FROM pairs WHERE levenshtein(p1, p2) <= $EditMaxDist
+       |ORDER BY doc_id_1, doc_id_2""".stripMargin
 }

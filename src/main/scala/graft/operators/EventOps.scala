@@ -566,4 +566,80 @@ object EventOps {
        |         AS conv_ppm
        |FROM stages ORDER BY stage_idx""".stripMargin
   }
+
+  /** Touch event types that can receive purchase credit. */
+  val TouchTypes: Seq[String] = Seq("click", "view")
+
+  /** Marketing attribution: every `purchase` event's revenue is credited
+    * to a touch event (`click`/`view`) under two models — `last_touch`
+    * (most recent strictly-earlier touch) and `first_touch` (earliest
+    * strictly-earlier touch) — then rolled up to
+    * `(model, touch_type) → purchases, revenue_cents`.
+    *
+    * Shape: ONE per-user window pass computes both models (two
+    * ignore-nulls window aggregates over the same frame share the same
+    * sort+exchange), the union just relabels columns, and the final
+    * rollup groups on a 4-value key. Event order within a user is pinned
+    * by `(ts_ms, event_id)` so same-millisecond touches attribute
+    * identically on both engines. Purchases with no prior touch drop out
+    * of both models (standard attribution semantics); at 100 TB this is
+    * a single hash exchange on `user_id` — no self-join, no skew hazard
+    * beyond one power user's event list, which the window sort handles.
+    */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val e = withTsMs(Tables.events(s, d))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("event_type"), col("value"))
+      .withColumn("touch",
+        when(col("event_type").isin(TouchTypes: _*), col("event_type")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pur = e
+      .withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(w))
+      .withColumn("first_touch", first(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("v_cents", cents(col("value")))
+    val lastM = pur.filter(col("last_touch").isNotNull)
+      .select(lit("last_touch").as("model"),
+        col("last_touch").as("touch_type"), col("v_cents"))
+    val firstM = pur.filter(col("first_touch").isNotNull)
+      .select(lit("first_touch").as("model"),
+        col("first_touch").as("touch_type"), col("v_cents"))
+    lastM.union(firstM)
+      .groupBy(col("model"), col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("v_cents")).as("revenue_cents"))
+      .orderBy(col("model"), col("touch_type"))
+  }
+
+  val attributionSql: String = {
+    val touchIn = TouchTypes.map(t => s"'$t'").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, value,
+       |         CASE WHEN event_type IN ($touchIn) THEN event_type END
+       |           AS touch
+       |  FROM events
+       |), wnd AS (
+       |  SELECT *,
+       |         LAST_VALUE(touch IGNORE NULLS) OVER w AS last_touch,
+       |         FIRST_VALUE(touch IGNORE NULLS) OVER w AS first_touch
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |), pur AS (
+       |  SELECT *, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+       |  FROM wnd WHERE event_type = 'purchase'
+       |), credited AS (
+       |  SELECT 'last_touch' AS model, last_touch AS touch_type, v_cents
+       |  FROM pur WHERE last_touch IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'first_touch', first_touch, v_cents
+       |  FROM pur WHERE first_touch IS NOT NULL
+       |)
+       |SELECT model, touch_type, COUNT(*) AS n_purchases,
+       |       CAST(SUM(v_cents) AS BIGINT) AS revenue_cents
+       |FROM credited GROUP BY model, touch_type
+       |ORDER BY model, touch_type""".stripMargin
+  }
 }

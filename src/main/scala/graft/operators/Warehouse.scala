@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.RefTransforms.cents
+
+/** Warehouse-modeling operators: SCD Type 2 dimension build, measure
+  * unpivot, and a declarative data-quality audit.
+  *
+  * The reference pipeline lands transactions into a warehouse table with
+  * last-writer-wins upsert semantics (lambda_function.py:226-235); a real
+  * deployment of that warehouse also needs the downstream modeling steps —
+  * history-preserving dimensions (SCD2), long-form measure reshaping, and
+  * constraint monitoring over the landed data. Each is built as a pure
+  * declarative plan so Catalyst handles pushdown/pruning, and all money
+  * and time arithmetic is integer-exact so the DuckDB oracle hash-matches.
+  *
+  * Scale notes (100 TB story):
+  *  - SCD2: two window passes + one groupBy, ALL partitioned by the
+  *    dimension key — a single hash exchange on `o_custkey` is reused by
+  *    the change-flag window, the run rollup, and the interval window
+  *    (Spark keeps the child partitioning; no second shuffle). No
+  *    driver-side state, no iteration.
+  *  - unpivot: Expand is a narrow operator (no shuffle) — k output rows
+  *    per input row, then a partial-aggregated groupBy on the tiny
+  *    measure-name key.
+  *  - audit: each check is a full-scan conditional aggregation with
+  *    map-side partials, so the whole audit costs one pass per fact
+  *    table + one broadcast anti-join for the FK check; the result is a
+  *    handful of rows regardless of input size.
+  */
+object Warehouse {
+
+  /** End-of-time sentinel for the open validity interval (9999-01-01 UTC in
+    * epoch millis) — NULL would be hostile to the driver's row-hash compare
+    * and to range predicates at query time.
+    */
+  val EndOfTimeMs: Long = 253370764800000L
+
+  // ---------- SCD Type 2 ----------
+
+  /** Builds a Type-2 slowly-changing dimension of each customer's order
+    * priority from the order stream: consecutive orders with the same
+    * priority collapse into one version row carrying
+    * `[valid_from_ms, valid_to_ms)` and an `is_current` flag.
+    *
+    * Update order within a customer is pinned by `(eff_ms, o_orderkey)` —
+    * the orderkey tiebreak makes same-timestamp updates deterministic on
+    * both engines.
+    */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    // o_orderdate arrives as TIMESTAMP_NTZ; the cast interprets the naive
+    // wall clock in the session timezone (pinned UTC in Sessions.build),
+    // matching DuckDB's epoch_ms on the same naive column
+    val upd = Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("eff_ms"),
+      col("o_orderpriority").as("priority"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("eff_ms"), col("o_orderkey"))
+    val runs = upd
+      .withColumn("is_chg",
+        when(lag(col("priority"), 1).over(w).isNull ||
+          lag(col("priority"), 1).over(w) =!= col("priority"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("is_chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("o_custkey"), col("version"))
+      .agg(
+        // all rows in a run share one priority; min() is a deterministic pick
+        min(col("priority")).as("priority"),
+        min(col("eff_ms")).as("valid_from_ms"),
+        count(lit(1)).as("n_updates"))
+    val wv = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
+    runs
+      .withColumn("valid_to_ms",
+        coalesce(lead(col("valid_from_ms"), 1).over(wv), lit(EndOfTimeMs)))
+      .withColumn("is_current",
+        (col("valid_to_ms") === EndOfTimeMs).cast("int"))
+      .select(col("o_custkey"), col("version"), col("priority"),
+        col("valid_from_ms"), col("valid_to_ms"), col("is_current"),
+        col("n_updates"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  val scd2Sql: String =
+    s"""WITH upd AS (
+       |  SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS eff_ms,
+       |         o_orderpriority AS priority,
+       |         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+       |                OR lag(o_orderpriority) OVER w <> o_orderpriority
+       |              THEN 1 ELSE 0 END AS is_chg
+       |  FROM orders
+       |  WINDOW w AS (PARTITION BY o_custkey
+       |               ORDER BY epoch_ms(o_orderdate), o_orderkey)
+       |), ver AS (
+       |  SELECT o_custkey, priority, eff_ms,
+       |         CAST(SUM(is_chg) OVER (PARTITION BY o_custkey
+       |           ORDER BY eff_ms, o_orderkey
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+       |  FROM upd
+       |), runs AS (
+       |  SELECT o_custkey, version, MIN(priority) AS priority,
+       |         MIN(eff_ms) AS valid_from_ms, COUNT(*) AS n_updates
+       |  FROM ver GROUP BY o_custkey, version
+       |)
+       |SELECT o_custkey, version, priority, valid_from_ms,
+       |       COALESCE(LEAD(valid_from_ms) OVER wv, $EndOfTimeMs)
+       |         AS valid_to_ms,
+       |       CAST(CASE WHEN LEAD(valid_from_ms) OVER wv IS NULL
+       |            THEN 1 ELSE 0 END AS INT) AS is_current,
+       |       n_updates
+       |FROM runs
+       |WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
+       |ORDER BY o_custkey, version""".stripMargin
+
+  // ---------- unpivot ----------
+
+  /** Long-form reshaping of the lineitem money measures via the native
+    * `Dataset.unpivot` (Catalyst `Expand` — k rows per input row, no
+    * shuffle), then a rollup per measure name. The oracle recomputes the
+    * same long form with a UNION ALL, proving the Expand path against a
+    * flat-SQL reference.
+    */
+  def unpivotMeasures(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      cents(col("l_quantity")).as("quantity"),
+      cents(col("l_extendedprice")).as("extendedprice"),
+      cents(col("l_discount")).as("discount"),
+      cents(col("l_tax")).as("tax"))
+    li.unpivot(
+        ids = Array.empty,
+        values = Array(col("quantity"), col("extendedprice"),
+          col("discount"), col("tax")),
+        variableColumnName = "measure",
+        valueColumnName = "v_cents")
+      .groupBy(col("measure"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v_cents")).as("sum_cents"),
+        min(col("v_cents")).as("min_cents"),
+        max(col("v_cents")).as("max_cents"))
+      .orderBy(col("measure"))
+  }
+
+  val unpivotMeasuresSql: String =
+    """WITH m AS (
+      |  SELECT 'quantity' AS measure,
+      |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS v_cents
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'extendedprice',
+      |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'discount', CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'tax', CAST(floor(l_tax * 100 + 0.5) AS BIGINT)
+      |  FROM lineitem
+      |)
+      |SELECT measure, COUNT(*) AS n, CAST(SUM(v_cents) AS BIGINT) AS sum_cents,
+      |       MIN(v_cents) AS min_cents, MAX(v_cents) AS max_cents
+      |FROM m GROUP BY measure ORDER BY measure""".stripMargin
+
+  // ---------- data-quality audit ----------
+
+  /** Declarative constraint audit over the warehouse tables — the
+    * reference validates required fields per record before upserting
+    * (lambda_function.py:96-151); this is the set-level generalization a
+    * warehouse runs after each load. One row per check:
+    * `(check_name, n_rows, n_violations, pass)`.
+    *
+    * Checks: NOT NULL on the orders business key; key uniqueness;
+    * referential integrity orders→customer; domain membership of
+    * `o_orderstatus`; value range on `l_discount`; non-negativity of
+    * `o_totalprice`. Single-pass conditional aggregations per table plus
+    * one broadcast-able anti-join semantics (expressed as a null-check
+    * left join so it stays one plan).
+    */
+  def dqAudit(s: SparkSession, d: String): DataFrame = {
+    val o  = Tables.orders(s, d)
+    val c  = Tables.customer(s, d).select(col("c_custkey"))
+    val li = Tables.lineitem(s, d)
+
+    // orders checks ride ONE full scan (conditional aggregation)
+    val ordersAgg = o.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L))
+        .as("v_enum"),
+      sum(when(col("o_totalprice") >= 0, 0L).otherwise(1L)).as("v_neg"))
+
+    def check(name: String, nRows: org.apache.spark.sql.Column,
+        viol: org.apache.spark.sql.Column)(df: DataFrame): DataFrame =
+      df.select(lit(name).as("check_name"), nRows.as("n_rows"),
+        viol.as("n_violations"))
+
+    val notNull = check("orders_custkey_not_null", col("n_rows"),
+      col("v_null"))(ordersAgg)
+    val unique  = check("orders_orderkey_unique", col("n_rows"),
+      col("v_dup"))(ordersAgg)
+    val enumChk = check("orders_status_domain", col("n_rows"),
+      col("v_enum"))(ordersAgg)
+    val nonNeg  = check("orders_totalprice_nonneg", col("n_rows"),
+      col("v_neg"))(ordersAgg)
+
+    // FK: orders.o_custkey must exist in customer — broadcast the dim keys
+    val fk = o.select(col("o_custkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+          .as("n_violations"))
+      .select(lit("orders_custkey_fk").as("check_name"), col("n_rows"),
+        col("n_violations"))
+
+    val range = li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_discount") >= 0 && col("l_discount") <= 1, 0L)
+          .otherwise(1L)).as("n_violations"))
+      .select(lit("lineitem_discount_range").as("check_name"),
+        col("n_rows"), col("n_violations"))
+
+    notNull.union(unique).union(enumChk).union(nonNeg).union(fk).union(range)
+      .withColumn("pass", (col("n_violations") === 0L).cast("int"))
+      .orderBy(col("check_name"))
+  }
+
+  val dqAuditSql: String =
+    """WITH o AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS v_null,
+      |         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+      |           AS v_dup,
+      |         CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS v_enum,
+      |         CAST(SUM(CASE WHEN o_totalprice >= 0 THEN 0 ELSE 1 END)
+      |           AS BIGINT) AS v_neg
+      |  FROM orders
+      |), fk AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_violations
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |), rng AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |         CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 1
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+      |  FROM lineitem
+      |), checks AS (
+      |  SELECT 'orders_custkey_not_null' AS check_name, n_rows,
+      |         v_null AS n_violations FROM o
+      |  UNION ALL
+      |  SELECT 'orders_orderkey_unique', n_rows, v_dup FROM o
+      |  UNION ALL
+      |  SELECT 'orders_status_domain', n_rows, v_enum FROM o
+      |  UNION ALL
+      |  SELECT 'orders_totalprice_nonneg', n_rows, v_neg FROM o
+      |  UNION ALL
+      |  SELECT 'orders_custkey_fk', n_rows, n_violations FROM fk
+      |  UNION ALL
+      |  SELECT 'lineitem_discount_range', n_rows, n_violations FROM rng
+      |)
+      |SELECT check_name, n_rows, n_violations,
+      |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT)
+      |         AS pass
+      |FROM checks ORDER BY check_name""".stripMargin
+}

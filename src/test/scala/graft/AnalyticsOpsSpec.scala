@@ -143,6 +143,46 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(out.count() == 0L)
   }
 
+  test("attribution matches a sequential per-user walk") {
+    val events = EventOps.withTsMs(Tables.events(spark, sfDir))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val credits = events.groupBy(_._1).values.flatMap { es =>
+      val ordered = es.sortBy(e => (e._3, e._2))
+      var lastT: String = null
+      var firstT: String = null
+      val out = scala.collection.mutable.Buffer[(String, String, Long)]()
+      ordered.foreach { e =>
+        if (e._4 == "purchase") {
+          val c = math.floor(e._5 * 100 + 0.5).toLong
+          if (lastT != null) out += (("last_touch", lastT, c))
+          if (firstT != null) out += (("first_touch", firstT, c))
+        }
+        if (EventOps.TouchTypes.contains(e._4)) {
+          lastT = e._4
+          if (firstT == null) firstT = e._4
+        }
+      }
+      out
+    }.toSeq
+    val want = credits.groupBy(t => (t._1, t._2)).view
+      .mapValues(v => (v.size.toLong, v.map(_._3).sum)).toMap
+    val got = EventOps.attribution(spark, sfDir).collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { r =>
+      val (n, rev) = want((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) == n, s"purchases ${r.getString(0)}/${r.getString(1)}")
+      assert(r.getLong(3) == rev, s"revenue ${r.getString(0)}/${r.getString(1)}")
+    }
+    // both models credit the same purchase population
+    val byModel = got.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(byModel("last_touch") == byModel("first_touch"))
+  }
+
   test("bm25 matches a sequential reference in exact fixed point") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()

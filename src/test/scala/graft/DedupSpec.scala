@@ -437,4 +437,37 @@ class DedupSpec extends SparkSpecBase {
       assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
     }
   }
+
+  test("banded edit-distance pairs equal the brute-force result: blocking " +
+      "is lossless inside the length gate") {
+    def lev(a: String, b: String): Int = {
+      var prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        val cur = new Array[Int](b.length + 1)
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+      prev(b.length)
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3).take(Dedup.EditPrefix)))
+    val want = (for {
+      i <- docs.indices
+      j <- (i + 1) until docs.length
+      a = docs(i); b = docs(j)
+      if a._2 == b._2 && math.abs(a._3 - b._3) <= Dedup.EditMaxDist
+      dd = lev(a._4, b._4) if dd <= Dedup.EditMaxDist
+    } yield (math.min(a._1, b._1), math.max(a._1, b._1)) -> dd).toMap
+    val got = Dedup.editDistancePairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // a length gap over the threshold already implies distance over the
+    // threshold, so the band-join must find EXACTLY the brute-force pairs
+    assert(got == want)
+  }
 }
