@@ -1278,28 +1278,40 @@ object Dedup {
     * operator exists upstream) and keep this as the exact verifier.
     */
   def editDistancePairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(
-      col("doc_id"), col("lang"), col("n_chars"),
-      substring(col("text"), 1, EditPrefix).as("prefix"))
-    val banded = docs.withColumn("band",
-      explode(array(expr(s"n_chars div $EditBand"),
-        expr(s"n_chars div $EditBand") + 1)))
-    val a = banded.select(col("lang"), col("band"),
-      col("doc_id").as("doc_id_1"), col("n_chars").as("len_1"),
-      col("prefix").as("p1"))
-    val b = banded.select(col("lang"), col("band"),
-      col("doc_id").as("doc_id_2"), col("n_chars").as("len_2"),
-      col("prefix").as("p2"))
-    a.join(b, Seq("lang", "band"))
-      .filter(col("doc_id_1") < col("doc_id_2") &&
-        abs(col("len_1") - col("len_2")) <= EditMaxDist)
-      // same-band pairs collide in BOTH their shared buckets — dedupe the
-      // candidate set before paying for the DP
-      .select(col("doc_id_1"), col("doc_id_2"), col("p1"), col("p2"))
-      .distinct()
-      .withColumn("dist", levenshtein(col("p1"), col("p2"), EditMaxDist))
-      .filter(col("dist") >= 0)
-      .select(col("doc_id_1"), col("doc_id_2"), col("dist"))
+    // tiny-file guard (see Tables.spread): the DP below runs on the probe
+    // side's partitions — a single-split local parquet would serialize the
+    // whole candidate verification onto one core
+    val docs = Tables.spread(Tables.documents(s, d), col("doc_id")).select(
+      col("doc_id"), col("lang"), expr(s"n_chars div $EditBand").as("band"),
+      col("n_chars"), substring(col("text"), 1, EditPrefix).as("prefix"))
+    // Asymmetric banding: only the probe side explodes (its true band and
+    // the one BELOW), and the band-role fixes each unordered pair's
+    // orientation, so every candidate is emitted EXACTLY once — no
+    // distinct, no second exchange of prefix strings:
+    //   equal bands   → matched via b's true-band key, kept iff a.id < b.id
+    //   b one higher  → matched via b's band-1 key (a is the lower band)
+    val a = docs.select(col("lang").as("lang_a"), col("band").as("band_a"),
+      col("doc_id").as("id_a"), col("n_chars").as("len_a"),
+      col("prefix").as("p_a"))
+    val b = docs
+      .withColumn("key_b", explode(array(col("band"), col("band") - 1)))
+      .select(col("lang").as("lang_b"), col("key_b"),
+        col("band").as("band_b"), col("doc_id").as("id_b"),
+        col("n_chars").as("len_b"), col("prefix").as("p_b"))
+    // ALL gates live in the join condition, cheap ones first, so the
+    // banded DP only ever sees candidates that survived the band-role and
+    // length tests (a pushed-down post-join filter would be re-ordered in
+    // FRONT of them); survivors re-evaluate the DP once in the projection,
+    // which is a handful of rows
+    a.join(b,
+        col("lang_a") === col("lang_b") && col("band_a") === col("key_b") &&
+        (col("band_a") < col("band_b") ||
+          (col("band_a") === col("band_b") && col("id_a") < col("id_b"))) &&
+        abs(col("len_a") - col("len_b")) <= EditMaxDist &&
+        levenshtein(col("p_a"), col("p_b"), EditMaxDist) >= 0)
+      .select(least(col("id_a"), col("id_b")).as("doc_id_1"),
+        greatest(col("id_a"), col("id_b")).as("doc_id_2"),
+        levenshtein(col("p_a"), col("p_b"), EditMaxDist).as("dist"))
       .orderBy(col("doc_id_1"), col("doc_id_2"))
   }
 
