@@ -65,6 +65,7 @@ object SparkEntry {
     "q_percentiles"     -> (Relational.percentiles _),
     "q_stats_exact"     -> (Relational.statsExact _),
     "q_anomaly"         -> (Relational.anomalyExact _),
+    "q_anomaly_robust"  -> (Relational.anomalyRobust _),
     "q_salted_agg"      -> (TypedOps.saltedAgg _),
     "q_agg_distinct"    -> (Relational.aggDistinct _),
     // hash-gated checked projections: sketch estimates are engine-specific,
@@ -87,6 +88,7 @@ object SparkEntry {
     "q_snapshot_diff"   -> (Relational.snapshotDiff _),
     // [EXT] warehouse modeling — SCD2, unpivot, data-quality audit
     "q_scd2"            -> (Warehouse.scd2 _),
+    "q_scd2_lookup"     -> (Warehouse.scd2Lookup _),
     "q_unpivot"         -> (Warehouse.unpivotMeasures _),
     "q_dq_audit"        -> (Warehouse.dqAudit _),
     // [EXT] event-time / streaming batch-equivalents — SURVEY §2k
@@ -102,6 +104,7 @@ object SparkEntry {
     "q_transitions"     -> (EventOps.transitions _),
     "q_retention"       -> (EventOps.retention _),
     "q_attribution"     -> (EventOps.attribution _),
+    "q_gap_fill"        -> (Timeseries.gapFill _),
     "q_word_counts"     -> ((s: SparkSession, d: String) =>
       TextAnalysis.wordCounts(s, d)),
     // [EXT] LLM-pipeline: text analysis — SURVEY §0 north star
@@ -124,9 +127,11 @@ object SparkEntry {
     "q_doc_repetition"    -> (TextAnalysis.docRepetition _),
     "q_pii_redact"        -> (TextAnalysis.piiRedact _),
     "q_tfidf"             -> (TextAnalysis.tfidf _),
+    "q_diversity"         -> (TextAnalysis.diversity _),
     "q_bm25"              -> (TextAnalysis.bm25 _),
     "q_vocab_coverage"    -> (TextAnalysis.vocabCoverage _),
     "q_corpus_build"      -> (CorpusPipeline.corpusBuild _),
+    "q_split_leakfree"    -> (CorpusPipeline.splitLeakfree _),
     "q_corpus_shards"     -> (CorpusPipeline.corpusShards _),
     "q_pack_sequences"    -> (CorpusPipeline.packSequences _),
     "q_range_join"        -> (EventOps.rangeJoin _),
@@ -220,6 +225,7 @@ object SparkEntry {
     "q_percentiles"     -> Relational.percentilesSql,
     "q_stats_exact"     -> Relational.statsExactSql,
     "q_anomaly"         -> Relational.anomalyExactSql,
+    "q_anomaly_robust"  -> Relational.anomalyRobustSql,
     "q_salted_agg"      -> TypedOps.saltedAggSql,
     "q_agg_distinct"    -> Relational.aggDistinctSql,
     "q_approx_distinct" -> Relational.aggApproxDistinctCheckedSql,
@@ -237,6 +243,7 @@ object SparkEntry {
     "q_upsert_lww"      -> Relational.upsertLwwSql,
     "q_snapshot_diff"   -> Relational.snapshotDiffSql,
     "q_scd2"            -> Warehouse.scd2Sql,
+    "q_scd2_lookup"     -> Warehouse.scd2LookupSql,
     "q_unpivot"         -> Warehouse.unpivotMeasuresSql,
     "q_dq_audit"        -> Warehouse.dqAuditSql,
     "q_window_tumbling" -> EventOps.tumblingSql,
@@ -251,6 +258,7 @@ object SparkEntry {
     "q_transitions"     -> EventOps.transitionsSql,
     "q_retention"       -> EventOps.retentionSql,
     "q_attribution"     -> EventOps.attributionSql,
+    "q_gap_fill"        -> Timeseries.gapFillSql,
     "q_word_counts"     -> TextAnalysis.wordCountsSql,
     "q_text_stats"      -> TextAnalysis.textStatsSql,
     "q_token_count"     -> TextAnalysis.tokenCountSql,
@@ -267,9 +275,11 @@ object SparkEntry {
     "q_doc_repetition"    -> TextAnalysis.docRepetitionSql,
     "q_pii_redact"        -> TextAnalysis.piiRedactSql,
     "q_tfidf"             -> TextAnalysis.tfidfSql,
+    "q_diversity"         -> TextAnalysis.diversitySql,
     "q_bm25"              -> TextAnalysis.bm25Sql,
     "q_vocab_coverage"    -> TextAnalysis.vocabCoverageSql,
     "q_corpus_build"      -> CorpusPipeline.corpusBuildSql,
+    "q_split_leakfree"    -> CorpusPipeline.splitLeakfreeSql,
     "q_corpus_shards"     -> CorpusPipeline.corpusShardsSql,
     "q_pack_sequences"    -> CorpusPipeline.packSequencesSql,
     "q_range_join"        -> EventOps.rangeJoinSql,

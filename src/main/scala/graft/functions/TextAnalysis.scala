@@ -953,6 +953,58 @@ object TextAnalysis {
        |SELECT doc_id, term, tf, df, score, rank FROM ranked
        |WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin
 
+  // ---------- lexical diversity ----------
+
+  /** Per-document lexical-diversity profile: type-token ratio and the
+    * Simpson repeat probability, the two standard repetition signals a
+    * corpus quality gate thresholds on (a low TTR / high repeat
+    * probability flags boilerplate and degenerate generations that
+    * per-line repetition checks miss). Both are exact rationals emitted
+    * in floor'd parts-per-million — `ttr_ppm = 10⁶·types div tokens`,
+    * `simpson_ppm = 10⁶·Σtf² div tokens²` (the with-replacement
+    * probability two uniformly drawn tokens are the same type) — so the
+    * whole report is integer arithmetic, hash-exact cross-engine.
+    * Largest intermediate: Σtf²·10⁶ ≤ tokens²·10⁶, BIGINT-safe to
+    * 3M-token documents.
+    *
+    * Shape: explode → (doc, term) partial+final count → one per-doc
+    * rollup — the same two-exchange profile as [[tfidf]]'s tf branch, all
+    * map-side combinable, output one row per document.
+    */
+  def diversity(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("tf") * col("tf")).as("sum_tf2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("(1000000 * n_types) div n_tokens").as("ttr_ppm"),
+        expr("(1000000 * sum_tf2) div (n_tokens * n_tokens)")
+          .as("simpson_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val diversitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM toks GROUP BY doc_id, term
+      |), agg AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |         COUNT(*) AS n_types,
+      |         CAST(SUM(tf * tf) AS BIGINT) AS sum_tf2
+      |  FROM tf GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_tokens, n_types,
+      |       (1000000 * n_types) // n_tokens AS ttr_ppm,
+      |       (1000000 * sum_tf2) // (n_tokens * n_tokens) AS simpson_ppm
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // q_bm25 — BM25 retrieval scoring (the ranking-function tier above tfidf)
   // ---------------------------------------------------------------------

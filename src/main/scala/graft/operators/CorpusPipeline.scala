@@ -183,4 +183,71 @@ object CorpusPipeline {
        |       least(n_tok, (seq_id + 1) * $L - off) - doc_off AS span_len
        |FROM sp ORDER BY shard, seq_id, doc_id""".stripMargin
   }
+
+  // ---------- leakage-free train/val/test split ----------
+
+  /** Deterministic 80/10/10 train/val/test assignment at CONTENT-GROUP
+    * granularity: all documents sharing a byte-identical text (the md5
+    * content key) draw ONE split coin — keyed by the group's minimum
+    * doc_id through the same multiplicative-hash coin the samplers use —
+    * so an exact duplicate can never straddle train and test. Splitting
+    * per-document is the classic eval-contamination bug this operator
+    * exists to prevent; the report carries the audit column
+    * (`n_leaky_groups`, content groups spanning >1 split) that proves
+    * the invariant in-row, where the hash gate checks it.
+    *
+    * Shape: one window over the md5 key (32-byte shuffle key, text stays
+    * in place) to tag each doc with its group representative, a narrow
+    * coin map, then a tiny (source × split) rollup; the leak audit folds
+    * the same tagged rows to a 1-row broadcast. No driver state; the
+    * assignment is reproducible at any parallelism and across reruns —
+    * the property a resumable dataset build needs.
+    */
+  def splitLeakfree(s: SparkSession, d: String): DataFrame = {
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_key"))
+    val tagged = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("content_key"))
+      .withColumn("rep_id", min(col("doc_id")).over(wg))
+      .withColumn("coin", pmod(
+        pmod(col("rep_id"), lit(1000003L)) * lit(2654435761L) + lit(40503L),
+        lit(999983L)) % 100)
+      .withColumn("split",
+        when(col("coin") < 80, "train")
+          .when(col("coin") < 90, "val").otherwise("test"))
+    val leaky = tagged.groupBy(col("content_key"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .agg(coalesce(sum((col("n_splits") > 1L).cast("long")), lit(0L))
+        .as("n_leaky_groups"))
+    tagged.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("content_key")).as("n_groups"))
+      .crossJoin(broadcast(leaky))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val splitLeakfreeSql: String = {
+    val coin = "((rep_id % 1000003) * 2654435761 + 40503) % 999983 % 100"
+    s"""WITH tagged AS (
+       |  SELECT doc_id, source, md5(text) AS content_key,
+       |         MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+       |  FROM documents
+       |), coined AS (
+       |  SELECT *, CASE WHEN $coin < 80 THEN 'train'
+       |                 WHEN $coin < 90 THEN 'val'
+       |                 ELSE 'test' END AS split
+       |  FROM tagged
+       |), leaky AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END),
+       |           0) AS BIGINT) AS n_leaky_groups
+       |  FROM (SELECT content_key, COUNT(DISTINCT split) AS n_splits
+       |        FROM coined GROUP BY content_key)
+       |)
+       |SELECT source, split, COUNT(*) AS n_docs,
+       |       CAST(COUNT(DISTINCT content_key) AS BIGINT) AS n_groups,
+       |       leaky.n_leaky_groups
+       |FROM coined CROSS JOIN leaky
+       |GROUP BY source, split, leaky.n_leaky_groups
+       |ORDER BY source, split""".stripMargin
+  }
 }

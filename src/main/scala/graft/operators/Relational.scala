@@ -529,6 +529,69 @@ object Relational {
       |GROUP BY c.o_orderpriority, g.n
       |ORDER BY c.o_orderpriority""".stripMargin
 
+  /** Robust (median/MAD) outlier detection per group — the
+    * heavy-tail-tolerant complement of [[anomalyExact]]'s 3σ gate: one
+    * extreme value inflates μ and σ enough to mask other outliers, while
+    * the median and the median-absolute-deviation have a 50% breakdown
+    * point. The flag is `|x − median| > 3·MAD` (the raw-MAD form; the
+    * Gaussian-consistency constant 1.4826 is deliberately NOT applied —
+    * it is an irrational scale factor that would drag FP into the
+    * comparison, and for a fixed threshold it only rescales k).
+    *
+    * Exactness: cents are doubled once (`x2 = 2·cents`) so the even-n
+    * linear-interpolated median of integers is itself an integer, and
+    * deviations are doubled again (`dev4 = 2·|x2 − med2|`) so the MAD is
+    * too — every compared quantity is an integer-valued double produced
+    * by the same sort-based `percentile` definition in both engines
+    * (proven portable by q_percentiles), so the report is hash-exact.
+    * Shape: two tiny per-group stats aggregates (5 rows each) broadcast
+    * back over the fact scan — no wide shuffle at any scale.
+    */
+  def anomalyRobust(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        (cents(col("o_totalprice")) * 2L).as("x2"))
+    val med = base.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(x2, 0.5)").cast("long").as("med2"),
+        count(lit(1)).as("n"))
+    val dev = base.join(broadcast(med), Seq("o_orderpriority"))
+      .withColumn("dev4", abs(col("x2") - col("med2")) * 2L)
+    val mad = dev.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(dev4, 0.5)").cast("long").as("mad4"))
+    dev.join(broadcast(mad), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(first(col("n")).as("n"), first(col("med2")).as("med2_cents"),
+        first(col("mad4")).as("mad4_cents"),
+        sum((col("dev4") > col("mad4") * 3L).cast("long")).as("n_out"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val anomalyRobustSql: String =
+    """WITH c AS (
+      |  SELECT o_orderpriority,
+      |         2 * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x2
+      |  FROM orders),
+      |med AS (
+      |  SELECT o_orderpriority,
+      |         CAST(quantile_cont(x2, 0.5) AS BIGINT) AS med2,
+      |         COUNT(*) AS n
+      |  FROM c GROUP BY o_orderpriority),
+      |dev AS (
+      |  SELECT c.o_orderpriority, med.n, med.med2,
+      |         2 * abs(c.x2 - med.med2) AS dev4
+      |  FROM c JOIN med USING (o_orderpriority)),
+      |mad AS (
+      |  SELECT o_orderpriority,
+      |         CAST(quantile_cont(dev4, 0.5) AS BIGINT) AS mad4
+      |  FROM dev GROUP BY o_orderpriority)
+      |SELECT dev.o_orderpriority, CAST(MIN(dev.n) AS BIGINT) AS n,
+      |       MIN(dev.med2) AS med2_cents, MIN(mad.mad4) AS mad4_cents,
+      |       CAST(SUM(CASE WHEN dev.dev4 > 3 * mad.mad4 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_out
+      |FROM dev JOIN mad USING (o_orderpriority)
+      |GROUP BY dev.o_orderpriority
+      |ORDER BY dev.o_orderpriority""".stripMargin
+
   val statsExactSql: String =
     """SELECT o_orderstatus, n,
       |       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,

@@ -230,6 +230,87 @@ object Warehouse {
       .orderBy(col("check_name"))
   }
 
+  // ---------- SCD2 point-in-time lookup ----------
+
+  /** Point-in-time (temporal) join of the lineitem facts against the
+    * [[scd2]] customer-priority dimension: each lineitem is attributed to
+    * the priority REGIME in force at its ship time, then rolled up into a
+    * (regime_priority × order_priority) matrix with exact-cents revenue —
+    * the report that shows how much volume shipped under a different
+    * priority regime than the one it was ordered with. This is the
+    * standard consumer of an SCD2 dimension (`valid_from <= t < valid_to`
+    * version resolution) that every warehouse query layer needs.
+    *
+    * Spark has no native temporal-join operator; the naive range join
+    * pairs every fact with the customer's whole version history before
+    * keeping one. This uses the same merge-scan formulation as
+    * [[EventOps.asofJoin]]: union version-start rows with fact rows on
+    * the customer key, sort each customer's timeline once, and carry the
+    * current version forward with `last(_, ignoreNulls)` — ONE exchange
+    * on `o_custkey`, O(rows) work, no fact×history intermediate at any
+    * scale. A version starting exactly at ship time wins (dim rows sort
+    * before fact rows at equal t), and a zero-width version (two runs
+    * starting the same millisecond) is immediately superseded by the
+    * higher version at the same t — both matching the oracle's
+    * half-open-interval join. A lineitem shipping BEFORE the customer's
+    * first version start (the driver's synthetic lineitem does not order
+    * ship after order) has no regime; those facts keep LEFT semantics and
+    * are labeled `'NONE'` — identically in the oracle's LEFT interval
+    * join — rather than dropped, so the rollup still conserves every
+    * fact row.
+    */
+  def scd2Lookup(s: SparkSession, d: String): DataFrame = {
+    val dim = scd2(s, d).select(col("o_custkey"),
+      col("valid_from_ms").as("t"), col("version"), col("priority"))
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority").as("order_priority")),
+        col("l_orderkey") === col("o_orderkey"))
+    val merged = dim
+      .select(col("o_custkey"), col("t"), lit(1L).as("is_dim"),
+        col("version"), col("priority"),
+        lit(null).cast("string").as("order_priority"),
+        lit(null).cast("long").as("price_cents"))
+      .unionByName(fact.select(col("o_custkey"), col("ship_ms").as("t"),
+        lit(0L).as("is_dim"), lit(null).cast("long").as("version"),
+        lit(null).cast("string").as("priority"),
+        col("order_priority"), col("price_cents")))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("t"), col("is_dim").desc, col("version"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("regime_priority",
+        coalesce(last(col("priority"), ignoreNulls = true).over(w),
+          lit("NONE")))
+      .filter(col("is_dim") === 0L)
+      .groupBy(col("regime_priority"), col("order_priority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("price_cents")).as("price_cents"))
+      .orderBy(col("regime_priority"), col("order_priority"))
+  }
+
+  val scd2LookupSql: String =
+    s"""WITH scd AS ($scd2Sql
+       |), fact AS (
+       |  SELECT o.o_custkey, epoch_ms(l.l_shipdate) AS ship_ms,
+       |         o.o_orderpriority AS order_priority,
+       |         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+       |           AS price_cents
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |)
+       |SELECT COALESCE(scd.priority, 'NONE') AS regime_priority,
+       |       f.order_priority,
+       |       COUNT(*) AS n_items,
+       |       CAST(SUM(f.price_cents) AS BIGINT) AS price_cents
+       |FROM fact f LEFT JOIN scd
+       |  ON f.o_custkey = scd.o_custkey
+       | AND scd.valid_from_ms <= f.ship_ms AND f.ship_ms < scd.valid_to_ms
+       |GROUP BY regime_priority, f.order_priority
+       |ORDER BY regime_priority, f.order_priority""".stripMargin
+
   val dqAuditSql: String =
     """WITH o AS (
       |  SELECT COUNT(*) AS n_rows,

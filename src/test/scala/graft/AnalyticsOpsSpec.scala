@@ -143,6 +143,48 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(out.count() == 0L)
   }
 
+  test("median/MAD robust outliers match a sequential exact reference " +
+      "and resist a contaminating extreme") {
+    // sequential reference in the same doubled-integer space
+    def med(sorted: Array[Long]): Long = {
+      val n = sorted.length
+      if (n % 2 == 1) 2L * sorted(n / 2)
+      else sorted(n / 2 - 1) + sorted(n / 2) // sum of two = 2 × mean, exact
+    }
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = rows.groupBy(_._1).map { case (p, xs) =>
+      val c = xs.map(_._2).sorted // cents
+      val med2 = med(c) // 2 × median cents
+      val dev4 = c.map(x => 2L * math.abs(2L * x - med2)).sorted
+      // med() returns twice its input's median; dev4 medians are integral
+      val mad4 = med(dev4) / 2L
+      p -> (c.length.toLong, med2, mad4,
+        c.count(x => 2L * math.abs(2L * x - med2) > 3L * mad4).toLong)
+    }
+    val got = Relational.anomalyRobust(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length == want.size)
+    got.foreach { r =>
+      val (n, med2, mad4, nOut) = want(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == med2, s"median for ${r.getString(0)}")
+      assert(r.getLong(3) == mad4, s"mad for ${r.getString(0)}")
+      assert(r.getLong(4) == nOut, s"outliers for ${r.getString(0)}")
+    }
+    // breakdown-point property: one enormous contaminant shifts μ/σ but
+    // leaves the median and MAD (and thus every other row's flag) intact
+    val base = (1 to 99).map(i => 100L + (i % 7)) // tight cluster
+    val clean = base.toArray.sorted
+    val dirty = (base :+ 100000000L).toArray.sorted
+    val medC = med(clean); val medD = med(dirty)
+    assert(math.abs(medC - medD) <= 2) // half-cent move at most
+    val madC = med(clean.map(x => math.abs(2 * x - medC)).sorted)
+    val madD = med(dirty.map(x => math.abs(2 * x - medD)).sorted)
+    assert(math.abs(madC - madD) <= 4)
+  }
+
   test("attribution matches a sequential per-user walk") {
     val events = EventOps.withTsMs(Tables.events(spark, sfDir))
       .select(col("user_id"), col("event_id"), col("ts_ms"),

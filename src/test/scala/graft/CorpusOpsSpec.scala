@@ -372,4 +372,64 @@ class CorpusOpsSpec extends SparkSpecBase {
     val cutSomething = all.map(_._1).toSet.diff(kept).nonEmpty
     assert(cutSomething)
   }
+
+  test("diversity: exact TTR and Simpson ppm against a sequential count") {
+    val got = TextAnalysis.diversity(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      // mirror split(text, " "): every separator yields a token slot,
+      // trailing empties included
+      val toks = text.split(" ", -1)
+      val tf = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      val nTok = toks.length.toLong
+      val nTyp = tf.size.toLong
+      val sumTf2 = tf.values.map(v => v * v).sum
+      val (gTok, gTyp, ttr, simpson) = got(id)
+      assert(gTok == nTok && gTyp == nTyp)
+      assert(ttr == 1000000L * nTyp / nTok)
+      assert(simpson == 1000000L * sumTf2 / (nTok * nTok))
+    }
+    // boundary docs: all-unique tokens → TTR = 1e6; all-same → Simpson 1e6
+    val dir = writeDocs(Seq((1L, words(50)), (2L, Seq.fill(40)("x").mkString(" "))))
+    val b = TextAnalysis.diversity(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(b(1L)._1 == 1000000L && b(1L)._2 == 1000000L / 50)
+    assert(b(2L)._1 == 1000000L / 40 && b(2L)._2 == 1000000L)
+  }
+
+  test("splitLeakfree: split is a pure function of content, duplicates " +
+      "never straddle splits, and counts conserve") {
+    // synthetic corpus with byte-identical texts under different doc ids
+    val dir = java.nio.file.Files.createTempDirectory("graft_split").toString
+    val texts = (0 until 40).map(i => words(10, s"t$i"))
+    val rows = texts.zipWithIndex.flatMap { case (t, i) =>
+      // every 4th text appears twice more with far-apart ids
+      if (i % 4 == 0) Seq((i.toLong, t), (1000L + i, t), (2000L + i, t))
+      else Seq((i.toLong, t))
+    }
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source",
+        when(col("doc_id") % 2 === 0, "web").otherwise("books"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = CorpusPipeline.splitLeakfree(spark, dir).collect()
+    assert(got.nonEmpty)
+    // audit column proves no content group straddles splits
+    assert(got.forall(_.getLong(4) == 0L))
+    // conservation: every doc lands in exactly one (source, split) cell
+    assert(got.map(_.getLong(2)).sum == rows.length)
+    // all three splits materialize on 40 groups of coins
+    val splits = got.map(_.getString(1)).toSet
+    assert(splits.contains("train"))
+    assert((splits - "train").nonEmpty)
+    // group granularity: distinct groups ≤ docs, strictly fewer here
+    assert(got.map(_.getLong(3)).sum < rows.length)
+  }
 }

@@ -99,4 +99,42 @@ class WarehouseSpec extends SparkSpecBase {
     assert(got("orders_custkey_fk") == ((3L, 0)))
     assert(got("lineitem_discount_range") == ((1L, 0)))
   }
+
+  test("scd2 point-in-time lookup matches the naive interval join and " +
+      "conserves the fact rows") {
+    import graft.operators.RefTransforms.cents
+    val got = Warehouse.scd2Lookup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+
+    // reference: the O(fact × history) non-equi join the merge-scan avoids
+    val dim = Warehouse.scd2(spark, sfDir)
+      .select(col("o_custkey").as("d_custkey"), col("priority"),
+        col("valid_from_ms"), col("valid_to_ms"))
+    val fact = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+    val want = fact.join(dim,
+        col("o_custkey") === col("d_custkey") &&
+          col("valid_from_ms") <= col("ship_ms") &&
+          col("ship_ms") < col("valid_to_ms"), "left")
+      .withColumn("priority", coalesce(col("priority"), lit("NONE")))
+      .groupBy(col("priority"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+
+    // every lineitem resolves to exactly one regime
+    val nLineitem = Tables.lineitem(spark, sfDir).count()
+    assert(got.values.map(_._1).sum == nLineitem)
+    // regime changes are real: some volume ships under a different regime
+    // than it was ordered with (sf0.001 has multi-version customers)
+    assert(got.keys.exists { case (regime, orig) => regime != orig })
+  }
 }
