@@ -215,6 +215,15 @@ object CorpusPipeline {
       .withColumn("split",
         when(col("coin") < 80, "train")
           .when(col("coin") < 90, "val").otherwise("test"))
+    // The audit is a second pass by construction: it needs the global
+    // per-group distinct-split count, which no (source, split) rollup can
+    // supply (a content group may legitimately span sources). Both passes
+    // shuffle only (md5, ids, labels) rows — ~50 bytes/doc, the text
+    // column never leaves its scan — so at corpus scale each pass costs
+    // one narrow-row exchange, not a document-body shuffle. (A shared-
+    // subtree formulation was tried: RemoveRedundantAggregates collapses
+    // the audit's aggregate and re-prunes `source`, so ReuseExchange
+    // cannot be made to serve both branches declaratively.)
     val leaky = tagged.groupBy(col("content_key"))
       .agg(countDistinct(col("split")).as("n_splits"))
       .agg(coalesce(sum((col("n_splits") > 1L).cast("long")), lit(0L))

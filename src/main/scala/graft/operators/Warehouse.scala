@@ -51,7 +51,15 @@ object Warehouse {
     * the orderkey tiebreak makes same-timestamp updates deterministic on
     * both engines.
     */
-  def scd2(s: SparkSession, d: String): DataFrame = {
+  def scd2(s: SparkSession, d: String): DataFrame =
+    scd2Unsorted(s, d).orderBy(col("o_custkey"), col("version"))
+
+  /** [[scd2]] without the presentation sort — for composition
+    * ([[scd2Lookup]]): the trailing global range sort survives under a
+    * downstream Union + re-exchange, so a consumer that immediately
+    * repartitions must start from the unsorted build.
+    */
+  private def scd2Unsorted(s: SparkSession, d: String): DataFrame = {
     // o_orderdate arrives as TIMESTAMP_NTZ; the cast interprets the naive
     // wall clock in the session timezone (pinned UTC in Sessions.build),
     // matching DuckDB's epoch_ms on the same naive column
@@ -83,7 +91,6 @@ object Warehouse {
       .select(col("o_custkey"), col("version"), col("priority"),
         col("valid_from_ms"), col("valid_to_ms"), col("is_current"),
         col("n_updates"))
-      .orderBy(col("o_custkey"), col("version"))
   }
 
   val scd2Sql: String =
@@ -260,7 +267,7 @@ object Warehouse {
     * fact row.
     */
   def scd2Lookup(s: SparkSession, d: String): DataFrame = {
-    val dim = scd2(s, d).select(col("o_custkey"),
+    val dim = scd2Unsorted(s, d).select(col("o_custkey"),
       col("valid_from_ms").as("t"), col("version"), col("priority"))
     val fact = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
