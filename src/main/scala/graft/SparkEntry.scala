@@ -105,6 +105,7 @@ object SparkEntry {
     "q_retention"       -> (EventOps.retention _),
     "q_attribution"     -> (EventOps.attribution _),
     "q_gap_fill"        -> (Timeseries.gapFill _),
+    "q_paa"             -> (Timeseries.paa _),
     "q_word_counts"     -> ((s: SparkSession, d: String) =>
       TextAnalysis.wordCounts(s, d)),
     // [EXT] LLM-pipeline: text analysis — SURVEY §0 north star
@@ -128,6 +129,7 @@ object SparkEntry {
     "q_pii_redact"        -> (TextAnalysis.piiRedact _),
     "q_tfidf"             -> (TextAnalysis.tfidf _),
     "q_diversity"         -> (TextAnalysis.diversity _),
+    "q_feature_hash"      -> (TextAnalysis.featureHash _),
     "q_bm25"              -> (TextAnalysis.bm25 _),
     "q_vocab_coverage"    -> (TextAnalysis.vocabCoverage _),
     "q_corpus_build"      -> (CorpusPipeline.corpusBuild _),
@@ -259,6 +261,7 @@ object SparkEntry {
     "q_retention"       -> EventOps.retentionSql,
     "q_attribution"     -> EventOps.attributionSql,
     "q_gap_fill"        -> Timeseries.gapFillSql,
+    "q_paa"             -> Timeseries.paaSql,
     "q_word_counts"     -> TextAnalysis.wordCountsSql,
     "q_text_stats"      -> TextAnalysis.textStatsSql,
     "q_token_count"     -> TextAnalysis.tokenCountSql,
@@ -276,6 +279,7 @@ object SparkEntry {
     "q_pii_redact"        -> TextAnalysis.piiRedactSql,
     "q_tfidf"             -> TextAnalysis.tfidfSql,
     "q_diversity"         -> TextAnalysis.diversitySql,
+    "q_feature_hash"      -> TextAnalysis.featureHashSql,
     "q_bm25"              -> TextAnalysis.bm25Sql,
     "q_vocab_coverage"    -> TextAnalysis.vocabCoverageSql,
     "q_corpus_build"      -> CorpusPipeline.corpusBuildSql,

@@ -1024,6 +1024,69 @@ object TextAnalysis {
       |       (1000000 * sum_tf2) // (n_tokens * n_tokens) AS simpson_ppm
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---------- hashing-trick featurization ----------
+
+  /** Feature-hash dimensionality (2⁸ buckets — small enough that the
+    * oracle's per-bucket view stays readable, large enough that real
+    * collisions occur and the signed-sum cancellation is exercised).
+    */
+  val FeatureDim = 256
+
+  /** Hashing-trick featurization (Weinberger et al. 2009): each token is
+    * mapped to a fixed-dimension feature index by a hash, with a SIGN bit
+    * drawn from independent hash bits so colliding tokens cancel in
+    * expectation instead of biasing the bucket — the standard
+    * vocabulary-free vectorizer for training linear models / hash
+    * embeddings over unbounded token spaces, where a fitted vocabulary
+    * table would itself be a multi-TB artifact. Output is the sparse
+    * triple form `(doc_id, feature_idx, weight)` with exact integer
+    * weights (Σ±1), zero-weight buckets dropped (full cancellation).
+    *
+    * The hash is the same portable padded polynomial fold the dedup
+    * family uses (native codegen'd [[PolyCharHash]] on the engine side,
+    * the identical rpad/ascii fold in the oracle), so the whole sparse
+    * matrix is hash-exact cross-engine. Index bits and sign bit come
+    * from disjoint parts of the hash (`h mod D` vs `(h div D) mod 2`).
+    *
+    * Shape: explode → (doc_id, idx) aggregate — ONE exchange whose rows
+    * are capped at min(doc_len, D) per document by map-side combine, so
+    * the shuffle moves at most D·|docs| tiny rows regardless of token
+    * volume. No vocabulary state, no fit step, no driver round-trip.
+    */
+  def featureHash(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Dedup.{polyHash, PA}
+    val D = FeatureDim
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), polyHash(col("tok"), 31L, PA).as("h"))
+      .select(col("doc_id"), (col("h") % D).as("feature_idx"),
+        when(expr(s"(h div $D) % 2") === 0L, 1L).otherwise(-1L).as("sign"))
+      .groupBy(col("doc_id"), col("feature_idx"))
+      .agg(sum(col("sign")).as("weight"))
+      .filter(col("weight") =!= 0L)
+      .orderBy(col("doc_id"), col("feature_idx"))
+  }
+
+  val featureHashSql: String = {
+    val D = FeatureDim
+    val h = graft.operators.Dedup.polyHashSql("tok", 31L,
+      graft.operators.Dedup.PA)
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), hashed AS (
+       |  SELECT doc_id, $h AS h FROM toks
+       |), signed AS (
+       |  SELECT doc_id, h % $D AS feature_idx,
+       |         CASE WHEN (h // $D) % 2 = 0 THEN 1 ELSE -1 END AS sign
+       |  FROM hashed
+       |)
+       |SELECT doc_id, feature_idx, CAST(SUM(sign) AS BIGINT) AS weight
+       |FROM signed GROUP BY doc_id, feature_idx
+       |HAVING SUM(sign) <> 0
+       |ORDER BY doc_id, feature_idx""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // q_bm25 — BM25 retrieval scoring (the ranking-function tier above tfidf)
   // ---------------------------------------------------------------------

@@ -964,8 +964,8 @@ object Dedup {
     * the output equals an all-pairs scan and is oracle-checkable.
     */
   val SimHammingMax = 3L
-  private val TokLen = 16
-  private val PA     = 1000000007L
+  private[graft] val TokLen = 16
+  private[graft] val PA     = 1000000007L
   private val PB     = 998244353L
 
   /** Portable 30-bit polynomial character hash of a token (right-padded /
@@ -975,7 +975,7 @@ object Dedup {
     * expression: one fused codegen'd loop per token instead of the 2×16
     * substr/ascii/pmod expression nodes the first version generated.
     */
-  private def polyHash(tok: Column, base: Long, p: Long): Column =
+  private[graft] def polyHash(tok: Column, base: Long, p: Long): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.PolyCharHash(
         org.apache.spark.sql.graft.ColumnBridge.expression(tok),
@@ -988,7 +988,7 @@ object Dedup {
         org.apache.spark.sql.graft.ColumnBridge.expression(c),
         base, p, -1))
 
-  private def polyHashSql(tok: String, base: Long, p: Long): String = {
+  private[graft] def polyHashSql(tok: String, base: Long, p: Long): String = {
     val padded = s"rpad($tok, $TokLen, ' ')"
     (1 to TokLen).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
       s"(($acc * $base + ascii(substr($padded, $i, 1))) % $p)"

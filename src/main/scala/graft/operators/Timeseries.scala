@@ -31,7 +31,13 @@ object Timeseries {
 
   val DayMs = 86400000L
 
-  def gapFill(s: SparkSession, d: String): DataFrame = {
+  def gapFill(s: SparkSession, d: String): DataFrame =
+    filledSeries(s, d).orderBy(col("user_id"), col("day"))
+
+  /** [[gapFill]] without the presentation sort — shared with [[paa]],
+    * which immediately re-aggregates on the same user partitioning.
+    */
+  private def filledSeries(s: SparkSession, d: String): DataFrame = {
     val e = EventOps.withTsMs(Tables.events(s, d))
       .select(col("user_id"), expr(s"ts_ms div $DayMs").as("day"),
         cents(col("value")).as("v"))
@@ -50,7 +56,6 @@ object Timeseries {
         last(col("day_cents"), ignoreNulls = true).over(w))
       .select(col("user_id"), col("day"), col("n_events"),
         col("filled_cents"), col("is_gap"))
-      .orderBy(col("user_id"), col("day"))
   }
 
   val gapFillSql: String =
@@ -79,4 +84,90 @@ object Timeseries {
        |       CAST(CASE WHEN day_cents IS NULL THEN 1 ELSE 0 END AS INT)
        |         AS is_gap
        |FROM j ORDER BY user_id, day""".stripMargin
+
+  // ---------- piecewise aggregate approximation + SAX symbols ----------
+
+  /** PAA segment count per user series. */
+  val PaaSegments = 8
+
+  /** Piecewise Aggregate Approximation over the gap-filled series (the
+    * time-series-indexing primitive of Keogh et al.: a length-n series
+    * compressed to W segment means), plus a SAX-style symbol per segment
+    * from global quartile breakpoints — the representation similarity
+    * search and motif mining run on when the raw series is too long to
+    * compare pointwise.
+    *
+    * Exactness: day index i and segment `(i·W) div n` are pure integers
+    * (a series shorter than W legitimately hits only n of the W segment
+    * ids — the standard integer bucketing); segment means floor to
+    * integer cents; the quartile breakpoints are the shared sort-based
+    * interpolated percentile (integer-or-half-valued doubles), so every
+    * symbol comparison is exact cross-engine. Shape: the fill window's
+    * user partitioning serves the index window and the segment rollup
+    * with no new exchange; the breakpoint table is ONE 1-row broadcast;
+    * output is |users|·W rows. The segment table feeds BOTH the
+    * breakpoint aggregate and the final projection — left declarative,
+    * Spark recomputes the whole series build per branch (measured 2×
+    * the gap-fill cost at the 100× scale point), so the |users|·W-row
+    * segment table is `localCheckpoint`ed once (same precedent as the
+    * dedup connected-components rounds) and the corpus-sized input is
+    * scanned exactly as often as the gap fill itself.
+    */
+  def paa(s: SparkSession, d: String): DataFrame = {
+    val W = PaaSegments
+    val wUser = Window.partitionBy(col("user_id"))
+    val segPlan = filledSeries(s, d)
+      .withColumn("idx", col("day") - min(col("day")).over(wUser))
+      .withColumn("n", max(col("day")).over(wUser)
+        - min(col("day")).over(wUser) + 1L)
+      .withColumn("seg", expr(s"(idx * $W) div n"))
+      .groupBy(col("user_id"), col("seg"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("filled_cents")).as("sum_cents"))
+      .withColumn("mean_cents",
+        expr("sum_cents div n_days"))
+    val seg = segPlan.localCheckpoint()
+    val breaks = seg.agg(
+      expr("percentile(mean_cents, 0.25)").as("q1"),
+      expr("percentile(mean_cents, 0.5)").as("q2"),
+      expr("percentile(mean_cents, 0.75)").as("q3"))
+    seg.crossJoin(broadcast(breaks))
+      .withColumn("symbol",
+        ((col("mean_cents") > col("q1")).cast("int") +
+          (col("mean_cents") > col("q2")).cast("int") +
+          (col("mean_cents") > col("q3")).cast("int")))
+      .select(col("user_id"), col("seg"), col("n_days"), col("sum_cents"),
+        col("mean_cents"), col("symbol"))
+      .orderBy(col("user_id"), col("seg"))
+  }
+
+  val paaSql: String = {
+    val W = PaaSegments
+    s"""WITH filled AS ($gapFillSql
+       |), idxd AS (
+       |  SELECT user_id, filled_cents,
+       |         day - MIN(day) OVER (PARTITION BY user_id) AS idx,
+       |         MAX(day) OVER (PARTITION BY user_id)
+       |           - MIN(day) OVER (PARTITION BY user_id) + 1 AS n
+       |  FROM filled
+       |), seg AS (
+       |  SELECT user_id, (idx * $W) // n AS seg, COUNT(*) AS n_days,
+       |         CAST(SUM(filled_cents) AS BIGINT) AS sum_cents
+       |  FROM idxd GROUP BY user_id, (idx * $W) // n
+       |), m AS (
+       |  SELECT *, sum_cents // n_days AS mean_cents FROM seg
+       |), breaks AS (
+       |  SELECT quantile_cont(mean_cents, 0.25) AS q1,
+       |         quantile_cont(mean_cents, 0.5)  AS q2,
+       |         quantile_cont(mean_cents, 0.75) AS q3
+       |  FROM m
+       |)
+       |SELECT user_id, seg, n_days, sum_cents, mean_cents,
+       |       CAST(CASE WHEN mean_cents > q1 THEN 1 ELSE 0 END
+       |          + CASE WHEN mean_cents > q2 THEN 1 ELSE 0 END
+       |          + CASE WHEN mean_cents > q3 THEN 1 ELSE 0 END AS INT)
+       |         AS symbol
+       |FROM m CROSS JOIN breaks
+       |ORDER BY user_id, seg""".stripMargin
+  }
 }

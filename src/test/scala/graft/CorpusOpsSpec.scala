@@ -402,6 +402,37 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(b(2L)._1 == 1000000L / 40 && b(2L)._2 == 1000000L)
   }
 
+  test("featureHash: signed-sum parity with a sequential hasher, zero " +
+      "rows dropped only on full cancellation, and index domain bounds") {
+    val D = TextAnalysis.FeatureDim
+    // sequential reference with the same padded polynomial fold
+    def fold(tok: String): Long = {
+      val padded = tok.padTo(16, ' ').substring(0, 16)
+      padded.foldLeft(0L)((acc, c) => (acc * 31L + c.toLong) % 1000000007L)
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).map { tok =>
+        val h = fold(tok)
+        ((id, h % D), if ((h / D) % 2 == 0L) 1L else -1L)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      .filter(_._2 != 0L)
+    val got = TextAnalysis.featureHash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(got.keys.forall { case (_, idx) => idx >= 0 && idx < D })
+    // the dimension is small enough that collisions actually occur:
+    // some doc has fewer live buckets than distinct tokens
+    val live = got.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    val types = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).distinct.length
+    }.toMap
+    assert(types.exists { case (id, k) => live.getOrElse(id, 0) < k })
+  }
+
   test("splitLeakfree: split is a pure function of content, duplicates " +
       "never straddle splits, and counts conserve") {
     // synthetic corpus with byte-identical texts under different doc ids

@@ -50,4 +50,42 @@ class TimeseriesSpec extends SparkSpecBase {
     // no row precedes its user's first observation (carry is always set)
     assert(got.forall(_._4 != Long.MinValue))
   }
+
+  test("paa segments tile each user's series and conserve its mass; " +
+      "symbols are monotone in the segment mean") {
+    val series = Timeseries.gapFill(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val got = Timeseries.paa(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    assert(got.nonEmpty)
+    val W = Timeseries.PaaSegments
+
+    // sequential reference: per user, integer segment bucketing
+    val wantCells = series.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val lo = sorted.head._2
+      val n = sorted.last._2 - lo + 1
+      sorted.groupBy(t => (t._2 - lo) * W / n).map { case (seg, cell) =>
+        (u, seg) -> (cell.length.toLong, cell.map(_._3).sum)
+      }
+    }
+    assert(got.length == wantCells.size)
+    got.foreach { case (u, seg, nDays, sum, mean, _) =>
+      val (wn, ws) = wantCells((u, seg))
+      assert(nDays == wn && sum == ws)
+      assert(mean == ws / wn)
+    }
+    // mass conservation: segment sums add back to the filled series
+    assert(got.map(_._4).sum == series.map(_._3).sum)
+    // symbols: 0..3, monotone in mean (sorting by mean never decreases
+    // the symbol), and all four classes appear on real data
+    assert(got.forall(t => t._6 >= 0 && t._6 <= 3))
+    val byMean = got.sortBy(_._5).map(_._6)
+    byMean.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b)
+      case _           => ()
+    }
+    assert(byMean.distinct.length == 4)
+  }
 }
