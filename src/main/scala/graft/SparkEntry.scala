@@ -130,6 +130,7 @@ object SparkEntry {
     "q_tfidf"             -> (TextAnalysis.tfidf _),
     "q_diversity"         -> (TextAnalysis.diversity _),
     "q_feature_hash"      -> (TextAnalysis.featureHash _),
+    "q_ngram_lm"          -> (TextAnalysis.ngramLm _),
     "q_bm25"              -> (TextAnalysis.bm25 _),
     "q_vocab_coverage"    -> (TextAnalysis.vocabCoverage _),
     "q_corpus_build"      -> (CorpusPipeline.corpusBuild _),
@@ -280,6 +281,7 @@ object SparkEntry {
     "q_tfidf"             -> TextAnalysis.tfidfSql,
     "q_diversity"         -> TextAnalysis.diversitySql,
     "q_feature_hash"      -> TextAnalysis.featureHashSql,
+    "q_ngram_lm"          -> TextAnalysis.ngramLmSql,
     "q_bm25"              -> TextAnalysis.bm25Sql,
     "q_vocab_coverage"    -> TextAnalysis.vocabCoverageSql,
     "q_corpus_build"      -> CorpusPipeline.corpusBuildSql,

@@ -1024,6 +1024,64 @@ object TextAnalysis {
       |       (1000000 * sum_tf2) // (n_tokens * n_tokens) AS simpson_ppm
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---------- bigram language-model statistics ----------
+
+  /** Bigrams reported by [[ngramLm]]. */
+  val NgramLmTopK = 50
+
+  /** Bigram language-model estimation over the corpus: the top-k bigrams
+    * by count with their exact conditional probability `P(w2 | w1)` in
+    * floor'd ppm — `10⁶·c(w1,w2) div c(w1,·)`, where the denominator
+    * counts w1 as a bigram START (per-document, so document boundaries
+    * never fabricate a cross-doc bigram). This is the count-collection
+    * pass every n-gram LM / Shannon-style corpus analysis starts from.
+    *
+    * Shape: bigrams are built NARROW — `zip_with` of the token array
+    * against its own tail inside the row, no self-join, no positional
+    * shuffle — then one (w1, w2) count exchange bounded by the observed
+    * bigram vocabulary (map-side combined), a w1-marginal derived from
+    * the SAME counts table (tiny, broadcast back), and a
+    * TakeOrderedAndProject top-k with deterministic ties
+    * (count desc, w1, w2). No corpus-sized intermediate anywhere.
+    */
+  def ngramLm(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = Tables.documents(s, d)
+      .select(explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val marginal = bigrams.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    bigrams.join(broadcast(marginal), Seq("w1"))
+      .orderBy(col("c2").desc, col("w1"), col("w2"))
+      .limit(NgramLmTopK)
+      .select(col("w1"), col("w2"), col("c2"), col("c1"),
+        expr("(1000000 * c2) div c1").as("cond_ppm"))
+      .orderBy(col("c2").desc, col("w1"), col("w2"))
+  }
+
+  val ngramLmSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), bg AS (
+       |  SELECT t[i] AS w1, t[i + 1] AS w2
+       |  FROM toks, unnest(range(1, len(t))) AS u(i)
+       |), counts AS (
+       |  SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+       |), marg AS (
+       |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM counts GROUP BY w1
+       |), top AS (
+       |  SELECT counts.w1, w2, c2, c1
+       |  FROM counts JOIN marg ON counts.w1 = marg.w1
+       |  ORDER BY c2 DESC, counts.w1, w2 LIMIT $NgramLmTopK
+       |)
+       |SELECT w1, w2, c2, c1, (1000000 * c2) // c1 AS cond_ppm
+       |FROM top ORDER BY c2 DESC, w1, w2""".stripMargin
+
   // ---------- hashing-trick featurization ----------
 
   /** Feature-hash dimensionality (2⁸ buckets — small enough that the

@@ -433,6 +433,32 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(types.exists { case (id, k) => live.getOrElse(id, 0) < k })
   }
 
+  test("ngramLm: top-k bigrams and conditional ppm match a sequential " +
+      "count, and conditionals per w1 never exceed one") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+    val c2 = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { t =>
+      val w = t.split(" ", -1)
+      w.sliding(2).foreach {
+        case Array(a, b) => c2((a, b)) = c2.getOrElse((a, b), 0L) + 1L
+        case _           => ()
+      }
+    }
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val want = c2.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }
+      .take(TextAnalysis.NgramLmTopK)
+      .map { case ((a, b), c) =>
+        (a, b, c, c1(a), 1000000L * c / c1(a))
+      }
+    val got = TextAnalysis.ngramLm(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == want)
+    assert(got.forall(_._5 <= 1000000L))
+  }
+
   test("splitLeakfree: split is a pure function of content, duplicates " +
       "never straddle splits, and counts conserve") {
     // synthetic corpus with byte-identical texts under different doc ids
