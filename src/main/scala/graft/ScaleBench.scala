@@ -29,7 +29,10 @@ object ScaleBench {
     "q_pii_redact", "q_tfidf", "q_embed_quantize",
     "q_semantic_dedup", "q_pack_sequences", "q_lang_mix",
     "q_quality_topp", "q_token_budget", "q_group_sample",
-    "q_heavy_hitters")
+    "q_heavy_hitters",
+    // round-7 session-IV additions (documents/events-driven)
+    "q_diversity", "q_split_leakfree", "q_feature_hash", "q_ngram_lm",
+    "q_gap_fill", "q_paa")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("spark.log.level", "ERROR")

@@ -389,9 +389,19 @@ object TextAnalysis {
   /** The sampling coin/quota as reusable expressions (corpus pipeline
     * composes them after quality + dedup filtering).
     */
-  private[graft] def sampleCoin: Column = pmod(
-    pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L) + lit(40503L),
+  /** The multiplicative-hash coin in [0, 100) over an arbitrary integer
+    * key — the ONE definition of the magic constants every
+    * deterministic-sampling operator (and the leak-free splitter)
+    * shares, Scala and SQL forms in lock-step.
+    */
+  private[graft] def coinOf(key: Column): Column = pmod(
+    pmod(key, lit(1000003L)) * lit(2654435761L) + lit(40503L),
     lit(999983L)) % 100
+
+  private[graft] def coinOfSql(key: String): String =
+    s"(($key % 1000003) * 2654435761 + 40503) % 999983 % 100"
+
+  private[graft] def sampleCoin: Column = coinOf(col("doc_id"))
 
   private[graft] def sampleQuota: Column =
     SampleQuota.tail.foldLeft(
@@ -399,8 +409,7 @@ object TextAnalysis {
       case (acc, (l, q)) => acc.when(col("lang") === l, lit(q))
     }.otherwise(lit(0))
 
-  private[graft] val sampleCoinSql =
-    "((doc_id % 1000003) * 2654435761 + 40503) % 999983 % 100"
+  private[graft] val sampleCoinSql = coinOfSql("doc_id")
 
   private[graft] val sampleQuotaSql: String = {
     val cases = SampleQuota

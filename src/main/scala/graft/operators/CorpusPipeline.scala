@@ -209,9 +209,7 @@ object CorpusPipeline {
     val tagged = graft.Tables.documents(s, d)
       .select(col("doc_id"), col("source"), md5(col("text")).as("content_key"))
       .withColumn("rep_id", min(col("doc_id")).over(wg))
-      .withColumn("coin", pmod(
-        pmod(col("rep_id"), lit(1000003L)) * lit(2654435761L) + lit(40503L),
-        lit(999983L)) % 100)
+      .withColumn("coin", TextAnalysis.coinOf(col("rep_id")))
       .withColumn("split",
         when(col("coin") < 80, "train")
           .when(col("coin") < 90, "val").otherwise("test"))
@@ -236,7 +234,7 @@ object CorpusPipeline {
   }
 
   val splitLeakfreeSql: String = {
-    val coin = "((rep_id % 1000003) * 2654435761 + 40503) % 999983 % 100"
+    val coin = TextAnalysis.coinOfSql("rep_id")
     s"""WITH tagged AS (
        |  SELECT doc_id, source, md5(text) AS content_key,
        |         MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id

@@ -101,8 +101,11 @@ object Timeseries {
     * (a series shorter than W legitimately hits only n of the W segment
     * ids — the standard integer bucketing); segment means floor to
     * integer cents; the quartile breakpoints are the shared sort-based
-    * interpolated percentile (integer-or-half-valued doubles), so every
-    * symbol comparison is exact cross-engine. Shape: the fill window's
+    * interpolated percentile at position fractions 0.25/0.5/0.75 —
+    * QUARTER-valued over integer inputs, i.e. dyadic fractions exactly
+    * representable in a double, so every symbol comparison is exact
+    * cross-engine (a non-dyadic fraction like decile 0.1 would NOT be —
+    * do not generalize the breakpoints without revisiting this). Shape: the fill window's
     * user partitioning serves the index window and the segment rollup
     * with no new exchange; the breakpoint table is ONE 1-row broadcast;
     * output is |users|·W rows. The segment table feeds BOTH the

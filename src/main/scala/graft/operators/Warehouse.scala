@@ -270,7 +270,7 @@ object Warehouse {
     val dim = scd2Unsorted(s, d).select(col("o_custkey"),
       col("valid_from_ms").as("t"), col("version"), col("priority"))
     val fact = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_linenumber"),
+      .select(col("l_orderkey"),
         unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
         cents(col("l_extendedprice")).as("price_cents"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),

@@ -482,10 +482,10 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got.forall(_.getLong(4) == 0L))
     // conservation: every doc lands in exactly one (source, split) cell
     assert(got.map(_.getLong(2)).sum == rows.length)
-    // all three splits materialize on 40 groups of coins
+    // all three splits materialize on this fixture (rep ids 0..39 draw
+    // 30 train / 8 val / 2 test coins — precomputed)
     val splits = got.map(_.getString(1)).toSet
-    assert(splits.contains("train"))
-    assert((splits - "train").nonEmpty)
+    assert(splits == Set("train", "val", "test"))
     // group granularity: distinct groups ≤ docs, strictly fewer here
     assert(got.map(_.getLong(3)).sum < rows.length)
   }
