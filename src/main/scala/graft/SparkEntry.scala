@@ -82,6 +82,7 @@ object SparkEntry {
     "q_topk"            -> (Relational.topK _),
     "q_topk_group"      -> (Relational.topKGroup _),
     "q_graph_rank"      -> (GraphOps.copurchaseRank _),
+    "q_triangles"       -> (GraphOps.triangles _),
     "q_window_analytic" -> (Relational.windowAnalytic _),
     "q_window_range"    -> (Relational.windowRange _),
     "q_upsert_lww"      -> (Relational.upsertLww _),
@@ -241,6 +242,7 @@ object SparkEntry {
     "q_topk"            -> Relational.topKSql,
     "q_topk_group"      -> Relational.topKGroupSql,
     "q_graph_rank"      -> GraphOps.copurchaseRankSql,
+    "q_triangles"       -> GraphOps.trianglesSql,
     "q_window_analytic" -> Relational.windowAnalyticSql,
     "q_window_range"    -> Relational.windowRangeSql,
     "q_upsert_lww"      -> Relational.upsertLwwSql,

@@ -84,4 +84,45 @@ class GraphOpsSpec extends SparkSpecBase {
         "shuffle-join fallback must compute the identical integer ranks")
     } finally spark.conf.unset(GraphOps.MaxBroadcastNodesKey)
   }
+
+  test("triangle counts match a brute-force adjacency-set reference and " +
+      "conserve total triangle mass") {
+    // brute force from the raw lineitem: adjacency sets, count each
+    // triangle at its smallest vertex
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    li.groupBy(_._1).values.foreach { parts =>
+      val ps = parts.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) {
+        adj(a) = adj(a) + b; adj(b) = adj(b) + a
+      }
+    }
+    val triPerNode = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    var total = 0L
+    adj.keys.toSeq.sorted.foreach { a =>
+      val na = adj(a).filter(_ > a).toSeq.sorted
+      for (i <- na.indices; j <- (i + 1) until na.length
+           if adj(na(i)).contains(na(j))) {
+        total += 1
+        triPerNode(a) += 1; triPerNode(na(i)) += 1; triPerNode(na(j)) += 1
+      }
+    }
+    val got = GraphOps.triangles(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && total > 0L)
+    // every degree-≥2 node is present with the exact brute-force count
+    val expected = adj.collect { case (k, vs) if vs.size >= 2 => k }.toSet
+    assert(got.map(_._1).toSet == expected)
+    got.foreach { case (pk, deg, nTri, ccPpm) =>
+      assert(deg == adj(pk).size)
+      assert(nTri == triPerNode(pk), s"triangles at $pk")
+      assert(ccPpm == 1000000L * 2L * nTri / (deg * (deg - 1L)))
+    }
+    // each triangle contributes exactly 3 per-node increments
+    assert(got.map(_._3).sum == 3L * total)
+  }
 }
