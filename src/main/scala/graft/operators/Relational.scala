@@ -529,6 +529,59 @@ object Relational {
       |GROUP BY c.o_orderpriority, g.n
       |ORDER BY c.o_orderpriority""".stripMargin
 
+  /** TPC-H Q5-shaped star join: revenue by nation for one region and
+    * date window, through the full six-table snowflake — region → nation
+    * → customer → orders → lineitem → supplier, with the Q5 "local
+    * supplier" constraint (supplier and customer share a nation). The
+    * canonical optimizer showcase the two-table joins don't exercise:
+    * Catalyst must reorder the chain, push the region/date filters into
+    * the scans (`PushedFilters` on o_orderdate, r_name), broadcast every
+    * dimension (region 5, nation 25, supplier and customer both
+    * sub-threshold at test scale), and leave ONE true shuffle pair —
+    * lineitem ⋈ orders — as the only exchange that grows with the data.
+    * At warehouse scale customer outgrows the broadcast threshold and
+    * AQE flips that one join to shuffle; nothing else changes. Money in
+    * exact cents, output |nations-in-region| rows.
+    */
+  def starJoin(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1997-01-01")
+    val l = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    r.join(n, col("r_regionkey") === col("n_regionkey"))
+      .join(c, col("c_nationkey") === col("n_nationkey"))
+      .join(o, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
+
+  val starJoinSql: String =
+    """SELECT n_name,
+      |       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       COUNT(*) AS n_lines
+      |FROM region
+      |JOIN nation   ON r_regionkey = n_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders   ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue_cents DESC, n_name""".stripMargin
+
   /** Robust (median/MAD) outlier detection per group — the
     * heavy-tail-tolerant complement of [[anomalyExact]]'s 3σ gate: one
     * extreme value inflates μ and σ enough to mask other outliers, while

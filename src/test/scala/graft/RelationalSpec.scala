@@ -18,6 +18,25 @@ class RelationalSpec extends SparkSpecBase {
       "lineitem side should read pre-bucketed data without a shuffle")
   }
 
+  test("star join: every dimension broadcasts, the date filter reaches " +
+      "the orders scan, and the fact pair is the only non-broadcast join") {
+    val df = Relational.starJoin(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    // 5 joins total: 4 dimension joins broadcast, lineitem⋈orders is the
+    // one join allowed to shuffle (AQE may still broadcast it at this
+    // test scale, so assert the broadcast COUNT, not a shuffle)
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+    // the date window is pushed into the orders parquet scan
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(o_orderdate"),
+      "o_orderdate range must reach the parquet scan")
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      "region filter must reach the parquet scan")
+  }
+
   test("bucketed join result equals the plain-join computation") {
     val bucketed = Relational.bucketedJoin(spark, sfDir).collect()
     val plain = Tables.orders(spark, sfDir)
