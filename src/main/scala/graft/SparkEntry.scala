@@ -57,6 +57,7 @@ object SparkEntry {
     // [EXT] relational — SURVEY §2e-§2i
     "q_join_enrich"     -> (Relational.joinEnrich _),
     "q_star_join"       -> (Relational.starJoin _),
+    "q_correlated"      -> (Relational.correlatedSubquery _),
     "q_join_left"       -> (Relational.joinLeft _),
     "q_join_semi"       -> (Relational.joinSemi _),
     "q_bucketed_join"   -> (Relational.bucketedJoin _),
@@ -222,6 +223,7 @@ object SparkEntry {
     "q_zorder_layout"   -> Maintenance.zorderLayoutSql,
     "q_join_enrich"     -> Relational.joinEnrichSql,
     "q_star_join"       -> Relational.starJoinSql,
+    "q_correlated"      -> Relational.correlatedSubquerySql,
     "q_join_left"       -> Relational.joinLeftSql,
     "q_join_semi"       -> Relational.joinSemiSql,
     "q_bucketed_join"   -> Relational.bucketedJoinSql,

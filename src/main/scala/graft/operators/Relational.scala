@@ -582,6 +582,44 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue_cents DESC, n_name""".stripMargin
 
+  /** Correlated scalar subquery — the SQL-front-end surface the
+    * DataFrame queries never touch: customers whose balance exceeds
+    * their nation's average, phrased with per-row correlated subqueries
+    * that Catalyst MUST decorrelate (RewriteCorrelatedScalarSubquery
+    * rewrites both into one grouped aggregate joined back on the
+    * correlation key — per-row re-execution, the naive reading, would
+    * be O(n²) scans). The mean comparison is cleared of FP by
+    * cross-multiplying: `cents·n > Σcents` instead of
+    * `balance > avg(balance)` — exact integers, hash-stable at any
+    * partition order, same rewrite in the oracle.
+    */
+  def correlatedSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_corr")
+    s.sql(
+      """SELECT c_nationkey, COUNT(*) AS n_above
+        |FROM customer_corr c
+        |WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) *
+        |      (SELECT COUNT(*) FROM customer_corr c2
+        |       WHERE c2.c_nationkey = c.c_nationkey) >
+        |      (SELECT SUM(CAST(floor(c2.c_acctbal * 100 + 0.5) AS BIGINT))
+        |       FROM customer_corr c2
+        |       WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
+  }
+
+  val correlatedSubquerySql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_above
+      |FROM customer c
+      |WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) *
+      |      (SELECT COUNT(*) FROM customer c2
+      |       WHERE c2.c_nationkey = c.c_nationkey) >
+      |      (SELECT CAST(SUM(CAST(floor(c2.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |       FROM customer c2
+      |       WHERE c2.c_nationkey = c.c_nationkey)
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   /** Robust (median/MAD) outlier detection per group — the
     * heavy-tail-tolerant complement of [[anomalyExact]]'s 3σ gate: one
     * extreme value inflates μ and σ enough to mask other outliers, while

@@ -37,6 +37,27 @@ class RelationalSpec extends SparkSpecBase {
       "region filter must reach the parquet scan")
   }
 
+  test("correlated scalar subqueries decorrelate to one aggregate join " +
+      "and match the window-based equivalent") {
+    val df = graft.operators.Relational.correlatedSubquery(spark, sfDir)
+    // decorrelation: the optimized plan contains no subquery expression
+    // (per-row re-execution) — both scalar subqueries became aggregates
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("scalar-subquery"), opt.take(800))
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val want = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("c_nationkey")))
+      .withColumn("s", sum(col("cents")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("c_nationkey")))
+      .filter(col("cents") * col("n") > col("s"))
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_above"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("bucketed join result equals the plain-join computation") {
     val bucketed = Relational.bucketedJoin(spark, sfDir).collect()
     val plain = Tables.orders(spark, sfDir)
