@@ -68,6 +68,8 @@ object SparkEntry {
     "q_stats_exact"     -> (Relational.statsExact _),
     "q_anomaly"         -> (Relational.anomalyExact _),
     "q_anomaly_robust"  -> (Relational.anomalyRobust _),
+    "q_drift_ks"        -> (Drift.driftKs _),
+    "q_drift_tv"        -> (Drift.driftTv _),
     "q_salted_agg"      -> (TypedOps.saltedAgg _),
     "q_agg_distinct"    -> (Relational.aggDistinct _),
     // hash-gated checked projections: sketch estimates are engine-specific,
@@ -234,6 +236,8 @@ object SparkEntry {
     "q_stats_exact"     -> Relational.statsExactSql,
     "q_anomaly"         -> Relational.anomalyExactSql,
     "q_anomaly_robust"  -> Relational.anomalyRobustSql,
+    "q_drift_ks"        -> Drift.driftKsSql,
+    "q_drift_tv"        -> Drift.driftTvSql,
     "q_salted_agg"      -> TypedOps.saltedAggSql,
     "q_agg_distinct"    -> Relational.aggDistinctSql,
     "q_approx_distinct" -> Relational.aggApproxDistinctCheckedSql,

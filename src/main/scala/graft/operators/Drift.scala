@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.Column
+
+import graft.Tables
+import graft.operators.RefTransforms.cents
+
+/** Distribution-drift statistics — the monitoring tier a training-data
+  * pipeline runs between corpus snapshots, sources, or time slices
+  * before trusting a refresh: a numeric two-sample Kolmogorov–Smirnov
+  * distance and a categorical total-variation distance, both EXACT.
+  *
+  * Both statistics are rationals with denominator N₁·N₂ (the KS sup and
+  * the TV half-sum cross-multiplied), so the whole report is integer
+  * arithmetic — no FP ECDF, no engine-dependent sup location — with
+  * products accumulated in DECIMAL(38,0) ≡ HUGEINT, BIGINT-safe past
+  * 10⁹-row groups (the same precision discipline as the 3σ gate).
+  *
+  * Scale shapes:
+  *  - KS: one (value) groupBy collapses the fact table to its SUPPORT
+  *    (distinct cents values — bounded by the value domain, not the row
+  *    count), the ECDF is a running-sum window over that support, and
+  *    the sup is a TakeOrdered head. The only global sort orders the
+  *    support, never the rows.
+  *  - TV: one (category) groupBy to ≤|domain| rows, a 1-row totals
+  *    broadcast, one fold. Nothing wide anywhere.
+  */
+object Drift {
+
+  /** Exact floor division on non-negative decimals: Spark's decimal `/`
+    * rounds HALF_UP at the result scale (a boundary hazard against
+    * DuckDB's flooring `//`), but subtracting the remainder first makes
+    * the division exact — no rounding can occur on a zero-remainder
+    * quotient, so the result is the true floor in both engines.
+    */
+  private def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Exact two-sample KS between 'O' and 'F' order-status populations on
+    * o_totalprice. Ties are handled by evaluating the ECDF AFTER each
+    * distinct value (right-continuous, the textbook definition) — the
+    * per-value groupBy makes that exact by construction. Output one row:
+    * group sizes, the integer sup numerator `max|c₁N₂ − c₂N₁|`, its
+    * ppm form `10⁶·sup div (N₁N₂)`, and the smallest value attaining
+    * the sup (deterministic argmax).
+    */
+  def driftKs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select((col("o_orderstatus") === "O").cast("long").as("g"),
+        cents(col("o_totalprice")).as("c"))
+    val support = base.groupBy(col("c"))
+      .agg(sum(col("g")).as("d1"), sum(lit(1L) - col("g")).as("d2"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ecdf = support
+      .withColumn("c1", sum(col("d1")).over(w).cast("decimal(38,0)"))
+      .withColumn("c2", sum(col("d2")).over(w).cast("decimal(38,0)"))
+    val tot = base.agg(sum(col("g")).cast("decimal(38,0)").as("n1"),
+      sum(lit(1L) - col("g")).cast("decimal(38,0)").as("n2"))
+    ecdf.crossJoin(broadcast(tot))
+      .withColumn("num", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+      .orderBy(col("num").desc, col("c"))
+      .limit(1)
+      .select(
+        col("n1").cast("long").as("n1"),
+        col("n2").cast("long").as("n2"),
+        col("num").cast("long").as("ks_num"),
+        floorDiv(col("num") * lit(1000000L).cast("decimal(38,0)"),
+          col("n1") * col("n2")).as("ks_ppm"),
+        col("c").as("at_cents"))
+  }
+
+  val driftKsSql: String =
+    """WITH base AS (
+      |  SELECT CAST(o_orderstatus = 'O' AS BIGINT) AS g,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      |  FROM orders WHERE o_orderstatus IN ('O', 'F')
+      |), support AS (
+      |  SELECT c, CAST(SUM(g) AS HUGEINT) AS d1,
+      |         CAST(SUM(1 - g) AS HUGEINT) AS d2
+      |  FROM base GROUP BY c
+      |), ecdf AS (
+      |  SELECT c,
+      |         SUM(d1) OVER (ORDER BY c
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+      |         SUM(d2) OVER (ORDER BY c
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+      |  FROM support
+      |), tot AS (
+      |  SELECT CAST(SUM(g) AS HUGEINT) AS n1,
+      |         CAST(SUM(1 - g) AS HUGEINT) AS n2
+      |  FROM base
+      |)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |       CAST(abs(c1 * n2 - c2 * n1) AS BIGINT) AS ks_num,
+      |       CAST(1000000 * abs(c1 * n2 - c2 * n1) // (n1 * n2) AS BIGINT)
+      |         AS ks_ppm,
+      |       c AS at_cents
+      |FROM ecdf CROSS JOIN tot
+      |ORDER BY abs(c1 * n2 - c2 * n1) DESC, c
+      |LIMIT 1""".stripMargin
+
+  /** Exact total-variation distance between the event-type distributions
+    * of the first and second half of the event-time range:
+    * `TV = ½ Σ|p₁ − p₂|`, cross-multiplied to the integer numerator
+    * `Σ|o₁N₂ − o₂N₁|` over denominator `2·N₁N₂`. One per-type row
+    * (observed counts both sides, the per-type ppm gap) plus the
+    * verdict available from the same integers — the categorical-mix
+    * shift monitor (source/language/type composition) every corpus
+    * refresh gate needs. The midpoint derives from min/max epoch-ms
+    * (one tiny agg, broadcast); all downstream work is |domain|-sized.
+    */
+  def driftTv(s: SparkSession, d: String): DataFrame = {
+    val e = EventOps.withTsMs(Tables.events(s, d))
+      .select(col("event_type"), col("ts_ms"))
+    val mid = e.agg(((min(col("ts_ms")) + max(col("ts_ms"))) / 2L)
+      .cast("long").as("mid_ms"))
+    val sided = e.crossJoin(broadcast(mid))
+      .select(col("event_type"),
+        (col("ts_ms") < col("mid_ms")).cast("long").as("g"))
+    val byType = sided.groupBy(col("event_type"))
+      .agg(sum(col("g")).as("o1"), sum(lit(1L) - col("g")).as("o2"))
+    val tot = sided.agg(sum(col("g")).cast("decimal(38,0)").as("n1"),
+      sum(lit(1L) - col("g")).cast("decimal(38,0)").as("n2"))
+    byType.crossJoin(broadcast(tot))
+      .withColumn("gap",
+        abs(col("o1").cast("decimal(38,0)") * col("n2") -
+          col("o2").cast("decimal(38,0)") * col("n1")))
+      .select(col("event_type"), col("o1"), col("o2"),
+        floorDiv(col("gap") * lit(1000000L).cast("decimal(38,0)"),
+          col("n1") * col("n2")).as("gap_ppm"),
+        floorDiv(sum(col("gap")).over(Window.partitionBy()) *
+          lit(1000000L).cast("decimal(38,0)"),
+          lit(2L).cast("decimal(38,0)") * col("n1") * col("n2"))
+          .as("tv_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val driftTvSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_ms(ts) AS ts_ms FROM events
+      |), mid AS (
+      |  SELECT (MIN(ts_ms) + MAX(ts_ms)) // 2 AS mid_ms FROM e
+      |), sided AS (
+      |  SELECT event_type,
+      |         CAST(ts_ms < mid_ms AS BIGINT) AS g
+      |  FROM e CROSS JOIN mid
+      |), bytype AS (
+      |  SELECT event_type, CAST(SUM(g) AS BIGINT) AS o1,
+      |         CAST(SUM(1 - g) AS BIGINT) AS o2
+      |  FROM sided GROUP BY event_type
+      |), tot AS (
+      |  SELECT CAST(SUM(g) AS HUGEINT) AS n1,
+      |         CAST(SUM(1 - g) AS HUGEINT) AS n2
+      |  FROM sided
+      |)
+      |SELECT event_type, o1, o2,
+      |       CAST(1000000 * abs(o1 * n2 - o2 * n1) // (n1 * n2) AS BIGINT)
+      |         AS gap_ppm,
+      |       CAST(1000000 * SUM(abs(o1 * n2 - o2 * n1)) OVER ()
+      |            // (2 * n1 * n2) AS BIGINT) AS tv_ppm
+      |FROM bytype CROSS JOIN tot
+      |ORDER BY event_type""".stripMargin
+}

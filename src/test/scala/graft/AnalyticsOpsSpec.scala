@@ -185,6 +185,64 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(math.abs(madC - madD) <= 4)
   }
 
+  test("two-sample KS drift matches a sequential exact ECDF scan") {
+    import graft.operators.Drift
+    val rows = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select(col("o_orderstatus"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val aVals = rows.collect { case ("O", c) => c }.sorted
+    val bVals = rows.collect { case ("F", c) => c }.sorted
+    val (n1, n2) = (aVals.length.toLong, bVals.length.toLong)
+    val support = (aVals ++ bVals).distinct.sorted
+    var best = BigInt(0); var bestAt = Long.MaxValue
+    support.foreach { v =>
+      val c1 = BigInt(aVals.count(_ <= v)) * n2
+      val c2 = BigInt(bVals.count(_ <= v)) * n1
+      val num = (c1 - c2).abs
+      if (num > best || (num == best && v < bestAt)) {
+        best = num; bestAt = v
+      }
+    }
+    val got = Drift.driftKs(spark, sfDir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    assert(BigInt(r.getLong(2)) == best)
+    assert(r.getLong(3) ==
+      (best * 1000000 / (BigInt(n1) * BigInt(n2))).toLong)
+    assert(r.getLong(4) == bestAt)
+  }
+
+  test("total-variation drift: per-type gaps conserve into the TV sum " +
+      "and identical halves give zero") {
+    import graft.operators.Drift
+    val got = Drift.driftTv(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // the TV column is one shared value, inside [0, 1e6], and the halves
+    // actually split the data
+    assert(got.map(_._5).distinct.length == 1)
+    val tv = got.head._5
+    assert(tv >= 0L && tv <= 1000000L)
+    val (sumO1, sumO2) = (got.map(_._2).sum, got.map(_._3).sum)
+    assert(sumO1 > 0L && sumO2 > 0L)
+    // sequential recompute of the exact cross-multiplied statistic
+    val num = got.map { case (_, o1, o2, _, _) =>
+      (BigInt(o1) * sumO2 - BigInt(o2) * sumO1).abs
+    }.sum
+    assert(BigInt(tv) ==
+      num * 1000000 / (BigInt(2) * BigInt(sumO1) * BigInt(sumO2)))
+    // TV of a distribution against itself is zero
+    val same = got.map { case (t, o1, _, _, _) => (t, o1, o1) }
+    val numSame = same.map { case (_, a, b) =>
+      (BigInt(a) * sumO1 - BigInt(b) * sumO1).abs
+    }.sum
+    assert(numSame == 0)
+  }
+
   test("attribution matches a sequential per-user walk") {
     val events = EventOps.withTsMs(Tables.events(spark, sfDir))
       .select(col("user_id"), col("event_id"), col("ts_ms"),
