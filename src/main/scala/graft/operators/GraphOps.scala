@@ -53,6 +53,18 @@ object GraphOps {
     */
   val MaxBroadcastNodesKey = "graft.graph.maxBroadcastNodes"
 
+  /** Default ceiling (edge count) for broadcasting the triangle query's
+    * closing-edge set — deliberately above the generic broadcast
+    * threshold because the alternative is shuffling the QUADRATIC wedge
+    * set (Σ out-deg² rows) instead of a linear m-row list.
+    */
+  val MaxBroadcastEdges = 4000000L
+
+  /** Conf key overriding [[MaxBroadcastEdges]] (tests lower it to force
+    * the shuffle fallback).
+    */
+  val MaxBroadcastEdgesKey = "graft.graph.maxBroadcastEdges"
+
   private val nodesCache =
     scala.collection.mutable.HashMap[String, DataFrame]()
 
@@ -184,8 +196,24 @@ object GraphOps {
     val wedges = e1.join(e2, Seq("src"))
       .filter(ordLt(col("db"), col("b"), col("dc"), col("c")))
       .select(col("src").as("a"), col("b"), col("c"))
-    val tris = wedges.join(
-      ori.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    // The wedge set (Σ out-deg² — 41M rows at sf0.1) dwarfs the edge set
+    // it closes against (m rows, 16 bytes each): shuffling the WEDGES on
+    // (b, c) is the naive plan's dominant exchange. The asymmetry
+    // justifies a ceiling well above the session's generic broadcast
+    // threshold — a Σd² wedge exchange is quadratic in degree while the
+    // closing set is linear in m, so up to [[MaxBroadcastEdges]] edges
+    // (~64 MB raw, a routine executor-memory spend) the closing list is
+    // broadcast as a hash set and the quadratic side never touches the
+    // wire. Past the ceiling (page-scale graphs, 10⁹ edges) the plain
+    // shuffle join is the fallback shape that never outgrows memory;
+    // GraphOpsSpec pins identical triangles on both paths.
+    val closing = ori.select(col("dst").as("c"), col("src").as("b"))
+    val maxBroadcastEdges = s.conf
+      .getOption(MaxBroadcastEdgesKey).map(_.toLong)
+      .getOrElse(MaxBroadcastEdges)
+    val closingHinted =
+      if (und.count() <= maxBroadcastEdges) broadcast(closing) else closing
+    val tris = wedges.join(closingHinted, Seq("b", "c"))
     val perNode = tris
       .select(explode(array(col("a"), col("b"), col("c"))).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("n_tri"))

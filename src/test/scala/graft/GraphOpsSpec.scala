@@ -124,5 +124,14 @@ class GraphOpsSpec extends SparkSpecBase {
     }
     // each triangle contributes exactly 3 per-node increments
     assert(got.map(_._3).sum == 3L * total)
+
+    // the closing-edge broadcast is size-gated: forcing the shuffle
+    // fallback (ceiling 0) must produce the identical report
+    spark.conf.set(GraphOps.MaxBroadcastEdgesKey, "0")
+    try {
+      val shuffled = GraphOps.triangles(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(shuffled.sortBy(_._1) sameElements got.sortBy(_._1))
+    } finally spark.conf.unset(GraphOps.MaxBroadcastEdgesKey)
   }
 }
