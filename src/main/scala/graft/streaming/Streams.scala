@@ -340,6 +340,49 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming categorical-drift monitor — the continuous twin of
+    * `q_drift_tv`: per event-time window, the exact total-variation
+    * distance of the window's event-type mix against a FIXED baseline
+    * mix (the composition of the already-trusted corpus slice). This is
+    * the live data-quality gate a feed runs so a composition shift
+    * (a source going dark, a new event type flooding in) alerts within
+    * one window instead of at the next offline audit.
+    *
+    * Shape: ONE stateful operator. The type domain is fixed, so the
+    * per-window mix is a conditional-count aggregate (no second
+    * per-type grouping, no chained stateful ops), and the TV fold over
+    * the known types plus the baseline constants happens in a stateless
+    * projection — append-mode emission with watermark-bounded state.
+    * All integers: `tv_num = Σ|n_t·N_b − b_t·N|` over `2·N·N_b`, same
+    * cross-multiplied rational as the batch query, so the monitor's
+    * output is bit-deterministic under replay.
+    */
+  def driftMonitor(events: DataFrame, baseline: Map[String, Long])
+      : DataFrame = {
+    val types = baseline.keys.toSeq.sorted
+    val nb = baseline.values.sum
+    val counts = types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+    val n = types.map(t => col(s"n_$t")).reduce(_ + _)
+    val tvNum = types.map { t =>
+      abs(col(s"n_$t") * lit(nb) - lit(baseline(t)) * col("total"))
+    }.reduce(_ + _)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("total", n)
+      .withColumn("tv_num", tvNum)
+      .select(col("window.start").as("window_start"), col("total"),
+        col("tv_num"),
+        // guard the empty-window degenerate (late data fully watermarked
+        // out); products stay int64-safe for hour windows (n_t·N_b with
+        // a ≤1e6-row baseline mix and ≤1e9-row windows)
+        when(col("total") === 0L, lit(0L))
+          .otherwise(expr(s"(1000000 * tv_num) div (2 * total * $nb)"))
+          .as("tv_ppm"))
+  }
+
   /** Stream-stream inner join: events matched to orders of the same user
     * that happened in the hour before the event. Both sides carry
     * watermarks AND the join has a time-range condition — the two things
