@@ -36,9 +36,16 @@ object Drift {
     * DuckDB's flooring `//`), but subtracting the remainder first makes
     * the division exact — no rounding can occur on a zero-remainder
     * quotient, so the result is the true floor in both engines.
+    *
+    * A zero divisor (a degenerate input where one population is empty)
+    * yields NULL — explicitly, so both engines agree: the oracles guard
+    * with NULLIF where an unguarded DuckDB `//` would raise a
+    * division-by-zero error while Spark returned silent NULLs, turning
+    * the hash gate into a crash-vs-NULL divergence.
     */
   private def floorDiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+    when(b === lit(0L).cast("decimal(38,0)"), lit(null))
+      .otherwise((a - pmod(a, b)) / b).cast("long")
 
   /** Exact two-sample KS between 'O' and 'F' order-status populations on
     * o_totalprice. Ties are handled by evaluating the ECDF AFTER each
@@ -98,8 +105,8 @@ object Drift {
       |)
       |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
       |       CAST(abs(c1 * n2 - c2 * n1) AS BIGINT) AS ks_num,
-      |       CAST(1000000 * abs(c1 * n2 - c2 * n1) // (n1 * n2) AS BIGINT)
-      |         AS ks_ppm,
+      |       CAST(1000000 * abs(c1 * n2 - c2 * n1) // NULLIF(n1 * n2, 0)
+      |         AS BIGINT) AS ks_ppm,
       |       c AS at_cents
       |FROM ecdf CROSS JOIN tot
       |ORDER BY abs(c1 * n2 - c2 * n1) DESC, c
@@ -160,10 +167,10 @@ object Drift {
       |  FROM sided
       |)
       |SELECT event_type, o1, o2,
-      |       CAST(1000000 * abs(o1 * n2 - o2 * n1) // (n1 * n2) AS BIGINT)
-      |         AS gap_ppm,
+      |       CAST(1000000 * abs(o1 * n2 - o2 * n1) // NULLIF(n1 * n2, 0)
+      |         AS BIGINT) AS gap_ppm,
       |       CAST(1000000 * SUM(abs(o1 * n2 - o2 * n1)) OVER ()
-      |            // (2 * n1 * n2) AS BIGINT) AS tv_ppm
+      |            // NULLIF(2 * n1 * n2, 0) AS BIGINT) AS tv_ppm
       |FROM bytype CROSS JOIN tot
       |ORDER BY event_type""".stripMargin
 }

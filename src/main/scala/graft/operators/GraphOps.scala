@@ -68,6 +68,19 @@ object GraphOps {
   private val nodesCache =
     scala.collection.mutable.HashMap[String, DataFrame]()
 
+  /** One tiny (node, degree) row per node (~0.5 MB at sf0.1), persisted
+    * and memoized per edge layout so the rank iterations, the triangle
+    * gate, and repeated calls all reuse ONE frame instead of
+    * re-aggregating the multi-million-row edge table each time.
+    */
+  private def nodeTable(edir: String, edges: DataFrame): DataFrame =
+    GraphOps.synchronized {
+      nodesCache.getOrElseUpdate(edir,
+        edges.groupBy(col("p1").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .persist())
+    }
+
   /** The symmetric co-purchase edge table, materialized once per JVM
     * (the production shape: a link/affinity graph is derived by one
     * build job and analyzed by many — [[copurchaseRank]] and
@@ -100,12 +113,7 @@ object GraphOps {
     // repeated calls reuse ONE persisted frame instead of pinning a new
     // cache entry (and logging re-registration churn) every run; the
     // entry lives for the JVM like the layout it derives from.
-    val nodes = GraphOps.synchronized {
-      nodesCache.getOrElseUpdate(edir,
-        edges.groupBy(col("p1").as("node"))
-          .agg(count(lit(1)).as("deg"))
-          .persist())
-    }
+    val nodes = nodeTable(edir, edges)
 
     // The per-node tables (contrib, inbound) are broadcastable far beyond
     // the edge table's growth at domain-graph scale — but "one row per
@@ -175,10 +183,10 @@ object GraphOps {
     * `10⁶·2·tri div (deg·(deg−1))` — pure integers end to end.
     */
   def triangles(s: SparkSession, d: String): DataFrame = {
-    val (_, edges) = edgeTable(s, d)
+    val (edir, edges) = edgeTable(s, d)
     val und = edges.filter(col("p1") < col("p2"))
-    val deg = edges.groupBy(col("p1").as("pk"))
-      .agg(count(lit(1)).as("deg"))
+    val deg = nodeTable(edir, edges)
+      .select(col("node").as("pk"), col("deg"))
     def ordLt(d1: Column, k1: Column, d2: Column, k2: Column): Column =
       (d1 < d2) || (d1 === d2 && k1 < k2)
     val ori = und
@@ -211,8 +219,12 @@ object GraphOps {
     val maxBroadcastEdges = s.conf
       .getOption(MaxBroadcastEdgesKey).map(_.toLong)
       .getOrElse(MaxBroadcastEdges)
+    // the undirected edge count is Σdeg/2 off the memoized persisted node
+    // table — a tiny agg, not a fresh multi-million-row edge scan per call
+    val edgeCount = nodeTable(edir, edges)
+      .agg(sum(col("deg"))).head.getLong(0) / 2
     val closingHinted =
-      if (und.count() <= maxBroadcastEdges) broadcast(closing) else closing
+      if (edgeCount <= maxBroadcastEdges) broadcast(closing) else closing
     val tris = wedges.join(closingHinted, Seq("b", "c"))
     val perNode = tris
       .select(explode(array(col("a"), col("b"), col("c"))).as("pk"))

@@ -3,7 +3,6 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
-import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, FloatType}
 
 /** Injected optimizer rule: the engine's determinism discipline as a
@@ -20,12 +19,16 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
   *
   * Windowed FP sums are deliberately NOT flagged: a window frame has a
   * pinned traversal order, so its accumulation is deterministic for a
-  * deterministic sort key. The rule is a no-op transform — it only
-  * inspects — so it composes with every other optimization untouched.
+  * deterministic sort key. Registered as an analysis CHECK rule
+  * (`injectCheckRule`), not an optimizer rule: checks fire at
+  * analysis time on every plan and — unlike optimizer batches — cannot
+  * be switched off via `spark.sql.optimizer.excludedRules`, so the
+  * guard cannot silently vanish from a tuned session.
   */
-case class FpAggregateLint(spark: SparkSession) extends Rule[LogicalPlan] {
+case class FpAggregateLint(spark: SparkSession)
+    extends (LogicalPlan => Unit) {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
+  override def apply(plan: LogicalPlan): Unit = {
     if (spark.conf.getOption(FpAggregateLint.ConfKey).contains("true")) {
       plan.foreach {
         case agg: Aggregate =>
@@ -43,7 +46,6 @@ case class FpAggregateLint(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => ()
       }
     }
-    plan
   }
 
   private def fail(fn: String, child: String): Nothing =

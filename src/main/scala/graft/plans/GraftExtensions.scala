@@ -24,9 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // plan-level determinism lint (opt-in via graft.lint.fpAggregates):
     // grouped floating-point sum/avg is order-dependent and banned by
-    // the engine's exact-integer discipline — surface it at analysis
-    // time instead of as a flaky last-ulp diff in production
-    ext.injectOptimizerRule(session => FpAggregateLint(session))
+    // the engine's exact-integer discipline — surfaced at ANALYSIS time
+    // (check rules are not excludable the way optimizer batches are)
+    // instead of as a flaky last-ulp diff in production
+    ext.injectCheckRule(session => FpAggregateLint(session))
     val (info: ExpressionInfo, builder) =
       FunctionRegistryBase.build[CosineSimilarity]("cosine_sim", since = None)
     ext.injectFunction((FunctionIdentifier("cosine_sim"), info,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
@@ -361,25 +361,44 @@ object Streams {
       : DataFrame = {
     val types = baseline.keys.toSeq.sorted
     val nb = baseline.values.sum
-    val counts = types.map(t =>
-      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
-    val n = types.map(t => col(s"n_$t")).reduce(_ + _)
-    val tvNum = types.map { t =>
-      abs(col(s"n_$t") * lit(nb) - lit(baseline(t)) * col("total"))
+    // index-based column names: baseline keys are caller-supplied strings
+    // and a '.' or backtick in a type would corrupt col() resolution.
+    // The LAST slot is the catch-all for types absent from the baseline
+    // (baseline mass 0) — without it a flood of a NOVEL type would be
+    // invisible to both total and tv_num, the exact scenario a
+    // composition monitor exists to catch.
+    val slots = types.zipWithIndex.map { case (t, i) =>
+      (s"n_$i", baseline(t))
+    } :+ (s"n_${types.length}" -> 0L)
+    val counts = types.zipWithIndex.map { case (t, i) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$i")
+    } :+ sum(when(types.map(col("event_type") =!= _).reduce(_ && _), 1L)
+      .otherwise(0L)).as(s"n_${types.length}")
+    val n = slots.map(s => col(s._1)).reduce(_ + _)
+    // DECIMAL(38,0) everywhere the batch twin uses it: tv_num reaches
+    // 2·N·N_b on disjoint mixes, which overflows int64 already at a
+    // 5M-event window against a 1e6-row baseline
+    val tvNum = slots.map { case (c, b) =>
+      abs(col(c).cast("decimal(38,0)") * lit(nb) -
+        lit(b) * col("total").cast("decimal(38,0)"))
     }.reduce(_ + _)
+    def floorDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(counts.head, counts.tail: _*)
       .withColumn("total", n)
-      .withColumn("tv_num", tvNum)
+      .withColumn("tv_num", tvNum.cast("long"))
       .select(col("window.start").as("window_start"), col("total"),
         col("tv_num"),
-        // guard the empty-window degenerate (late data fully watermarked
-        // out); products stay int64-safe for hour windows (n_t·N_b with
-        // a ≤1e6-row baseline mix and ≤1e9-row windows)
+        // empty-window degenerate (late data fully watermarked out)
         when(col("total") === 0L, lit(0L))
-          .otherwise(expr(s"(1000000 * tv_num) div (2 * total * $nb)"))
+          .otherwise(floorDiv(
+            tvNum * lit(1000000L).cast("decimal(38,0)"),
+            lit(2L).cast("decimal(38,0)") *
+              col("total").cast("decimal(38,0)") *
+              lit(nb).cast("decimal(38,0)")))
           .as("tv_ppm"))
   }
 
