@@ -96,6 +96,7 @@ object SparkEntry {
     "q_scd2_lookup"     -> (Warehouse.scd2Lookup _),
     "q_unpivot"         -> (Warehouse.unpivotMeasures _),
     "q_dq_audit"        -> (Warehouse.dqAudit _),
+    "q_kanon"           -> (Warehouse.kAnonymity _),
     // [EXT] event-time / streaming batch-equivalents — SURVEY §2k
     "q_window_tumbling" -> (EventOps.tumbling _),
     "q_window_sliding"  -> (EventOps.sliding _),
@@ -259,6 +260,7 @@ object SparkEntry {
     "q_scd2_lookup"     -> Warehouse.scd2LookupSql,
     "q_unpivot"         -> Warehouse.unpivotMeasuresSql,
     "q_dq_audit"        -> Warehouse.dqAuditSql,
+    "q_kanon"           -> Warehouse.kAnonymitySql,
     "q_window_tumbling" -> EventOps.tumblingSql,
     "q_window_sliding"  -> EventOps.slidingSql,
     "q_window_session"  -> EventOps.sessionizeSql,

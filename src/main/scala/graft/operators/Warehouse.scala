@@ -173,6 +173,60 @@ object Warehouse {
       |       MIN(v_cents) AS min_cents, MAX(v_cents) AS max_cents
       |FROM m GROUP BY measure ORDER BY measure""".stripMargin
 
+  // ---------- k-anonymity audit ----------
+
+  /** Privacy threshold for [[kAnonymity]]: a quasi-identifier group
+    * smaller than this re-identifies its members.
+    */
+  val KAnonThreshold = 5L
+
+  /** K-anonymity audit over the customer table — the release gate the
+    * reference's PII handling implies but never enforces: before a
+    * dataset leaves the warehouse, every combination of quasi-identifiers
+    * (here `(c_nationkey, c_mktsegment)` — the columns an adversary can
+    * link externally) must describe at least k individuals, or the rows
+    * in that cell are re-identifiable. One row per QI cell:
+    * `(nation, segment, n, is_risky)` plus the global risk tally
+    * (`n_risky_cells`, `n_risky_rows`) carried on every row where the
+    * hash gate checks it — the same in-row-audit pattern as the
+    * leak-free splitter.
+    *
+    * Shape: one grouped count (map-side combined, |QI-domain| result
+    * rows) + a broadcast 1-row tally; the audit costs one scan at any
+    * scale, and the QI domain — not the row count — bounds everything
+    * downstream.
+    */
+  def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_risky", (col("n") < KAnonThreshold).cast("int"))
+    val tally = cells.agg(
+      coalesce(sum(col("is_risky").cast("long")), lit(0L))
+        .as("n_risky_cells"),
+      coalesce(sum(when(col("is_risky") === 1, col("n")).otherwise(0L)),
+        lit(0L)).as("n_risky_rows"))
+    cells.crossJoin(broadcast(tally))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  val kAnonymitySql: String =
+    s"""WITH cells AS (
+       |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+       |         CAST(COUNT(*) < $KAnonThreshold AS INT) AS is_risky
+       |  FROM customer GROUP BY c_nationkey, c_mktsegment
+       |), tally AS (
+       |  SELECT CAST(COALESCE(SUM(is_risky), 0) AS BIGINT)
+       |           AS n_risky_cells,
+       |         CAST(COALESCE(SUM(CASE WHEN is_risky = 1 THEN n
+       |           ELSE 0 END), 0) AS BIGINT) AS n_risky_rows
+       |  FROM cells
+       |)
+       |SELECT c_nationkey, c_mktsegment, n, is_risky,
+       |       n_risky_cells, n_risky_rows
+       |FROM cells CROSS JOIN tally
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   // ---------- data-quality audit ----------
 
   /** Declarative constraint audit over the warehouse tables — the

@@ -100,6 +100,34 @@ class WarehouseSpec extends SparkSpecBase {
     assert(got("lineitem_discount_range") == ((1L, 0)))
   }
 
+  test("k-anonymity audit: cells conserve the population, the tally " +
+      "matches the flags, and a planted singleton is flagged") {
+    val got = Warehouse.kAnonymity(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    assert(got.map(_._3).sum == Tables.customer(spark, sfDir).count())
+    got.foreach { c =>
+      assert((c._4 == 1) == (c._3 < Warehouse.KAnonThreshold))
+    }
+    val riskyCells = got.count(_._4 == 1).toLong
+    val riskyRows = got.filter(_._4 == 1).map(_._3).sum
+    assert(got.forall(c => c._5 == riskyCells && c._6 == riskyRows))
+
+    // planted fixture: one singleton cell must be flagged risky
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_kanon").toString
+    (Seq.fill(6)((1, "BUILDING")) :+ ((2, "MACHINERY")))
+      .toDF("c_nationkey", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val planted = Warehouse.kAnonymity(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(planted.length == 2)
+    assert(planted.find(_._1 == 1).get._3 == 0)
+    assert(planted.find(_._1 == 2).get._3 == 1)
+    assert(planted.forall(_._4 == 1L))
+  }
+
   test("scd2 point-in-time lookup matches the naive interval join and " +
       "conserves the fact rows") {
     import graft.operators.RefTransforms.cents
