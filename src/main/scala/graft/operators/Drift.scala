@@ -22,10 +22,13 @@ import graft.operators.RefTransforms.cents
   *
   * Scale shapes:
   *  - KS: one (value) groupBy collapses the fact table to its SUPPORT
-  *    (distinct cents values — bounded by the value domain, not the row
-  *    count), the ECDF is a running-sum window over that support, and
-  *    the sup is a TakeOrdered head. The only global sort orders the
-  *    support, never the rows.
+  *    (distinct cents values). For a near-continuous measure like
+  *    o_totalprice that support is row-count-sized, so the ECDF prefix
+  *    sum is DISTRIBUTED as a classic two-phase scan: range-bucket the
+  *    support, per-bucket running-sum windows (parallel, bounded), then
+  *    a global window over only the ≤1024 bucket TOTALS to produce the
+  *    per-bucket offsets, broadcast back and added. No task ever sees a
+  *    row-scaled single-partition window; the sup is a TakeOrdered head.
   *  - TV: one (category) groupBy to ≤|domain| rows, a 1-row totals
   *    broadcast, one fold. Nothing wide anywhere.
   */
@@ -62,11 +65,38 @@ object Drift {
         cents(col("o_totalprice")).as("c"))
     val support = base.groupBy(col("c"))
       .agg(sum(col("g")).as("d1"), sum(lit(1L) - col("g")).as("d2"))
-    val w = Window.orderBy(col("c"))
+    // Two-phase distributed prefix sum over the support. A bare
+    // `Window.orderBy(c)` would funnel every distinct value through ONE
+    // task — fatal when the measure is near-continuous and the support
+    // approaches the row count. Instead: (1) hash each value into one of
+    // nBuckets equal-width ranges of [cmin, cmax] (the range agg is a
+    // 1-row broadcast), (2) run the running sum per bucket — parallel,
+    // each task sees ~|support|/nBuckets rows, (3) compute each bucket's
+    // EXCLUSIVE offset with a global window over only the bucket totals
+    // (≤nBuckets rows — domain-sized by construction, never row-scaled),
+    // (4) broadcast the offsets back and add. Values are identical to
+    // the single-window form, so the oracle keeps the textbook ECDF SQL.
+    val nBuckets = 1024L
+    val rng = support.agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"))
+    val bucketed = support.crossJoin(broadcast(rng))
+      .withColumn("bkt",
+        floor((col("c") - col("cmin")) * nBuckets /
+          (col("cmax") - col("cmin") + 1L)).cast("long"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ecdf = support
-      .withColumn("c1", sum(col("d1")).over(w).cast("decimal(38,0)"))
-      .withColumn("c2", sum(col("d2")).over(w).cast("decimal(38,0)"))
+    val intra = bucketed
+      .withColumn("p1", sum(col("d1")).over(wIn))
+      .withColumn("p2", sum(col("d2")).over(wIn))
+    val wOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy(col("bkt"))
+      .agg(sum(col("d1")).as("t1"), sum(col("d2")).as("t2"))
+      .select(col("bkt"),
+        coalesce(sum(col("t1")).over(wOff), lit(0L)).as("off1"),
+        coalesce(sum(col("t2")).over(wOff), lit(0L)).as("off2"))
+    val ecdf = intra.join(broadcast(offs), Seq("bkt"))
+      .withColumn("c1", (col("p1") + col("off1")).cast("decimal(38,0)"))
+      .withColumn("c2", (col("p2") + col("off2")).cast("decimal(38,0)"))
     val tot = base.agg(sum(col("g")).cast("decimal(38,0)").as("n1"),
       sum(lit(1L) - col("g")).cast("decimal(38,0)").as("n2"))
     ecdf.crossJoin(broadcast(tot))

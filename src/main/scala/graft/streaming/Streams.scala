@@ -370,14 +370,22 @@ object Streams {
     val slots = types.zipWithIndex.map { case (t, i) =>
       (s"n_$i", baseline(t))
     } :+ (s"n_${types.length}" -> 0L)
+    // NULL-normalize before comparing: `event_type =!= t` is NULL for a
+    // NULL type, so a flood of malformed/null-typed events would land in
+    // NO slot and silently vanish from total and tv_num — exactly the
+    // composition shift the catch-all exists to surface. A NUL
+    // sentinel cannot collide with any real caller-supplied key.
+    val et = coalesce(col("event_type"), lit("\u0000"))
     val counts = types.zipWithIndex.map { case (t, i) =>
-      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$i")
-    } :+ sum(when(types.map(col("event_type") =!= _).reduce(_ && _), 1L)
+      sum(when(et === t, 1L).otherwise(0L)).as(s"n_$i")
+    } :+ sum(when(types.map(et =!= _).reduce(_ && _), 1L)
       .otherwise(0L)).as(s"n_${types.length}")
     val n = slots.map(s => col(s._1)).reduce(_ + _)
     // DECIMAL(38,0) everywhere the batch twin uses it: tv_num reaches
     // 2·N·N_b on disjoint mixes, which overflows int64 already at a
-    // 5M-event window against a 1e6-row baseline
+    // 5M-event window against a 1e6-row baseline — so the raw numerator
+    // is EMITTED as DECIMAL(38,0) too (a long cast would null exactly the
+    // overflow case the decimal discipline exists to protect)
     val tvNum = slots.map { case (c, b) =>
       abs(col(c).cast("decimal(38,0)") * lit(nb) -
         lit(b) * col("total").cast("decimal(38,0)"))
@@ -389,7 +397,7 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(counts.head, counts.tail: _*)
       .withColumn("total", n)
-      .withColumn("tv_num", tvNum.cast("long"))
+      .withColumn("tv_num", tvNum.cast("decimal(38,0)"))
       .select(col("window.start").as("window_start"), col("total"),
         col("tv_num"),
         // empty-window degenerate (late data fully watermarked out)

@@ -26,6 +26,20 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(node.get("queries").size() === 3)
   }
 
+  test("load fields land in the metric line and the noisy flag trips " +
+      "only above half the host cores") {
+    val quiet = mapper.readTree(
+      Bench.metricLine(Seq("q_a" -> 1.0), "/d", 0.5, 1.0, hostCpus = 8))
+    assert(quiet.get("load1_start").asDouble() === 0.5)
+    assert(quiet.get("load1_end").asDouble() === 1.0)
+    assert(!quiet.get("noisy").asBoolean())
+    // either endpoint above cpus/2 flags the record — contention at the
+    // END of the run corrupted the tail queries just as surely
+    val loud = mapper.readTree(
+      Bench.metricLine(Seq("q_a" -> 1.0), "/d", 0.5, 7.2, hostCpus = 8))
+    assert(loud.get("noisy").asBoolean())
+  }
+
   test("a hostile sf path (quotes, backslashes, control chars) still " +
       "yields parseable JSON") {
     val hostile = "/data/sf\"1\\x\n"

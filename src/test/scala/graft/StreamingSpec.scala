@@ -341,11 +341,14 @@ class StreamingSpec extends SparkSpecBase {
     def at(hour: Int, minute: Int): Timestamp =
       Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
     // window hour 9: exactly the baseline mix (3 clicks, 1 view) → TV 0
-    // window hour 10: all views → maximal shift
+    // window hour 10: all views plus one NULL-typed (malformed) event —
+    // the NULL must land in the catch-all slot, not vanish from the
+    // totals (`=!=` is NULL for NULL, the silent-drop hazard)
     input.addData(
       (1L, "click", at(9, 1)), (2L, "click", at(9, 2)),
       (3L, "click", at(9, 3)), (4L, "view", at(9, 4)),
-      (5L, "view", at(10, 1)), (6L, "view", at(10, 2)))
+      (5L, "view", at(10, 1)), (6L, "view", at(10, 2)),
+      (8L, null, at(10, 3)))
     // advance the watermark past both windows so append mode emits them
     input.addData((7L, "click", at(12, 0)))
     val q = Streams.driftMonitor(events, baseline).writeStream
@@ -357,16 +360,18 @@ class StreamingSpec extends SparkSpecBase {
     val got = spark.table("drift")
       .select("window_start", "total", "tv_num", "tv_ppm")
       .collect()
-      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
-        r.getLong(3))).sortBy(_._1).toList
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1),
+        r.getDecimal(2).longValueExact(), r.getLong(3)))
+      .sortBy(_._1).toList
     val h9 = got.find(_._1.startsWith("2024-01-01 09")).get
     val h10 = got.find(_._1.startsWith("2024-01-01 10")).get
     // hour 9 is the baseline mix exactly: numerator 0
     assert(h9._2 == 4L && h9._3 == 0L && h9._4 == 0L)
-    // hour 10: n=(0 clicks, 2 views), N=2, Nb=4 →
-    // num = |0·4 − 3·2| + |2·4 − 1·2| = 12, tv = 12/(2·2·4) = 0.75
-    assert(h10._2 == 2L && h10._3 == 12L)
-    assert(h10._4 == 1000000L * 12L / (2L * 2L * 4L))
+    // hour 10: n=(0 clicks, 2 views, 1 null→catch-all), N=3, Nb=4 →
+    // num = |0·4 − 3·3| + |2·4 − 1·3| + |1·4 − 0·3| = 18,
+    // tv = 18/(2·3·4) = 0.75; total=3 proves the NULL row was counted
+    assert(h10._2 == 3L && h10._3 == 18L)
+    assert(h10._4 == 1000000L * 18L / (2L * 3L * 4L))
   }
 
   test("stream-stream join matches orders in the hour before each event") {
