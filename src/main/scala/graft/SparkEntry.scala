@@ -176,6 +176,7 @@ object SparkEntry {
     "q_ann_ivf"         -> ((s: SparkSession, d: String) =>
       Ann.ivfTopK(s, d, Ann.IvfLists)),
     "q_embed_neardup"   -> (Ann.embeddingNearDup _),
+    "q_embed_lsh_pairs" -> (Ann.embedLshPairsValidated _),
     "q_semantic_dedup"  -> (Ann.semanticDedup _),
     "q_embed_quantize"  -> (Ann.embedQuantize _),
     "q_multimodal_meta"   -> (Multimodal.blobMeta _),
@@ -324,6 +325,7 @@ object SparkEntry {
     // brute-force ranking (pinned in AnnSpec) — same oracle applies.
     "q_ann_ivf"         -> Ann.bruteForceTopKSql,
     "q_embed_neardup"   -> Ann.embeddingNearDupSql,
+    "q_embed_lsh_pairs" -> Ann.embedLshPairsValidatedSql,
     "q_semantic_dedup"  -> Ann.semanticDedupSql,
     "q_embed_quantize"  -> Ann.embedQuantizeSql,
     "q_multimodal_meta"   -> Multimodal.blobMetaSql,

@@ -326,6 +326,142 @@ object Ann {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---------- banded-LSH all-pairs near-dup (pair GENERATION) ----------
+
+  /** Bits per band / band count for the all-pairs variant. Tuned for this
+    * corpus's near-dup population (cosine 0.40–0.51, i.e. θ ≈ 60–66° —
+    * where a signed projection agrees with probability 1 − θ/π ≈ 0.65,
+    * barely above the 0.5 random floor, so the amplification exponent
+    * ρ = ln p₁ / ln p₂ ≈ 0.62 is intrinsically weak and recall ~0.6 is
+    * the honest ceiling at bounded candidate volume; at the sim ≥ 0.9
+    * thresholds a production image/text near-dup run uses, p₁ ≈ 0.86 and
+    * the same B bands reach recall > 0.99). At scale, b grows with
+    * log₂(N / targetBucket) so the expected bucket stays O(targetBucket)
+    * and candidate volume is B · N · targetBucket — LINEAR in N, never
+    * all-pairs; B is then chosen from the recall target alone.
+    */
+  val PairLshBandBits = 6
+  val PairLshBands    = 12
+
+  /** Band keys for the all-pairs LSH: `PairLshBands` integers, each the
+    * `PairLshBandBits`-bit signed-projection code of one band. Same
+    * integer-hash hyperplanes ([[planeSign]], plane index = band·bits+k)
+    * and same left-associated ascending double loop as [[lshBits]], so
+    * the bucketing is bit-reproducible in the DuckDB oracle.
+    */
+  val pairBandKeys: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (emb: Array[Float]) =>
+      val codes = new Array[Long](PairLshBands)
+      var i = 0
+      while (i < PairLshBands * PairLshBandBits) {
+        var proj = 0.0
+        var j = 0
+        while (j < Dim && j < emb.length) {
+          proj += emb(j).toDouble * planeSign(i, j).toDouble
+          j += 1
+        }
+        if (proj >= 0) codes(i / PairLshBandBits) |= 1L << (i % PairLshBandBits)
+        i += 1
+      }
+      codes
+    }
+
+  /** Subquadratic all-pairs embedding near-dup — the pair-GENERATION
+    * analogue of the minhash/LSH document dedup: vectors meet only inside
+    * (band, key) buckets, candidate pairs travel as ids, and the exact
+    * cosine re-rank keeps pairs ≥ [[NearDupThreshold]]. This is the shape
+    * a 10⁹-vector corpus actually runs — the exact block kernel
+    * ([[embeddingNearDup]]) is B·N² work however blocked, while this is
+    * Σ bucket² ≈ B·N·targetBucket with log-N band bits.
+    *
+    * Every emitted pair is exact (the re-rank recomputes true cosine);
+    * what is approximate is COVERAGE — see [[embedLshPairsValidated]],
+    * which rides the per-pair ground truth in-row.
+    */
+  def embedLshPairs(s: SparkSession, d: String): DataFrame = {
+    val banded = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(pairBandKeys(col("embedding"))))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bkey"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
+    val e = Tables.embeddings(s, d)
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1")),
+        Seq("v1"))
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2")),
+        Seq("v2"))
+      .withColumn("sim", cosineSim(col("e1"), col("e2")))
+      .filter(col("sim") >= NearDupThreshold)
+      .select(col("v1"), col("v2"), col("sim"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  /** Driver entry: the EXACT near-dup pair set (truth from the block
+    * kernel) with `lsh_found` riding in-row — whether the banded path
+    * surfaced that pair — mirroring [[lshTopKValidated]]'s contract: the
+    * approximation is deterministic (integer-hash hyperplanes), so the
+    * oracle replicates the banding itself and hashes the same rows;
+    * recall is then readable from the flag column and its floor is pinned
+    * in AnnSpec. The truth arm exists only for the flag — a production
+    * run executes [[embedLshPairs]] alone.
+    */
+  def embedLshPairsValidated(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.PlanBridge.stripPresentationSort
+    val found = stripPresentationSort(embedLshPairs(s, d))
+      .select(col("v1"), col("v2"), lit(true).as("hit"))
+    stripPresentationSort(embeddingNearDup(s, d))
+      .join(found, Seq("v1", "v2"), "left")
+      .select(col("v1"), col("v2"), col("sim"),
+        coalesce(col("hit"), lit(false)).as("lsh_found"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  /** DuckDB twin of [[embedLshPairsValidated]]: the 72 plane-sign vectors
+    * are inlined from the same [[planeSign]] function, signatures come
+    * from `list_dot_product` (bit-identical to the UDF's ascending
+    * left-associated loop — the already-hash-green LSH top-k oracle
+    * proves the pattern), and the band keys, candidate join, threshold
+    * re-rank, and truth arm mirror the DataFrame pipeline stage for
+    * stage.
+    */
+  val embedLshPairsValidatedSql: String = {
+    val planeRows = (0 until PairLshBands * PairLshBandBits).map { i =>
+      val arr = (0 until Dim).map(j => s"${planeSign(i, j)}.0").mkString(",")
+      s"($i, CAST([$arr] AS DOUBLE[]))"
+    }.mkString(",\n       ")
+    val sim = cosineSql("a.v", "b.v")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |planes(i, pl) AS (VALUES
+       |       $planeRows),
+       |bits AS (
+       |  SELECT vec_id, i,
+       |         CASE WHEN list_dot_product(v, pl) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM e CROSS JOIN planes),
+       |bands AS (
+       |  SELECT vec_id, i // $PairLshBandBits AS band,
+       |         CAST(SUM(bit * (1 << (i % $PairLshBandBits))) AS BIGINT)
+       |           AS bkey
+       |  FROM bits GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE x.vec_id < y.vec_id),
+       |truth AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2, $sim AS sim
+       |  FROM e a, e b
+       |  WHERE a.vec_id < b.vec_id AND $sim >= $NearDupThreshold)
+       |SELECT t.v1, t.v2, t.sim, (c.v1 IS NOT NULL) AS lsh_found
+       |FROM truth t
+       |LEFT JOIN cand c ON c.v1 = t.v1 AND c.v2 = t.v2
+       |ORDER BY t.v1, t.v2""".stripMargin
+  }
+
   // ---------- IVF (inverted-file) ANN ----------
 
   val IvfLists = 16

@@ -51,6 +51,31 @@ class AnnSpec extends SparkSpecBase {
     assert(hits === (truth & approx).size)
   }
 
+  test("banded pair-LSH: perfect precision, recall floor holds, and the " +
+      "driver entry's in-row flag measures the same thing") {
+    val truth = Ann.embeddingNearDup(spark, sfDir)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    val found = Ann.embedLshPairs(spark, sfDir)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    // precision 1.0 by construction: the re-rank recomputes exact cosine,
+    // so every emitted pair is a true near-dup
+    assert(found.subsetOf(truth))
+    // recall: this corpus's near-dups sit at cosine 0.40-0.51 (θ≈60-66°),
+    // where sign-projection agreement is ~0.65/bit — ~0.56 measured with
+    // b=6,B=12; the floor documents observed behavior and guards
+    // regressions (at production thresholds sim≥0.9 the same bands
+    // exceed 0.99)
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.4, s"pair recall = $recall")
+    // self-validating driver entry: rows are exactly the truth set and
+    // the in-row flags agree with the set computation above
+    val flagged = Ann.embedLshPairsValidated(spark, sfDir).collect()
+    assert(flagged.map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2")))
+      .toSet === truth)
+    assert(flagged.count(_.getAs[Boolean]("lsh_found")) ===
+      (truth & found).size)
+  }
+
   test("IVF with exhaustive probing equals brute force exactly") {
     val truth = Ann.bruteForceTopK(spark, sfDir)
       .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().toSet
