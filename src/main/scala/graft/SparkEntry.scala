@@ -181,7 +181,8 @@ object SparkEntry {
     "q_embed_quantize"  -> (Ann.embedQuantize _),
     "q_multimodal_meta"   -> (Multimodal.blobMeta _),
     "q_multimodal_resize" -> (Multimodal.resizeBlobs _),
-    "q_frame_sample"      -> (Multimodal.sampleFrames _)
+    "q_frame_sample"      -> (Multimodal.sampleFrames _),
+    "q_image_phash"       -> (Multimodal.imagePhash _)
   )
 
   /** What Bench measures: the production form of every query — the
@@ -330,6 +331,7 @@ object SparkEntry {
     "q_embed_quantize"  -> Ann.embedQuantizeSql,
     "q_multimodal_meta"   -> Multimodal.blobMetaSql,
     "q_multimodal_resize" -> Multimodal.resizeBlobsSql,
-    "q_frame_sample"      -> Multimodal.sampleFramesSql
+    "q_frame_sample"      -> Multimodal.sampleFramesSql,
+    "q_image_phash"       -> Multimodal.imagePhashSql
   )
 }

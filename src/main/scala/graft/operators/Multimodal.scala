@@ -224,6 +224,157 @@ object Multimodal {
        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------- perceptual hash (aHash) + hamming-band near-dup ----------
+
+  /** aHash geometry: 64 block-average buckets → 64 bits, carried as 4
+    * bands of 16 bits (the same band convention as the SimHash document
+    * dedup, whose pigeonhole argument this reuses: ≤ [[PhashHammingMax]]
+    * differing bits can corrupt at most that many bands, so at least one
+    * of the 4 band keys is untouched and the band join finds the pair —
+    * EXACT retrieval at the threshold, not probabilistic).
+    */
+  val PhashBuckets    = 64
+  val PhashBands      = 4
+  val PhashBandBits   = 16
+  val PhashHammingMax = 3
+
+  /** The one REAL multimodal kernel (not a stub): the classic average-hash
+    * perceptual fingerprint, computed over the blob's byte grid. Each of
+    * the 64 equal-width blocks contributes one bit: whether the block's
+    * mean exceeds the global mean — compared cross-multiplied
+    * (`blockSum·N > totalSum·blockCount`), so the whole hash is exact
+    * integer arithmetic, bit-reproducible in the DuckDB oracle. A real
+    * image deployment feeds the decoded+downscaled pixel grid into this
+    * same function; only the grid source changes.
+    *
+    * Returns the 4 band keys (low band first). An empty payload has no
+    * mean — callers emit NULL bands for it.
+    */
+  def aHashBands(payload: Array[Byte]): Array[Long] = {
+    val n  = payload.length
+    val bs = new Array[Long](PhashBuckets)
+    val bc = new Array[Long](PhashBuckets)
+    var tot = 0L
+    var i = 0
+    while (i < n) {
+      val v = (payload(i) & 0xff).toLong
+      val k = (i.toLong * PhashBuckets / n).toInt
+      bs(k) += v; bc(k) += 1; tot += v
+      i += 1
+    }
+    val bands = new Array[Long](PhashBands)
+    var b = 0
+    while (b < PhashBuckets) {
+      // empty block (payload shorter than 64 bytes) → bit 0: 0 > 0 is false
+      if (bs(b) * n > tot * bc(b))
+        bands(b / PhashBandBits) |= 1L << (b % PhashBandBits)
+      b += 1
+    }
+    bands
+  }
+
+  case class PhashRow(doc_id: Long, n_bytes: Option[Long], b0: Option[Long],
+      b1: Option[Long], b2: Option[Long], b3: Option[Long])
+
+  /** Per-blob perceptual hash — one narrow partition-batched pass over the
+    * blob table (the same shuffle-free shape as the other extractors; at
+    * 100 TB this stage is embarrassingly parallel and the binary column
+    * dies here). Band keys ride as 4 integer columns: that is what the
+    * near-dup join keys on, and 16-bit values hash-compare trivially.
+    */
+  def imagePhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    blobTable(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          if (bytes == null || bytes.isEmpty) PhashRow(id, None, None, None, None, None)
+          else {
+            val b = aHashBands(bytes)
+            PhashRow(id, Some(bytes.length.toLong),
+              Some(b(0)), Some(b(1)), Some(b(2)), Some(b(3)))
+          }
+        }
+      }.toDF().orderBy(col("doc_id"))
+  }
+
+  val imagePhashSql: String =
+    s"""WITH ch AS (
+       |  SELECT doc_id, length(text) AS n, CAST(i AS BIGINT) AS i,
+       |         CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT) AS v
+       |  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+       |bk AS (
+       |  SELECT doc_id, max(n) AS n, (i - 1) * $PhashBuckets // n AS b,
+       |         CAST(SUM(v) AS BIGINT) AS bs, COUNT(*) AS bc
+       |  FROM ch GROUP BY doc_id, (i - 1) * $PhashBuckets // n),
+       |tot AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS ts FROM ch
+       |        GROUP BY doc_id),
+       |bits AS (
+       |  SELECT bk.doc_id, b,
+       |         CASE WHEN bs * n > ts * bc THEN 1 ELSE 0 END AS bit
+       |  FROM bk JOIN tot ON bk.doc_id = tot.doc_id),
+       |bands AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN b // $PhashBandBits = 0
+       |           THEN bit << (b % $PhashBandBits) ELSE 0 END) AS BIGINT) AS b0,
+       |         CAST(SUM(CASE WHEN b // $PhashBandBits = 1
+       |           THEN bit << (b % $PhashBandBits) ELSE 0 END) AS BIGINT) AS b1,
+       |         CAST(SUM(CASE WHEN b // $PhashBandBits = 2
+       |           THEN bit << (b % $PhashBandBits) ELSE 0 END) AS BIGINT) AS b2,
+       |         CAST(SUM(CASE WHEN b // $PhashBandBits = 3
+       |           THEN bit << (b % $PhashBandBits) ELSE 0 END) AS BIGINT) AS b3
+       |  FROM bits GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CASE WHEN length(d.text) > 0 THEN CAST(length(d.text) AS BIGINT)
+       |            END AS n_bytes,
+       |       bands.b0, bands.b1, bands.b2, bands.b3
+       |FROM documents d LEFT JOIN bands ON d.doc_id = bands.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Hamming-band image near-dup over an arbitrary blob frame
+    * (`doc_id`, `payload`): hash every blob, meet only inside (band, key)
+    * buckets, then exact hamming over the full 64 bits keeps pairs
+    * ≤ [[PhashHammingMax]]. By the pigeonhole argument on [[aHashBands]]
+    * this finds EVERY such pair — same machinery as the SimHash document
+    * dedup, candidate volume Σ bucket², never all-pairs. Pinned in
+    * MultimodalSpec on planted visual duplicates (the natural testdata
+    * corpus has no near-identical byte grids — its closest pair sits at
+    * hamming 9 — which is itself evidence the hash separates).
+    */
+  def imageNearDup(s: SparkSession, blobs: DataFrame): DataFrame = {
+    import s.implicits._
+    val hashed = blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.collect { case (id, bytes) if bytes != null && bytes.nonEmpty =>
+          val b = aHashBands(bytes)
+          (id, b(0), b(1), b(2), b(3))
+        }
+      }.toDF("doc_id", "b0", "b1", "b2", "b3")
+    val banded = hashed.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    def ham(a: String, b: String): org.apache.spark.sql.Column =
+      bit_count(expr(s"$a ^ $b"))
+    cand
+      .join(hashed.select(col("doc_id").as("d1"), col("b0").as("x0"),
+        col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3")), Seq("d1"))
+      .join(hashed.select(col("doc_id").as("d2"), col("b0").as("y0"),
+        col("b1").as("y1"), col("b2").as("y2"), col("b3").as("y3")), Seq("d2"))
+      .withColumn("hamming",
+        (ham("x0", "y0") + ham("x1", "y1") + ham("x2", "y2") +
+          ham("x3", "y3")).cast("long"))
+      .filter(col("hamming") <= PhashHammingMax)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Raw media-file ingest through the `binaryFile` source — how an image/
     * audio corpus actually enters a Spark pipeline (one row per file:
     * path, modification time, length, content bytes). Emits the stable

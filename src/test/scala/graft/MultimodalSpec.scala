@@ -64,6 +64,50 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("imagePhash: null and empty payloads yield NULL bands; real " +
+      "payloads yield 16-bit band keys") {
+    withDocs { dir =>
+      val rows = Multimodal.imagePhash(spark, dir).collect()
+      assert(rows.length === 3)
+      val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(byId(2L).isNullAt(byId(2L).fieldIndex("b0")))
+      assert(byId(3L).isNullAt(byId(3L).fieldIndex("b0")))
+      val real = byId(1L)
+      Seq("b0", "b1", "b2", "b3").foreach { c =>
+        val v = real.getAs[Long](c)
+        assert(v >= 0L && v < 65536L, s"$c=$v out of 16-bit range")
+      }
+    }
+  }
+
+  test("image near-dup finds planted visual duplicates by hamming band, " +
+      "including the pigeonhole-boundary pair at exactly hamming 3") {
+    // A byte "image" of 128 px: first half bright ('z'), second half dark
+    // ('a') — each aHash bucket covers 2 bytes, so editing one 2-byte
+    // bucket region flips exactly that bucket's bit (all other buckets sit
+    // far from the global mean and cannot flip from the small mean shift).
+    val base = Array.fill(64)('z'.toByte) ++ Array.fill(64)('a'.toByte)
+    def edited(buckets: Int*): Array[Byte] = {
+      val b = base.clone()
+      buckets.foreach { k =>
+        val v = if (k < 32) 'a'.toByte else 'z'.toByte // flip bright↔dark
+        b(2 * k) = v; b(2 * k + 1) = v
+      }
+      b
+    }
+    // planted: dup1 at hamming 1; dup3 at hamming 3 spread over bands
+    // 0, 1, 2 (buckets 0, 16, 32) — only band 3 survives, the pigeonhole
+    // boundary case; far is a different pattern entirely
+    val far = Array.tabulate(128)(i =>
+      (if (i % 2 == 0) 'z' else 'a').toByte)
+    val blobs = Seq(
+      (10L, base), (11L, edited(0)), (13L, edited(0, 16, 32)), (99L, far))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.imageNearDup(spark, blobs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((10L, 11L, 1L), (10L, 13L, 3L), (11L, 13L, 2L)))
+  }
+
   test("binaryFile ingest: one row per media file with exact length and " +
       "CRC32, sidecars filtered at listing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bin")
