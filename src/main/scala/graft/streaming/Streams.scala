@@ -235,7 +235,7 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
         min(col("price_cents")).as("min_cents"),
         max(col("price_cents")).as("max_cents"))
-    val existing = mvStateDir(fs, stateDir) match {
+    val existing = committedStateDir(fs, stateDir) match {
       case Some(dir) => spark.read.parquet(dir)
       case None      => batchPartials.limit(0)
     }
@@ -250,8 +250,11 @@ object Streams {
     fs.create(marker, true).close()
   }
 
-  /** The current committed MV state's directory: highest marker id. */
-  private def mvStateDir(fs: org.apache.hadoop.fs.FileSystem,
+  /** The current committed state directory under the versioned-state +
+    * marker commit protocol (highest `applied_batch_<id>` marker wins) —
+    * shared by the MV and SCD2 maintenance sinks.
+    */
+  private def committedStateDir(fs: org.apache.hadoop.fs.FileSystem,
       stateDir: String): Option[String] = {
     val root = new org.apache.hadoop.fs.Path(stateDir)
     if (!fs.exists(root)) None
@@ -269,7 +272,7 @@ object Streams {
   def mvState(spark: SparkSession, stateDir: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    spark.read.parquet(mvStateDir(fs, stateDir).getOrElse(
+    spark.read.parquet(committedStateDir(fs, stateDir).getOrElse(
       sys.error(s"no committed MV state under $stateDir")))
   }
 
@@ -295,6 +298,166 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  // ---------- streaming SCD2 dimension maintenance ----------
+
+  /** Input schema of the SCD2 maintenance stream: one priority update per
+    * row, the CDC feed a dimension subscribes to. `eff_ms` is the update's
+    * event time; `o_orderkey` is the within-timestamp tiebreak, exactly as
+    * in the batch build.
+    */
+  val scd2UpdateSchema: StructType = StructType(Seq(
+    StructField("o_custkey", LongType),
+    StructField("o_orderkey", LongType),
+    StructField("eff_ms", LongType),
+    StructField("priority", StringType)))
+
+  private val Scd2StateDdl =
+    "o_custkey BIGINT, version BIGINT, priority STRING, " +
+      "valid_from_ms BIGINT, valid_to_ms BIGINT, is_current INT, " +
+      "n_updates BIGINT"
+
+  /** Streaming SCD2 maintenance — the continuous twin of
+    * `operators.Warehouse.scd2`, matching the MV-maintenance pattern:
+    * each micro-batch of priority updates merges into the stored
+    * dimension (open rows close, new versions append, an unchanged
+    * priority extends the open run) at O(batch + touched keys) per
+    * batch — history is never rebuilt from the raw update log.
+    * Exactly-once via the same versioned-state + marker protocol as
+    * [[applyMvBatch]]; StreamingSpec pins batch parity across a restart,
+    * a replayed batch id, and the crash-between-write-and-mark window.
+    *
+    * `maxFilesPerTrigger=1` keeps one landed file per micro-batch so the
+    * merge is exercised at file granularity; a production feed tunes it.
+    *
+    * In-order contract (the standard streaming-CDC assumption): a key's
+    * updates do not arrive with event times earlier than already-applied
+    * ones. Late history rewrites belong to the batch rebuild — the same
+    * division every incremental dimension pipeline draws.
+    */
+  def scd2Pipeline(spark: SparkSession, inDir: String, stateDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(scd2UpdateSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyScd2Batch(batch, id, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** Applies ONE micro-batch of priority updates to the stored SCD2
+    * dimension. The merge is fully set-oriented (no driver loops):
+    *
+    *  1. collapse the batch to runs per key — the same windowed build as
+    *     the batch query, over batch-sized input;
+    *  2. boundary-join each key's FIRST batch run against its stored open
+    *     row: same priority → the run extends the open row (valid_from
+    *     and version kept, update counts summed); different → the open
+    *     row closes at the run's valid_from;
+    *  3. renumber batch runs onto the key's stored version counter, chain
+    *     valid_to within the fresh rows, and union with the untouched
+    *     remainder of the state.
+    *
+    * Only touched keys' open rows are rewritten logically; the demo state
+    * store rewrites the summary table per version (it is dimension-sized,
+    * not fact-sized). At warehouse scale the state lands hash-bucketed by
+    * key and each batch dynamic-overwrites only touched buckets — the
+    * [[fileUpsertPipeline]] layout, unchanged semantics.
+    */
+  private[graft] def applyScd2Batch(batch: DataFrame, batchId: Long,
+      stateDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, s"applied_batch_$batchId")
+    if (fs.exists(marker)) return
+    val eot = graft.operators.Warehouse.EndOfTimeMs
+    val stateCols = Seq("o_custkey", "version", "priority", "valid_from_ms",
+      "valid_to_ms", "is_current", "n_updates").map(col)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("eff_ms"), col("o_orderkey"))
+    // batch → runs: one row per (key, consecutive-priority run), exactly
+    // the batch build's shape. localCheckpoint: three consumers below.
+    val runs = batch
+      .withColumn("is_chg",
+        when(lag(col("priority"), 1).over(w).isNull ||
+          lag(col("priority"), 1).over(w) =!= col("priority"), 1L)
+          .otherwise(0L))
+      .withColumn("bver", sum(col("is_chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("o_custkey"), col("bver"))
+      .agg(min(col("priority")).as("priority"),
+        min(col("eff_ms")).as("valid_from_ms"),
+        count(lit(1)).as("n_updates"))
+      .localCheckpoint()
+    val existing = committedStateDir(fs, stateDir) match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None => spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType.fromDDL(Scd2StateDdl))
+    }
+    val touched = runs.select(col("o_custkey")).distinct()
+    val open = existing.filter(col("is_current") === 1)
+      .join(touched, Seq("o_custkey"))
+    val keyInfo = runs.filter(col("bver") === 1L)
+      .select(col("o_custkey"), col("priority").as("first_priority"),
+        col("valid_from_ms").as("first_from"))
+      .join(open.select(col("o_custkey"), col("version").as("cur_version"),
+        col("priority").as("cur_priority"),
+        col("valid_from_ms").as("cur_from"),
+        col("n_updates").as("cur_n")), Seq("o_custkey"), "left")
+      .withColumn("merge_first",
+        coalesce(col("cur_priority") === col("first_priority"), lit(false)))
+      .withColumn("offset", coalesce(col("cur_version"), lit(0L)))
+    val fresh = runs.join(keyInfo.select(col("o_custkey"), col("merge_first"),
+        col("offset"), col("cur_from"), col("cur_n")), Seq("o_custkey"))
+      .withColumn("version",
+        col("offset") + col("bver") - when(col("merge_first"), 1L).otherwise(0L))
+      .withColumn("valid_from_ms",
+        when(col("merge_first") && col("bver") === 1L, col("cur_from"))
+          .otherwise(col("valid_from_ms")))
+      .withColumn("n_updates",
+        when(col("merge_first") && col("bver") === 1L,
+          col("cur_n") + col("n_updates")).otherwise(col("n_updates")))
+    val wv = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
+    val chained = fresh
+      .withColumn("valid_to_ms",
+        coalesce(lead(col("valid_from_ms"), 1).over(wv), lit(eot)))
+      .withColumn("is_current",
+        (col("valid_to_ms") === eot).cast("int"))
+      .select(stateCols: _*)
+    // a touched key's open row either closed here (priority changed) or
+    // was replaced by the merged run above — it never passes through
+    val closedPrev = open.join(keyInfo
+        .filter(col("cur_priority").isNotNull && !col("merge_first"))
+        .select(col("o_custkey"), col("first_from")), Seq("o_custkey"))
+      .withColumn("valid_to_ms", col("first_from"))
+      .withColumn("is_current", lit(0).cast("int"))
+      .select(stateCols: _*)
+    val untouchedOpen = existing.filter(col("is_current") === 1)
+      .join(touched, Seq("o_custkey"), "left_anti")
+      .select(stateCols: _*)
+    val history = existing.filter(col("is_current") === 0)
+      .select(stateCols: _*)
+    history.unionByName(untouchedOpen).unionByName(closedPrev)
+      .unionByName(chained)
+      .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    fs.create(marker, true).close()
+  }
+
+  /** Public reader for the committed SCD2 dimension state. */
+  def scd2State(spark: SparkSession, stateDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    spark.read.parquet(committedStateDir(fs, stateDir).getOrElse(
+      sys.error(s"no committed SCD2 state under $stateDir")))
+  }
 
   /** The reference's literal production topology: landed file → transform
     * → warehouse upsert (S3 notification → Lambda → Redshift ON CONFLICT,

@@ -374,6 +374,74 @@ class StreamingSpec extends SparkSpecBase {
     assert(h10._4 == 1000000L * 18L / (2L * 3L * 4L))
   }
 
+  test("streaming SCD2 maintenance equals the batch build across a " +
+      "restart, a replayed batch id, and a torn commit") {
+    import graft.operators.Warehouse
+    val dims = tmp("graft_scd2_dim")
+    val in   = tmp("graft_scd2_in")
+    val state = tmp("graft_scd2_state")
+    val ckp  = tmp("graft_scd2_ckp")
+    // priority updates with known transitions: key 1 HIGH,HIGH,LOW then
+    // (wave 2) LOW (extends the open run), HIGH (new version); key 2
+    // MED then MED (extends); key 3 appears only in wave 2
+    val wave1 = Seq(
+      (1L, 101L, "2024-01-01", "HIGH"), (1L, 102L, "2024-01-05", "HIGH"),
+      (1L, 103L, "2024-02-01", "LOW"),  (2L, 201L, "2024-01-02", "MED"))
+    val wave2 = Seq(
+      (1L, 104L, "2024-03-01", "LOW"),  (1L, 105L, "2024-04-01", "HIGH"),
+      (2L, 202L, "2024-02-02", "MED"),  (3L, 301L, "2024-02-10", "LOW"))
+    def updatesDf(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("o_custkey", "o_orderkey", "d", "priority")
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_millis(col("d").cast("timestamp")).as("eff_ms"),
+          col("priority"))
+    // ground truth: the batch build over ALL updates, via a synthetic
+    // orders table (scd2 reads o_orderdate/o_orderpriority)
+    (wave1 ++ wave2).toDF("o_custkey", "o_orderkey", "d", "o_orderpriority")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("d").cast("timestamp_ntz").as("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dims/orders.parquet")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("o_custkey", "version", "priority", "valid_from_ms",
+        "valid_to_ms", "is_current", "n_updates")
+      .as[(Long, Long, String, Long, Long, Int, Long)].collect().toSet
+    val expected = asSet(Warehouse.scd2(spark, dims))
+    // land updates as FLAT files (the file source does not recurse into
+    // the directory a DataFrame write creates)
+    def land(rows: Seq[(Long, Long, String, String)], name: String): Unit = {
+      val stage = tmp("graft_scd2_stage")
+      updatesDf(rows).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(in, name))
+    }
+    // wave 1 lands, first run drains it
+    land(wave1, "f0.parquet")
+    Streams.scd2Pipeline(spark, in, state, ckp).awaitTermination()
+    val mid = asSet(Streams.scd2State(spark, state))
+    assert(mid.exists(r => r._1 == 1L && r._2 == 2L && r._3 == "LOW"
+      && r._6 == 1))
+    // wave 2 lands, a RESTART over the same checkpoint merges only it —
+    // and the merged dimension equals the full batch rebuild
+    land(wave2, "f1.parquet")
+    Streams.scd2Pipeline(spark, in, state, ckp).awaitTermination()
+    assert(asSet(Streams.scd2State(spark, state)) === expected)
+    // replayed batch id: the marker makes the re-apply a no-op
+    Streams.applyScd2Batch(updatesDf(wave2), 1L, state)
+    assert(asSet(Streams.scd2State(spark, state)) === expected,
+      "replayed batch id was applied twice")
+    // torn commit: version written but marker lost (crash between write
+    // and mark) — the re-apply merges from the previous COMMITTED state
+    // and converges instead of double-applying
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(state, "applied_batch_1"), false)
+    Streams.applyScd2Batch(updatesDf(wave2), 1L, state)
+    assert(asSet(Streams.scd2State(spark, state)) === expected,
+      "torn-commit replay diverged")
+  }
+
   test("stream-stream join matches orders in the hour before each event") {
     implicit val sqlCtx = spark.sqlContext
     val evIn = MemoryStream[(Long, Long, Timestamp)]
