@@ -203,7 +203,12 @@ object EventOps {
     * join). The merge hint forces the shuffle path the technique exists
     * for; at 100 TB AQE's skew split handles moderate SMJ skew
     * automatically, and explicit salting is the remedy when single keys
-    * dominate whole partitions.
+    * dominate whole partitions. The no-code AQE alternative is pinned in
+    * RelationalSpec ("AQE skew-join splits the pathological key"): with
+    * `spark.sql.adaptive.skewJoin` on, the runtime splits the hot
+    * partition and the result is unchanged — but ONLY when no downstream
+    * operator requires hash partitioning on the join key (a groupBy on
+    * the key, as here, blocks the split; salting keeps working).
     */
   def skewJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -7,6 +7,54 @@ import graft.operators.Relational
 /** Plan-shape guarantees for the scale-critical relational operators. */
 class RelationalSpec extends SparkSpecBase {
 
+  test("AQE skew-join splits the pathological key and matches the plain " +
+      "join result — the no-code alternative to manual salting") {
+    import spark.implicits._
+    // the salted-join scenario (EventOps.skewJoin) in miniature: one key
+    // carries ~all rows, so a plain shuffle join funnels them into one
+    // reducer; with AQE skew handling ON (and thresholds lowered to demo
+    // scale — production keeps the 256 MB default) the runtime splits
+    // that partition instead of anyone rewriting the query
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 99% of fact rows carry one key; k1..k10 get 200 rows each. The
+      // consumer is a GLOBAL aggregate (partial aggregation works under
+      // any partitioning) — a groupBy on the join key would REQUIRE hash
+      // partitioning on it and AQE would rightly decline to split.
+      val fact = spark.range(200000L)
+        .select(
+          when(col("id") % 1000L < 990L, lit("hot"))
+            .otherwise(concat(lit("k"), (col("id") % 1000L - 989L)
+              .cast("string"))).as("k"),
+          col("id").as("v"))
+      val dim = (Seq(("hot", 0L)) ++ (1 to 10).map(i => (s"k$i", i.toLong)))
+        .toDF("k", "w")
+      val joined = fact.join(dim.hint("merge"), Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("chk"))
+      val row = joined.collect().head
+      // AQE actually split the hot partition (the skew reader is in the
+      // finalized adaptive plan)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"no skew split in plan:\n${plan.take(1200)}")
+      // and the result equals the logical join, unchanged by the split:
+      // every fact row matches exactly once; sum(w) adds 200·Σi = 11000
+      assert(row.getLong(0) === 200000L)
+      assert(row.getLong(1) === 19999900000L + 11000L)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed join: no exchange on the join key between scans and SMJ") {
     val df = Relational.bucketedJoin(spark, sfDir)
     df.collect() // materialize so AQE finalizes the plan
