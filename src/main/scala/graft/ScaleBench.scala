@@ -32,7 +32,9 @@ object ScaleBench {
     "q_heavy_hitters",
     // round-7 session-IV additions (documents/events-driven)
     "q_diversity", "q_split_leakfree", "q_feature_hash", "q_ngram_lm",
-    "q_gap_fill", "q_paa")
+    "q_gap_fill", "q_paa",
+    // round-8 additions
+    "q_embed_lsh_pairs", "q_image_phash")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("spark.log.level", "ERROR")
@@ -51,8 +53,11 @@ object ScaleBench {
     val spark = Sessions.build(s"local[$cpus]", cpus, "graft-scalebench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10000000L).selectExpr("sum(id)").collect() // JVM warmup
-    Tables.documents(spark, dir).count()
-    Tables.embeddings(spark, dir).count()
+    Seq[(SparkSession, String) => DataFrame](
+      Tables.documents, Tables.embeddings, Tables.lineitem)
+      .foreach { t =>
+        try t(spark, dir).count() catch { case _: Throwable => () }
+      }
     val bench = SparkEntry.benchQueries
     val capped: Seq[(String, (SparkSession, String) => DataFrame)] =
       caps.toSeq.map { cap =>

@@ -118,7 +118,23 @@ object ScaleData {
       }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
-    println(s"""{"docs":$nDocs,"vecs":$nVecs,"vocabMul":$vocabMul,"events":$nEvents,"dir":"$outDir"}""")
+    val nOrders = if (args.length > 5) args(5).toLong else 0L
+    if (nOrders > 0) {
+      // lineitem in the driver's co-purchase shape: per-order width 1..7
+      // (avg ~4, matching sf0.1's 4.07 parts/order) over a part domain of
+      // nOrders/7 (sf0.1's 147k orders / 20k parts ratio), so the graph
+      // family's degree distribution — and with it the wedge-volume law —
+      // carries over to any scale multiple
+      val nParts = math.max(nOrders / 7L, 1L)
+      spark.range(nOrders).flatMap { ok =>
+        val width = 1 + Math.floorMod(mix(ok * 53L + 5L), 7L).toInt
+        (0 until width).map { k =>
+          (ok, Math.floorMod(mix(ok * 7919L + k * 104729L + 19L), nParts))
+        }
+      }.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    }
+    println(s"""{"docs":$nDocs,"vecs":$nVecs,"vocabMul":$vocabMul,"events":$nEvents,"orders":$nOrders,"dir":"$outDir"}""")
     spark.stop()
   }
 }
