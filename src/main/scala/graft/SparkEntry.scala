@@ -54,6 +54,7 @@ object SparkEntry {
     "q_mv_sketch"       -> (Maintenance.mvSketchDistinct _),
     "q_compact_plan"    -> (Maintenance.compactPlan _),
     "q_zorder_layout"   -> (Maintenance.zorderLayout _),
+    "q_bloom_skip"      -> (Maintenance.bloomSkipLookup _),
     // [EXT] relational — SURVEY §2e-§2i
     "q_join_enrich"     -> (Relational.joinEnrich _),
     "q_star_join"       -> (Relational.starJoin _),
@@ -226,6 +227,7 @@ object SparkEntry {
     "q_mv_sketch"       -> Maintenance.mvSketchDistinctSql,
     "q_compact_plan"    -> Maintenance.compactPlanSql,
     "q_zorder_layout"   -> Maintenance.zorderLayoutSql,
+    "q_bloom_skip"      -> Maintenance.bloomSkipLookupSql,
     "q_join_enrich"     -> Relational.joinEnrichSql,
     "q_star_join"       -> Relational.starJoinSql,
     "q_correlated"      -> Relational.correlatedSubquerySql,

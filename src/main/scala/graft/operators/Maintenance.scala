@@ -253,6 +253,206 @@ object Maintenance {
   }
 
   // ---------------------------------------------------------------------
+  // q_bloom_skip — file-level Bloom index for point-lookup file skipping
+  // ---------------------------------------------------------------------
+
+  /** Geometry of the secondary Bloom index: orders land in
+    * [[BloomIdxFiles]] date-range files (the natural ingest order — which
+    * leaves a high-cardinality key like o_custkey SCATTERED, so per-file
+    * min/max zone maps on it are useless: every file's custkey range is
+    * ~the whole domain). A per-file [[BloomIdxBits]]-bit Bloom bitset
+    * over the custkeys present is the index that still skips: a point
+    * lookup probes [[BloomIdxHashes]] positions per file and reads only
+    * files where all probes hit — no false negatives, so candidates are
+    * a superset of the true files and the row filter stays exact.
+    *
+    * This is the table-format bloom-index pattern (what a lakehouse
+    * stores per data file for non-clustered keys). Index size is
+    * files × [[BloomIdxBits]]/32 words — catalog-sized, independent of
+    * row count. A production build sizes bits ≈ 10 × keys-per-file to
+    * keep the false-positive rate ~1%; the fixed demo geometry gives
+    * ~4% at sf0.1 (9.4k keys/file).
+    *
+    * Hashing is the dedup family's portable affine scheme over a prime —
+    * NOT xxhash64 — so the DuckDB oracle rebuilds the identical bitset
+    * and the whole lookup (candidate set, audit counts, rows) is
+    * hash-checked.
+    */
+  val BloomIdxFiles  = 16L
+  val BloomIdxBits   = 65536L
+  val BloomIdxHashes = 4
+  val BloomIdxP      = 1000000007L
+
+  private def bloomIdxH0(key: Column): Column =
+    pmod(pmod(key, lit(BloomIdxP)) * 131L + 17L, lit(BloomIdxP))
+
+  /** Probe position i — the same affine family as the decontamination
+    * bloom, modulo the index geometry. */
+  private def bloomIdxPos(h0: Column, i: Int): Column =
+    pmod(pmod(h0 * (2 * i + 3) + (7919 * i + 1), lit(BloomIdxP)),
+      lit(BloomIdxBits))
+
+  // 32-bit words (shift ≤ 31): DuckDB's checked left shift refuses
+  // 1 << 63, so 64-bit words cannot be mirrored — same choice as the
+  // decontamination bloom
+  private def bloomIdxMask(pos: Column): Column =
+    call_function("shiftleft", lit(1L), pmod(pos, lit(32L)).cast("int"))
+
+  /** Orders projected to integer columns + their date-range file id. */
+  private def bloomOrdersWithFile(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"),
+      cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("days", expr("order_ms div 86400000"))
+    val rng = o.agg(min(col("days")).as("dmin"), max(col("days")).as("dmax"))
+    o.crossJoin(broadcast(rng))
+      .withColumn("file_id",
+        expr(s"(days - dmin) * $BloomIdxFiles div (dmax - dmin + 1)"))
+      .drop("days", "dmin", "dmax")
+  }
+
+  /** The date-clustered layout (once per JVM): one dir partition per
+    * file id — the physical files the lookup will or will not open.
+    */
+  private[graft] def bloomLayoutDir(s: SparkSession, d: String): String = {
+    val dir = SetupOnce.runtimeDir(d, "orders_bloom_layout")
+    SetupOnce(dir) {
+      bloomOrdersWithFile(s, d)
+        .repartition(col("file_id"))
+        .write.mode("overwrite").partitionBy("file_id").parquet(dir)
+    }
+    dir
+  }
+
+  /** The per-file Bloom bitset table (once per JVM): ≤ files ×
+    * bits/64 rows of (file_id, word, bits) — built with one explode +
+    * bit_or aggregation over the DISTINCT (file, custkey) pairs, the
+    * index-build job a table format runs at write time.
+    */
+  private[graft] def bloomIndexDir(s: SparkSession, d: String): String = {
+    val dir = SetupOnce.runtimeDir(d, "orders_bloom_index")
+    SetupOnce(dir) {
+      bloomOrdersWithFile(s, d)
+        .select(col("file_id"), col("o_custkey")).distinct()
+        .withColumn("h0", bloomIdxH0(col("o_custkey")))
+        .select(col("file_id"), explode(array(
+          (0 until BloomIdxHashes).map(i => bloomIdxPos(col("h0"), i)): _*))
+          .as("pos"))
+        .select(col("file_id"), expr("pos div 32").as("word"),
+          bloomIdxMask(col("pos")).as("m"))
+        .groupBy(col("file_id"), col("word"))
+        .agg(bit_or(col("m")).as("bits"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** Point lookup through the Bloom index: all orders of the customer
+    * holding the max order key (a deterministic, oracle-mirrorable
+    * "query parameter"), with the skip audit riding in-row —
+    * `files_total`, `files_scanned` (bloom candidates, exact incl. any
+    * false positives since the hash is portable), `files_hit` (files
+    * that truly contain the key). The layout scan carries the candidate
+    * file ids as LITERAL partition predicates — `.explain` shows them
+    * under PartitionFilters, i.e. non-candidate files are never opened —
+    * which requires reading the ≤ files-row index on the driver first:
+    * the same catalog-read pattern as [[keyMaxes]], and exactly how an
+    * engine consults a secondary index at plan time. MaintenanceSpec
+    * pins the pruning (scanned partitions < total) and the exact-result
+    * property (rows equal the full-scan filter).
+    */
+  def bloomSkipLookup(s: SparkSession, d: String): DataFrame = {
+    val layout = bloomLayoutDir(s, d)
+    val idx = s.read.parquet(bloomIndexDir(s, d))
+    // the query parameter: custkey of the max-orderkey order (1-row head,
+    // the documented catalog-read exception)
+    val key = Tables.orders(s, d)
+      .orderBy(col("o_orderkey").desc).limit(1)
+      .select(col("o_custkey")).head().getLong(0)
+    val filesTotal = idx.select(col("file_id")).distinct().count()
+    // the key's probe (word, mask) pairs are pure integer math on a
+    // driver-side Long — deduped, because two probes landing in one
+    // (word, bit) must count once, not twice
+    val h0 = ((key % BloomIdxP) * 131L + 17L) % BloomIdxP
+    val pairs = (0 until BloomIdxHashes).map { i =>
+      val pos = (h0 * (2 * i + 3) + (7919 * i + 1)) % BloomIdxP % BloomIdxBits
+      (pos / 32L, 1L << (pos % 32L).toInt)
+    }.distinct
+    // driver-side index probe (≤ files × bits/64 rows — the catalog-read
+    // pattern of [[keyMaxes]]): a file is a candidate iff EVERY probe
+    // pair's bit is set in its bitset
+    val hitAggs = pairs.zipWithIndex.map { case ((w, m), j) =>
+      max(when(col("word") === w &&
+        col("bits").bitwiseAND(lit(m)) =!= 0L, 1L).otherwise(0L)).as(s"h$j")
+    }
+    val cand = idx.groupBy(col("file_id"))
+      .agg(hitAggs.head, hitAggs.tail: _*)
+      .filter(pairs.indices.map(j => col(s"h$j") === 1L).reduce(_ && _))
+      .select(col("file_id")).collect().map(_.getLong(0)).sorted
+    val rows = s.read.parquet(layout)
+      .filter(col("file_id").isin(cand: _*) && col("o_custkey") === key)
+    rows
+      .select(col("o_orderkey"), col("o_custkey"), col("order_ms"),
+        col("price_cents"), col("file_id").cast("long").as("file_id"),
+        lit(filesTotal).as("files_total"),
+        lit(cand.length.toLong).as("files_scanned"))
+      .withColumn("files_hit",
+        size(collect_set(col("file_id"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+          .cast("long"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Oracle: the identical index rebuilt and probed in DuckDB — date
+    * file assignment, affine probe positions, bit_or word construction,
+    * all-probes candidate test, and the three audit counts.
+    */
+  val bloomSkipLookupSql: String = {
+    val P = BloomIdxP
+    val posList = (0 until BloomIdxHashes).map(i =>
+      s"((h0 * ${2 * i + 3} + ${7919 * i + 1}) % $P) % $BloomIdxBits")
+      .mkString("[", ", ", "]")
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS order_ms,
+       |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+       |           AS price_cents,
+       |         epoch_ms(o_orderdate) // 86400000 AS days
+       |  FROM orders),
+       |rng AS (SELECT MIN(days) AS dmin, MAX(days) AS dmax FROM o),
+       |f AS (SELECT o.*, (days - dmin) * $BloomIdxFiles // (dmax - dmin + 1)
+       |        AS file_id
+       |      FROM o CROSS JOIN rng),
+       |key AS (SELECT o_custkey AS k FROM orders
+       |        ORDER BY o_orderkey DESC LIMIT 1),
+       |fk AS (SELECT DISTINCT file_id,
+       |              ((o_custkey % $P) * 131 + 17) % $P AS h0 FROM f),
+       |pos AS (SELECT file_id, unnest($posList) AS pos FROM fk),
+       |bloom AS (SELECT file_id, pos // 32 AS word,
+       |            bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER))
+       |              AS bits
+       |          FROM pos GROUP BY 1, 2),
+       |kpos AS (SELECT DISTINCT pos // 32 AS word,
+       |            CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER) AS m
+       |         FROM (SELECT unnest($posList) AS pos
+       |               FROM (SELECT ((k % $P) * 131 + 17) % $P AS h0
+       |                     FROM key))),
+       |cand AS (
+       |  SELECT b.file_id FROM bloom b
+       |  JOIN kpos p ON b.word = p.word AND (b.bits & p.m) <> 0
+       |  GROUP BY b.file_id
+       |  HAVING COUNT(*) = (SELECT COUNT(*) FROM kpos))
+       |SELECT f.o_orderkey, f.o_custkey, f.order_ms, f.price_cents,
+       |       f.file_id,
+       |       (SELECT COUNT(DISTINCT file_id) FROM bloom) AS files_total,
+       |       (SELECT COUNT(*) FROM cand) AS files_scanned,
+       |       (SELECT COUNT(DISTINCT f2.file_id) FROM f f2, key
+       |        WHERE f2.o_custkey = k) AS files_hit
+       |FROM f, key WHERE f.o_custkey = k
+       |ORDER BY f.o_orderkey""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_zorder_layout — multi-dimensional Z-order clustering
   // ---------------------------------------------------------------------
 

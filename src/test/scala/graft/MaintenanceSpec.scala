@@ -178,6 +178,31 @@ class MaintenanceSpec extends SparkSpecBase {
       s"box predicates not pushed: $pushed")
   }
 
+  test("bloom index lookup: partition pruning is real, files skipped, " +
+      "rows equal the full-scan filter") {
+    val df = Maintenance.bloomSkipLookup(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val filesTotal   = rows.head.getAs[Long]("files_total")
+    val filesScanned = rows.head.getAs[Long]("files_scanned")
+    val filesHit     = rows.head.getAs[Long]("files_hit")
+    // no false negatives, and the index must actually skip: the customer
+    // cannot live in every date-range file, and bloom FPs at this
+    // geometry are rare
+    assert(filesHit <= filesScanned && filesScanned < filesTotal,
+      s"hit=$filesHit scanned=$filesScanned total=$filesTotal")
+    // the candidate list landed as a literal partition predicate — the
+    // scan's PartitionFilters prune non-candidate files at plan time
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [file_id"), scan.take(1500))
+    // exactness: the looked-up rows equal the plain full-scan filter
+    val key = rows.head.getAs[Long]("o_custkey")
+    val want = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") === key)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows.map(_.getAs[Long]("o_orderkey")).sorted.toSeq === want)
+  }
+
   test("morton code interleaves bits exactly") {
     import spark.implicits._
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (5L, 3L))
