@@ -178,6 +178,8 @@ object SparkEntry {
       Ann.ivfTopK(s, d, Ann.IvfLists)),
     "q_embed_neardup"   -> (Ann.embeddingNearDup _),
     "q_embed_lsh_pairs" -> (Ann.embedLshPairsValidated _),
+    "q_embed_clusters"  -> (Ann.embedClusters _),
+    "q_embed_decontaminate" -> (Ann.embedDecontaminate _),
     "q_semantic_dedup"  -> (Ann.semanticDedup _),
     "q_embed_quantize"  -> (Ann.embedQuantize _),
     "q_multimodal_meta"   -> (Multimodal.blobMeta _),
@@ -329,6 +331,8 @@ object SparkEntry {
     "q_ann_ivf"         -> Ann.bruteForceTopKSql,
     "q_embed_neardup"   -> Ann.embeddingNearDupSql,
     "q_embed_lsh_pairs" -> Ann.embedLshPairsValidatedSql,
+    "q_embed_clusters"  -> Ann.embedClustersSql,
+    "q_embed_decontaminate" -> Ann.embedDecontaminateSql,
     "q_semantic_dedup"  -> Ann.semanticDedupSql,
     "q_embed_quantize"  -> Ann.embedQuantizeSql,
     "q_multimodal_meta"   -> Multimodal.blobMetaSql,

@@ -462,6 +462,94 @@ object Ann {
        |ORDER BY t.v1, t.v2""".stripMargin
   }
 
+  // ---------- embedding near-dup clustering + eval decontamination ----------
+
+  /** Connected components over the exact embedding near-dup pairs — the
+    * cluster view of the pair report (each semantic duplicate group gets
+    * one id = its minimum member), reusing the document dedup's
+    * alternating large-star/small-star machinery: diameter-independent,
+    * no driver iteration state. Only vectors participating in at least
+    * one near-dup pair appear (singletons need no cluster id) — matching
+    * the oracle's transitive closure over the edge list.
+    *
+    * Scale: the pair source is interchangeable — a production corpus
+    * feeds [[embedLshPairs]] (subquadratic) into the same contraction;
+    * the driver entry uses the exact pairs so the whole result stays
+    * hash-gated.
+    */
+  def embedClusters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.PlanBridge.stripPresentationSort
+    val pairs = stripPresentationSort(embeddingNearDup(s, d))
+      .select(col("v1").as("u"), col("v2").as("v"))
+    Dedup.connectedComponents(pairs)
+      .select(col("node").as("vec_id"), col("label").as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedClustersSql: String = {
+    val sim = cosineSql("a.v", "b.v")
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |pairs AS (SELECT a.vec_id AS v1, b.vec_id AS v2 FROM e a, e b
+       |          WHERE a.vec_id < b.vec_id AND $sim >= $NearDupThreshold),
+       |edges AS (SELECT v1 AS u, v2 AS v FROM pairs
+       |          UNION ALL SELECT v2, v1 FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u)
+       |SELECT u AS vec_id, least(u, MIN(v)) AS cluster_id
+       |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin
+  }
+
+  /** Embedding-space eval decontamination — the semantic complement of
+    * the shingle-overlap [[Dedup.decontaminate]]: for every TRAIN vector,
+    * its nearest EVAL vector by cosine (the held-out suite = vec_id ≡ 0
+    * mod [[Dedup.EvalMod]], the same split convention) and a flag at
+    * ≥ [[NearDupThreshold]] — the audit a pretraining corpus runs so
+    * benchmark paraphrases that share no n-grams still surface.
+    *
+    * Scale shape: eval suites are fixed-size (MBs), so the eval side
+    * broadcasts and the scan stays one narrow N×E pass with a codegen'd
+    * cosine — no shuffle of the train side at any corpus size; the
+    * argmax is one partial-aggregated groupBy. Deterministic tie-break:
+    * max(struct(sim, −eval_id)) picks the LOWEST eval id on exact FP
+    * ties, mirrored by the oracle's (sim DESC, e_id ASC) rank.
+    */
+  def embedDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val eval = broadcast(e
+      .filter(pmod(col("vec_id"), lit(Dedup.EvalMod)) === 0)
+      .select(col("vec_id").as("e_id"), col("embedding").as("e_emb")))
+    e.filter(pmod(col("vec_id"), lit(Dedup.EvalMod)) =!= 0)
+      .crossJoin(eval)
+      .withColumn("sim", cosineSim(col("embedding"), col("e_emb")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim").as("s"), (-col("e_id")).as("ne"))).as("m"))
+      .select(col("vec_id"),
+        (-col("m.ne")).as("best_eval_id"),
+        col("m.s").as("best_sim"),
+        (col("m.s") >= NearDupThreshold).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedDecontaminateSql: String = {
+    val sim = cosineSql("tr.v", "ev.v")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |ev AS (SELECT vec_id AS e_id, v FROM e
+       |       WHERE vec_id % ${Dedup.EvalMod} = 0),
+       |tr AS (SELECT vec_id, v FROM e
+       |       WHERE vec_id % ${Dedup.EvalMod} <> 0),
+       |sc AS (SELECT tr.vec_id, ev.e_id, $sim AS sim,
+       |         row_number() OVER (PARTITION BY tr.vec_id
+       |                            ORDER BY $sim DESC, ev.e_id ASC) AS rk
+       |       FROM tr, ev)
+       |SELECT vec_id, e_id AS best_eval_id, sim AS best_sim,
+       |       sim >= $NearDupThreshold AS contaminated
+       |FROM sc WHERE rk = 1 ORDER BY vec_id""".stripMargin
+  }
+
   // ---------- IVF (inverted-file) ANN ----------
 
   val IvfLists = 16

@@ -76,6 +76,50 @@ class AnnSpec extends SparkSpecBase {
       (truth & found).size)
   }
 
+  test("embed clusters: every near-dup pair shares a cluster and each " +
+      "label is its component's minimum member") {
+    val pairs = Ann.embeddingNearDup(spark, sfDir)
+      .select("v1", "v2").as[(Long, Long)].collect()
+    val labels = Ann.embedClusters(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // label = min member of its cluster
+    labels.groupBy(_._2).foreach { case (label, members) =>
+      assert(label === members.keys.min)
+    }
+    // exactly the vectors with at least one edge are labeled
+    assert(labels.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
+  test("embed decontamination: one row per train vector, best_sim is the " +
+      "true max over the eval suite, flag consistent") {
+    val out = Ann.embedDecontaminate(spark, sfDir).collect()
+    val evalIds = out.map(_.getAs[Long]("best_eval_id")).toSet
+    assert(evalIds.forall(_ % graft.operators.Dedup.EvalMod == 0))
+    out.foreach { r =>
+      assert(r.getAs[Long]("vec_id") % graft.operators.Dedup.EvalMod != 0)
+      assert(r.getAs[Boolean]("contaminated") ===
+        (r.getAs[Double]("best_sim") >= Ann.NearDupThreshold))
+    }
+    // spot-check the argmax against a local recompute for one vector
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) *
+        math.sqrt(bd.map(x => x * x).sum))
+    }
+    val probe = out.head
+    val vid = probe.getAs[Long]("vec_id")
+    val best = e.keys.filter(_ % graft.operators.Dedup.EvalMod == 0)
+      .map(eid => (cos(e(vid), e(eid)), eid)).maxBy(t => (t._1, -t._2))
+    assert(math.abs(best._1 - probe.getAs[Double]("best_sim")) < 1e-9)
+  }
+
   test("IVF with exhaustive probing equals brute force exactly") {
     val truth = Ann.bruteForceTopK(spark, sfDir)
       .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().toSet
