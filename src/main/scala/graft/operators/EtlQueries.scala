@@ -323,6 +323,63 @@ object EtlQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** S/K-family, ORC value-range pushdown: complements [[orcRoundtrip]]
+    * (which pins content transparency) by pinning the SKIPPING contract
+    * on the format — integer cents computed BEFORE the write so the
+    * roundtrip moves only exact types, and the read back pushes the
+    * value-range filter into the ORC reader (ORC carries its own
+    * stripe-level min/max indexes — `.explain` shows PushedFilters, the
+    * same contract the parquet scans are pinned on; asserted in
+    * RelationalSpec). The write runs per call — the roundtrip IS the
+    * operator, matching the CSV twin.
+    */
+  def orcPushdown(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.sources.SetupOnce.runtimeDir(d, "orc_push")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        RefTransforms.cents(col("o_totalprice")).as("price_cents"))
+      .write.mode("overwrite").partitionBy("o_orderpriority").orc(dir)
+    s.read.orc(dir)
+      .filter(col("price_cents") > 10000000L) // > $100k — stripe-skippable
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      .select(col("o_orderpriority").cast("string").as("o_orderpriority"),
+        col("n"), col("sum_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val orcPushdownSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT) AS sum_cents
+      |FROM orders
+      |WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 10000000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** S/K-family, ORC roundtrip: the documents profile written as
+    * Hive-partitioned ORC (the other columnar warehouse format Spark ships
+    * a vectorized reader for) and read back through the ORC scan into a
+    * per-(lang, source) rollup. The oracle aggregates the same rows from
+    * parquet — the format must be content-transparent, so both sides agree
+    * byte-for-byte exactly when the ORC write/read preserves values and
+    * partition keys losslessly.
+    */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.sources.SetupOnce.runtimeDir(d, "orc")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").partitionBy("lang").orc(dir)
+    s.read.orc(dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   /** S-family, schema evolution: a dataset whose parquet batches disagree
     * on schema (batch "b" added a column) read back as ONE frame via
     * `mergeSchema` — old rows surface the new column as null. This is the
@@ -364,30 +421,6 @@ object EtlQueries {
     """SELECT l_returnflag, COUNT(*) AS n,
       |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
-
-  /** S/K-family, ORC roundtrip: the documents profile written as
-    * Hive-partitioned ORC (the other columnar warehouse format Spark ships
-    * a vectorized reader for) and read back through the ORC scan into a
-    * per-(lang, source) rollup. The oracle aggregates the same rows from
-    * parquet — the format must be content-transparent, so both sides agree
-    * byte-for-byte exactly when the ORC write/read preserves values and
-    * partition keys losslessly.
-    */
-  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.sources.SetupOnce.runtimeDir(d, "orc")
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .write.mode("overwrite").partitionBy("lang").orc(dir)
-    s.read.orc(dir)
-      .groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-      .orderBy(col("lang"), col("source"))
-  }
-
-  val orcRoundtripSql: String =
-    """SELECT lang, source, COUNT(*) AS n_docs,
-      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   /** 2j-math — fixed-width histogram of transaction amounts. Bucketing
     * runs on EXACT integer cents with integer multiply + integer division

@@ -55,6 +55,14 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("ORC pushdown: the value-range filter reaches the ORC scan") {
+    val df = graft.operators.EtlQueries.orcPushdown(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [GreaterThan(price_cents,10000000)"),
+      plan.take(1500))
+  }
+
   test("bucketed join: no exchange on the join key between scans and SMJ") {
     val df = Relational.bucketedJoin(spark, sfDir)
     df.collect() // materialize so AQE finalizes the plan
