@@ -61,6 +61,7 @@ object SparkEntry {
     // [EXT] relational — SURVEY §2e-§2i
     "q_join_enrich"     -> (Relational.joinEnrich _),
     "q_star_join"       -> (Relational.starJoin _),
+    "q_tpch_q3"         -> (Relational.tpchQ3 _),
     "q_correlated"      -> (Relational.correlatedSubquery _),
     "q_join_left"       -> (Relational.joinLeft _),
     "q_join_semi"       -> (Relational.joinSemi _),
@@ -238,6 +239,7 @@ object SparkEntry {
     "q_bloom_skip"      -> Maintenance.bloomSkipLookupSql,
     "q_join_enrich"     -> Relational.joinEnrichSql,
     "q_star_join"       -> Relational.starJoinSql,
+    "q_tpch_q3"         -> Relational.tpchQ3Sql,
     "q_correlated"      -> Relational.correlatedSubquerySql,
     "q_join_left"       -> Relational.joinLeftSql,
     "q_join_semi"       -> Relational.joinSemiSql,

@@ -582,6 +582,50 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue_cents DESC, n_name""".stripMargin
 
+  /** TPC-H-Q3-shaped shipping-priority query: segment-filtered customers
+    * ⋈ open orders ⋈ not-yet-shipped lineitems, per-order revenue, top 10
+    * — the classic join+agg+top-k OLAP shape. All three single-table
+    * predicates push to their parquet scans; the final top-10 compiles to
+    * TakeOrderedAndProject (distributed heads, no global sort), and the
+    * revenue is per-row-rounded exact cents (the same discipline as the
+    * star join, so the oracle states identical arithmetic). Deterministic
+    * under revenue ties via the (o_orderdate, l_orderkey) tiebreak.
+    */
+  def tpchQ3(s: SparkSession, d: String): DataFrame = {
+    val cutoff = "1996-06-30"
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+    c.join(o, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"),
+        col("o_orderpriority"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("order_ms").asc,
+        col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue_cents"), col("order_ms"),
+        col("o_orderpriority"))
+  }
+
+  val tpchQ3Sql: String =
+    """SELECT l_orderkey,
+      |       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+      |         + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       epoch_ms(o_orderdate) AS order_ms,
+      |       o_orderpriority
+      |FROM customer
+      |JOIN orders   ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-06-30'
+      |  AND l_shipdate  > TIMESTAMP '1996-06-30'
+      |GROUP BY l_orderkey, epoch_ms(o_orderdate), o_orderpriority
+      |ORDER BY revenue_cents DESC, order_ms ASC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
   /** Correlated scalar subquery — the SQL-front-end surface the
     * DataFrame queries never touch: customers whose balance exceeds
     * their nation's average, phrased with per-row correlated subqueries

@@ -63,6 +63,17 @@ class RelationalSpec extends SparkSpecBase {
       plan.take(1500))
   }
 
+  test("tpch-q3 shape: per-table predicates pushed, top-10 is " +
+      "TakeOrderedAndProject, no global sort") {
+    val df = Relational.tpchQ3(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("Sort ["), "global sort leaked into the plan")
+    assert(plan.contains("PushedFilters: [EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter not pushed")
+  }
+
   test("bucketed join: no exchange on the join key between scans and SMJ") {
     val df = Relational.bucketedJoin(spark, sfDir)
     df.collect() // materialize so AQE finalizes the plan
