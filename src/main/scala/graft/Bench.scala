@@ -21,12 +21,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Host-load defense (round-7: a loaded host recorded 103.9 s where the
   * identical binary measured 65.9 s quiet): 1-minute loadavg is sampled
-  * before the run; if it already exceeds half the host's cores —
-  * i.e. something ELSE is eating CPU that min-of-2 within one noisy run
-  * cannot cancel — every query escalates to min-of-3. Loadavg before and
-  * after plus a `noisy` flag are recorded IN the metric line, so a
-  * wall-clock total taken under contention is flagged in-band rather
-  * than silently misread as a regression.
+  * at process start — BEFORE the session builds or any warmup runs, so
+  * the sample reflects AMBIENT load, not this benchmark's own threads —
+  * and if it already exceeds half the host's cores (something ELSE is
+  * eating CPU that min-of-N within one noisy run cannot cancel) every
+  * query escalates to min-of-3. The `noisy` flag keys on that ambient
+  * sample alone; the end-of-run loadavg is recorded too but is
+  * forensic-only, since by then it largely measures the bench itself.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,6 +38,10 @@ object Bench {
     // construction, so the startup chatter never happens, and the only
     // lines this main emits are the JSON metric + real `[bench]` failures
     System.setProperty("spark.log.level", "ERROR")
+    // ambient load, sampled before ANY of this process's heavy work —
+    // a sample taken after the warmup would largely measure the warmup
+    val loadStart = load1()
+    val hostCpus = Runtime.getRuntime.availableProcessors
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.build(s"local[$cpus]", cpus, "graft-bench")
@@ -75,8 +80,6 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val loadStart = load1()
-    val hostCpus = Runtime.getRuntime.availableProcessors
     // contention from OUTSIDE this process: escalate to min-of-3 so at
     // least one run has a better chance of landing in a quiet interval
     val nRuns = if (loadStart > hostCpus / 2.0) 3 else 2
@@ -123,7 +126,10 @@ object Bench {
     // total sums successes only — the -1 sentinels must not deflate it
     val total = results.map(_._2).filter(_ >= 0).sum
     val sf = jsonEscape(sfDir)
-    val noisy = math.max(loadStart, loadEnd) > hostCpus / 2.0
+    // ambient-only: loadEnd includes this bench's own threads (a clean
+    // local[32] run can push it past any threshold), so it is recorded
+    // for forensics but must not assert contention
+    val noisy = loadStart > hostCpus / 2.0
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""load1_start":$loadStart,"load1_end":$loadEnd,"noisy":$noisy,""" +
       s""""sf":"$sf"}"""

@@ -11,7 +11,11 @@ import org.apache.spark.sql.SparkSession
   * via splitmix64 — no RNG state, identical output at any parallelism —
   * the same design as [[graft.sources.TxnGenerator]].
   *
-  * Usage: ScaleData <outDir> <nDocs> <nVecs> [vocabMul] [nEvents]
+  * Usage: ScaleData <outDir> <nDocs> <nVecs> [vocabMul] [nEvents] [nOrders]
+  *
+  * `nOrders` > 0 additionally writes a `lineitem` table in the driver's
+  * co-purchase shape (per-order width 1..7, part domain = orders/7) so
+  * the graph family has a scale ladder beyond the driver testdata.
   * `nEvents` > 0 additionally writes an `events` table in the driver
   * shape (5 event types over a 60-day window, users ∝ events/67 — the
   * driver ratio), extending the scale study to the events-driven

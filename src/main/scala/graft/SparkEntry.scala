@@ -43,8 +43,6 @@ object SparkEntry {
     "q_orc_pushdown"   -> (EtlQueries.orcPushdown _),
     "q_json_roundtrip" -> (EtlQueries.jsonRoundtrip _),
     "q_json_rescue"    -> (EtlQueries.jsonRescue _),
-    "q_orc_roundtrip"  -> (EtlQueries.orcRoundtrip _),
-    "q_orc_pushdown"   -> (EtlQueries.orcPushdown _),
     "q_xml_roundtrip"  -> (EtlQueries.xmlRoundtrip _),
     "q_schema_evolution" -> (EtlQueries.schemaEvolution _),
     "q_generate"       -> ((s: SparkSession, _: String) =>
@@ -224,8 +222,6 @@ object SparkEntry {
     "q_orc_pushdown"    -> EtlQueries.orcPushdownSql,
     "q_json_roundtrip"  -> EtlQueries.jsonRoundtripSql,
     "q_json_rescue"     -> EtlQueries.jsonRescueSql,
-    "q_orc_roundtrip"   -> EtlQueries.orcRoundtripSql,
-    "q_orc_pushdown"    -> EtlQueries.orcPushdownSql,
     "q_xml_roundtrip"   -> EtlQueries.xmlRoundtripSql,
     "q_schema_evolution" -> EtlQueries.schemaEvolutionSql,
     "q_generate"        -> TxnGenerator.oracleSql(1000),

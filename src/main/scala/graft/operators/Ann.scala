@@ -366,6 +366,23 @@ object Ann {
       codes
     }
 
+  /** Shared candidate-pair generation from a banded signature frame
+    * `(id, band, bkey)`: pairs meet iff some band key matches, oriented
+    * `a < b`, deduped on ids BEFORE any payload joins (the distinct's
+    * shuffle moves two ids, not two payloads). Used by the embedding
+    * pair-LSH below and the perceptual-hash image near-dup; the minhash
+    * and simhash document paths carry the same shape with extra capping/
+    * broadcast gates that do not generalize across key types.
+    */
+  private[operators] def bandCandidates(banded: DataFrame,
+      idCol: String): DataFrame =
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+
   /** Subquadratic all-pairs embedding near-dup — the pair-GENERATION
     * analogue of the minhash/LSH document dedup: vectors meet only inside
     * (band, key) buckets, candidate pairs travel as ids, and the exact
@@ -382,12 +399,7 @@ object Ann {
     val banded = Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(pairBandKeys(col("embedding"))))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bkey"))
-    val cand = banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
-      .distinct()
+    val cand = bandCandidates(banded, "vec_id").toDF("v1", "v2")
     val e = Tables.embeddings(s, d)
     cand
       .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1")),

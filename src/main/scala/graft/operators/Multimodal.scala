@@ -263,10 +263,17 @@ object Multimodal {
       i += 1
     }
     val bands = new Array[Long](PhashBands)
+    // the cross-multiplied compare overflows Long once ~4n² passes 2⁶³
+    // (payloads beyond ~1.5 GB); promote to BigInt there so the "exact
+    // integer" contract holds over the full Array[Byte] range
+    val big = n > 1000000000
     var b = 0
     while (b < PhashBuckets) {
       // empty block (payload shorter than 64 bytes) → bit 0: 0 > 0 is false
-      if (bs(b) * n > tot * bc(b))
+      val hot =
+        if (big) BigInt(bs(b)) * n > BigInt(tot) * bc(b)
+        else bs(b) * n > tot * bc(b)
+      if (hot)
         bands(b / PhashBandBits) |= 1L << (b % PhashBandBits)
       b += 1
     }
@@ -354,12 +361,8 @@ object Multimodal {
     val banded = hashed.select(col("doc_id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-    val cand = banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
+    val cand = Ann.bandCandidates(banded, "doc_id")
+      .toDF("d1", "d2")
     def ham(a: String, b: String): org.apache.spark.sql.Column =
       bit_count(expr(s"$a ^ $b"))
     cand

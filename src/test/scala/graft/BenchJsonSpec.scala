@@ -33,10 +33,14 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(quiet.get("load1_start").asDouble() === 0.5)
     assert(quiet.get("load1_end").asDouble() === 1.0)
     assert(!quiet.get("noisy").asBoolean())
-    // either endpoint above cpus/2 flags the record — contention at the
-    // END of the run corrupted the tail queries just as surely
-    val loud = mapper.readTree(
+    // only the AMBIENT (start) sample asserts contention: the end sample
+    // includes the bench's own threads, so a high loadEnd alone must NOT
+    // flag a clean run
+    val selfLoad = mapper.readTree(
       Bench.metricLine(Seq("q_a" -> 1.0), "/d", 0.5, 7.2, hostCpus = 8))
+    assert(!selfLoad.get("noisy").asBoolean())
+    val loud = mapper.readTree(
+      Bench.metricLine(Seq("q_a" -> 1.0), "/d", 6.1, 7.2, hostCpus = 8))
     assert(loud.get("noisy").asBoolean())
   }
 
