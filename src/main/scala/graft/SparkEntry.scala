@@ -56,6 +56,7 @@ object SparkEntry {
     "q_compact_plan"    -> (Maintenance.compactPlan _),
     "q_zorder_layout"   -> (Maintenance.zorderLayout _),
     "q_bloom_skip"      -> (Maintenance.bloomSkipLookup _),
+    "q_forget_audit"    -> (Maintenance.forgetAudit _),
     // [EXT] relational — SURVEY §2e-§2i
     "q_join_enrich"     -> (Relational.joinEnrich _),
     "q_star_join"       -> (Relational.starJoin _),
@@ -233,6 +234,7 @@ object SparkEntry {
     "q_compact_plan"    -> Maintenance.compactPlanSql,
     "q_zorder_layout"   -> Maintenance.zorderLayoutSql,
     "q_bloom_skip"      -> Maintenance.bloomSkipLookupSql,
+    "q_forget_audit"    -> Maintenance.forgetAuditSql,
     "q_join_enrich"     -> Relational.joinEnrichSql,
     "q_star_join"       -> Relational.starJoinSql,
     "q_tpch_q3"         -> Relational.tpchQ3Sql,

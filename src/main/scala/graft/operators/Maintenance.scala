@@ -404,6 +404,128 @@ object Maintenance {
       .orderBy(col("o_orderkey"))
   }
 
+  // ---------------------------------------------------------------------
+  // q_forget_audit — delete propagation (right-to-be-forgotten) over a
+  // bucketed layout, touched buckets only
+  // ---------------------------------------------------------------------
+
+  /** Range buckets of the forgettable layout. Range (not hash) bucketing
+    * by user id is what makes deletion SURGICAL here: a contiguous
+    * forget cohort touches few buckets, so the rewrite reads and
+    * replaces only those — the same touched-buckets I/O contract as the
+    * streaming upsert sink. A hash layout spreads any cohort over every
+    * bucket and forces a full-table rewrite; real deployments bucket by
+    * the deletion key for exactly this reason.
+    */
+  val ForgetBuckets = 16L
+
+  /** Forget cohort: the lowest tenth of the user-id domain — a
+    * deterministic, oracle-mirrorable stand-in for the erasure-request
+    * list a privacy pipeline receives.
+    */
+  private def forgetParts(s: SparkSession, d: String)
+      : (DataFrame, Column, Column) = {
+    val e = EventOps.withTsMs(Tables.events(s, d))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("event_type"), RefTransforms.cents(col("value")).as("value_cents"))
+    val um = e.agg(max(col("user_id")).as("umax"))
+    val withB = e.crossJoin(broadcast(um))
+      .withColumn("bucket",
+        expr(s"user_id * $ForgetBuckets div (umax + 1)"))
+      .withColumn("forget", expr("user_id < (umax + 1) div 10"))
+    (withB, col("bucket"), col("forget"))
+  }
+
+  /** The bucketed events layout with the forget cohort ALREADY erased —
+    * built once per JVM: write the full layout, then re-write ONLY the
+    * buckets containing forgotten rows via dynamic partition overwrite
+    * (untouched bucket files are never opened or replaced — spec-pinned
+    * by modification time in MaintenanceSpec). The touched-bucket list
+    * is a ≤ [[ForgetBuckets]]-row collect — the catalog-read pattern.
+    */
+  private[graft] def forgetLayoutDir(s: SparkSession, d: String): String = {
+    val dir = SetupOnce.runtimeDir(d, "events_forget_layout")
+    SetupOnce(dir) {
+      val (withB, bucket, forget) = forgetParts(s, d)
+      withB.drop("umax", "forget")
+        .repartition(bucket)
+        .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      val touched = withB.filter(forget).select(bucket).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val (withB2, _, forget2) = forgetParts(s, d)
+      val survivors = withB2.filter(!forget2 &&
+          col("bucket").isin(touched: _*))
+        .drop("umax", "forget")
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try survivors
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // dynamic overwrite's blind spot: a bucket whose EVERY row is
+      // forgotten produces zero survivor rows, so no partition is
+      // written and the old files silently survive — exactly the leak a
+      // privacy delete cannot have. Drop those partition dirs explicitly.
+      // (A table format runs the same two steps under one commit; the
+      // streaming sink's marker protocol shows the recovery shape.)
+      val surviving = survivors.select(col("bucket")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      touched.filterNot(surviving).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"bucket=$b"), true)
+      }
+    }
+    dir
+  }
+
+  /** Post-deletion audit, fully hash-checked: per bucket, the row count
+    * before, the erasure count, the row count AFTER read back from the
+    * physical layout, and a leak counter (forgotten rows still present —
+    * must be 0). The oracle computes before/deleted from the source
+    * table and asserts after = before − deleted with zero leaks, so the
+    * hash gate proves the rewrite actually erased exactly the cohort:
+    * an under-delete surfaces as leaked > 0, an over-delete as a
+    * rows_after mismatch.
+    */
+  def forgetAudit(s: SparkSession, d: String): DataFrame = {
+    val dir = forgetLayoutDir(s, d)
+    val (withB, bucket, forget) = forgetParts(s, d)
+    val before = withB.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("rows_before"),
+        sum(forget.cast("long")).as("rows_deleted"))
+    val e = EventOps.withTsMs(Tables.events(s, d))
+      .agg(max(col("user_id")).as("umax"))
+    val after = s.read.parquet(dir)
+      .crossJoin(broadcast(e))
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("rows_after"),
+        sum((col("user_id") < expr("(umax + 1) div 10")).cast("long"))
+          .as("leaked"))
+    before.join(after, Seq("bucket"), "left")
+      .select(col("bucket"), col("rows_before"), col("rows_deleted"),
+        coalesce(col("rows_after"), lit(0L)).as("rows_after"),
+        coalesce(col("leaked"), lit(0L)).as("leaked"))
+      .orderBy(col("bucket"))
+  }
+
+  val forgetAuditSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id FROM events),
+       |um AS (SELECT MAX(user_id) AS umax FROM e),
+       |b AS (SELECT user_id * $ForgetBuckets // (umax + 1) AS bucket,
+       |             user_id < (umax + 1) // 10 AS forget
+       |      FROM e CROSS JOIN um)
+       |SELECT bucket, COUNT(*) AS rows_before,
+       |       CAST(SUM(CAST(forget AS BIGINT)) AS BIGINT) AS rows_deleted,
+       |       COUNT(*) - CAST(SUM(CAST(forget AS BIGINT)) AS BIGINT)
+       |         AS rows_after,
+       |       CAST(0 AS BIGINT) AS leaked
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** Oracle: the identical index rebuilt and probed in DuckDB — date
     * file assignment, affine probe positions, bit_or word construction,
     * all-probes candidate test, and the three audit counts.

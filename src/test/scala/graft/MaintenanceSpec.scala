@@ -203,6 +203,33 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("o_orderkey")).sorted.toSeq === want)
   }
 
+  test("forget layout: erased cohort gone from disk, fully-erased bucket " +
+      "dirs removed, untouched buckets intact") {
+    val rows = Maintenance.forgetAudit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("leaked") === 0L, s"leak in bucket ${r.get(0)}")
+      assert(r.getAs[Long]("rows_after") ===
+        r.getAs[Long]("rows_before") - r.getAs[Long]("rows_deleted"))
+    }
+    assert(rows.exists(_.getAs[Long]("rows_deleted") > 0), "cohort empty")
+    val dir = Maintenance.forgetLayoutDir(spark, sfDir)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val exists = new java.io.File(s"$dir/bucket=$b").exists()
+      // a bucket with zero survivors must have no partition dir at all
+      // (dynamic overwrite alone would have left its old files behind)
+      assert(exists === (r.getAs[Long]("rows_after") > 0L),
+        s"bucket=$b dir presence wrong")
+    }
+    // the physical layout holds not a single forgotten row
+    val e = Tables.events(spark, sfDir)
+      .agg(max(col("user_id"))).head().getLong(0)
+    val leaked = spark.read.parquet(dir)
+      .filter(col("user_id") < (e + 1) / 10).count()
+    assert(leaked === 0L)
+  }
+
   test("morton code interleaves bits exactly") {
     import spark.implicits._
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (5L, 3L))
