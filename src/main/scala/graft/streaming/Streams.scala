@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.operators.RefTransforms
@@ -700,4 +700,68 @@ object Streams {
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  // ---------- event-time timers (transformWithState) ----------
+
+  case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class ClosedSession(user_id: Long, n: Long, total_cents: Long,
+      last_ms: Long)
+
+  /** Inactivity-closed sessions via EVENT-TIME TIMERS — the timer surface
+    * of `transformWithState` that neither session_window (fixed emission
+    * at watermark) nor GroupState timeouts (processing-time coupled)
+    * expresses as directly: each key keeps one running aggregate and ONE
+    * pending timer at `last_event + gap`; new input slides the timer
+    * forward (delete + re-register — timers do not replace implicitly),
+    * and when the WATERMARK passes the deadline the expired-timer
+    * callback emits the closed session exactly once and clears the
+    * state. State per key is a single row + a single timer regardless of
+    * session length — bounded, replayable, RocksDB-backed.
+    */
+  class IdleSessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TimedEvent, ClosedSession] {
+    @transient private var sess: ValueState[ClosedSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[ClosedSession]("sess",
+        Encoders.product[ClosedSession], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      var cur =
+        if (sess.exists()) sess.get() else ClosedSession(uid, 0L, 0L, 0L)
+      rows.foreach { e =>
+        cur = ClosedSession(uid, cur.n + 1,
+          cur.total_cents + math.floor(e.value * 100 + 0.5).toLong,
+          math.max(cur.last_ms, e.ts.getTime))
+      }
+      sess.update(cur)
+      // slide the single inactivity deadline: one live timer per key
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(cur.last_ms + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val out =
+        if (sess.exists()) Iterator.single(sess.get()) else Iterator.empty
+      sess.clear()
+      out
+    }
+  }
+
+  /** Thirty-minute inactivity gap, the sessionize default. Requires the
+    * RocksDB state store (as [[runningTotalsTws]]).
+    */
+  def idleSessions(spark: SparkSession, events: Dataset[TimedEvent],
+      gapMs: Long = 30L * 60 * 1000): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
 }

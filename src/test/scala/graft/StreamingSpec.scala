@@ -442,6 +442,50 @@ class StreamingSpec extends SparkSpecBase {
       "torn-commit replay diverged")
   }
 
+  test("event-time timers close idle sessions exactly once and slide on " +
+      "new activity") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Timestamp, Double)]
+      val events = input.toDF().toDF("user_id", "ts", "value")
+        .as[Streams.TimedEvent]
+      def at(h: Int, m: Int) =
+        Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // user 1: two events 10 min apart (one session, timer slides);
+      // user 2: one event; user 3 arrives late enough to advance the
+      // watermark past both deadlines but not its own
+      input.addData((1L, at(9, 0), 1.0), (2L, at(9, 5), 2.5))
+      input.addData((1L, at(9, 10), 0.5))
+      input.addData((3L, at(12, 0), 9.99))
+      val q = Streams.idleSessions(spark, events).writeStream
+        .format("memory").queryName("idle_sessions")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.table("idle_sessions")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      // both idle users closed exactly once, with the timer having SLID
+      // past user 1's first deadline (n=2 proves both events merged)
+      assert(got(1L) === ((2L, 150L, at(9, 10).getTime)))
+      assert(got(2L) === ((1L, 250L, at(9, 5).getTime)))
+      // user 3's deadline (12:30) is beyond the watermark — still open
+      assert(!got.contains(3L))
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream join matches orders in the hour before each event") {
     implicit val sqlCtx = spark.sqlContext
     val evIn = MemoryStream[(Long, Long, Timestamp)]
