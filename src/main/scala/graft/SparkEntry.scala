@@ -114,6 +114,7 @@ object SparkEntry {
     "q_transitions"     -> (EventOps.transitions _),
     "q_retention"       -> (EventOps.retention _),
     "q_attribution"     -> (EventOps.attribution _),
+    "q_freshness"       -> (EventOps.freshness _),
     "q_gap_fill"        -> (Timeseries.gapFill _),
     "q_paa"             -> (Timeseries.paa _),
     "q_word_counts"     -> ((s: SparkSession, d: String) =>
@@ -285,6 +286,7 @@ object SparkEntry {
     "q_transitions"     -> EventOps.transitionsSql,
     "q_retention"       -> EventOps.retentionSql,
     "q_attribution"     -> EventOps.attributionSql,
+    "q_freshness"       -> EventOps.freshnessSql,
     "q_gap_fill"        -> Timeseries.gapFillSql,
     "q_paa"             -> Timeseries.paaSql,
     "q_word_counts"     -> TextAnalysis.wordCountsSql,

@@ -647,4 +647,66 @@ object EventOps {
        |FROM credited GROUP BY model, touch_type
        |ORDER BY model, touch_type""".stripMargin
   }
+
+  /** Freshness threshold: a feed silent for longer than this against the
+    * global high-water mark is stale.
+    */
+  val StaleAfterMs: Long = 6L * 3600 * 1000
+
+  /** Per-feed freshness + coverage monitor — the ops audit a multi-source
+    * ingest runs every cycle: for each event type (standing in for a
+    * source feed), its volume, last-seen event time, staleness against
+    * the GLOBAL high-water mark (one 1-row broadcast — a per-feed max
+    * alone cannot tell "this feed died" from "everything stopped"), a
+    * stale flag, and day-level coverage (days active vs days spanned,
+    * missing days = silent gaps INSIDE the feed's own history — the
+    * "source went dark mid-month" signal a freshness check at the edge
+    * misses). Everything is integer epoch-day/millis arithmetic; one
+    * groupBy on the type domain plus a distinct-days groupBy, both
+    * |domain|-bounded after the first aggregation.
+    */
+  def freshness(s: SparkSession, d: String): DataFrame = {
+    val e = withTsMs(Tables.events(s, d))
+      .select(col("event_type"), col("ts_ms"),
+        expr("ts_ms div 86400000").as("day"))
+    val g = e.agg(max(col("ts_ms")).as("gmax"))
+    val days = e.select(col("event_type"), col("day")).distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("days_active"))
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("first_ms"),
+        max(col("ts_ms")).as("last_ms"),
+        min(col("day")).as("d0"),
+        max(col("day")).as("d1"))
+      .join(days, Seq("event_type"))
+      .crossJoin(broadcast(g))
+      .select(col("event_type"), col("n_events"),
+        col("first_ms"), col("last_ms"),
+        (col("gmax") - col("last_ms")).as("staleness_ms"),
+        (col("gmax") - col("last_ms") > StaleAfterMs).as("stale"),
+        col("days_active"),
+        (col("d1") - col("d0") + 1L).as("days_span"),
+        (col("d1") - col("d0") + 1L - col("days_active")).as("missing_days"))
+      .orderBy(col("event_type"))
+  }
+
+  val freshnessSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, epoch_ms(ts) AS ts_ms,
+       |         epoch_ms(ts) // 86400000 AS day
+       |  FROM events),
+       |g AS (SELECT MAX(ts_ms) AS gmax FROM e),
+       |days AS (SELECT event_type, COUNT(DISTINCT day) AS days_active
+       |         FROM e GROUP BY event_type)
+       |SELECT e.event_type, COUNT(*) AS n_events,
+       |       MIN(ts_ms) AS first_ms, MAX(ts_ms) AS last_ms,
+       |       MAX(gmax) - MAX(ts_ms) AS staleness_ms,
+       |       MAX(gmax) - MAX(ts_ms) > $StaleAfterMs AS stale,
+       |       CAST(MAX(days_active) AS BIGINT) AS days_active,
+       |       MAX(day) - MIN(day) + 1 AS days_span,
+       |       MAX(day) - MIN(day) + 1 - MAX(days_active) AS missing_days
+       |FROM e CROSS JOIN g JOIN days ON e.event_type = days.event_type
+       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
 }
