@@ -492,9 +492,9 @@ object Ann {
   def embedClusters(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graft.PlanBridge.stripPresentationSort
     val pairs = stripPresentationSort(embeddingNearDup(s, d))
-      .select(col("v1").as("u"), col("v2").as("v"))
-    Dedup.connectedComponents(pairs)
-      .select(col("node").as("vec_id"), col("label").as("cluster_id"))
+      .select(col("v1"), col("v2"))
+    Dedup.labelComponents(pairs)
+      .select(col("node").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id"))
   }
 

@@ -573,10 +573,24 @@ object Dedup {
     * fallback). Each round is a distributed join/agg — the driver only
     * steers.
     */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramPairs(s, d).select(col("d1"), col("d2"))
-    val edges = pairs
-      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    labelComponents(ngramPairs(s, d).select(col("d1"), col("d2")))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+
+  /** Connected components over an oriented pair list `(d1, d2)` — the
+    * shared engine behind [[dedupClusters]] and the embedding cluster
+    * query: min-label propagation (O(diameter) rounds — near-dup
+    * clusters are tiny cliques, 2-3 rounds in practice) with the
+    * alternating-star algorithm as the arbitrary-diameter fallback.
+    * Returns `(node, cluster_id)` with cluster_id = the component's
+    * minimum member. Each round is a distributed join/agg — the driver
+    * only steers.
+    */
+  private[operators] def labelComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("d1", "d2")
+      .union(pairs.toDF("d1", "d2")
+        .select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("src", "dst").cache()
     // every label round is localCheckpoint'd (eager): the plan — and the
     // recovery lineage — stays ONE round deep regardless of graph diameter,
@@ -623,10 +637,11 @@ object Dedup {
     val out =
       if (!converged)
         connectedComponents(edges.select(col("src").as("u"), col("dst").as("v")))
-          .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      else labels.select(col("doc_id"), col("label").as("cluster_id"))
+          .select(col("node"), col("label").as("cluster_id"))
+      else labels.select(col("doc_id").as("node"),
+        col("label").as("cluster_id"))
     edges.unpersist()
-    out.orderBy(col("doc_id"))
+    out
   }
 
   /** Rounds cap for [[connectedComponents]] — a safety net, not a tuning
