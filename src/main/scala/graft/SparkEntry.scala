@@ -149,6 +149,7 @@ object SparkEntry {
     "q_corpus_shards"     -> (CorpusPipeline.corpusShards _),
     "q_pack_sequences"    -> (CorpusPipeline.packSequences _),
     "q_range_join"        -> (EventOps.rangeJoin _),
+    "q_range_join_auto"   -> (EventOps.rangeJoinAuto _),
     "q_skew_join"         -> (EventOps.skewJoin _),
     // [EXT] LLM-pipeline: deduplication
     "q_dedup_exact"       -> (Dedup.exact _),
@@ -315,6 +316,7 @@ object SparkEntry {
     "q_corpus_shards"     -> CorpusPipeline.corpusShardsSql,
     "q_pack_sequences"    -> CorpusPipeline.packSequencesSql,
     "q_range_join"        -> EventOps.rangeJoinSql,
+    "q_range_join_auto"   -> EventOps.rangeJoinSql,
     "q_skew_join"         -> EventOps.skewJoinSql,
     "q_dedup_exact"     -> Dedup.exactSql,
     "q_dedup_ngram"     -> Dedup.ngramJaccardSql,

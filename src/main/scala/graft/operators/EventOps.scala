@@ -284,6 +284,25 @@ object EventOps {
        |GROUP BY tier ORDER BY tier""".stripMargin
   }
 
+  /** The interval join written the NATURAL way — a plain non-equi
+    * condition, no manual binning — relying on the injected
+    * [[graft.plans.RangeJoinRewrite]] optimizer rule to compile it into
+    * the binned equi-join shape (RangeJoinRewriteSpec pins the rewrite:
+    * no nested-loop join in the plan, bin width from
+    * `graft.rangeJoin.binWidth`). Same semantics and oracle as the
+    * hand-binned [[rangeJoin]]; the pair demonstrates that the rewrite
+    * and the manual form produce identical results.
+    */
+  def rangeJoinAuto(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tiers = ValueTiers.toDF("tier", "lo", "hi")
+    Tables.events(s, d).select(col("value"))
+      .join(tiers, col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      .orderBy(col("tier"))
+  }
+
   /** Pivot: one row per user, one column per event type — conditional
     * aggregation under the hood, so the oracle is plain FILTERed counts.
     */

@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (check rules are not excludable the way optimizer batches are)
     // instead of as a flaky last-ulp diff in production
     ext.injectCheckRule(session => FpAggregateLint(session))
+    // pure-interval joins rewritten to the binned equi-join shape — the
+    // optimizer-rule tier of the extension surface (beside the analysis
+    // check rule above and the expression injections below)
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
     val (info: ExpressionInfo, builder) =
       FunctionRegistryBase.build[CosineSimilarity]("cosine_sim", since = None)
     ext.injectFunction((FunctionIdentifier("cosine_sim"), info,
