@@ -115,6 +115,7 @@ object SparkEntry {
     "q_retention"       -> (EventOps.retention _),
     "q_attribution"     -> (EventOps.attribution _),
     "q_freshness"       -> (EventOps.freshness _),
+    "q_lateness"        -> (EventOps.lateness _),
     "q_gap_fill"        -> (Timeseries.gapFill _),
     "q_paa"             -> (Timeseries.paa _),
     "q_word_counts"     -> ((s: SparkSession, d: String) =>
@@ -288,6 +289,7 @@ object SparkEntry {
     "q_retention"       -> EventOps.retentionSql,
     "q_attribution"     -> EventOps.attributionSql,
     "q_freshness"       -> EventOps.freshnessSql,
+    "q_lateness"        -> EventOps.latenessSql,
     "q_gap_fill"        -> Timeseries.gapFillSql,
     "q_paa"             -> Timeseries.paaSql,
     "q_word_counts"     -> TextAnalysis.wordCountsSql,

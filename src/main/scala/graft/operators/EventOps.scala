@@ -728,4 +728,64 @@ object EventOps {
        |FROM e CROSS JOIN g JOIN days ON e.event_type = days.event_type
        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+
+  /** Out-of-orderness audit — the measurement that SIZES a watermark:
+    * per event type, how late events arrive relative to the stream's
+    * event-time high-water mark at their arrival point (arrival order =
+    * event_id, the ingest sequence). `lateness = running_max(ts) − ts`
+    * over arrival order; an in-order stream audits to all zeros, and the
+    * max/total lateness tell you what `withWatermark` delay loses what
+    * fraction of data.
+    *
+    * The running max over a row-scaled global order uses the same
+    * two-phase distributed prefix pattern as the drift ECDF
+    * ([[Drift.driftKs]]), instantiated for MAX: range-bucket the arrival
+    * axis (1-row min/max broadcast), per-bucket running-max windows
+    * (parallel), EXCLUSIVE per-bucket offsets from a ≤1024-row global
+    * window over bucket maxima, then `greatest(intra, offset)`. No task
+    * ever sees a row-scaled single-partition window.
+    */
+  def lateness(s: SparkSession, d: String): DataFrame = {
+    val nBuckets = 1024L
+    val e = withTsMs(Tables.events(s, d))
+      .select(col("event_id"), col("event_type"), col("ts_ms"))
+    val rng = e.agg(min(col("event_id")).as("emin"),
+      max(col("event_id")).as("emax"))
+    val bucketed = e.crossJoin(broadcast(rng))
+      .withColumn("bkt",
+        expr(s"(event_id - emin) * $nBuckets div (emax - emin + 1)"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = bucketed.withColumn("p_max", max(col("ts_ms")).over(wIn))
+    val wOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy(col("bkt"))
+      .agg(max(col("ts_ms")).as("b_max"))
+      .select(col("bkt"), max(col("b_max")).over(wOff).as("off_max"))
+    intra.join(broadcast(offs), Seq("bkt"))
+      .withColumn("run_max", greatest(col("p_max"),
+        coalesce(col("off_max"), lit(Long.MinValue))))
+      .withColumn("late_ms", col("run_max") - col("ts_ms"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("late_ms") > 0L).cast("long")).as("n_late"),
+        max(col("late_ms")).as("max_late_ms"),
+        sum(col("late_ms")).as("sum_late_ms"))
+      .orderBy(col("event_type"))
+  }
+
+  val latenessSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |r AS (
+      |  SELECT *, MAX(ts_ms) OVER (ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+      |  FROM e)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(run_max - ts_ms > 0 AS BIGINT)) AS BIGINT)
+      |         AS n_late,
+      |       MAX(run_max - ts_ms) AS max_late_ms,
+      |       CAST(SUM(run_max - ts_ms) AS BIGINT) AS sum_late_ms
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
 }
