@@ -34,7 +34,8 @@ object ScaleBench {
     "q_diversity", "q_split_leakfree", "q_feature_hash", "q_ngram_lm",
     "q_gap_fill", "q_paa",
     // round-8 additions
-    "q_embed_lsh_pairs", "q_image_phash")
+    "q_embed_lsh_pairs", "q_image_phash", "q_embed_clusters",
+    "q_embed_decontaminate", "q_lateness", "q_freshness")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("spark.log.level", "ERROR")
