@@ -100,6 +100,7 @@ object SparkEntry {
     "q_scd2_lookup"     -> (Warehouse.scd2Lookup _),
     "q_unpivot"         -> (Warehouse.unpivotMeasures _),
     "q_dq_audit"        -> (Warehouse.dqAudit _),
+    "q_profile"         -> (Warehouse.columnProfile _),
     "q_kanon"           -> (Warehouse.kAnonymity _),
     // [EXT] event-time / streaming batch-equivalents — SURVEY §2k
     "q_window_tumbling" -> (EventOps.tumbling _),
@@ -275,6 +276,7 @@ object SparkEntry {
     "q_scd2_lookup"     -> Warehouse.scd2LookupSql,
     "q_unpivot"         -> Warehouse.unpivotMeasuresSql,
     "q_dq_audit"        -> Warehouse.dqAuditSql,
+    "q_profile"         -> Warehouse.columnProfileSql,
     "q_kanon"           -> Warehouse.kAnonymitySql,
     "q_window_tumbling" -> EventOps.tumblingSql,
     "q_window_sliding"  -> EventOps.slidingSql,

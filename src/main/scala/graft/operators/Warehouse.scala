@@ -412,4 +412,55 @@ object Warehouse {
       |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT)
       |         AS pass
       |FROM checks ORDER BY check_name""".stripMargin
+
+  /** Column-profile report over lineitem — the `ANALYZE TABLE`-style
+    * statistics pass a warehouse runs before planning and quality work:
+    * one row per profiled column with row/null/distinct counts and the
+    * min/max rendered as strings (one long-form schema across types).
+    * ONE scan computes every column's aggregates side by side (k columns
+    * → k·4 aggregate expressions, map-side partials — not k passes);
+    * the long form is assembled from that single row, so the whole
+    * report costs one pass + a constant-size stack. Exact distincts
+    * keep the oracle exact; a petabyte profile swaps in HLL the same
+    * way q_mv_sketch does.
+    */
+  def columnProfile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+      "l_shipdate")
+    val li = Tables.lineitem(s, d)
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx"))
+    } :+ count(lit(1)).as("__n")
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        (col("__n") - col(s"${c}__nn")).as("n_null"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__mn").as("min_val"), col(s"${c}__mx").as("max_val"))
+    }
+    one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_rows"), col("p.n_null"),
+        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+      .orderBy(col("col_name"))
+  }
+
+  val columnProfileSql: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+      "l_shipdate")
+    val arms = cols.map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |       COUNT(*) - COUNT($c) AS n_null,
+         |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |       CAST(MIN($c) AS VARCHAR) AS min_val,
+         |       CAST(MAX($c) AS VARCHAR) AS max_val
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$arms
+       |) ORDER BY col_name""".stripMargin
+  }
+
 }
