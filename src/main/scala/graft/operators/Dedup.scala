@@ -1016,8 +1016,15 @@ object Dedup {
     * polynomial hash, 30-59 from the base-131 one. Output:
     * (doc_id, bits array<long>).
     */
-  private def simhashDf(s: SparkSession, d: String): DataFrame = {
-    val exploded = Tables.spread(Tables.documents(s, d), col("doc_id"))
+  private def simhashDf(s: SparkSession, d: String): DataFrame =
+    simhashOf(Tables.spread(Tables.documents(s, d), col("doc_id")))
+
+  /** SimHash signatures of an arbitrary `(doc_id, text)` frame — exposed
+    * within the engine so the streaming ingest-dedup sink can sign each
+    * micro-batch with the SAME hash family the batch query uses.
+    */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+    val exploded = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"),
         polyHash(col("tok"), 31L, PA).as("ha"),
@@ -1033,6 +1040,15 @@ object Dedup {
         array((0 until SimLanes).map(i =>
           when(col(s"l$i") > 0, 1L).otherwise(0L)): _*).as("bits"))
   }
+
+  /** Packed 4×15-bit band words of an arbitrary docs frame, as columns
+    * `b0..b3` — the state a streaming dedup index stores per kept doc.
+    */
+  private[graft] def simhashPacked(docs: DataFrame): DataFrame =
+    simhashOf(docs)
+      .select(col("doc_id"), simhashBands(col("bits")).as("bands"))
+      .select(Seq(col("doc_id")) ++ (0 until SimBands).map(b =>
+        element_at(col("bands"), b + 1).as(s"b$b")): _*)
 
   /** Pack bit lanes into 4×15-bit band keys for hamming-bucket retrieval. */
   private def simhashBands(bits: Column): Column =

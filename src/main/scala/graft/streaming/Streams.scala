@@ -701,6 +701,124 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ---------- streaming ingest-time dedup ----------
+
+  /** Schema of the document-ingest stream. */
+  val docIngestSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** Streaming ingest-time deduplication — the crawl-pipeline topology:
+    * each micro-batch of landed documents is checked against the stored
+    * corpus BEFORE admission, by exact content hash (md5) and by SimHash
+    * hamming ≤ 3 (the same 60-bit/4-band signatures as the batch
+    * `q_dedup_simhash`, so ingest-time and offline dedup agree on what a
+    * near-dup is); survivors append, duplicates never enter. State per
+    * kept doc is its text + md5 + 4 band words — the probe is a band
+    * equi-join against the stored signatures, O(batch × bucket), never
+    * O(corpus²), which is the entire point of deduplicating AT ingest
+    * instead of re-running corpus-wide jobs.
+    *
+    * Exactly-once via the versioned-state + marker protocol shared with
+    * the MV and SCD2 sinks. The demo state rewrites the corpus per
+    * version (it is testdata-sized); a deployment appends data files and
+    * commits them with the same marker semantics — the transaction-log
+    * pattern, unchanged.
+    */
+  def dedupIngestPipeline(spark: SparkSession, inDir: String,
+      stateDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(docIngestSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyDedupIngestBatch(batch, id, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  private def hamming(a: String, b: String): Column =
+    bit_count(expr(s"$a ^ $b"))
+
+  /** One micro-batch through the admission gate. Within-batch rule:
+    * a doc is dropped if it exactly or nearly duplicates ANY lower-id
+    * batch doc (the SemDeDup keep-lowest convention — deterministic and
+    * order-free). Against the corpus: any exact or near match drops the
+    * batch doc (the corpus doc arrived first).
+    */
+  private[graft] def applyDedupIngestBatch(batch: DataFrame, batchId: Long,
+      stateDir: String): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, s"applied_batch_$batchId")
+    if (fs.exists(marker)) return
+    val signed = batch.select(col("doc_id"), col("text"))
+      .withColumn("content_md5", md5(col("text")))
+      .join(Dedup.simhashPacked(batch.select(col("doc_id"), col("text"))),
+        Seq("doc_id"))
+      .localCheckpoint()
+    val existing = committedStateDir(fs, stateDir) match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None => spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType.fromDDL("doc_id BIGINT, text STRING, " +
+          "content_md5 STRING, b0 BIGINT, b1 BIGINT, b2 BIGINT, b3 BIGINT"))
+    }
+    def bandExplode(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"))
+        .select(col("doc_id"),
+          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+        .join(df.select(col("doc_id"), col("b0"), col("b1"), col("b2"),
+          col("b3")), Seq("doc_id"))
+    // within-batch near-dup candidates: band-bucket join, lower id wins
+    val bb = bandExplode(signed)
+    val nearInBatch = bb.as("x").join(bb.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(hamming("x.b0", "y.b0") + hamming("x.b1", "y.b1") +
+        hamming("x.b2", "y.b2") + hamming("x.b3", "y.b3") <=
+        Dedup.SimHammingMax)
+      .select(col("y.doc_id").as("doc_id")).distinct()
+    // within-batch exact: keep the lowest id per content hash
+    val wmin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_md5"))
+    val exactInBatch = signed
+      .withColumn("keep_id", min(col("doc_id")).over(wmin))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id")).distinct()
+    // against the stored corpus: exact hash + banded near-dup
+    val exactVsCorpus = signed.join(
+      existing.select(col("content_md5")).distinct(), Seq("content_md5"))
+      .select(col("doc_id")).distinct()
+    val eb = bandExplode(existing)
+    val nearVsCorpus = bb.as("x").join(eb.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .filter(hamming("x.b0", "y.b0") + hamming("x.b1", "y.b1") +
+        hamming("x.b2", "y.b2") + hamming("x.b3", "y.b3") <=
+        Dedup.SimHammingMax)
+      .select(col("x.doc_id").as("doc_id")).distinct()
+    val dropped = nearInBatch.unionByName(exactInBatch)
+      .unionByName(exactVsCorpus).unionByName(nearVsCorpus).distinct()
+    val survivors = signed.join(dropped, Seq("doc_id"), "left_anti")
+    existing.unionByName(survivors)
+      .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    fs.create(marker, true).close()
+  }
+
+  /** Public reader for the committed deduplicated corpus. */
+  def dedupCorpus(spark: SparkSession, stateDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    spark.read.parquet(committedStateDir(fs, stateDir).getOrElse(
+      sys.error(s"no committed dedup corpus under $stateDir")))
+  }
+
   // ---------- event-time timers (transformWithState) ----------
 
   case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -486,6 +486,52 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming ingest dedup: exact and near duplicates rejected at " +
+      "admission, within batch and against the corpus, replay-safe") {
+    val in    = tmp("graft_ddi_in")
+    val state = tmp("graft_ddi_state")
+    val ckp   = tmp("graft_ddi_ckp")
+    // 200 tokens over a 50-token vocabulary: heavy overlap makes the
+    // one-token edit land at simhash hamming 2 (measured), while the
+    // disjoint-vocabulary doc sits at hamming ~26
+    val base = (1 to 200).map(i => s"token${i % 50}").mkString(" ")
+    val near = ((1 to 199).map(i => s"token${i % 50}") :+ "changed")
+      .mkString(" ")
+    val other = (1 to 200).map(i => s"other$i").mkString(" ")
+    def land(rows: Seq[(Long, String)], name: String): Unit = {
+      val stage = tmp("graft_ddi_stage")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(in, name))
+    }
+    // batch 0: an exact in-batch copy (4 of 1) must be rejected
+    land(Seq((1L, base), (2L, other), (4L, base)), "f0.parquet")
+    Streams.dedupIngestPipeline(spark, in, state, ckp).awaitTermination()
+    def corpusIds = Streams.dedupCorpus(spark, state)
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpusIds === Set(1L, 2L))
+    // batch 1 over a RESTART: a near-dup of stored doc 1, an exact copy
+    // of stored doc 2, and one genuinely new doc
+    land(Seq((5L, near), (6L, other), (7L, "fresh and unrelated text")),
+      "f1.parquet")
+    Streams.dedupIngestPipeline(spark, in, state, ckp).awaitTermination()
+    assert(corpusIds === Set(1L, 2L, 7L))
+    // replayed batch id: marker makes it a no-op
+    val replay = Seq((5L, near), (6L, other), (7L, "fresh and unrelated text"))
+      .toDF("doc_id", "text")
+    Streams.applyDedupIngestBatch(replay, 1L, state)
+    assert(corpusIds === Set(1L, 2L, 7L))
+    // torn commit: drop the marker, re-apply — must converge, not
+    // double-append
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(state, "applied_batch_1"), false)
+    Streams.applyDedupIngestBatch(replay, 1L, state)
+    assert(corpusIds === Set(1L, 2L, 7L))
+  }
+
   test("stream-stream join matches orders in the hour before each event") {
     implicit val sqlCtx = spark.sqlContext
     val evIn = MemoryStream[(Long, Long, Timestamp)]
