@@ -44,10 +44,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   /** Bin width in value units. */
   val WidthKey = "graft.rangeJoin.binWidth"
 
+  /** Replication cap: an interval wider than this many bins is routed to
+    * the nested-loop FALLBACK arm instead of being exploded (an unbounded
+    * Sequence over e.g. a catch-all `[x, ∞)` tier would materialize a
+    * multi-million-element array per row, or overflow outright).
+    */
+  val MaxBinsKey = "graft.rangeJoin.maxBinsPerInterval"
+
   private def enabled: Boolean =
     SQLConf.get.getConfString(EnabledKey, "true").toBoolean
   private def width: Double =
     SQLConf.get.getConfString(WidthKey, "50.0").toDouble
+  private def maxBins: Long =
+    SQLConf.get.getConfString(MaxBinsKey, "256").toLong
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
@@ -100,6 +109,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     def binOf(e: Expression): Expression =
       Cast(Floor(Divide(e, w)), LongType)
 
+    // Interval width is DATA, so the replication bound cannot be checked
+    // at plan time: split the interval side by span instead. Narrow
+    // intervals (≤ maxBins bins — the overwhelming majority in any sane
+    // dim) take the binned equi-join; the rare wide/open-ended ones keep
+    // the original nested-loop shape over just that sliver. NULL or NaN
+    // bounds fall out of BOTH filters — exactly matching the original
+    // join, where such rows can never satisfy the range condition.
+    val spanCap = Literal(width * maxBins)
+    val narrowPred = LessThanOrEqual(Subtract(hi, lo), spanCap)
+    val widePred   = GreaterThan(Subtract(hi, lo), spanCap)
+    val narrowIntervals = Filter(narrowPred, intervalPlan)
+    val wideIntervals   = Filter(widePred, intervalPlan)
+
     val valueBin = Alias(binOf(x), "graft_range_bin")()
     val valueSide = Project(valuePlan.output :+ valueBin, valuePlan)
     val binElem = AttributeReference("graft_range_bin_i", LongType,
@@ -111,11 +133,20 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       Explode(new Sequence(binOf(lo), binOf(hi), None,
         Some(SQLConf.get.sessionLocalTimeZone))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
-      generatorOutput = Seq(binElem), child = intervalPlan)
+      generatorOutput = Seq(binElem), child = narrowIntervals)
 
     val (newL, newR) =
       if (xLeft) (valueSide, intervalSide) else (intervalSide, valueSide)
     val newCond = And(EqualTo(valueBin.toAttribute, binElem), cond)
-    Some(Project(j.output, Join(newL, newR, Inner, Some(newCond), hint)))
+    val binnedArm = Project(j.output, Join(newL, newR, Inner,
+      Some(newCond), hint))
+    // fallback arm: original join over the wide intervals only. Its
+    // condition carries the span guard as a third conjunct — redundant
+    // over the filtered child, but it keeps the conjunct count at 3 so
+    // this rule can never re-fire on its own output.
+    val (wideL, wideR) = if (xLeft) (l, wideIntervals) else (wideIntervals, r)
+    val wideArm = Project(j.output,
+      Join(wideL, wideR, Inner, Some(And(widePred, cond)), hint))
+    Some(Union(Seq(binnedArm, wideArm)))
   }
 }
