@@ -61,6 +61,7 @@ object SparkEntry {
     "q_join_enrich"     -> (Relational.joinEnrich _),
     "q_star_join"       -> (Relational.starJoin _),
     "q_tpch_q3"         -> (Relational.tpchQ3 _),
+    "q_tpch_q18"        -> (Relational.tpchQ18 _),
     "q_correlated"      -> (Relational.correlatedSubquery _),
     "q_join_left"       -> (Relational.joinLeft _),
     "q_join_semi"       -> (Relational.joinSemi _),
@@ -183,6 +184,10 @@ object SparkEntry {
     // approximate nprobe=4 setting stays recall-bounded in AnnSpec.
     "q_ann_ivf"         -> ((s: SparkSession, d: String) =>
       Ann.ivfTopK(s, d, Ann.IvfLists)),
+    // the APPROXIMATE setting (nprobe=4 of 16 lists) as its own
+    // hash-gated entry: the oracle replicates the probe, and the
+    // brute-force ground truth rides in-row as `in_exact_topk`
+    "q_ann_ivf_probe"   -> (Ann.ivfTopKValidated _),
     "q_embed_neardup"   -> (Ann.embeddingNearDup _),
     "q_embed_lsh_pairs" -> (Ann.embedLshPairsValidated _),
     "q_embed_clusters"  -> (Ann.embedClusters _),
@@ -242,6 +247,7 @@ object SparkEntry {
     "q_join_enrich"     -> Relational.joinEnrichSql,
     "q_star_join"       -> Relational.starJoinSql,
     "q_tpch_q3"         -> Relational.tpchQ3Sql,
+    "q_tpch_q18"        -> Relational.tpchQ18Sql,
     "q_correlated"      -> Relational.correlatedSubquerySql,
     "q_join_left"       -> Relational.joinLeftSql,
     "q_join_semi"       -> Relational.joinSemiSql,
@@ -343,6 +349,7 @@ object SparkEntry {
     // exhaustive-probe IVF visits every list, so its output is exactly the
     // brute-force ranking (pinned in AnnSpec) — same oracle applies.
     "q_ann_ivf"         -> Ann.bruteForceTopKSql,
+    "q_ann_ivf_probe"   -> Ann.ivfTopKValidatedSql,
     "q_embed_neardup"   -> Ann.embeddingNearDupSql,
     "q_embed_lsh_pairs" -> Ann.embedLshPairsValidatedSql,
     "q_embed_clusters"  -> Ann.embedClustersSql,

@@ -702,6 +702,83 @@ object Ann {
   def ivfTopK(s: SparkSession, d: String): DataFrame =
     ivfTopK(s, d, IvfProbe)
 
+  /** The honest APPROXIMATE IVF driver entry: `nprobe = IvfProbe` of
+    * [[IvfLists]] lists — a real recall/cost trade, unlike `q_ann_ivf`
+    * whose exhaustive probe equals brute force by construction — with the
+    * per-neighbor ground truth (`in_exact_topk`) riding in-row, the same
+    * contract as [[lshTopKValidated]]. Recall < 1 does not put this
+    * outside the hash gate: centroids are deterministic data rows and
+    * every stage (centroid ranking, argmax assignment, candidate join,
+    * exact rerank) is order-free, so [[ivfTopKValidatedSql]] replicates
+    * the probe itself and hashes the same approximate result. AnnSpec
+    * pins the recall floor over the flag.
+    */
+  def ivfTopKValidated(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.PlanBridge.stripPresentationSort
+    val truth = stripPresentationSort(bruteForceTopK(s, d))
+      .select(col("q_id"), col("n_id"), lit(true).as("hit"))
+    stripPresentationSort(ivfTopK(s, d, IvfProbe))
+      .join(truth, Seq("q_id", "n_id"), "left")
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"),
+        coalesce(col("hit"), lit(false)).as("in_exact_topk"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB twin of [[ivfTopKValidated]], stage for stage: centroid rows
+    * are the same data-derived vectors (no constants to drift); the
+    * assignment argmax mirrors `max(struct(sim, cid))` — sim DESC then
+    * cid DESC on ties — while the probe ranking uses the window's
+    * sim DESC, cid ASC; the candidate join, exact rerank, and brute-force
+    * truth flag then follow [[lshTopKValidatedSql]]'s shape.
+    */
+  val ivfTopKValidatedSql: String = {
+    val aSim = cosineSql("e.v", "c.cv")
+    val sim  = cosineSql("q.v", "n.v")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e
+       |      WHERE vec_id >= $NumQueries
+       |        AND vec_id < ${NumQueries + IvfLists}),
+       |sc AS (SELECT e.vec_id, c.cid, $aSim AS sim FROM e, c),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY sim DESC, cid DESC) AS r
+       |    FROM sc) WHERE r = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY sim DESC, cid ASC) AS pr
+       |    FROM sc WHERE vec_id < $NumQueries) WHERE pr <= $IvfProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
+       |  FROM probes p JOIN assign a ON p.cid = a.cid
+       |  WHERE p.q_id <> a.vec_id),
+       |scored AS (
+       |  SELECT cd.q_id, cd.n_id, $sim AS sim,
+       |         row_number() OVER (PARTITION BY cd.q_id
+       |                            ORDER BY $sim DESC, cd.n_id ASC) AS rank
+       |  FROM cand cd
+       |  JOIN e q ON q.vec_id = cd.q_id
+       |  JOIN e n ON n.vec_id = cd.n_id),
+       |truth AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |                              ORDER BY $sim DESC, n.vec_id ASC) AS rank
+       |    FROM e q, e n
+       |    WHERE q.vec_id < $NumQueries AND q.vec_id <> n.vec_id)
+       |  WHERE rank <= $TopK)
+       |SELECT s.q_id, s.rank, s.n_id, s.sim,
+       |       (t.n_id IS NOT NULL) AS in_exact_topk
+       |FROM scored s
+       |LEFT JOIN truth t ON t.q_id = s.q_id AND t.n_id = s.n_id
+       |WHERE s.rank <= $TopK
+       |ORDER BY s.q_id, s.rank""".stripMargin
+  }
+
   // ---------- semantic deduplication (cluster-then-prune) ----------
 
   /** Cosine threshold above which two same-cluster embeddings are semantic

@@ -626,6 +626,64 @@ object Relational {
       |ORDER BY revenue_cents DESC, order_ms ASC, l_orderkey ASC
       |LIMIT 10""".stripMargin
 
+  /** Σ l_quantity cutoff for [[tpchQ18]], in exact cents (250 units ≈ the
+    * top 1-2% of orders on this data — populated at every SF, while the
+    * top-100 limit binds at sf0.1).
+    */
+  val Q18QtyCentsThreshold = 25000L
+
+  /** TPC-H-Q18-shaped large-volume-order query: customers holding orders
+    * whose summed lineitem quantity exceeds a threshold, top-100 by order
+    * value — the classic AGGREGATE-THEN-JOIN-BACK shape the Q1/Q3/Q5 trio
+    * doesn't exercise. The fact table is aggregated EXACTLY ONCE (one
+    * map-side-combined shuffle on l_orderkey); the HAVING filter runs on
+    * the agg output and the surviving ~1% of orders carry their sum into
+    * the join — no semi-join + re-aggregation double-pass (the naive SQL
+    * formulation with `o_orderkey IN (SELECT … HAVING)` re-aggregates
+    * lineitem after the join; the plan pin in RelationalSpec holds this
+    * to one Aggregate). Post-filter the big-order set is dim-sized, so
+    * AQE broadcasts it into the orders join at any scale; the top-100
+    * compiles to TakeOrderedAndProject (distributed heads, no global
+    * sort), deterministic under value ties via (order_ms, o_orderkey).
+    * Quantities and prices ride as per-row-rounded exact cents — the
+    * engine's integer discipline, so the oracle states identical
+    * arithmetic.
+    */
+  def tpchQ18(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_cents"))
+      .filter(col("sum_qty_cents") > Q18QtyCentsThreshold)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"),
+        cents(col("o_totalprice")).as("totalprice_cents"),
+        col("sum_qty_cents"))
+      .orderBy(col("totalprice_cents").desc, col("order_ms").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  val tpchQ18Sql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey,
+       |         CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+       |           AS BIGINT) AS sum_qty_cents
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING sum_qty_cents > ${Q18QtyCentsThreshold}
+       |)
+       |SELECT c_name, c_custkey, o_orderkey, epoch_ms(o_orderdate) AS order_ms,
+       |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+       |         AS totalprice_cents,
+       |       sum_qty_cents
+       |FROM orders
+       |JOIN big      ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY totalprice_cents DESC, order_ms ASC, o_orderkey ASC
+       |LIMIT 100""".stripMargin
+
   /** Correlated scalar subquery — the SQL-front-end surface the
     * DataFrame queries never touch: customers whose balance exceeds
     * their nation's average, phrased with per-row correlated subqueries

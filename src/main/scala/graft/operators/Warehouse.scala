@@ -417,34 +417,44 @@ object Warehouse {
     * statistics pass a warehouse runs before planning and quality work:
     * one row per profiled column with row/null/distinct counts and the
     * min/max rendered as strings (one long-form schema across types).
-    * ONE scan computes every column's aggregates side by side (k columns
-    * → k·4 aggregate expressions, map-side partials — not k passes);
-    * the long form is assembled from that single row, so the whole
-    * report costs one pass + a constant-size stack. Exact distincts
-    * keep the oracle exact; a petabyte profile swaps in HLL the same
-    * way q_mv_sketch does.
+    *
+    * Plan shape (this replaced a 5-way `countDistinct` in one aggregate,
+    * which compiles to a 6-projection Expand — every input row
+    * replicated 6× — feeding a row-scaled `(gid, value)` exchange and a
+    * SinglePartition merge; on near-PK columns that exchange carries a
+    * table-sized domain and was the engine's slowest query): each column
+    * is profiled by its OWN two-stage exact aggregate — a column-pruned
+    * scan (parquet reads exactly one column per arm, so the k arms
+    * together read no more bytes than one full scan), a partial
+    * hash-aggregate on the value (map-side combine collapses duplicates
+    * before the shuffle), one hash exchange of `(value, cnt, nn)`
+    * partials, then a global agg whose own partials reduce to one row
+    * per partition — the final single-partition exchange carries ~32
+    * partial rows, not the data. No Expand, no row-scaled
+    * SinglePartition spine; every arm is independently
+    * shuffle-partitionable, so the report scales with the widest
+    * column's distinct count, not rows × (k+1). Exact distincts keep
+    * the oracle exact; a petabyte profile swaps the second stage for
+    * HLL partials the same way q_mv_sketch does.
     */
   def columnProfile(s: SparkSession, d: String): DataFrame = {
     val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
       "l_shipdate")
     val li = Tables.lineitem(s, d)
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__nd"),
-        min(col(c)).cast("string").as(s"${c}__mn"),
-        max(col(c)).cast("string").as(s"${c}__mx"))
-    } :+ count(lit(1)).as("__n")
-    val one = li.agg(aggs.head, aggs.tail: _*)
-    val rows = cols.map { c =>
-      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
-        (col("__n") - col(s"${c}__nn")).as("n_null"),
-        col(s"${c}__nd").as("n_distinct"),
-        col(s"${c}__mn").as("min_val"), col(s"${c}__mx").as("max_val"))
+    val arms = cols.map { c =>
+      li.select(col(c).as("v"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("cnt"), count(col("v")).as("nn"))
+        .agg(
+          coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+          coalesce(sum(col("cnt")) - sum(col("nn")), lit(0L)).as("n_null"),
+          count(col("v")).as("n_distinct"),
+          min(col("v")).cast("string").as("min_val"),
+          max(col("v")).cast("string").as("max_val"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_val"), col("max_val"))
     }
-    one.select(explode(array(rows: _*)).as("p"))
-      .select(col("p.col_name"), col("p.n_rows"), col("p.n_null"),
-        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
-      .orderBy(col("col_name"))
+    arms.reduce(_.unionAll(_)).orderBy(col("col_name"))
   }
 
   val columnProfileSql: String = {

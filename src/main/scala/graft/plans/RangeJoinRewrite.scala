@@ -1,9 +1,12 @@
 package graft.plans
 
+import scala.util.Try
+
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -58,11 +61,55 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def maxBins: Long =
     SQLConf.get.getConfString(MaxBinsKey, "256").toLong
 
+  /** Fixpoint guard. The rule runs inside the operator-optimization
+    * FIXED-POINT batch, so its output is re-visited every iteration —
+    * and the conjunct-count guard alone is defeated by
+    * `PushDownPredicates`, which moves the fallback arm's span-guard
+    * conjunct (it references only the interval side) into a child
+    * Filter, re-exposing the exact 2-conjunct pure-interval shape the
+    * rule matches. Both generated joins are therefore tagged; the
+    * transform machinery (`TreeNode.transformDown` calls `copyTagsFrom`
+    * whenever a rule returns a new node) carries the tag across the
+    * Join nodes that pushdown rebuilds, and [[apply]] skips tagged
+    * joins. [[containsOwnArtifacts]] is the structural backstop for any
+    * rewrite that drops tags.
+    */
+  private[plans] val generatedTag: TreeNodeTag[Boolean] =
+    TreeNodeTag[Boolean]("graft.rangeJoin.generated")
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformUp {
-      case j @ Join(l, r, Inner, Some(cond), hint) =>
+      case j @ Join(l, r, Inner, Some(cond), hint)
+          if j.getTagValue(generatedTag).isEmpty =>
         rewrite(j, l, r, cond, hint).getOrElse(j)
+    }
+
+  /** True when the interval side already carries this rule's own
+    * fallback-arm artifact: a top-of-child Filter (possibly under
+    * Projects, after pushdown/CombineFilters) with a
+    * `hi - lo > spanCap` conjunct against the CURRENT span cap. After
+    * pushdown merges the span guard into that Filter, the join
+    * condition is back to two conjuncts and the tag is the only other
+    * defense — this makes the bail decision structural as well. The
+    * check is deliberately scoped to the top Filter/Project chain, not
+    * the whole subtree, so an ENCLOSING interval join above an
+    * already-rewritten one is still eligible. Skipping a rewrite is
+    * always safe (the original join stays correct, just
+    * nested-loop-shaped).
+    */
+  @annotation.tailrec
+  private def containsOwnArtifacts(p: LogicalPlan, cap: Double): Boolean =
+    p match {
+      case f: Filter =>
+        val hit = splitConjunctivePredicates(f.condition).exists {
+          case GreaterThan(Subtract(_, _, _), Literal(c: Double, DoubleType)) =>
+            c == cap
+          case _ => false
+        }
+        if (hit) true else containsOwnArtifacts(f.child, cap)
+      case pr: Project => containsOwnArtifacts(pr.child, cap)
+      case _ => false
     }
 
   private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
@@ -109,16 +156,47 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     def binOf(e: Expression): Expression =
       Cast(Floor(Divide(e, w)), LongType)
 
-    // Interval width is DATA, so the replication bound cannot be checked
-    // at plan time: split the interval side by span instead. Narrow
-    // intervals (≤ maxBins bins — the overwhelming majority in any sane
-    // dim) take the binned equi-join; the rare wide/open-ended ones keep
-    // the original nested-loop shape over just that sliver. NULL or NaN
-    // bounds fall out of BOTH filters — exactly matching the original
-    // join, where such rows can never satisfy the range condition.
-    val spanCap = Literal(width * maxBins)
+    // Interval width is DATA, so in general the replication bound cannot
+    // be checked at plan time: split the interval side by span instead.
+    // Narrow intervals (≤ maxBins bins — the overwhelming majority in
+    // any sane dim) take the binned equi-join; the rare wide/open-ended
+    // ones keep the original nested-loop shape over just that sliver.
+    // NULL bounds fall out of BOTH filters — matching the original join,
+    // where NULL can never satisfy the range condition. NaN bounds are
+    // the opposite case: under Spark's total ordering NaN compares
+    // GREATER than every double, so an interval with hi = NaN matches
+    // every x >= lo in the original join — and because hi - lo = NaN
+    // makes widePred (NaN > spanCap) true, exactly those intervals
+    // route through the fallback arm, which preserves the original
+    // semantics (the binned arm could never replicate them).
+    val cap = width * maxBins
+    val spanCap = Literal(cap)
     val narrowPred = LessThanOrEqual(Subtract(hi, lo), spanCap)
     val widePred   = GreaterThan(Subtract(hi, lo), spanCap)
+    if (containsOwnArtifacts(intervalPlan, cap)) return None
+
+    // When the interval side is already a materialized LocalRelation
+    // (literal dims — `Seq(...).toDF` after ConvertToLocalRelation), the
+    // span guard IS checkable at plan time: evaluate it per row. No wide
+    // rows → emit the binned arm alone (no Union, no fallback re-scan of
+    // the value side); ALL rows wide → the rewrite buys nothing, leave
+    // the join untouched. `eval == true` is the route-to-fallback test,
+    // so NaN spans (NaN > cap is true under Spark's NaN ordering) and
+    // NULL bounds (eval null → not true, and the narrow filter drops
+    // them just like the original join) both land on the correct side.
+    val localSpans: Option[Seq[Any]] = intervalPlan match {
+      case lr: LocalRelation if lr.data.length <= 65536 =>
+        Try {
+          val bound = BindReferences.bindReference(widePred, lr.output)
+          lr.data.map(row => bound.eval(row))
+        }.toOption
+      case _ => None
+    }
+    val anyWide = localSpans.forall(_.exists(_ == true))
+    val allWide = localSpans.exists(evals =>
+      evals.nonEmpty && evals.forall(_ == true))
+    if (allWide) return None
+
     val narrowIntervals = Filter(narrowPred, intervalPlan)
     val wideIntervals   = Filter(widePred, intervalPlan)
 
@@ -138,15 +216,20 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val (newL, newR) =
       if (xLeft) (valueSide, intervalSide) else (intervalSide, valueSide)
     val newCond = And(EqualTo(valueBin.toAttribute, binElem), cond)
-    val binnedArm = Project(j.output, Join(newL, newR, Inner,
-      Some(newCond), hint))
+    val binnedJoin = Join(newL, newR, Inner, Some(newCond), hint)
+    binnedJoin.setTagValue(generatedTag, true)
+    val binnedArm = Project(j.output, binnedJoin)
+    if (!anyWide) return Some(binnedArm)
     // fallback arm: original join over the wide intervals only. Its
     // condition carries the span guard as a third conjunct — redundant
-    // over the filtered child, but it keeps the conjunct count at 3 so
-    // this rule can never re-fire on its own output.
+    // over the filtered child, but cheap; the REAL re-fire defenses are
+    // the generatedTag set on both joins and containsOwnArtifacts
+    // (pushdown strips this conjunct within the same fixed-point batch,
+    // so the conjunct count alone is not a guard).
     val (wideL, wideR) = if (xLeft) (l, wideIntervals) else (wideIntervals, r)
-    val wideArm = Project(j.output,
-      Join(wideL, wideR, Inner, Some(And(widePred, cond)), hint))
+    val wideJoin = Join(wideL, wideR, Inner, Some(And(widePred, cond)), hint)
+    wideJoin.setTagValue(generatedTag, true)
+    val wideArm = Project(j.output, wideJoin)
     Some(Union(Seq(binnedArm, wideArm)))
   }
 }

@@ -140,6 +140,25 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.3, s"recall@${Ann.TopK} = $recall")
   }
 
+  test("validated IVF probe entry: in_exact_topk flag is faithful to " +
+      "brute force and the recall floor holds") {
+    val rows = Ann.ivfTopKValidated(spark, sfDir)
+      .select("q_id", "n_id", "in_exact_topk")
+      .as[(Long, Long, Boolean)].collect()
+    val truth = Ann.bruteForceTopK(spark, sfDir)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // the flag IS ground truth, row for row
+    rows.foreach { case (q, n, hit) =>
+      assert(hit === truth.contains((q, n)), s"flag wrong for ($q,$n)")
+    }
+    // and the ranking is the approximate nprobe path, not brute force in
+    // disguise: same floor as the raw nprobe=4 test above
+    val recall = rows.count(_._3).toDouble / truth.size
+    assert(recall >= 0.3, s"recall@${Ann.TopK} = $recall")
+    assert(recall < 1.0,
+      "nprobe=4 of 16 recalled everything — entry is not approximate")
+  }
+
   test("IVF with one Lloyd refinement round: exhaustive probing still " +
       "equals brute force, and the centroids actually moved") {
     val truth = Ann.bruteForceTopK(spark, sfDir)

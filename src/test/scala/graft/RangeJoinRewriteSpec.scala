@@ -51,6 +51,58 @@ class RangeJoinRewriteSpec extends SparkSpecBase {
       .contains("graft_range_bin"))
   }
 
+  test("literal dim, all spans under the cap: binned arm ALONE — no " +
+      "Union, no fallback re-scan of the value side") {
+    val df = EventOps.rangeJoinAuto(spark, sfDir)
+    df.collect()
+    val opt = df.queryExecution.optimizedPlan
+    val unions = opt.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }
+    val joins = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(unions.isEmpty, s"expected single-arm plan, got:\n$opt")
+    assert(joins.size == 1, s"expected exactly one join, got:\n$opt")
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("parquet-backed interval side with a wide interval: one rewrite, " +
+      "no fixed-point re-fire blowup, results match the rule disabled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rj").toString
+    // the wide tier (span 1e7 ≫ width·maxBins = 12800) must route to the
+    // fallback arm; parquet-backed so nothing constant-folds at plan time
+    // (the LocalRelation escape hatch in the rule does not apply) — this
+    // is exactly the shape where PushDownPredicates used to strip the
+    // span-guard conjunct and re-expose the rule to its own output.
+    Seq(("t0", 0.0, 40.0), ("t1", 40.0, 120.0), ("wide", 0.0, 1e7))
+      .toDF("tier", "lo", "hi").write.mode("overwrite").parquet(dir)
+    def run() = {
+      val tiers = spark.read.parquet(dir)
+      Tables.events(spark, sfDir).select(col("value"))
+        .join(tiers, col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("tier")).agg(count(lit(1)).as("n"))
+    }
+    val df = run()
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val opt = df.queryExecution.optimizedPlan
+    val joins = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    val unions = opt.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }
+    assert(joins.size == 2,
+      s"expected exactly binned + fallback joins, got ${joins.size}:\n$opt")
+    assert(unions.size == 1, s"expected one Union, got ${unions.size}")
+    assert(opt.treeString.linesIterator.size < 60,
+      s"plan blew up (${opt.treeString.linesIterator.size} lines) — " +
+        "rule re-fired on its own output")
+    spark.conf.set(RangeJoinRewrite.EnabledKey, "false")
+    try {
+      val want = run().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    } finally spark.conf.unset(RangeJoinRewrite.EnabledKey)
+  }
+
   test("the auto query equals the hand-binned range join row for row") {
     val auto = EventOps.rangeJoinAuto(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet

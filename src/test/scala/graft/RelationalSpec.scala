@@ -74,6 +74,24 @@ class RelationalSpec extends SparkSpecBase {
       "segment filter not pushed")
   }
 
+  test("tpch-q18 shape: fact table aggregated exactly once (no semi-join " +
+      "re-aggregation), top-100 is TakeOrderedAndProject, rows populated") {
+    val df = Relational.tpchQ18(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every returned order genuinely clears the quantity threshold
+    rows.foreach(r =>
+      assert(r.getLong(5) > Relational.Q18QtyCentsThreshold))
+    // aggregate-then-join-back: lineitem is aggregated ONCE — the naive
+    // `o_orderkey IN (SELECT … HAVING)` formulation re-aggregates the
+    // fact table after the join; pin the plan to a single Aggregate
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(aggs.size == 1, s"expected one Aggregate, got ${aggs.size}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
   test("bucketed join: no exchange on the join key between scans and SMJ") {
     val df = Relational.bucketedJoin(spark, sfDir)
     df.collect() // materialize so AQE finalizes the plan

@@ -165,4 +165,25 @@ class WarehouseSpec extends SparkSpecBase {
     // than it was ordered with (sf0.001 has multi-version customers)
     assert(got.keys.exists { case (regime, orig) => regime != orig })
   }
+
+  test("columnProfile: per-column exact counts match direct computation " +
+      "and the plan has no Expand / multi-distinct spine") {
+    val df = Warehouse.columnProfile(spark, sfDir)
+    val got = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val li = Tables.lineitem(spark, sfDir)
+    val n = li.count()
+    for (c <- Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+        "l_shipdate")) {
+      val nn = li.filter(col(c).isNotNull).count()
+      val nd = li.select(col(c)).na.drop().distinct().count()
+      assert(got(c) == ((n, n - nn, nd)), s"column $c")
+    }
+    // the scale contract: k independent two-stage aggregates, NOT one
+    // aggregate whose multi-countDistinct compiles to an Expand (6× row
+    // replication) feeding a row-scaled (gid, value) exchange — pin the
+    // executed plan so a refactor back to the slow shape fails loudly
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan.take(1200))
+  }
 }
