@@ -332,15 +332,42 @@ object Dedup {
   private[graft] def bloomDecontaminateOf(docs: DataFrame, cap: Int): DataFrame = {
     val idx = portableShingleIndexOf(cappedShingledOf(docs, cap))
     val isEval = pmod(col("doc_id"), lit(EvalMod)) === 0
-    val bloom = idx.filter(isEval)
-      .select(explode(array((0 until BloomHashes).map(i =>
+    bloomProbeIndex(idx.filter(!isEval), bloomBitsetFromIndex(idx.filter(isEval)))
+      .orderBy(col("train_id"))
+  }
+
+  /** Uncapped portable shingle index `(doc_id, n_sh, h0)` — one row per
+    * (doc, shingle hash), NO hot-shingle removal. This is the universe an
+    * ONLINE gate works in: corpus-wide document frequency is unknowable at
+    * ingest time, and the Bloom probe's cost is linear in shingles (not
+    * quadratic like the pair joins the cap exists for), so the streaming
+    * decontamination gate probes every shingle. Docs with < 3 tokens have
+    * no shingles and produce no rows (same convention as the capped
+    * index).
+    */
+  private[graft] def uncappedShingleIndexOf(docs: DataFrame): DataFrame =
+    portableShingleIndexOf(shingledOf(docs))
+
+  /** `(word, bits)` Bloom bitset folded from every shingle hash of a
+    * portable-shingle-index frame — ≤ BloomBits/32 = 8192 rows however
+    * large the input, built with one bit_or aggregate.
+    */
+  private[graft] def bloomBitsetFromIndex(idx: DataFrame): DataFrame =
+    idx.select(explode(array((0 until BloomHashes).map(i =>
         bloomPos(col("h0"), i)): _*)).as("pos"))
       .select(expr("pos div 32").as("word"), bloomMask(col("pos")).as("m"))
       .groupBy(col("word")).agg(bit_or(col("m")).as("bits"))
+
+  /** Per-doc Bloom probe report of an index frame against a `(word,
+    * bits)` bitset: (train_id, n_sh, n_hit, hit_frac, flagged). Unsorted —
+    * callers append their own presentation order.
+    */
+  private[graft] def bloomProbeIndex(probeIdx: DataFrame,
+      bloom: DataFrame): DataFrame = {
     // one row per (train doc, shingle); the k probes ride along as columns
     // so shingle-present is a row-local conjunction after k broadcast
     // lookups — no per-probe explosion, no per-shingle re-aggregation
-    val probes = idx.filter(!isEval)
+    val probes = probeIdx
       .select(Seq(col("doc_id"), col("n_sh")) ++
         (0 until BloomHashes).map(i => bloomPos(col("h0"), i).as(s"p$i")): _*)
     // subquery aliases, NOT per-join column renames: the three probe
@@ -365,6 +392,17 @@ object Dedup {
           .as("hit_frac"),
         (col("n_hit").cast("double") >=
           col("n_sh").cast("double") * lit(JaccardThreshold)).as("flagged"))
+  }
+
+  /** Cap-free batch twin of [[bloomDecontaminateOf]] over the SAME
+    * machinery — the reference computation the streaming gate's
+    * accumulated report is spec-pinned against (the gate cannot apply a
+    * corpus-df cap online, so its batch reference must not either).
+    */
+  private[graft] def bloomDecontaminateUncapped(docs: DataFrame): DataFrame = {
+    val idx = uncappedShingleIndexOf(docs)
+    val isEval = pmod(col("doc_id"), lit(EvalMod)) === 0
+    bloomProbeIndex(idx.filter(!isEval), bloomBitsetFromIndex(idx.filter(isEval)))
       .orderBy(col("train_id"))
   }
 

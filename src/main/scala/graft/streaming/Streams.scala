@@ -819,6 +819,114 @@ object Streams {
       sys.error(s"no committed dedup corpus under $stateDir")))
   }
 
+  // ---------- streaming decontamination gate ----------
+
+  /** Streaming benchmark-decontamination gate — the continuous twin of
+    * `q_bloom_decontaminate` (operators.Dedup.bloomDecontaminate): the
+    * eval suite's Bloom bitset is folded ONCE before the stream starts (a
+    * ≤ 8192-row (word, bits) table, localCheckpointed so no micro-batch
+    * re-reads the suite), and every landed micro-batch probes its
+    * documents' shingle hashes against the broadcast bitset AT ADMISSION
+    * — contaminated documents (Bloom containment ≥ the Jaccard threshold)
+    * are quarantined and never enter the training corpus, instead of
+    * being hunted down by a corpus-wide batch job after the fact. Bloom
+    * filters have no false negatives, so nothing the exact pair-join
+    * report would flag can slip past the gate (the superset property the
+    * batch query pins, preserved per batch).
+    *
+    * The gate probes every shingle UNCAPPED: corpus-wide document
+    * frequency is unknowable online, and the probe is linear in shingles
+    * (the hot-shingle cap exists for the quadratic pair joins, not this).
+    * StreamingSpec pins the accumulated report equal to the cap-free
+    * batch twin (`Dedup.bloomDecontaminateUncapped`) over the same
+    * documents, across restart and replay. Eval-slice documents
+    * (doc_id ≡ 0 mod EvalMod — the holdout itself) pass through without
+    * probing, mirroring the batch report's train-side-only output.
+    *
+    * Exactly-once via the shared versioned-state + marker protocol; each
+    * version holds `report/` (accumulated probe rows) and `corpus/` (the
+    * admitted documents). A deployment appends data files per version and
+    * commits them with the same marker semantics.
+    */
+  def decontamIngestPipeline(spark: SparkSession, inDir: String,
+      evalDocs: DataFrame, stateDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.operators.Dedup
+    val bloom = Dedup.bloomBitsetFromIndex(
+      Dedup.uncappedShingleIndexOf(evalDocs)).localCheckpoint()
+    spark.readStream
+      .schema(docIngestSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyDecontamBatch(batch, id, bloom, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** One micro-batch through the decontamination gate: probe, split,
+    * accumulate, commit. Replay-safe (marker short-circuit) and
+    * torn-commit-safe (a crash before the marker leaves the previous
+    * version committed; the replayed batch overwrites the torn files).
+    */
+  private[graft] def applyDecontamBatch(batch: DataFrame, batchId: Long,
+      bloom: DataFrame, stateDir: String): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, s"applied_batch_$batchId")
+    if (fs.exists(marker)) return
+    val docs = batch.select(col("doc_id"), col("text")).localCheckpoint()
+    val isEval = pmod(col("doc_id"), lit(Dedup.EvalMod)) === 0
+    val report = Dedup.bloomProbeIndex(
+      Dedup.uncappedShingleIndexOf(docs.filter(!isEval)), bloom)
+      .localCheckpoint()
+    // quarantine = flagged train docs; everything else (clean train docs,
+    // shingle-less short docs, eval-slice pass-throughs) is admitted
+    val admitted = docs.join(
+      report.filter(col("flagged")).select(col("train_id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val (prevReport, prevCorpus) = committedStateDir(fs, stateDir) match {
+      case Some(dir) =>
+        (spark.read.parquet(s"$dir/report"), spark.read.parquet(s"$dir/corpus"))
+      case None =>
+        val emptyRows = java.util.Collections
+          .emptyList[org.apache.spark.sql.Row]()
+        (spark.createDataFrame(emptyRows, StructType.fromDDL(
+          "train_id BIGINT, n_sh BIGINT, n_hit BIGINT, " +
+            "hit_frac DOUBLE, flagged BOOLEAN")),
+          spark.createDataFrame(emptyRows,
+            StructType.fromDDL("doc_id BIGINT, text STRING")))
+    }
+    prevReport.unionByName(report)
+      .write.mode("overwrite").parquet(s"$stateDir/v$batchId/report")
+    prevCorpus.unionByName(admitted)
+      .write.mode("overwrite").parquet(s"$stateDir/v$batchId/corpus")
+    fs.create(marker, true).close()
+  }
+
+  /** Committed accumulated decontamination report (one row per probed
+    * train doc across all committed batches).
+    */
+  def decontamReport(spark: SparkSession, stateDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    spark.read.parquet(committedStateDir(fs, stateDir).map(d => s"$d/report")
+      .getOrElse(sys.error(s"no committed decontam state under $stateDir")))
+  }
+
+  /** Committed admitted training corpus (quarantined docs excluded). */
+  def decontamCorpus(spark: SparkSession, stateDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    spark.read.parquet(committedStateDir(fs, stateDir).map(d => s"$d/corpus")
+      .getOrElse(sys.error(s"no committed decontam state under $stateDir")))
+  }
+
   // ---------- event-time timers (transformWithState) ----------
 
   case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -78,4 +78,21 @@ class BenchJsonSpec extends AnyFunSuite {
       assert(math.abs(node.get("queries").get(n).asDouble() - v) < 1e-12, n)
     }
   }
+
+  test("documented query counts in SURVEY.md and README.md match the " +
+      "registry (ends the recurring doc-drift)") {
+    // every round that adds queries used to leave stale counts behind in
+    // the narrative docs; tie them to SparkEntry.queries.size so the suite
+    // fails the moment either drifts
+    val pat = """(\d+) queries, ALL hash-gated""".r
+    for (doc <- Seq("SURVEY.md", "README.md")) {
+      val path = java.nio.file.Paths.get(doc)
+      assert(java.nio.file.Files.exists(path), s"$doc not found in cwd")
+      val text = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      val counts = pat.findAllMatchIn(text).map(_.group(1).toInt).toSeq
+      assert(counts.nonEmpty, s"$doc no longer states the query count")
+      counts.foreach(c => assert(c === SparkEntry.queries.size,
+        s"$doc says $c queries; the registry has ${SparkEntry.queries.size}"))
+    }
+  }
 }

@@ -108,6 +108,73 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got === Set((10L, 11L, 1L), (10L, 13L, 3L), (11L, 13L, 2L)))
   }
 
+  // P6 encoder for the decode tests (kept test-side: the ENGINE only ever
+  // decodes; synthesizing images is a fixture concern)
+  private def p6(w: Int, h: Int, rgb: Array[(Int, Int, Int)],
+      header: String = ""): Array[Byte] = {
+    val hdr = s"P6\n$header$w $h\n255\n".getBytes("US-ASCII")
+    hdr ++ rgb.flatMap { case (r, g, b) =>
+      Array(r.toByte, g.toByte, b.toByte) }
+  }
+
+  test("Netpbm decode: P6 grayscale conversion matches hand-computed " +
+      "golden values byte-for-byte and by CRC32; P5 passes through; " +
+      "malformed blobs decode to None, never throw") {
+    val rgb = Array((255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255),
+      (0, 0, 0), (128, 128, 128), (10, 20, 30), (200, 100, 50))
+    // integer BT.601 luma, worked by hand: (299r + 587g + 114b + 500)/1000
+    val golden = Array[Byte](76, 150.toByte, 29, 255.toByte, 0,
+      128.toByte, 18, 124)
+    val img = Multimodal.decodeNetpbm(p6(4, 2, rgb)).get
+    assert(img.width === 4 && img.height === 2)
+    assert(img.pixels.toSeq === golden.toSeq)
+    val crcGot = new java.util.zip.CRC32
+    crcGot.update(img.pixels)
+    val crcWant = new java.util.zip.CRC32
+    crcWant.update(golden)
+    assert(crcGot.getValue === crcWant.getValue)
+    // header comments are part of the format and must parse
+    val commented = Multimodal.decodeNetpbm(
+      p6(4, 2, rgb, header = "# a comment\n")).get
+    assert(commented.pixels.toSeq === golden.toSeq)
+    // P5: grayscale raster passes through untouched
+    val p5 = "P5\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 254.toByte)
+    assert(Multimodal.decodeNetpbm(p5).get.pixels.toSeq ===
+      Seq[Byte](1, 2, 3, 254.toByte))
+    // malformed inputs: total function, None throughout
+    val goodBytes = p6(4, 2, rgb)
+    assert(Multimodal.decodeNetpbm(null) === None)
+    assert(Multimodal.decodeNetpbm("P7\n4 2\n255\n".getBytes) === None)
+    assert(Multimodal.decodeNetpbm(goodBytes.dropRight(1)) === None)
+    assert(Multimodal.decodeNetpbm(goodBytes :+ 0.toByte) === None)
+    assert(Multimodal.decodeNetpbm(
+      ("P6\n4 2\n65535\n" + "x" * 48).getBytes) === None)
+    assert(Multimodal.decodeNetpbm("P6\n4 2\n255\n".getBytes) === None)
+  }
+
+  test("decoded-pixel pHash: planted visual near-dup found through the " +
+      "decode path, inverted image separated, undecodable blob is an " +
+      "all-NULL row") {
+    val w = 64; val h = 4
+    def gradient(f: Int => Int): Array[(Int, Int, Int)] =
+      Array.tabulate(w * h) { i => val v = f(i % w); (v, v, v) }
+    val base = p6(w, h, gradient(x => math.min(255, x * 4)))
+    // one column nudged slightly: visually near-identical, byte-different
+    val near = p6(w, h, gradient(x =>
+      if (x == 63) 250 else math.min(255, x * 4)))
+    val inverted = p6(w, h, gradient(x => 255 - math.min(255, x * 4)))
+    val blobs = Seq((1L, base), (2L, near), (3L, inverted),
+      (4L, "not an image".getBytes)).toDF("doc_id", "payload")
+    val pairs = Multimodal.imageNearDupDecoded(spark, blobs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) === Set((1L, 2L)))
+    val rows = Multimodal.phashDecodedOf(spark, blobs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getInt(1) === w && rows(1L).getInt(2) === h)
+    assert(rows(4L).isNullAt(1) && rows(4L).isNullAt(3))
+  }
+
   test("binaryFile ingest: one row per media file with exact length and " +
       "CRC32, sidecars filtered at listing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bin")

@@ -532,6 +532,67 @@ class StreamingSpec extends SparkSpecBase {
     assert(corpusIds === Set(1L, 2L, 7L))
   }
 
+  test("streaming decontamination gate: flagged docs quarantined at " +
+      "admission, accumulated report equals the cap-free batch twin, " +
+      "zero false negatives vs the exact report, replay-safe") {
+    import graft.operators.Dedup
+    val in    = tmp("graft_dc_in")
+    val state = tmp("graft_dc_state")
+    val ckp   = tmp("graft_dc_ckp")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val evalDocs = docs.filter(pmod(col("doc_id"), lit(Dedup.EvalMod)) === 0)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_dc_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(in, name))
+    }
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val mid = ids(ids.length / 2)
+    // first half lands, gate runs; second half arrives over a RESTART
+    land(docs.filter(col("doc_id") <= mid), "f0.parquet")
+    Streams.decontamIngestPipeline(spark, in, evalDocs, state, ckp)
+      .awaitTermination()
+    land(docs.filter(col("doc_id") > mid), "f1.parquet")
+    Streams.decontamIngestPipeline(spark, in, evalDocs, state, ckp)
+      .awaitTermination()
+    def reportRows = Streams.decontamReport(spark, state).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSet
+    // batching must be invisible: the accumulated report IS the cap-free
+    // batch computation over the full corpus, row for row
+    val want = Dedup.bloomDecontaminateUncapped(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSet
+    assert(reportRows === want)
+    val flagged = want.filter(_._5).map(_._1)
+    assert(flagged.nonEmpty, "no contamination planted — gate untested")
+    // quarantine honored at admission: flagged train docs never entered
+    // the corpus; clean + shingle-less + eval-slice docs all did
+    def corpusIds = Streams.decontamCorpus(spark, state)
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpusIds === (ids.toSet -- flagged))
+    // Bloom has no false negatives: every train doc the exact pair-join
+    // report names is quarantined by the gate
+    val exactTrain = Dedup.decontaminate(spark, sfDir)
+      .select("train_id").as[Long].collect().toSet
+    assert(exactTrain.subsetOf(flagged))
+    // replayed batch id: marker short-circuit; torn commit: converge
+    val bloom = Dedup.bloomBitsetFromIndex(
+      Dedup.uncappedShingleIndexOf(evalDocs))
+    val replay = docs.filter(col("doc_id") > mid)
+    Streams.applyDecontamBatch(replay, 1L, bloom, state)
+    assert(reportRows === want)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(state, "applied_batch_1"), false)
+    Streams.applyDecontamBatch(replay, 1L, bloom, state)
+    assert(reportRows === want)
+    assert(corpusIds === (ids.toSet -- flagged))
+  }
+
   test("stream-stream join matches orders in the hour before each event") {
     implicit val sqlCtx = spark.sqlContext
     val evIn = MemoryStream[(Long, Long, Timestamp)]
