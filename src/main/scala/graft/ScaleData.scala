@@ -130,12 +130,23 @@ object ScaleData {
       // family's degree distribution — and with it the wedge-volume law —
       // carries over to any scale multiple
       val nParts = math.max(nOrders / 7L, 1L)
+      // measure columns in the driver shape (quantity 1..50, A/N/R flags,
+      // timestamps over 1995-1996) so the profile/agg family has the same
+      // ladder as the graph family — all pure functions of (order, line)
+      val baseMs = 788918400000L            // 1995-01-01T00:00:00Z
+      val spanMs = 2L * 365 * 24 * 3600 * 1000L
+      val flags  = Array("A", "N", "R")
       spark.range(nOrders).flatMap { ok =>
         val width = 1 + Math.floorMod(mix(ok * 53L + 5L), 7L).toInt
         (0 until width).map { k =>
-          (ok, Math.floorMod(mix(ok * 7919L + k * 104729L + 19L), nParts))
+          (ok, Math.floorMod(mix(ok * 7919L + k * 104729L + 19L), nParts),
+            (1 + Math.floorMod(mix(ok * 271L + k * 31L + 23L), 50L)).toDouble,
+            flags(Math.floorMod(mix(ok * 613L + k * 97L + 29L), 3L).toInt),
+            new java.sql.Timestamp(baseMs +
+              Math.floorMod(mix(ok * 389L + k * 101L + 37L), spanMs)))
         }
-      }.toDF("l_orderkey", "l_partkey")
+      }.toDF("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+          "l_shipdate")
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     }
     println(s"""{"docs":$nDocs,"vecs":$nVecs,"vocabMul":$vocabMul,"events":$nEvents,"orders":$nOrders,"dir":"$outDir"}""")
