@@ -102,6 +102,7 @@ object SparkEntry {
     "q_unpivot"         -> (Warehouse.unpivotMeasures _),
     "q_dq_audit"        -> (Warehouse.dqAudit _),
     "q_profile"         -> (Warehouse.columnProfile _),
+    "q_profile_sketch"  -> (Warehouse.columnProfileSketch _),
     "q_kanon"           -> (Warehouse.kAnonymity _),
     // [EXT] event-time / streaming batch-equivalents — SURVEY §2k
     "q_window_tumbling" -> (EventOps.tumbling _),
@@ -145,6 +146,7 @@ object SparkEntry {
     "q_diversity"         -> (TextAnalysis.diversity _),
     "q_feature_hash"      -> (TextAnalysis.featureHash _),
     "q_ngram_lm"          -> (TextAnalysis.ngramLm _),
+    "q_pmi"               -> (TextAnalysis.pmiPairs _),
     "q_bm25"              -> (TextAnalysis.bm25 _),
     "q_vocab_coverage"    -> (TextAnalysis.vocabCoverage _),
     "q_corpus_build"      -> (CorpusPipeline.corpusBuild _),
@@ -283,6 +285,7 @@ object SparkEntry {
     "q_unpivot"         -> Warehouse.unpivotMeasuresSql,
     "q_dq_audit"        -> Warehouse.dqAuditSql,
     "q_profile"         -> Warehouse.columnProfileSql,
+    "q_profile_sketch"  -> Warehouse.columnProfileSketchSql,
     "q_kanon"           -> Warehouse.kAnonymitySql,
     "q_window_tumbling" -> EventOps.tumblingSql,
     "q_window_sliding"  -> EventOps.slidingSql,
@@ -319,6 +322,7 @@ object SparkEntry {
     "q_diversity"         -> TextAnalysis.diversitySql,
     "q_feature_hash"      -> TextAnalysis.featureHashSql,
     "q_ngram_lm"          -> TextAnalysis.ngramLmSql,
+    "q_pmi"               -> TextAnalysis.pmiPairsSql,
     "q_bm25"              -> TextAnalysis.bm25Sql,
     "q_vocab_coverage"    -> TextAnalysis.vocabCoverageSql,
     "q_corpus_build"      -> CorpusPipeline.corpusBuildSql,

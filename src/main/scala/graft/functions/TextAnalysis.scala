@@ -1091,6 +1091,101 @@ object TextAnalysis {
        |SELECT w1, w2, c2, c1, (1000000 * c2) // c1 AS cond_ppm
        |FROM top ORDER BY c2 DESC, w1, w2""".stripMargin
 
+  // ---------- PMI word-association mining ----------
+
+  /** Vocabulary cap for [[pmiPairs]]: only the top-V words by document
+    * frequency participate in the pair stage. This is the scale bound —
+    * per-doc distinct participating words are ≤ V, so total pair volume
+    * is Σ_d min(d, V)² instead of unbounded vocabulary²; a web corpus
+    * sets V to its association-mining vocabulary (10⁴-10⁵) and the pair
+    * stage stays linear in documents. The demo corpus's 30-word
+    * vocabulary sits far under the cap, so the oracle sees every word.
+    */
+  val PmiVocabCap = 1000
+
+  /** Pairs below this document co-occurrence count are dropped before
+    * ranking (PMI over rare pairs is noise — the standard support floor).
+    */
+  val PmiMinSupport = 50L
+
+  val PmiTopK = 100
+
+  /** Document-level word association (PMI family) — the phrase/collocation
+    * mining pass a corpus pipeline runs for tokenizer-vocabulary and
+    * quality work: for every pair of top-V words co-occurring in ≥
+    * [[PmiMinSupport]] documents, the observed-vs-independent lift
+    * `P(w1,w2) / (P(w1)·P(w2))` — reported as exact integer ppm
+    * (`1e6·n₁₂·N div (n₁·n₂)`, the monotone argument of PMI, so no
+    * floating log ever exists and the ranking is hash-stable). Top-k by
+    * lift with full tiebreaks.
+    *
+    * Plan shape: presence (distinct (doc, word)) is one explode; the df
+    * table and the 1-row doc count broadcast; the pair stage is a
+    * same-doc self-join whose per-doc width the vocab cap bounds; the
+    * final top-k is TakeOrderedAndProject. One shuffle on doc_id, one on
+    * the pair key — no whole-vocabulary cross product anywhere.
+    */
+  def pmiPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val presence = docs
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("w"))
+    val wdf = presence.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val vocab = wdf.orderBy(col("n_w").desc, col("w")).limit(PmiVocabCap)
+    val capped = presence
+      .join(broadcast(vocab.select(col("w"))), Seq("w"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_12"))
+      .filter(col("n_12") >= PmiMinSupport)
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(broadcast(vocab.select(col("w").as("w1"), col("n_w").as("n_1"))),
+        Seq("w1"))
+      .join(broadcast(vocab.select(col("w").as("w2"), col("n_w").as("n_2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_ppm",
+        expr("(1000000 * n_12 * n_docs) div (n_1 * n_2)"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+      .select(col("w1"), col("w2"), col("n_12"), col("n_1"), col("n_2"),
+        col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+  }
+
+  val pmiPairsSql: String =
+    s"""WITH pres AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents
+       |), wdf AS (
+       |  SELECT w, COUNT(*) AS n_w FROM pres GROUP BY w
+       |), vocab AS (
+       |  SELECT w, n_w FROM wdf ORDER BY n_w DESC, w LIMIT $PmiVocabCap
+       |), capped AS (
+       |  SELECT pres.doc_id, pres.w FROM pres
+       |  JOIN vocab ON pres.w = vocab.w
+       |), pairs AS (
+       |  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_12
+       |  FROM capped a JOIN capped b
+       |    ON a.doc_id = b.doc_id AND a.w < b.w
+       |  GROUP BY a.w, b.w
+       |  HAVING COUNT(*) >= $PmiMinSupport
+       |), total AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT w1, w2, n_12, v1.n_w AS n_1, v2.n_w AS n_2,
+       |         (1000000 * n_12 * n_docs) // (v1.n_w * v2.n_w) AS lift_ppm
+       |  FROM pairs
+       |  JOIN vocab v1 ON pairs.w1 = v1.w
+       |  JOIN vocab v2 ON pairs.w2 = v2.w
+       |  CROSS JOIN total
+       |)
+       |SELECT w1, w2, n_12, n_1, n_2, lift_ppm FROM scored
+       |ORDER BY lift_ppm DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
+
   // ---------- hashing-trick featurization ----------
 
   /** Feature-hash dimensionality (2⁸ buckets — small enough that the

@@ -457,6 +457,68 @@ object Warehouse {
     arms.reduce(_.unionAll(_)).orderBy(col("col_name"))
   }
 
+  /** Gate for [[columnProfileSketch]]: the HLL estimate must land within
+    * this percentage of the exact distinct count. approx_count_distinct's
+    * default relative standard deviation is 5%, so 15% is a ~3σ bound —
+    * a violation means the sketch machinery broke, not bad luck.
+    */
+  val ProfileSketchGatePct = 15L
+
+  /** The SCALE form of the column profile: ONE scan computes every
+    * column's HLL distinct sketch side by side (k
+    * `approx_count_distinct` aggregates — HyperLogLog++ partials merge
+    * map-side and the exchange carries k sketches, NOT rows; this is the
+    * true one-pass plan the exact multi-`countDistinct` form can never
+    * have, because exact multi-distinct compiles to an Expand). The
+    * exact twin rides beside it — the same per-column two-stage arms as
+    * [[columnProfile]] — and the published row carries the exact count
+    * plus an in-row `within_gate` flag, so the oracle (exact + literal
+    * TRUE, the q_mv_sketch contract) hash-fails the moment any estimate
+    * leaves its ±[[ProfileSketchGatePct]]% envelope. At petabyte scale
+    * the exact arms are dropped and the sketch column IS the profile;
+    * here they are what makes the approximation auditable. HLL merge is
+    * commutative and hash-based, so the estimate is identical at any
+    * partitioning — WarehouseSpec re-checks the gate and pins the
+    * sketch arm's plan Expand-free with a single scan.
+    */
+  def columnProfileSketch(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+      "l_shipdate")
+    val li = Tables.lineitem(s, d)
+    val approxAggs =
+      cols.map(c => approx_count_distinct(col(c)).as(s"${c}__ad"))
+    val one = li.agg(approxAggs.head, approxAggs.tail: _*)
+    val est = one.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(s"${c}__ad").as("est"))): _*))
+        .as("p"))
+      .select(col("p.col_name"), col("p.est"))
+    val exact = cols.map { c =>
+      li.select(col(c).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        .agg(count(col("v")).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_distinct"))
+    }.reduce(_.unionAll(_))
+    est.join(exact, Seq("col_name"))
+      .select(col("col_name"), col("n_distinct"),
+        (abs(col("est") - col("n_distinct")) * lit(100L) <=
+          col("n_distinct") * lit(ProfileSketchGatePct)).as("within_gate"))
+      .orderBy(col("col_name"))
+  }
+
+  val columnProfileSketchSql: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+      "l_shipdate")
+    val arms = cols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |       TRUE AS within_gate
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$arms
+       |) ORDER BY col_name""".stripMargin
+  }
+
   val columnProfileSql: String = {
     val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
       "l_shipdate")

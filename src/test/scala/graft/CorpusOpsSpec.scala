@@ -459,6 +459,36 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got.forall(_._5 <= 1000000L))
   }
 
+  test("pmiPairs: top-k association pairs match a sequential document-" +
+      "level co-occurrence count with exact integer lift") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+    val nDocs = docs.length.toLong
+    val nw = scala.collection.mutable.Map[String, Long]()
+    val n12 = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { t =>
+      val ws = t.split(" ", -1).distinct.sorted
+      ws.foreach(w => nw(w) = nw.getOrElse(w, 0L) + 1L)
+      for (i <- ws.indices; j <- (i + 1) until ws.length)
+        n12((ws(i), ws(j))) = n12.getOrElse((ws(i), ws(j)), 0L) + 1L
+    }
+    // demo vocab (30 words) is far under the cap, so no vocab cutoff here
+    assert(nw.size <= TextAnalysis.PmiVocabCap)
+    val want = n12.toSeq
+      .filter(_._2 >= TextAnalysis.PmiMinSupport)
+      .map { case ((a, b), c) =>
+        (a, b, c, nw(a), nw(b), 1000000L * c * nDocs / (nw(a) * nw(b)))
+      }
+      .sortBy { case (a, b, _, _, _, l) => (-l, a, b) }
+      .take(TextAnalysis.PmiTopK)
+    val got = TextAnalysis.pmiPairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == want)
+    // structural sanity: co-occurrence never exceeds either marginal
+    got.foreach(p => assert(p._3 <= math.min(p._4, p._5)))
+  }
+
   test("splitLeakfree: split is a pure function of content, duplicates " +
       "never straddle splits, and counts conserve") {
     // synthetic corpus with byte-identical texts under different doc ids

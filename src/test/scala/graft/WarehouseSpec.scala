@@ -186,4 +186,23 @@ class WarehouseSpec extends SparkSpecBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan.take(1200))
   }
+
+  test("columnProfileSketch: one-pass HLL arm stays Expand-free, every " +
+      "estimate inside the gate, and the gate itself has teeth") {
+    val df = Warehouse.columnProfileSketch(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length === 5)
+    rows.foreach(r => assert(r.getBoolean(2), s"gate blown: $r"))
+    // the whole point of the sketch form: multi-column approx distinct
+    // compiles to HLL partials, never to the Expand spine
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan.take(1200))
+    // teeth: a deliberately-wrong "estimate" (exact·2) must trip the
+    // same gate arithmetic — guards against a vacuous always-true flag
+    val broken = rows.map(_.getLong(1) * 2).zip(rows.map(_.getLong(1)))
+      .forall { case (est, exact) =>
+        math.abs(est - exact) * 100L <=
+          exact * Warehouse.ProfileSketchGatePct }
+    assert(!broken)
+  }
 }
