@@ -96,6 +96,7 @@ object SparkEntry {
     "q_window_range"    -> (Relational.windowRange _),
     "q_upsert_lww"      -> (Relational.upsertLww _),
     "q_snapshot_diff"   -> (Relational.snapshotDiff _),
+    "q_cdc_apply"       -> (Relational.cdcApply _),
     // [EXT] warehouse modeling — SCD2, unpivot, data-quality audit
     "q_scd2"            -> (Warehouse.scd2 _),
     "q_scd2_lookup"     -> (Warehouse.scd2Lookup _),
@@ -147,6 +148,7 @@ object SparkEntry {
     "q_feature_hash"      -> (TextAnalysis.featureHash _),
     "q_ngram_lm"          -> (TextAnalysis.ngramLm _),
     "q_pmi"               -> (TextAnalysis.pmiPairs _),
+    "q_inverted_index"    -> (TextAnalysis.invertedIndex _),
     "q_bm25"              -> (TextAnalysis.bm25 _),
     "q_vocab_coverage"    -> (TextAnalysis.vocabCoverage _),
     "q_corpus_build"      -> (CorpusPipeline.corpusBuild _),
@@ -280,6 +282,7 @@ object SparkEntry {
     "q_window_range"    -> Relational.windowRangeSql,
     "q_upsert_lww"      -> Relational.upsertLwwSql,
     "q_snapshot_diff"   -> Relational.snapshotDiffSql,
+    "q_cdc_apply"       -> Relational.cdcApplySql,
     "q_scd2"            -> Warehouse.scd2Sql,
     "q_scd2_lookup"     -> Warehouse.scd2LookupSql,
     "q_unpivot"         -> Warehouse.unpivotMeasuresSql,
@@ -323,6 +326,7 @@ object SparkEntry {
     "q_feature_hash"      -> TextAnalysis.featureHashSql,
     "q_ngram_lm"          -> TextAnalysis.ngramLmSql,
     "q_pmi"               -> TextAnalysis.pmiPairsSql,
+    "q_inverted_index"    -> TextAnalysis.invertedIndexSql,
     "q_bm25"              -> TextAnalysis.bm25Sql,
     "q_vocab_coverage"    -> TextAnalysis.vocabCoverageSql,
     "q_corpus_build"      -> CorpusPipeline.corpusBuildSql,

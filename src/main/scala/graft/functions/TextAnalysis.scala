@@ -1091,6 +1091,61 @@ object TextAnalysis {
        |SELECT w1, w2, c2, c1, (1000000 * c2) // c1 AS cond_ppm
        |FROM top ORDER BY c2 DESC, w1, w2""".stripMargin
 
+  // ---------- inverted index construction ----------
+
+  /** Postings kept per token in [[invertedIndex]]. A production index
+    * shards full posting lists; the driver query emits the first K by
+    * doc_id plus the TRUE document frequency, which is what makes the
+    * cap auditable (df says how much the cap dropped).
+    */
+  val IndexPostingCap = 20
+
+  /** Search-style inverted index build: token → (document frequency,
+    * first-K posting list) over distinct (doc, token) presence. The
+    * whole query runs on ONE exchange: the window partitions by token
+    * (rank for the cap + full-partition count for df ride the same
+    * sort), and the grouped aggregate afterwards keys on the same
+    * column, so Catalyst reuses the partitioning — no second shuffle
+    * (pinned in CorpusOpsSpec). Memory per task is one posting row at a
+    * time (row_number streams; nothing collects before the cap filter),
+    * so a stop-word's million-document posting list costs its rank
+    * scan, never a buffered array. Postings leave '|'-joined (the
+    * array-cell hashing contract shared with q_minhash_signature).
+    */
+  def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val presence = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+    val byTok = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    presence
+      .withColumn("rn", row_number().over(byTok))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("token"))))
+      .filter(col("rn") <= IndexPostingCap)
+      .groupBy(col("token"))
+      .agg(max(col("df")).as("df"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          v => v.cast("string")), "|").as("postings"))
+      .orderBy(col("token"))
+  }
+
+  val invertedIndexSql: String =
+    s"""WITH pres AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents
+       |), r AS (
+       |  SELECT w, doc_id,
+       |         row_number() OVER (PARTITION BY w ORDER BY doc_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY w) AS df
+       |  FROM pres
+       |)
+       |SELECT w AS token, CAST(MAX(df) AS BIGINT) AS df,
+       |       string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id)
+       |         AS postings
+       |FROM r WHERE rn <= $IndexPostingCap
+       |GROUP BY w ORDER BY token""".stripMargin
+
   // ---------- PMI word-association mining ----------
 
   /** Vocabulary cap for [[pmiPairs]]: only the top-V words by document

@@ -961,6 +961,62 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** K3 companion — CDC APPLY with delete semantics: fold an ordered
+    * insert/update/delete ops log into final table state, the other half
+    * of the CDC story ([[snapshotDiff]] GENERATES the feed; this
+    * consumes one). The log is derived deterministically from orders so
+    * the oracle replays it bit-for-bit: every key op 1 INSERT (price
+    * cents), keys ≡0 (mod 3) op 2 UPDATE (+1000 cents), keys ≡0 (mod 7)
+    * op 3 DELETE. Apply = last-op-wins per key (rank on op_seq DESC —
+    * [[upsertLww]] generalized to carry an op type), and keys whose last
+    * op is DELETE vanish from the state; `n_ops` rides along as the
+    * audit column. ONE hash exchange on the key serves both window
+    * functions and the filter — at 100 TB this is the per-batch MERGE a
+    * table format runs, and with the state bucketed on the key (the
+    * [[bucketedJoin]] layout) even that exchange amortizes across
+    * batches.
+    */
+  def cdcApply(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("price_cents"))
+    val ins = base.select(col("k"), lit(1L).as("op_seq"),
+      lit("I").as("op"), col("price_cents"))
+    val upd = base.filter(col("k") % 3 === 0)
+      .select(col("k"), lit(2L).as("op_seq"), lit("U").as("op"),
+        (col("price_cents") + lit(1000L)).as("price_cents"))
+    val del = base.filter(col("k") % 7 === 0)
+      .select(col("k"), lit(3L).as("op_seq"), lit("D").as("op"),
+        lit(null).cast("long").as("price_cents"))
+    val ops = ins.unionByName(upd).unionByName(del)
+    val w = Window.partitionBy(col("k")).orderBy(col("op_seq").desc)
+    ops.withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("k").as("o_orderkey"), col("price_cents"), col("n_ops"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val cdcApplySql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      |  FROM orders
+      |), ops AS (
+      |  SELECT k, 1 AS op_seq, 'I' AS op, price_cents FROM base
+      |  UNION ALL
+      |  SELECT k, 2, 'U', price_cents + 1000 FROM base WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT k, 3, 'D', NULL FROM base WHERE k % 7 = 0
+      |), r AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY k ORDER BY op_seq DESC) AS rn,
+      |         COUNT(*) OVER (PARTITION BY k) AS n_ops
+      |  FROM ops
+      |)
+      |SELECT k AS o_orderkey, price_cents, CAST(n_ops AS BIGINT) AS n_ops
+      |FROM r WHERE rn = 1 AND op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
   val snapshotDiffSql: String =
     """WITH a AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
       |     b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

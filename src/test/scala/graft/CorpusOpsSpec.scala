@@ -459,6 +459,38 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got.forall(_._5 <= 1000000L))
   }
 
+  test("invertedIndex: true df with first-K postings against a " +
+      "sequential build, and the window + grouped agg share ONE hash " +
+      "exchange") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val postings = scala.collection.mutable.Map[String, List[Long]]()
+    docs.sortBy(_._1).foreach { case (id, t) =>
+      t.split(" ", -1).distinct.foreach(w =>
+        postings(w) = id :: postings.getOrElse(w, Nil))
+    }
+    val want = postings.toSeq.map { case (w, ids) =>
+      val sorted = ids.reverse
+      (w, sorted.length.toLong,
+        sorted.take(TextAnalysis.IndexPostingCap).mkString("|"))
+    }.sortBy(_._1)
+    val df = TextAnalysis.invertedIndex(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == want)
+    // one token shuffle serves BOTH the windowed rank/df and the grouped
+    // aggregate — a second hashpartitioning exchange means the shared
+    // partitioning broke (the rangepartitioning of the final orderBy is
+    // presentation, not counted; FINAL plan only, since the AQE toString
+    // appends the initial plan and would double-count)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(hashExchanges === 1, plan.take(1500))
+  }
+
   test("pmiPairs: top-k association pairs match a sequential document-" +
       "level co-occurrence count with exact integer lift") {
     val docs = Tables.documents(spark, sfDir)

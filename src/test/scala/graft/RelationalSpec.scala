@@ -92,6 +92,29 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("cdcApply: deleted keys vanish, the last update wins, audit " +
+      "op-counts are exact, and one hash exchange serves the whole apply") {
+    val df = Relational.cdcApply(spark, sfDir)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> math.floor(r.getDouble(1) * 100 + 0.5).toLong)
+      .toMap
+    assert(got.keySet === base.keySet.filterNot(_ % 7 == 0))
+    base.foreach { case (k, p) =>
+      if (k % 7 == 0) assert(!got.contains(k))
+      else if (k % 3 == 0) assert(got(k) === ((p + 1000L, 2L)), s"key $k")
+      else assert(got(k) === ((p, 1L)), s"key $k")
+    }
+    // count in the FINAL plan only — the AQE toString appends the initial
+    // plan too, which would double-count every exchange
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      plan.take(1200))
+  }
+
   test("bucketed join: no exchange on the join key between scans and SMJ") {
     val df = Relational.bucketedJoin(spark, sfDir)
     df.collect() // materialize so AQE finalizes the plan
