@@ -63,6 +63,8 @@ object SparkEntry {
     "q_tpch_q3"         -> (Relational.tpchQ3 _),
     "q_tpch_q18"        -> (Relational.tpchQ18 _),
     "q_correlated"      -> (Relational.correlatedSubquery _),
+    "q_recursive_cte"   -> (Relational.recursiveHierarchy _),
+    "q_lateral_topn"    -> (Relational.lateralTopN _),
     "q_join_left"       -> (Relational.joinLeft _),
     "q_join_semi"       -> (Relational.joinSemi _),
     "q_bucketed_join"   -> (Relational.bucketedJoin _),
@@ -253,6 +255,8 @@ object SparkEntry {
     "q_tpch_q3"         -> Relational.tpchQ3Sql,
     "q_tpch_q18"        -> Relational.tpchQ18Sql,
     "q_correlated"      -> Relational.correlatedSubquerySql,
+    "q_recursive_cte"   -> Relational.recursiveHierarchySql,
+    "q_lateral_topn"    -> Relational.lateralTopNSql,
     "q_join_left"       -> Relational.joinLeftSql,
     "q_join_semi"       -> Relational.joinSemiSql,
     "q_bucketed_join"   -> Relational.bucketedJoinSql,

@@ -722,6 +722,84 @@ object Relational {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE, compiled to `UnionLoop`) —
+    * the iterative-closure surface of the SQL front end: a
+    * key-arithmetic binary hierarchy over customers (parent(k) = k div
+    * 2, rooted at key 1 — derived, so the oracle replays it exactly)
+    * walked to a per-depth rollup. The optimized plan is an iterative
+    * chain of EQUI-joins of the previous level's frontier against the
+    * customer scan — each iteration is one hash-partitionable join, the
+    * loop count is the hierarchy depth (log₂ N here; bounded by key
+    * width, never row count), and nothing is row-recursive. This is the
+    * org-chart / BOM / graph-reachability shape that previously needed
+    * the hand-rolled iteration in GraphOps; plan pinned to contain
+    * UnionLoop in RelationalSpec.
+    */
+  def recursiveHierarchy(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_rec")
+    s.sql(
+      """WITH RECURSIVE d AS (
+        |  SELECT c_custkey AS k, CAST(0 AS BIGINT) AS depth
+        |  FROM customer_rec WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT c.c_custkey, d.depth + 1
+        |  FROM customer_rec c JOIN d ON c.c_custkey DIV 2 = d.k
+        |)
+        |SELECT depth, COUNT(*) AS n,
+        |       MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM d GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val recursiveHierarchySql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT c_custkey AS k, CAST(0 AS BIGINT) AS depth
+      |  FROM customer WHERE c_custkey = 1
+      |  UNION ALL
+      |  SELECT c.c_custkey, d.depth + 1
+      |  FROM customer c JOIN d ON c.c_custkey // 2 = d.k
+      |)
+      |SELECT depth, COUNT(*) AS n,
+      |       CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+      |FROM d GROUP BY depth ORDER BY depth""".stripMargin
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT — per-customer
+    * top-2 orders phrased the natural "for each row, run this query"
+    * way. Catalyst MUST decorrelate it (the naive reading is one
+    * subquery execution per customer row): the optimized plan is a
+    * row_number window over orders with `WindowGroupLimit` rank
+    * pushdown (each partition stops ranking after k rows — the window
+    * analogue of TakeOrdered) feeding ONE equi-join on the correlation
+    * key. No cartesian product, no per-row re-scan, hash-partitionable
+    * at any scale; plan pinned in RelationalSpec. The window-function
+    * twin of this query is trivially writable — the point of the entry
+    * is that the SQL front end's lateral path compiles to the same
+    * plan.
+    */
+  def lateralTopN(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+    Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.price_cents
+        |FROM customer_lat c JOIN LATERAL (
+        |  SELECT o_orderkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |           AS price_cents
+        |  FROM orders_lat o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY price_cents DESC, o_orderkey LIMIT 2
+        |) t
+        |ORDER BY c.c_custkey, t.price_cents DESC, t.o_orderkey""".stripMargin)
+  }
+
+  val lateralTopNSql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.price_cents
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      |  FROM orders o WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY price_cents DESC, o_orderkey LIMIT 2
+      |) t
+      |ORDER BY c_custkey, price_cents DESC, o_orderkey""".stripMargin
+
   /** Robust (median/MAD) outlier detection per group — the
     * heavy-tail-tolerant complement of [[anomalyExact]]'s 3σ gate: one
     * extreme value inflates μ and σ enough to mask other outliers, while

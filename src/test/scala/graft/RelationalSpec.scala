@@ -92,6 +92,49 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("recursive CTE compiles to UnionLoop equi-join iteration and " +
+      "walks the full derived hierarchy") {
+    val df = Relational.recursiveHierarchy(spark, sfDir)
+    val rows = df.collect()
+    // level sets of the binary hierarchy: depth d holds keys in
+    // [2^d, 2^(d+1)) clipped to the key domain — counts must double
+    // until the last (possibly partial) level, and every key except the
+    // root-orphan 0 is reached exactly once
+    val total = rows.map(_.getLong(1)).sum
+    val nCust = Tables.customer(spark, sfDir).count()
+    assert(total === nCust - 1) // key 0 is its own parent, never reached
+    rows.dropRight(1).foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getLong(1) === (1L << d), s"depth $d not a full level")
+      assert(r.getLong(2) === (1L << d) && r.getLong(3) === (2L << d) - 1)
+    }
+    assert(df.queryExecution.optimizedPlan.toString.contains("UnionLoop"),
+      "recursion did not compile to UnionLoop")
+  }
+
+  test("lateral top-n decorrelates to a WindowGroupLimit rank join — " +
+      "no cartesian, no per-row subquery — and matches the window twin") {
+    val df = Relational.lateralTopN(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("WindowGroupLimit"), opt.take(1000))
+    assert(!opt.contains("CartesianProduct"), "lateral fell back to O(n²)")
+    // parity with the directly-written window form
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+    val want = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("price_cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("price_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
   test("cdcApply: deleted keys vanish, the last update wins, audit " +
       "op-counts are exact, and one hash exchange serves the whole apply") {
     val df = Relational.cdcApply(spark, sfDir)
