@@ -151,6 +151,8 @@ object SparkEntry {
     "q_ngram_lm"          -> (TextAnalysis.ngramLm _),
     "q_pmi"               -> (TextAnalysis.pmiPairs _),
     "q_inverted_index"    -> (TextAnalysis.invertedIndex _),
+    "q_lm_score"          -> (TextAnalysis.lmScore _),
+    "q_ngram_collision"   -> (Dedup.ngramCollision _),
     "q_bm25"              -> (TextAnalysis.bm25 _),
     "q_vocab_coverage"    -> (TextAnalysis.vocabCoverage _),
     "q_corpus_build"      -> (CorpusPipeline.corpusBuild _),
@@ -331,6 +333,8 @@ object SparkEntry {
     "q_ngram_lm"          -> TextAnalysis.ngramLmSql,
     "q_pmi"               -> TextAnalysis.pmiPairsSql,
     "q_inverted_index"    -> TextAnalysis.invertedIndexSql,
+    "q_lm_score"          -> TextAnalysis.lmScoreSql,
+    "q_ngram_collision"   -> Dedup.ngramCollisionSql,
     "q_bm25"              -> TextAnalysis.bm25Sql,
     "q_vocab_coverage"    -> TextAnalysis.vocabCoverageSql,
     "q_corpus_build"      -> CorpusPipeline.corpusBuildSql,

@@ -1091,6 +1091,71 @@ object TextAnalysis {
        |SELECT w1, w2, c2, c1, (1000000 * c2) // c1 AS cond_ppm
        |FROM top ORDER BY c2 DESC, w1, w2""".stripMargin
 
+  // ---------- LM perplexity-proxy scoring ----------
+
+  /** CCNet-style language-model quality scoring: every document scored
+    * by the average conditional probability of its bigrams under the
+    * corpus's own bigram LM ([[ngramLm]]'s count tables without the
+    * top-k) — the perplexity-filtering pass a pretraining pipeline runs
+    * to rank text by how "natural" a reference LM finds it (low score ≈
+    * high perplexity ≈ drop candidate). The score is exact integer
+    * arithmetic end to end: per-bigram `1e6·c₂ div c₁` floored once,
+    * summed per doc, divided once — no floating log-likelihood exists,
+    * so the ranking is hash-stable cross-engine (a production variant
+    * scores in log space against a FROZEN external LM; the integer
+    * plumbing — broadcast model table, one doc-side pass — is
+    * identical).
+    *
+    * Scale shape: the LM table is bounded by the observed-bigram
+    * vocabulary (capped upstream in production) and BROADCASTS; the doc
+    * side is one explode + one broadcast join + one doc-keyed
+    * aggregation. Self-scoring means every doc bigram exists in the
+    * model by construction — the frozen-LM variant adds a backoff ppm
+    * for unseen bigrams at the same coalesce point the join's null
+    * would surface.
+    */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = Tables.documents(s, d)
+      .select(col("doc_id"), explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val marg = counts.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val lm = counts.join(broadcast(marg), Seq("w1"))
+      .select(col("w1"), col("w2"),
+        expr("(1000000 * c2) div c1").as("cond_ppm"))
+    bigrams.join(broadcast(lm), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("cond_ppm")).as("sum_ppm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_ppm div n_bigrams").as("score_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM toks, unnest(range(1, len(t))) AS u(i)
+      |), counts AS (
+      |  SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+      |), marg AS (
+      |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM counts GROUP BY w1
+      |), lm AS (
+      |  SELECT counts.w1, w2, (1000000 * c2) // c1 AS cond_ppm
+      |  FROM counts JOIN marg ON counts.w1 = marg.w1
+      |)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(SUM(cond_ppm) AS BIGINT) // COUNT(*) AS score_ppm
+      |FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------- inverted index construction ----------
 
   /** Postings kept per token in [[invertedIndex]]. A production index

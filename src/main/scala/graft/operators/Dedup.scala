@@ -279,6 +279,89 @@ object Dedup {
        |WHERE (d1 % $EvalMod = 0) <> (d2 % $EvalMod = 0)
        |ORDER BY train_id, eval_id""".stripMargin
 
+  // ---------- 13-gram collision decontamination ----------
+
+  /** Window for [[ngramCollision]] — 13 tokens, the published
+    * train-test-overlap convention (GPT-3's 13-gram collision filter;
+    * PaLM and successors use the same order of magnitude).
+    */
+  val CollisionN = 13
+
+  /** Exact 13-gram collision decontamination — the threshold-free
+    * published method beside the 3-shingle-Jaccard [[decontaminate]]: a
+    * train document is contaminated the moment ANY of its distinct
+    * 13-token windows appears verbatim anywhere in the eval suite.
+    * Per-train-doc report: distinct 13-gram count, colliding count, and
+    * the flag.
+    *
+    * Scale shape: the eval side reduces to its DISTINCT gram set
+    * (eval-suite-sized — MBs, not the corpus); the train side streams
+    * one exploded pass through a single equi-join against it (AQE
+    * broadcasts when it fits). The join keys on the gram STRING, which
+    * makes the collision genuinely exact and the oracle trivial; a
+    * 100 TB run swaps the key for a 128-bit hash (two xxhash64 lanes)
+    * to keep the shuffle narrow, accepting ~2⁻¹²⁸ false-collision odds —
+    * the string form here is the semantics anchor that variant must
+    * reproduce. Docs shorter than 13 tokens have no windows and drop
+    * from the report, mirroring the shingle-less convention of the
+    * Bloom report.
+    */
+  def ngramCollision(s: SparkSession, d: String): DataFrame =
+    ngramCollisionOf(Tables.documents(s, d))
+
+  private[graft] def ngramCollisionOf(docs: DataFrame): DataFrame = {
+    val n = CollisionN
+    val g = Tables.spread(docs.select(col("doc_id"), col("text")),
+        col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= n,
+          array_distinct(transform(
+            sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(j => element_at(col("toks"), i + lit(j))): _*))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+    val isEval = pmod(col("doc_id"), lit(EvalMod)) === 0
+    val evalGrams = g.filter(isEval).select(col("g")).distinct()
+      .withColumn("hit", lit(1L))
+    g.filter(!isEval)
+      .join(evalGrams, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id").as("train_id"), col("n_grams"), col("n_hit"),
+        (col("n_hit") > 0L).as("flagged"))
+      .orderBy(col("train_id"))
+  }
+
+  val ngramCollisionSql: String = {
+    val parts = (0 until CollisionN).map(j => s"t[i+$j]").mkString(", ")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), g0 AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(t) >= $CollisionN THEN
+       |           list_distinct(list_transform(
+       |             range(1, len(t) - ${CollisionN - 2}),
+       |             i -> concat_ws(' ', $parts)))
+       |         ELSE CAST([] AS VARCHAR[]) END AS grams
+       |  FROM t0
+       |), g AS (
+       |  SELECT doc_id, unnest(grams) AS g FROM g0
+       |), ev AS (
+       |  SELECT DISTINCT g FROM g WHERE doc_id % $EvalMod = 0
+       |), tr AS (
+       |  SELECT g.doc_id, CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM g LEFT JOIN ev ON g.g = ev.g
+       |  WHERE g.doc_id % $EvalMod <> 0
+       |)
+       |SELECT doc_id AS train_id, COUNT(*) AS n_grams,
+       |       CAST(SUM(hit) AS BIGINT) AS n_hit,
+       |       SUM(hit) > 0 AS flagged
+       |FROM tr GROUP BY doc_id ORDER BY train_id""".stripMargin
+  }
+
   // ---------- Bloom-filter decontamination ----------
 
   /** Bloom bitset geometry for [[bloomDecontaminate]]: [[BloomBits]] bits

@@ -459,6 +459,21 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got.forall(_._5 <= 1000000L))
   }
 
+  test("lmScore: per-doc bigram coverage is exact (tokens - 1), every " +
+      "score is a true probability in (0, 1e6] ppm, and exactly the " +
+      "multi-token docs are scored") {
+    val got = TextAnalysis.lmScore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, nBg, score) =>
+      assert(nBg === lens(id) - 1, s"doc $id bigram count")
+      assert(score > 0L && score <= 1000000L, s"doc $id score $score")
+    }
+    assert(got.length === lens.count(_._2 >= 2))
+  }
+
   test("invertedIndex: true df with first-K postings against a " +
       "sequential build, and the window + grouped agg share ONE hash " +
       "exchange") {

@@ -470,4 +470,26 @@ class DedupSpec extends SparkSpecBase {
     // threshold, so the band-join must find EXACTLY the brute-force pairs
     assert(got == want)
   }
+
+  test("13-gram collision: a planted verbatim window flags the train " +
+      "doc, a 12-token overlap stays clean, short docs drop from the " +
+      "report, eval docs are never reported") {
+    val w = (1 to 20).map(i => s"w$i")
+    val docs = Seq(
+      10L -> w.mkString(" "),                                  // eval slice
+      11L -> ("x " + w.take(13).mkString(" ") + " y z"),        // verbatim w1..w13
+      12L -> (w.take(12).mkString(" ") + " DIFF " +
+        (1 to 6).map(i => s"z$i").mkString(" ")),               // 12 < 13 run
+      13L -> "a b c"                                            // no window
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramCollisionOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(got.keySet === Set(11L, 12L))
+    assert(got(11L)._3 && got(11L)._2 >= 1L, s"planted hit missed: $got")
+    assert(!got(12L)._3 && got(12L)._2 === 0L,
+      "12-token overlap must NOT collide at the 13-gram window")
+    // n_grams is tokens - 12 (all windows distinct here)
+    assert(got(11L)._1 === 4L)
+  }
 }
