@@ -35,7 +35,10 @@ object ScaleBench {
     "q_gap_fill", "q_paa",
     // round-8 additions
     "q_embed_lsh_pairs", "q_image_phash", "q_embed_clusters",
-    "q_embed_decontaminate", "q_lateness", "q_freshness")
+    "q_embed_decontaminate", "q_lateness", "q_freshness",
+    // round-9 additions (documents/embeddings/lineitem-driven)
+    "q_pmi", "q_inverted_index", "q_lm_score", "q_ngram_collision",
+    "q_ann_ivf_probe", "q_profile", "q_profile_sketch")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("spark.log.level", "ERROR")

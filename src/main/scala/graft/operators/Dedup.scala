@@ -310,18 +310,31 @@ object Dedup {
     ngramCollisionOf(Tables.documents(s, d))
 
   private[graft] def ngramCollisionOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val n = CollisionN
-    val g = Tables.spread(docs.select(col("doc_id"), col("text")),
+    // Window construction, NOT a higher-order array function: a
+    // transform(sequence…)-per-window formulation runs interpreted
+    // (HOFs are CodegenFallback) AND CollapseProject re-inlines the
+    // split() into every element reference — measured 25+ s at sf0.1
+    // for this exact query, ~60× the cost below. Instead the tokens are
+    // exploded ONCE (a generator evaluates split once per input row)
+    // and each 13-token window is assembled by 12 codegen'd lead()
+    // calls sharing one (doc_id, pos) window — one pass, one shuffle,
+    // whole-stage codegen end to end. The tail filter (last lead
+    // non-null) drops the <13-token windows, and the per-doc DISTINCT
+    // matches the array_distinct semantics of the shingle family.
+    val toks = Tables.spread(docs.select(col("doc_id"), col("text")),
         col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        when(size(col("toks")) >= n,
-          array_distinct(transform(
-            sequence(lit(1), size(col("toks")) - (n - 1)),
-            i => concat_ws(" ",
-              (0 until n).map(j => element_at(col("toks"), i + lit(j))): _*))))
-          .otherwise(array().cast("array<string>")).as("grams"))
-      .select(col("doc_id"), explode(col("grams")).as("g"))
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(j => lead(col("tok"), j).over(w).as(s"t$j"))
+    val g = toks
+      .select(Seq(col("doc_id"), col("tok").as("t0")) ++ leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*).as("g"))
+      .distinct()
     val isEval = pmod(col("doc_id"), lit(EvalMod)) === 0
     val evalGrams = g.filter(isEval).select(col("g")).distinct()
       .withColumn("hit", lit(1L))

@@ -50,13 +50,23 @@ class FpAggregateLintSpec extends SparkSpecBase {
   }
 
   test("ENGINE-WIDE: every query's optimized plan is free of grouped FP " +
-      "aggregation") {
+      "aggregation AND of partition-wise cartesian products") {
     withLint {
       SparkEntry.queries.foreach { case (name, fn) =>
         // optimizedPlan triggers analysis + optimization (where the lint
         // fires) without executing the query
-        val plan = fn(spark, sfDir).queryExecution.optimizedPlan
-        assert(plan != null, name)
+        val qe = fn(spark, sfDir).queryExecution
+        assert(qe.optimizedPlan != null, name)
+        // scale discipline: a nested-loop join is tolerable only as a
+        // BROADCAST nested loop (one side bounded by design — the
+        // documented brute-force/centroid arms); a partition-wise
+        // CartesianProduct is row²-scaled on BOTH sides and must never
+        // appear in any registered plan. Checked on the physical plan,
+        // where the join strategy is decided.
+        val physical = qe.executedPlan.toString
+        assert(!physical.contains("CartesianProduct"),
+          s"$name plans a partition-wise cartesian product:\n" +
+            physical.take(1200))
       }
     }
   }
