@@ -1106,14 +1106,29 @@ object TextAnalysis {
     * plumbing — broadcast model table, one doc-side pass — is
     * identical).
     *
-    * Scale shape: the LM table is bounded by the observed-bigram
-    * vocabulary (capped upstream in production) and BROADCASTS; the doc
-    * side is one explode + one broadcast join + one doc-keyed
-    * aggregation. Self-scoring means every doc bigram exists in the
-    * model by construction — the frozen-LM variant adds a backoff ppm
-    * for unseen bigrams at the same coalesce point the join's null
-    * would surface.
+    * Scale shape: the model vocabulary is CAPPED at the top-[[LmVocabCap]]
+    * words ([[LmVocabCap]]² bounds the broadcast table at any corpus
+    * size — measured: the uncapped table's broadcast dominated the
+    * wide-vocab regime); the doc side is one explode + one broadcast
+    * left join + one doc-keyed aggregation, with out-of-model bigrams
+    * scoring the [[LmOovPpm]] backoff floor — the same coalesce slot a
+    * frozen production LM fills with its smoothed estimate. On the demo
+    * corpus the cap never engages, so the oracle's capped replica equals
+    * the full model there.
     */
+  /** LM vocabulary cap: the model keeps only bigrams whose BOTH words
+    * rank in the top-V by token frequency, bounding the broadcast model
+    * table at ≤ V² rows however large the corpus vocabulary grows (the
+    * wide-vocab ScaleData regime showed the uncapped table's broadcast
+    * becoming the dominant cost). Bigrams outside the capped model score
+    * the OOV floor of 1 ppm — the backoff slot a frozen production LM
+    * fills with its smoothed estimate. On the demo corpus (30-word
+    * vocabulary) the cap never engages and the capped model IS the full
+    * model.
+    */
+  val LmVocabCap = 1000
+  val LmOovPpm   = 1L
+
   def lmScore(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
     val bigrams = Tables.documents(s, d)
@@ -1122,39 +1137,52 @@ object TextAnalysis {
         slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val counts = bigrams.groupBy(col("w1"), col("w2"))
+    val vocab = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("n_w"))
+      .orderBy(col("n_w").desc, col("w1")).limit(LmVocabCap)
+      .select(col("w1").as("w"))
+    val counts = bigrams
+      .join(broadcast(vocab.select(col("w").as("w1"))), Seq("w1"))
+      .join(broadcast(vocab.select(col("w").as("w2"))), Seq("w2"))
+      .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
     val marg = counts.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val lm = counts.join(broadcast(marg), Seq("w1"))
       .select(col("w1"), col("w2"),
         expr("(1000000 * c2) div c1").as("cond_ppm"))
-    bigrams.join(broadcast(lm), Seq("w1", "w2"))
+    bigrams.join(broadcast(lm), Seq("w1", "w2"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("cond_ppm")).as("sum_ppm"))
+        sum(coalesce(col("cond_ppm"), lit(LmOovPpm))).as("sum_ppm"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("sum_ppm div n_bigrams").as("score_ppm"))
       .orderBy(col("doc_id"))
   }
 
   val lmScoreSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |), bg AS (
-      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-      |  FROM toks, unnest(range(1, len(t))) AS u(i)
-      |), counts AS (
-      |  SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
-      |), marg AS (
-      |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM counts GROUP BY w1
-      |), lm AS (
-      |  SELECT counts.w1, w2, (1000000 * c2) // c1 AS cond_ppm
-      |  FROM counts JOIN marg ON counts.w1 = marg.w1
-      |)
-      |SELECT doc_id, COUNT(*) AS n_bigrams,
-      |       CAST(SUM(cond_ppm) AS BIGINT) // COUNT(*) AS score_ppm
-      |FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), bg AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM toks, unnest(range(1, len(t))) AS u(i)
+       |), vocab AS (
+       |  SELECT w1 AS w FROM (
+       |    SELECT w1, COUNT(*) AS n_w FROM bg GROUP BY w1
+       |    ORDER BY n_w DESC, w1 LIMIT $LmVocabCap)
+       |), counts AS (
+       |  SELECT w1, w2, COUNT(*) AS c2 FROM bg
+       |  WHERE w1 IN (SELECT w FROM vocab) AND w2 IN (SELECT w FROM vocab)
+       |  GROUP BY w1, w2
+       |), marg AS (
+       |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM counts GROUP BY w1
+       |), lm AS (
+       |  SELECT counts.w1, w2, (1000000 * c2) // c1 AS cond_ppm
+       |  FROM counts JOIN marg ON counts.w1 = marg.w1
+       |)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |       CAST(SUM(coalesce(cond_ppm, $LmOovPpm)) AS BIGINT) // COUNT(*)
+       |         AS score_ppm
+       |FROM bg LEFT JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------- inverted index construction ----------
 
