@@ -62,6 +62,8 @@ object SparkEntry {
     "q_star_join"       -> (Relational.starJoin _),
     "q_tpch_q3"         -> (Relational.tpchQ3 _),
     "q_tpch_q18"        -> (Relational.tpchQ18 _),
+    "q_tpch_q13"        -> (Relational.tpchQ13 _),
+    "q_tpch_q21"        -> (Relational.tpchQ21 _),
     "q_correlated"      -> (Relational.correlatedSubquery _),
     "q_recursive_cte"   -> (Relational.recursiveHierarchy _),
     "q_lateral_topn"    -> (Relational.lateralTopN _),
@@ -161,6 +163,7 @@ object SparkEntry {
     "q_pack_sequences"    -> (CorpusPipeline.packSequences _),
     "q_range_join"        -> (EventOps.rangeJoin _),
     "q_range_join_auto"   -> (EventOps.rangeJoinAuto _),
+    "q_interval_overlap"  -> (EventOps.intervalOverlap _),
     "q_skew_join"         -> (EventOps.skewJoin _),
     // [EXT] LLM-pipeline: deduplication
     "q_dedup_exact"       -> (Dedup.exact _),
@@ -256,6 +259,8 @@ object SparkEntry {
     "q_star_join"       -> Relational.starJoinSql,
     "q_tpch_q3"         -> Relational.tpchQ3Sql,
     "q_tpch_q18"        -> Relational.tpchQ18Sql,
+    "q_tpch_q13"        -> Relational.tpchQ13Sql,
+    "q_tpch_q21"        -> Relational.tpchQ21Sql,
     "q_correlated"      -> Relational.correlatedSubquerySql,
     "q_recursive_cte"   -> Relational.recursiveHierarchySql,
     "q_lateral_topn"    -> Relational.lateralTopNSql,
@@ -343,6 +348,7 @@ object SparkEntry {
     "q_pack_sequences"    -> CorpusPipeline.packSequencesSql,
     "q_range_join"        -> EventOps.rangeJoinSql,
     "q_range_join_auto"   -> EventOps.rangeJoinSql,
+    "q_interval_overlap"  -> EventOps.intervalOverlapSql,
     "q_skew_join"         -> EventOps.skewJoinSql,
     "q_dedup_exact"     -> Dedup.exactSql,
     "q_dedup_ngram"     -> Dedup.ngramJaccardSql,

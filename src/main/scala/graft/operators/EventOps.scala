@@ -303,6 +303,74 @@ object EventOps {
       .orderBy(col("tier"))
   }
 
+  /** Order-interval length in days for [[intervalOverlap]]: every order
+    * spans [orderdate, orderdate + 7] inclusive in day space.
+    */
+  val OverlapSpanDays = 7
+
+  /** Bin width (days) for the overlap join — ≥ the interval span, so each
+    * interval touches at most 2 bins and the replication factor is ≤ 2.
+    */
+  val OverlapBinDays = 8L
+
+  /** Interval×interval OVERLAP join — the genomics/telemetry shape the
+    * point-in-interval [[rangeJoin]] doesn't cover: pairs of orders from
+    * the SAME customer whose 7-day fulfillment windows intersect. The
+    * naive form is a θ-self-join (`s1 <= e2 AND s2 <= e1`) — a per-key
+    * cartesian. The distributed form bins BOTH sides: each interval is
+    * replicated to every [[OverlapBinDays]]-day bin it touches (≤ 2 bins,
+    * span ≤ bin width), the join is a plain equi-join on
+    * (custkey, bin) — hash-partitionable at any scale — the overlap
+    * predicate runs as a residual, and the classic duplicate-elimination
+    * rule keeps each pair exactly once: a pair is REPORTED only in the
+    * bin containing the overlap's start `max(s1, s2)` (both copies exist
+    * in that bin by construction, and in no earlier one). Day arithmetic
+    * is exact integers, so the θ-join oracle states identical math.
+    * Output is per-customer pair counts + summed overlap days — bounded
+    * by the customer count, not the pair count.
+    */
+  def intervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1990-01-01")).cast("long")
+          .as("s"))
+      .withColumn("e", col("s") + OverlapSpanDays)
+    val binned = iv.withColumn("bin", explode(sequence(
+      (col("s") / OverlapBinDays).cast("long"),
+      (col("e") / OverlapBinDays).cast("long"))))
+    val a = binned.select(col("o_custkey"), col("bin"),
+      col("o_orderkey").as("k1"), col("s").as("s1"), col("e").as("e1"))
+    val b = binned.select(col("o_custkey"), col("bin"),
+      col("o_orderkey").as("k2"), col("s").as("s2"), col("e").as("e2"))
+    a.join(b, Seq("o_custkey", "bin"))
+      .filter(col("k1") < col("k2") &&
+        col("s1") <= col("e2") && col("s2") <= col("e1") &&
+        (greatest(col("s1"), col("s2")) / OverlapBinDays).cast("long")
+          === col("bin"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("e1"), col("e2")) -
+          greatest(col("s1"), col("s2")) + lit(1L)).as("overlap_days"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val intervalOverlapSql: String =
+    s"""WITH iv AS (
+       |  SELECT o_custkey, o_orderkey,
+       |         datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS s,
+       |         datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+       |           + $OverlapSpanDays AS e
+       |  FROM orders
+       |)
+       |SELECT a.o_custkey, COUNT(*) AS n_pairs,
+       |       CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s) + 1)
+       |            AS BIGINT) AS overlap_days
+       |FROM iv a JOIN iv b
+       |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+       | AND a.s <= b.e AND b.s <= a.e
+       |GROUP BY a.o_custkey
+       |ORDER BY a.o_custkey""".stripMargin
+
   /** Pivot: one row per user, one column per event type — conditional
     * aggregation under the hood, so the oracle is plain FILTERed counts.
     */

@@ -684,6 +684,127 @@ object Relational {
        |ORDER BY totalprice_cents DESC, order_ms ASC, o_orderkey ASC
        |LIMIT 100""".stripMargin
 
+  /** TPC-H-Q13-shaped customer order-count distribution: how many
+    * customers placed exactly k (non-urgent) orders, INCLUDING the
+    * zero-order customers — the classic left-outer-join + double
+    * aggregation shape (histogram of group sizes) none of the Q1/Q3/Q18
+    * trio exercises. Plan discipline: the fact table is pre-aggregated
+    * to (o_custkey, n_orders) BEFORE the left join — the join's right
+    * side shrinks from |orders| rows to ≤|customers| rows, so the
+    * customer-preserving outer join moves key-count pairs instead of
+    * order rows (at 100 TB the per-key count table is the thing you can
+    * afford to shuffle; the naive join-then-count form shuffles the raw
+    * fact table into customer partitions first). Zero-order customers
+    * surface as a null count coalesced to 0 — the semantics the ON-clause
+    * filter placement preserves and a WHERE-clause filter would destroy.
+    * The second aggregate's domain is the distinct order-count values
+    * (tiny at any scale). Fully deterministic: custdist DESC with
+    * c_count DESC tiebreak, and c_count is unique after the final group.
+    */
+  def tpchQ13(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    Tables.customer(s, d)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val tpchQ13Sql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM orders
+      |  WHERE o_orderpriority <> '1-URGENT'
+      |  GROUP BY o_custkey
+      |)
+      |SELECT CAST(coalesce(n_orders, 0) AS BIGINT) AS c_count,
+      |       COUNT(*) AS custdist
+      |FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+      |GROUP BY 1
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Supplier nations for [[tpchQ21]] — two of the 25 synthetic nations,
+    * enough suppliers to keep the result populated at sf0.001.
+    */
+  val Q21Nations: Seq[String] = Seq("NATION_3", "NATION_7")
+
+  /** TPC-H-Q21-shaped sole-fault supplier query: suppliers in a nation
+    * set whose lineitem was returned (`l_returnflag = 'R'`) on a
+    * finalized multi-supplier order where NO other supplier's item was
+    * returned — the classic correlated EXISTS + NOT EXISTS double
+    * self-join on the fact table, the one decorrelation shape
+    * `q_correlated`'s scalar subqueries don't reach. (TPC-H Q21 proper
+    * keys "fault" off receipt-vs-commit lateness; this schema carries
+    * no commit/receipt dates, so the returned-flag predicate stands in —
+    * a pure lineitem predicate, exactly like the original, keeping the
+    * l2/l3 subqueries correlated on l_orderkey alone.) Catalyst's
+    * RewritePredicateSubquery compiles the EXISTS into a LeftSemi and
+    * the NOT EXISTS into a LeftAnti join, both equi-keyed on l_orderkey
+    * with the `l_suppkey <>` conjunct riding as a residual — so the
+    * whole query is FOUR hash-partitionable joins over the same
+    * l_orderkey clustering (per-row re-execution of the subqueries, the
+    * naive reading, would be O(n) fact-table scans). RelationalSpec pins
+    * the optimized plan: no subquery expressions survive, exactly one
+    * LeftSemi and one LeftAnti. Top-k compiles to
+    * TakeOrderedAndProject; numwait ties break on s_name.
+    */
+  def tpchQ21(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q21")
+    Tables.orders(s, d).createOrReplaceTempView("orders_q21")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_q21")
+    Tables.nation(s, d).createOrReplaceTempView("nation_q21")
+    val nations = Q21Nations.map(n => s"'$n'").mkString(", ")
+    s.sql(
+      s"""SELECT s_name, COUNT(*) AS numwait
+         |FROM supplier_q21
+         |JOIN lineitem_q21 l1 ON s_suppkey = l1.l_suppkey
+         |JOIN orders_q21 ON o_orderkey = l1.l_orderkey
+         |JOIN nation_q21 ON s_nationkey = n_nationkey
+         |WHERE o_orderstatus = 'F'
+         |  AND l1.l_returnflag = 'R'
+         |  AND n_name IN ($nations)
+         |  AND EXISTS (
+         |    SELECT 1 FROM lineitem_q21 l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey
+         |      AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM lineitem_q21 l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey
+         |      AND l3.l_suppkey <> l1.l_suppkey
+         |      AND l3.l_returnflag = 'R')
+         |GROUP BY s_name
+         |ORDER BY numwait DESC, s_name
+         |LIMIT 100""".stripMargin)
+  }
+
+  val tpchQ21Sql: String = {
+    val nations = Q21Nations.map(n => s"'$n'").mkString(", ")
+    s"""SELECT s_name, COUNT(*) AS numwait
+       |FROM supplier
+       |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+       |JOIN orders ON o_orderkey = l1.l_orderkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE o_orderstatus = 'F'
+       |  AND l1.l_returnflag = 'R'
+       |  AND n_name IN ($nations)
+       |  AND EXISTS (
+       |    SELECT 1 FROM lineitem l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey
+       |      AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM lineitem l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey
+       |      AND l3.l_suppkey <> l1.l_suppkey
+       |      AND l3.l_returnflag = 'R')
+       |GROUP BY s_name
+       |ORDER BY numwait DESC, s_name
+       |LIMIT 100""".stripMargin
+  }
+
   /** Correlated scalar subquery — the SQL-front-end surface the
     * DataFrame queries never touch: customers whose balance exceeds
     * their nation's average, phrased with per-row correlated subqueries

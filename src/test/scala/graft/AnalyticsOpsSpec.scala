@@ -283,6 +283,41 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(byModel("last_touch") == byModel("first_touch"))
   }
 
+  test("interval overlap join is a binned equi-join (no nested loop), " +
+      "each pair counted once, and matches the direct theta join") {
+    val df = EventOps.intervalOverlap(spark, sfDir)
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    // the join must be the equi-keyed (custkey, bin) hash join — the
+    // naive theta form compiles to a nested loop that dies at scale
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      plan.take(1200))
+    // span ≤ bin width ⇒ every interval lands in at most 2 bins
+    assert(EventOps.OverlapSpanDays <= EventOps.OverlapBinDays)
+    // parity with the direct theta join (small data makes it affordable)
+    val iv = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1990-01-01")).cast("long")
+          .as("s"))
+      .withColumn("e", col("s") + EventOps.OverlapSpanDays)
+    val a = iv.select(col("o_custkey"), col("o_orderkey").as("k1"),
+      col("s").as("s1"), col("e").as("e1"))
+    val b = iv.select(col("o_custkey").as("ck2"), col("o_orderkey").as("k2"),
+      col("s").as("s2"), col("e").as("e2"))
+    val want = a.join(b, col("o_custkey") === col("ck2") &&
+        col("k1") < col("k2") &&
+        col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("e1"), col("e2")) -
+          greatest(col("s1"), col("s2")) + lit(1L)).as("overlap_days"))
+      .orderBy(col("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
   test("bm25 matches a sequential reference in exact fixed point") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()

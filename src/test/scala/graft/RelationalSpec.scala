@@ -92,6 +92,73 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("tpch-q13 shape: orders pre-aggregated below the outer join, " +
+      "zero-order customers preserved, distribution sums to the inputs") {
+    val df = Relational.tpchQ13(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the customer-preserving join must consume the per-custkey count
+    // table, not raw orders: the outer join's right subtree carries the
+    // first Aggregate (join moves key-count pairs, not order rows)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size == 1)
+    assert(joins.head.joinType.sql == "LEFT OUTER")
+    val rightAggs = joins.head.right.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(rightAggs.size == 1,
+      "per-custkey pre-aggregation must sit below the outer join")
+    // conservation: Σ custdist = |customer|, Σ c_count·custdist =
+    // non-urgent orders whose customer exists
+    val nCust = Tables.customer(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum === nCust)
+    val nOrd = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"), "left_semi").count()
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum === nOrd)
+  }
+
+  test("tpch-q21 shape: EXISTS/NOT EXISTS decorrelate to one LeftSemi + " +
+      "one LeftAnti hash join and match the set-algebra twin") {
+    val df = Relational.tpchQ21(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    val optS = opt.toString
+    assert(!optS.contains("exists#") || !optS.contains("Subquery"),
+      optS.take(1000))
+    val joinTypes = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.joinType.sql }
+    assert(joinTypes.count(_ == "LEFT SEMI") == 1, joinTypes.toString)
+    assert(joinTypes.count(_ == "LEFT ANTI") == 1, joinTypes.toString)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.nonEmpty)
+    // set-algebra twin: per order, n_supp = distinct suppliers and
+    // n_rsupp = distinct suppliers with a returned line; a qualifying l1
+    // row needs n_supp ≥ 2 (someone else supplied) and n_rsupp = 1 (the
+    // returned set is exactly {l1.suppkey}, since l1 itself is returned)
+    val fact = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val ordStats = fact.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_rsupp"))
+    val want = fact.filter(col("l_returnflag") === "R")
+      .join(ordStats.filter(col("n_supp") >= 2 && col("n_rsupp") === 1),
+        Seq("l_orderkey"))
+      .join(Tables.orders(spark, sfDir)
+        .filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sfDir)
+        .filter(col("n_name").isin(Relational.Q21Nations: _*)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
   test("recursive CTE compiles to UnionLoop equi-join iteration and " +
       "walks the full derived hierarchy") {
     val df = Relational.recursiveHierarchy(spark, sfDir)
