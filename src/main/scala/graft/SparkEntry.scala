@@ -121,6 +121,7 @@ object SparkEntry {
     "q_funnel"          -> (EventOps.funnel _),
     "q_transitions"     -> (EventOps.transitions _),
     "q_retention"       -> (EventOps.retention _),
+    "q_cumulative_uniques" -> (EventOps.cumulativeUniques _),
     "q_attribution"     -> (EventOps.attribution _),
     "q_freshness"       -> (EventOps.freshness _),
     "q_lateness"        -> (EventOps.lateness _),
@@ -312,6 +313,7 @@ object SparkEntry {
     "q_funnel"          -> EventOps.funnelSql,
     "q_transitions"     -> EventOps.transitionsSql,
     "q_retention"       -> EventOps.retentionSql,
+    "q_cumulative_uniques" -> EventOps.cumulativeUniquesSql,
     "q_attribution"     -> EventOps.attributionSql,
     "q_freshness"       -> EventOps.freshnessSql,
     "q_lateness"        -> EventOps.latenessSql,

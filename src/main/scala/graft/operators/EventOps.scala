@@ -589,6 +589,55 @@ object EventOps {
        |FROM matrix m JOIN sizes s USING (cohort_week)
        |ORDER BY m.cohort_week, m.week_offset""".stripMargin
 
+  private val DayMs = 24L * 3600 * 1000
+
+  /** Daily active / new / cumulative-unique users — the growth-dashboard
+    * triple, built on the FIRST-OCCURRENCE pattern: "cumulative distinct
+    * users through day d" is NOT computed as a windowed `COUNT(DISTINCT)`
+    * (which would re-scan every prior day's users per output row —
+    * O(days·users), and Spark rejects DISTINCT window aggregates anyway)
+    * but as the running sum of per-day FIRST-SEEN counts: one user-keyed
+    * aggregate finds each user's first active day, a day-keyed count
+    * turns that into new-users-per-day, and the cumulative series is a
+    * prefix sum over the DAY domain — which is calendar-bounded
+    * (~37k rows/century), so the single-partition running-sum window is
+    * constant-sized at ANY event volume; the row-scaled work is the two
+    * hash aggregates, both map-side-combined. Days with actives but no
+    * first-timers surface as new_users = 0 via the left join's coalesce.
+    */
+  def cumulativeUniques(s: SparkSession, d: String): DataFrame = {
+    val e = withTsMs(Tables.events(s, d))
+      .select(col("user_id"), expr(s"ts_ms div $DayMs").as("day"))
+      .distinct() // one row per (user, active day)
+    val daily = e.groupBy(col("day")).agg(count(lit(1)).as("active_users"))
+    val news = e.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(news, Seq("day"), "left")
+      .select(col("day"), col("active_users"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cumulative_users", sum(col("new_users")).over(w))
+      .orderBy(col("day"))
+  }
+
+  val cumulativeUniquesSql: String =
+    s"""WITH days AS (
+       |  SELECT DISTINCT user_id, epoch_ms(ts) // $DayMs AS day FROM events),
+       |daily AS (
+       |  SELECT day, COUNT(*) AS active_users FROM days GROUP BY day),
+       |firsts AS (
+       |  SELECT user_id, MIN(day) AS day FROM days GROUP BY user_id),
+       |news AS (
+       |  SELECT day, COUNT(*) AS new_users FROM firsts GROUP BY day)
+       |SELECT d.day, d.active_users,
+       |       CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+       |       CAST(SUM(coalesce(n.new_users, 0)) OVER (
+       |         ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |         AS cumulative_users
+       |FROM daily d LEFT JOIN news n USING (day)
+       |ORDER BY d.day""".stripMargin
+
   /** Next-event transition matrix — the Markov-chain view of user
     * behavior: for each user's time-ordered event stream, count the
     * (from_type → to_type) adjacent pairs, plus each row's share of its

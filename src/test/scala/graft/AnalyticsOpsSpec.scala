@@ -283,6 +283,33 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(byModel("last_touch") == byModel("first_touch"))
   }
 
+  test("cumulative uniques: conservation invariants hold and the series " +
+      "matches a per-day distinct recomputation") {
+    val rows = EventOps.cumulativeUniques(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val e = EventOps.withTsMs(Tables.events(spark, sfDir))
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+      .distinct().collect().map(r => (r.get(0), r.getLong(1)))
+    val nUsers = e.map(_._1).distinct.length.toLong
+    // Σ new_users = |users|; the last cumulative point = |users|
+    assert(rows.map(_.getLong(2)).sum === nUsers)
+    assert(rows.last.getLong(3) === nUsers)
+    // cumulative is non-decreasing and active ≥ new on every day
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) <= b.getLong(3))
+      case _ =>
+    }
+    rows.foreach(r => assert(r.getLong(1) >= r.getLong(2)))
+    // spot-check: cumulative through day d equals distinct users whose
+    // first day is ≤ d (sequential recomputation)
+    val firstDay = e.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getLong(3) === firstDay.values.count(_ <= d).toLong,
+        s"cumulative mismatch at day $d")
+    }
+  }
+
   test("interval overlap join is a binned equi-join (no nested loop), " +
       "each pair counted once, and matches the direct theta join") {
     val df = EventOps.intervalOverlap(spark, sfDir)
