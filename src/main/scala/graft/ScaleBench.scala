@@ -38,7 +38,10 @@ object ScaleBench {
     "q_embed_decontaminate", "q_lateness", "q_freshness",
     // round-9 additions (documents/embeddings/lineitem-driven)
     "q_pmi", "q_inverted_index", "q_lm_score", "q_ngram_collision",
-    "q_ann_ivf_probe", "q_profile", "q_profile_sketch")
+    "q_ann_ivf_probe", "q_profile", "q_profile_sketch",
+    // round-9 relational additions (orders/customer/supplier-driven)
+    "q_tpch_q13", "q_tpch_q21", "q_interval_overlap",
+    "q_cumulative_uniques")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("spark.log.level", "ERROR")

@@ -136,18 +136,63 @@ object ScaleData {
       val baseMs = 788918400000L            // 1995-01-01T00:00:00Z
       val spanMs = 2L * 365 * 24 * 3600 * 1000L
       val flags  = Array("A", "N", "R")
+      val lineSupp = math.max(nOrders / 150L, 1L)
       spark.range(nOrders).flatMap { ok =>
         val width = 1 + Math.floorMod(mix(ok * 53L + 5L), 7L).toInt
         (0 until width).map { k =>
           (ok, Math.floorMod(mix(ok * 7919L + k * 104729L + 19L), nParts),
+            Math.floorMod(mix(ok * 523L + k * 211L + 83L), lineSupp),
             (1 + Math.floorMod(mix(ok * 271L + k * 31L + 23L), 50L)).toDouble,
             flags(Math.floorMod(mix(ok * 613L + k * 97L + 29L), 3L).toInt),
             new java.sql.Timestamp(baseMs +
               Math.floorMod(mix(ok * 389L + k * 101L + 37L), spanMs)))
         }
-      }.toDF("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
-          "l_shipdate")
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_returnflag", "l_shipdate")
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      // the relational dimension spine in the driver's sf0.1 ratios
+      // (orders:customers 10:1, orders:suppliers 150:1, 25 nations) so
+      // the TPC-H-shaped join family — Q13's outer-join distribution,
+      // Q21's semi/anti self-joins, the interval-overlap self-join —
+      // ladders at the same multiples as the fact-table families; all
+      // columns pure functions of the key, bit-identical across runs
+      val nCust = math.max(nOrders / 10L, 1L)
+      val nSupp = math.max(nOrders / 150L, 1L)
+      val statuses   = Array("P", "O", "F")
+      val priorities = Array("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val segments   = Array("AUTOMOBILE", "BUILDING", "FURNITURE",
+        "HOUSEHOLD", "MACHINERY")
+      val ordBaseMs = 788918400000L          // 1995-01-01T00:00:00Z
+      val ordSpanMs = 2405L * 24 * 3600 * 1000L // ≈ 6.6-year window
+      spark.range(nOrders).map { ok =>
+        (ok, Math.floorMod(mix(ok * 6151L + 41L), nCust),
+          statuses(Math.floorMod(mix(ok * 769L + 43L), 3L).toInt),
+          (100000L + Math.floorMod(mix(ok * 1543L + 47L), 49900000L)) / 100.0d,
+          new java.sql.Timestamp(ordBaseMs +
+            Math.floorMod(mix(ok * 293L + 53L), ordSpanMs)),
+          priorities(Math.floorMod(mix(ok * 457L + 59L), 5L).toInt))
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      spark.range(nCust).map { ck =>
+        (ck, s"CUSTOMER_$ck",
+          Math.floorMod(mix(ck * 1031L + 61L), 25L).toInt,
+          (-100000L + Math.floorMod(mix(ck * 2099L + 67L), 1100000L)) / 100.0d,
+          segments(Math.floorMod(mix(ck * 463L + 71L), 5L).toInt))
+      }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+      spark.range(nSupp).map { sk =>
+        (sk, s"SUPPLIER_$sk",
+          Math.floorMod(mix(sk * 1291L + 73L), 25L).toInt,
+          (-100000L + Math.floorMod(mix(sk * 3371L + 79L), 1100000L)) / 100.0d)
+      }.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+      spark.range(25L).map(nk =>
+        (nk.toInt, s"NATION_$nk", (nk % 5L).toInt))
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").parquet(s"$outDir/nation.parquet")
     }
     println(s"""{"docs":$nDocs,"vecs":$nVecs,"vocabMul":$vocabMul,"events":$nEvents,"orders":$nOrders,"dir":"$outDir"}""")
     spark.stop()
