@@ -122,6 +122,8 @@ object SparkEntry {
     "q_transitions"     -> (EventOps.transitions _),
     "q_retention"       -> (EventOps.retention _),
     "q_cumulative_uniques" -> (EventOps.cumulativeUniques _),
+    "q_trend"           -> (EventOps.trend _),
+    "q_assoc_rules"     -> (Relational.associationRules _),
     "q_attribution"     -> (EventOps.attribution _),
     "q_freshness"       -> (EventOps.freshness _),
     "q_lateness"        -> (EventOps.lateness _),
@@ -314,6 +316,8 @@ object SparkEntry {
     "q_transitions"     -> EventOps.transitionsSql,
     "q_retention"       -> EventOps.retentionSql,
     "q_cumulative_uniques" -> EventOps.cumulativeUniquesSql,
+    "q_trend"           -> EventOps.trendSql,
+    "q_assoc_rules"     -> Relational.associationRulesSql,
     "q_attribution"     -> EventOps.attributionSql,
     "q_freshness"       -> EventOps.freshnessSql,
     "q_lateness"        -> EventOps.latenessSql,

@@ -638,6 +638,63 @@ object EventOps {
        |FROM daily d LEFT JOIN news n USING (day)
        |ORDER BY d.day""".stripMargin
 
+  /** Per-type linear TREND of daily revenue — ordinary least squares in
+    * EXACT integer arithmetic: the slope and intercept leave as rational
+    * pairs (numerator, shared denominator) built from the closed-form
+    * normal equations `slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`, so no
+    * floating-point accumulation exists anywhere (grouped FP sums are
+    * partition-order-dependent — the engine's FpAggregateLint discipline)
+    * and the oracle states the identical algebra. x is the day offset
+    * from the GLOBAL first active day (one 1-row broadcast, keeping
+    * the moment magnitudes bounded by the observation window, not the
+    * epoch); y is the exact-cents daily sum. Row-scaled work is ONE
+    * (type, day) hash aggregate with map-side combine; the per-type
+    * moment aggregate runs over the calendar-bounded daily series.
+    */
+  def trend(s: SparkSession, d: String): DataFrame = {
+    val daily = withTsMs(Tables.events(s, d))
+      .select(col("event_type"), expr(s"ts_ms div $DayMs").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("v")).as("y"))
+    val day0 = daily.agg(min(col("day")).as("day0"))
+    daily.crossJoin(broadcast(day0))
+      .withColumn("x", col("day") - col("day0"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy"))
+          .as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx"))
+          .as("slope_den"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy"))
+          .as("intercept_num"))
+      .orderBy(col("event_type"))
+  }
+
+  val trendSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ms(ts) // $DayMs AS day,
+       |         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+       |           AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |d0 AS (SELECT MIN(day) AS day0 FROM daily),
+       |pts AS (SELECT event_type, day - day0 AS x, y FROM daily, d0),
+       |agg AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |         CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM pts GROUP BY 1)
+       |SELECT event_type, n AS n_days,
+       |       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       |       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       |       CAST(sy * sxx - sx * sxy AS BIGINT) AS intercept_num
+       |FROM agg ORDER BY event_type""".stripMargin
+
   /** Next-event transition matrix — the Markov-chain view of user
     * behavior: for each user's time-ordered event stream, count the
     * (from_type → to_type) adjacent pairs, plus each row's share of its

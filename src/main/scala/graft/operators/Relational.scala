@@ -805,6 +805,81 @@ object Relational {
        |LIMIT 100""".stripMargin
   }
 
+  /** Minimum pair support (orders containing BOTH parts) for
+    * [[associationRules]] — populated at every SF of the driver data.
+    */
+  val AssocMinSupport = 3L
+
+  val AssocTopK = 100
+
+  /** Market-basket association mining: part pairs co-purchased in ≥
+    * [[AssocMinSupport]] orders, with EXACT ppm confidences both ways and
+    * lift as an exact rational — the classic support/confidence/lift
+    * triple. Shape: baskets are distinct (order, part) presence rows; the
+    * pair join is a SELF-equi-join on l_orderkey (hash-partitionable;
+    * pair volume is Σ basket-width² per order, bounded by the order
+    * shape — production caps basket width, the same posting-cap guard
+    * the n-gram dedup family ships); item supports are a |parts|-sized
+    * aggregate that BROADCASTS back into the pair table. No FP anywhere:
+    * confidence is integer ppm (sup_ab·10⁶ div sup_a) and lift leaves as
+    * (num, den) = (sup_ab·N, sup_a·sup_b), exact up to N ≈ 3·10⁹ orders.
+    * Top-[[AssocTopK]] by (support, conf, pair) compiles to
+    * TakeOrderedAndProject.
+    */
+  def associationRules(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = Tables.orders(s, d).agg(count(lit(1)).as("n_orders"))
+    val sup = baskets.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("sup"))
+    val a = baskets.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = baskets.select(col("l_orderkey").as("ok2"),
+      col("l_partkey").as("p2"))
+    a.join(b, col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= AssocMinSupport)
+      .join(broadcast(sup.select(col("l_partkey").as("p1"),
+        col("sup").as("sup_a"))), Seq("p1"))
+      .join(broadcast(sup.select(col("l_partkey").as("p2"),
+        col("sup").as("sup_b"))), Seq("p2"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("sup_ab"), col("sup_a"),
+        col("sup_b"),
+        expr("sup_ab * 1000000 div sup_a").as("conf_ab_ppm"),
+        expr("sup_ab * 1000000 div sup_b").as("conf_ba_ppm"),
+        (col("sup_ab") * col("n_orders")).as("lift_num"),
+        (col("sup_a") * col("sup_b")).as("lift_den"))
+      .orderBy(col("sup_ab").desc, col("conf_ab_ppm").desc,
+        col("p1"), col("p2"))
+      .limit(AssocTopK)
+  }
+
+  val associationRulesSql: String =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |n AS (SELECT COUNT(*) AS n_orders FROM orders),
+       |sup AS (
+       |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS sup
+       |  FROM baskets GROUP BY l_partkey),
+       |pairs AS (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       |         CAST(COUNT(*) AS BIGINT) AS sup_ab
+       |  FROM baskets a JOIN baskets b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $AssocMinSupport)
+       |SELECT p1, p2, sup_ab, sa.sup AS sup_a, sb.sup AS sup_b,
+       |       sup_ab * 1000000 // sa.sup AS conf_ab_ppm,
+       |       sup_ab * 1000000 // sb.sup AS conf_ba_ppm,
+       |       CAST(sup_ab * n_orders AS BIGINT) AS lift_num,
+       |       CAST(sa.sup * sb.sup AS BIGINT) AS lift_den
+       |FROM pairs, n
+       |JOIN sup sa ON p1 = sa.l_partkey
+       |JOIN sup sb ON p2 = sb.l_partkey
+       |ORDER BY sup_ab DESC, conf_ab_ppm DESC, p1, p2
+       |LIMIT $AssocTopK""".stripMargin
+
   /** Correlated scalar subquery — the SQL-front-end surface the
     * DataFrame queries never touch: customers whose balance exceeds
     * their nation's average, phrased with per-row correlated subqueries

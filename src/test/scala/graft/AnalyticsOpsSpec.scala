@@ -310,6 +310,34 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("trend: exact rational OLS matches a sequential normal-equation " +
+      "computation on the collected daily series") {
+    val got = EventOps.trend(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val daily = EventOps.withTsMs(Tables.events(spark, sfDir))
+      .select(col("event_type"), expr("ts_ms div 86400000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("v")).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val day0 = daily.map(_._2).min
+    val want = daily.groupBy(_._1).view.mapValues { pts =>
+      val xy = pts.map(p => (p._2 - day0, p._3))
+      val n = xy.length.toLong
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      (n, n * sxy - sx * sy, n * sxx - sx * sx, sy * sxx - sx * sxy)
+    }.toMap
+    got.foreach { r =>
+      val (n, num, den, inum) = want(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == num &&
+        r.getLong(3) == den && r.getLong(4) == inum, r.toString)
+      assert(den > 0, "degenerate denominator")
+    }
+    assert(got.length == want.size)
+  }
+
   test("interval overlap join is a binned equi-join (no nested loop), " +
       "each pair counted once, and matches the direct theta join") {
     val df = EventOps.intervalOverlap(spark, sfDir)

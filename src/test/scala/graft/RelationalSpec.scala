@@ -159,6 +159,41 @@ class RelationalSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("association rules: supports, confidences and lift rationals " +
+      "match a sequential market-basket recomputation") {
+    val got = Relational.associationRules(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length <= Relational.AssocTopK)
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = Tables.orders(spark, sfDir).count()
+    val sup = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairSup = baskets.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { r =>
+      val (p1, p2) = (r.getLong(0), r.getLong(1))
+      val sab = pairSup((p1, p2))
+      assert(r.getLong(2) == sab && sab >= Relational.AssocMinSupport)
+      assert(r.getLong(3) == sup(p1) && r.getLong(4) == sup(p2))
+      assert(r.getLong(5) == sab * 1000000L / sup(p1))
+      assert(r.getLong(6) == sab * 1000000L / sup(p2))
+      assert(r.getLong(7) == sab * nOrders)
+      assert(r.getLong(8) == sup(p1) * sup(p2))
+    }
+    // the limit keeps the strongest rules: every returned support is ≥
+    // every excluded pair's support would require a full sort; instead
+    // pin the ordering contract on the returned prefix
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) > b.getLong(2) ||
+          (a.getLong(2) == b.getLong(2) && a.getLong(5) >= b.getLong(5)))
+      case _ =>
+    }
+  }
+
   test("recursive CTE compiles to UnionLoop equi-join iteration and " +
       "walks the full derived hierarchy") {
     val df = Relational.recursiveHierarchy(spark, sfDir)
