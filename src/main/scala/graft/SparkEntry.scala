@@ -124,6 +124,8 @@ object SparkEntry {
     "q_cumulative_uniques" -> (EventOps.cumulativeUniques _),
     "q_trend"           -> (EventOps.trend _),
     "q_assoc_rules"     -> (Relational.associationRules _),
+    "q_winsorize"       -> (Relational.winsorize _),
+    "q_argmax"          -> (Relational.argmaxOrder _),
     "q_attribution"     -> (EventOps.attribution _),
     "q_freshness"       -> (EventOps.freshness _),
     "q_lateness"        -> (EventOps.lateness _),
@@ -318,6 +320,8 @@ object SparkEntry {
     "q_cumulative_uniques" -> EventOps.cumulativeUniquesSql,
     "q_trend"           -> EventOps.trendSql,
     "q_assoc_rules"     -> Relational.associationRulesSql,
+    "q_winsorize"       -> Relational.winsorizeSql,
+    "q_argmax"          -> Relational.argmaxOrderSql,
     "q_attribution"     -> EventOps.attributionSql,
     "q_freshness"       -> EventOps.freshnessSql,
     "q_lateness"        -> EventOps.latenessSql,

@@ -452,6 +452,86 @@ object Relational {
       |       COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Winsorized robust scaling — the feature-engineering clamp: every
+    * quantity clipped to its group's exact [P5, P95] band and rescaled
+    * to a ppm position inside it. Shape: the per-group percentile table
+    * is GROUP-CARDINALITY-sized and BROADCASTS back into the row stream
+    * (the aggregate-then-broadcast-back pattern — the row-scaled side is
+    * one scan + one broadcast hash join, no row shuffle at any scale).
+    * Per-row FP (clamp + affine rescale) is deterministic — the engine's
+    * FP discipline bans partition-order-dependent grouped ACCUMULATION,
+    * not per-row arithmetic — and the oracle states the identical IEEE
+    * expression tree. Degenerate bands (P95 = P5, a constant column)
+    * would null the rescale; the driver data's quantity spans preclude
+    * it, and production guards with a `when` fallback.
+    */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.05)").as("q_lo"),
+        expr("percentile(l_quantity, 0.95)").as("q_hi"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+      .join(broadcast(stats), Seq("l_returnflag"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"),
+        least(greatest(col("l_quantity"), col("q_lo")), col("q_hi"))
+          .as("clamped"),
+        expr("""CAST(floor(
+            (least(greatest(l_quantity, q_lo), q_hi) - q_lo) * 1000000
+            / (q_hi - q_lo)) AS BIGINT)""").as("scaled_ppm"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val winsorizeSql: String =
+    """WITH stats AS (
+      |  SELECT l_returnflag,
+      |         quantile_cont(l_quantity, 0.05) AS q_lo,
+      |         quantile_cont(l_quantity, 0.95) AS q_hi
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_orderkey, l_linenumber, l.l_returnflag, l_quantity,
+      |       least(greatest(l_quantity, q_lo), q_hi) AS clamped,
+      |       CAST(floor(
+      |         (least(greatest(l_quantity, q_lo), q_hi) - q_lo) * 1000000
+      |         / (q_hi - q_lo)) AS BIGINT) AS scaled_ppm
+      |FROM lineitem l JOIN stats USING (l_returnflag)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Per-group ARGMAX via struct max — each customer's single most
+    * expensive order, carried as `max(struct(price, key))` so the whole
+    * query is ONE map-side-combinable hash aggregate: partial maxima
+    * collapse inside each partition before the |customers|-keyed
+    * exchange, and no per-group sort or window buffer ever exists (the
+    * row_number() formulation shuffles and sorts EVERY row; the struct
+    * max moves one candidate per customer per partition). Ties on price
+    * break to the higher orderkey through the struct's lexicographic
+    * order — the oracle pins the same tiebreak explicitly.
+    */
+  def argmaxOrder(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_custkey"),
+        struct(cents(col("o_totalprice")).as("p"), col("o_orderkey").as("k"))
+          .as("cand"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("o_custkey"), col("best.k").as("best_orderkey"),
+        col("best.p").as("best_price_cents"))
+      .orderBy(col("o_custkey"))
+
+  val argmaxOrderSql: String =
+    """SELECT o_custkey, o_orderkey AS best_orderkey,
+      |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |         AS best_price_cents
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+      |             o_orderkey DESC) AS rn
+      |  FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
   /** Deterministic moment statistics: mean/variance/stddev derived from
     * EXACT integer sums (Σcents, Σcents²) rather than floating
     * accumulation — the only way `stddev` is reproducible across partition

@@ -159,6 +159,57 @@ class RelationalSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("winsorize: broadcast-back clamp keeps every row, bounds hold, " +
+      "and the scaled position is inside [0, 1e6]") {
+    val df = Relational.winsorize(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == Tables.lineitem(spark, sfDir).count())
+    // the percentile table must broadcast — the row stream never shuffles
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1000))
+    rows.foreach { r =>
+      val (q, c, ppm) = (r.getDouble(3), r.getDouble(4), r.getLong(5))
+      assert(ppm >= 0L && ppm <= 1000000L, r.toString)
+      // a row the clamp actually moved must sit at a band boundary
+      assert(c == q || ppm <= 1L || ppm >= 999999L, r.toString)
+    }
+    // clamping only ever moves values inward: clamped is between the
+    // group min and max of the raw quantity
+    val byFlag = rows.groupBy(_.getString(2))
+    byFlag.foreach { case (_, rs) =>
+      val qs = rs.map(_.getDouble(3))
+      val cs = rs.map(_.getDouble(4))
+      assert(cs.min >= qs.min && cs.max <= qs.max)
+      // tails are actually clipped: some rows must differ
+      assert(rs.exists(r => r.getDouble(3) != r.getDouble(4)))
+    }
+  }
+
+  test("argmax via struct max is one aggregate (no window, no sort " +
+      "before the agg) and matches the row_number twin") {
+    val df = Relational.argmaxOrder(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, "argmax must not compile to a window")
+    assert(opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size == 1)
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").desc,
+        col("o_orderkey").desc)
+    val want = Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+      .orderBy(col("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("association rules: supports, confidences and lift rationals " +
       "match a sequential market-basket recomputation") {
     val got = Relational.associationRules(spark, sfDir).collect()
