@@ -142,13 +142,14 @@ object ScaleData {
         (0 until width).map { k =>
           (ok, Math.floorMod(mix(ok * 7919L + k * 104729L + 19L), nParts),
             Math.floorMod(mix(ok * 523L + k * 211L + 83L), lineSupp),
+            (k + 1).toLong,
             (1 + Math.floorMod(mix(ok * 271L + k * 31L + 23L), 50L)).toDouble,
             flags(Math.floorMod(mix(ok * 613L + k * 97L + 29L), 3L).toInt),
             new java.sql.Timestamp(baseMs +
               Math.floorMod(mix(ok * 389L + k * 101L + 37L), spanMs)))
         }
-      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
-          "l_returnflag", "l_shipdate")
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_returnflag", "l_shipdate")
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
       // the relational dimension spine in the driver's sf0.1 ratios
       // (orders:customers 10:1, orders:suppliers 150:1, 25 nations) so
