@@ -41,7 +41,8 @@ object ScaleBench {
     "q_ann_ivf_probe", "q_profile", "q_profile_sketch",
     // round-9 relational additions (orders/customer/supplier-driven)
     "q_tpch_q13", "q_tpch_q21", "q_interval_overlap",
-    "q_cumulative_uniques", "q_trend", "q_assoc_rules")
+    "q_cumulative_uniques", "q_trend", "q_assoc_rules", "q_winsorize",
+    "q_argmax", "q_gini")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("spark.log.level", "ERROR")

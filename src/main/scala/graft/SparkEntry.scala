@@ -126,6 +126,7 @@ object SparkEntry {
     "q_assoc_rules"     -> (Relational.associationRules _),
     "q_winsorize"       -> (Relational.winsorize _),
     "q_argmax"          -> (Relational.argmaxOrder _),
+    "q_gini"            -> (Drift.gini _),
     "q_attribution"     -> (EventOps.attribution _),
     "q_freshness"       -> (EventOps.freshness _),
     "q_lateness"        -> (EventOps.lateness _),
@@ -322,6 +323,7 @@ object SparkEntry {
     "q_assoc_rules"     -> Relational.associationRulesSql,
     "q_winsorize"       -> Relational.winsorizeSql,
     "q_argmax"          -> Relational.argmaxOrderSql,
+    "q_gini"            -> Drift.giniSql,
     "q_attribution"     -> EventOps.attributionSql,
     "q_freshness"       -> EventOps.freshnessSql,
     "q_lateness"        -> EventOps.latenessSql,

@@ -203,4 +203,86 @@ object Drift {
       |            // NULLIF(2 * n1 * n2, 0) AS BIGINT) AS tv_ppm
       |FROM bytype CROSS JOIN tot
       |ORDER BY event_type""".stripMargin
+
+  /** Exact per-group GINI coefficient of order value — the inequality
+    * statistic (`G = (2Σᵢ i·xᵢ − (n+1)Σx) / (n·Σx)` over ascending
+    * ranks) in pure integer arithmetic, emitted as exact ppm. The
+    * rank-weighted sum is computed WITHOUT a global per-group sort:
+    * values collapse to their (group, value, multiplicity) support
+    * first, and a tied block of m copies of x starting after exclusive
+    * prefix count r₀ contributes `x·(m·r₀ + m(m+1)/2)` — tie-order
+    * independent, so ranks never need materializing per row. The
+    * exclusive prefix count reuses the [[driftKs]] two-phase pattern:
+    * per-(group, range-bucket) running sums in parallel, bucket offsets
+    * from a window over ≤nBuckets totals per group, broadcast back.
+    * Accumulation rides DECIMAL(38,0) (rank·value products overflow
+    * int64 past ~10⁷ rows); the oracle states the textbook row_number
+    * form, equal by the tie-block identity.
+    */
+  def gini(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderstatus").as("st"),
+        cents(col("o_totalprice")).as("c"))
+    val support = base.groupBy(col("st"), col("c"))
+      .agg(count(lit(1)).as("m"))
+    val nBuckets = 1024L
+    val rng = base.agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"))
+    val bucketed = support.crossJoin(broadcast(rng))
+      .withColumn("bkt",
+        floor((col("c") - col("cmin")) * nBuckets /
+          (col("cmax") - col("cmin") + 1L)).cast("long"))
+    val wIn = Window.partitionBy(col("st"), col("bkt")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = bucketed
+      .withColumn("p", coalesce(sum(col("m")).over(wIn), lit(0L)))
+    val wOff = Window.partitionBy(col("st")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy(col("st"), col("bkt"))
+      .agg(sum(col("m")).as("t"))
+      .select(col("st"), col("bkt"),
+        coalesce(sum(col("t")).over(wOff), lit(0L)).as("off"))
+    val dec = "decimal(38,0)"
+    intra.join(broadcast(offs), Seq("st", "bkt"))
+      .withColumn("r0", (col("p") + col("off")).cast(dec))
+      .withColumn("md", col("m").cast(dec))
+      .withColumn("cd", col("c").cast(dec))
+      // m(m+1)/2 stays in long (`div` exact — m(m+1) is always even);
+      // multiplicity of one exact cent value within one group above
+      // ~3·10⁹ rows would overflow it, the same documented bound as the
+      // association-rules lift rational
+      .withColumn("s_block",
+        col("cd") * (col("md") * col("r0") +
+          expr("m * (m + 1) div 2").cast(dec)))
+      .groupBy(col("st"))
+      .agg(sum(col("m")).as("n"),
+        sum(col("cd") * col("md")).as("t"),
+        sum(col("s_block")).as("sr"))
+      .select(col("st").as("o_orderstatus"), col("n"),
+        col("t").cast("long").as("sum_cents"),
+        floorDiv(
+          (lit(2).cast(dec) * col("sr") -
+            (col("n") + 1).cast(dec) * col("t")) *
+            lit(1000000L).cast(dec),
+          col("n").cast(dec) * col("t")).as("gini_ppm"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val giniSql: String =
+    """WITH vals AS (
+      |  SELECT o_orderstatus AS st,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      |  FROM orders
+      |), ranked AS (
+      |  SELECT st, c,
+      |         row_number() OVER (PARTITION BY st ORDER BY c) AS i
+      |  FROM vals
+      |), agg AS (
+      |  SELECT st, COUNT(*) AS n, CAST(SUM(c) AS HUGEINT) AS t,
+      |         CAST(SUM(CAST(i AS HUGEINT) * c) AS HUGEINT) AS s
+      |  FROM ranked GROUP BY st
+      |)
+      |SELECT st AS o_orderstatus, n, CAST(t AS BIGINT) AS sum_cents,
+      |       CAST((2 * s - (n + 1) * t) * 1000000 // NULLIF(n * t, 0)
+      |         AS BIGINT) AS gini_ppm
+      |FROM agg ORDER BY o_orderstatus""".stripMargin
 }

@@ -310,6 +310,34 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("gini: two-phase support computation matches the sequential " +
+      "ranked formula and stays in [0, 1e6)") {
+    import graft.operators.Drift
+    val got = Drift.gini(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val vals = Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = vals.groupBy(_._1).view.mapValues { rows =>
+      val xs = rows.map(_._2).sorted
+      val n = xs.length.toLong
+      val t = BigInt(xs.sum)
+      val sr = xs.zipWithIndex
+        .map { case (x, i) => BigInt(x) * (i + 1) }.sum
+      val ppm = (BigInt(2) * sr - BigInt(n + 1) * t) * 1000000 /
+        (BigInt(n) * t)
+      (n, xs.sum, ppm.toLong)
+    }.toMap
+    got.foreach { r =>
+      val (n, t, ppm) = want(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == t, r.toString)
+      assert(r.getLong(3) == ppm, s"gini ${r.getString(0)}")
+      assert(ppm >= 0L && ppm < 1000000L)
+    }
+    assert(got.length == want.size)
+  }
+
   test("trend: exact rational OLS matches a sequential normal-equation " +
       "computation on the collected daily series") {
     val got = EventOps.trend(spark, sfDir).collect()
