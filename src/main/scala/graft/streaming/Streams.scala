@@ -927,6 +927,120 @@ object Streams {
       .getOrElse(sys.error(s"no committed decontam state under $stateDir")))
   }
 
+  // ---------- streaming cumulative-uniques gate ----------
+
+  /** Input schema of the uniques stream: one event arrival per row. */
+  val uniquesSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("ts_ms", LongType)))
+
+  private val UniquesDayMs = 24L * 3600 * 1000
+
+  /** Streaming cumulative-uniques maintenance — the continuous twin of
+    * `operators.EventOps.cumulativeUniques`' new/cumulative series, with
+    * a deliberately DIFFERENT state topology from the MV/SCD2/dedup
+    * sinks: the first-seen table is APPEND-ONLY. A user, once seen, can
+    * never become unseen, so each micro-batch writes ONLY its newly
+    * discovered users to a fresh `new_b<id>` directory — per-batch write
+    * cost is O(new users), not O(|state|) as in the rewrite-the-snapshot
+    * protocol (the right trade when state is user-sized and mostly
+    * frozen; the snapshot rewrite remains right when any row can mutate).
+    * Exactly-once still holds with the same marker discipline: a batch id
+    * is applied at most once (marker short-circuit), a replayed batch
+    * OVERWRITES its own deterministic directory before marking (so a
+    * torn write cannot double-count), and readers union exactly the
+    * directories whose markers exist.
+    *
+    * First-seen semantics are ARRIVAL-ORDER (the ingest gate's natural
+    * clock): a user's recorded day is the minimum event day within the
+    * batch that introduced them. Late-arriving earlier event times
+    * belong to the batch rebuild — the same division the SCD2 pipeline
+    * draws.
+    */
+  def uniquesPipeline(spark: SparkSession, inDir: String, stateDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(uniquesSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyUniquesBatch(batch, id, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  private val UniquesStateDdl = "user_id BIGINT, first_day BIGINT, " +
+    "batch_id BIGINT"
+
+  /** Directories of committed first-seen rows (marker-gated). */
+  private def committedNewUserDirs(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("applied_batch_"))
+      .map(_.stripPrefix("applied_batch_").toLong).sorted
+      .map(id => s"$stateDir/new_b$id")
+  }
+
+  /** One micro-batch through the uniques gate: probe the committed
+    * first-seen table, append only the unseen users, commit the marker.
+    */
+  private[graft] def applyUniquesBatch(batch: DataFrame, batchId: Long,
+      stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, s"applied_batch_$batchId")
+    if (fs.exists(marker)) return
+    val dirs = committedNewUserDirs(fs, stateDir)
+    // explicit schema: a batch that discovered no one leaves an empty
+    // directory, which schema'd reads handle and inference would not
+    val existing =
+      if (dirs.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          StructType.fromDDL(UniquesStateDdl))
+      else spark.read.schema(StructType.fromDDL(UniquesStateDdl))
+        .parquet(dirs: _*)
+    val batchFirst = batch
+      .select(col("user_id"),
+        expr(s"ts_ms div $UniquesDayMs").as("first_day"))
+      .groupBy(col("user_id")).agg(min(col("first_day")).as("first_day"))
+    batchFirst
+      .join(existing.select(col("user_id")), Seq("user_id"), "left_anti")
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").parquet(s"$stateDir/new_b$batchId")
+    fs.create(marker, true).close()
+  }
+
+  /** Committed first-seen table (one row per distinct user ever seen). */
+  def uniquesState(spark: SparkSession, stateDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = committedNewUserDirs(fs, stateDir)
+    if (dirs.isEmpty) sys.error(s"no committed uniques state under $stateDir")
+    spark.read.schema(StructType.fromDDL(UniquesStateDdl)).parquet(dirs: _*)
+  }
+
+  /** The new/cumulative daily series from the committed state — the
+    * streaming read of the batch query's last two columns (the prefix
+    * sum runs over the calendar-bounded day domain, as there).
+    */
+  def uniquesSeries(spark: SparkSession, stateDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    uniquesState(spark, stateDir)
+      .groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cumulative_users", sum(col("new_users")).over(w))
+      .orderBy(col("day"))
+  }
+
   // ---------- event-time timers (transformWithState) ----------
 
   case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
