@@ -650,8 +650,14 @@ object EventOps {
     * epoch); y is the exact-cents daily sum. Row-scaled work is ONE
     * (type, day) hash aggregate with map-side combine; the per-type
     * moment aggregate runs over the calendar-bounded daily series.
+    * The cross moments (x·y, and the derived numerators n·Σxy − Σx·Σy)
+    * accumulate in DECIMAL(38,0) ≡ HUGEINT — BIGINT would wrap SILENTLY
+    * in non-ANSI Spark while the DuckDB oracle wraps loudly, the same
+    * divergence gini's rank·value products guard against — so the moments
+    * stay exact to ~10³⁸ regardless of daily-revenue magnitude.
     */
   def trend(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
     val daily = withTsMs(Tables.events(s, d))
       .select(col("event_type"), expr(s"ts_ms div $DayMs").as("day"),
         cents(col("value")).as("v"))
@@ -663,15 +669,15 @@ object EventOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
       .select(col("event_type"), col("n_days"),
-        (col("n_days") * col("sxy") - col("sx") * col("sy"))
-          .as("slope_num"),
-        (col("n_days") * col("sxx") - col("sx") * col("sx"))
-          .as("slope_den"),
-        (col("sy") * col("sxx") - col("sx") * col("sxy"))
-          .as("intercept_num"))
+        (col("n_days") * col("sxy") -
+          col("sx").cast(dec) * col("sy")).cast(dec).as("slope_num"),
+        (col("n_days") * col("sxx") -
+          col("sx").cast(dec) * col("sx")).cast(dec).as("slope_den"),
+        (col("sy") * col("sxx") -
+          col("sx").cast(dec) * col("sxy")).cast(dec).as("intercept_num"))
       .orderBy(col("event_type"))
   }
 
@@ -686,13 +692,14 @@ object EventOps {
        |agg AS (
        |  SELECT event_type, COUNT(*) AS n,
        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-       |         CAST(SUM(x * y) AS BIGINT) AS sxy,
-       |         CAST(SUM(x * x) AS BIGINT) AS sxx
+       |         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+       |         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
        |  FROM pts GROUP BY 1)
        |SELECT event_type, n AS n_days,
-       |       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
-       |       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-       |       CAST(sy * sxx - sx * sxy AS BIGINT) AS intercept_num
+       |       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
+       |       CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DECIMAL(38,0))
+       |         AS slope_den,
+       |       CAST(sy * sxx - sx * sxy AS DECIMAL(38,0)) AS intercept_num
        |FROM agg ORDER BY event_type""".stripMargin
 
   /** Next-event transition matrix — the Markov-chain view of user

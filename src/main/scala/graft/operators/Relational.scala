@@ -462,8 +462,10 @@ object Relational {
     * FP discipline bans partition-order-dependent grouped ACCUMULATION,
     * not per-row arithmetic — and the oracle states the identical IEEE
     * expression tree. Degenerate bands (P95 = P5, a constant column)
-    * would null the rescale; the driver data's quantity spans preclude
-    * it, and production guards with a `when` fallback.
+    * are guarded on BOTH sides with the same `q_hi = q_lo ⇒ 0` fallback:
+    * Spark's x/0.0 would yield NULL while DuckDB's yields inf (and the
+    * BIGINT cast of inf errors), so the guard is what keeps the engines
+    * hash-equal on a constant group, not just a nicety.
     */
   def winsorize(s: SparkSession, d: String): DataFrame = {
     val stats = Tables.lineitem(s, d)
@@ -478,9 +480,10 @@ object Relational {
         col("l_quantity"),
         least(greatest(col("l_quantity"), col("q_lo")), col("q_hi"))
           .as("clamped"),
-        expr("""CAST(floor(
-            (least(greatest(l_quantity, q_lo), q_hi) - q_lo) * 1000000
-            / (q_hi - q_lo)) AS BIGINT)""").as("scaled_ppm"))
+        expr("""CASE WHEN q_hi = q_lo THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(
+              (least(greatest(l_quantity, q_lo), q_hi) - q_lo) * 1000000
+              / (q_hi - q_lo)) AS BIGINT) END""").as("scaled_ppm"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
@@ -492,9 +495,10 @@ object Relational {
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_orderkey, l_linenumber, l.l_returnflag, l_quantity,
       |       least(greatest(l_quantity, q_lo), q_hi) AS clamped,
-      |       CAST(floor(
+      |       CASE WHEN q_hi = q_lo THEN CAST(0 AS BIGINT)
+      |       ELSE CAST(floor(
       |         (least(greatest(l_quantity, q_lo), q_hi) - q_lo) * 1000000
-      |         / (q_hi - q_lo)) AS BIGINT) AS scaled_ppm
+      |         / (q_hi - q_lo)) AS BIGINT) END AS scaled_ppm
       |FROM lineitem l JOIN stats USING (l_returnflag)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 

@@ -867,10 +867,17 @@ object Streams {
       .start()
   }
 
-  /** One micro-batch through the decontamination gate: probe, split,
-    * accumulate, commit. Replay-safe (marker short-circuit) and
-    * torn-commit-safe (a crash before the marker leaves the previous
-    * version committed; the replayed batch overwrites the torn files).
+  /** One micro-batch through the decontamination gate: dedupe against
+    * committed state, probe, split, accumulate, commit. Replay-safe
+    * (marker short-circuit) and torn-commit-safe (a crash before the
+    * marker leaves the previous version committed; the replayed batch
+    * overwrites the torn files). The anti-join against already-committed
+    * doc_ids (corpus ∪ report — every previously processed doc lands in
+    * at least one: admitted docs in corpus, flagged train docs in report)
+    * is what keeps a doc_id arriving in TWO DIFFERENT input files from
+    * being re-probed and re-admitted — without it the accumulated state
+    * would carry duplicate rows and diverge from the batch
+    * `bloomDecontaminateUncapped` equality the spec pins.
     */
   private[graft] def applyDecontamBatch(batch: DataFrame, batchId: Long,
       bloom: DataFrame, stateDir: String): Unit = {
@@ -880,16 +887,6 @@ object Streams {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(root, s"applied_batch_$batchId")
     if (fs.exists(marker)) return
-    val docs = batch.select(col("doc_id"), col("text")).localCheckpoint()
-    val isEval = pmod(col("doc_id"), lit(Dedup.EvalMod)) === 0
-    val report = Dedup.bloomProbeIndex(
-      Dedup.uncappedShingleIndexOf(docs.filter(!isEval)), bloom)
-      .localCheckpoint()
-    // quarantine = flagged train docs; everything else (clean train docs,
-    // shingle-less short docs, eval-slice pass-throughs) is admitted
-    val admitted = docs.join(
-      report.filter(col("flagged")).select(col("train_id").as("doc_id")),
-      Seq("doc_id"), "left_anti")
     val (prevReport, prevCorpus) = committedStateDir(fs, stateDir) match {
       case Some(dir) =>
         (spark.read.parquet(s"$dir/report"), spark.read.parquet(s"$dir/corpus"))
@@ -902,6 +899,20 @@ object Streams {
           spark.createDataFrame(emptyRows,
             StructType.fromDDL("doc_id BIGINT, text STRING")))
     }
+    val seen = prevCorpus.select(col("doc_id"))
+      .unionByName(prevReport.select(col("train_id").as("doc_id")))
+    val docs = batch.select(col("doc_id"), col("text"))
+      .join(seen, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val isEval = pmod(col("doc_id"), lit(Dedup.EvalMod)) === 0
+    val report = Dedup.bloomProbeIndex(
+      Dedup.uncappedShingleIndexOf(docs.filter(!isEval)), bloom)
+      .localCheckpoint()
+    // quarantine = flagged train docs; everything else (clean train docs,
+    // shingle-less short docs, eval-slice pass-throughs) is admitted
+    val admitted = docs.join(
+      report.filter(col("flagged")).select(col("train_id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
     prevReport.unionByName(report)
       .write.mode("overwrite").parquet(s"$stateDir/v$batchId/report")
     prevCorpus.unionByName(admitted)

@@ -591,6 +591,15 @@ class StreamingSpec extends SparkSpecBase {
     Streams.applyDecontamBatch(replay, 1L, bloom, state)
     assert(reportRows === want)
     assert(corpusIds === (ids.toSet -- flagged))
+    // duplicate ARRIVALS (same doc_id in a second input file, a DIFFERENT
+    // batch id — not a replay): the committed-state anti-join must make
+    // the overlapping batch a no-op, so the accumulated state still
+    // equals the one-row-per-doc batch twin instead of growing dup rows
+    land(docs.filter(col("doc_id") <= mid), "f2.parquet")
+    Streams.decontamIngestPipeline(spark, in, evalDocs, state, ckp)
+      .awaitTermination()
+    assert(reportRows === want)
+    assert(corpusIds === (ids.toSet -- flagged))
   }
 
   test("stream-stream join matches orders in the hour before each event") {
