@@ -49,6 +49,7 @@ object SparkEntry {
       TxnGenerator.generate(s, 1000).orderBy("transaction_id")),
     "q_etl_txn"        -> (PipelineQueries.etlTransactions _),
     "q_partition_prune" -> (PipelineQueries.partitionPrune _),
+    "q_dpp_star"        -> (PipelineQueries.dppStar _),
     "q_cluster_layout"  -> (PipelineQueries.clusterLayout _),
     // [EXT] lakehouse maintenance — incremental MV, compaction, Z-order
     "q_mv_incremental"  -> (Maintenance.mvIncremental _),
@@ -63,6 +64,7 @@ object SparkEntry {
     "q_tpch_q3"         -> (Relational.tpchQ3 _),
     "q_tpch_q18"        -> (Relational.tpchQ18 _),
     "q_tpch_q13"        -> (Relational.tpchQ13 _),
+    "q_tpch_q17"        -> (Relational.tpchQ17 _),
     "q_tpch_q21"        -> (Relational.tpchQ21 _),
     "q_correlated"      -> (Relational.correlatedSubquery _),
     "q_recursive_cte"   -> (Relational.recursiveHierarchy _),
@@ -254,6 +256,7 @@ object SparkEntry {
     "q_generate"        -> TxnGenerator.oracleSql(1000),
     "q_etl_txn"         -> PipelineQueries.etlTransactionsSql,
     "q_partition_prune" -> PipelineQueries.partitionPruneSql,
+    "q_dpp_star"        -> PipelineQueries.dppStarSql,
     "q_cluster_layout"  -> PipelineQueries.clusterLayoutSql,
     "q_mv_incremental"  -> Maintenance.mvIncrementalSql,
     "q_mv_sketch"       -> Maintenance.mvSketchDistinctSql,
@@ -266,6 +269,7 @@ object SparkEntry {
     "q_tpch_q3"         -> Relational.tpchQ3Sql,
     "q_tpch_q18"        -> Relational.tpchQ18Sql,
     "q_tpch_q13"        -> Relational.tpchQ13Sql,
+    "q_tpch_q17"        -> Relational.tpchQ17Sql,
     "q_tpch_q21"        -> Relational.tpchQ21Sql,
     "q_correlated"      -> Relational.correlatedSubquerySql,
     "q_recursive_cte"   -> Relational.recursiveHierarchySql,

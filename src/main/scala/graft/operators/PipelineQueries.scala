@@ -73,15 +73,7 @@ object PipelineQueries {
     * same answer straight off the unpartitioned source.
     */
   def partitionPrune(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.sources.SetupOnce.runtimeDir(d, "orders_part")
-    // write-once layout (production shape: one ingest, many scans) — the
-    // pruned READ below is what this operator demonstrates and measures
-    graft.sources.SetupOnce(dir) {
-      Tables.orders(s, d)
-        .withColumn("year", year(col("o_orderdate")))
-        .withColumn("month", month(col("o_orderdate")))
-        .write.mode("overwrite").partitionBy("year", "month").parquet(dir)
-    }
+    val dir = partitionedOrdersDir(s, d)
     s.read.parquet(dir)
       .filter(col("year") === 1995 && col("month") <= 6)
       .groupBy(col("month"))
@@ -91,6 +83,80 @@ object PipelineQueries {
         col("total_cents"))
       .orderBy(col("month"))
   }
+
+  /** Lays down (once per JVM) and returns the Hive-partitioned orders
+    * copy under year=YYYY/month=MM — the reference's S3 key layout
+    * (` s3_uploader.py`:113-118), shared by [[partitionPrune]] (static
+    * pruning) and [[dppStar]] (dynamic pruning through a dim join).
+    */
+  private[graft] def partitionedOrdersDir(s: SparkSession, d: String): String = {
+    val dir = graft.sources.SetupOnce.runtimeDir(d, "orders_part")
+    // write-once layout (production shape: one ingest, many scans) — the
+    // pruned READS are what these operators demonstrate and measure
+    graft.sources.SetupOnce(dir) {
+      Tables.orders(s, d)
+        .withColumn("year", year(col("o_orderdate")))
+        .withColumn("month", month(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("year", "month").parquet(dir)
+    }
+    dir
+  }
+
+  /** Write-once calendar dimension keyed on the fact's PARTITION columns
+    * (year, month) with a derived non-partition attribute `half_label`
+    * ('YYYY-H1'/'YYYY-H2') — the dim whose attribute filter can only
+    * reach the fact's partitions THROUGH the join, i.e. the shape that
+    * exists to exercise dynamic partition pruning. Purely derived
+    * (1992-1998 × 12, no scan), so the oracle replays it as arithmetic.
+    */
+  private[graft] def dateDimDir(s: SparkSession, d: String): String = {
+    val dir = graft.sources.SetupOnce.runtimeDir(d, "date_dim")
+    graft.sources.SetupOnce(dir) {
+      s.range(0, 7L * 12)
+        .select((lit(1992) + (col("id") / 12).cast("int")).as("year"),
+          ((col("id") % 12).cast("int") + 1).as("month"))
+        .withColumn("half_label",
+          concat(col("year").cast("string"),
+            when(col("month") <= 6, lit("-H1")).otherwise(lit("-H2"))))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** Dynamic partition pruning through a star join — THE scan
+    * optimization a 100 TB partitioned fact table lives on: the filter
+    * sits on a dim ATTRIBUTE (`half_label`, not a partition column), so
+    * no static partition predicate exists at plan time; Catalyst's
+    * PartitionPruning rule injects a runtime `dynamicpruning` subquery
+    * on the fact's (year, month) partition columns, REUSING the dim's
+    * broadcast exchange, and the FileSourceScan lists only the ~6 of ~84
+    * matching partition directories instead of scanning 100 TB and
+    * filtering post-join. RelationalSpec pins both halves: the
+    * `dynamicpruning` expression in the scan's PartitionFilters, and a
+    * post-execution numFiles audit proving partitions were actually
+    * skipped (the q_bloom_skip audit discipline). The oracle computes
+    * the same answer straight off the unpartitioned source.
+    */
+  def dppStar(s: SparkSession, d: String): DataFrame = {
+    val fact = s.read.parquet(partitionedOrdersDir(s, d))
+    val dim = s.read.parquet(dateDimDir(s, d))
+      .filter(col("half_label") === "1995-H2")
+    fact.join(broadcast(dim), Seq("year", "month"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(RefTransforms.cents(col("o_totalprice"))).as("total_cents"))
+      .select(col("month").cast("long").as("month"), col("n"),
+        col("total_cents"))
+      .orderBy(col("month"))
+  }
+
+  val dppStarSql: String =
+    """SELECT CAST(month(o_orderdate) AS BIGINT) AS month, COUNT(*) AS n,
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders
+      |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) > 6
+      |GROUP BY 1 ORDER BY month""".stripMargin
 
   val partitionPruneSql: String =
     """SELECT CAST(month(o_orderdate) AS BIGINT) AS month, COUNT(*) AS n,

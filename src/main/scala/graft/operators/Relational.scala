@@ -889,6 +889,63 @@ object Relational {
        |LIMIT 100""".stripMargin
   }
 
+  /** TPC-H Q17 shape — small-quantity-order revenue: lineitems of a
+    * brand/size part slice whose quantity sits below 20% of their part's
+    * average quantity over the WHOLE lineitem table. This is the one
+    * decorrelation shape [[correlatedSubquery]] doesn't cover: there the
+    * correlated aggregate ranges over the DIM side (per-nation customer
+    * mean); here it ranges over the FACT — Catalyst must turn the
+    * per-row correlated aggregate into ONE pre-aggregated
+    * `l_partkey`-grouped scan of lineitem joined back to the outer fact
+    * rows (naive per-row re-execution would be O(n) lineitem scans).
+    * The correlated aggregate is phrased as a LATERAL returning BOTH
+    * moments (count, Σqty) in one row — two separate scalar subqueries
+    * would decorrelate into two aggregates and scan lineitem twice;
+    * the lateral collapses them into a single Aggregate below a single
+    * join, pinned in RelationalSpec (and no subquery expression survives
+    * the optimized plan).
+    *
+    * FP discipline: the `quantity < 0.2·avg(quantity)` test is
+    * cross-multiplied to `qty·5·count(*) < Σqty` in exact BIGINT (the
+    * [[correlatedSubquery]] trick), and revenue leaves as exact cents
+    * with a floor-div-7 "avg_yearly" in integer cents — no float
+    * accumulates anywhere, so the oracle hash is stable.
+    */
+  def tpchQ17(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q17")
+    Tables.part(s, d).createOrReplaceTempView("part_q17")
+    s.sql(
+      """SELECT CAST(SUM(cents) DIV 7 AS BIGINT) AS avg_yearly_cents,
+        |       COUNT(*) AS n_lines
+        |FROM (
+        |  SELECT CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           AS cents
+        |  FROM lineitem_q17 l
+        |  JOIN part_q17 p ON p.p_partkey = l.l_partkey,
+        |  LATERAL (SELECT COUNT(*) AS cnt,
+        |                  SUM(CAST(l2.l_quantity AS BIGINT)) AS sq
+        |           FROM lineitem_q17 l2
+        |           WHERE l2.l_partkey = l.l_partkey) m
+        |  WHERE p.p_brand = 'Brand#1' AND p.p_size <= 10
+        |    AND CAST(l.l_quantity AS BIGINT) * 5 * m.cnt < m.sq)""".stripMargin)
+  }
+
+  val tpchQ17Sql: String =
+    """SELECT CAST(SUM(cents) // 7 AS BIGINT) AS avg_yearly_cents,
+      |       COUNT(*) AS n_lines
+      |FROM (
+      |  SELECT CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+      |           AS cents
+      |  FROM lineitem l
+      |  JOIN part p ON p.p_partkey = l.l_partkey,
+      |  LATERAL (SELECT COUNT(*) AS cnt,
+      |                  CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+      |                    AS sq
+      |           FROM lineitem l2
+      |           WHERE l2.l_partkey = l.l_partkey) m
+      |  WHERE p.p_brand = 'Brand#1' AND p.p_size <= 10
+      |    AND CAST(l.l_quantity AS BIGINT) * 5 * m.cnt < m.sq)""".stripMargin
+
   /** Minimum pair support (orders containing BOTH parts) for
     * [[associationRules]] — populated at every SF of the driver data.
     */

@@ -159,6 +159,94 @@ class RelationalSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("tpch-q17 shape: the fact-side correlated lateral aggregate " +
+      "decorrelates to ONE pre-aggregated partkey join (no subquery " +
+      "survives, no per-row re-execution) and matches the manual twin") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
+    val df = Relational.tpchQ17(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(1) > 0, "no qualifying small-quantity lines")
+    val opt = df.queryExecution.optimizedPlan
+    // decorrelation is total: no subquery expression of any kind remains
+    val subqueries = opt.collect {
+      case p if p.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]])) => p
+    }
+    assert(subqueries.isEmpty, s"subquery survived:\n${opt.toString.take(800)}")
+    // the row-scaled correlated aggregate became EXACTLY ONE grouped
+    // moments aggregate (count + Σqty in the same node — two scalar
+    // subqueries would leave two and scan lineitem twice); the only other
+    // grouped Aggregate is the function-less domain distinct the
+    // decorrelator adds for empty-group preservation
+    val grouped = opt.collect {
+      case a: Aggregate if a.groupingExpressions.nonEmpty &&
+        a.aggregateExpressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression])) => a
+    }
+    assert(grouped.size == 1,
+      s"expected one grouped moments Aggregate, got ${grouped.size}")
+    // semantic twin: manual pre-aggregate + join-back, exact integers
+    val li = Tables.lineitem(spark, sfDir)
+    val moments = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("sq"))
+    val want = li
+      .join(Tables.part(spark, sfDir)
+        .filter(col("p_brand") === "Brand#1" && col("p_size") <= 10),
+        col("l_partkey") === col("p_partkey"))
+      .join(moments, Seq("l_partkey"))
+      .filter(col("l_quantity").cast("long") * 5 * col("cnt") < col("sq"))
+      .agg(expr("CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) DIV 7 AS BIGINT)"),
+        count(lit(1)))
+      .collect().head
+    assert(rows.head.getLong(0) === want.getLong(0))
+    assert(rows.head.getLong(1) === want.getLong(1))
+  }
+
+  test("dpp star: the dim attribute filter reaches the fact scan as a " +
+      "dynamicpruning PartitionFilter and partitions are actually skipped") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = graft.operators.PipelineQueries.dppStar(spark, sfDir)
+    val rows = df.collect()
+    // H2 months only — the dim filter did its job semantically
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((7L to 12L).toSet))
+    assert(rows.nonEmpty)
+    // plan half: the fact scan carries a runtime dynamicpruning subquery
+    // on the partition columns (no static predicate exists — the filter
+    // is on the dim's half_label attribute)
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // AQE wraps materialized subtrees in QueryStageExec leaves — recurse
+    // through them or the fact scan is invisible to collect
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.flatMap {
+        case f: FileSourceScanExec => Seq(f)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case _ => Nil
+      }
+    val factScan = scans(exec).find(_.relation.location.rootPaths
+      .exists(_.toString.contains("orders_part")))
+      .getOrElse(fail(s"fact scan not found in:\n${exec.toString.take(1200)}"))
+    assert(factScan.partitionFilters.exists(_.toString.contains("dynamicpruning")),
+      s"no dynamicpruning filter on the fact scan: ${factScan.partitionFilters}")
+    // audit half (the q_bloom_skip discipline): the scan READ fewer files
+    // than the layout holds — pruning executed, not just planned
+    val layout = graft.operators.PipelineQueries
+      .partitionedOrdersDir(spark, sfDir)
+    def parquetFiles(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(parquetFiles).sum
+      else if (f.getName.endsWith(".parquet")) 1L else 0L
+    val totalFiles = parquetFiles(new java.io.File(layout))
+    val readFiles = factScan.metrics("numFiles").value
+    assert(readFiles > 0 && readFiles < totalFiles,
+      s"no skip: read $readFiles of $totalFiles files")
+  }
+
   test("winsorize: broadcast-back clamp keeps every row, bounds hold, " +
       "and the scaled position is inside [0, 1e6]") {
     val df = Relational.winsorize(spark, sfDir)
