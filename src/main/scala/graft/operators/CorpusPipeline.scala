@@ -257,4 +257,156 @@ object CorpusPipeline {
        |GROUP BY source, split, leaky.n_leaky_groups
        |ORDER BY source, split""".stripMargin
   }
+
+  /** Merge budget for BPE vocabulary induction. */
+  val BpeMerges = 30
+
+  /** BPE tokenizer TRAINING (vocabulary induction) — the canonical
+    * LLM-pipeline operator the text family's pre-token counting
+    * (TextAnalysis.tokenCount) stops short of: iterative merge-pair
+    * induction à la Sennrich BPE. Corpus words collapse to a
+    * freq-weighted DISTINCT-word table first (the one row-scaled
+    * aggregate — at 100 TB the vocabulary is language-bounded, many
+    * orders smaller than the corpus), then [[BpeMerges]] iterations of:
+    * freq-weighted adjacent-symbol-pair count → top-1 merge
+    * (deterministic tie-break: count desc, left, right) → apply. The
+    * loop is driver-bounded (the PageRank discipline: iteration count
+    * fixed, per-iteration collect is ONE row of merge metadata — the
+    * documented catalog-read exception) and each iteration
+    * localCheckpoints the vocab-sized word table so plan depth stays
+    * O(1) instead of O(iterations).
+    *
+    * Symbol sequences ride as `<s1><s2>…` delimited STRINGS, because
+    * greedy left-to-right merge application is then ONE
+    * `replace(enc, '<l><r>', '<lr>')` — non-overlapping left-to-right
+    * replacement is exactly BPE's merge semantics, and the identical
+    * builtin exists in DuckDB, which is what makes the 30-iteration
+    * unrolled oracle possible. Delimiters can't collide: pre-tokens are
+    * `[a-z]+` runs, so no symbol ever contains `<` or `>`.
+    *
+    * Output: the learned merge table (rank, lhs, rhs, merged,
+    * pair_count). Merge-count conservation (initial symbols − final
+    * symbols = Σ pair_count, freq-weighted) is pinned in CorpusOpsSpec.
+    */
+  def bpeVocab(s: SparkSession, d: String): DataFrame = {
+    val (merges, _) = bpeTrain(s, initialBpeWords(s, d), BpeMerges)
+    import s.implicits._
+    merges.toDF("rank", "lhs", "rhs", "pair_count")
+      .select(col("rank"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+      .orderBy(col("rank"))
+  }
+
+  /** Freq-weighted distinct-word table, symbols delimiter-encoded. */
+  private[graft] def initialBpeWords(s: SparkSession, d: String): DataFrame =
+    graft.Tables.documents(s, d)
+      .select(explode(expr("regexp_extract_all(text, '[a-z]+', 0)"))
+        .as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("word"), "(.)", "<$1>").as("enc"),
+        col("freq"))
+
+  /** The induction loop, shared with the spec (which needs the FINAL
+    * word table for the conservation check). Returns (merges, words):
+    * merges as (rank, lhs, rhs, pair_count), words still encoded.
+    */
+  private[graft] def bpeTrain(s: SparkSession, words: DataFrame,
+      budget: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    // size the iteration partitioning to the VOCAB, not the corpus: the
+    // distinct-word table is language-bounded (thousands at demo scale,
+    // millions for web text), so iterating at the corpus's 32-partition
+    // shuffle width pays 30 × 32 near-empty tasks. One count (off the
+    // about-to-be-checkpointed frame) picks ~50k words/partition,
+    // growing with a real vocabulary — the GraphOps broadcast-gate
+    // discipline applied to partition width.
+    val nWords = words.count()
+    val parts = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong, nWords / 50000L + 1)).toInt
+    var w = words.repartition(parts, col("enc")).localCheckpoint()
+    // the loop's queries are vocab-sized and fixed-shape; AQE's per-stage
+    // re-optimization only adds scheduling rounds to each of the 30
+    // barriers (exact BPE is inherently round-synchronized — the cost
+    // model is rounds × stage latency, not rows), so it is off for the
+    // loop and restored after
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeSaved = s.conf.getOption(aqeKey)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var i = 1
+    var exhausted = false
+    // plan-depth vs job-count trade: a checkpoint every iteration doubles
+    // the job count for a table that re-derives in microseconds; every
+    // CkEvery keeps lineage ≤ CkEvery cheap replaces deep and halves the
+    // per-iteration latency floor
+    val CkEvery = 6
+    var sinceCk = 0
+    s.conf.set(aqeKey, "false")
+    try while (i <= budget && !exhausted) {
+      val top = w
+        .select(col("freq"),
+          expr("regexp_extract_all(enc, '<([^>]+)>', 1)").as("s"))
+        .filter(size(col("s")) >= 2) // sequence(1,0) is DESCENDING in Spark
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((i.toLong, l, r, c))
+        // symbols are [a-z]+ — safe to inline into the expression
+        w = w.select(expr(s"replace(enc, '<$l><$r>', '<$l$r>')").as("enc"),
+          col("freq"))
+        sinceCk += 1
+        if (sinceCk == CkEvery) { w = w.localCheckpoint(); sinceCk = 0 }
+        i += 1
+      }
+    } finally aqeSaved match {
+      case Some(v) => s.conf.set(aqeKey, v)
+      case None    => s.conf.unset(aqeKey)
+    }
+    (merges.toSeq, w)
+  }
+
+  /** The 30-iteration induction UNROLLED as one DuckDB CTE chain —
+    * (pair count → top-1 → apply) × [[BpeMerges]], byte-identical merge
+    * semantics via the same non-overlapping `replace`.
+    */
+  val bpeVocabSql: String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS enc,
+        |         CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word
+        |        FROM documents)
+        |  GROUP BY 1)""".stripMargin
+    val iters = (1 to BpeMerges).flatMap { i =>
+      Seq(
+        s"""p$i AS MATERIALIZED (
+           |  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (
+           |    SELECT freq, s[i] AS l, s[i+1] AS r
+           |    FROM (SELECT freq, regexp_extract_all(enc, '<([^>]+)>', 1) AS s
+           |          FROM w${i - 1}),
+           |         unnest(generate_series(1, len(s)-1)) AS u(i))
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""m$i AS MATERIALIZED (
+           |  SELECT CAST($i AS BIGINT) AS rank, l, r, cnt FROM p$i
+           |  ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin,
+        s"""w$i AS MATERIALIZED (
+           |  SELECT replace(enc, '<'||l||'><'||r||'>', '<'||l||r||'>') AS enc,
+           |         freq
+           |  FROM w${i - 1}, m$i)""".stripMargin)
+    }
+    val unions = (1 to BpeMerges).map(i =>
+      s"SELECT rank, l AS lhs, r AS rhs, l||r AS merged, cnt AS pair_count " +
+        s"FROM m$i").mkString("\nUNION ALL\n")
+    "WITH " + (w0 +: iters).mkString(",\n") + "\n" + unions +
+      "\nORDER BY rank"
+  }
 }

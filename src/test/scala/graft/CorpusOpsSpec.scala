@@ -566,4 +566,55 @@ class CorpusOpsSpec extends SparkSpecBase {
     // group granularity: distinct groups ≤ docs, strictly fewer here
     assert(got.map(_.getLong(3)).sum < rows.length)
   }
+
+  test("bpe vocabulary induction: merge-count conservation, greedy " +
+      "left-to-right semantics, deterministic ranks") {
+    // hand-checkable corpus: 'aaab' ×3, 'ab' ×2 — pair counts round 1:
+    // (a,a)=6, (a,b)=5, so merge 1 = (a,a) applied GREEDILY left-to-right
+    // ('aaab' → 'aa','a','b', NOT 'a','aa','b' — which would leave
+    // (a,a)=3 remeergeable); round 2 on the merged table: (a,b) = 3 from
+    // 'aa·a·b' + 2 from 'a·b' = 5 beats (aa,a)=3 — merge 2 = (a,b,5)
+    val docs = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val words = CorpusPipeline.initialBpeWords(spark, dir)
+    val (merges, finalWords) = CorpusPipeline.bpeTrain(spark, words, 4)
+    // round 3: 'aa·ab' → (aa,ab)=3; round 4: both words are single
+    // symbols — EARLY EXHAUSTION under a budget of 4 emits 3 merges
+    assert(merges.map(m => (m._2, m._3, m._4)) ===
+      Seq(("a", "a", 6L), ("a", "b", 5L), ("aa", "ab", 3L)))
+    // ranks are 1..n and strictly ordered
+    assert(merges.map(_._1) === (1L to merges.length).toSeq)
+    def symCount(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(sum(expr(
+        "freq * size(regexp_extract_all(enc, '<([^>]+)>', 1))")))
+        .head().getLong(0)
+    // exact on the fixture: 16 initial symbols (3·4 + 2·2), merge 1
+    // collapses 3 (the (a,a) count is 6 but 'aaa' runs merge
+    // NON-overlapping — greedy semantics), merge 2 collapses 5, merge 3
+    // collapses 3 → 5 remain
+    assert(symCount(words) === 16L)
+    assert(symCount(finalWords) === 5L)
+    // conservation bounds on the real corpus at the full 30-merge
+    // budget: each merge k collapses between ⌈count_k/2⌉ (l=r runs
+    // merge every OTHER adjacency) and count_k (exact when l≠r — no
+    // self-overlap possible) occurrences
+    val corpusWords = CorpusPipeline.initialBpeWords(spark, sfDir)
+    val (cm, cw) = CorpusPipeline.bpeTrain(spark, corpusWords,
+      CorpusPipeline.BpeMerges)
+    assert(cm.length === CorpusPipeline.BpeMerges)
+    assert(cm.forall(_._4 > 0))
+    val removed = symCount(corpusWords) - symCount(cw)
+    assert(removed <= cm.map(_._4).sum)
+    assert(removed >= cm.map(m => (m._4 + 1) / 2).sum)
+    // the merge table is a faithful PROGRAM: replaying it over the fresh
+    // word table reproduces the trainer's final state bit for bit
+    val replayed = cm.foldLeft(corpusWords) { case (df, (_, l, r, _)) =>
+      df.select(expr(s"replace(enc, '<$l><$r>', '<$l$r>')").as("enc"),
+        col("freq"))
+    }
+    assert(replayed.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === cw.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
 }
