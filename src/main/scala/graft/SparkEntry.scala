@@ -58,6 +58,7 @@ object SparkEntry {
     "q_zorder_layout"   -> (Maintenance.zorderLayout _),
     "q_bloom_skip"      -> (Maintenance.bloomSkipLookup _),
     "q_forget_audit"    -> (Maintenance.forgetAudit _),
+    "q_time_travel"     -> (Maintenance.timeTravel _),
     // [EXT] relational — SURVEY §2e-§2i
     "q_join_enrich"     -> (Relational.joinEnrich _),
     "q_star_join"       -> (Relational.starJoin _),
@@ -265,6 +266,7 @@ object SparkEntry {
     "q_zorder_layout"   -> Maintenance.zorderLayoutSql,
     "q_bloom_skip"      -> Maintenance.bloomSkipLookupSql,
     "q_forget_audit"    -> Maintenance.forgetAuditSql,
+    "q_time_travel"     -> Maintenance.timeTravelSql,
     "q_join_enrich"     -> Relational.joinEnrichSql,
     "q_star_join"       -> Relational.starJoinSql,
     "q_tpch_q3"         -> Relational.tpchQ3Sql,

@@ -702,4 +702,164 @@ object Maintenance {
        |GROUP BY l_suppkey
        |ORDER BY l_suppkey""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q_time_travel — versioned transaction log with snapshot-AS-OF reads
+  // ---------------------------------------------------------------------
+
+  /** Data files per logged snapshot write (hash buckets of the key). */
+  val TxnBuckets = 4
+
+  /** Commit one log version: the action list (add/remove, file) lands as
+    * `_log/v<N>/` parquet, then the `v<N>._ok` MARKER makes it visible —
+    * the same two-phase protocol the streaming sinks use (Streams'
+    * marker discipline), batch-shaped: a crash between the write and the
+    * marker leaves the table at version N−1, and readers never see a
+    * torn manifest. Manifest rows are file-COUNT-sized (catalog data,
+    * not row data), so the single-file coalesce is free at any scale.
+    */
+  private def commitVersion(s: SparkSession, root: String, v: Int,
+      adds: Seq[String], removes: Seq[String]): Unit = {
+    import s.implicits._
+    (adds.map(("add", _)) ++ removes.map(("remove", _)))
+      .toDF("action", "file").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/_log/v$v")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_log/v$v._ok"), true)
+      .close()
+  }
+
+  /** Latest COMMITTED version: max N whose marker exists. A manifest
+    * directory without its marker (a torn commit) is invisible.
+    */
+  private[graft] def latestVersion(s: SparkSession, root: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    Iterator.from(1)
+      .takeWhile(v => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/_log/v$v._ok")))
+      .foldLeft(0)((_, v) => v)
+  }
+
+  /** Live file set AS OF version `asOf`: fold the committed action lists
+    * v1..asOf (adds minus removes). Driver-side manifest read — the
+    * documented catalog-read exception: versions × files rows of
+    * metadata, never row data.
+    */
+  private[graft] def liveFiles(s: SparkSession, root: String,
+      asOf: Int): Seq[String] = {
+    require(asOf >= 1 && asOf <= latestVersion(s, root),
+      s"version $asOf not committed under $root")
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    (1 to asOf).foreach { v =>
+      s.read.parquet(s"$root/_log/v$v")
+        .select(col("action"), col("file")).collect()
+        .foreach { r =>
+          if (r.getString(0) == "add") live += r.getString(1)
+          else live -= r.getString(1)
+        }
+    }
+    live.toSeq
+  }
+
+  /** Snapshot read `AS OF` version v — scans exactly the live files of
+    * that version, so every historical version stays queryable as long
+    * as its files aren't vacuumed. This is the table-format time-travel
+    * contract: the LOG is the table; directories are just storage.
+    */
+  def readVersion(s: SparkSession, root: String, v: Int): DataFrame =
+    s.read.parquet(liveFiles(s, root, v).map(f => s"$root/$f"): _*)
+
+  /** Lays down (once per JVM) the logged orders table — three committed
+    * versions over the SAME log:
+    *   v1: snapshot A (keys ≢0 mod 10 — [[Relational.snapshotDiff]]'s
+    *       derivation, so the oracle replays it) as [[TxnBuckets]] files;
+    *   v2: the A→B transition (deletes ≡0 mod 13, priority reclass
+    *       ≡0 mod 7) as a remove-all/add-all commit;
+    *   v3: COMPACTION — a content-preserving rewrite of v2's live set
+    *       into one file, committed as remove+add. MaintenanceSpec pins
+    *       read(v3) ≡ read(v2) and that a marker-less manifest is
+    *       invisible.
+    */
+  private[graft] def txnTableDir(s: SparkSession, d: String): String = {
+    val root = SetupOnce.runtimeDir(d, "orders_txnlog")
+    SetupOnce(root) {
+      val o = Tables.orders(s, d)
+      def writeSnap(df: DataFrame, tag: String): Seq[String] = {
+        df.withColumn("bucket", pmod(col("o_orderkey"), lit(TxnBuckets)))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$root/data_$tag")
+        (0 until TxnBuckets).map(i => s"data_$tag/bucket=$i")
+      }
+      val a = o.filter(col("o_orderkey") % 10 =!= 0)
+      val b = o.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 7 === 0, lit("9-RECLASS"))
+            .otherwise(col("o_orderpriority")))
+      val v1Files = writeSnap(a, "a")
+      commitVersion(s, root, 1, v1Files, Nil)
+      val v2Files = writeSnap(b, "b")
+      commitVersion(s, root, 2, v2Files, v1Files)
+      readVersion(s, root, 2).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/data_c")
+      commitVersion(s, root, 3, Seq("data_c"), v2Files)
+    }
+    root
+  }
+
+  /** Time travel: the CDC diff between versions 1 and 2 of the SAME
+    * transaction log — [[Relational.snapshotDiff]]'s classification, but
+    * both inputs are `AS OF` reads through the manifest instead of
+    * derived frames, which is what proves the log reproduces history
+    * (the oracle recomputes the snapshots from their derivations, so a
+    * log that drops or duplicates one file hash-fails). Same scale
+    * shape: one full-outer key join, each side shuffled once.
+    */
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    val root = txnTableDir(s, d)
+    val a = readVersion(s, root, 1)
+    val b = readVersion(s, root, 2)
+    val changed = a.columns.filterNot(_ == "o_orderkey")
+      .map(c => !(col(s"a.$c") <=> col(s"b.$c")))
+      .reduce(_ || _)
+    a.as("a")
+      .join(b.as("b"), col("a.o_orderkey") === col("b.o_orderkey"),
+        "full_outer")
+      .select(
+        coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+        when(col("a.o_orderkey").isNull, lit("insert"))
+          .when(col("b.o_orderkey").isNull, lit("delete"))
+          .when(changed, lit("update"))
+          .otherwise(lit("unchanged")).as("change_type"),
+        col("a.o_orderpriority").as("old_priority"),
+        col("b.o_orderpriority").as("new_priority"),
+        lit(1L).as("v_from"), lit(2L).as("v_to"))
+      .filter(col("change_type") =!= "unchanged")
+      .orderBy(col("o_orderkey"))
+  }
+
+  val timeTravelSql: String =
+    """WITH a AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+      |     b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |                  o_orderdate,
+      |                  CASE WHEN o_orderkey % 7 = 0 THEN '9-RECLASS'
+      |                       ELSE o_orderpriority END AS o_orderpriority
+      |           FROM orders WHERE o_orderkey % 13 <> 0),
+      |     d AS (
+      |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |         CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+      |              WHEN b.o_orderkey IS NULL THEN 'delete'
+      |              WHEN (a.o_custkey       IS DISTINCT FROM b.o_custkey)
+      |                OR (a.o_orderstatus   IS DISTINCT FROM b.o_orderstatus)
+      |                OR (a.o_totalprice    IS DISTINCT FROM b.o_totalprice)
+      |                OR (a.o_orderdate     IS DISTINCT FROM b.o_orderdate)
+      |                OR (a.o_orderpriority IS DISTINCT FROM b.o_orderpriority)
+      |              THEN 'update' ELSE 'unchanged' END AS change_type,
+      |         a.o_orderpriority AS old_priority,
+      |         b.o_orderpriority AS new_priority,
+      |         CAST(1 AS BIGINT) AS v_from, CAST(2 AS BIGINT) AS v_to
+      |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+      |SELECT * FROM d WHERE change_type <> 'unchanged'
+      |ORDER BY o_orderkey""".stripMargin
 }

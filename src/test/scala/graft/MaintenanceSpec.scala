@@ -245,4 +245,50 @@ class MaintenanceSpec extends SparkSpecBase {
         s"morton(${r.getLong(0)},${r.getLong(1)})")
     }
   }
+
+  test("transaction log: AS-OF reads reproduce each version, compaction " +
+      "commits a content-identical live set, torn commits are invisible") {
+    val root = Maintenance.txnTableDir(spark, sfDir)
+    assert(Maintenance.latestVersion(spark, root) == 3)
+    // v1/v2 live sets are the snapshot derivations, bit for bit
+    val o = Tables.orders(spark, sfDir)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("o_orderkey"), col("o_orderpriority"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(keyed(Maintenance.readVersion(spark, root, 1)) ===
+      keyed(o.filter(col("o_orderkey") % 10 =!= 0)))
+    val wantB = keyed(o.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 7 === 0, lit("9-RECLASS"))
+          .otherwise(col("o_orderpriority"))))
+    assert(keyed(Maintenance.readVersion(spark, root, 2)) === wantB)
+    // COMPACTION is invisible to readers: v3's single rewritten file
+    // carries exactly v2's rows, while the live-file sets are disjoint
+    assert(keyed(Maintenance.readVersion(spark, root, 3)) === wantB)
+    val live2 = Maintenance.liveFiles(spark, root, 2).toSet
+    val live3 = Maintenance.liveFiles(spark, root, 3).toSet
+    assert(live3.size == 1 && live2.intersect(live3).isEmpty)
+    assert(live2.size == Maintenance.TxnBuckets)
+    // a manifest directory WITHOUT its marker (torn commit) is invisible:
+    // latest stays 3 and AS-OF 4 refuses
+    import spark.implicits._
+    Seq(("add", "data_torn")).toDF("action", "file")
+      .write.mode("overwrite").parquet(s"$root/_log/v4")
+    assert(Maintenance.latestVersion(spark, root) == 3)
+    intercept[IllegalArgumentException] {
+      Maintenance.liveFiles(spark, root, 4)
+    }
+    // the time-travel diff classifies exactly the planted changes
+    val diff = Maintenance.timeTravel(spark, sfDir).collect()
+    assert(diff.nonEmpty)
+    diff.foreach { r =>
+      val k = r.getLong(0)
+      r.getString(1) match {
+        case "insert" => assert(k % 10 == 0 && k % 13 != 0)
+        case "delete" => assert(k % 13 == 0 && k % 10 != 0)
+        case "update" => assert(k % 7 == 0 && k % 10 != 0 && k % 13 != 0)
+        case t        => fail(s"unexpected change_type $t")
+      }
+    }
+  }
 }
