@@ -938,6 +938,116 @@ object Streams {
       .getOrElse(sys.error(s"no committed decontam state under $stateDir")))
   }
 
+  // ---------- streaming embedding near-dup admission gate ----------
+
+  /** Input schema of the embedding-ingest stream. */
+  val embedIngestSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Streaming embedding near-dup admission gate — the EMBEDDING member
+    * of the ingest-gate family (md5/SimHash `dedupIngestPipeline`, Bloom
+    * `decontamIngestPipeline`): each landed micro-batch of vectors is
+    * probed against the stored corpus by signed-projection band keys
+    * (the `Ann.pairBandKeys` geometry `q_embed_lsh_pairs` runs in
+    * batch — SAME hyperplanes, so ingest-time and offline near-dup agree
+    * on what a candidate is), then only the candidates pay an exact
+    * cosine re-rank; batch vectors at ≥ `Ann.NearDupThreshold` to any
+    * stored vector (or any LOWER-ID batch vector — the SemDeDup
+    * keep-lowest convention, deterministic and order-free) are rejected
+    * at admission. Stored state per kept vector is (id, embedding, band
+    * codes): the probe is a band equi-join, O(batch × bucket), never
+    * O(corpus × batch) — the entire point of gating at ingest.
+    *
+    * Exactly-once via the shared versioned-state + marker protocol.
+    * StreamingSpec pins parity with the batch LSH pair report: the kept
+    * set equals a greedy id-ordered fold of `q_embed_lsh_pairs`' found
+    * pairs, across restart, replay, and torn commits.
+    */
+  def embedIngestPipeline(spark: SparkSession, inDir: String,
+      stateDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(embedIngestSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyEmbedIngestBatch(batch, id, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** One micro-batch through the embedding gate: band-probe, exact
+    * re-rank of candidates only, append survivors, commit.
+    */
+  private[graft] def applyEmbedIngestBatch(batch: DataFrame, batchId: Long,
+      stateDir: String): Unit = {
+    import graft.operators.Ann
+    import graft.functions.VectorFunctions.cosineSim
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, s"applied_batch_$batchId")
+    if (fs.exists(marker)) return
+    val existing = committedStateDir(fs, stateDir) match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None => spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType.fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>, " +
+          "codes ARRAY<BIGINT>"))
+    }
+    // duplicate ARRIVALS (same vec_id in two input files) are not
+    // re-probed or re-admitted — the decontam gate's committed-state
+    // anti-join discipline
+    val signed = batch.select(col("vec_id"), col("embedding"))
+      .join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .withColumn("codes", Ann.pairBandKeys(col("embedding")))
+      .localCheckpoint()
+    def bandExplode(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").as("band"), col("col").as("bkey"))
+    val bb = bandExplode(signed)
+    def rerank(cand: DataFrame, left: DataFrame,
+        right: DataFrame): DataFrame =
+      cand
+        .join(left.select(col("vec_id").as("a"), col("embedding").as("ea")),
+          Seq("a"))
+        .join(right.select(col("vec_id").as("b"), col("embedding").as("eb")),
+          Seq("b"))
+        .filter(cosineSim(col("ea"), col("eb")) >= Ann.NearDupThreshold)
+    // within-batch: candidates meet in (band, key) buckets, lower id wins
+    val nearInBatch = rerank(
+      bb.as("x").join(bb.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bkey") === col("y.bkey") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct(),
+      signed, signed)
+      .select(col("b").as("vec_id")).distinct()
+    // against the stored corpus: the stored vector arrived first
+    val nearVsCorpus = rerank(
+      bb.as("x").join(bandExplode(existing).as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+        .select(col("y.vec_id").as("a"), col("x.vec_id").as("b")).distinct(),
+      existing, signed)
+      .select(col("b").as("vec_id")).distinct()
+    val dropped = nearInBatch.unionByName(nearVsCorpus).distinct()
+    val survivors = signed.join(dropped, Seq("vec_id"), "left_anti")
+    existing.unionByName(survivors)
+      .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    fs.create(marker, true).close()
+  }
+
+  /** Public reader for the committed admitted embedding corpus. */
+  def embedCorpus(spark: SparkSession, stateDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    spark.read.parquet(committedStateDir(fs, stateDir).getOrElse(
+      sys.error(s"no committed embedding corpus under $stateDir")))
+  }
+
   // ---------- streaming cumulative-uniques gate ----------
 
   /** Input schema of the uniques stream: one event arrival per row. */

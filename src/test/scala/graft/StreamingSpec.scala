@@ -602,6 +602,67 @@ class StreamingSpec extends SparkSpecBase {
     assert(corpusIds === (ids.toSet -- flagged))
   }
 
+  test("streaming embedding near-dup gate: kept set equals the greedy " +
+      "id-ordered fold of the batch LSH pair report, across restart, " +
+      "replay, torn commit, and duplicate arrivals") {
+    import graft.operators.Ann
+    val in    = tmp("graft_em_in")
+    val state = tmp("graft_em_state")
+    val ckp   = tmp("graft_em_ckp")
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_em_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(in, name))
+    }
+    val ids = emb.select("vec_id").as[Long].collect().sorted
+    val mid = ids(ids.length / 2)
+    // the batch report: every LSH-found near-dup pair (v1 < v2) — band
+    // keys are per-vector deterministic, so the gate's candidate set per
+    // batch is exactly this set restricted to the vectors it compares
+    val pairSet = Ann.embedLshPairs(spark, sfDir)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    assert(pairSet.nonEmpty, "no near-dups planted — gate untested")
+    def near(a: Long, b: Long): Boolean =
+      pairSet.contains((math.min(a, b), math.max(a, b)))
+    // greedy twin of the gate semantics: within a batch a vector is
+    // rejected if near ANY lower-id batch member; across batches only
+    // the KEPT corpus rejects
+    val batches = Seq(ids.filter(_ <= mid), ids.filter(_ > mid))
+    var kept = Set[Long]()
+    batches.foreach { b =>
+      val admitted = b.filterNot(y =>
+        b.exists(x => x < y && near(x, y)) || kept.exists(k => near(k, y)))
+      kept ++= admitted
+    }
+    assert(kept.size < ids.length, "nothing rejected — gate untested")
+    // first half lands; second half arrives over a RESTART
+    land(emb.filter(col("vec_id") <= mid), "f0.parquet")
+    Streams.embedIngestPipeline(spark, in, state, ckp).awaitTermination()
+    land(emb.filter(col("vec_id") > mid), "f1.parquet")
+    Streams.embedIngestPipeline(spark, in, state, ckp).awaitTermination()
+    def corpusIds = Streams.embedCorpus(spark, state)
+      .select("vec_id").as[Long].collect().toSet
+    assert(corpusIds === kept)
+    // replayed batch id: marker short-circuit; torn commit: converge
+    val replay = emb.filter(col("vec_id") > mid)
+    Streams.applyEmbedIngestBatch(replay, 1L, state)
+    assert(corpusIds === kept)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(state, "applied_batch_1"), false)
+    Streams.applyEmbedIngestBatch(replay, 1L, state)
+    assert(corpusIds === kept)
+    // duplicate arrivals in a NEW batch id: committed-state anti-join
+    // makes the overlapping file a no-op
+    land(emb.filter(col("vec_id") <= mid), "f2.parquet")
+    Streams.embedIngestPipeline(spark, in, state, ckp).awaitTermination()
+    assert(corpusIds === kept)
+  }
+
   test("stream-stream join matches orders in the hour before each event") {
     implicit val sqlCtx = spark.sqlContext
     val evIn = MemoryStream[(Long, Long, Timestamp)]
