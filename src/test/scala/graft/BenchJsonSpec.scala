@@ -26,8 +26,8 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(node.get("queries").size() === 3)
   }
 
-  test("load fields land in the metric line and the noisy flag trips " +
-      "only above half the host cores") {
+  test("load fields land in the metric line and the noisy flag trips at " +
+      "the absolute ambient threshold (capped by half-cores on small hosts)") {
     val quiet = mapper.readTree(
       Bench.metricLine(Seq("q_a" -> 1.0), "/d", 0.5, 1.0, hostCpus = 8))
     assert(quiet.get("load1_start").asDouble() === 0.5)
@@ -42,6 +42,16 @@ class BenchJsonSpec extends AnyFunSuite {
     val loud = mapper.readTree(
       Bench.metricLine(Seq("q_a" -> 1.0), "/d", 6.1, 7.2, hostCpus = 8))
     assert(loud.get("noisy").asBoolean())
+    // the r8/r9 regime: ambient ≈ 2.8 on a 32-core host slipped UNDER the
+    // old half-the-cores gate and inflated the record ~10% — the absolute
+    // threshold must trip there
+    assert(Bench.isNoisy(2.8, 32))
+    assert(!Bench.isNoisy(1.5, 32))
+    // small hosts cap at half the cores: a 2-core box at 1.5 is contended
+    assert(Bench.isNoisy(1.5, 2))
+    val r9Regime = mapper.readTree(
+      Bench.metricLine(Seq("q_a" -> 1.0), "/d", 2.81, 3.0, hostCpus = 32))
+    assert(r9Regime.get("noisy").asBoolean())
   }
 
   test("a hostile sf path (quotes, backslashes, control chars) still " +
