@@ -42,7 +42,9 @@ object ScaleBench {
     // round-9 relational additions (orders/customer/supplier-driven)
     "q_tpch_q13", "q_tpch_q21", "q_interval_overlap",
     "q_cumulative_uniques", "q_trend", "q_assoc_rules", "q_winsorize",
-    "q_argmax", "q_gini")
+    "q_argmax", "q_gini",
+    // round-10 additions
+    "q_tpch_q17", "q_dpp_star", "q_time_travel", "q_bpe_vocab", "q_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("spark.log.level", "ERROR")

@@ -146,11 +146,24 @@ object ScaleData {
             (1 + Math.floorMod(mix(ok * 271L + k * 31L + 23L), 50L)).toDouble,
             flags(Math.floorMod(mix(ok * 613L + k * 97L + 29L), 3L).toInt),
             new java.sql.Timestamp(baseMs +
-              Math.floorMod(mix(ok * 389L + k * 101L + 37L), spanMs)))
+              Math.floorMod(mix(ok * 389L + k * 101L + 37L), spanMs)),
+            (100L + Math.floorMod(mix(ok * 839L + k * 43L + 89L),
+              9999900L)) / 100.0d)
         }
       }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-          "l_quantity", "l_returnflag", "l_shipdate")
+          "l_quantity", "l_returnflag", "l_shipdate", "l_extendedprice")
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      // part dim in the driver shape (25 brands, sizes 1..50) so the
+      // Q17-shaped fact-side decorrelation ladders with lineitem
+      spark.range(nParts).map { pk =>
+        (pk, s"PART_$pk",
+          s"Brand#${1 + Math.floorMod(mix(pk * 1117L + 91L), 25L)}",
+          s"TYPE_${Math.floorMod(mix(pk * 1321L + 93L), 10L)}",
+          (1 + Math.floorMod(mix(pk * 1481L + 97L), 50L)).toInt,
+          (100L + Math.floorMod(mix(pk * 1667L + 99L), 199900L)) / 100.0d)
+      }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+          "p_retailprice")
+        .write.mode("overwrite").parquet(s"$outDir/part.parquet")
       // the relational dimension spine in the driver's sf0.1 ratios
       // (orders:customers 10:1, orders:suppliers 150:1, 25 nations) so
       // the TPC-H-shaped join family — Q13's outer-join distribution,

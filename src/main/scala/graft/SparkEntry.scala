@@ -171,6 +171,7 @@ object SparkEntry {
     "q_corpus_shards"     -> (CorpusPipeline.corpusShards _),
     "q_pack_sequences"    -> (CorpusPipeline.packSequences _),
     "q_bpe_vocab"         -> (CorpusPipeline.bpeVocab _),
+    "q_bpe_encode"        -> (CorpusPipeline.bpeEncode _),
     "q_range_join"        -> (EventOps.rangeJoin _),
     "q_range_join_auto"   -> (EventOps.rangeJoinAuto _),
     "q_interval_overlap"  -> (EventOps.intervalOverlap _),
@@ -366,6 +367,7 @@ object SparkEntry {
     "q_corpus_shards"     -> CorpusPipeline.corpusShardsSql,
     "q_pack_sequences"    -> CorpusPipeline.packSequencesSql,
     "q_bpe_vocab"         -> CorpusPipeline.bpeVocabSql,
+    "q_bpe_encode"        -> CorpusPipeline.bpeEncodeSql,
     "q_range_join"        -> EventOps.rangeJoinSql,
     "q_range_join_auto"   -> EventOps.rangeJoinSql,
     "q_interval_overlap"  -> EventOps.intervalOverlapSql,

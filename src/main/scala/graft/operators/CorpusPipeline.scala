@@ -289,13 +289,53 @@ object CorpusPipeline {
     * symbols = Σ pair_count, freq-weighted) is pinned in CorpusOpsSpec.
     */
   def bpeVocab(s: SparkSession, d: String): DataFrame = {
-    val (merges, _) = bpeTrain(s, initialBpeWords(s, d), BpeMerges)
+    val (merges, _) = bpeTrained(s, d)
     import s.implicits._
     merges.toDF("rank", "lhs", "rhs", "pair_count")
       .select(col("rank"), col("lhs"), col("rhs"),
         concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
       .orderBy(col("rank"))
   }
+
+  /** Tokenizer APPLICATION — the other half of the BPE story: encode the
+    * corpus with the TRAINED vocabulary and report each document's token
+    * count under it (the number every data-mixture / packing / budget
+    * decision keys on). The trained word→segmentation table is
+    * vocabulary-sized and BROADCASTS into the exploded token stream (the
+    * tokenizer is shipped to the data, the same move every training
+    * pipeline makes — a shuffle join would move the corpus-sized token
+    * stream instead), so the row-scaled work is one narrow explode +
+    * broadcast join + map-side-combined doc aggregate. Training state is
+    * memoized per dataset (the GraphOps nodeTable discipline), so
+    * vocab + encode together pay the 30-round induction once.
+    */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val (_, words) = bpeTrained(s, d)
+    val lens = words.select(col("word"),
+      size(expr("regexp_extract_all(enc, '<([^>]+)>', 1)"))
+        .cast("long").as("n_tok"))
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("word"))
+      .join(broadcast(lens), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bpeCache = scala.collection.mutable.HashMap[
+    String, (Seq[(Long, String, String, Long)], DataFrame)]()
+
+  /** Trained BPE state, memoized per dataset dir (training is
+    * deterministic, so the induction runs once per JVM however many
+    * queries consume it).
+    */
+  private[graft] def bpeTrained(s: SparkSession, d: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) =
+    CorpusPipeline.synchronized {
+      bpeCache.getOrElseUpdate(new java.io.File(d).getCanonicalPath,
+        bpeTrain(s, initialBpeWords(s, d), BpeMerges))
+    }
 
   /** Freq-weighted distinct-word table, symbols delimiter-encoded. */
   private[graft] def initialBpeWords(s: SparkSession, d: String): DataFrame =
@@ -304,7 +344,8 @@ object CorpusPipeline {
         .as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"))
-      .select(regexp_replace(col("word"), "(.)", "<$1>").as("enc"),
+      .select(col("word"),
+        regexp_replace(col("word"), "(.)", "<$1>").as("enc"),
         col("freq"))
 
   /** The induction loop, shared with the spec (which needs the FINAL
@@ -360,7 +401,8 @@ object CorpusPipeline {
           (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += ((i.toLong, l, r, c))
         // symbols are [a-z]+ — safe to inline into the expression
-        w = w.select(expr(s"replace(enc, '<$l><$r>', '<$l$r>')").as("enc"),
+        w = w.select(col("word"),
+          expr(s"replace(enc, '<$l><$r>', '<$l$r>')").as("enc"),
           col("freq"))
         sinceCk += 1
         if (sinceCk == CkEvery) { w = w.localCheckpoint(); sinceCk = 0 }
@@ -375,16 +417,18 @@ object CorpusPipeline {
 
   /** The 30-iteration induction UNROLLED as one DuckDB CTE chain —
     * (pair count → top-1 → apply) × [[BpeMerges]], byte-identical merge
-    * semantics via the same non-overlapping `replace`.
+    * semantics via the same non-overlapping `replace`. MATERIALIZED is
+    * load-bearing: inlined CTEs would expand the w-chain exponentially.
+    * Shared by the vocab and encode oracles.
     */
-  val bpeVocabSql: String = {
+  private val bpeCtesSql: String = {
     val w0 =
       """w0 AS MATERIALIZED (
-        |  SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS enc,
+        |  SELECT word, regexp_replace(word, '(.)', '<\1>', 'g') AS enc,
         |         CAST(COUNT(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word
         |        FROM documents)
-        |  GROUP BY 1)""".stripMargin
+        |  GROUP BY 1, 2)""".stripMargin
     val iters = (1 to BpeMerges).flatMap { i =>
       Seq(
         s"""p$i AS MATERIALIZED (
@@ -399,14 +443,33 @@ object CorpusPipeline {
            |  SELECT CAST($i AS BIGINT) AS rank, l, r, cnt FROM p$i
            |  ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin,
         s"""w$i AS MATERIALIZED (
-           |  SELECT replace(enc, '<'||l||'><'||r||'>', '<'||l||r||'>') AS enc,
+           |  SELECT word,
+           |         replace(enc, '<'||l||'><'||r||'>', '<'||l||r||'>') AS enc,
            |         freq
            |  FROM w${i - 1}, m$i)""".stripMargin)
     }
+    "WITH " + (w0 +: iters).mkString(",\n")
+  }
+
+  val bpeVocabSql: String = {
     val unions = (1 to BpeMerges).map(i =>
       s"SELECT rank, l AS lhs, r AS rhs, l||r AS merged, cnt AS pair_count " +
         s"FROM m$i").mkString("\nUNION ALL\n")
-    "WITH " + (w0 +: iters).mkString(",\n") + "\n" + unions +
-      "\nORDER BY rank"
+    bpeCtesSql + "\n" + unions + "\nORDER BY rank"
   }
+
+  val bpeEncodeSql: String =
+    s"""$bpeCtesSql,
+       |lens AS MATERIALIZED (
+       |  SELECT word,
+       |         CAST(len(regexp_extract_all(enc, '<([^>]+)>', 1)) AS BIGINT)
+       |           AS n_tok
+       |  FROM w$BpeMerges),
+       |toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS word
+       |  FROM documents)
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |       CAST(SUM(n_tok) AS BIGINT) AS bpe_tokens
+       |FROM toks JOIN lens USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

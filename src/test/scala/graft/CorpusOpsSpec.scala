@@ -611,10 +611,24 @@ class CorpusOpsSpec extends SparkSpecBase {
     // the merge table is a faithful PROGRAM: replaying it over the fresh
     // word table reproduces the trainer's final state bit for bit
     val replayed = cm.foldLeft(corpusWords) { case (df, (_, l, r, _)) =>
-      df.select(expr(s"replace(enc, '<$l><$r>', '<$l$r>')").as("enc"),
-        col("freq"))
+      df.select(col("word"),
+        expr(s"replace(enc, '<$l><$r>', '<$l$r>')").as("enc"), col("freq"))
     }
-    assert(replayed.collect().map(r => (r.getString(0), r.getLong(1))).toSet
-      === cw.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    def encSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("word", "enc", "freq").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(encSet(replayed) === encSet(cw))
+    // encode consumes the SAME trained state: every corpus token is in
+    // the trained vocab, so n_words equals the raw pre-token count and
+    // bpe_tokens is bounded by [n_words, chars]
+    val enc = CorpusPipeline.bpeEncode(spark, sfDir).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), r.toString) // ≥ 1 token/word
+    }
+    val rawTokens = Tables.documents(spark, sfDir)
+      .select(expr("size(regexp_extract_all(text, '[a-z]+', 0))"))
+      .collect().map(r => math.max(r.getInt(0), 0).toLong).sum
+    assert(enc.map(_.getLong(1)).sum === rawTokens)
   }
 }
