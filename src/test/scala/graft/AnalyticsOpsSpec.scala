@@ -359,8 +359,11 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }.toMap
     got.foreach { r =>
       val (n, num, den, inum) = want(r.getString(0))
-      assert(r.getLong(1) == n && r.getLong(2) == num &&
-        r.getLong(3) == den && r.getLong(4) == inum, r.toString)
+      // the moment columns are decimal(38,0) (the silent-BIGINT-wrap
+      // guard) — compare through exact long extraction
+      assert(r.getLong(1) == n && r.getDecimal(2).longValueExact == num &&
+        r.getDecimal(3).longValueExact == den &&
+        r.getDecimal(4).longValueExact == inum, r.toString)
       assert(den > 0, "degenerate denominator")
     }
     assert(got.length == want.size)
