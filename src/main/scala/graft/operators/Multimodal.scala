@@ -535,4 +535,172 @@ object Multimodal {
         col("length"),
         crc32(col("content")).as("checksum"))
       .orderBy(col("file_name"))
+
+  // ---------- WAV (RIFF) audio: synthesis, REAL parser, frame features ----
+
+  /** Synthetic clip parameters: 8 kHz mono 8-bit PCM, frame length 256
+    * samples, clip length 512 + (doc_id mod 7)·128 samples (2-6 frames,
+    * last one partial for most ids).
+    */
+  val WavSampleRate = 8000
+  val WavFrameLen   = 256
+
+  def wavSampleCount(docId: Long): Int = (512 + (docId % 7) * 128).toInt
+
+  /** Unsigned 8-bit PCM sample i of clip docId — a pure integer function
+    * so the DuckDB oracle can regenerate the identical waveform.
+    */
+  def wavSample(docId: Long, i: Long): Int =
+    ((docId * 131L + i * 31L) % 256L).toInt
+
+  /** Synthesize the RIFF/WAVE container for one clip: canonical `fmt `
+    * (PCM, mono, 8-bit), an odd-sized `note` junk chunk BEFORE `data` (so
+    * the parser must both skip unknown chunks and honor RIFF's even-byte
+    * padding rule), then the raw samples. The waveform is the
+    * deterministic fake (this container ships no audio codecs — the
+    * [[decodeStub]] contract); the CONTAINER is bit-faithful RIFF.
+    */
+  def synthWav(docId: Long): Array[Byte] = {
+    val n    = wavSampleCount(docId)
+    val junk = Array[Byte]('j', 'u', 'n', 'k', 0) // odd length 5 -> pad byte
+    val out  = new java.io.ByteArrayOutputStream()
+    def s16(v: Int): Unit  = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def s32(v: Int): Unit  = { s16(v & 0xffff); s16((v >>> 16) & 0xffff) }
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+    val riffSize = 4 + (8 + 16) + (8 + junk.length + 1) + (8 + n) + (n & 1)
+    tag("RIFF"); s32(riffSize); tag("WAVE")
+    tag("fmt "); s32(16)
+    s16(1); s16(1); s32(WavSampleRate); s32(WavSampleRate); s16(1); s16(8)
+    tag("note"); s32(junk.length); out.write(junk); out.write(0) // pad to even
+    tag("data"); s32(n)
+    var i = 0
+    while (i < n) { out.write(wavSample(docId, i)); i += 1 }
+    if ((n & 1) == 1) out.write(0) // RIFF pads odd data chunks too
+    out.toByteArray
+  }
+
+  case class WavClip(sampleRate: Int, bitsPerSample: Int, channels: Int,
+      samples: Array[Byte])
+
+  /** REAL RIFF/WAVE parser — the audio sibling of [[decodeNetpbm]]: walks
+    * the chunk list (id, little-endian size, payload, even-byte pad),
+    * decodes `fmt `, captures `data`, skips everything else. Strict and
+    * total: `None`, never a throw, for anything but well-formed PCM
+    * mono 8-bit with a size-consistent data chunk — a poison blob must
+    * not kill a 100-TB scan. A production deployment swaps compressed
+    * formats in at this seam; frame features downstream are unchanged.
+    */
+  def parseWav(bytes: Array[Byte]): Option[WavClip] = {
+    if (bytes == null || bytes.length < 12) return None
+    def tag(p: Int): String =
+      new String(bytes, p, 4, "US-ASCII")
+    def u16(p: Int): Int =
+      (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long =
+      (u16(p) & 0xffffL) | ((u16(p + 2) & 0xffffL) << 16)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (format, ch, rate, bits)
+    var data: Option[Array[Byte]] = None
+    while (pos + 8 <= bytes.length) {
+      val id   = tag(pos)
+      val size = u32(pos + 4)
+      if (size > Int.MaxValue || pos + 8 + size > bytes.length) return None
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          fmt = Some((u16(body), u16(body + 2), u32(body + 4).toInt,
+            u16(body + 14)))
+        case "data" =>
+          data = Some(java.util.Arrays.copyOfRange(bytes, body,
+            body + size.toInt))
+        case _ => () // unknown chunk: skip
+      }
+      pos = body + size.toInt + (size.toInt & 1) // RIFF even-byte padding
+    }
+    (fmt, data) match {
+      case (Some((1, 1, rate, 8)), Some(samples)) =>
+        Some(WavClip(rate, 8, 1, samples))
+      case _ => None // non-PCM / multichannel / >8-bit out of scope
+    }
+  }
+
+  case class AudioFrameRow(doc_id: Long, frame_idx: Int, n: Long,
+      sum_sq: Long, peak: Long, zero_cross: Long, sample_rate: Int)
+
+  /** Per-frame audio features over the synthesized corpus: each document
+    * becomes a WAV clip ([[synthWav]]), the REAL parser recovers the PCM
+    * ([[parseWav]] — the sample_rate column is proof the `fmt ` chunk
+    * round-tripped), and each 256-sample frame emits exact-integer
+    * energy (Σ(s−128)²), peak |s−128|, and zero crossings (sign flips of
+    * the centered signal) — the standard VAD/silence-trim front end of
+    * an audio training pipeline. Shape: embarrassingly parallel
+    * flatMap — no shuffle until the presentation sort; the synth+parse+
+    * frame chain is one streaming pass per partition and the clip bytes
+    * never leave the task that made them. A clip the parser rejects
+    * yields no rows (at 100 TB: quarantine-count them upstream via
+    * [[parseWav]]'s None arm).
+    */
+  def audioFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          parseWav(synthWav(id)).toSeq.flatMap { clip =>
+            val smp = clip.samples
+            val nFrames = (smp.length + WavFrameLen - 1) / WavFrameLen
+            (0 until nFrames).map { f =>
+              val lo = f * WavFrameLen
+              val hi = math.min(lo + WavFrameLen, smp.length)
+              var sumSq = 0L; var peak = 0L; var zc = 0L
+              var i = lo
+              while (i < hi) {
+                val c = (smp(i) & 0xff) - 128
+                sumSq += c.toLong * c
+                if (math.abs(c) > peak) peak = math.abs(c)
+                if (i > lo) {
+                  val p = (smp(i - 1) & 0xff) - 128
+                  if ((c >= 0) != (p >= 0)) zc += 1
+                }
+                i += 1
+              }
+              AudioFrameRow(id, f, hi - lo, sumSq, peak, zc,
+                clip.sampleRate)
+            }
+          }
+        }
+      }.toDF().orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val audioFeaturesSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, 512 + (doc_id %% 7) * 128 AS ns FROM documents),
+       |fr AS (
+       |  SELECT doc_id, ns,
+       |         unnest(range(0, (ns + ${WavFrameLen - 1}) // $WavFrameLen))
+       |           AS frame_idx
+       |  FROM p),
+       |s AS (
+       |  SELECT doc_id, frame_idx,
+       |         list_transform(
+       |           range(frame_idx * $WavFrameLen,
+       |                 least((frame_idx + 1) * $WavFrameLen, ns)),
+       |           i -> CAST((doc_id * 131 + i * 31) %% 256 - 128 AS BIGINT))
+       |           AS c
+       |  FROM fr)
+       |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       |       CAST(len(c) AS BIGINT) AS n,
+       |       CAST(list_aggregate(list_transform(c, x -> x * x), 'sum')
+       |         AS BIGINT) AS sum_sq,
+       |       CAST(list_aggregate(list_transform(c, x -> abs(x)), 'max')
+       |         AS BIGINT) AS peak,
+       |       CAST(COALESCE(list_aggregate(
+       |         list_transform(range(2, len(c) + 1),
+       |           j -> CASE WHEN (c[j] >= 0) <> (c[j-1] >= 0)
+       |                THEN 1 ELSE 0 END), 'sum'), 0) AS BIGINT)
+       |         AS zero_cross,
+       |       CAST($WavSampleRate AS INT) AS sample_rate
+       |FROM s ORDER BY doc_id, frame_idx""".stripMargin
+      .replace("%%", "%")
 }

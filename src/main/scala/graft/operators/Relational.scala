@@ -1519,4 +1519,340 @@ object Relational {
        |FROM events
        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
        |ORDER BY event_id""".stripMargin
+
+  // ---------- TPC-H Q15: top supplier(s) by windowed revenue ----------
+
+  val Q15Start = "1996-01-01"
+  val Q15End   = "1996-04-01"
+
+  /** TPC-H Q15 shape — supplier(s) with MAXIMUM revenue over a 3-month
+    * ship window, ties included: the view-plus-scalar-max pattern. The
+    * windowed revenue aggregate is supplier-keyed (|suppliers| rows —
+    * dim-sized at any SF), so it is `localCheckpoint`ed once (the
+    * [[graft.operators.Timeseries.paa]] precedent) and feeds BOTH the
+    * 1-row max aggregate and the tie-filter join — the lineitem fact is
+    * scanned exactly once, where the naive two-branch form re-scans it
+    * for the scalar subquery (the thing that matters at 100 TB). The
+    * max row broadcasts; the surviving row(s) join supplier on its key.
+    * Exact cents end to end, so "maximum" is unambiguous cross-engine.
+    */
+  def tpchQ15(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(Q15Start) &&
+        col("l_shipdate") < lit(Q15End))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("total_rev_cents"))
+      .localCheckpoint()
+    val mx = rev.agg(max(col("total_rev_cents")).as("mx"))
+    rev.join(broadcast(mx), col("total_rev_cents") === col("mx"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val tpchQ15Sql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |         CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_rev_cents
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$Q15Start'
+       |    AND l_shipdate < TIMESTAMP '$Q15End'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_rev_cents
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_rev_cents = (SELECT MAX(total_rev_cents) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  // ---------- TPC-H Q22: dormant high-balance customers ----------
+
+  /** Country-code slice: the driver customer table has no phone column,
+    * so the Q22 "country code" is nationkey mod 5, codes 0-2 selected.
+    */
+  val Q22CodeMod   = 5
+  val Q22Codes     = Seq(0, 1, 2)
+
+  /** TPC-H Q22 shape — "global sales opportunity": customers in selected
+    * country codes whose balance exceeds the average POSITIVE balance of
+    * that slice, and who have no urgent-priority order. Exercises the
+    * scalar-average subquery (decorrelated to a 1-row broadcast) plus a
+    * LEFT ANTI join against the fact. FP discipline: the
+    * above-average test is cross-multiplied (`bal·n > Σbal`) in exact
+    * cents, so no float division decides membership. The anti join
+    * shuffles on custkey (both sides fact-scaled at 100 TB —
+    * hash-partitionable); the average is one broadcast row.
+    */
+  def tpchQ22(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .withColumn("code", (col("c_nationkey") % Q22CodeMod).cast("int"))
+      .filter(col("code").isin(Q22Codes: _*))
+      .withColumn("bal_cents", cents(col("c_acctbal")))
+    val avgPos = c.filter(col("bal_cents") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum(col("bal_cents")).as("sum_pos"))
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgPos))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_pos"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("code"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("bal_cents")).as("total_bal_cents"))
+      .orderBy(col("code"))
+  }
+
+  val tpchQ22Sql: String = {
+    val codes = Q22Codes.mkString(", ")
+    s"""WITH c AS (
+       |  SELECT c_custkey, CAST(c_nationkey %% $Q22CodeMod AS INT) AS code,
+       |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+       |  FROM customer
+       |  WHERE c_nationkey %% $Q22CodeMod IN ($codes)),
+       |a AS (
+       |  SELECT COUNT(*) AS n_pos, SUM(bal_cents) AS sum_pos
+       |  FROM c WHERE bal_cents > 0)
+       |SELECT code, COUNT(*) AS n_cust,
+       |       CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+       |FROM c, a
+       |WHERE bal_cents * n_pos > sum_pos
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM orders
+       |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+       |GROUP BY code ORDER BY code""".stripMargin
+      .replace("%%", "%")
+  }
+
+  // ---------- TPC-H Q8 shape: market share by year ----------
+
+  val MarketShareRegion = "ASIA"
+
+  /** Conditional-aggregate market share over a 4-table star: per order
+    * year, the ppm share of lineitem revenue supplied from one region.
+    * The supplier→nation→region attribution collapses to a suppkey →
+    * in-region flag dimension (nation/region broadcast into supplier,
+    * then the supplier map broadcast into the fact at demo scale; at
+    * 100 TB supplier grows with SF so that last join falls back to a
+    * suppkey shuffle — Catalyst's size estimate makes the call, which
+    * is why the code does NOT force `broadcast()` there). Revenue stays
+    * exact cents; the share leaves as integer ppm (`·10⁶ div total`),
+    * so the conditional-sum/total division never touches FP.
+    */
+  def marketShare(s: SparkSession, d: String): DataFrame = {
+    val supRegion = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"),
+        (col("r_name") === MarketShareRegion).cast("long").as("in_region"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev_cents"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(supRegion, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(col("rev_cents")).as("total_cents"),
+        sum(col("rev_cents") * col("in_region")).as("region_cents"))
+      .select(col("o_year").cast("long").as("o_year"), col("total_cents"),
+        col("region_cents"),
+        // ppm in decimal(38,0): region_cents·10⁶ wraps BIGINT silently
+        // once yearly revenue passes ~9·10¹² cents — the trend/gini
+        // widening discipline
+        expr("CAST(CAST(region_cents AS DECIMAL(38,0)) * 1000000" +
+          " div total_cents AS BIGINT)").as("share_ppm"))
+      .orderBy(col("o_year"))
+  }
+
+  val marketShareSql: String =
+    s"""WITH sr AS (
+       |  SELECT s_suppkey,
+       |         CASE WHEN r_name = '$MarketShareRegion' THEN 1 ELSE 0 END
+       |           AS in_region
+       |  FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey)
+       |SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |       CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+       |       CAST(SUM(rev_cents * in_region) AS BIGINT) AS region_cents,
+       |       CAST(CAST(SUM(rev_cents * in_region) AS HUGEINT) * 1000000
+       |            // SUM(rev_cents) AS BIGINT) AS share_ppm
+       |FROM (SELECT l_orderkey, l_suppkey,
+       |             CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_cents
+       |      FROM lineitem) l
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN sr ON l_suppkey = s_suppkey
+       |GROUP BY year(o_orderdate)
+       |ORDER BY o_year""".stripMargin
+
+  // ---------- skyline (Pareto frontier) ----------
+
+  /** Price-bucket width (cents) for the skyline's two-phase prefix max. */
+  val SkylineBucketCents = 64L
+
+  /** Pareto frontier over parts — minimize price, maximize size: a part
+    * survives iff no other part is at most as expensive AND at least as
+    * large with one strict. The classic formulation sorts the whole
+    * table and streams a running max — a single-partition window that
+    * dies at scale — so this is the two-phase prefix pattern the engine
+    * already ships for driftKs/gini: rows hash-partition by price
+    * BUCKET (`price_cents div ${SkylineBucketCents}`) and take a
+    * per-bucket running max over strictly-cheaper rows (a RANGE frame
+    * to -1, so equal prices are excluded), while the cross-bucket
+    * prefix runs over the ≤(price-domain/width) bucket-maxima rows —
+    * bounded by the price domain, not the row count — and broadcasts
+    * back. Equal-price domination is a separate per-price-partition
+    * max. All dominance tests are integer-cents comparisons.
+    */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("price_cents"),
+        col("p_size"))
+      .withColumn("bucket", expr(s"price_cents div $SkylineBucketCents"))
+    val bucketMax = p.groupBy(col("bucket"))
+      .agg(max(col("p_size")).as("bmax"))
+      .withColumn("prefix_max",
+        max(col("bmax")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bucket"), col("prefix_max"))
+    val wCheaper = Window.partitionBy(col("bucket"))
+      .orderBy(col("price_cents"))
+      .rangeBetween(Window.unboundedPreceding, -1L)
+    val wSamePrice = Window.partitionBy(col("price_cents"))
+    p.join(broadcast(bucketMax), Seq("bucket"))
+      .withColumn("in_bucket_max", max(col("p_size")).over(wCheaper))
+      .withColumn("same_price_max", max(col("p_size")).over(wSamePrice))
+      .filter(coalesce(col("in_bucket_max") >= col("p_size"), lit(false)) === false &&
+        coalesce(col("prefix_max") >= col("p_size"), lit(false)) === false &&
+        col("same_price_max") <= col("p_size"))
+      .select(col("p_partkey"), col("price_cents"), col("p_size"))
+      .orderBy(col("price_cents"), col("p_partkey"))
+  }
+
+  val skylineSql: String =
+    """WITH p AS (
+      |  SELECT p_partkey,
+      |         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+      |         p_size
+      |  FROM part)
+      |SELECT p_partkey, price_cents, p_size
+      |FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+      |    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+      |ORDER BY price_cents, p_partkey""".stripMargin
+
+  // ---------- referential-integrity audit ----------
+
+  /** Warehouse FK audit: for every declared child→parent relationship,
+    * the child row count, orphan row count (child rows whose key has no
+    * parent — NULL keys count as orphans, matching NOT EXISTS), and
+    * distinct orphan key count. Each relationship is one LEFT ANTI join
+    * on the key (dim parents broadcast via Catalyst's size estimate;
+    * the fact-fact arms hash-partition) feeding 1-row aggregates — the
+    * whole audit output is 6 rows at any scale. The key projections
+    * prune to single columns at the scan.
+    */
+  def fkAudit(s: SparkSession, d: String): DataFrame = {
+    def rel(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val ch = child.select(col(fk).as("fk"))
+      val orphan = ch.join(parent.select(col(pk).as("pk")),
+        col("fk") === col("pk"), "left_anti")
+      ch.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphan.agg(count(lit(1)).as("n_orphan"),
+          countDistinct(col("fk")).as("n_orphan_keys")))
+        .select(lit(name).as("rel"), col("n_child"), col("n_orphan"),
+          col("n_orphan_keys"))
+    }
+    val l = Tables.lineitem(s, d)
+    rel("customer.c_nationkey->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey")
+      .unionAll(rel("lineitem.l_orderkey->orders", l, "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"))
+      .unionAll(rel("lineitem.l_partkey->part", l, "l_partkey",
+        Tables.part(s, d), "p_partkey"))
+      .unionAll(rel("lineitem.l_suppkey->supplier", l, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"))
+      .unionAll(rel("nation.n_regionkey->region", Tables.nation(s, d),
+        "n_regionkey", Tables.region(s, d), "r_regionkey"))
+      .unionAll(rel("orders.o_custkey->customer", Tables.orders(s, d),
+        "o_custkey", Tables.customer(s, d), "c_custkey"))
+      .orderBy(col("rel"))
+  }
+
+  val fkAuditSql: String = {
+    def rel(name: String, child: String, fk: String, parent: String,
+        pk: String): String =
+      s"""SELECT '$name' AS rel,
+         |       (SELECT COUNT(*) FROM $child) AS n_child,
+         |       COUNT(*) AS n_orphan,
+         |       COUNT(DISTINCT $fk) AS n_orphan_keys
+         |FROM $child c
+         |WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)""".stripMargin
+    Seq(
+      rel("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      rel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      rel("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      rel("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      rel("nation.n_regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey"),
+      rel("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rel")
+  }
+
+  // ---------- grouped mode (most frequent value) ----------
+
+  /** Exact grouped MODE with a deterministic tie-break: the most common
+    * order priority per market segment (ties resolved to the
+    * lexicographically smallest value). Two hash aggregates — the
+    * (segment, priority) count, then an argmax over the ≤|segments|·5
+    * counted rows via `max(struct(cnt, priority))` — the same
+    * partial-aggregating struct-max trick as [[argmaxOrder]] (the
+    * priority rides NEGATED lexicographically via a rank map so that
+    * MAX prefers the SMALLEST string on count ties; with 5 known
+    * priorities the rank is a simple substring-to-int). No window, no
+    * sort, fully map-side combinable.
+    */
+  def groupedMode(s: SparkSession, d: String): DataFrame = {
+    val counted = Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    // '1-URGENT' .. '5-LOW': leading digit is a total order; negate so
+    // struct-max ties break toward the smallest priority string
+    counted
+      .withColumn("prio_rank",
+        -substring(col("o_orderpriority"), 1, 1).cast("int"))
+      .groupBy(col("c_mktsegment"))
+      .agg(max(struct(col("cnt"), col("prio_rank"),
+        col("o_orderpriority"))).as("m"))
+      .select(col("c_mktsegment"), col("m.o_orderpriority").as("mode_priority"),
+        col("m.cnt").as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val groupedModeSql: String =
+    """WITH counted AS (
+      |  SELECT c_mktsegment, o_orderpriority, COUNT(*) AS cnt
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT c_mktsegment, o_orderpriority, cnt,
+      |         row_number() OVER (PARTITION BY c_mktsegment
+      |                            ORDER BY cnt DESC, o_orderpriority ASC)
+      |           AS rn
+      |  FROM counted)
+      |SELECT c_mktsegment, o_orderpriority AS mode_priority,
+      |       cnt AS n_orders
+      |FROM ranked WHERE rn = 1
+      |ORDER BY c_mktsegment""".stripMargin
 }

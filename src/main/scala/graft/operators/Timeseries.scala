@@ -173,4 +173,135 @@ object Timeseries {
        |FROM m CROSS JOIN breaks
        |ORDER BY user_id, seg""".stripMargin
   }
+
+  // ---------- rolling window statistics over the daily revenue series ----
+
+  /** EWMA window length (terms) and the implied weight denominator
+    * Σ 2^j, j<8 = 255: ewma = ewma_num / 255.
+    */
+  val EwmaTerms = 8
+
+  /** Rolling daily-revenue statistics: the company-wide order series on a
+    * DENSE day spine (silent days become explicit zero rows — frame
+    * semantics over a gappy series silently shrink the window), with a
+    * trailing 7-day sum/min/max/count, day-over-day delta, and an
+    * EXPONENTIALLY weighted moving average in exact integers: the EWMA
+    * with α = 1/2 truncated to [[EwmaTerms]] terms has dyadic weights
+    * 2^(7-j), so the NUMERATOR `Σ rev(t-j)·2^(7-j)` is an exact BIGINT
+    * and the consumer divides by 255 — no float ever accumulates (the
+    * trend/gini discipline applied to smoothing).
+    *
+    * Scale shape: the one row-scaled pass is the (day) hash aggregate
+    * with map-side combine; everything after operates on the
+    * calendar-bounded daily table (~2,400 rows for the driver's 7-year
+    * span at ANY SF — this is the same bounded-domain argument as
+    * [[graft.operators.EventOps.trend]]), so the dense spine generation
+    * and the single-series windows are domain-bounded, not row-scaled.
+    */
+  def rollingStats(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(expr(s"unix_millis(CAST(o_orderdate AS TIMESTAMP)) div $DayMs").as("day"),
+        cents(col("o_totalprice")).as("v"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("v")).as("day_cents"))
+    val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val dense = spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("day_cents"), lit(0L)).as("day_cents"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    val wLag = Window.orderBy(col("day"))
+    val ewmaNum = (0 until EwmaTerms).map { j =>
+      val term = if (j == 0) col("day_cents")
+        else coalesce(lag(col("day_cents"), j).over(wLag), lit(0L))
+      term * lit(1L << (EwmaTerms - 1 - j))
+    }.reduce(_ + _)
+    dense.select(col("day"), col("n_orders"), col("day_cents"),
+        sum(col("day_cents")).over(w7).as("ma7_cents"),
+        min(col("day_cents")).over(w7).as("min7_cents"),
+        max(col("day_cents")).over(w7).as("max7_cents"),
+        count(lit(1)).over(w7).as("n7"),
+        (col("day_cents") - lag(col("day_cents"), 1).over(wLag))
+          .as("delta_cents"),
+        ewmaNum.as("ewma_num"))
+      .orderBy(col("day"))
+  }
+
+  val rollingStatsSql: String = {
+    val ewma = (0 until EwmaTerms).map { j =>
+      val w = 1L << (EwmaTerms - 1 - j)
+      if (j == 0) s"day_cents * $w"
+      else s"COALESCE(lag(day_cents, $j) OVER (ORDER BY day), 0) * $w"
+    }.mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT epoch_ms(o_orderdate) // $DayMs AS day,
+       |         COUNT(*) AS n_orders,
+       |         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+       |           AS BIGINT) AS day_cents
+       |  FROM orders GROUP BY 1),
+       |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+       |spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b),
+       |dense AS (
+       |  SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders,
+       |         COALESCE(d.day_cents, 0) AS day_cents
+       |  FROM spine s LEFT JOIN daily d USING (day))
+       |SELECT day, CAST(n_orders AS BIGINT) AS n_orders, day_cents,
+       |       CAST(SUM(day_cents) OVER w7 AS BIGINT) AS ma7_cents,
+       |       CAST(MIN(day_cents) OVER w7 AS BIGINT) AS min7_cents,
+       |       CAST(MAX(day_cents) OVER w7 AS BIGINT) AS max7_cents,
+       |       CAST(COUNT(*) OVER w7 AS BIGINT) AS n7,
+       |       CAST(day_cents - lag(day_cents, 1) OVER (ORDER BY day)
+       |         AS BIGINT) AS delta_cents,
+       |       CAST($ewma AS BIGINT) AS ewma_num
+       |FROM dense
+       |WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |ORDER BY day""".stripMargin
+  }
+
+  // ---------- weekday seasonality decomposition ----------
+
+  /** Additive seasonal decomposition of daily revenue by WEEKDAY in
+    * exact rational form: each day's revenue against its weekday's mean,
+    * with the residual cross-multiplied (`resid_num = day_cents·n_w −
+    * sum_w`; the consumer divides by n_w) so no float division decides a
+    * value — the [[graft.operators.EventOps.trend]] exactness discipline
+    * applied to the classic trend/seasonal/residual split. Weekday is
+    * pure integer arithmetic on the epoch-day (`(day + 4) mod 7`, 0 =
+    * Sunday — engine-neutral, where dayofweek() conventions differ
+    * between Spark and DuckDB). One row-scaled (day) aggregate; the
+    * weekday profile is a 7-row broadcast joined back to the
+    * calendar-bounded daily table.
+    */
+  def seasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(expr(s"unix_millis(CAST(o_orderdate AS TIMESTAMP)) div $DayMs").as("day"),
+        cents(col("o_totalprice")).as("v"))
+      .groupBy(col("day"))
+      .agg(sum(col("v")).as("day_cents"))
+      .withColumn("weekday", ((col("day") + 4) % 7).cast("int"))
+    val profile = daily.groupBy(col("weekday"))
+      .agg(count(lit(1)).as("n_w"), sum(col("day_cents")).as("sum_w"))
+    daily.join(broadcast(profile), Seq("weekday"))
+      .select(col("day"), col("weekday"), col("day_cents"), col("n_w"),
+        col("sum_w"),
+        (col("day_cents") * col("n_w") - col("sum_w")).as("resid_num"))
+      .orderBy(col("day"))
+  }
+
+  val seasonalDecomposeSql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_ms(o_orderdate) // $DayMs AS day,
+       |         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+       |           AS BIGINT) AS day_cents
+       |  FROM orders GROUP BY 1),
+       |wd AS (SELECT *, CAST((day + 4) %% 7 AS INT) AS weekday FROM daily),
+       |profile AS (
+       |  SELECT weekday, COUNT(*) AS n_w,
+       |         CAST(SUM(day_cents) AS BIGINT) AS sum_w
+       |  FROM wd GROUP BY weekday)
+       |SELECT day, weekday, day_cents, n_w, sum_w,
+       |       CAST(day_cents * n_w - sum_w AS BIGINT) AS resid_num
+       |FROM wd JOIN profile USING (weekday)
+       |ORDER BY day""".stripMargin
+      .replace("%%", "%")
 }

@@ -200,4 +200,59 @@ class MultimodalSpec extends SparkSpecBase {
       assert(rows(name).getAs[Long]("checksum") === crc.getValue)
     }
   }
+
+  test("WAV round trip: the RIFF parser recovers the exact PCM through " +
+      "the odd-sized junk chunk, and rejects poison") {
+    Seq(0L, 3L, 41L, 1234L).foreach { id =>
+      val clip = Multimodal.parseWav(Multimodal.synthWav(id))
+        .getOrElse(fail(s"clip $id did not parse"))
+      assert(clip.sampleRate === Multimodal.WavSampleRate)
+      assert(clip.channels === 1 && clip.bitsPerSample === 8)
+      assert(clip.samples.length === Multimodal.wavSampleCount(id))
+      clip.samples.zipWithIndex.foreach { case (b, i) =>
+        assert((b & 0xff) === Multimodal.wavSample(id, i.toLong))
+      }
+    }
+    val good = Multimodal.synthWav(7L)
+    // poison inputs: None, never a throw
+    assert(Multimodal.parseWav(null) === None)
+    assert(Multimodal.parseWav(Array.empty[Byte]) === None)
+    assert(Multimodal.parseWav(good.take(40)) === None) // truncated data
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    assert(Multimodal.parseWav(badMagic) === None)
+    // a declared chunk size running past the buffer must not read OOB
+    val badSize = good.clone()
+    badSize(16) = 0x7f // fmt size low byte blown up
+    assert(Multimodal.parseWav(badSize) === None)
+  }
+
+  test("audio frame features match a sequential recompute over the " +
+      "parsed samples") {
+    val got = Multimodal.audioFeatures(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val byDoc = got.groupBy(_.getLong(0))
+    val docIds = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(byDoc.keySet === docIds.toSet)
+    docIds.take(20).foreach { id =>
+      val smp = Multimodal.parseWav(Multimodal.synthWav(id)).get.samples
+      val frames = byDoc(id).sortBy(_.getInt(1))
+      val F = Multimodal.WavFrameLen
+      assert(frames.length === (smp.length + F - 1) / F)
+      frames.foreach { r =>
+        val lo = r.getInt(1) * F
+        val c = smp.slice(lo, math.min(lo + F, smp.length))
+          .map(b => (b & 0xff) - 128)
+        assert(r.getLong(2) === c.length.toLong)
+        assert(r.getLong(3) === c.map(x => x.toLong * x).sum)
+        assert(r.getLong(4) === c.map(x => math.abs(x).toLong).max)
+        val zc = c.toSeq.sliding(2).count {
+          case Seq(p, x) => (x >= 0) != (p >= 0)
+          case _         => false
+        }
+        assert(r.getLong(5) === zc.toLong)
+        assert(r.getInt(6) === Multimodal.WavSampleRate)
+      }
+    }
+  }
 }

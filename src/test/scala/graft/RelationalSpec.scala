@@ -582,4 +582,136 @@ class RelationalSpec extends SparkSpecBase {
           s"${r.getAs[Long]("exact_parts")} err=${r.getAs[Double]("rel_err")}")
     }
   }
+
+  test("Q15: the returned suppliers are exactly the revenue-max ties over " +
+      "a recomputed windowed revenue table") {
+    val got = Relational.tpchQ15(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val rev = graft.Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= Relational.Q15Start &&
+        col("l_shipdate") < Relational.Q15End)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr(
+        "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)" +
+          " AS BIGINT)")).as("rev"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mx = rev.values.max
+    val wantKeys = rev.filter(_._2 == mx).keySet
+    assert(got.map(_.getLong(0)).toSet === wantKeys)
+    got.foreach(r => assert(r.getLong(2) === mx))
+  }
+
+  test("Q22: membership rechecks — above slice average, no urgent order") {
+    val got = Relational.tpchQ22(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val cust = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("bal"))
+      .collect().map(r => (r.getLong(0), r.getInt(1) % Relational.Q22CodeMod,
+        r.getLong(2)))
+      .filter(t => Relational.Q22Codes.contains(t._2))
+    val urgent = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val pos = cust.map(_._3).filter(_ > 0)
+    val (nPos, sumPos) = (pos.length.toLong, pos.sum)
+    val eligible = cust.filter(t => t._3 * nPos > sumPos)
+      .filterNot(t => urgent.contains(t._1))
+    val want = eligible.groupBy(_._2).view
+      .mapValues(ts => (ts.length.toLong, ts.map(_._3).sum)).toMap
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val (n, tot) = want(r.getInt(0))
+      assert(r.getLong(1) === n && r.getLong(2) === tot, r.toString)
+    }
+  }
+
+  test("skyline equals brute-force Pareto dominance and plans without a " +
+      "cartesian/nested-loop join") {
+    val df = Relational.skyline(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      plan.take(1200))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    val all = graft.Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").as("pc"),
+        col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val want = all.filter { a =>
+      !all.exists(b => b._2 <= a._2 && b._3 >= a._3 &&
+        (b._2 < a._2 || b._3 > a._3))
+    }.map(t => (t._1, t._2, t._3)).toSet
+    assert(got.toSet === want)
+    // frontier is a strict staircase once collapsed to distinct prices:
+    // among frontier points, higher price never buys a smaller-or-equal
+    // max size
+    val stair = got.groupBy(_._2).view.mapValues(_.map(_._3).max)
+      .toSeq.sortBy(_._1).map(_._2)
+    stair.sliding(2).foreach {
+      case Seq(a, b) => assert(a < b, s"non-strict staircase: $stair")
+      case _         => ()
+    }
+  }
+
+  test("fk audit: six relationships, child counts match the tables, zero " +
+      "orphans on the driver's referentially-intact data") {
+    val got = Relational.fkAudit(spark, sfDir).collect()
+    assert(got.length === 6)
+    val counts = Map(
+      "lineitem"  -> graft.Tables.lineitem(spark, sfDir).count(),
+      "orders"    -> graft.Tables.orders(spark, sfDir).count(),
+      "customer"  -> graft.Tables.customer(spark, sfDir).count(),
+      "nation"    -> graft.Tables.nation(spark, sfDir).count())
+    got.foreach { r =>
+      val child = r.getString(0).split("\\.").head
+      assert(r.getLong(1) === counts(child), r.toString)
+      assert(r.getLong(2) === 0L && r.getLong(3) === 0L, r.toString)
+    }
+  }
+
+  test("market share: region slice never exceeds the total and the ppm " +
+      "division is exact") {
+    val got = Relational.marketShare(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (tot, reg, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(reg >= 0L && reg <= tot)
+      assert(ppm === (BigInt(reg) * 1000000 / tot).toLong, r.toString)
+    }
+    // totals recheck against a direct yearly revenue aggregate
+    val want = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"))
+      .agg(sum(expr(
+        "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)" +
+          " AS BIGINT)")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.map(_.getLong(0)).toSet === want.keySet)
+    got.foreach(r => assert(r.getLong(1) === want(r.getLong(0))))
+  }
+
+  test("grouped mode matches the window-based reference with the smallest-" +
+      "priority tie-break, and plans with no window exchange") {
+    val df = Relational.groupedMode(spark, sfDir)
+    // the whole point of the struct-max: no Window operator anywhere
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+    val got = df.collect()
+    assert(got.nonEmpty)
+    val counted = graft.Tables.customer(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority")).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = counted.groupBy(_._1).view.mapValues { rows =>
+      rows.minBy(t => (-t._3, t._2))
+    }.toMap
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val (_, prio, cnt) = want(r.getString(0))
+      assert(r.getString(1) === prio && r.getLong(2) === cnt, r.toString)
+    }
+  }
 }

@@ -88,4 +88,48 @@ class TimeseriesSpec extends SparkSpecBase {
     }
     assert(byMean.distinct.length == 4)
   }
+
+  test("rolling stats: dense day spine, trailing-7 frames and the dyadic " +
+      "EWMA numerator match a sequential recompute") {
+    val got = Timeseries.rollingStats(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)), r.getLong(8)))
+    assert(got.nonEmpty)
+    // dense, consecutive, sorted spine
+    got.map(_._1).sliding(2).foreach {
+      case Array(a, b) => assert(b == a + 1, s"gap in spine at $a -> $b")
+      case _           => ()
+    }
+    val v = got.map(_._3)
+    got.zipWithIndex.foreach { case (r, i) =>
+      val frame = v.slice(math.max(0, i - 6), i + 1)
+      assert(r._4 == frame.sum && r._5 == frame.min && r._6 == frame.max &&
+        r._7 == frame.length.toLong, s"frame mismatch at day ${r._1}")
+      val delta = if (i == 0) None else Some(v(i) - v(i - 1))
+      assert(r._8 == delta, s"delta at day ${r._1}")
+      val ewma = (0 until Timeseries.EwmaTerms).map { j =>
+        (if (i - j >= 0) v(i - j) else 0L) *
+          (1L << (Timeseries.EwmaTerms - 1 - j))
+      }.sum
+      assert(r._9 == ewma, s"ewma at day ${r._1}")
+    }
+  }
+
+  test("seasonal decomposition: residual numerators cancel within every " +
+      "weekday — the additive-profile identity") {
+    val got = Timeseries.seasonalDecompose(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(got.nonEmpty)
+    assert(got.forall(t => t._2 >= 0 && t._2 < 7))
+    // Σ_{days of weekday w} (day_cents·n_w − sum_w) = n_w·sum_w − n_w·sum_w
+    got.groupBy(_._2).foreach { case (wd, rows) =>
+      assert(rows.map(_._6).sum == 0L, s"weekday $wd residuals don't cancel")
+      assert(rows.length.toLong == rows.head._4)
+      assert(rows.map(_._3).sum == rows.head._5)
+    }
+    // weekday tag is the epoch-day arithmetic, not an engine dayofweek
+    got.foreach(t => assert(((t._1 + 4) % 7).toInt == t._2))
+  }
 }
