@@ -129,6 +129,7 @@ object SparkEntry {
     "q_map_funcs"       -> (EventOps.mapFuncs _),
     "q_pivot"           -> (EventOps.pivotEvents _),
     "q_asof_join"       -> (EventOps.asofJoin _),
+    "q_asof_native"     -> (EventOps.asofJoinNative _),
     "q_funnel"          -> (EventOps.funnel _),
     "q_transitions"     -> (EventOps.transitions _),
     "q_retention"       -> (EventOps.retention _),
@@ -340,6 +341,8 @@ object SparkEntry {
     "q_map_funcs"       -> EventOps.mapFuncsSql,
     "q_pivot"           -> EventOps.pivotEventsSql,
     "q_asof_join"       -> EventOps.asofJoinSql,
+    // identical semantics through the native operator — same oracle
+    "q_asof_native"     -> EventOps.asofJoinSql,
     "q_funnel"          -> EventOps.funnelSql,
     "q_transitions"     -> EventOps.transitionsSql,
     "q_retention"       -> EventOps.retentionSql,

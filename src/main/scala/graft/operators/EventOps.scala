@@ -185,6 +185,29 @@ object EventOps {
       |                                    o_orderkey DESC NULLS LAST) = 1
       |ORDER BY event_id""".stripMargin
 
+  /** [[asofJoin]] through the NATIVE operator
+    * ([[graft.plans.AsOfJoinExec]] — custom LogicalPlan + Strategy +
+    * SparkPlan, the whole-operator extension tier): one hash exchange
+    * and one sort per side, then a single forward merge pass per
+    * partition with no timeline union, no null padding, no window
+    * state. Identical semantics and oracle as the composed form;
+    * AsOfJoinSpec pins the physical node and row-for-row equality.
+    */
+  def asofJoinNative(s: SparkSession, d: String): DataFrame = {
+    val e = withTsMs(Tables.events(s, d))
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    val o = Tables.orders(s, d).select(
+        col("o_custkey").as("r_user_id"),
+        col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"))
+      .filter(col("order_ms").isNotNull)
+    graft.plans.AsOfJoin(e, o, "user_id", "r_user_id", "ts_ms",
+        "order_ms", "o_orderkey")
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("o_orderkey"), col("order_ms"))
+      .orderBy(col("event_id"))
+  }
+
   /** Fixed event-type domain (deterministic schema — at scale you never
     * want pivot's value-discovery scan anyway). Declared before its users:
     * object vals initialize in declaration order.

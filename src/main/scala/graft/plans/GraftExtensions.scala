@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer-rule tier of the extension surface (beside the analysis
     // check rule above and the expression injections below)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    // whole-operator tier: the native backward AS-OF merge join
+    // (AsOfJoinPlan -> AsOfJoinExec)
+    ext.injectPlannerStrategy(_ => GraftStrategy)
     val (info: ExpressionInfo, builder) =
       FunctionRegistryBase.build[CosineSimilarity]("cosine_sim", since = None)
     ext.injectFunction((FunctionIdentifier("cosine_sim"), info,

@@ -14,6 +14,14 @@ import org.apache.spark.sql.classic.Dataset
   */
 object PlanBridge {
 
+  /** Wrap a (possibly custom) logical plan as a DataFrame — the
+    * construction seam for graft's own logical nodes (AsOfJoinPlan).
+    */
+  def ofRows(s: org.apache.spark.sql.SparkSession,
+      plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   def stripPresentationSort(df: DataFrame): DataFrame = {
     val stripped = df.queryExecution.logical match {
       case s: Sort if s.global                      => Some(s.child)
