@@ -44,7 +44,11 @@ object ScaleBench {
     "q_cumulative_uniques", "q_trend", "q_assoc_rules", "q_winsorize",
     "q_argmax", "q_gini",
     // round-10 additions
-    "q_tpch_q17", "q_dpp_star", "q_time_travel", "q_bpe_vocab", "q_bpe_encode")
+    "q_tpch_q17", "q_dpp_star", "q_time_travel", "q_bpe_vocab", "q_bpe_encode",
+    // round-10 session-II additions
+    "q_tpch_q15", "q_tpch_q22", "q_market_share", "q_skyline", "q_fk_audit",
+    "q_mode", "q_rolling_stats", "q_seasonal", "q_audio_features",
+    "q_asof_join", "q_asof_native")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("spark.log.level", "ERROR")

@@ -148,10 +148,15 @@ object ScaleData {
             new java.sql.Timestamp(baseMs +
               Math.floorMod(mix(ok * 389L + k * 101L + 37L), spanMs)),
             (100L + Math.floorMod(mix(ok * 839L + k * 43L + 89L),
-              9999900L)) / 100.0d)
+              9999900L)) / 100.0d,
+            // discount in the driver's 0.00-0.10 / 11-step shape, so the
+            // revenue expressions (Q15's windowed max, the market-share
+            // ppm) ladder with the same arithmetic as the driver data
+            Math.floorMod(mix(ok * 947L + k * 59L + 101L), 11L) / 100.0d)
         }
       }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-          "l_quantity", "l_returnflag", "l_shipdate", "l_extendedprice")
+          "l_quantity", "l_returnflag", "l_shipdate", "l_extendedprice",
+          "l_discount")
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
       // part dim in the driver shape (25 brands, sizes 1..50) so the
       // Q17-shaped fact-side decorrelation ladders with lineitem
@@ -207,6 +212,11 @@ object ScaleData {
         (nk.toInt, s"NATION_$nk", (nk % 5L).toInt))
         .toDF("n_nationkey", "n_name", "n_regionkey")
         .write.mode("overwrite").parquet(s"$outDir/nation.parquet")
+      val regions = Array("AFRICA", "AMERICA", "ASIA", "EUROPE",
+        "MIDDLE EAST")
+      spark.range(5L).map(rk => (rk.toInt, regions(rk.toInt)))
+        .toDF("r_regionkey", "r_name")
+        .write.mode("overwrite").parquet(s"$outDir/region.parquet")
     }
     println(s"""{"docs":$nDocs,"vecs":$nVecs,"vocabMul":$vocabMul,"events":$nEvents,"orders":$nOrders,"dir":"$outDir"}""")
     spark.stop()
