@@ -765,11 +765,16 @@ object Maintenance {
 
   /** Snapshot read `AS OF` version v — scans exactly the live files of
     * that version, so every historical version stays queryable as long
-    * as its files aren't vacuumed. This is the table-format time-travel
+    * as its files aren't vacuumed; a version below the committed
+    * [[vacuumWatermark]] refuses CLEANLY here instead of failing
+    * mid-scan on deleted files. This is the table-format time-travel
     * contract: the LOG is the table; directories are just storage.
     */
-  def readVersion(s: SparkSession, root: String, v: Int): DataFrame =
+  def readVersion(s: SparkSession, root: String, v: Int): DataFrame = {
+    val wm = vacuumWatermark(s, root)
+    require(v >= wm, s"version $v expired: vacuum watermark is $wm")
     s.read.parquet(liveFiles(s, root, v).map(f => s"$root/$f"): _*)
+  }
 
   /** Lays down (once per JVM) the logged orders table — three committed
     * versions over the SAME log:
@@ -862,4 +867,120 @@ object Maintenance {
       |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
       |SELECT * FROM d WHERE change_type <> 'unchanged'
       |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_log_vacuum — version expiration over the transaction log
+  // ---------------------------------------------------------------------
+
+  /** VACUUM: expire every version below `keepFrom` and physically delete
+    * the data files no RETAINED version references. The retained live
+    * sets are folded from the committed manifests exactly as
+    * [[liveFiles]] does (catalog-sized work — versions × files metadata
+    * rows, never data rows); the deletable set is (files referenced by
+    * expired versions) minus (files referenced by any retained one), so
+    * a file shared across the boundary — the common case under
+    * compaction, where an old version's file survives into the current
+    * live set — is NEVER deleted. A `_vacuum_v<keepFrom>` watermark
+    * marker commits the expiration (the log's two-phase discipline):
+    * [[readVersion]] guarded by [[vacuumWatermark]] refuses expired
+    * versions cleanly instead of failing mid-scan on missing files.
+    * Returns (filesDeleted, filesRetained). Idempotent: a second pass
+    * finds nothing to delete.
+    */
+  private[graft] def vacuumLog(s: SparkSession, root: String,
+      keepFrom: Int): (Int, Int) = {
+    val latest = latestVersion(s, root)
+    require(keepFrom >= 1 && keepFrom <= latest,
+      s"keepFrom $keepFrom outside committed versions 1..$latest")
+    val keep = (keepFrom to latest)
+      .flatMap(v => liveFiles(s, root, v)).toSet
+    val expired = (1 until keepFrom)
+      .flatMap(v => liveFiles(s, root, v)).toSet
+    val dead = (expired -- keep).toSeq.sorted
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val deleted = dead.count { f =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$f"), true)
+    }
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/_log/_vacuum_v$keepFrom"), true).close()
+    (deleted, keep.size)
+  }
+
+  /** Lowest readable version after vacuuming (1 if never vacuumed). */
+  private[graft] def vacuumWatermark(s: SparkSession, root: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    Iterator.from(2)
+      .takeWhile(v => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/_log/_vacuum_v$v")))
+      .foldLeft(1)((_, v) => v)
+  }
+
+  /** The vacuumed twin of [[txnTableDir]] — its OWN fixture root (the
+    * time-travel query must keep reading v1 of the shared one), built
+    * with the same three commits, then vacuumed to keepFrom = 2 with
+    * the audit row persisted beside the log.
+    */
+  private[graft] def vacuumedTableDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val root = SetupOnce.runtimeDir(d, "orders_txnlog_vac")
+    SetupOnce(root) {
+      val o = Tables.orders(s, d)
+      def writeSnap(df: DataFrame, tag: String): Seq[String] = {
+        df.withColumn("bucket", pmod(col("o_orderkey"), lit(TxnBuckets)))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$root/data_$tag")
+        (0 until TxnBuckets).map(i => s"data_$tag/bucket=$i")
+      }
+      val a = o.filter(col("o_orderkey") % 10 =!= 0)
+      val b = o.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 7 === 0, lit("9-RECLASS"))
+            .otherwise(col("o_orderpriority")))
+      val v1Files = writeSnap(a, "a")
+      commitVersion(s, root, 1, v1Files, Nil)
+      val v2Files = writeSnap(b, "b")
+      commitVersion(s, root, 2, v2Files, v1Files)
+      readVersion(s, root, 2).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/data_c")
+      commitVersion(s, root, 3, Seq("data_c"), v2Files)
+      val (nDeleted, nRetained) = vacuumLog(s, root, keepFrom = 2)
+      Seq((2, 3, nDeleted, nRetained)).toDF("kept_from", "v_latest",
+          "n_files_deleted", "n_files_retained").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/_vacuum_audit")
+    }
+    root
+  }
+
+  /** Vacuum audit + post-vacuum read-back: the persisted expiration
+    * counts joined with an aggregate of the LATEST version read through
+    * the vacuumed log. The file counts are layout-determined (v1's
+    * [[TxnBuckets]] bucket dirs die — none survive into v2/v3, which
+    * reference data_b and the compacted data_c; retained = those 5);
+    * the row aggregate is data-derived, so the oracle recomputes it from
+    * the snapshot derivation and a vacuum that deleted a LIVE file
+    * hash-fails the read-back.
+    */
+  def logVacuum(s: SparkSession, d: String): DataFrame = {
+    val root = vacuumedTableDir(s, d)
+    val audit = s.read.parquet(s"$root/_vacuum_audit")
+      .select(col("kept_from").cast("int").as("kept_from"),
+        col("v_latest").cast("int").as("v_latest"),
+        col("n_files_deleted").cast("long").as("n_files_deleted"),
+        col("n_files_retained").cast("long").as("n_files_retained"))
+    val latest = readVersion(s, root, latestVersion(s, root))
+      .agg(count(lit(1)).as("n_rows_latest"),
+        sum(RefTransforms.cents(col("o_totalprice"))).as("total_cents"))
+    audit.crossJoin(latest)
+  }
+
+  val logVacuumSql: String =
+    s"""SELECT CAST(2 AS INT) AS kept_from, CAST(3 AS INT) AS v_latest,
+       |       CAST($TxnBuckets AS BIGINT) AS n_files_deleted,
+       |       CAST(${TxnBuckets + 1} AS BIGINT) AS n_files_retained,
+       |       COUNT(*) AS n_rows_latest,
+       |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+       |         AS BIGINT) AS total_cents
+       |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin
 }

@@ -1809,6 +1809,51 @@ object Relational {
       .mkString("", "\nUNION ALL\n", "\nORDER BY rel")
   }
 
+  // ---------- window distribution + navigation value functions ----------
+
+  /** The distribution/navigation window family [[windowRange]] doesn't
+    * cover: dense_rank and cume_dist over the per-segment balance
+    * ordering, plus nth_value/first-style navigation over an explicit
+    * running ROWS frame (the 3rd-smallest balance seen so far). The
+    * ordering is tie-broken on the key so every function is
+    * deterministic; cume_dist is a single IEEE division of two exact
+    * integers (identical bits cross-engine — the q_window_range
+    * percent_rank precedent). One |customers| window partitioned on the
+    * 5-value segment — fine here because customers-per-segment is
+    * balanced; a skewed partition-by would get the salted treatment.
+    */
+  def windowDist(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        cents(col("c_acctbal")).as("bal_cents"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("bal_cents"), col("c_custkey"))
+    base.select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"),
+        dense_rank().over(w).cast("long").as("drank"),
+        cume_dist().over(w).as("cdist"),
+        nth_value(col("bal_cents"), 3)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("third_smallest_cents"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val windowDistSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+      |       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+      |       cume_dist() OVER w AS cdist,
+      |       CAST(nth_value(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT), 3)
+      |              OVER (PARTITION BY c_mktsegment
+      |                    ORDER BY CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT),
+      |                             c_custkey
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS third_smallest_cents
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment
+      |             ORDER BY CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT),
+      |                      c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
   // ---------- grouped mode (most frequent value) ----------
 
   /** Exact grouped MODE with a deterministic tie-break: the most common

@@ -291,4 +291,28 @@ class MaintenanceSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("vacuum: expired version refused at the watermark, retained reads " +
+      "intact, boundary-shared files survive, idempotent") {
+    val root = Maintenance.vacuumedTableDir(spark, sfDir)
+    // v1 expired: the read refuses CLEANLY at the watermark (not a
+    // mid-scan missing-file failure)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.readVersion(spark, root, 1)
+    }
+    assert(e.getMessage.contains("watermark"))
+    // retained versions read back: v3 is v2's compaction, so both must
+    // equal the B-snapshot derivation — proof vacuum deleted no LIVE file
+    val v2 = Maintenance.readVersion(spark, root, 2)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val v3 = Maintenance.readVersion(spark, root, 3)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val want = graft.Tables.orders(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 13 =!= 0)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(v2.toSeq === want.toSeq && v3.toSeq === want.toSeq)
+    // a second vacuum at the same watermark finds nothing to delete
+    val (deleted2, retained2) = Maintenance.vacuumLog(spark, root, 2)
+    assert(deleted2 === 0 && retained2 === Maintenance.TxnBuckets + 1)
+  }
 }
