@@ -48,7 +48,10 @@ object ScaleBench {
     // round-10 session-II additions
     "q_tpch_q15", "q_tpch_q22", "q_market_share", "q_skyline", "q_fk_audit",
     "q_mode", "q_rolling_stats", "q_seasonal", "q_audio_features",
-    "q_asof_join", "q_asof_native")
+    "q_asof_join", "q_asof_native",
+    // round-10 session-III additions
+    "q_tpch_q2", "q_tpch_q11", "q_tpch_q16", "q_tpch_q19", "q_tpch_q20",
+    "q_corr_matrix")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("spark.log.level", "ERROR")

@@ -152,11 +152,14 @@ object ScaleData {
             // discount in the driver's 0.00-0.10 / 11-step shape, so the
             // revenue expressions (Q15's windowed max, the market-share
             // ppm) ladder with the same arithmetic as the driver data
-            Math.floorMod(mix(ok * 947L + k * 59L + 101L), 11L) / 100.0d)
+            Math.floorMod(mix(ok * 947L + k * 59L + 101L), 11L) / 100.0d,
+            // tax in the driver's 0.00-0.08 / 9-step shape (the fourth
+            // corr-matrix measure)
+            Math.floorMod(mix(ok * 1217L + k * 73L + 103L), 9L) / 100.0d)
         }
       }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_quantity", "l_returnflag", "l_shipdate", "l_extendedprice",
-          "l_discount")
+          "l_discount", "l_tax")
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
       // part dim in the driver shape (25 brands, sizes 1..50) so the
       // Q17-shaped fact-side decorrelation ladders with lineitem

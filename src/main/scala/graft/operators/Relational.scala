@@ -1900,4 +1900,662 @@ object Relational {
       |       cnt AS n_orders
       |FROM ranked WHERE rn = 1
       |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------- TPC-H Q2 shape: per-part min-cost supplier ----------
+
+  /** TPC-H-Q2-shaped min-cost sourcing: for each part in a size slice,
+    * the EUROPE supplier(s) whose total billed cents for that part equal
+    * the per-part MINIMUM over Europe suppliers (this schema has no
+    * partsupp, so per-(part, supplier) lineitem revenue stands in for
+    * ps_supplycost). Q2 proper writes this as a MIN correlated on the
+    * grouped cost table — and Catalyst decorrelates that fine, but
+    * InlineCTE expands the twice-referenced cost CTE into TWO complete
+    * fact builds (two lineitem scans; measured, and the branch-specific
+    * pushed filters land below the exchanges so ReuseExchange cannot
+    * stitch them back). The shipped plan is the equivalent window form:
+    * build cost ONCE (s_name/n_name ride along — functionally dependent
+    * on l_suppkey, so the grouping key is unchanged), take
+    * `MIN(cost_cents) OVER (PARTITION BY l_partkey)`, and keep the rows
+    * equal to their partition min. One fact scan, one (partkey, suppkey)
+    * aggregate exchange, one l_partkey window exchange; the dim snowflake
+    * broadcasts. Ties (two suppliers at the same min cost) surface as
+    * separate rows exactly like Q2 proper — the DuckDB oracle keeps the
+    * textbook correlated form, pinning the window≡correlated-min
+    * equivalence every round; top-100 compiles to TakeOrderedAndProject.
+    */
+  def tpchQ2(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q2")
+    Tables.part(s, d).createOrReplaceTempView("part_q2")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_q2")
+    Tables.nation(s, d).createOrReplaceTempView("nation_q2")
+    Tables.region(s, d).createOrReplaceTempView("region_q2")
+    s.sql(
+      """WITH eu AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier_q2
+        |  JOIN nation_q2 ON n_nationkey = s_nationkey
+        |  JOIN region_q2 ON r_regionkey = n_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cost AS (
+        |  SELECT l_partkey, s_name, n_name,
+        |         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+        |           AS BIGINT)) AS BIGINT) AS cost_cents
+        |  FROM lineitem_q2
+        |  JOIN eu ON s_suppkey = l_suppkey
+        |  GROUP BY l_partkey, l_suppkey, s_name, n_name),
+        |win AS (
+        |  SELECT l_partkey, s_name, n_name, cost_cents,
+        |         MIN(cost_cents) OVER (PARTITION BY l_partkey) AS min_cost
+        |  FROM cost)
+        |SELECT p_partkey, p_brand, s_name, n_name, cost_cents
+        |FROM part_q2
+        |JOIN win ON l_partkey = p_partkey
+        |WHERE p_size <= 10 AND cost_cents = min_cost
+        |ORDER BY cost_cents DESC, p_partkey, s_name
+        |LIMIT 100""".stripMargin)
+  }
+
+  val tpchQ2Sql: String =
+    """WITH eu AS (
+      |  SELECT s_suppkey, s_name, n_name
+      |  FROM supplier
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  JOIN region ON r_regionkey = n_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+      |           AS BIGINT)) AS BIGINT) AS cost_cents
+      |  FROM lineitem
+      |  JOIN eu ON s_suppkey = l_suppkey
+      |  GROUP BY l_partkey, l_suppkey)
+      |SELECT p_partkey, p_brand, s_name, n_name, cost_cents
+      |FROM part
+      |JOIN cost ON l_partkey = p_partkey
+      |JOIN eu ON eu.s_suppkey = cost.l_suppkey
+      |WHERE p_size <= 10
+      |  AND cost_cents = (SELECT MIN(c2.cost_cents) FROM cost c2
+      |                    WHERE c2.l_partkey = p_partkey)
+      |ORDER BY cost_cents DESC, p_partkey, s_name
+      |LIMIT 100""".stripMargin
+
+  // ---------- TPC-H Q11 shape: fraction-of-total value filter ----------
+
+  /** Nation slice for [[tpchQ11]] — the ASIA-coded nations (regionkey 2
+    * under the synthetic `i % 5` mapping), populated at every SF.
+    */
+  val Q11Nations: Seq[String] = Seq("NATION_2", "NATION_12", "NATION_22")
+
+  /** TPC-H-Q11-shaped important-value scan: per-part billed value from a
+    * nation slice's suppliers, keeping parts whose value exceeds
+    * 1/10 000 of the slice TOTAL. The defining shape is the
+    * fraction-of-total HAVING: the same grouped table feeds both the
+    * per-part rows and the global scalar. The scalar side plans as ONE
+    * uncorrelated Subquery stage evaluated once and broadcast into the
+    * filter — never per-row re-aggregation (the naive reading computes
+    * the total once per part). That does mean the value build runs twice
+    * (subquery + main), each a partial-agg-compressed broadcast-join
+    * scan; the one-scan alternatives measured WORSE here: a global
+    * `SUM() OVER ()` is a single-partition window over every part, and a
+    * ROLLUP self-join can't reuse the exchange because the grouping-id
+    * filters push below it into branch-specific partial aggregates
+    * (verified on the physical plan). Two pipelined scans is the honest
+    * distributed answer. The threshold test is
+    * cross-multiplied in decimal(38,0) (`value·10⁴ > total`) — BIGINT
+    * would wrap silently once slice revenue passes ~9·10¹⁴ cents, the
+    * trend/gini widening discipline.
+    */
+  def tpchQ11(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q11")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_q11")
+    Tables.nation(s, d).createOrReplaceTempView("nation_q11")
+    val nations = Q11Nations.map(n => s"'$n'").mkString(", ")
+    s.sql(
+      s"""WITH val AS (
+         |  SELECT l_partkey,
+         |         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+         |           AS BIGINT)) AS BIGINT) AS value_cents
+         |  FROM lineitem_q11
+         |  JOIN supplier_q11 ON s_suppkey = l_suppkey
+         |  JOIN nation_q11 ON n_nationkey = s_nationkey
+         |  WHERE n_name IN ($nations)
+         |  GROUP BY l_partkey)
+         |SELECT l_partkey AS p_key, value_cents
+         |FROM val
+         |WHERE CAST(value_cents AS DECIMAL(38,0)) * 10000 >
+         |      (SELECT SUM(value_cents) FROM val)
+         |ORDER BY value_cents DESC, p_key""".stripMargin)
+  }
+
+  val tpchQ11Sql: String = {
+    val nations = Q11Nations.map(n => s"'$n'").mkString(", ")
+    s"""WITH val AS (
+       |  SELECT l_partkey,
+       |         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+       |           AS BIGINT)) AS BIGINT) AS value_cents
+       |  FROM lineitem
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN nation ON n_nationkey = s_nationkey
+       |  WHERE n_name IN ($nations)
+       |  GROUP BY l_partkey)
+       |SELECT l_partkey AS p_key, value_cents
+       |FROM val
+       |WHERE CAST(value_cents AS HUGEINT) * 10000 >
+       |      (SELECT SUM(value_cents) FROM val)
+       |ORDER BY value_cents DESC, p_key""".stripMargin
+  }
+
+  // ---------- TPC-H Q16 shape: NOT IN null-aware anti join ----------
+
+  /** TPC-H-Q16-shaped supplier diversity count: distinct suppliers per
+    * (brand, size) over a part slice, EXCLUDING a supplier blacklist via
+    * `NOT IN (subquery)` — the one anti-join flavor the engine's plain
+    * `left_anti` queries ([[joinAnti]], [[fkAudit]]) never exercise:
+    * NOT IN is null-AWARE (a NULL in the blacklist empties the result),
+    * so Catalyst plans a null-aware broadcast anti join instead of a
+    * shuffled LeftAnti. That broadcast is the honest plan at every
+    * scale: the blacklist is a name-pattern slice of the supplier DIM
+    * (KBs at 100 TB), while the probe side stays hash-partitioned —
+    * a shuffled null-aware join does not exist and is not needed.
+    * COUNT(DISTINCT) goes through Spark's two-phase distinct expansion,
+    * partial on (brand, size, suppkey).
+    */
+  def tpchQ16(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q16")
+    Tables.part(s, d).createOrReplaceTempView("part_q16")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_q16")
+    s.sql(
+      """SELECT p_brand, p_size,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem_q16
+        |JOIN part_q16 ON p_partkey = l_partkey
+        |WHERE p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier_q16
+        |                        WHERE s_name LIKE '%7')
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)
+  }
+
+  val tpchQ16Sql: String =
+    """SELECT p_brand, p_size,
+      |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_name LIKE '%7')
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  // ---------- TPC-H Q19 shape: disjunctive pushdown ----------
+
+  /** TPC-H-Q19-shaped disjunctive revenue: three OR'd conjunctions each
+    * tying a part predicate (brand + size band) to a fact predicate
+    * (quantity band). The point is what the optimizer does with the OR:
+    * no single conjunct can move below the join, but Catalyst's
+    * CNF-based extraction (`extractPredicatesWithinOutputSet`) derives
+    * the IMPLIED per-side disjunctions — `(brand=12 ∧ size≤5) ∨ …` onto
+    * the part scan and `(qty≤11) ∨ (10≤qty≤20) ∨ (20≤qty≤30)` onto the
+    * lineitem scan — so both parquet scans prune before the join while
+    * the full predicate re-applies above it. The quantity predicate
+    * compares the raw DOUBLE column (quantities are integral, so the
+    * band edges are exact): wrapping it in a bigint cast would keep the
+    * derived disjunction out of `PushedFilters` and forfeit row-group
+    * skipping on the fact scan. RelationalSpec pins BOTH pushed
+    * disjunctions. Revenue is discounted exact cents.
+    */
+  def tpchQ19(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity").as("qty"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev_cents"))
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("qty").between(1.0, 11.0)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("qty").between(10.0, 20.0)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("qty").between(20.0, 30.0)))
+      .agg(sum(col("rev_cents")).as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val tpchQ19Sql: String =
+    """SELECT CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents,
+      |       COUNT(*) AS n_lines
+      |FROM (SELECT l_partkey, l_quantity AS qty,
+      |             CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+      |               + 0.5) AS BIGINT) AS rev_cents
+      |      FROM lineitem) l
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND qty BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND qty BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+      |       AND qty BETWEEN 20 AND 30)""".stripMargin
+
+  // ---------- pairwise correlation matrix from exact moments ----------
+
+  /** The integer-rescaled lineitem measures the correlation matrix runs
+    * over: quantity as-is, price in cents, discount/tax in basis points.
+    */
+  private val CorrCols = Seq("qty", "price", "disc", "tax")
+
+  /** Pairwise Pearson correlation matrix over the four lineitem
+    * measures, computed from EXACT integer moments in ONE pass: a single
+    * map-side-combined aggregate produces n, the four sums, and the ten
+    * pairwise products (all products decimal(38,0) — price² is ~10¹⁴ per
+    * row, so BIGINT accumulation wraps within a few thousand rows; the
+    * trend/gini widening discipline), and a 1-row explode fans the ten
+    * moments into the six correlation rows — NOT a 6-way union of
+    * selects over the aggregate, which would re-run the scan per pair.
+    * Like [[graft.operators.EventOps.trend]], the output stays an exact
+    * rational: corr² = corr_num² / (var_x_num·var_y_num), so no sqrt or
+    * float division ever runs engine-side and the oracle hash is
+    * byte-stable. Scale: the only row-scaled work is the one partial
+    * aggregate; everything after is a constant 6 rows.
+    */
+  def corrMatrix(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = Tables.lineitem(s, d).select(
+      col("l_quantity").cast("long").as("qty"),
+      cents(col("l_extendedprice")).as("price"),
+      floor(col("l_discount") * 10000d + 0.5d).cast("long").as("disc"),
+      floor(col("l_tax") * 10000d + 0.5d).cast("long").as("tax"))
+    val aggExprs =
+      Seq(count(lit(1)).as("n")) ++
+        CorrCols.map(c => sum(col(c)).as(s"s_$c")) ++
+        (for {
+          i <- CorrCols.indices; j <- i until CorrCols.length
+        } yield sum((col(CorrCols(i)) * col(CorrCols(j))).cast(dec))
+          .as(s"p_${CorrCols(i)}_${CorrCols(j)}"))
+    val m = base.agg(aggExprs.head, aggExprs.tail: _*)
+    val pairRows = for {
+      i <- CorrCols.indices; j <- (i + 1) until CorrCols.length
+      x = CorrCols(i); y = CorrCols(j)
+    } yield struct(
+      lit(x).as("x_col"), lit(y).as("y_col"), col("n"),
+      (col("n") * col(s"p_${x}_$y") -
+        col(s"s_$x").cast(dec) * col(s"s_$y")).cast(dec).as("corr_num"),
+      (col("n") * col(s"p_${x}_$x") -
+        col(s"s_$x").cast(dec) * col(s"s_$x")).cast(dec).as("var_x_num"),
+      (col("n") * col(s"p_${y}_$y") -
+        col(s"s_$y").cast(dec) * col(s"s_$y")).cast(dec).as("var_y_num"))
+    m.select(explode(array(pairRows: _*)).as("r"))
+      .select(col("r.x_col").as("x_col"), col("r.y_col").as("y_col"),
+        col("r.n").as("n"), col("r.corr_num").as("corr_num"),
+        col("r.var_x_num").as("var_x_num"),
+        col("r.var_y_num").as("var_y_num"))
+      .orderBy(col("x_col"), col("y_col"))
+  }
+
+  val corrMatrixSql: String = {
+    val pairs = for {
+      i <- CorrCols.indices; j <- (i + 1) until CorrCols.length
+    } yield (CorrCols(i), CorrCols(j))
+    val branches = pairs.map { case (x, y) =>
+      s"""SELECT '$x' AS x_col, '$y' AS y_col, n,
+         |  CAST(n * p_${x}_$y - CAST(s_$x AS HUGEINT) * s_$y
+         |    AS DECIMAL(38,0)) AS corr_num,
+         |  CAST(n * p_${x}_$x - CAST(s_$x AS HUGEINT) * s_$x
+         |    AS DECIMAL(38,0)) AS var_x_num,
+         |  CAST(n * p_${y}_$y - CAST(s_$y AS HUGEINT) * s_$y
+         |    AS DECIMAL(38,0)) AS var_y_num
+         |FROM m""".stripMargin
+    }
+    val sums = CorrCols.map(c => s"CAST(SUM($c) AS BIGINT) AS s_$c")
+    val prods = for {
+      i <- CorrCols.indices; j <- i until CorrCols.length
+      x = CorrCols(i); y = CorrCols(j)
+    } yield s"CAST(SUM(CAST($x AS HUGEINT) * $y) AS HUGEINT) AS p_${x}_$y"
+    s"""WITH b AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+       |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+       |           AS price,
+       |         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS disc,
+       |         CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS tax
+       |  FROM lineitem),
+       |m AS (SELECT COUNT(*) AS n,
+       |  ${(sums ++ prods).mkString(",\n  ")}
+       |  FROM b)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY x_col, y_col""".stripMargin
+  }
+
+  // ---------- TPC-H Q20 shape: nested semi over correlated agg ----------
+
+  /** TPC-H-Q20-shaped dominant-supplier scan: suppliers who, for some
+    * part in a type slice, shipped MORE THAN HALF of that part's total
+    * quantity (no partsupp in this schema, so the per-(part, supplier)
+    * shipped sum stands in for ps_availqty and the per-part total for
+    * the correlated demand sum — the nesting is identical). Two
+    * decorrelations stack: the correlated scalar over the raw fact
+    * becomes a pre-aggregated l_partkey join against the grouped
+    * (part, supplier) table, and the enclosing `IN` becomes a LeftSemi
+    * into the supplier dim — aggregate-below-semi-below-join, the only
+    * query where both rewrites compose. All exchanges key on l_partkey
+    * or s_suppkey; the half test is cross-multiplied BIGINT
+    * (`2·q_ps > q_p`), never a float division.
+    */
+  def tpchQ20(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q20")
+    Tables.part(s, d).createOrReplaceTempView("part_q20")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_q20")
+    Tables.nation(s, d).createOrReplaceTempView("nation_q20")
+    s.sql(
+      """SELECT s_name, n_name
+        |FROM supplier_q20
+        |JOIN nation_q20 ON n_nationkey = s_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT ps.l_suppkey
+        |  FROM (SELECT l_partkey, l_suppkey,
+        |               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |                 AS q_ps
+        |        FROM lineitem_q20
+        |        JOIN part_q20 ON p_partkey = l_partkey
+        |        WHERE p_type = 'SMALL'
+        |        GROUP BY l_partkey, l_suppkey) ps
+        |  WHERE ps.q_ps * 2 >
+        |        (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |         FROM lineitem_q20 l2
+        |         WHERE l2.l_partkey = ps.l_partkey))
+        |ORDER BY s_name""".stripMargin)
+  }
+
+  val tpchQ20Sql: String =
+    """SELECT s_name, n_name
+      |FROM supplier
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT ps.l_suppkey
+      |  FROM (SELECT l_partkey, l_suppkey,
+      |               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |                 AS q_ps
+      |        FROM lineitem
+      |        JOIN part ON p_partkey = l_partkey
+      |        WHERE p_type = 'SMALL'
+      |        GROUP BY l_partkey, l_suppkey) ps
+      |  WHERE ps.q_ps * 2 >
+      |        (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |         FROM lineitem l2
+      |         WHERE l2.l_partkey = ps.l_partkey))
+      |ORDER BY s_name""".stripMargin
+
+  // ---------- TPC-H Q4 shape: EXISTS under a grouped count ----------
+
+  /** TPC-H-Q4-shaped priority count: orders placed in a quarter that
+    * have at least one RETURNED line (this schema has no
+    * commitdate/receiptdate, so `l_returnflag = 'R'` stands in for the
+    * late-delivery EXISTS — the shape is identical), counted per
+    * priority. What this adds over [[joinSemi]]: the EXISTS sits UNDER a
+    * grouped aggregate, so the decorrelated LeftSemi must run fact-first
+    * and the count sees each order once no matter how many lines matched
+    * — a plain inner join would double-count multi-line orders. The date
+    * window pushes to the orders scan; the semi probe side carries only
+    * (l_orderkey) after pruning.
+    */
+  def tpchQ4(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_q4")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q4")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders_q4
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem_q4
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val tpchQ4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------- TPC-H Q5 shape: cyclic join (local supplier volume) ----------
+
+  /** TPC-H-Q5-shaped local-supplier volume: revenue per nation for ASIA
+    * customers served by a supplier in the SAME nation. The defining
+    * feature is the CYCLE in the join graph: `c_nationkey = s_nationkey`
+    * is not a star edge — it closes customer→orders→lineitem→supplier
+    * back to customer, and Catalyst folds it into the supplier join as a
+    * second equality key (suppkey AND nationkey), so no post-join filter
+    * and no extra exchange. nation⋈region broadcast; the date window
+    * pushes to the orders scan; revenue aggregates map-side per nation
+    * (25 groups).
+    */
+  def tpchQ5(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1997-01-01")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev_cents"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    c.join(o, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("n_nationkey") === col("s_nationkey"))
+      .join(r, col("r_regionkey") === col("n_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_cents")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
+
+  val tpchQ5Sql: String =
+    """SELECT n_name,
+      |       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+      |         + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM customer
+      |JOIN orders   ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |             AND c_nationkey = s_nationkey
+      |JOIN nation   ON n_nationkey = s_nationkey
+      |JOIN region   ON r_regionkey = n_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue_cents DESC, n_name""".stripMargin
+
+  // ---------- TPC-H Q6 shape: scan-only banded revenue ----------
+
+  /** TPC-H-Q6-shaped forecast revenue: a pure scan-aggregate with THREE
+    * banded predicates (ship year, discount band, quantity cap) and no
+    * join — the query whose entire cost is how much of the fact the scan
+    * can SKIP. All three predicates compare raw parquet columns, so all
+    * three reach `PushedFilters` and prune row groups; the aggregate is
+    * a 1-group map-side combine (the shuffle carries one row per
+    * partition). The discount band uses the literal grid values the
+    * generator emits (0.05-0.07 inclusive), matching Q6's ±0.01 window.
+    */
+  def tpchQ6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01" &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24.0)
+      .agg(sum(cents(col("l_extendedprice") * col("l_discount")))
+        .as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+
+  val tpchQ6Sql: String =
+    """SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+      |         AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // ---------- TPC-H Q7 shape: disjunctive nation-pair volume ----------
+
+  /** TPC-H-Q7-shaped bilateral shipping volume: revenue between two
+    * nations in BOTH directions, grouped by (supplier nation, customer
+    * nation, ship year). The nation dim joins TWICE under different
+    * roles (n1 = supplier side, n2 = customer side) and the pair
+    * condition is an OR across both aliases — not pushable as a single
+    * conjunct, but each alias still gets its derived
+    * `n_name IN (A, B)` pushed into its broadcast build (the q19
+    * disjunction-extraction mechanism on a self-joined dim). Year comes
+    * off l_shipdate; four (pair, year) groups at any scale, map-side
+    * combined.
+    */
+  def tpchQ7(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q7")
+    Tables.orders(s, d).createOrReplaceTempView("orders_q7")
+    Tables.customer(s, d).createOrReplaceTempView("customer_q7")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_q7")
+    Tables.nation(s, d).createOrReplaceTempView("nation_q7")
+    s.sql(
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+        |           + 0.5) AS BIGINT) AS rev_cents
+        |  FROM supplier_q7
+        |  JOIN lineitem_q7 ON s_suppkey = l_suppkey
+        |  JOIN orders_q7   ON o_orderkey = l_orderkey
+        |  JOIN customer_q7 ON c_custkey = o_custkey
+        |  JOIN nation_q7 n1 ON n1.n_nationkey = s_nationkey
+        |  JOIN nation_q7 n2 ON n2.n_nationkey = c_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
+  val tpchQ7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         year(l_shipdate) AS l_year,
+      |         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+      |           + 0.5) AS BIGINT) AS rev_cents
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders   ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) t
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ---------- TPC-H Q10 shape: returned-revenue top customers ----------
+
+  /** TPC-H-Q10-shaped returned-item report: the 20 customers with the
+    * most revenue on RETURNED lines for orders placed in one quarter.
+    * The group key is the customer (plus its functionally-dependent
+    * name/nation attributes), so the aggregate exchange is custkey-wide
+    * — far wider than Q3's order groups — and the top-20 still compiles
+    * to TakeOrderedAndProject above it (no global sort). Date window to
+    * the orders scan, returnflag to the fact scan, nation broadcast.
+    */
+  def tpchQ10(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1996-04-01")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev_cents"))
+    c.join(o, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.nation(s, d),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("rev_cents")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val tpchQ10Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+      |         + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM customer
+      |JOIN orders   ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation   ON n_nationkey = c_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue_cents DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // ---------- TPC-H Q14 shape: conditional share in one pass ----------
+
+  /** TPC-H-Q14-shaped promo share: the fraction of one month's revenue
+    * from PROMO-type parts, as exact ppm. Both the conditional (promo)
+    * and unconditional sums come out of ONE aggregate over one
+    * fact-scan-plus-part-join — never two passes joined back — and the
+    * share is integer ppm (`promo·10⁶ div total`), so no float division
+    * runs engine-side. The month window prunes the fact scan; part
+    * broadcasts.
+    */
+  def tpchQ14(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= "1996-03-01" &&
+        col("l_shipdate") < "1996-04-01")
+      .select(col("l_partkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev_cents"))
+    l.join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
+        col("p_partkey") === col("l_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_cents"))
+          .otherwise(0L)).as("promo_cents"),
+        sum(col("rev_cents")).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        expr("promo_cents * 1000000 div total_cents").as("promo_ppm"))
+  }
+
+  val tpchQ14Sql: String =
+    """SELECT promo_cents, total_cents,
+      |       promo_cents * 1000000 // total_cents AS promo_ppm
+      |FROM (
+      |  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_cents
+      |                       ELSE 0 END) AS BIGINT) AS promo_cents,
+      |         CAST(SUM(rev_cents) AS BIGINT) AS total_cents
+      |  FROM (SELECT l_partkey,
+      |               CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+      |                 + 0.5) AS BIGINT) AS rev_cents
+      |        FROM lineitem
+      |        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      |          AND l_shipdate <  TIMESTAMP '1996-04-01') l
+      |  JOIN part ON p_partkey = l_partkey) t""".stripMargin
 }

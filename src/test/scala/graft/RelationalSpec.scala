@@ -714,4 +714,200 @@ class RelationalSpec extends SparkSpecBase {
       assert(r.getString(1) === prio && r.getLong(2) === cnt, r.toString)
     }
   }
+
+  test("tpch-q2 shape: ONE fact scan + window min (no CTE double-build), " +
+      "top-100 is TakeOrderedAndProject, and the rows equal the " +
+      "correlated-min semantics") {
+    val df = Relational.tpchQ2(spark, sfDir)
+    val ex = df.queryExecution.executedPlan.toString
+    // the window rewrite's whole point: lineitem is scanned exactly once
+    // (the correlated form inlines the cost CTE twice — two fact builds)
+    assert("lineitem\\.parquet".r.findAllIn(ex).size == 1, ex.take(800))
+    assert(ex.contains("Window"), ex.take(800))
+    assert(ex.contains("TakeOrderedAndProject"), ex.take(800))
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(4)))
+    assert(got.nonEmpty)
+    // correlated-min twin: per-part min over the grouped cost table,
+    // keeping ties — computed with a plain groupBy + join-back
+    val eu = graft.Tables.supplier(spark, sfDir)
+      .join(graft.Tables.nation(spark, sfDir),
+        col("n_nationkey") === col("s_nationkey"))
+      .join(graft.Tables.region(spark, sfDir)
+        .filter(col("r_name") === "EUROPE"),
+        col("r_regionkey") === col("n_regionkey"))
+    val cost = graft.Tables.lineitem(spark, sfDir)
+      .join(eu, col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("l_partkey"), col("s_name"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("cost_cents"))
+    val minCost = cost.groupBy(col("l_partkey"))
+      .agg(min(col("cost_cents")).as("min_cost"))
+    val want = cost.join(minCost, Seq("l_partkey"))
+      .filter(col("cost_cents") === col("min_cost"))
+      .join(graft.Tables.part(spark, sfDir).filter(col("p_size") <= 10),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("s_name"), col("cost_cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (-t._3, t._1, t._2)).take(100)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("tpch-q11 shape: the fraction-of-total scalar is ONE uncorrelated " +
+      "subquery stage (never per-row), and every kept part clears the " +
+      "cross-multiplied threshold") {
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    val df = Relational.tpchQ11(spark, sfDir)
+    val subs = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case s: ScalarSubquery => s })
+    }.flatten
+    assert(subs.size == 1, s"expected one scalar subquery, got $subs")
+    // uncorrelated — no outer references, so it runs ONCE as its own
+    // stage and broadcasts into the filter, never per input row
+    assert(subs.head.outerAttrs.isEmpty, subs.head.toString)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    // manual twin: per-part slice values + grand total, exact cents
+    val vals = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.supplier(spark, sfDir),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(graft.Tables.nation(spark, sfDir)
+        .filter(col("n_name").isin(Relational.Q11Nations: _*)),
+        col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = vals.values.map(BigInt(_)).sum
+    val want = vals.filter { case (_, v) => BigInt(v) * 10000 > total }
+    assert(got.map(_._1).toSet == want.keySet)
+    got.foreach { case (k, v) => assert(v == want(k)) }
+  }
+
+  test("tpch-q16 shape: NOT IN plans as a null-aware LEFT ANTI join and " +
+      "matches the blacklist-filtered distinct count") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = Relational.tpchQ16(spark, sfDir)
+    val antis = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType.sql == "LEFT ANTI" => j }
+    assert(antis.size == 1)
+    // null-awareness is the condition's IsNull disjunct — a plain
+    // left_anti (isin-negation) would be a bare equality
+    assert(antis.head.condition.exists(_.toString.toLowerCase
+      .contains("isnull")), antis.head.condition.toString)
+    val got = df.collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    val black = graft.Tables.supplier(spark, sfDir)
+      .filter(col("s_name").like("%7"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val want = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.part(spark, sfDir)
+        .filter(col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)),
+        col("p_partkey") === col("l_partkey"))
+      .filter(!col("l_suppkey").isin(black.toSeq: _*))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
+  test("tpch-q19 shape: the OR-of-conjunctions pushes the derived " +
+      "disjunction into BOTH parquet scans") {
+    val df = Relational.tpchQ19(spark, sfDir)
+    val scans = df.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("PushedFilters"))
+    val partScan = scans.find(_.contains("p_brand")).getOrElse("")
+    val factScan = scans.find(_.contains("l_quantity")).getOrElse("")
+    assert(partScan.contains("Or(") &&
+      partScan.contains("EqualTo(p_brand,Brand#12)"), partScan)
+    // the quantity disjunction reaches PushedFilters (not just
+    // DataFilters) because the band compares the raw double — a bigint
+    // cast would block parquet row-group skipping on the fact side
+    assert(factScan.contains("PushedFilters: [Or(") ||
+      factScan.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      factScan)
+    val row = df.collect().head
+    assert(row.getLong(0) > 0 && row.getLong(1) > 0)
+  }
+
+  test("tpch-q20 shape: both rewrites compose — the correlated total " +
+      "pre-aggregates (no surviving subquery) under ONE LeftSemi") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
+    val df = Relational.tpchQ20(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    val leftover = opt.collect {
+      case p if p.expressions.exists(_.exists(
+        _.isInstanceOf[PlanExpression[_]])) => p }
+    assert(leftover.isEmpty, s"subquery survived:\n${opt.toString.take(600)}")
+    val joinTypes = opt.collect { case j: Join => j.joinType.sql }
+    assert(joinTypes.count(_ == "LEFT SEMI") == 1, joinTypes.toString)
+    val grouped = opt.collect {
+      case a: Aggregate if a.groupingExpressions.nonEmpty => a }
+    assert(grouped.size == 2, s"expected ps-build + per-part total, " +
+      s"got ${grouped.size} grouped aggregates")
+    // semantic twin: dominant (part, supplier) pairs by plain aggregation
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val ps = li.join(graft.Tables.part(spark, sfDir)
+        .filter(col("p_type") === "SMALL"),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("q_ps"))
+    val tot = li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("q_p"))
+      .withColumnRenamed("l_partkey", "t_partkey")
+    val domSupp = ps.join(tot, col("l_partkey") === col("t_partkey"))
+      .filter(col("q_ps") * 2 > col("q_p"))
+      .select(col("l_suppkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val want = graft.Tables.supplier(spark, sfDir)
+      .filter(col("s_suppkey").isin(domSupp.toSeq: _*))
+      .join(graft.Tables.nation(spark, sfDir),
+        col("n_nationkey") === col("s_nationkey"))
+      .select(col("s_name"), col("n_name"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSet == want && got.length == want.size)
+  }
+
+  test("corr matrix: ONE fact scan feeds all ten moments, the rationals " +
+      "satisfy Cauchy-Schwarz, and the recovered correlation matches " +
+      "Spark's float corr()") {
+    val df = Relational.corrMatrix(spark, sfDir)
+    val ex = df.queryExecution.executedPlan.toString
+    assert("lineitem\\.parquet".r.findAllIn(ex).size == 1,
+      "moments must come from a single pass")
+    val rows = df.collect()
+    assert(rows.length == 6)
+    val ns = rows.map(_.getLong(2)).toSet
+    assert(ns.size == 1 && ns.head > 0)
+    rows.foreach { r =>
+      val (num, vx, vy) = (BigInt(r.getDecimal(3).toBigInteger),
+        BigInt(r.getDecimal(4).toBigInteger),
+        BigInt(r.getDecimal(5).toBigInteger))
+      assert(vx > 0 && vy > 0, r.toString)
+      assert(num * num <= vx * vy, s"Cauchy-Schwarz violated: $r")
+    }
+    // cross-check one pair against the built-in float estimator
+    val qp = rows.find(r =>
+      r.getString(0) == "price" && r.getString(1) == "qty")
+      .orElse(rows.find(r =>
+        r.getString(0) == "qty" && r.getString(1) == "price")).get
+    val wantCorr = graft.Tables.lineitem(spark, sfDir)
+      .agg(corr(col("l_quantity"),
+        floor(col("l_extendedprice") * 100 + lit(0.5))).as("c"))
+      .collect().head.getDouble(0)
+    val gotCorr = {
+      val num = BigDecimal(qp.getDecimal(3))
+      val den = (BigDecimal(qp.getDecimal(4)) *
+        BigDecimal(qp.getDecimal(5))).bigDecimal.sqrt(
+        java.math.MathContext.DECIMAL64)
+      (num / BigDecimal(den)).toDouble
+    }
+    assert(math.abs(gotCorr - wantCorr) < 1e-6, s"$gotCorr vs $wantCorr")
+  }
 }
