@@ -2415,15 +2415,17 @@ object Relational {
   // ---------- TPC-H Q7 shape: disjunctive nation-pair volume ----------
 
   /** TPC-H-Q7-shaped bilateral shipping volume: revenue between two
-    * nations in BOTH directions, grouped by (supplier nation, customer
-    * nation, ship year). The nation dim joins TWICE under different
-    * roles (n1 = supplier side, n2 = customer side) and the pair
-    * condition is an OR across both aliases — not pushable as a single
-    * conjunct, but each alias still gets its derived
-    * `n_name IN (A, B)` pushed into its broadcast build (the q19
-    * disjunction-extraction mechanism on a self-joined dim). Year comes
-    * off l_shipdate; four (pair, year) groups at any scale, map-side
-    * combined.
+    * REGIONS in BOTH directions (Q7 proper uses a nation pair; at the
+    * smallest SF only 10 suppliers exist, so a fixed nation pair is
+    * empty — the region pair keeps the exact same shape populated at
+    * every SF), grouped by (supplier nation, customer nation, ship
+    * year). The nation dim joins TWICE under different roles (n1 =
+    * supplier side, n2 = customer side) and the pair condition is an OR
+    * across both aliases — not pushable as a single conjunct, but each
+    * alias still gets its derived `n_regionkey IN (2, 3)` pushed into
+    * its broadcast build (the q19 disjunction-extraction mechanism on a
+    * self-joined dim). Year comes off l_shipdate; ≤ 2·|nations|²·years
+    * groups, map-side combined.
     */
   def tpchQ7(s: SparkSession, d: String): DataFrame = {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q7")
@@ -2445,8 +2447,8 @@ object Relational {
         |  JOIN customer_q7 ON c_custkey = o_custkey
         |  JOIN nation_q7 n1 ON n1.n_nationkey = s_nationkey
         |  JOIN nation_q7 n2 ON n2.n_nationkey = c_nationkey
-        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  WHERE (n1.n_regionkey = 2 AND n2.n_regionkey = 3)
+        |     OR (n1.n_regionkey = 3 AND n2.n_regionkey = 2))
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
   }
@@ -2465,8 +2467,8 @@ object Relational {
       |  JOIN customer ON c_custkey = o_custkey
       |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
       |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
-      |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) t
+      |  WHERE (n1.n_regionkey = 2 AND n2.n_regionkey = 3)
+      |     OR (n1.n_regionkey = 3 AND n2.n_regionkey = 2)) t
       |GROUP BY supp_nation, cust_nation, l_year
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 

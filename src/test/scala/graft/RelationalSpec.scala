@@ -910,4 +910,157 @@ class RelationalSpec extends SparkSpecBase {
     }
     assert(math.abs(gotCorr - wantCorr) < 1e-6, s"$gotCorr vs $wantCorr")
   }
+
+  test("tpch-q4 shape: the EXISTS under the grouped count is ONE LeftSemi " +
+      "(no double-counting of multi-line orders)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = Relational.tpchQ4(spark, sfDir)
+    val joinTypes = df.queryExecution.optimizedPlan.collect {
+      case j: Join => j.joinType.sql }
+    assert(joinTypes == Seq("LEFT SEMI"), joinTypes.toString)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.values.sum > 0)
+    // twin: distinct qualifying orders via inner join + distinct
+    val want = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1996-04-01")
+      .join(graft.Tables.lineitem(spark, sfDir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey")).distinct(),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
+  test("tpch-q5 shape: the nation cycle folds into the supplier join " +
+      "condition (no post-join filter) and matches the filter twin") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val df = Relational.tpchQ5(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    // the c_nationkey = s_nationkey cycle must ride a Join condition,
+    // never survive as a Filter above one
+    val badFilters = opt.collect {
+      case f: Filter if f.condition.toString.contains("c_nationkey") &&
+        f.condition.toString.contains("s_nationkey") => f }
+    assert(badFilters.isEmpty, badFilters.toString)
+    val cycleJoins = opt.collect {
+      case j: Join if j.condition.exists(c =>
+        c.toString.contains("c_nationkey") &&
+          c.toString.contains("s_nationkey")) => j }
+    assert(cycleJoins.size == 1, s"cycle not in a join: $opt")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    // twin: plain inner joins + explicit post-filter
+    val want = graft.Tables.customer(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1997-01-01"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.lineitem(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(graft.Tables.nation(spark, sfDir),
+        col("n_nationkey") === col("s_nationkey"))
+      .join(graft.Tables.region(spark, sfDir)
+        .filter(col("r_name") === "ASIA"),
+        col("r_regionkey") === col("n_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100 + lit(0.5)).cast("long")).as("rc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(t => (-t._2, t._1))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("tpch-q6 shape: all three banded predicates reach PushedFilters " +
+      "on the single scan (no join anywhere)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = Relational.tpchQ6(spark, sfDir)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case j: Join => j }.isEmpty)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    // the untruncated pushed-filter list lives in the scan's metadata
+    // (the plan's string render clips it)
+    val scan = root.collectFirst {
+      case s: FileSourceScanExec => s.metadata("PushedFilters") }.get
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(scan.contains(s"($c,"), s"$c not pushed: $scan")
+    val row = df.collect().head
+    assert(row.getLong(0) > 0 && row.getLong(1) > 0)
+  }
+
+  test("tpch-q7 shape: each nation alias gets its derived region " +
+      "disjunction pushed, and the bilateral volume matches the " +
+      "union-of-directions twin") {
+    val df = Relational.tpchQ7(spark, sfDir)
+    val nationScans = df.queryExecution.executedPlan.toString
+      .split("\n").filter(l => l.contains("nation.parquet") &&
+        l.contains("PushedFilters"))
+    assert(nationScans.length == 2, nationScans.mkString("\n"))
+    nationScans.foreach(l => assert(
+      l.contains("Or(EqualTo(n_regionkey,2),EqualTo(n_regionkey,3))") ||
+        l.contains("Or(EqualTo(n_regionkey,3),EqualTo(n_regionkey,2))"), l))
+    val got = df.collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        r.getLong(3))).toMap
+    assert(got.nonEmpty, "region pair must be populated at sf0.001")
+    def direction(suppRegion: Int, custRegion: Int) = {
+      val n1 = graft.Tables.nation(spark, sfDir)
+        .filter(col("n_regionkey") === suppRegion)
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("sn"))
+      val n2 = graft.Tables.nation(spark, sfDir)
+        .filter(col("n_regionkey") === custRegion)
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("cn"))
+      graft.Tables.supplier(spark, sfDir)
+        .join(n1, col("nk1") === col("s_nationkey"))
+        .join(graft.Tables.lineitem(spark, sfDir),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(graft.Tables.orders(spark, sfDir),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(graft.Tables.customer(spark, sfDir),
+          col("c_custkey") === col("o_custkey"))
+        .join(n2, col("nk2") === col("c_nationkey"))
+        .groupBy(col("sn"), col("cn"),
+          year(col("l_shipdate")).cast("long").as("y"))
+        .agg(sum(floor(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * 100 + lit(0.5)).cast("long"))
+          .as("rc"))
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+          r.getLong(3)))
+    }
+    val want = (direction(2, 3) ++ direction(3, 2)).toMap
+    assert(got == want)
+  }
+
+  test("tpch-q10 shape: custkey-wide aggregate under TakeOrderedAndProject") {
+    val df = Relational.tpchQ10(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    val got = df.collect()
+    assert(got.length > 0 && got.length <= 20)
+    // ordering: revenue desc, custkey asc
+    val keys = got.map(r => (-r.getLong(3), r.getLong(0)))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("tpch-q14 shape: both conditional sums come from ONE fact pass " +
+      "and the ppm share is the exact rational") {
+    val df = Relational.tpchQ14(spark, sfDir)
+    val ex = df.queryExecution.executedPlan.toString
+    assert("lineitem\\.parquet".r.findAllIn(ex).size == 1,
+      "promo + total must share one scan")
+    val r = df.collect().head
+    val (promo, total, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(promo >= 0 && promo <= total && total > 0)
+    assert(ppm == promo * 1000000L / total)
+  }
 }
