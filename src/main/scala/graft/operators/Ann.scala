@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -921,4 +921,124 @@ object Ann {
       |         z -> abs(z[1] - CAST(z[2] AS DOUBLE) * scale / 127.0)))
       |         AS max_err
       |FROM q ORDER BY vec_id""".stripMargin
+
+  // ---------- k-means (Lloyd) on the integer lattice ----------
+
+  /** Cluster count for [[kmeans]]. */
+  val KmeansK = 8
+
+  /** Lloyd assignment rounds for [[kmeans]] (updates run between rounds,
+    * so K assignments bracket K-1 centroid updates). */
+  val KmeansIters = 3
+
+  /** k-means via Lloyd iterations, made EXACT so the DuckDB oracle can
+    * replay it to the bit: embeddings quantize to the integer lattice
+    * (×10⁴, the [[Dedup]] fixed-point discipline), distances are integer
+    * squared-Euclidean, the argmin tie-breaks on the lowest cluster id,
+    * and the centroid update is the component-wise integer mean
+    * (`sum div n` — truncating division, which DuckDB's `//` matches).
+    * No float ever enters, so partition order can't move a result.
+    *
+    * Architecture is the [[graft.operators.GraphOps]] PageRank / BPE
+    * discipline: centroids are DRIVER state (k·dim longs — 8×64 here),
+    * re-collected from an 8-group aggregate between rounds, and each
+    * round is ONE embeddings scan whose assignment expression unrolls
+    * statically against the centroid literals (k·dim fused
+    * multiply-adds per row inside WholeStageCodegen — the zip_with
+    * fold allocates a fresh array per pair and measured ~100× slower
+    * on this table, see the [[dotN]] note above). Init is the k lowest
+    * vec_ids (a TakeOrdered, deterministic at any parallelism). Empty
+    * clusters simply drop out of the collected update, and later
+    * rounds assign over the survivors — the oracle reproduces that
+    * rule for free because its regrouped centroid CTE loses the cid
+    * the same way. Scale: per round, one scan + one map-side-combined
+    * k-group aggregate; nothing driver-side grows with rows.
+    */
+  def kmeans(s: SparkSession, d: String): DataFrame = {
+    val quant = expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000" +
+        " + 0.5) AS BIGINT))")
+    val q = Tables.embeddings(s, d).select(col("vec_id"), quant.as("q"))
+
+    // assignment runs through the native [[LatticeArgMin]] expression: one
+    // fused k×dim loop in WholeStageCodegen, with the centroid matrix as a
+    // complex-type literal (lands in codegen REFERENCES, so every round
+    // reuses the same compiled method). The built-in alternatives measured
+    // badly at k=8, dim=64: a statically unrolled k·dim-term tree is ~3000
+    // nodes (past JIT limits, ~350µs/row interpreted) and scalar centroid
+    // literals additionally forced a fresh janino compile per round.
+    def assign(centroids: Seq[(Long, Array[Long])]): DataFrame = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val mat  = typedLit(centroids.map(_._2.toSeq))
+      val cids = typedLit(centroids.map(_._1))
+      val am = ColumnBridge.column(graft.functions.LatticeArgMin(
+        ColumnBridge.expression(col("q")),
+        ColumnBridge.expression(mat),
+        ColumnBridge.expression(cids)))
+      q.select(col("vec_id"), col("q"), am.as("a"))
+        .select(col("vec_id"), col("q"),
+          col("a.cid").as("cluster_id"), col("a.dist").as("dist"))
+    }
+
+    var centroids: Seq[(Long, Array[Long])] =
+      q.orderBy(col("vec_id")).limit(KmeansK).collect().zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray) }
+    var assigned: DataFrame = null
+    for (t <- 1 to KmeansIters) {
+      assigned = assign(centroids)
+      if (t < KmeansIters) {
+        val aggs = count(lit(1)).as("n") +:
+          (1 to Dim).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
+        centroids = assigned.groupBy(col("cluster_id"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val n = r.getLong(1)
+            (r.getLong(0), (1 to Dim).map(i => r.getLong(1 + i) / n).toArray)
+          }.sortBy(_._1).toSeq
+      }
+    }
+    assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("dist_sum"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val kmeansSql: String = {
+    def distCte(aname: String, cname: String, dname: String): String =
+      s"""$dname AS (
+         |  SELECT vec_id, q, cid,
+         |         list_sum(list_transform(list_zip(q, c),
+         |           p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+         |  FROM q CROSS JOIN $cname),
+         |$aname AS (
+         |  SELECT vec_id, q, cid, dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cid) AS rn FROM $dname)
+         |  WHERE rn = 1)""".stripMargin
+    def updateCte(aname: String, cname: String): String =
+      s"""$cname AS (
+         |  SELECT cid, list(comp ORDER BY i) AS c FROM (
+         |    SELECT cid, i, CAST(SUM(q[i]) // COUNT(*) AS BIGINT) AS comp
+         |    FROM $aname, range(1, ${Dim + 1}) t(i)
+         |    GROUP BY cid, i)
+         |  GROUP BY cid)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5)
+       |             AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |           AS cid, q AS c
+       |  FROM q ORDER BY vec_id LIMIT $KmeansK),
+       |${distCte("a1", "c0", "d1")},
+       |${updateCte("a1", "c1")},
+       |${distCte("a2", "c1", "d2")},
+       |${updateCte("a2", "c2")},
+       |${distCte("a3", "c2", "d3")}
+       |SELECT cid AS cluster_id, COUNT(*) AS n_vecs,
+       |       CAST(SUM(dist) AS BIGINT) AS dist_sum
+       |FROM a3 GROUP BY cid ORDER BY cid""".stripMargin
+  }
 }

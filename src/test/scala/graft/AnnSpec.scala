@@ -285,4 +285,43 @@ class AnnSpec extends SparkSpecBase {
     // the testdata's planted near-dups make the pruning path non-vacuous
     assert(prunedIds.nonEmpty)
   }
+
+  test("kmeans: integer-lattice Lloyd matches an exhaustive local replay, " +
+      "and the final round is ONE scan with expression-level argmin " +
+      "(no window, no cross join)") {
+    val df = graft.operators.Ann.kmeans(spark, sfDir)
+    val ex = df.queryExecution.executedPlan.toString
+    assert("embeddings\\.parquet".r.findAllIn(ex).size == 1, "one scan")
+    assert(!ex.contains("Window") && !ex.contains("NestedLoop"), ex.take(400))
+    val got = df.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // local replay: same quantization, same init, same truncating-mean
+    // update, same (dist, cid) tie-break
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray
+        .map(x => math.floor(x.toDouble * 10000 + 0.5).toLong))
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var cents: Seq[(Long, Array[Long])] =
+      vecs.take(Ann.KmeansK).zipWithIndex.map { case ((_, v), i) =>
+        (i.toLong, v) }
+    var asg: Array[(Long, Long, Long)] = null // (vec, cid, dist)
+    for (t <- 1 to Ann.KmeansIters) {
+      asg = vecs.map { case (id, v) =>
+        val best = cents.map { case (cid, c) => (d2(v, c), cid) }.min
+        (id, best._2, best._1)
+      }
+      if (t < Ann.KmeansIters)
+        cents = asg.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, rows) =>
+          val members = rows.map(r => vecs(r._1.toInt)._2)
+          (cid, Array.tabulate(Ann.Dim)(i =>
+            members.map(_(i)).sum / members.length))
+        }
+    }
+    val want = asg.groupBy(_._2).view.mapValues(rows =>
+      (rows.length.toLong, rows.map(_._3).sum)).toMap
+    assert(got == want)
+  }
 }
