@@ -161,10 +161,16 @@ object ScaleData {
           "l_quantity", "l_returnflag", "l_shipdate", "l_extendedprice",
           "l_discount", "l_tax")
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-      // part dim in the driver shape (25 brands, sizes 1..50) so the
+      // part dim in the driver shape (25 brands, sizes 1..50,
+      // adjective-noun names so the Q9 infix-LIKE slice ladders) so the
       // Q17-shaped fact-side decorrelation ladders with lineitem
+      val adjs  = Array("blue", "old", "hot", "large", "red", "new",
+        "small", "cold")
+      val nouns = Array("widget", "gizmo", "ring", "gear", "anvil",
+        "bolt", "plate", "rod")
       spark.range(nParts).map { pk =>
-        (pk, s"PART_$pk",
+        (pk, adjs(Math.floorMod(mix(pk * 1733L + 95L), 8L).toInt) + " " +
+          nouns(Math.floorMod(mix(pk * 1787L + 101L), 8L).toInt),
           s"Brand#${1 + Math.floorMod(mix(pk * 1117L + 91L), 25L)}",
           s"TYPE_${Math.floorMod(mix(pk * 1321L + 93L), 10L)}",
           (1 + Math.floorMod(mix(pk * 1481L + 97L), 50L)).toInt,

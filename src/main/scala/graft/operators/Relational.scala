@@ -2519,6 +2519,102 @@ object Relational {
       |ORDER BY revenue_cents DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  // ---------- TPC-H Q9 shape: profit by nation and year ----------
+
+  /** TPC-H-Q9-shaped product profit: per (supplier nation, order year),
+    * Σ revenue − cost over a part-name LIKE slice (`%bolt%` against the
+    * adjective-noun part names; this schema has no partsupp, so unit
+    * cost stands in as the part's retail price — the join graph and the
+    * two-sided money expression are Q9's). The defining stress is the
+    * five-table join with a NON-pushable infix LIKE: the pattern still
+    * prunes the part dim before its broadcast (evaluated at the scan,
+    * just not as a parquet predicate), and the profit expression mixes
+    * columns from three tables, so it can only evaluate above the last
+    * join — Catalyst must keep it out of every partial aggregate.
+    * Profit is exact cents; 25·|years| groups map-side combine.
+    */
+  def tpchQ9(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev_cents"))
+    val p = Tables.part(s, d).filter(col("p_name").like("%bolt%"))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("unit_cents"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long")
+        .as("o_year"))
+    l.join(p, col("p_partkey") === col("l_partkey"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.nation(s, d), col("n_nationkey") === col("s_nationkey"))
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("rev_cents") - col("qty") * col("unit_cents"))
+        .as("profit_cents"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  val tpchQ9Sql: String =
+    """SELECT n_name, year(o_orderdate) AS o_year,
+      |       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+      |              + 0.5) AS BIGINT)
+      |            - CAST(l_quantity AS BIGINT)
+      |              * CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT) AS profit_cents
+      |FROM lineitem
+      |JOIN part     ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation   ON n_nationkey = s_nationkey
+      |JOIN orders   ON o_orderkey = l_orderkey
+      |WHERE p_name LIKE '%bolt%'
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY n_name, o_year DESC""".stripMargin
+
+  // ---------- TPC-H Q12 shape: priority classes per return flag ----------
+
+  /** TPC-H-Q12-shaped shipping-class audit: per return flag (the
+    * schema's stand-in for shipmode), how many of one ship-year's lines
+    * belong to critical-priority orders (1-URGENT / 2-HIGH) vs not —
+    * Q12's two CASE-counts after a fact⋈fact join. Both counts come from
+    * ONE orderkey-partitioned join pass (lineitem filtered by ship year
+    * joins orders), never two filtered passes; the priority test is a
+    * projection above the join, and the 3-group aggregate map-side
+    * combines.
+    */
+  def tpchQ12(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01")
+      .select(col("l_orderkey"), col("l_returnflag"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    l.join(o, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val tpchQ12Sql: String =
+    """SELECT l_returnflag,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS high_line_count,
+      |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT',
+      |                     '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS low_line_count
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // ---------- TPC-H Q14 shape: conditional share in one pass ----------
 
   /** TPC-H-Q14-shaped promo share: the fraction of one month's revenue

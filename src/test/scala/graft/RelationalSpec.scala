@@ -1052,6 +1052,60 @@ class RelationalSpec extends SparkSpecBase {
     assert(keys.sameElements(keys.sorted))
   }
 
+  test("tpch-q9 shape: the infix LIKE prunes the part dim AT ITS SCAN " +
+      "(before the broadcast), and profit matches the two-sided money twin") {
+    val df = Relational.tpchQ9(spark, sfDir)
+    val partScan = df.queryExecution.executedPlan.toString
+      .split("\n").find(_.contains("part.parquet")).getOrElse("")
+    // %bolt% can't become a parquet predicate, but it must still sit in
+    // the scan's DataFilters — not above a join
+    assert(partScan.contains("Contains(p_name, bolt)") ||
+      partScan.contains("p_name") && partScan.contains("bolt"), partScan)
+    val got = df.collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    val want = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.part(spark, sfDir)
+        .filter(col("p_name").contains("bolt")),
+        col("p_partkey") === col("l_partkey"))
+      .join(graft.Tables.supplier(spark, sfDir),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(graft.Tables.nation(spark, sfDir),
+        col("n_nationkey") === col("s_nationkey"))
+      .join(graft.Tables.orders(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("y"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100 + lit(0.5)).cast("long") -
+        col("l_quantity").cast("long") *
+          floor(col("p_retailprice") * 100 + lit(0.5)).cast("long"))
+        .as("p"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(got == want)
+  }
+
+  test("tpch-q12 shape: both priority-class counts come from ONE " +
+      "orderkey join pass") {
+    val df = Relational.tpchQ12(spark, sfDir)
+    val ex = df.queryExecution.executedPlan.toString
+    assert("lineitem\\.parquet".r.findAllIn(ex).size == 1, "one fact scan")
+    assert("orders\\.parquet".r.findAllIn(ex).size == 1, "one orders scan")
+    val got = df.collect()
+    assert(got.length == 3) // A / N / R
+    val totals = graft.Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01")
+      .join(graft.Tables.orders(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == totals(r.getString(0)),
+        s"high+low must cover every joined line: $r")
+    }
+  }
+
   test("tpch-q14 shape: both conditional sums come from ONE fact pass " +
       "and the ppm share is the exact rational") {
     val df = Relational.tpchQ14(spark, sfDir)
