@@ -983,4 +983,222 @@ object Maintenance {
        |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
        |         AS BIGINT) AS total_cents
        |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_occ_log — optimistic concurrency: conflict-detected commits
+  // ---------------------------------------------------------------------
+
+  /** The dir/marker log above serializes writers by construction (one
+    * process lays versions down in order). Real multi-writer tables need
+    * OPTIMISTIC commits: each writer prepares against the version it
+    * read, attempts to claim the next number, and on losing the race
+    * must decide — rebase (its file actions don't overlap the winner's)
+    * or abort (write-write conflict). This section implements that
+    * protocol the way single-file table formats do:
+    *
+    *  - a version is ONE manifest file `_log/v<N>.txt`, claimed by
+    *    `fs.create(..., overwrite = false)` — atomic put-if-absent, so
+    *    exactly one writer ever owns a number and there is no
+    *    claim/manifest gap to recover;
+    *  - the manifest is action lines (`add <file>` / `remove <file>`)
+    *    sealed by a terminal `commit <n>` line. A manifest whose action
+    *    count does not match its seal (writer died mid-stream) is TORN:
+    *    readers treat the log as ending at the version before, and
+    *    [[occRecover]] may delete it once the writer is known dead —
+    *    the put-if-absent claim means only ONE writer can have been
+    *    writing it.
+    *  - [[occCommit]] loops: read latest, try claim(latest+1); on
+    *    losing, diff the winner's actions against its own — any file
+    *    this writer REMOVES that the winner also removed (or rewrote) is
+    *    a real write-write conflict ⇒ [[OccConflictException]]; winners
+    *    that only touched other files are rebased past automatically.
+    *
+    * Scale: manifests are catalog data (bytes per file action); the
+    * claim is one filesystem round-trip per attempt. Readers fold
+    * manifests exactly like [[liveFiles]] — versions × actions rows.
+    */
+  object Occ {
+    final class OccConflictException(msg: String)
+      extends RuntimeException(msg)
+
+    private def fsOf(s: SparkSession, root: String) =
+      new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+
+    private def manifestPath(root: String, v: Int) =
+      new org.apache.hadoop.fs.Path(s"$root/_log/v$v.txt")
+
+    /** Parse a manifest: Some(actions) if sealed, None if torn. */
+    private[operators] def readManifest(s: SparkSession, root: String,
+        v: Int): Option[Seq[(String, String)]] = {
+      val fs = fsOf(s, root)
+      val p  = manifestPath(root, v)
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString finally in.close()
+      val lines = text.split("\n").filter(_.nonEmpty).toSeq
+      val actions = lines.takeWhile(!_.startsWith("commit "))
+        .map { l =>
+          val Array(a, f) = l.split(" ", 2); (a, f)
+        }
+      val sealed_ = lines.drop(actions.length) match {
+        case Seq(seal) => seal == s"commit ${actions.length}"
+        case _         => false
+      }
+      if (sealed_) Some(actions) else None
+    }
+
+    /** Highest version whose manifest exists AND is sealed; a torn
+      * manifest ends the log at the version before it.
+      */
+    def latest(s: SparkSession, root: String): Int = {
+      var v = 0
+      var sealedNext = true
+      while (sealedNext) {
+        sealedNext = readManifest(s, root, v + 1).isDefined
+        if (sealedNext) v += 1
+      }
+      v
+    }
+
+    /** Try to claim version v with the given actions. True = committed;
+      * false = lost the race (someone else owns v).
+      */
+    private def tryClaim(s: SparkSession, root: String, v: Int,
+        adds: Seq[String], removes: Seq[String]): Boolean = {
+      val fs = fsOf(s, root)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_log"))
+      val out =
+        try fs.create(manifestPath(root, v), false)
+        catch { case _: java.io.IOException => return false }
+      val actions = adds.map(f => s"add $f") ++
+        removes.map(f => s"remove $f")
+      try {
+        out.write((actions :+ s"commit ${actions.length}")
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+        true
+      } finally out.close()
+    }
+
+    /** Optimistic commit: prepared against `base`, claims upward until
+      * it wins, conflict-checking every intervening winner. Returns the
+      * committed version. Throws [[OccConflictException]] when an
+      * intervening commit removed (or rewrote) a file this commit also
+      * removes — the prepared actions were derived from files that no
+      * longer exist, so rebasing would corrupt the table.
+      */
+    def occCommit(s: SparkSession, root: String, base: Int,
+        adds: Seq[String], removes: Seq[String]): Int = {
+      var v = base + 1
+      while (!tryClaim(s, root, v, adds, removes)) {
+        readManifest(s, root, v) match {
+          case Some(winner) =>
+            val winnerTouched = winner.map(_._2).toSet
+            val mine = removes.toSet
+            val clash = mine.intersect(winnerTouched)
+            if (clash.nonEmpty)
+              throw new OccConflictException(
+                s"v$v touched ${clash.toSeq.sorted.mkString(", ")} " +
+                  s"which this commit (base v$base) also removes")
+            v += 1 // disjoint — rebase past the winner
+          case None =>
+            // torn claim in our way: surface it; recovery is explicit
+            throw new OccConflictException(
+              s"v$v is a torn manifest; run occRecover first")
+        }
+      }
+      v
+    }
+
+    /** Delete a torn manifest so the version number can be re-claimed.
+      * Only valid once the claiming writer is known dead — put-if-absent
+      * guarantees a single owner, so there is nothing else to race.
+      */
+    def occRecover(s: SparkSession, root: String, v: Int): Boolean =
+      readManifest(s, root, v) match {
+        case None => fsOf(s, root).delete(manifestPath(root, v), false)
+        case Some(_) => false
+      }
+
+    /** Live files at the latest committed version. */
+    def liveAt(s: SparkSession, root: String, asOf: Int): Seq[String] = {
+      val live = scala.collection.mutable.LinkedHashSet[String]()
+      (1 to asOf).foreach { v =>
+        readManifest(s, root, v).getOrElse(Seq.empty).foreach {
+          case ("add", f)    => live += f
+          case ("remove", f) => live -= f
+          case _             => ()
+        }
+      }
+      live.toSeq
+    }
+  }
+
+  /** Lays down (once per JVM) the two-writer race this query reads:
+    *   v1: snapshot A (keys ≢0 mod 10, [[TxnBuckets]] bucket files);
+    *   writer A (base v1): compacts bucket 0 — removes it, adds a
+    *     rewrite without the mod-13 keys; wins v2;
+    *   writer B (base v1, CONCURRENT — prepared before A committed):
+    *     adds the mod-10 keys as a new file; loses the v2 claim,
+    *     rebases (disjoint: B removes nothing) and lands v3.
+    * The final live set is therefore derivable in pure SQL, which is
+    * what lets the DuckDB oracle hash-check a CONCURRENCY protocol.
+    */
+  private[graft] def occTableDir(s: SparkSession, d: String): String = {
+    val root = SetupOnce.runtimeDir(d, "orders_occ")
+    SetupOnce(root) {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 10 =!= 0)
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(TxnBuckets)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/data_v1")
+      val v1Files = (0 until TxnBuckets).map(i => s"data_v1/bucket=$i")
+      val v1 = Occ.occCommit(s, root, 0, v1Files, Nil)
+      require(v1 == 1)
+      // both writers prepare against v1
+      val base = Occ.latest(s, root)
+      s.read.parquet(s"$root/data_v1/bucket=0")
+        .filter(col("o_orderkey") % 13 =!= 0)
+        .write.mode("overwrite").parquet(s"$root/data_a_b0")
+      o.filter(col("o_orderkey") % 10 === 0)
+        .write.mode("overwrite").parquet(s"$root/data_b_new")
+      val vA = Occ.occCommit(s, root, base,
+        Seq("data_a_b0"), Seq("data_v1/bucket=0"))
+      val vB = Occ.occCommit(s, root, base, Seq("data_b_new"), Nil)
+      require(vA == 2 && vB == 3, s"race landed at vA=$vA vB=$vB")
+    }
+    root
+  }
+
+  /** The post-race table through the OCC log: priority-grouped counts
+    * and exact cents over the live files at the latest version. A
+    * protocol bug anywhere (lost commit, double-applied rebase, torn
+    * manifest read) changes the row set and hash-fails against the
+    * oracle's closed-form derivation of the same live set.
+    */
+  def occLog(s: SparkSession, d: String): DataFrame = {
+    val root = occTableDir(s, d)
+    val latest = Occ.latest(s, root)
+    val files = Occ.liveAt(s, root, latest).map(f => s"$root/$f")
+    s.read.parquet(files: _*)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(RefTransforms.cents(col("o_totalprice"))).as("total_cents"))
+      .withColumn("v_latest", lit(latest.toLong))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val occLogSql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+       |         AS BIGINT) AS total_cents,
+       |       CAST(3 AS BIGINT) AS v_latest
+       |FROM orders
+       |WHERE (o_orderkey % 10 <> 0
+       |       AND NOT (o_orderkey % $TxnBuckets = 0
+       |                AND o_orderkey % 13 = 0))
+       |   OR o_orderkey % 10 = 0
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
 }

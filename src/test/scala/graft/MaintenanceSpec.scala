@@ -315,4 +315,54 @@ class MaintenanceSpec extends SparkSpecBase {
     val (deleted2, retained2) = Maintenance.vacuumLog(spark, root, 2)
     assert(deleted2 === 0 && retained2 === Maintenance.TxnBuckets + 1)
   }
+
+  test("occ: the version claim is put-if-absent (one winner), disjoint " +
+      "losers rebase, overlapping losers get a conflict, torn manifests " +
+      "end the log and recover explicitly") {
+    import Maintenance.Occ
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_occ_spec").toString
+    // writer 1 commits v1
+    assert(Occ.occCommit(spark, root, 0, Seq("f1", "f2"), Nil) == 1)
+    assert(Occ.latest(spark, root) == 1)
+    assert(Occ.liveAt(spark, root, 1).sorted == Seq("f1", "f2"))
+    // two writers prepare against v1; A wins v2, B (disjoint) rebases to v3
+    val vA = Occ.occCommit(spark, root, 1, Seq("f2c"), Seq("f2"))
+    val vB = Occ.occCommit(spark, root, 1, Seq("f3"), Nil)
+    assert(vA == 2 && vB == 3)
+    assert(Occ.liveAt(spark, root, 3).sorted == Seq("f1", "f2c", "f3"))
+    // writer C also prepared against v1 and ALSO removes f2 — the race
+    // loser must see the write-write conflict, not blindly rebase
+    val e = intercept[Occ.OccConflictException] {
+      Occ.occCommit(spark, root, 1, Seq("f2x"), Seq("f2"))
+    }
+    assert(e.getMessage.contains("f2"))
+    // conflict detection walks EVERY intervening version: a remove of
+    // v3's f3 (not just v2's files) must also conflict
+    val e2 = intercept[Occ.OccConflictException] {
+      Occ.occCommit(spark, root, 1, Nil, Seq("f3"))
+    }
+    assert(e2.getMessage.contains("f3"))
+    // torn manifest: a claimed-but-unsealed v4 is invisible to readers
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val torn = new org.apache.hadoop.fs.Path(s"$root/_log/v4.txt")
+    val out = fs.create(torn, false)
+    out.write("add f4\n".getBytes("UTF-8")) // no terminal commit line
+    out.close()
+    assert(Occ.latest(spark, root) == 3)
+    assert(!Occ.liveAt(spark, root, Occ.latest(spark, root))
+      .contains("f4"))
+    // and it blocks the number until explicitly recovered
+    val e3 = intercept[Occ.OccConflictException] {
+      Occ.occCommit(spark, root, 3, Seq("f5"), Nil)
+    }
+    assert(e3.getMessage.contains("torn"))
+    assert(Occ.occRecover(spark, root, 4))
+    assert(Occ.occCommit(spark, root, 3, Seq("f5"), Nil) == 4)
+    assert(Occ.liveAt(spark, root, 4).sorted ==
+      Seq("f1", "f2c", "f3", "f5"))
+    // recovery refuses to delete a SEALED manifest
+    assert(!Occ.occRecover(spark, root, 4))
+  }
 }
