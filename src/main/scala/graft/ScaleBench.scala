@@ -53,7 +53,8 @@ object ScaleBench {
     "q_tpch_q2", "q_tpch_q11", "q_tpch_q16", "q_tpch_q19", "q_tpch_q20",
     "q_corr_matrix",
     "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q10",
-    "q_tpch_q14", "q_kmeans", "q_tpch_q9", "q_tpch_q12", "q_occ_log")
+    "q_tpch_q14", "q_kmeans", "q_tpch_q9", "q_tpch_q12", "q_occ_log",
+    "q_active_window")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("spark.log.level", "ERROR")

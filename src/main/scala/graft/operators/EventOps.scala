@@ -661,6 +661,73 @@ object EventOps {
        |FROM daily d LEFT JOIN news n USING (day)
        |ORDER BY d.day""".stripMargin
 
+  /** Trailing window width (days) for [[activeWindow]]. */
+  val ActiveWindowDays = 7L
+
+  /** Trailing-7-day distinct active users per day — the windowed
+    * COUNT(DISTINCT) that does NOT decompose: distinct needs retraction
+    * when a day leaves the window, so neither a prefix sum (the
+    * [[cumulativeUniques]] trick) nor a sliding SUM applies, and the
+    * naive day×window self-join re-counts every user W times. The exact
+    * decomposition used here: a user is active on day D iff some
+    * activity falls in [D-6, D], so each user's (deduped) activity days
+    * merge into COVERAGE BLOCKS — consecutive days whose gaps are < W
+    * fuse into [first, last + W - 1] — and each block contributes +1 at
+    * its start and −1 past its end. The blocks build with one
+    * user-partitioned window (gap flag → running block id), and the
+    * deltas prefix-sum over the calendar-bounded day spine (the
+    * [[cumulativeUniques]] discipline: ~37k rows/century, so the
+    * single-partition running sum is constant-sized at any event
+    * volume). Row-scaled work: one distinct, one user-keyed window, one
+    * tiny delta aggregate. The oracle is the INDEPENDENT brute-force
+    * windowed distinct (spine × activity range join) — feasible at
+    * oracle scale, and any block-merge or fencepost bug hash-fails
+    * against it.
+    */
+  def activeWindow(s: SparkSession, d: String): DataFrame = {
+    val w = ActiveWindowDays
+    val e = withTsMs(Tables.events(s, d))
+      .select(col("user_id"), expr(s"ts_ms div $DayMs").as("day"))
+      .distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val blocks = e
+      .withColumn("gap", when(col("day") - lag(col("day"), 1).over(byUser)
+        >= w, 1L).otherwise(0L))
+      .withColumn("block", sum(col("gap")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("block"))
+      .agg(min(col("day")).as("cover_from"),
+        (max(col("day")) + lit(w - 1)).as("cover_to"))
+    val deltas = blocks.select(col("cover_from").as("day"), lit(1L).as("dlt"))
+      .unionByName(blocks.select((col("cover_to") + 1).as("day"),
+        lit(-1L).as("dlt")))
+      .groupBy(col("day")).agg(sum(col("dlt")).as("dlt"))
+    val spine = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val run = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(deltas, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dlt"), lit(0L)).as("dlt"))
+      .withColumn("active_7d", sum(col("dlt")).over(run))
+      .select(col("day"), col("active_7d"))
+      .orderBy(col("day"))
+  }
+
+  val activeWindowSql: String =
+    s"""WITH days AS (
+       |  SELECT DISTINCT user_id, epoch_ms(ts) // $DayMs AS day
+       |  FROM events),
+       |spine AS (
+       |  SELECT UNNEST(range((SELECT MIN(day) FROM days),
+       |                      (SELECT MAX(day) FROM days) + 1)) AS day)
+       |SELECT s.day,
+       |       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS active_7d
+       |FROM spine s
+       |LEFT JOIN days d
+       |  ON d.day BETWEEN s.day - ${ActiveWindowDays - 1} AND s.day
+       |GROUP BY s.day
+       |ORDER BY s.day""".stripMargin
+
   /** Per-type linear TREND of daily revenue — ordinary least squares in
     * EXACT integer arithmetic: the slope and intercept leave as rational
     * pairs (numerator, shared denominator) built from the closed-form

@@ -436,4 +436,29 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       assert(g.getLong(3) == i + 1)
     }
   }
+
+  test("active window: the coverage-block decomposition equals a brute " +
+      "force trailing-7-day distinct, the spine is dense, and no " +
+      "day-times-window self-join appears in the plan") {
+    val df = EventOps.activeWindow(spark, sfDir)
+    // the decomposition's point: no range/theta join anywhere — the
+    // brute-force form would be a BroadcastNestedLoopJoin on BETWEEN
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("NestedLoopJoin"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // dense spine
+    val days = rows.map(_._1)
+    assert(days.toSeq == (days.min to days.max).toSeq)
+    // brute force twin
+    val e = EventOps.withTsMs(Tables.events(spark, sfDir))
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+      .distinct().collect().map(r => (r.get(0), r.getLong(1)))
+    val byDay = rows.toMap
+    days.foreach { d =>
+      val want = e.filter(t => t._2 >= d - 6 && t._2 <= d)
+        .map(_._1).distinct.length.toLong
+      assert(byDay(d) == want, s"day $d")
+    }
+  }
 }
