@@ -304,4 +304,70 @@ object GraphOps {
        |SELECT node AS p_partkey, deg, rank FROM r$RankIters
        |ORDER BY p_partkey""".stripMargin
   }
+
+  // ---------- BFS levels: frontier expansion over the same graph ----------
+
+  /** Depth bound for [[bfsLevels]] (co-purchase graphs are small-world;
+    * every reachable node is found well inside this on the testdata, and
+    * the bound keeps the driver loop — and the oracle's recursion —
+    * finite regardless of input pathology).
+    */
+  val BfsMaxDepth = 6
+
+  /** BFS level histogram from the lowest part id — graph TRAVERSAL, the
+    * iterative family member [[copurchaseRank]] (fixpoint) and
+    * [[graft.operators.Dedup]]'s star contraction (component collapse)
+    * don't cover: correctness is the MINIMUM level per node, which the
+    * expansion gets for free by anti-joining each frontier against the
+    * visited set (a node never re-enters, so its first level is its
+    * final level). Each of the ≤ [[BfsMaxDepth]] driver-bounded rounds
+    * is one frontier⋈edges hash join + distinct + one LeftAnti — all
+    * keyed on node, nothing quadratic — and each frontier materializes
+    * before the next round (the CC write-once discipline) so lineage
+    * stays flat. The DuckDB oracle is an independent WITH RECURSIVE
+    * expansion + min-per-node regroup; per-level id sums travel as a
+    * checksum so a single misplaced node hash-fails.
+    */
+  def bfsLevels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, edges) = edgeTable(s, d)
+    val src = edges.agg(min(col("p1"))).collect()(0).getLong(0)
+    var visited = Seq((src, 0L)).toDF("node", "level")
+    var frontier = visited.select(col("node"))
+    for (l <- 1 to BfsMaxDepth) {
+      val next = edges
+        .join(frontier.withColumnRenamed("node", "p1"), Seq("p1"))
+        .select(col("p2").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("level", lit(l.toLong))
+        .persist()
+      next.count() // materialize: flat lineage round-over-round
+      visited = visited.unionByName(next)
+      frontier = next.select(col("node"))
+    }
+    visited.groupBy(col("level"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"),
+        sum(col("node")).as("node_id_sum"))
+      .orderBy(col("level"))
+  }
+
+  val bfsLevelsSql: String =
+    s"""WITH RECURSIVE li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |pr AS (SELECT a.pk AS p1, b.pk AS p2
+       |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |       GROUP BY 1, 2),
+       |ed AS (SELECT p1, p2 FROM pr UNION ALL SELECT p2, p1 FROM pr),
+       |bfs AS (
+       |  SELECT (SELECT MIN(p1) FROM ed) AS node, 0 AS lvl
+       |  UNION
+       |  SELECT e.p2 AS node, b.lvl + 1 AS lvl
+       |  FROM bfs b JOIN ed e ON e.p1 = b.node
+       |  WHERE b.lvl < $BfsMaxDepth),
+       |lv AS (SELECT node, MIN(lvl) AS level FROM bfs GROUP BY node)
+       |SELECT CAST(level AS BIGINT) AS level, COUNT(*) AS n_nodes,
+       |       MIN(node) AS min_node,
+       |       CAST(SUM(node) AS BIGINT) AS node_id_sum
+       |FROM lv GROUP BY level ORDER BY level""".stripMargin
 }

@@ -134,4 +134,33 @@ class GraphOpsSpec extends SparkSpecBase {
       assert(shuffled.sortBy(_._1) sameElements got.sortBy(_._1))
     } finally spark.conf.unset(GraphOps.MaxBroadcastEdgesKey)
   }
+
+  test("bfs levels match an exhaustive local traversal: minimum level " +
+      "per node, level-0 is exactly the source, frontiers are disjoint") {
+    val got = GraphOps.bfsLevels(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(got.nonEmpty && got.head._1 == 0L && got.head._2._1 == 1L)
+    // local replay over the same edge derivation
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val adj = scala.collection.mutable.HashMap[Long,
+      scala.collection.mutable.HashSet[Long]]()
+    for (parts <- byOrder.values; a <- parts; b <- parts if a != b)
+      adj.getOrElseUpdate(a,
+        scala.collection.mutable.HashSet[Long]()) += b
+    val src = adj.keys.min
+    val level = scala.collection.mutable.HashMap(src -> 0L)
+    var frontier = Set(src)
+    for (l <- 1 to GraphOps.BfsMaxDepth) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty[Long]).toSet)
+        .filterNot(level.contains)
+      frontier.foreach(level(_) = l.toLong)
+    }
+    val want = level.toSeq.groupBy(_._2).view.mapValues { ns =>
+      (ns.length.toLong, ns.map(_._1).min, ns.map(_._1).sum)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+  }
 }
