@@ -334,21 +334,38 @@ object GraphOps {
     val src = edges.agg(min(col("p1"))).collect()(0).getLong(0)
     var visited = Seq((src, 0L)).toDF("node", "level")
     var frontier = visited.select(col("node"))
-    for (l <- 1 to BfsMaxDepth) {
+    val pinned = scala.collection.mutable.ListBuffer[DataFrame]()
+    var l = 1
+    var grew = true
+    while (grew && l <= BfsMaxDepth) {
       val next = edges
         .join(frontier.withColumnRenamed("node", "p1"), Seq("p1"))
         .select(col("p2").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("level", lit(l.toLong))
         .persist()
-      next.count() // materialize: flat lineage round-over-round
+      // materialize (flat lineage round-over-round); an empty frontier
+      // ends the traversal — the remaining rounds would only re-join
+      // nothing, and the result is identical by construction
+      grew = next.count() > 0
+      pinned += next
       visited = visited.unionByName(next)
       frontier = next.select(col("node"))
+      l += 1
     }
-    visited.groupBy(col("level"))
+    // the histogram is ≤ depth+1 rows — take it eagerly so every pinned
+    // frontier can unpersist NOW (leaving 2·depth cached frontiers per
+    // invocation measurably pressured storage memory for every query
+    // that ran after this one in a bench sweep)
+    val hist = visited.groupBy(col("level"))
       .agg(count(lit(1)).as("n_nodes"),
         min(col("node")).as("min_node"),
         sum(col("node")).as("node_id_sum"))
+      .orderBy(col("level"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    pinned.foreach(_.unpersist(blocking = false))
+    hist.toDF("level", "n_nodes", "min_node", "node_id_sum")
       .orderBy(col("level"))
   }
 

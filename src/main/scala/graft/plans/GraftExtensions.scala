@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CmsEstimate, CosineSimilarity, PolyCharHash}
+import graft.functions.{CmsEstimate, CosineSimilarity, LatticeArgMin, PolyCharHash}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions into the session FunctionRegistry, so plain SQL can call
@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionRegistryBase.build[CmsEstimate]("cms_estimate", since = None)
     ext.injectFunction((FunctionIdentifier("cms_estimate"), cmsInfo,
       (children: Seq[Expression]) => cmsBuilder(children)))
+
+    val (amInfo: ExpressionInfo, amBuilder) =
+      FunctionRegistryBase.build[LatticeArgMin]("lattice_argmin", since = None)
+    ext.injectFunction((FunctionIdentifier("lattice_argmin"), amInfo,
+      (children: Seq[Expression]) => amBuilder(children)))
 
     // poly_char_hash(str, base, mod, padTo): the hash parameters shape the
     // generated code (they are compiled into the codegen'd fold call), so

@@ -58,6 +58,16 @@ class LatticeArgMinSpec extends SparkSpecBase {
     assert(interpreted.getLong(0) == 9L && interpreted.getLong(1) == 2L)
   }
 
+  test("registered in SQL via GraftExtensions: lattice_argmin callable " +
+      "from spark.sql") {
+    val r = spark.sql(
+      """SELECT lattice_argmin(array(9L, 1L),
+        |         array(array(0L, 0L), array(3L, 4L), array(10L, 0L)),
+        |         array(7L, 8L, 9L)) AS a""".stripMargin)
+      .select(col("a.cid"), col("a.dist")).head
+    assert(r.getLong(0) == 9L && r.getLong(1) == 2L)
+  }
+
   test("null array, ragged centroid, or empty matrix yields null") {
     val df = Seq(Tuple1(Seq(1L, 2L))).toDF("q")
     assert(df.select(argmin(col("q"),
