@@ -168,11 +168,16 @@ object ScaleData {
         "small", "cold")
       val nouns = Array("widget", "gizmo", "ring", "gear", "anvil",
         "bolt", "plate", "rod")
+      // p_type in the driver's six-value domain so the PROMO/SMALL
+      // slices (Q14's conditional share, Q20's dominant-supplier scan)
+      // are populated at every scale multiple
+      val types = Array("ECONOMY", "MEDIUM", "PROMO", "LARGE",
+        "STANDARD", "SMALL")
       spark.range(nParts).map { pk =>
         (pk, adjs(Math.floorMod(mix(pk * 1733L + 95L), 8L).toInt) + " " +
           nouns(Math.floorMod(mix(pk * 1787L + 101L), 8L).toInt),
           s"Brand#${1 + Math.floorMod(mix(pk * 1117L + 91L), 25L)}",
-          s"TYPE_${Math.floorMod(mix(pk * 1321L + 93L), 10L)}",
+          types(Math.floorMod(mix(pk * 1321L + 93L), 6L).toInt),
           (1 + Math.floorMod(mix(pk * 1481L + 97L), 50L)).toInt,
           (100L + Math.floorMod(mix(pk * 1667L + 99L), 199900L)) / 100.0d)
       }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
