@@ -744,7 +744,12 @@ object EventOps {
     * accumulate in DECIMAL(38,0) ≡ HUGEINT — BIGINT would wrap SILENTLY
     * in non-ANSI Spark while the DuckDB oracle wraps loudly, the same
     * divergence gini's rank·value products guard against — so the moments
-    * stay exact to ~10³⁸ regardless of daily-revenue magnitude.
+    * stay exact to ~10³⁸ regardless of daily-revenue magnitude. The
+    * rationals LEAVE as digit STRINGS, not DecimalType: a plain digit
+    * string hashes identically under any canonicalization, whereas wide
+    * decimals are representation-unstable across hashers (the r10
+    * hash-red lesson — SchemaLintSpec pins no DecimalType ever escapes
+    * a registered result schema again).
     */
   def trend(s: SparkSession, d: String): DataFrame = {
     val dec = "decimal(38,0)"
@@ -762,12 +767,12 @@ object EventOps {
         sum((col("x") * col("y")).cast(dec)).as("sxy"),
         sum((col("x") * col("x")).cast(dec)).as("sxx"))
       .select(col("event_type"), col("n_days"),
-        (col("n_days") * col("sxy") -
-          col("sx").cast(dec) * col("sy")).cast(dec).as("slope_num"),
-        (col("n_days") * col("sxx") -
-          col("sx").cast(dec) * col("sx")).cast(dec).as("slope_den"),
-        (col("sy") * col("sxx") -
-          col("sx").cast(dec) * col("sxy")).cast(dec).as("intercept_num"))
+        (col("n_days") * col("sxy") - col("sx").cast(dec) * col("sy"))
+          .cast(dec).cast("string").as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx").cast(dec) * col("sx"))
+          .cast(dec).cast("string").as("slope_den"),
+        (col("sy") * col("sxx") - col("sx").cast(dec) * col("sxy"))
+          .cast(dec).cast("string").as("intercept_num"))
       .orderBy(col("event_type"))
   }
 
@@ -786,10 +791,10 @@ object EventOps {
        |         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
        |  FROM pts GROUP BY 1)
        |SELECT event_type, n AS n_days,
-       |       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
-       |       CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DECIMAL(38,0))
+       |       CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
+       |       CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR)
        |         AS slope_den,
-       |       CAST(sy * sxx - sx * sxy AS DECIMAL(38,0)) AS intercept_num
+       |       CAST(sy * sxx - sx * sxy AS VARCHAR) AS intercept_num
        |FROM agg ORDER BY event_type""".stripMargin
 
   /** Next-event transition matrix — the Markov-chain view of user

@@ -2158,8 +2158,11 @@ object Relational {
     * Like [[graft.operators.EventOps.trend]], the output stays an exact
     * rational: corr² = corr_num² / (var_x_num·var_y_num), so no sqrt or
     * float division ever runs engine-side and the oracle hash is
-    * byte-stable. Scale: the only row-scaled work is the one partial
-    * aggregate; everything after is a constant 6 rows.
+    * byte-stable. The rationals leave as digit STRINGS (DecimalType is
+    * accumulation-only — wide-decimal result columns hash differently
+    * across canonicalizers, the r10 hash-red; SchemaLintSpec enforces).
+    * Scale: the only row-scaled work is the one partial aggregate;
+    * everything after is a constant 6 rows.
     */
   def corrMatrix(s: SparkSession, d: String): DataFrame = {
     val dec = "decimal(38,0)"
@@ -2181,12 +2184,12 @@ object Relational {
       x = CorrCols(i); y = CorrCols(j)
     } yield struct(
       lit(x).as("x_col"), lit(y).as("y_col"), col("n"),
-      (col("n") * col(s"p_${x}_$y") -
-        col(s"s_$x").cast(dec) * col(s"s_$y")).cast(dec).as("corr_num"),
-      (col("n") * col(s"p_${x}_$x") -
-        col(s"s_$x").cast(dec) * col(s"s_$x")).cast(dec).as("var_x_num"),
-      (col("n") * col(s"p_${y}_$y") -
-        col(s"s_$y").cast(dec) * col(s"s_$y")).cast(dec).as("var_y_num"))
+      (col("n") * col(s"p_${x}_$y") - col(s"s_$x").cast(dec) *
+        col(s"s_$y")).cast(dec).cast("string").as("corr_num"),
+      (col("n") * col(s"p_${x}_$x") - col(s"s_$x").cast(dec) *
+        col(s"s_$x")).cast(dec).cast("string").as("var_x_num"),
+      (col("n") * col(s"p_${y}_$y") - col(s"s_$y").cast(dec) *
+        col(s"s_$y")).cast(dec).cast("string").as("var_y_num"))
     m.select(explode(array(pairRows: _*)).as("r"))
       .select(col("r.x_col").as("x_col"), col("r.y_col").as("y_col"),
         col("r.n").as("n"), col("r.corr_num").as("corr_num"),
@@ -2202,11 +2205,11 @@ object Relational {
     val branches = pairs.map { case (x, y) =>
       s"""SELECT '$x' AS x_col, '$y' AS y_col, n,
          |  CAST(n * p_${x}_$y - CAST(s_$x AS HUGEINT) * s_$y
-         |    AS DECIMAL(38,0)) AS corr_num,
+         |    AS VARCHAR) AS corr_num,
          |  CAST(n * p_${x}_$x - CAST(s_$x AS HUGEINT) * s_$x
-         |    AS DECIMAL(38,0)) AS var_x_num,
+         |    AS VARCHAR) AS var_x_num,
          |  CAST(n * p_${y}_$y - CAST(s_$y AS HUGEINT) * s_$y
-         |    AS DECIMAL(38,0)) AS var_y_num
+         |    AS VARCHAR) AS var_y_num
          |FROM m""".stripMargin
     }
     val sums = CorrCols.map(c => s"CAST(SUM($c) AS BIGINT) AS s_$c")

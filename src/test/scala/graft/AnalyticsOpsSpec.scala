@@ -359,11 +359,12 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }.toMap
     got.foreach { r =>
       val (n, num, den, inum) = want(r.getString(0))
-      // the moment columns are decimal(38,0) (the silent-BIGINT-wrap
-      // guard) — compare through exact long extraction
-      assert(r.getLong(1) == n && r.getDecimal(2).longValueExact == num &&
-        r.getDecimal(3).longValueExact == den &&
-        r.getDecimal(4).longValueExact == inum, r.toString)
+      // the moments accumulate in decimal(38,0) (the silent-BIGINT-wrap
+      // guard) but LEAVE as digit strings (the driver-hash decimal
+      // canonicalization lesson) — compare through exact BigInt parse
+      assert(r.getLong(1) == n && BigInt(r.getString(2)) == num &&
+        BigInt(r.getString(3)) == den &&
+        BigInt(r.getString(4)) == inum, r.toString)
       assert(den > 0, "degenerate denominator")
     }
     assert(got.length == want.size)

@@ -886,9 +886,8 @@ class RelationalSpec extends SparkSpecBase {
     val ns = rows.map(_.getLong(2)).toSet
     assert(ns.size == 1 && ns.head > 0)
     rows.foreach { r =>
-      val (num, vx, vy) = (BigInt(r.getDecimal(3).toBigInteger),
-        BigInt(r.getDecimal(4).toBigInteger),
-        BigInt(r.getDecimal(5).toBigInteger))
+      val (num, vx, vy) = (BigInt(r.getString(3)),
+        BigInt(r.getString(4)), BigInt(r.getString(5)))
       assert(vx > 0 && vy > 0, r.toString)
       assert(num * num <= vx * vy, s"Cauchy-Schwarz violated: $r")
     }
@@ -902,9 +901,9 @@ class RelationalSpec extends SparkSpecBase {
         floor(col("l_extendedprice") * 100 + lit(0.5))).as("c"))
       .collect().head.getDouble(0)
     val gotCorr = {
-      val num = BigDecimal(qp.getDecimal(3))
-      val den = (BigDecimal(qp.getDecimal(4)) *
-        BigDecimal(qp.getDecimal(5))).bigDecimal.sqrt(
+      val num = BigDecimal(qp.getString(3))
+      val den = (BigDecimal(qp.getString(4)) *
+        BigDecimal(qp.getString(5))).bigDecimal.sqrt(
         java.math.MathContext.DECIMAL64)
       (num / BigDecimal(den)).toDouble
     }
