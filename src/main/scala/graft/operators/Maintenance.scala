@@ -907,14 +907,23 @@ object Maintenance {
     (deleted, keep.size)
   }
 
-  /** Lowest readable version after vacuuming (1 if never vacuumed). */
+  /** Lowest readable version after vacuuming (1 if never vacuumed).
+    * Derived by LISTING `_log/_vacuum_v*` markers and taking the max —
+    * NOT by walking consecutive versions from 2, which under-reports
+    * when the first vacuum starts at keepFrom >= 3 or keepFrom jumps
+    * non-contiguously (2 then 4): a too-low watermark lets readVersion
+    * pass the guard and then fail mid-scan on deleted files, the exact
+    * failure the guard exists to prevent.
+    */
   private[graft] def vacuumWatermark(s: SparkSession, root: String): Int = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    Iterator.from(2)
-      .takeWhile(v => fs.exists(
-        new org.apache.hadoop.fs.Path(s"$root/_log/_vacuum_v$v")))
-      .foldLeft(1)((_, v) => v)
+    val logPath = new org.apache.hadoop.fs.Path(s"$root/_log")
+    val fs = logPath.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(logPath)) 1
+    else fs.listStatus(logPath).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("_vacuum_v") =>
+        n.stripPrefix("_vacuum_v").toInt }
+      .foldLeft(1)(math.max)
   }
 
   /** The vacuumed twin of [[txnTableDir]] — its OWN fixture root (the

@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -39,7 +39,16 @@ object AsOfJoin {
       rightKey: String, leftTime: String, rightTime: String,
       tieBreak: String): DataFrame = {
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    val rPlan0 = right.queryExecution.analyzed
+    // Self-as-of-join guard: when both sides derive from the same base
+    // relation the analyzed plans share attribute IDs, and a binary node
+    // carrying duplicate IDs mis-binds columns (the same hazard Spark's
+    // own Join solves with DeduplicateRelations). Re-alias the right
+    // side behind fresh exprIds whenever the outputs overlap.
+    val rPlan: LogicalPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).nonEmpty)
+        Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+      else rPlan0
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
@@ -163,9 +172,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                   if (rTime == null) curRight = nextRight() // never matches
                   else if (rTime.asInstanceOf[Long] <= lt) {
                     // qualifying; sorted (time, tieBreak) asc => the
-                    // LAST one buffered is the as-of winner
+                    // LAST one buffered is the as-of winner. Copy the
+                    // KEY as well as the row: for non-primitive keys
+                    // (UTF8String/binary/decimal) eval returns a view
+                    // into the sorter's live buffer, which the next
+                    // rIt.next() re-points — retaining the raw value
+                    // would silently corrupt the match-key compare.
                     lastMatch = curRight.copy()
-                    lastMatchKey = rKey
+                    lastMatchKey = InternalRow.copyValue(rKey)
                     curRight = nextRight()
                   } else advancing = false
                 } else advancing = false

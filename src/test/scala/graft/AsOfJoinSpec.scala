@@ -82,4 +82,58 @@ class AsOfJoinSpec extends SparkSpecBase {
       assert(got(i.toLong) === want, s"event $i key $k t $t")
     }
   }
+
+  test("STRING keys survive buffering: the retained match key must be a " +
+      "copy, not a view into the sorter's reused row") {
+    import spark.implicits._
+    // Dense per-partition streams of string keys force the right cursor
+    // to advance many times after each buffering — if lastMatchKey were
+    // the raw UTF8String view, the advance would re-point it to a later
+    // key and the final keyOrd compare would mis-match.
+    val left = (0 until 2000).map { i =>
+      (i.toLong, f"key-${i % 50}%04d", (ScaleData.mix(i.toLong) % 89 + 89) % 89)
+    }.toDF("event_id", "k", "t")
+    val right = (0 until 1500).map { j =>
+      (f"key-${j % 50}%04d", j.toLong, (ScaleData.mix(j + 104729L) % 89 + 89) % 89)
+    }.toDF("rk", "ok", "rt")
+    val got = AsOfJoin(left, right, "k", "rk", "t", "rt", "ok")
+      .select(col("event_id"), col("ok"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val rightRows = (0 until 1500).map { j =>
+      (f"key-${j % 50}%04d", j.toLong, (ScaleData.mix(j + 104729L) % 89 + 89) % 89)
+    }
+    (0 until 2000).foreach { i =>
+      val k = f"key-${i % 50}%04d"
+      val t = (ScaleData.mix(i.toLong) % 89 + 89) % 89
+      val cand = rightRows.filter(r => r._1 == k && r._3 <= t)
+      val want = if (cand.isEmpty) -1L else cand.maxBy(r => (r._3, r._2))._2
+      assert(got(i.toLong) === want, s"event $i key $k t $t")
+    }
+  }
+
+  test("self-as-of-join: overlapping attribute IDs are deduplicated, so " +
+      "each row matches the latest EARLIER row of the same key") {
+    import spark.implicits._
+    val base = (0 until 300).map { i =>
+      ((i % 10).toLong, i.toLong, (i * 7 % 101).toLong)
+    }.toDF("k", "seq", "v")
+    // left derives from base by withColumn — k/seq/v KEEP base's attr
+    // IDs; right IS base, so without the apply-side re-alias the node
+    // would carry duplicate IDs and mis-bind
+    val left = base.withColumn("t_prev", col("seq") - 1)
+    val df = AsOfJoin(left, base, "k", "k", "t_prev", "seq", "seq")
+    // output = left.output ++ right.output; names collide, so read the
+    // right side's seq positionally (index 5 of k,seq,v,t_prev,k,seq,v)
+    assert(df.columns.toSeq ===
+      Seq("k", "seq", "v", "t_prev", "k", "seq", "v"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    (0 until 300).foreach { i =>
+      val k = (i % 10).toLong
+      // the latest seq of the same key that is <= i-1 is i-10 (stride 10)
+      val want = if (i >= 10) (i - 10).toLong else -1L
+      assert(got((k, i.toLong)) === want, s"row $i key $k")
+    }
+  }
 }

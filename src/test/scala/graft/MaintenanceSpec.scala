@@ -316,6 +316,39 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(deleted2 === 0 && retained2 === Maintenance.TxnBuckets + 1)
   }
 
+  test("vacuum watermark: a FIRST vacuum at keepFrom=3 (no _vacuum_v2 " +
+      "marker) still raises the watermark — non-contiguous markers are " +
+      "max'd, not walked consecutively") {
+    // fresh 3-commit log that has NEVER been vacuumed at 2
+    val shared = Maintenance.vacuumedTableDir(spark, sfDir)
+    val root = shared + "_wm3"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_log"))) {
+      // clone the shared fixture's directory tree minus its own markers
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(shared), fs,
+        new org.apache.hadoop.fs.Path(root), false, false,
+        spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/_log/_vacuum_v2"),
+        false)
+      val (_, _) = Maintenance.vacuumLog(spark, root, 3)
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/_log/_vacuum_v2")))
+    assert(Maintenance.vacuumWatermark(spark, root) === 3)
+    // both expired versions refuse cleanly AT THE WATERMARK — with the
+    // old consecutive walk v2 would pass the guard and die mid-scan
+    Seq(1, 2).foreach { v =>
+      val e = intercept[IllegalArgumentException] {
+        Maintenance.readVersion(spark, root, v)
+      }
+      assert(e.getMessage.contains("watermark"), s"v$v: ${e.getMessage}")
+    }
+    val v3 = Maintenance.readVersion(spark, root, 3)
+    assert(v3.count() > 0)
+  }
+
   test("occ: the version claim is put-if-absent (one winner), disjoint " +
       "losers rebase, overlapping losers get a conflict, torn manifests " +
       "end the log and recover explicitly") {
