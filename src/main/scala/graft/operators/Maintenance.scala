@@ -732,49 +732,37 @@ object Maintenance {
 
   /** Latest COMMITTED version: max N whose marker exists. A manifest
     * directory without its marker (a torn commit) is invisible.
+    * Delegates to the connector's protocol reader
+    * ([[graft.sources.GraftLog.latestVersion]]) — one source of truth
+    * for log-visibility semantics.
     */
-  private[graft] def latestVersion(s: SparkSession, root: String): Int = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    Iterator.from(1)
-      .takeWhile(v => fs.exists(
-        new org.apache.hadoop.fs.Path(s"$root/_log/v$v._ok")))
-      .foldLeft(0)((_, v) => v)
-  }
+  private[graft] def latestVersion(s: SparkSession, root: String): Int =
+    graft.sources.GraftLog.latestVersion(
+      s.sessionState.newHadoopConf(), root)
 
   /** Live file set AS OF version `asOf`: fold the committed action lists
-    * v1..asOf (adds minus removes). Driver-side manifest read — the
-    * documented catalog-read exception: versions × files rows of
-    * metadata, never row data.
+    * v1..asOf (adds minus removes). Catalog-sized manifest fold through
+    * the connector's footer-level parquet reader — versions × files
+    * rows of metadata, never row data, and (unlike the r10 utility)
+    * ZERO Spark jobs.
     */
   private[graft] def liveFiles(s: SparkSession, root: String,
-      asOf: Int): Seq[String] = {
-    require(asOf >= 1 && asOf <= latestVersion(s, root),
-      s"version $asOf not committed under $root")
-    val live = scala.collection.mutable.LinkedHashSet[String]()
-    (1 to asOf).foreach { v =>
-      s.read.parquet(s"$root/_log/v$v")
-        .select(col("action"), col("file")).collect()
-        .foreach { r =>
-          if (r.getString(0) == "add") live += r.getString(1)
-          else live -= r.getString(1)
-        }
-    }
-    live.toSeq
-  }
+      asOf: Int): Seq[String] =
+    graft.sources.GraftLog.liveEntries(
+      s.sessionState.newHadoopConf(), root, asOf)
 
-  /** Snapshot read `AS OF` version v — scans exactly the live files of
-    * that version, so every historical version stays queryable as long
-    * as its files aren't vacuumed; a version below the committed
-    * [[vacuumWatermark]] refuses CLEANLY here instead of failing
-    * mid-scan on deleted files. This is the table-format time-travel
-    * contract: the LOG is the table; directories are just storage.
+  /** Snapshot read `AS OF` version v — through the `graftlog`
+    * DataSourceV2 connector ([[graft.sources.GraftLogSource]]), so the
+    * version is a TABLE the planner sees: column pruning reaches the
+    * parquet projection, supported predicates push to row-group
+    * statistics, and a version below the committed [[vacuumWatermark]]
+    * refuses CLEANLY at load() instead of failing mid-scan on deleted
+    * files. This is the table-format time-travel contract: the LOG is
+    * the table; directories are just storage.
     */
-  def readVersion(s: SparkSession, root: String, v: Int): DataFrame = {
-    val wm = vacuumWatermark(s, root)
-    require(v >= wm, s"version $v expired: vacuum watermark is $wm")
-    s.read.parquet(liveFiles(s, root, v).map(f => s"$root/$f"): _*)
-  }
+  def readVersion(s: SparkSession, root: String, v: Int): DataFrame =
+    s.read.format(graft.sources.GraftLog.Format)
+      .option("path", root).option("version", v).load()
 
   /** Lays down (once per JVM) the logged orders table — three committed
     * versions over the SAME log:
@@ -913,18 +901,12 @@ object Maintenance {
     * when the first vacuum starts at keepFrom >= 3 or keepFrom jumps
     * non-contiguously (2 then 4): a too-low watermark lets readVersion
     * pass the guard and then fail mid-scan on deleted files, the exact
-    * failure the guard exists to prevent.
+    * failure the guard exists to prevent. Delegates to the connector
+    * so the DSv2 load() and this utility share one derivation.
     */
-  private[graft] def vacuumWatermark(s: SparkSession, root: String): Int = {
-    val logPath = new org.apache.hadoop.fs.Path(s"$root/_log")
-    val fs = logPath.getFileSystem(s.sessionState.newHadoopConf())
-    if (!fs.exists(logPath)) 1
-    else fs.listStatus(logPath).iterator
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("_vacuum_v") =>
-        n.stripPrefix("_vacuum_v").toInt }
-      .foldLeft(1)(math.max)
-  }
+  private[graft] def vacuumWatermark(s: SparkSession, root: String): Int =
+    graft.sources.GraftLog.vacuumWatermark(
+      s.sessionState.newHadoopConf(), root)
 
   /** The vacuumed twin of [[txnTableDir]] — its OWN fixture root (the
     * time-travel query must keep reading v1 of the shared one), built
@@ -1181,16 +1163,21 @@ object Maintenance {
   }
 
   /** The post-race table through the OCC log: priority-grouped counts
-    * and exact cents over the live files at the latest version. A
-    * protocol bug anywhere (lost commit, double-applied rebase, torn
-    * manifest read) changes the row set and hash-fails against the
-    * oracle's closed-form derivation of the same live set.
+    * and exact cents over the live files at the latest version, READ
+    * THROUGH the `graftlog` DSv2 connector (which auto-detects the OCC
+    * text-manifest protocol and folds only SEALED manifests — a torn
+    * claim ends the log exactly as [[Occ.latest]] says). A protocol bug
+    * anywhere (lost commit, double-applied rebase, torn manifest read)
+    * changes the row set and hash-fails against the oracle's
+    * closed-form derivation of the same live set. Only 2 of the 6
+    * columns survive the scan: MaintenanceSpec pins that the pruning
+    * reached the connector's parquet projection.
     */
   def occLog(s: SparkSession, d: String): DataFrame = {
     val root = occTableDir(s, d)
     val latest = Occ.latest(s, root)
-    val files = Occ.liveAt(s, root, latest).map(f => s"$root/$f")
-    s.read.parquet(files: _*)
+    s.read.format(graft.sources.GraftLog.Format).option("path", root)
+      .load()
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
         sum(RefTransforms.cents(col("o_totalprice"))).as("total_cents"))

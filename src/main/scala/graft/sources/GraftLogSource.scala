@@ -1,0 +1,575 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The versioned transaction log as a REAL engine surface: a
+  * DataSourceV2 `TableProvider` registered as `format("graftlog")`, so
+  * time travel is `spark.read.format("graftlog").option("path", root)
+  * .option("version", v).load()` instead of a driver-assembled file
+  * list handed to the parquet reader.
+  *
+  * Why a connector and not the utility read (the r10 shape,
+  * Maintenance.readVersion building `s.read.parquet(files:_*)`): the
+  * utility path can never participate in scan planning — Spark sees an
+  * anonymous parquet relation, not a versioned table, so the
+  * version/watermark contract lives outside the plan and every caller
+  * must re-implement it. As a DSv2 table the contract IS the scan:
+  *
+  *  - SNAPSHOT ISOLATION: `planInputPartitions` folds the committed
+  *    manifests as of the requested version — a concurrent writer
+  *    landing version N+1 mid-query changes nothing this scan reads.
+  *  - WATERMARK REFUSAL: a version below the committed vacuum
+  *    watermark refuses at `load()` (clean IllegalArgumentException),
+  *    never mid-scan on a deleted file.
+  *  - COLUMN PRUNING (`SupportsPushDownRequiredColumns`): the pruned
+  *    schema becomes the parquet projection (`parquet.read.schema`),
+  *    so untouched columns are never decoded — at 100 TB a 2-column
+  *    query over a 6-column log table reads a third of the bytes.
+  *  - FILTER PUSHDOWN (`SupportsPushDownFilters`): supported
+  *    predicates convert to parquet `FilterPredicate`s evaluated
+  *    against row-group statistics (and record assembly) inside each
+  *    reader; all filters are ALSO returned as residual — exactly
+  *    Spark's own parquet discipline, because row-group stats are
+  *    coarse, so correctness never depends on the pushdown.
+  *
+  * Both log protocols are served by protocol auto-detection:
+  * the marker protocol (`_log/v<N>/` parquet manifest + `v<N>._ok`
+  * marker — Maintenance.commitVersion) and the OCC protocol
+  * (`_log/v<N>.txt` sealed text manifests claimed put-if-absent —
+  * Maintenance.Occ). Torn commits are invisible in both: an unmarked
+  * manifest dir, or an unsealed text manifest, ends the log.
+  *
+  * Scale notes: manifests are catalog-sized (file actions, not rows) and
+  * fold on the driver in one pass; data reading parallelizes one
+  * InputPartition per part-file (a production split would further cut
+  * by row group; file-level is the honest local[32] grain since the
+  * writer bounds file sizes). Readers use parquet-hadoop's public
+  * column-IO path — vectorization is a swap of the reader factory, not
+  * of the connector surface.
+  */
+object GraftLog {
+
+  /** User-facing short name (via DataSourceRegister + META-INF
+    * services registration).
+    */
+  val ShortName = "graftlog"
+
+  /** The format string the engine's own call sites use: the provider
+    * CLASS name, which `DataSource.lookupDataSource` resolves by
+    * reflection — robust even on classpaths assembled without the
+    * compiled resources (the service-registry file), e.g. a bare
+    * `-cp target/scala-2.13/classes` run after `compile` alone.
+    */
+  val Format: String = classOf[GraftLogSource].getName
+
+  private def fsOf(conf: Configuration, root: String): FileSystem =
+    new Path(root).getFileSystem(conf)
+
+  /** OCC protocol iff version 1 was claimed as a text manifest. */
+  private def isOcc(conf: Configuration, root: String): Boolean =
+    fsOf(conf, root).exists(new Path(s"$root/_log/v1.txt"))
+
+  /** Highest COMMITTED version: marker protocol = max N with `v<N>._ok`;
+    * OCC = max N with a SEALED `v<N>.txt`. Torn commits end the log.
+    */
+  def latestVersion(conf: Configuration, root: String): Int = {
+    val fs = fsOf(conf, root)
+    if (isOcc(conf, root))
+      Iterator.from(1)
+        .takeWhile(v => readOccManifest(fs, root, v).isDefined)
+        .foldLeft(0)((_, v) => v)
+    else
+      Iterator.from(1)
+        .takeWhile(v => fs.exists(new Path(s"$root/_log/v$v._ok")))
+        .foldLeft(0)((_, v) => v)
+  }
+
+  /** Lowest readable version (1 if never vacuumed) — max over the
+    * `_vacuum_v*` markers, NOT a consecutive walk (a first vacuum at
+    * keepFrom >= 3 must still raise the watermark).
+    */
+  def vacuumWatermark(conf: Configuration, root: String): Int = {
+    val fs = fsOf(conf, root)
+    val logPath = new Path(s"$root/_log")
+    if (!fs.exists(logPath)) 1
+    else fs.listStatus(logPath).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("_vacuum_v") =>
+        n.stripPrefix("_vacuum_v").toInt }
+      .foldLeft(1)(math.max)
+  }
+
+  /** Sealed OCC manifest actions, or None if absent/torn. */
+  private def readOccManifest(fs: FileSystem, root: String,
+      v: Int): Option[Seq[(String, String)]] = {
+    val p = new Path(s"$root/_log/v$v.txt")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = text.split("\n").filter(_.nonEmpty).toSeq
+    val actions = lines.takeWhile(!_.startsWith("commit "))
+      .map { l => val Array(a, f) = l.split(" ", 2); (a, f) }
+    val sealed_ = lines.drop(actions.length) match {
+      case Seq(seal) => seal == s"commit ${actions.length}"
+      case _         => false
+    }
+    if (sealed_) Some(actions) else None
+  }
+
+  /** Marker-protocol manifest actions: the `_log/v<N>/` parquet read
+    * through the same Group reader the data path uses — a plain footer+
+    * column decode, NO Spark job (the r10 utility ran one job per
+    * version just to read catalog rows).
+    */
+  private def readMarkerManifest(conf: Configuration, root: String,
+      v: Int): Seq[(String, String)] = {
+    val fs = fsOf(conf, root)
+    val out = mutable.ArrayBuffer[(String, String)]()
+    listParquetFiles(fs, new Path(s"$root/_log/v$v")).foreach { f =>
+      val reader =
+        ParquetReader.builder(new GroupReadSupport(), f).withConf(conf)
+          .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out += ((g.getString("action", 0), g.getString("file", 0)))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.toSeq
+  }
+
+  /** Live file ENTRIES (as logged — file or directory paths relative to
+    * root) as of `asOf`: fold adds minus removes over v1..asOf.
+    */
+  def liveEntries(conf: Configuration, root: String,
+      asOf: Int): Seq[String] = {
+    val latest = latestVersion(conf, root)
+    require(asOf >= 1 && asOf <= latest,
+      s"version $asOf not committed under $root (latest: $latest)")
+    val occ = isOcc(conf, root)
+    val fs = fsOf(conf, root)
+    val live = mutable.LinkedHashSet[String]()
+    (1 to asOf).foreach { v =>
+      val actions =
+        if (occ) readOccManifest(fs, root, v).getOrElse(Seq.empty)
+        else readMarkerManifest(conf, root, v)
+      actions.foreach {
+        case ("add", f)    => live += f
+        case ("remove", f) => live -= f
+        case _             => ()
+      }
+    }
+    live.toSeq
+  }
+
+  /** Expand live entries to concrete part-files (an entry may be a
+    * Hive-partitioned directory or a single file).
+    */
+  def dataFiles(conf: Configuration, root: String,
+      asOf: Int): Seq[String] =
+    liveEntries(conf, root, asOf).flatMap { e =>
+      listParquetFiles(fsOf(conf, root), new Path(s"$root/$e"))
+        .map(_.toString)
+    }
+
+  private def listParquetFiles(fs: FileSystem, p: Path): Seq[Path] =
+    if (!fs.exists(p)) Seq.empty
+    else if (fs.getFileStatus(p).isFile) Seq(p)
+    else fs.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) listParquetFiles(fs, st.getPath)
+      else if (n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith(".")) Seq(st.getPath)
+      else Seq.empty
+    }
+
+  /** Checked version resolve: default latest; refuse below watermark. */
+  def resolveVersion(conf: Configuration, root: String,
+      requested: Option[Int]): Int = {
+    val latest = latestVersion(conf, root)
+    require(latest >= 1, s"no committed versions under $root")
+    val v = requested.getOrElse(latest)
+    require(v >= 1 && v <= latest,
+      s"version $v not committed under $root (latest: $latest)")
+    val wm = vacuumWatermark(conf, root)
+    require(v >= wm, s"version $v expired: vacuum watermark is $wm")
+    v
+  }
+
+  /** Spark schema of the snapshot: footer of the first live part-file
+    * (the log's commit discipline keeps versions schema-consistent).
+    */
+  def inferSchema(conf: Configuration, root: String, asOf: Int): StructType = {
+    val first = dataFiles(conf, root, asOf).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"version $asOf of $root has no data files"))
+    val footer = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(first), conf))
+    val msg = try footer.getFileMetaData.getSchema finally footer.close()
+    StructType(msg.getFields.toArray(Array.empty[Type]).map { t =>
+      StructField(t.getName, toSparkType(t.asPrimitiveType()),
+        nullable = true)
+    })
+  }
+
+  private def toSparkType(p: PrimitiveType): DataType = {
+    import PrimitiveType.PrimitiveTypeName._
+    val ann = p.getLogicalTypeAnnotation
+    p.getPrimitiveTypeName match {
+      case INT64 => ann match {
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          require(ts.getUnit ==
+            LogicalTypeAnnotation.TimeUnit.MICROS,
+            s"unsupported timestamp unit ${ts.getUnit} for ${p.getName}")
+          if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType
+        case _ => LongType
+      }
+      case INT32 => ann match {
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => DateType
+        case _ => IntegerType
+      }
+      case DOUBLE  => DoubleType
+      case FLOAT   => FloatType
+      case BOOLEAN => BooleanType
+      case BINARY =>
+        if (ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation])
+          StringType
+        else BinaryType
+      case other => throw new IllegalArgumentException(
+        s"graftlog: unsupported parquet type $other for ${p.getName}")
+    }
+  }
+
+  /** Spark source Filter -> parquet FilterPredicate, for the subset with
+    * exact row-group-statistics semantics. Unconvertible filters are
+    * simply not pushed (they stay residual like everything else).
+    */
+  def toParquetPredicate(schema: StructType,
+      f: Filter): Option[FilterPredicate] = {
+    def typeOf(c: String): Option[DataType] =
+      schema.fields.find(_.name == c).map(_.dataType)
+    def longVal(v: Any): Option[java.lang.Long] = v match {
+      case n: Number => Some(java.lang.Long.valueOf(n.longValue()))
+      case t: java.sql.Timestamp =>
+        Some(java.lang.Long.valueOf(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJavaTimestamp(t)))
+      case i: java.time.Instant =>
+        Some(java.lang.Long.valueOf(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)))
+      case l: java.time.LocalDateTime => // TimestampNTZ filter values
+        Some(java.lang.Long.valueOf(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .localDateTimeToMicros(l)))
+      case _ => None
+    }
+    def intVal(dt: DataType, v: Any): Option[Integer] = (dt, v) match {
+      case (DateType, d: java.sql.Date) =>
+        Some(Integer.valueOf(d.toLocalDate.toEpochDay.toInt))
+      case (DateType, d: java.time.LocalDate) =>
+        Some(Integer.valueOf(d.toEpochDay.toInt))
+      case (_, n: Number) => Some(Integer.valueOf(n.intValue()))
+      case _ => None
+    }
+    def cmp(c: String, v: Any,
+        mk: (DataType, Any) => Option[FilterPredicate]) =
+      typeOf(c).flatMap(dt => mk(dt, v))
+    f match {
+      case And(l, r) => for {
+        lp <- toParquetPredicate(schema, l)
+        rp <- toParquetPredicate(schema, r)
+      } yield FilterApi.and(lp, rp)
+      case Or(l, r) => for {
+        lp <- toParquetPredicate(schema, l)
+        rp <- toParquetPredicate(schema, r)
+      } yield FilterApi.or(lp, rp)
+      case Not(c) => toParquetPredicate(schema, c).map(FilterApi.not)
+      case IsNull(c) => typeOf(c).flatMap {
+        case LongType | TimestampType | TimestampNTZType =>
+          Some(FilterApi.eq(FilterApi.longColumn(c), null: java.lang.Long))
+        case IntegerType | DateType =>
+          Some(FilterApi.eq(FilterApi.intColumn(c), null: Integer))
+        case DoubleType =>
+          Some(FilterApi.eq(FilterApi.doubleColumn(c),
+            null: java.lang.Double))
+        case StringType | BinaryType =>
+          Some(FilterApi.eq(FilterApi.binaryColumn(c), null: Binary))
+        case _ => None
+      }
+      case IsNotNull(c) =>
+        toParquetPredicate(schema, IsNull(c)).map(FilterApi.not)
+      case EqualTo(c, v) if v != null => cmp(c, v, {
+        case (LongType | TimestampType | TimestampNTZType, x) =>
+          longVal(x).map(FilterApi.eq(FilterApi.longColumn(c), _))
+        case (dt @ (IntegerType | DateType), x) =>
+          intVal(dt, x).map(FilterApi.eq(FilterApi.intColumn(c), _))
+        case (DoubleType, x: Number) =>
+          Some(FilterApi.eq(FilterApi.doubleColumn(c),
+            java.lang.Double.valueOf(x.doubleValue())))
+        case (StringType, x: String) =>
+          Some(FilterApi.eq(FilterApi.binaryColumn(c),
+            Binary.fromString(x)))
+        case _ => None
+      })
+      case GreaterThan(c, v) if v != null => cmp(c, v, {
+        case (LongType | TimestampType | TimestampNTZType, x) =>
+          longVal(x).map(FilterApi.gt(FilterApi.longColumn(c), _))
+        case (dt @ (IntegerType | DateType), x) =>
+          intVal(dt, x).map(FilterApi.gt(FilterApi.intColumn(c), _))
+        case (DoubleType, x: Number) =>
+          Some(FilterApi.gt(FilterApi.doubleColumn(c),
+            java.lang.Double.valueOf(x.doubleValue())))
+        case (StringType, x: String) =>
+          Some(FilterApi.gt(FilterApi.binaryColumn(c),
+            Binary.fromString(x)))
+        case _ => None
+      })
+      case GreaterThanOrEqual(c, v) if v != null => cmp(c, v, {
+        case (LongType | TimestampType | TimestampNTZType, x) =>
+          longVal(x).map(FilterApi.gtEq(FilterApi.longColumn(c), _))
+        case (dt @ (IntegerType | DateType), x) =>
+          intVal(dt, x).map(FilterApi.gtEq(FilterApi.intColumn(c), _))
+        case (DoubleType, x: Number) =>
+          Some(FilterApi.gtEq(FilterApi.doubleColumn(c),
+            java.lang.Double.valueOf(x.doubleValue())))
+        case (StringType, x: String) =>
+          Some(FilterApi.gtEq(FilterApi.binaryColumn(c),
+            Binary.fromString(x)))
+        case _ => None
+      })
+      case LessThan(c, v) if v != null => cmp(c, v, {
+        case (LongType | TimestampType | TimestampNTZType, x) =>
+          longVal(x).map(FilterApi.lt(FilterApi.longColumn(c), _))
+        case (dt @ (IntegerType | DateType), x) =>
+          intVal(dt, x).map(FilterApi.lt(FilterApi.intColumn(c), _))
+        case (DoubleType, x: Number) =>
+          Some(FilterApi.lt(FilterApi.doubleColumn(c),
+            java.lang.Double.valueOf(x.doubleValue())))
+        case (StringType, x: String) =>
+          Some(FilterApi.lt(FilterApi.binaryColumn(c),
+            Binary.fromString(x)))
+        case _ => None
+      })
+      case LessThanOrEqual(c, v) if v != null => cmp(c, v, {
+        case (LongType | TimestampType | TimestampNTZType, x) =>
+          longVal(x).map(FilterApi.ltEq(FilterApi.longColumn(c), _))
+        case (dt @ (IntegerType | DateType), x) =>
+          intVal(dt, x).map(FilterApi.ltEq(FilterApi.intColumn(c), _))
+        case (DoubleType, x: Number) =>
+          Some(FilterApi.ltEq(FilterApi.doubleColumn(c),
+            java.lang.Double.valueOf(x.doubleValue())))
+        case (StringType, x: String) =>
+          Some(FilterApi.ltEq(FilterApi.binaryColumn(c),
+            Binary.fromString(x)))
+        case _ => None
+      })
+      case In(c, vs) if vs != null && vs.nonEmpty && vs.forall(_ != null)
+          && vs.length <= 20 =>
+        vs.toSeq.map(v => toParquetPredicate(schema, EqualTo(c, v)))
+          .reduce((a, b) => for { x <- a; y <- b }
+            yield FilterApi.or(x, y))
+      case _ => None
+    }
+  }
+}
+
+/** `format("graftlog")` entry point (registered via
+  * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister).
+  */
+class GraftLogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = GraftLog.ShortName
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def rootOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graftlog requires option(\"path\")"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val conf = new Configuration()
+    val root = rootOf(options)
+    val v = GraftLog.resolveVersion(conf, root,
+      Option(options.get("version")).map(_.toInt))
+    GraftLog.inferSchema(conf, root, v)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val conf = new Configuration()
+    val root = rootOf(options)
+    val v = GraftLog.resolveVersion(conf, root,
+      Option(options.get("version")).map(_.toInt))
+    GraftLogTable(root, v, schema)
+  }
+}
+
+case class GraftLogTable(root: String, asOfVersion: Int,
+    tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graftlog:`$root`@v$asOfVersion"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLogScanBuilder(root, asOfVersion, tableSchema)
+}
+
+class GraftLogScanBuilder(root: String, version: Int, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var pruned: StructType = full
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    pruned = requiredSchema
+
+  /** Accept what converts; return EVERYTHING as residual — row-group
+    * statistics are coarse, so Spark must re-apply (the same contract
+    * its built-in parquet source uses).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(f =>
+      GraftLog.toParquetPredicate(full, f).isDefined)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = {
+    val predicate = accepted
+      .flatMap(f => GraftLog.toParquetPredicate(full, f))
+      .reduceOption(FilterApi.and)
+    GraftLogScan(root, version, pruned, accepted.map(_.toString),
+      predicate)
+  }
+}
+
+case class GraftLogScan(root: String, version: Int, pruned: StructType,
+    pushedDesc: Array[String], predicate: Option[FilterPredicate])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = pruned
+
+  override def description(): String =
+    s"GraftLogScan root=$root version=$version " +
+      s"readSchema=[${pruned.fieldNames.mkString(",")}] " +
+      s"pushed=[${pushedDesc.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftLog.dataFiles(new Configuration(), root, version)
+      .map(f => GraftLogInputPartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftLogReaderFactory(pruned, predicate)
+}
+
+case class GraftLogInputPartition(file: String) extends InputPartition
+
+case class GraftLogReaderFactory(pruned: StructType,
+    predicate: Option[FilterPredicate]) extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftLogPartitionReader(
+      partition.asInstanceOf[GraftLogInputPartition].file, pruned,
+      predicate)
+}
+
+/** Per-file reader: footer-driven projection (only the pruned columns
+  * are decoded) + the pushed parquet predicate (row-group skipping and
+  * record filtering happen inside parquet-hadoop, before any row
+  * reaches Spark).
+  */
+class GraftLogPartitionReader(file: String, pruned: StructType,
+    predicate: Option[FilterPredicate])
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+
+  private val reader: ParquetReader[Group] = {
+    val footer = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    val fileSchema = try footer.getFileMetaData.getSchema
+    finally footer.close()
+    // projection = the file's OWN field definitions filtered to the
+    // pruned names (guaranteed physical-type compatible); an empty
+    // projection (e.g. a bare count) still needs one column to drive
+    // row iteration — take the narrowest primitive
+    val wanted =
+      if (pruned.fields.nonEmpty) pruned.fieldNames.toSeq
+      else Seq(fileSchema.getFields.get(0).getName)
+    val projection = new MessageType(fileSchema.getName,
+      wanted.map(n =>
+        fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    val b = ParquetReader.builder(new GroupReadSupport(), new Path(file))
+      .withConf(conf)
+    predicate.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
+  }
+
+  private val getters: Array[(Group, Int) => Any] =
+    pruned.fields.map { f =>
+      f.dataType match {
+        case LongType | TimestampType | TimestampNTZType =>
+          (g: Group, i: Int) => g.getLong(i, 0)
+        case IntegerType | DateType =>
+          (g: Group, i: Int) => g.getInteger(i, 0)
+        case DoubleType  => (g: Group, i: Int) => g.getDouble(i, 0)
+        case FloatType   => (g: Group, i: Int) => g.getFloat(i, 0)
+        case BooleanType => (g: Group, i: Int) => g.getBoolean(i, 0)
+        case StringType  => (g: Group, i: Int) =>
+          UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+        case BinaryType  => (g: Group, i: Int) => g.getBinary(i, 0).getBytes
+        case other => throw new IllegalArgumentException(
+          s"graftlog: unsupported read type $other for ${f.name}")
+      }
+    }
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(pruned.length)
+    var i = 0
+    while (i < pruned.length) {
+      if (current.getFieldRepetitionCount(i) == 0) row.update(i, null)
+      else row.update(i, getters(i)(current, i))
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = reader.close()
+}

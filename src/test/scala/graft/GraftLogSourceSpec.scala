@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.Maintenance
+import graft.sources.{GraftLog, GraftLogScan}
+
+/** The `graftlog` DataSourceV2 connector: versioned snapshot reads as a
+  * real engine surface — column pruning reaching the parquet
+  * projection, filter pushdown reaching the scan, protocol
+  * auto-detection (marker vs OCC), version/watermark refusal at load(),
+  * and value-equality with the manifest-fold ground truth.
+  */
+class GraftLogSourceSpec extends SparkSpecBase {
+
+  private lazy val txnRoot = Maintenance.txnTableDir(spark, sfDir)
+  private lazy val occRoot = Maintenance.occTableDir(spark, sfDir)
+
+  test("snapshot reads via format(graftlog) equal the manifest-fold " +
+      "ground truth at every version, and torn commits stay invisible") {
+    val conf = spark.sessionState.newHadoopConf()
+    (1 to GraftLog.latestVersion(conf, txnRoot)).foreach { v =>
+      val got = spark.read.format("graftlog").option("path", txnRoot)
+        .option("version", v).load()
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+      val want = spark.read.parquet(
+          GraftLog.dataFiles(conf, txnRoot, v): _*)
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"version $v")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("column pruning reaches the connector scan: a 2-column query " +
+      "reads a 2-column schema, and the pushed filter is visible") {
+    val df = Maintenance.readVersion(spark, txnRoot, 2)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .filter(col("o_orderkey") > 100L)
+    // no exchange in a scan+filter plan, so the scan node is collectable
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.size == 1, df.queryExecution.executedPlan.toString)
+    val gs = scans.head.asInstanceOf[GraftLogScan]
+    assert(gs.readSchema().fieldNames.toSet ===
+      Set("o_orderkey", "o_totalprice"), gs.description())
+    assert(gs.pushedDesc.exists(_.contains("GreaterThan")),
+      gs.description())
+    assert(gs.predicate.isDefined)
+    // and the pushed read returns exactly the residual-filter rows
+    val keys = df.collect().map(_.getLong(0))
+    assert(keys.nonEmpty && keys.forall(_ > 100L))
+  }
+
+  test("the aggregate-shaped q_occ_log plan prunes to its 2 live " +
+      "columns (OCC text-manifest protocol auto-detected)") {
+    val plan = Maintenance.occLog(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GraftLogScan"), plan.take(1500))
+    assert(plan.contains("readSchema=[o_orderpriority,o_totalprice]") ||
+      plan.contains("readSchema=[o_totalprice,o_orderpriority]"),
+      plan.take(1500))
+    assert(!plan.contains("o_custkey"), "pruning missed: " + plan.take(1500))
+  }
+
+  test("version discipline at load(): absent version reads latest, a " +
+      "non-committed version refuses, an expired one names the watermark") {
+    val conf = spark.sessionState.newHadoopConf()
+    val latest = GraftLog.latestVersion(conf, txnRoot)
+    val viaLatest = spark.read.format("graftlog")
+      .option("path", txnRoot).load().count()
+    val viaExplicit = spark.read.format("graftlog")
+      .option("path", txnRoot).option("version", latest).load().count()
+    assert(viaLatest === viaExplicit && viaLatest > 0)
+    val e1 = intercept[IllegalArgumentException] {
+      spark.read.format("graftlog").option("path", txnRoot)
+        .option("version", latest + 5).load()
+    }
+    assert(e1.getMessage.contains("not committed"), e1.getMessage)
+    val vacRoot = Maintenance.vacuumedTableDir(spark, sfDir)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graftlog").option("path", vacRoot)
+        .option("version", 1).load()
+    }
+    assert(e2.getMessage.contains("watermark"), e2.getMessage)
+  }
+
+  test("empty projection (bare count) still iterates rows, and the OCC " +
+      "live set matches Occ.liveAt") {
+    val n = spark.read.format("graftlog").option("path", occRoot)
+      .load().count()
+    val conf = spark.sessionState.newHadoopConf()
+    val latest = GraftLog.latestVersion(conf, occRoot)
+    assert(latest === Maintenance.Occ.latest(spark, occRoot))
+    val want = spark.read.parquet(Maintenance.Occ
+        .liveAt(spark, occRoot, latest).map(f => s"$occRoot/$f"): _*)
+      .count()
+    assert(n === want && n > 0)
+  }
+
+  test("pushed row-group predicate filters correctly across types " +
+      "(long, string, timestamp_ntz) — pushdown equals post-scan filter") {
+    val full = Maintenance.readVersion(spark, txnRoot, 2).collect()
+    def filtered(c: org.apache.spark.sql.Column): Long =
+      Maintenance.readVersion(spark, txnRoot, 2).filter(c).count()
+    val wantPrio = full.count(_.getString(5) == "9-RECLASS")
+    assert(filtered(col("o_orderpriority") === "9-RECLASS")
+      === wantPrio.toLong)
+    val wantKey = full.count(_.getLong(0) <= 500L)
+    assert(filtered(col("o_orderkey") <= 500L) === wantKey.toLong)
+    val someTs = full.head.getAs[java.time.LocalDateTime]("o_orderdate")
+    val wantTs = full.count(r =>
+      !r.getAs[java.time.LocalDateTime]("o_orderdate").isAfter(someTs))
+    assert(filtered(col("o_orderdate") <= lit(someTs)) === wantTs.toLong)
+  }
+}
