@@ -83,7 +83,16 @@ object Bench {
     // contention from OUTSIDE this process: escalate to min-of-3 so at
     // least one run has a better chance of landing in a quiet interval
     val nRuns = if (isNoisy(loadStart, hostCpus)) 3 else 2
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev loop only (the driver never sets it): restrict to a comma list
+    // of query names so a single operator can be timed without paying the
+    // full 192-query run
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.benchQueries.filter(kv => names(kv._1))
+      case None        => SparkEntry.benchQueries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -1048,6 +1048,92 @@ object Streams {
       sys.error(s"no committed embedding corpus under $stateDir")))
   }
 
+  // ---------- streaming as-of enrichment ----------
+
+  /** Input schema of the event stream the as-of enrichment consumes. */
+  val asofIngestSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("ts_ms", LongType)))
+
+  /** Streaming as-of enrichment — the NATIVE as-of operator
+    * ([[graft.plans.AsOfJoinExec]]) applied per micro-batch: each landed
+    * batch of events is enriched with the latest order at-or-before its
+    * timestamp from the CURRENT dimension snapshot (`dimDir` re-read at
+    * every batch — the SCD2-lookup shape: enrichment is decided at
+    * INGEST time, so a later dimension update never rewrites an
+    * already-committed enrichment, it only affects later batches).
+    *
+    * This is the streaming twin of `q_asof_native`: one micro-batch is
+    * exactly the batch operator's left side, so the merge-pass geometry
+    * (hash-cluster both sides, one forward pass, single buffered row)
+    * carries over unchanged — at scale the per-batch cost is
+    * O(batch + dim) with no timeline union and no window state.
+    *
+    * Exactly-once via the shared versioned-state + marker protocol;
+    * duplicate ARRIVALS (same event_id landing twice) are dropped by the
+    * committed-state anti-join, the decontam gate's discipline.
+    * StreamingSpec pins parity with the batch `asofJoin` result across
+    * file splits, restart, replayed batch ids, and torn commits.
+    */
+  def asofEnrichPipeline(spark: SparkSession, inDir: String,
+      dimDir: String, stateDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(asofIngestSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyAsofEnrichBatch(batch, id, dimDir, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** One micro-batch through the as-of enrichment: arrival-dedupe,
+    * native as-of join against the current dimension snapshot, append,
+    * commit.
+    */
+  private[graft] def applyAsofEnrichBatch(batch: DataFrame, batchId: Long,
+      dimDir: String, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, s"applied_batch_$batchId")
+    if (fs.exists(marker)) return
+    val existing = committedStateDir(fs, stateDir) match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None => spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType.fromDDL("event_id BIGINT, user_id BIGINT, " +
+          "ts_ms BIGINT, o_orderkey BIGINT, order_ms BIGINT"))
+    }
+    val fresh = batch
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+      .join(existing.select(col("event_id")), Seq("event_id"), "left_anti")
+      .localCheckpoint()
+    val dim = spark.read.parquet(dimDir)
+      .select(col("user_id").as("r_user_id"), col("o_orderkey"),
+        col("order_ms"))
+      .filter(col("order_ms").isNotNull) // never matches (join + oracle)
+    val enriched = graft.plans.AsOfJoin(fresh, dim,
+        "user_id", "r_user_id", "ts_ms", "order_ms", "o_orderkey")
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("o_orderkey"), col("order_ms"))
+    existing.unionByName(enriched)
+      .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    fs.create(marker, true).close()
+  }
+
+  /** Public reader for the committed enriched-event state. */
+  def asofEnriched(spark: SparkSession, stateDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    spark.read.parquet(committedStateDir(fs, stateDir).getOrElse(
+      sys.error(s"no committed as-of enrichment state under $stateDir")))
+  }
+
   // ---------- streaming cumulative-uniques gate ----------
 
   /** Input schema of the uniques stream: one event arrival per row. */

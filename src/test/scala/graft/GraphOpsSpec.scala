@@ -133,6 +133,15 @@ class GraphOpsSpec extends SparkSpecBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       assert(shuffled.sortBy(_._1) sameElements got.sortBy(_._1))
     } finally spark.conf.unset(GraphOps.MaxBroadcastEdgesKey)
+
+    // the packed single-long closing key is id-width-gated: forcing the
+    // wide-id pair-key fallback must also produce the identical report
+    spark.conf.set(GraphOps.PackedCloseKeyKey, "false")
+    try {
+      val pairKeyed = GraphOps.triangles(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(pairKeyed.sortBy(_._1) sameElements got.sortBy(_._1))
+    } finally spark.conf.unset(GraphOps.PackedCloseKeyKey)
   }
 
   test("bfs levels match an exhaustive local traversal: minimum level " +

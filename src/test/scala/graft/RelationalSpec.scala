@@ -1116,4 +1116,66 @@ class RelationalSpec extends SparkSpecBase {
     assert(promo >= 0 && promo <= total && total > 0)
     assert(ppm == promo * 1000000L / total)
   }
+
+  test("CBO evidence: with ANALYZE-computed column stats and join " +
+      "reordering enabled, the 5-table Q9 dial keeps the hand-shaped " +
+      "fact-first join order and the identical result") {
+    import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val tables = Seq("lineitem", "part", "supplier", "nation", "orders")
+    tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS cbo_$t")
+      spark.sql(s"CREATE TABLE cbo_$t USING parquet " +
+        s"LOCATION '$sfDir/$t.parquet'")
+      spark.sql(s"ANALYZE TABLE cbo_$t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    val sql = Relational.tpchQ9Sql
+      .replaceAll("\\b(lineitem|part|supplier|nation|orders)\\b", "cbo_$1")
+      // the oracle-dialect cast survives Spark SQL unchanged
+    val prev = Seq("spark.sql.cbo.enabled",
+      "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val df = spark.sql(sql)
+      val opt = df.queryExecution.optimizedPlan
+      // stats are real: every scanned relation reports a CBO row count
+      val scans = opt.collect {
+        case r: LogicalRelation => r
+        case h: HiveTableRelation => h: LogicalPlan
+      }
+      assert(scans.size == 5, opt.toString.take(1500))
+      scans.foreach(r => assert(r.stats.rowCount.isDefined,
+        s"missing CBO rowCount on ${r.simpleString(60)}"))
+      // join order: depth-first leaf order of the join tree — the
+      // hand-shaped dial order is fact-first with the filtered part
+      // dimension joined earliest (it cuts lineitem hardest); with
+      // honest stats present, reordering must keep that shape
+      def leafOrder(p: LogicalPlan): Seq[String] = p.collectLeaves().map {
+        l => l.toString.split("\\n").head }
+      val joins = opt.collect { case j: Join => j }
+      assert(joins.size == 4, s"expected 4 joins, got ${joins.size}")
+      val order = leafOrder(joins.head)
+        .map(s => tables.find(t => s.contains(s"cbo_$t")).getOrElse("?"))
+      assert(order.head == "lineitem" && order(1) == "part",
+        s"CBO reordered the dial away from fact⋈filtered-part first: " +
+          order.mkString(" ⋈ "))
+      // and the CBO-planned result is value-identical to the DataFrame
+      // dial (the SQL year() is int where the dial casts long — compare
+      // through numeric values, not row encodings)
+      val got = df.collect().map(r =>
+        (r.getString(0), r.get(1).toString.toLong, r.get(2).toString.toLong))
+      val want = Relational.tpchQ9(spark, sfDir).collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == want.toSeq)
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS cbo_$t"))
+    }
+  }
 }

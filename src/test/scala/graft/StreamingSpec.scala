@@ -766,4 +766,75 @@ class StreamingSpec extends SparkSpecBase {
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming as-of enrichment equals the batch as-of join over the " +
+      "drained input, ingest-time enrichment is immutable under later " +
+      "dimension updates, replay-safe") {
+    import graft.operators.EventOps
+    val in    = tmp("graft_asof_in")
+    val dims  = tmp("graft_asof_dim")
+    val state = tmp("graft_asof_state")
+    val ckp   = tmp("graft_asof_ckp")
+    // events from the shared testdata (the batch query's own left side),
+    // split into two landed files; dimension = the projected orders
+    val events = EventOps.withTsMs(Tables.events(spark, sfDir))
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    val dim = Tables.orders(spark, sfDir).select(
+        col("o_custkey").as("user_id"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"))
+      .filter(col("order_ms").isNotNull)
+    dim.write.mode("overwrite").parquet(dims)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft_asof_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(in, name))
+    }
+    val mid = 5000L
+    land(events.filter(col("event_id") <= mid), "f0.parquet")
+    land(events.filter(col("event_id") > mid), "f1.parquet")
+    Streams.asofEnrichPipeline(spark, in, dims, state, ckp)
+      .awaitTermination()
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    val got = asMap(Streams.asofEnriched(spark, state))
+    val want = asMap(EventOps.asofJoin(spark, sfDir))
+    assert(got === want, "streamed enrichment diverged from the batch join")
+    // dimension update between batches: a new order for every user at a
+    // very late timestamp would win every FUTURE as-of lookup — but the
+    // committed rows are ingest-time decisions and must not move
+    val lateMs = events.agg(max(col("ts_ms"))).head.getLong(0) + 1L
+    val dimUsers = dim.select(col("user_id")).distinct()
+    dim.unionByName(dimUsers.select(col("user_id"),
+        (col("user_id") + 1000000L).as("o_orderkey"),
+        lit(lateMs - 1000L).as("order_ms")))
+      .write.mode("overwrite").parquet(dims)
+    // new events land after the dim update (ids disjoint from testdata)
+    val us = dimUsers.orderBy(col("user_id")).limit(2).collect()
+      .map(_.getLong(0))
+    val extra = Seq((9000001L, us(0), lateMs), (9000002L, us(1), lateMs))
+      .toDF("event_id", "user_id", "ts_ms")
+    land(extra, "f2.parquet")
+    Streams.asofEnrichPipeline(spark, in, dims, state, ckp)
+      .awaitTermination()
+    val after = asMap(Streams.asofEnriched(spark, state))
+    want.foreach { case (k, v) =>
+      assert(after(k) === v, s"committed enrichment for event $k moved") }
+    // the post-update events see the NEW dimension rows (orderkey 1e6+)
+    assert(after(9000001L)._3 >= 1000000L && after(9000002L)._3 >= 1000000L)
+    // replayed batch id: marker short-circuit; torn commit: converge
+    val snapshot = asMap(Streams.asofEnriched(spark, state))
+    Streams.applyAsofEnrichBatch(extra, 2L, dims, state)
+    assert(asMap(Streams.asofEnriched(spark, state)) === snapshot,
+      "replayed batch id was applied twice")
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(state, "applied_batch_2"), false)
+    Streams.applyAsofEnrichBatch(extra, 2L, dims, state)
+    assert(asMap(Streams.asofEnriched(spark, state)) === snapshot,
+      "torn-commit replay diverged")
+  }
 }
