@@ -207,29 +207,6 @@ object GraphOps {
           col("deg2")).otherwise(col("deg1")).as("ddst"))
     val e1 = ori.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
     val e2 = ori.select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
-    // When every node id fits in 31 bits, the closing key (b, c) packs
-    // losslessly into ONE long (b << 32 | c): a single-long join key lets
-    // Spark build a LongHashedRelation for the broadcast side instead of
-    // the generic two-column UnsafeHashedRelation — measured 2x on the
-    // probe, which is the query's dominant cost (41M wedge probes vs
-    // 1.2M closing edges at sf0.1). Wider ids (page-scale graphs) keep
-    // the exact pair key; GraphOpsSpec pins both paths identical.
-    val maxId = nodeTable(edir, edges)
-      .agg(max(col("node"))).head.getLong(0)
-    val packable = maxId < (1L << 31) &&
-      s.conf.getOption(PackedCloseKeyKey).forall(_.toBoolean)
-    def packed(b: Column, c: Column): Column =
-      (shiftleft(b, 32) + c).as("bc")
-    val wedges =
-      if (packable)
-        e1.join(e2, Seq("src"))
-          .filter(ordLt(col("db"), col("b"), col("dc"), col("c")))
-          .select(col("src").as("a"), col("b"), col("c"),
-            packed(col("b"), col("c")))
-      else
-        e1.join(e2, Seq("src"))
-          .filter(ordLt(col("db"), col("b"), col("dc"), col("c")))
-          .select(col("src").as("a"), col("b"), col("c"))
     // The wedge set (Σ out-deg² — 41M rows at sf0.1) dwarfs the edge set
     // it closes against (m rows, 16 bytes each): shuffling the WEDGES on
     // (b, c) is the naive plan's dominant exchange. The asymmetry
@@ -241,10 +218,6 @@ object GraphOps {
     // wire. Past the ceiling (page-scale graphs, 10⁹ edges) the plain
     // shuffle join is the fallback shape that never outgrows memory;
     // GraphOpsSpec pins identical triangles on both paths.
-    val closing =
-      if (packable)
-        ori.select(packed(col("src"), col("dst")))
-      else ori.select(col("dst").as("c"), col("src").as("b"))
     val maxBroadcastEdges = s.conf
       .getOption(MaxBroadcastEdgesKey).map(_.toLong)
       .getOrElse(MaxBroadcastEdges)
@@ -252,8 +225,36 @@ object GraphOps {
     // table — a tiny agg, not a fresh multi-million-row edge scan per call
     val edgeCount = nodeTable(edir, edges)
       .agg(sum(col("deg"))).head.getLong(0) / 2
-    val closingHinted =
-      if (edgeCount <= maxBroadcastEdges) broadcast(closing) else closing
+    val broadcastable = edgeCount <= maxBroadcastEdges
+    // On the BROADCAST path, when every node id fits in 31 bits, the
+    // closing key (b, c) packs losslessly into ONE long (b << 32 | c): a
+    // single-long join key lets Spark build a LongHashedRelation instead
+    // of the generic two-column UnsafeHashedRelation — measured 2.6x on
+    // the probe, which is the query's dominant cost (41M wedge probes vs
+    // 1.2M closing edges at sf0.1; 385M vs 12M at 10x). The packed
+    // column is broadcast-path-ONLY: on the shuffle fallback it would
+    // add 8 bytes to every wedge row crossing the wire (+31 GB at 100x —
+    // the exchange is the fallback's bottleneck, and (b, c) already
+    // hash-partitions exactly as bc would). Wider ids (page-scale
+    // graphs) keep the exact pair key; GraphOpsSpec pins packed and
+    // pair-key paths identical.
+    val maxId = nodeTable(edir, edges)
+      .agg(max(col("node"))).head.getLong(0)
+    val packable = broadcastable && maxId < (1L << 31) &&
+      s.conf.getOption(PackedCloseKeyKey).forall(_.toBoolean)
+    def packed(b: Column, c: Column): Column =
+      (shiftleft(b, 32) + c).as("bc")
+    val wedgeBase = e1.join(e2, Seq("src"))
+      .filter(ordLt(col("db"), col("b"), col("dc"), col("c")))
+    val wedges =
+      if (packable)
+        wedgeBase.select(col("src").as("a"), col("b"), col("c"),
+          packed(col("b"), col("c")))
+      else wedgeBase.select(col("src").as("a"), col("b"), col("c"))
+    val closing =
+      if (packable) ori.select(packed(col("src"), col("dst")))
+      else ori.select(col("dst").as("c"), col("src").as("b"))
+    val closingHinted = if (broadcastable) broadcast(closing) else closing
     val tris = wedges.join(closingHinted,
       if (packable) Seq("bc") else Seq("b", "c"))
     val perNode = tris

@@ -966,6 +966,47 @@ object Maintenance {
     audit.crossJoin(latest)
   }
 
+  /** Version spine of the transaction log, every committed version read
+    * THROUGH the `graftlog` DSv2 connector: (version, n_rows,
+    * total_cents) — the AS-OF surface oracle-gated across the WHOLE
+    * history, not just the latest/diffed versions. The per-version scan
+    * prunes to the single aggregated column (GraftLogSourceSpec pins
+    * projection pruning reached the connector); the version loop is
+    * driver-bounded catalog work (3 committed versions here; a log's
+    * version count is operational metadata, never row-scaled).
+    * Content law: v1 = snapshot A (keys ≢0 mod 10); v2 = the A→B
+    * transition (all keys ≢0 mod 13 — inserts included); v3 = v2's
+    * compaction, content-identical, which the oracle states literally.
+    */
+  def logVersions(s: SparkSession, d: String): DataFrame = {
+    val root = txnTableDir(s, d)
+    val latest = latestVersion(s, root)
+    (1 to latest).map { v =>
+      readVersion(s, root, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(RefTransforms.cents(col("o_totalprice"))).as("total_cents"))
+        .select(lit(v.toLong).as("version"), col("n_rows"),
+          col("total_cents"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  val logVersionsSql: String =
+    """SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT) AS total_cents
+      |FROM orders WHERE o_orderkey % 10 <> 0
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), COUNT(*),
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT)
+      |FROM orders WHERE o_orderkey % 13 <> 0
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), COUNT(*),
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT)
+      |FROM orders WHERE o_orderkey % 13 <> 0
+      |ORDER BY version""".stripMargin
+
   val logVacuumSql: String =
     s"""SELECT CAST(2 AS INT) AS kept_from, CAST(3 AS INT) AS v_latest,
        |       CAST($TxnBuckets AS BIGINT) AS n_files_deleted,

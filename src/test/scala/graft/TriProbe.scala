@@ -54,16 +54,35 @@ object TriProbe {
     (1 to 2).foreach { i =>
       time(s"wedge generation run$i") { println("  n=" + wedges.count()) }
     }
-    def tris: DataFrame = {
+    def trisPair: DataFrame = {
       val closing = ori.select(col("dst").as("c"), col("src").as("b"))
       wedges.join(broadcast(closing), Seq("b", "c"))
     }
     (1 to 2).foreach { i =>
-      time(s"wedges+closing join run$i") { println("  n=" + tris.count()) }
+      time(s"pair-key closing join run$i") {
+        println("  n=" + trisPair.count()) }
+    }
+    def wedgesPacked: DataFrame = {
+      val o = ori
+      val e1 = o.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
+      val e2 = o.select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
+      e1.join(e2, Seq("src"))
+        .filter(ordLt(col("db"), col("b"), col("dc"), col("c")))
+        .select(col("src").as("a"), col("b"), col("c"),
+          (shiftleft(col("b"), 32) + col("c")).as("bc"))
+    }
+    def trisPacked: DataFrame = {
+      val closing = ori.select(
+        (shiftleft(col("src"), 32) + col("dst")).as("bc"))
+      wedgesPacked.join(broadcast(closing), Seq("bc"))
     }
     (1 to 2).foreach { i =>
-      time(s"full pipeline run$i") {
-        val perNode = tris
+      time(s"packed-key closing join run$i") {
+        println("  n=" + trisPacked.count()) }
+    }
+    (1 to 2).foreach { i =>
+      time(s"full packed pipeline run$i") {
+        val perNode = trisPacked
           .select(explode(array(col("a"), col("b"), col("c"))).as("pk"))
           .groupBy(col("pk")).agg(count(lit(1)).as("n_tri"))
         println("  n=" + perNode.count())
