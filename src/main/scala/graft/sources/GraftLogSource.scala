@@ -19,7 +19,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -254,6 +254,10 @@ object GraftLog {
         case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => DateType
         case _ => IntegerType
       }
+      // legacy 12-byte Spark/Impala timestamp (julian day + nanos) —
+      // still what some writers emit; maps to session-adjusted
+      // TimestampType exactly as Spark's own reader does
+      case INT96   => TimestampType
       case DOUBLE  => DoubleType
       case FLOAT   => FloatType
       case BOOLEAN => BooleanType
@@ -264,6 +268,35 @@ object GraftLog {
       case other => throw new IllegalArgumentException(
         s"graftlog: unsupported parquet type $other for ${p.getName}")
     }
+  }
+
+  /** Columns stored as legacy INT96 in the first live file — excluded
+    * from filter pushdown (INT96 has no usable min/max ordering in
+    * row-group stats; parquet itself refuses predicates on it) and
+    * decoded via the julian-day + nanos conversion in the reader.
+    */
+  def int96Columns(conf: Configuration, root: String,
+      asOf: Int): Set[String] = {
+    val first = dataFiles(conf, root, asOf).headOption.getOrElse(
+      return Set.empty)
+    val footer = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(first), conf))
+    val msg = try footer.getFileMetaData.getSchema finally footer.close()
+    msg.getFields.toArray(Array.empty[Type]).collect {
+      case t: PrimitiveType if t.getPrimitiveTypeName ==
+        PrimitiveType.PrimitiveTypeName.INT96 => t.getName
+    }.toSet
+  }
+
+  /** INT96 → micros since epoch: little-endian nanos-of-day (8 bytes)
+    * + little-endian julian day (4 bytes); epoch = julian 2440588.
+    */
+  def int96ToMicros(b: Array[Byte]): Long = {
+    val buf = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong(0)
+    val julianDay = buf.getInt(8)
+    (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
   }
 
   /** Spark source Filter -> parquet FilterPredicate, for the subset with
@@ -447,6 +480,10 @@ class GraftLogScanBuilder(root: String, version: Int, full: StructType)
   private var pruned: StructType = full
   private var accepted: Array[Filter] = Array.empty
 
+  // catalog-cheap footer probe: INT96-backed columns take no pushdown
+  private lazy val int96 =
+    GraftLog.int96Columns(new Configuration(), root, version)
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = requiredSchema
 
@@ -456,7 +493,8 @@ class GraftLogScanBuilder(root: String, version: Int, full: StructType)
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter(f =>
-      GraftLog.toParquetPredicate(full, f).isDefined)
+      f.references.forall(!int96.contains(_)) &&
+        GraftLog.toParquetPredicate(full, f).isDefined)
     filters
   }
 
@@ -473,9 +511,38 @@ class GraftLogScanBuilder(root: String, version: Int, full: StructType)
 
 case class GraftLogScan(root: String, version: Int, pruned: StructType,
     pushedDesc: Array[String], predicate: Option[FilterPredicate])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = pruned
+
+  /** Planner-visible stats for the snapshot: exact row count from the
+    * parquet footers (metadata only — never a data read) and bytes
+    * scaled by the pruned-column fraction, the same heuristic Spark's
+    * FileScan uses. This is what lets a small log snapshot broadcast
+    * correctly when joined against a large fact table.
+    */
+  override def estimateStatistics(): Statistics = {
+    val conf = new Configuration()
+    val files = GraftLog.dataFiles(conf, root, version)
+    var bytes = 0L
+    var rows = 0L
+    files.foreach { f =>
+      val p = new Path(f)
+      bytes += p.getFileSystem(conf).getFileStatus(p).getLen
+      val footer = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try rows += footer.getRecordCount finally footer.close()
+    }
+    val fullWidth = math.max(1,
+      GraftLog.inferSchema(conf, root, version).length)
+    val frac = math.min(1.0, pruned.length.toDouble / fullWidth)
+    val scaled = math.max(1L, (bytes * math.max(frac, 0.1)).toLong)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(scaled)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def description(): String =
     s"GraftLogScan root=$root version=$version " +
@@ -514,11 +581,22 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
 
   private val conf = new Configuration()
 
+  // captured from this FILE's footer so mixed-encoding logs (INT96 in
+  // one snapshot, INT64 micros in another) decode correctly per file
+  private var fileInt96: Set[String] = Set.empty
+
   private val reader: ParquetReader[Group] = {
     val footer = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), conf))
     val fileSchema = try footer.getFileMetaData.getSchema
     finally footer.close()
+    fileInt96 = fileSchema.getFields
+      .toArray(Array.empty[org.apache.parquet.schema.Type]).collect {
+        case t: org.apache.parquet.schema.PrimitiveType
+          if t.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType
+              .PrimitiveTypeName.INT96 => t.getName
+      }.toSet
     // projection = the file's OWN field definitions filtered to the
     // pruned names (guaranteed physical-type compatible); an empty
     // projection (e.g. a bare count) still needs one column to drive
@@ -535,9 +613,12 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
     predicate.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
   }
 
-  private val getters: Array[(Group, Int) => Any] =
+  private lazy val getters: Array[(Group, Int) => Any] =
     pruned.fields.map { f =>
       f.dataType match {
+        case TimestampType if fileInt96.contains(f.name) =>
+          (g: Group, i: Int) =>
+            GraftLog.int96ToMicros(g.getInt96(i, 0).getBytes)
         case LongType | TimestampType | TimestampNTZType =>
           (g: Group, i: Int) => g.getLong(i, 0)
         case IntegerType | DateType =>

@@ -51,6 +51,11 @@ class GraftLogSourceSpec extends SparkSpecBase {
     // and the pushed read returns exactly the residual-filter rows
     val keys = df.collect().map(_.getLong(0))
     assert(keys.nonEmpty && keys.forall(_ > 100L))
+    // planner-visible stats: exact footer row count, pruned-scaled bytes
+    val stats = gs.estimateStatistics()
+    assert(stats.numRows.getAsLong ===
+      Maintenance.readVersion(spark, txnRoot, 2).count())
+    assert(stats.sizeInBytes.getAsLong > 0L)
   }
 
   test("the aggregate-shaped q_occ_log plan prunes to its 2 live " +
@@ -97,6 +102,48 @@ class GraftLogSourceSpec extends SparkSpecBase {
         .liveAt(spark, occRoot, latest).map(f => s"$occRoot/$f"): _*)
       .count()
     assert(n === want && n > 0)
+  }
+
+  test("legacy INT96 timestamps decode value-exactly (julian-day+nanos " +
+      "conversion equals Spark's native reader) and take no pushdown") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_log96").toString
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      spark.range(500).selectExpr("id",
+        "timestamp_micros(id * CAST(987654321 AS BIGINT)) AS ts")
+        .write.mode("overwrite").parquet(s"$root/data_a")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    import spark.implicits._
+    Seq(("add", "data_a")).toDF("action", "file").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/_log/v1")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_log/v1._ok"), true)
+      .close()
+    val got = spark.read.format("graftlog").option("path", root).load()
+    assert(got.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    val want = spark.read.parquet(s"$root/data_a")
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val gm = got.collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(gm.size === 500 && gm === want)
+    // a filter on the INT96 column must NOT be pushed (no usable
+    // row-group ordering) but must still evaluate correctly as residual
+    val f = got.filter(col("ts") >=
+      org.apache.spark.sql.functions.expr(
+        "timestamp_micros(250L * CAST(987654321 AS BIGINT))"))
+    val scans = f.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[GraftLogScan]
+    }
+    assert(scans.size == 1)
+    assert(!scans.head.pushedDesc.exists(_.contains("ts")),
+      scans.head.description())
+    assert(f.count() === 250L)
   }
 
   test("pushed row-group predicate filters correctly across types " +
