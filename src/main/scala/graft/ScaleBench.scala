@@ -54,7 +54,9 @@ object ScaleBench {
     "q_corr_matrix",
     "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q10",
     "q_tpch_q14", "q_kmeans", "q_tpch_q9", "q_tpch_q12", "q_occ_log",
-    "q_active_window", "q_bfs_levels")
+    "q_active_window", "q_bfs_levels",
+    // round-11 additions (graftlog DSv2 connector family)
+    "q_log_versions", "q_log_vacuum")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("spark.log.level", "ERROR")

@@ -521,7 +521,9 @@ case class GraftLogScan(root: String, version: Int, pruned: StructType,
     * FileScan uses. This is what lets a small log snapshot broadcast
     * correctly when joined against a large fact table.
     */
-  override def estimateStatistics(): Statistics = {
+  // lazily memoized: planning may ask for stats more than once, and the
+  // footer walk (catalog-sized as it is) need only happen once per scan
+  private lazy val memoStats: Statistics = {
     val conf = new Configuration()
     val files = GraftLog.dataFiles(conf, root, version)
     var bytes = 0L
@@ -543,6 +545,8 @@ case class GraftLogScan(root: String, version: Int, pruned: StructType,
         java.util.OptionalLong.of(rows)
     }
   }
+
+  override def estimateStatistics(): Statistics = memoStats
 
   override def description(): String =
     s"GraftLogScan root=$root version=$version " +
