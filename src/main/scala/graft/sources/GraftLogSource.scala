@@ -288,6 +288,29 @@ object GraftLog {
     }.toSet
   }
 
+  /** File-level statistics skip: keep the file iff at least one of its
+    * row groups MAY match the predicate, per parquet's own
+    * StatisticsFilter over the footer min/max — so a selective scan
+    * never even schedules tasks for dead files. Conservative by
+    * construction (the reader re-checks row groups and Spark re-applies
+    * residuals) and failure-safe: any validation surprise (predicate
+    * column absent from this file's schema, stats missing) KEEPS the
+    * file.
+    */
+  def fileMayMatch(conf: Configuration, file: String,
+      predicate: FilterPredicate): Boolean =
+    try {
+      val footer = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(file), conf))
+      try {
+        val meta = footer.getFooter
+        !org.apache.parquet.filter2.compat.RowGroupFilter
+          .filterRowGroups(FilterCompat.get(predicate), meta.getBlocks,
+            meta.getFileMetaData.getSchema)
+          .isEmpty
+      } finally footer.close()
+    } catch { case _: Exception => true }
+
   /** INT96 → micros since epoch: little-endian nanos-of-day (8 bytes)
     * + little-endian julian day (4 bytes); epoch = julian 2440588.
     */
@@ -504,14 +527,44 @@ class GraftLogScanBuilder(root: String, version: Int, full: StructType)
     val predicate = accepted
       .flatMap(f => GraftLog.toParquetPredicate(full, f))
       .reduceOption(FilterApi.and)
-    GraftLogScan(root, version, pruned, accepted.map(_.toString),
-      predicate)
+    GraftLogScan(root, version, full, int96, pruned,
+      accepted.map(_.toString), predicate)
   }
 }
 
-case class GraftLogScan(root: String, version: Int, pruned: StructType,
+case class GraftLogScan(root: String, version: Int, full: StructType,
+    int96: Set[String], pruned: StructType,
     pushedDesc: Array[String], predicate: Option[FilterPredicate])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** Runtime filters (DPP-style: Spark hands them to the scan after the
+    * build side of a join resolves) AND into the static pushdown; they
+    * participate in BOTH the file-level stats skip and the per-reader
+    * row-group/record filtering. Conservative superset semantics — the
+    * join itself still applies the exact condition.
+    */
+  private var runtimePredicate: Option[FilterPredicate] = None
+  private[sources] var runtimeDesc: Array[String] = Array.empty
+
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    full.fieldNames.filterNot(int96.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val converted = filters.filter(_.references.forall(!int96.contains(_)))
+      .flatMap(f => GraftLog.toParquetPredicate(full, f))
+    if (converted.nonEmpty) {
+      runtimePredicate = (runtimePredicate.toSeq ++ converted)
+        .reduceOption(FilterApi.and)
+      runtimeDesc ++= filters.map(_.toString)
+    }
+  }
+
+  private def effectivePredicate: Option[FilterPredicate] =
+    (predicate.toSeq ++ runtimePredicate.toSeq)
+      .reduceOption(FilterApi.and)
 
   override def readSchema(): StructType = pruned
 
@@ -555,12 +608,23 @@ case class GraftLogScan(root: String, version: Int, pruned: StructType,
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftLog.dataFiles(new Configuration(), root, version)
-      .map(f => GraftLogInputPartition(f): InputPartition).toArray
+  /** Files whose footer statistics rule out every row group under the
+    * combined (static + runtime) predicate are never scheduled at all —
+    * at 100 TB a selective key predicate over a clustered log version
+    * scans only the matching files.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val files = GraftLog.dataFiles(conf, root, version)
+    val kept = effectivePredicate match {
+      case Some(p) => files.filter(f => GraftLog.fileMayMatch(conf, f, p))
+      case None    => files
+    }
+    kept.map(f => GraftLogInputPartition(f): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftLogReaderFactory(pruned, predicate)
+    GraftLogReaderFactory(pruned, effectivePredicate)
 }
 
 case class GraftLogInputPartition(file: String) extends InputPartition

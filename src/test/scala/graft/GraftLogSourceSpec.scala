@@ -146,6 +146,86 @@ class GraftLogSourceSpec extends SparkSpecBase {
     assert(f.count() === 250L)
   }
 
+  test("file-level stats skip: a selective key predicate over a " +
+      "range-clustered version schedules only the matching files, and " +
+      "runtime filters (the DPP hook) prune files the same way") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_logskip").toString
+    // 4 range-clustered files: ids 0..999 split into contiguous quarters
+    spark.range(1000).selectExpr("id", "id * 3 AS v")
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(s"$root/data_a")
+    import spark.implicits._
+    Seq(("add", "data_a")).toDF("action", "file").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/_log/v1")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_log/v1._ok"), true)
+      .close()
+    def scanOf(df: org.apache.spark.sql.DataFrame): GraftLogScan =
+      df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan.asInstanceOf[GraftLogScan]
+      }.head
+    val unfiltered = spark.read.format("graftlog").option("path", root)
+      .load()
+    val allParts = scanOf(unfiltered).toBatch.planInputPartitions().length
+    assert(allParts === 4, s"fixture should land 4 files, got $allParts")
+    // static skip: id > 900 lives in the last range file only
+    val selective = spark.read.format("graftlog").option("path", root)
+      .load().filter(col("id") > 900L)
+    val sScan = scanOf(selective)
+    val sParts = sScan.toBatch.planInputPartitions().length
+    assert(sParts < 4 && sParts >= 1,
+      s"stats skip did not prune: $sParts of $allParts")
+    assert(selective.collect().map(_.getLong(0)).sorted.toSeq ===
+      (901L to 999L))
+    // runtime-filter contract (what Spark's DPP hands the scan after a
+    // join's build side resolves): filter() prunes files conservatively
+    val rtScan = scanOf(spark.read.format("graftlog").option("path", root)
+      .load())
+    assert(rtScan.filterAttributes().map(_.describe()).toSet ===
+      Set("id", "v"))
+    rtScan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.LessThan("id", 100L)))
+    val rtParts = rtScan.toBatch.planInputPartitions()
+    assert(rtParts.length < 4 && rtParts.nonEmpty,
+      s"runtime filter did not prune: ${rtParts.length}")
+    // conservative: every matching row is still inside the kept files
+    val keptFiles = rtParts.map(
+      _.asInstanceOf[graft.sources.GraftLogInputPartition].file)
+    val keptIds = spark.read.parquet(keptFiles: _*)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert((0L until 100L).forall(keptIds.contains))
+  }
+
+  test("END-TO-END dynamic pruning: a selective join injects a " +
+      "dynamicpruning runtime filter INTO the connector scan, and the " +
+      "joined result is exact") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_logdpp").toString
+    spark.range(100000).selectExpr("id", "id * 3 AS v")
+      .repartitionByRange(8, col("id")).sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(s"$root/data_a")
+    import spark.implicits._
+    Seq(("add", "data_a")).toDF("action", "file").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/_log/v1")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_log/v1._ok"), true)
+      .close()
+    val fact = spark.read.format("graftlog").option("path", root).load()
+    val dim = spark.range(20).selectExpr("id AS d_id")
+      .filter(col("d_id") < 3)
+    val joined = fact.join(dim, col("id") === col("d_id"))
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(got.toSeq === (0L until 3L).map(i => (i, i * 3)))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftLogScan") &&
+      plan.contains("dynamicpruningexpression"),
+      "no runtime filter reached the connector scan:\n" + plan.take(1500))
+  }
+
   test("pushed row-group predicate filters correctly across types " +
       "(long, string, timestamp_ntz) — pushdown equals post-scan filter") {
     val full = Maintenance.readVersion(spark, txnRoot, 2).collect()
