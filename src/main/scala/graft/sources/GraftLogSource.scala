@@ -19,7 +19,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{streaming, Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -187,6 +187,21 @@ object GraftLog {
     }
     live.toSeq
   }
+
+  /** Action list of ONE committed version, protocol-dispatched — the
+    * streaming tail's unit of progress.
+    */
+  def versionActions(conf: Configuration, root: String,
+      v: Int): Seq[(String, String)] =
+    if (isOcc(conf, root))
+      readOccManifest(fsOf(conf, root), root, v).getOrElse(Seq.empty)
+    else readMarkerManifest(conf, root, v)
+
+  /** Expand a single logged entry (file or directory) to part-files. */
+  def expandEntry(conf: Configuration, root: String,
+      entry: String): Seq[String] =
+    listParquetFiles(fsOf(conf, root), new Path(s"$root/$entry"))
+      .map(_.toString)
 
   /** Expand live entries to concrete part-files (an entry may be a
     * Hive-partitioned directory or a single file).
@@ -490,7 +505,8 @@ case class GraftLogTable(root: String, asOfVersion: Int,
   override def name(): String = s"graftlog:`$root`@v$asOfVersion"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(root, asOfVersion, tableSchema)
@@ -625,9 +641,75 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftLogReaderFactory(pruned, effectivePredicate)
+
+  /** The log as a STREAM: each committed version is a micro-batch of
+    * the files it ADDED — `readStream.format("graftlog")` tails the
+    * commit log the way lakehouse formats do. Offsets are version
+    * numbers (exactly-once via the standard checkpoint protocol), and
+    * column pruning / filter pushdown apply to the tail exactly as to
+    * the batch scan (same reader factory). APPEND-ONLY contract: a
+    * version that removes files (compaction, delete, rewrite) is not
+    * representable as appended rows — the tail fails LOUDLY on it
+    * rather than silently emitting re-added duplicates.
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): streaming.MicroBatchStream =
+    new GraftLogMicroBatchStream(root, pruned, effectivePredicate)
 }
 
 case class GraftLogInputPartition(file: String) extends InputPartition
+
+/** Version-number offset of the streaming tail. */
+case class GraftLogOffset(version: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** Micro-batch tail over the commit log: offset N = "everything through
+  * version N"; a batch (start, end] reads the files ADDED by versions
+  * start+1..end. Torn commits are invisible (latestOffset stops before
+  * them), so a batch can never read a half-written version.
+  */
+class GraftLogMicroBatchStream(root: String, pruned: StructType,
+    predicate: Option[FilterPredicate])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def conf = new Configuration()
+
+  override def initialOffset(): Offset = GraftLogOffset(0)
+
+  override def latestOffset(): Offset =
+    GraftLogOffset(GraftLog.latestVersion(conf, root))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftLogOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftLogOffset].version
+    val e = end.asInstanceOf[GraftLogOffset].version
+    val c = conf
+    (s + 1 to e).flatMap { v =>
+      val actions = GraftLog.versionActions(c, root, v)
+      val removed = actions.collect { case ("remove", f) => f }
+      if (removed.nonEmpty) throw new IllegalStateException(
+        s"graftlog stream: version $v of $root is not append-only " +
+          s"(removes ${removed.take(3).mkString(", ")}...); the tail " +
+          "emits appended rows only — run maintenance rewrites on a " +
+          "separate log, or start a fresh stream from a snapshot")
+      actions.collect { case ("add", f) => f }
+        .flatMap(GraftLog.expandEntry(c, root, _))
+    }.map(f => GraftLogInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftLogReaderFactory(pruned, predicate)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
 
 case class GraftLogReaderFactory(pruned: StructType,
     predicate: Option[FilterPredicate]) extends PartitionReaderFactory {

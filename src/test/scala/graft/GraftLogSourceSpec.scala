@@ -226,6 +226,60 @@ class GraftLogSourceSpec extends SparkSpecBase {
       "no runtime filter reached the connector scan:\n" + plan.take(1500))
   }
 
+  test("streaming tail: each committed version is a micro-batch, a " +
+      "restart resumes from the checkpointed version offset, and a " +
+      "non-append version fails loudly") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_logtail").toString
+    val ckp = Files.createTempDirectory("graft_logtail_ckp").toString
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def commit(v: Int, adds: Seq[String], removes: Seq[String] = Nil): Unit = {
+      (adds.map(("add", _)) ++ removes.map(("remove", _)))
+        .toDF("action", "file").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/_log/v$v")
+      fs.create(new org.apache.hadoop.fs.Path(s"$root/_log/v$v._ok"), true)
+        .close()
+    }
+    def land(tag: String, from: Long, until: Long): Unit =
+      spark.range(from, until).selectExpr("id", "id * 7 AS v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/$tag")
+    land("f1", 0, 100);   commit(1, Seq("f1"))
+    land("f2", 100, 200); commit(2, Seq("f2"))
+    val out = Files.createTempDirectory("graft_logtail_out").toString
+    def drain(): Unit =
+      spark.readStream.format("graftlog").option("path", root).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    drain()
+    val after2 = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0)).sorted
+    assert(after2.toSeq === (0L until 200L), s"got ${after2.length} rows")
+    // a new commit lands while the stream is down; restart picks up
+    // ONLY version 3 (the checkpoint holds offset 2)
+    land("f3", 200, 300); commit(3, Seq("f3"))
+    drain()
+    val after3 = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0)).sorted
+    assert(after3.toSeq === (0L until 300L),
+      s"restart emitted ${after3.length} rows (duplicates = offset lost)")
+    // a maintenance rewrite (remove) is NOT representable as appends —
+    // the tail must refuse, not silently re-emit
+    land("f2c", 100, 200); commit(4, Seq("f2c"), removes = Seq("f2"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    assert(e.getMessage.contains("not append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("not append-only")),
+      e.getMessage)
+  }
+
   test("pushed row-group predicate filters correctly across types " +
       "(long, string, timestamp_ntz) — pushdown equals post-scan filter") {
     val full = Maintenance.readVersion(spark, txnRoot, 2).collect()
