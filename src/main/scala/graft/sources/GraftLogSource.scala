@@ -750,9 +750,15 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
     // projection = the file's OWN field definitions filtered to the
     // pruned names (guaranteed physical-type compatible); an empty
     // projection (e.g. a bare count) still needs one column to drive
-    // row iteration — take the narrowest primitive
+    // row iteration — take the first field, UNLESS a predicate exists
+    // (a runtime filter can arrive after pruning): parquet's filter
+    // validator requires every predicate column in the read schema, so
+    // that rare case reads the full schema rather than failing
     val wanted =
       if (pruned.fields.nonEmpty) pruned.fieldNames.toSeq
+      else if (predicate.isDefined)
+        fileSchema.getFields.toArray(
+          Array.empty[org.apache.parquet.schema.Type]).map(_.getName).toSeq
       else Seq(fileSchema.getFields.get(0).getName)
     val projection = new MessageType(fileSchema.getName,
       wanted.map(n =>
