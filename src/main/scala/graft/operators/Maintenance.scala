@@ -1007,6 +1007,56 @@ object Maintenance {
       |FROM orders WHERE o_orderkey % 13 <> 0
       |ORDER BY version""".stripMargin
 
+  /** Lays down (once per JVM) a log CREATED ENTIRELY THROUGH the
+    * connector's write path: two `mode("append")` commits (even keys,
+    * then odd), the first bootstrapping the table via option("schema").
+    */
+  private[graft] def writtenTableDir(s: SparkSession, d: String): String = {
+    val root = graft.sources.SetupOnce.runtimeDir(d, "orders_graftwrite")
+    graft.sources.SetupOnce(root) {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      Seq(0, 1).foreach { parity =>
+        o.filter(pmod(col("o_orderkey"), lit(2)) === parity)
+          .write.format(graft.sources.GraftLog.Format)
+          .option("path", root)
+          .option("schema", "o_orderkey BIGINT, o_totalprice DOUBLE")
+          .mode("append").save()
+      }
+    }
+    root
+  }
+
+  /** Write-path roundtrip: the version spine of a log whose EVERY byte
+    * came through `df.write.format("graftlog")` — v1 is the even-key
+    * append, v2 adds the odd keys; both read back through the same
+    * connector and hash-check against the closed-form derivation, so a
+    * bug anywhere in the two-phase commit (staged files leaking into a
+    * version, a lost append, a double commit) hash-fails.
+    */
+  def logWriteRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val root = writtenTableDir(s, d)
+    (1 to 2).map { v =>
+      readVersion(s, root, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(RefTransforms.cents(col("o_totalprice"))).as("total_cents"))
+        .select(lit(v.toLong).as("version"), col("n_rows"),
+          col("total_cents"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  val logWriteRoundtripSql: String =
+    """SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT) AS total_cents
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), COUNT(*),
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT)
+      |FROM orders
+      |ORDER BY version""".stripMargin
+
   val logVacuumSql: String =
     s"""SELECT CAST(2 AS INT) AS kept_from, CAST(3 AS INT) AS v_latest,
        |       CAST($TxnBuckets AS BIGINT) AS n_files_deleted,

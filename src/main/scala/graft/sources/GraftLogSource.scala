@@ -484,6 +484,12 @@ class GraftLogSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val conf = new Configuration()
     val root = rootOf(options)
+    // bootstrap: a brand-new table has no committed version to infer
+    // from — the FIRST write passes option("schema", <ddl>) (a bare
+    // TableProvider has no catalog to CREATE through)
+    if (GraftLog.latestVersion(conf, root) == 0 &&
+        options.containsKey("schema"))
+      return StructType.fromDDL(options.get("schema"))
     val v = GraftLog.resolveVersion(conf, root,
       Option(options.get("version")).map(_.toInt))
     GraftLog.inferSchema(conf, root, v)
@@ -494,22 +500,33 @@ class GraftLogSource extends TableProvider with DataSourceRegister {
     val options = new CaseInsensitiveStringMap(properties)
     val conf = new Configuration()
     val root = rootOf(options)
-    val v = GraftLog.resolveVersion(conf, root,
-      Option(options.get("version")).map(_.toInt))
+    val v =
+      if (GraftLog.latestVersion(conf, root) == 0) 0 // bootstrap write
+      else GraftLog.resolveVersion(conf, root,
+        Option(options.get("version")).map(_.toInt))
     GraftLogTable(root, v, schema)
   }
 }
 
 case class GraftLogTable(root: String, asOfVersion: Int,
-    tableSchema: StructType) extends Table with SupportsRead {
+    tableSchema: StructType) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graftlog:`$root`@v$asOfVersion"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(asOfVersion >= 1,
+      s"no committed versions under $root — write one first")
     new GraftLogScanBuilder(root, asOfVersion, tableSchema)
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftLogWriteBuilder(root, info)
 }
 
 class GraftLogScanBuilder(root: String, version: Int, full: StructType)

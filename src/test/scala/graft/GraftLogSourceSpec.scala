@@ -280,6 +280,98 @@ class GraftLogSourceSpec extends SparkSpecBase {
       e.getMessage)
   }
 
+  test("write path: mode(append) commits one version per write, the " +
+      "first write bootstraps via option(schema), and a torn claim " +
+      "never becomes visible") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_logwrite").toString
+    val ddl = "id BIGINT, name STRING, score DOUBLE"
+    def append(from: Long, until: Long): Unit =
+      spark.range(from, until).selectExpr("id",
+          "concat('n-', id) AS name", "id * 0.5 AS score")
+        .write.format("graftlog").option("path", root)
+        .option("schema", ddl).mode("append").save()
+    append(0, 100)   // bootstrap -> v1
+    append(100, 250) // -> v2
+    val conf = spark.sessionState.newHadoopConf()
+    assert(GraftLog.latestVersion(conf, root) === 2)
+    val v1 = spark.read.format("graftlog").option("path", root)
+      .option("version", 1).load()
+    assert(v1.count() === 100L)
+    val all = spark.read.format("graftlog").option("path", root).load()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(all.length === 250)
+    assert(all(42) === ((42L, "n-42", 21.0)))
+    // round-trip THROUGH Spark's own reader too (written files are
+    // plain parquet, not a private format)
+    val native = spark.read.parquet(s"$root/data_v1", s"$root/data_v2")
+    assert(native.count() === 250L)
+    // a torn claim (claim file without manifest+marker) stays invisible
+    // AND blocks the next writer LOUDLY — skipping the number would
+    // leave a hole that "torn commits end the log" makes permanent
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(conf)
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_log/v3._claim"),
+      false).close()
+    assert(GraftLog.latestVersion(conf, root) === 2)
+    val e = intercept[Exception] { append(250, 300) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("claimed but not committed")),
+      msgs(e).mkString(" | "))
+    // explicit recovery (the writer is known dead): delete the stale
+    // claim, then the append lands as v3 with no hole
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_log/v3._claim"),
+      false)
+    append(250, 300)
+    assert(GraftLog.latestVersion(conf, root) === 3)
+    assert(spark.read.format("graftlog").option("path", root).load()
+      .count() === 300L)
+  }
+
+  test("streaming sink: every epoch is one committed version, and the " +
+      "written log tails back out with the streaming source") {
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft_sink_src").toString
+    val root = Files.createTempDirectory("graft_sink_log").toString
+    val ckp = Files.createTempDirectory("graft_sink_ckp").toString
+    def land(name: String, from: Long, until: Long): Unit = {
+      val stage = Files.createTempDirectory("graft_sink_stage").toString
+      spark.range(from, until).selectExpr("id", "id * 11 AS v")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(srcDir, name))
+    }
+    land("a.parquet", 0, 50)
+    land("b.parquet", 50, 120)
+    def drain(): Unit =
+      spark.readStream
+        .schema("id BIGINT, v BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .writeStream.format("graftlog")
+        .option("path", root).option("schema", "id BIGINT, v BIGINT")
+        .option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    drain()
+    val conf = spark.sessionState.newHadoopConf()
+    // one version per micro-batch (maxFilesPerTrigger=1 -> 2 epochs)
+    assert(GraftLog.latestVersion(conf, root) === 2)
+    assert(spark.read.format("graftlog").option("path", root).load()
+      .count() === 120L)
+    // restart with a new landing: exactly one more version, no replays
+    land("c.parquet", 120, 200)
+    drain()
+    assert(GraftLog.latestVersion(conf, root) === 3)
+    val ids = spark.read.format("graftlog").option("path", root).load()
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until 200L), s"${ids.length} rows")
+  }
+
   test("pushed row-group predicate filters correctly across types " +
       "(long, string, timestamp_ntz) — pushdown equals post-scan filter") {
     val full = Maintenance.readVersion(spark, txnRoot, 2).collect()
