@@ -83,7 +83,7 @@ object GraftLogWrite {
   /** One staged part-file via parquet-hadoop's example writer — the
     * mirror of the reader's Group decode, no Spark internals.
     */
-  private[sources] def groupWriter(path: Path, schema: MessageType,
+  private[graft] def groupWriter(path: Path, schema: MessageType,
       conf: Configuration): ParquetWriter[Group] = {
     GroupWriteSupport.setSchema(schema, conf)
     ExampleParquetWriter.builder(
@@ -148,10 +148,14 @@ object GraftLogWrite {
     } finally w.close()
   }
 
-  /** Driver-side commit: claim, publish staging as data_v<N>, manifest,
-    * marker. Returns the committed version.
+  /** Driver-side commit: claim, publish the COMMITTED files (and only
+    * those — a retried or speculative task attempt leaves its loser's
+    * file in staging, and renaming the whole directory would publish
+    * it; per-file rename of exactly the commit-message set is the
+    * correct two-phase discipline) into data_v<N>, manifest, marker.
+    * Returns the committed version.
     */
-  private[sources] def commitStaged(conf: Configuration, root: String,
+  private[graft] def commitStaged(conf: Configuration, root: String,
       staging: String, files: Seq[String]): Int = {
     val fs = new Path(root).getFileSystem(conf)
     val n = claimVersion(conf, root)
@@ -159,13 +163,18 @@ object GraftLogWrite {
     if (files.isEmpty) {
       // an empty write is still a committed (empty) version: readers
       // of v<N> see exactly what the writer wrote — nothing
-      fs.delete(new Path(staging), true)
       writeManifest(conf, root, n, Nil)
     } else {
-      require(fs.rename(new Path(staging), new Path(s"$root/$dataDir")),
-        s"graftlog write: rename $staging -> $root/$dataDir failed")
+      fs.mkdirs(new Path(s"$root/$dataDir"))
+      files.foreach { f =>
+        val src = new Path(f)
+        val dst = new Path(s"$root/$dataDir/${src.getName}")
+        require(fs.rename(src, dst),
+          s"graftlog write: rename $src -> $dst failed")
+      }
       writeManifest(conf, root, n, Seq(dataDir))
     }
+    fs.delete(new Path(staging), true) // drop loser-attempt remnants
     fs.create(new Path(s"$root/_log/v$n._ok"), true).close()
     n
   }

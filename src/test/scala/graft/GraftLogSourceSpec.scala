@@ -331,6 +331,38 @@ class GraftLogSourceSpec extends SparkSpecBase {
       .count() === 300L)
   }
 
+  test("commit publishes ONLY the committed files: a loser task " +
+      "attempt's file left in staging is dropped, not published") {
+    import java.nio.file.Files
+    import graft.sources.GraftLogWrite
+    val root = Files.createTempDirectory("graft_logcommit").toString
+    val staging = s"$root/_staging_test"
+    val msg = GraftLogWrite.toMessageType(
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"))
+    val conf = spark.sessionState.newHadoopConf()
+    def stage(name: String, ids: Seq[Long]): String = {
+      val p = s"$staging/$name"
+      val w = GraftLogWrite.groupWriter(
+        new org.apache.hadoop.fs.Path(p), msg,
+        new org.apache.hadoop.conf.Configuration(conf))
+      val gf = new org.apache.parquet.example.data.simple
+        .SimpleGroupFactory(msg)
+      ids.foreach { i => val g = gf.newGroup(); g.add("id", i); w.write(g) }
+      w.close(); p
+    }
+    val winner = stage("part-0-1.parquet", Seq(1L, 2L, 3L))
+    stage("part-0-2.parquet", Seq(1L, 2L, 3L)) // retried loser attempt
+    val v = GraftLogWrite.commitStaged(conf, root, staging, Seq(winner))
+    assert(v === 1)
+    val got = spark.read.format("graftlog").option("path", root).load()
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L),
+      s"loser attempt published: ${got.mkString(",")}")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)),
+      "staging remnants not cleaned")
+  }
+
   test("streaming sink: every epoch is one committed version, and the " +
       "written log tails back out with the streaming source") {
     import java.nio.file.Files
