@@ -2,6 +2,8 @@ package graft.sources
 
 import java.util.UUID
 
+import scala.collection.mutable
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
@@ -15,6 +17,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 /** The WRITE half of the `graftlog` connector: `mode("append")` commits
   * one new log version per write — `df.write.format("graftlog")` for
@@ -25,26 +28,53 @@ import org.apache.spark.sql.types._
   * Two-phase commit, same discipline as the read side expects:
   *  1. executors write parquet part-files into a write-scoped STAGING
   *     directory (never visible to readers — `_staging_*` is not
-  *     reachable from any manifest);
+  *     reachable from any manifest), then read their OWN footer once
+  *     to record exact per-file statistics (rows, bytes, column
+  *     min/max — [[GraftLogStats.describeFile]]);
   *  2. the driver CLAIMS the next version number put-if-absent
   *     (`_log/v<N>._claim` with overwrite=false — the OCC protocol's
   *     atomicity primitive, so concurrent writers serialize without a
-  *     coordinator), renames staging to `data_v<N>/`, writes the
-  *     manifest, and only then drops the `v<N>._ok` marker that makes
-  *     the version visible. A crash anywhere before the marker leaves
-  *     a torn (invisible) version; `abort` deletes the staging.
+  *     coordinator), renames staging to `data_v<N>/` (partition
+  *     subdirectories preserved), writes the manifest — ONE ROW PER
+  *     COMMITTED FILE carrying its statistics, plus the schema DDL —
+  *     and only then drops the `v<N>._ok` marker that makes the
+  *     version visible. A crash anywhere before the marker leaves a
+  *     torn (invisible) version; `abort` deletes the staging.
   *
-  * Streaming exactly-once: a replayed epoch (crash between version
-  * commit and checkpoint advance) is detected by the per-(query, epoch)
-  * marker `_log/_epoch_<queryId>_<epochId>` and becomes a no-op — the
-  * same applied-batch-id discipline the engine's foreachBatch sinks use
-  * (streaming/Streams.scala), here INSIDE the connector.
+  * The per-file statistics rows are what make scan planning a pure
+  * manifest read (GraftLogScan serves `estimateStatistics` and the
+  * file-level skip from them) — the footer read is paid ONCE, by the
+  * executor that just wrote the file, instead of serially by the
+  * driver at every plan.
   *
-  * Appends only: overwrite would be a remove+add rewrite, which the
-  * streaming tail correctly refuses — maintenance rewrites stay with
-  * the explicit utilities (Maintenance.vacuumLog/compaction). A brand
-  * new table bootstraps by passing `option("schema", <ddl>)` on the
-  * first write (a TableProvider has no catalog to CREATE through).
+  * Streaming exactly-once: the per-(query, epoch) marker
+  * `_log/_epoch_<queryId>_<epochId>` records the CLAIMED VERSION and is
+  * written BETWEEN the manifest and the `_ok` marker, inside the
+  * two-phase window — so a replayed epoch distinguishes "version
+  * committed, checkpoint lagged" (marker + `_ok`: drop the replay)
+  * from "crashed mid-commit" (marker without `_ok`: the version is
+  * torn/invisible — clear the marker and redo). A marker written AFTER
+  * `_ok` (the r11 shape) left a crash window where the replay
+  * re-committed the same rows as a duplicate version.
+  *
+  * Appends only, and only on marker-protocol logs: a write to an OCC
+  * root refuses loudly (its committed-version derivation would never
+  * see a marker-protocol commit — a silently invisible write, and a
+  * claim an OCC writer could later fork). Overwrite would be a
+  * remove+add rewrite, which the snapshot streaming tail correctly
+  * refuses — maintenance rewrites stay with the explicit utilities
+  * (Maintenance.vacuumLog/compaction). A brand new table bootstraps by
+  * passing `option("schema", <ddl>)` on the first write (a
+  * TableProvider has no catalog to CREATE through); every subsequent
+  * append must match the table's schema exactly (names and types, in
+  * order) or it refuses before launching a single task.
+  *
+  * `option("partitionBy", "c1,c2")` lays part-files out in Hive-style
+  * `c1=v/c2=v/` subdirectories under the version's data directory.
+  * Partition columns stay IN the data files (the Iceberg choice, not
+  * the Hive one): readers need no directory-name decoding, and the
+  * manifest statistics carry min=max=value for them — so partition
+  * pruning IS the ordinary stats skip, no special path.
   */
 object GraftLogWrite {
 
@@ -104,6 +134,11 @@ object GraftLogWrite {
     * is known dead) is explicit, the OCC discipline.
     */
   private def claimVersion(conf: Configuration, root: String): Int = {
+    if (GraftLog.isOcc(conf, root)) throw new IllegalStateException(
+      s"graftlog write: $root is an OCC-protocol log (_log/v1.txt) — " +
+        "a marker-protocol append would be invisible to its readers " +
+        "and its version number forkable by the next OCC writer; " +
+        "commit through Maintenance.Occ instead")
     val fs = new Path(root).getFileSystem(conf)
     fs.mkdirs(new Path(s"$root/_log"))
     var n = GraftLog.latestVersion(conf, root) + 1
@@ -127,22 +162,37 @@ object GraftLogWrite {
         "after 1000 attempts")
   }
 
-  /** Manifest write through the same Group path the reader uses. */
+  /** Manifest write through the same Group path the reader uses: one
+    * row per committed file with its statistics, plus the table-schema
+    * DDL row that lets readers infer schema without any data-file I/O.
+    */
   private def writeManifest(conf: Configuration, root: String, n: Int,
-      adds: Seq[String]): Unit = {
+      adds: Seq[GraftLogFileCommit], schema: Option[StructType]): Unit = {
+    import PrimitiveType.PrimitiveTypeName._
     val msg = Types.buildMessage()
-      .addField(Types.optional(PrimitiveType.PrimitiveTypeName.BINARY)
+      .addField(Types.optional(BINARY)
         .as(LogicalTypeAnnotation.stringType()).named("action"))
-      .addField(Types.optional(PrimitiveType.PrimitiveTypeName.BINARY)
+      .addField(Types.optional(BINARY)
         .as(LogicalTypeAnnotation.stringType()).named("file"))
+      .addField(Types.optional(INT64).named("rows"))
+      .addField(Types.optional(INT64).named("bytes"))
+      .addField(Types.optional(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("stats"))
       .named("manifest")
     val w = groupWriter(new Path(s"$root/_log/v$n/manifest.parquet"),
       msg, new Configuration(conf))
     try {
       val gf = new SimpleGroupFactory(msg)
-      adds.foreach { f =>
+      schema.foreach { s =>
         val g = gf.newGroup()
-        g.add("action", "add"); g.add("file", f)
+        g.add("action", "schema"); g.add("file", s.toDDL)
+        w.write(g)
+      }
+      adds.foreach { fc =>
+        val g = gf.newGroup()
+        g.add("action", "add"); g.add("file", fc.file)
+        g.add("rows", fc.rows); g.add("bytes", fc.bytes)
+        fc.stats.foreach(g.add("stats", _))
         w.write(g)
       }
     } finally w.close()
@@ -152,69 +202,145 @@ object GraftLogWrite {
     * those — a retried or speculative task attempt leaves its loser's
     * file in staging, and renaming the whole directory would publish
     * it; per-file rename of exactly the commit-message set is the
-    * correct two-phase discipline) into data_v<N>, manifest, marker.
-    * Returns the committed version.
+    * correct two-phase discipline), partition subpaths preserved, into
+    * data_v<N>; manifest (stats + schema rows); `beforeOk` hook (the
+    * streaming epoch marker lands here, INSIDE the torn-commit
+    * window); marker. Returns the committed version.
     */
   private[graft] def commitStaged(conf: Configuration, root: String,
-      staging: String, files: Seq[String]): Int = {
+      staging: String, files: Seq[GraftLogFileCommit],
+      schema: Option[StructType] = None,
+      beforeOk: Int => Unit = _ => ()): Int = {
     val fs = new Path(root).getFileSystem(conf)
     val n = claimVersion(conf, root)
     val dataDir = s"data_v$n"
-    if (files.isEmpty) {
+    val manifestAdds =
+      if (files.isEmpty) Nil
       // an empty write is still a committed (empty) version: readers
       // of v<N> see exactly what the writer wrote — nothing
-      writeManifest(conf, root, n, Nil)
-    } else {
-      fs.mkdirs(new Path(s"$root/$dataDir"))
-      files.foreach { f =>
-        val src = new Path(f)
-        val dst = new Path(s"$root/$dataDir/${src.getName}")
-        require(fs.rename(src, dst),
-          s"graftlog write: rename $src -> $dst failed")
+      else {
+        fs.mkdirs(new Path(s"$root/$dataDir"))
+        files.map { fc =>
+          val src = new Path(fc.file)
+          val rel = fc.file.stripPrefix(staging).stripPrefix("/")
+          require(rel.nonEmpty && !rel.startsWith("/") &&
+            fc.file.startsWith(staging),
+            s"graftlog write: staged file ${fc.file} outside $staging")
+          val dst = new Path(s"$root/$dataDir/$rel")
+          fs.mkdirs(dst.getParent)
+          require(fs.rename(src, dst),
+            s"graftlog write: rename $src -> $dst failed")
+          fc.copy(file = s"$dataDir/$rel")
+        }
       }
-      writeManifest(conf, root, n, Seq(dataDir))
-    }
+    writeManifest(conf, root, n, manifestAdds, schema)
     fs.delete(new Path(staging), true) // drop loser-attempt remnants
+    beforeOk(n)
     fs.create(new Path(s"$root/_log/v$n._ok"), true).close()
     n
   }
-}
 
-class GraftLogWriteBuilder(root: String, info: LogicalWriteInfo)
-    extends WriteBuilder {
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new GraftLogBatchWrite(root, info.schema(),
-        s"$root/_staging_${info.queryId()}_${UUID.randomUUID()}")
-    override def toStreaming: StreamingWrite =
-      new GraftLogStreamingWrite(root, info.schema(), info.queryId())
+  /** Hive-style partition path segment for one column value. Values
+    * render deterministically (dates as ISO dates, timestamps as
+    * micros) and escape every byte outside the portable set — the
+    * layout is storage, not truth: the column's VALUES stay in the
+    * file, so nothing ever parses these names back.
+    */
+  private[sources] def partitionSegment(name: String, v: Any): String = {
+    val rendered = v match {
+      case null => "__HIVE_DEFAULT_PARTITION__"
+      case d: java.lang.Integer => d.toString
+      case other => other.toString
+    }
+    val esc = rendered.flatMap {
+      case c if c.isLetterOrDigit || c == '.' || c == '-' || c == '_' =>
+        c.toString
+      case c => f"%%${c.toInt}%02X"
+    }
+    s"$name=$esc"
   }
 }
 
-case class GraftLogCommitMessage(file: String) extends WriterCommitMessage
+class GraftLogWriteBuilder(root: String, info: LogicalWriteInfo,
+    conf: SerializableConfiguration, tableSchema: Option[StructType])
+    extends WriteBuilder {
 
-class GraftLogBatchWrite(root: String, schema: StructType, staging: String)
-    extends BatchWrite {
+  /** Schema contract on append: the incoming query's columns must match
+    * the table's, name and type, in order — checked BEFORE any task
+    * launches. Without this, a drifted append writes parquet the
+    * reader decodes per-file or fails late on; documented widening is
+    * a future extension, silent drift is not.
+    */
+  private def checkSchema(): Unit = tableSchema.foreach { ts =>
+    val incoming = info.schema().fields.map(f => (f.name, f.dataType)).toSeq
+    val table = ts.fields.map(f => (f.name, f.dataType)).toSeq
+    if (incoming != table) throw new IllegalStateException(
+      s"graftlog write: schema mismatch on append to $root — table " +
+        s"schema is [${ts.toDDL}] but the write's is " +
+        s"[${info.schema().toDDL}]; appends must match the table " +
+        "schema exactly (names and types, in order)")
+  }
+
+  private def partCols: Seq[String] =
+    Option(info.options.get("partitionBy")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  private def checkPartCols(): Unit = {
+    val missing = partCols.filterNot(c =>
+      info.schema().fieldNames.contains(c))
+    require(missing.isEmpty,
+      s"graftlog write: partitionBy columns ${missing.mkString(", ")} " +
+        s"not in the write schema [${info.schema().toDDL}]")
+  }
+
+  override def build(): Write = {
+    checkSchema(); checkPartCols()
+    new Write {
+      override def toBatch: BatchWrite =
+        new GraftLogBatchWrite(root, info.schema(), partCols,
+          s"$root/_staging_${info.queryId()}_${UUID.randomUUID()}", conf)
+      override def toStreaming: StreamingWrite =
+        new GraftLogStreamingWrite(root, info.schema(), partCols,
+          info.queryId(), conf)
+    }
+  }
+}
+
+/** One committed part-file with the statistics its writer read off its
+  * own footer — the manifest row's payload.
+  */
+case class GraftLogFileCommit(file: String, rows: Long, bytes: Long,
+    stats: Option[String])
+
+case class GraftLogCommitMessage(files: Seq[GraftLogFileCommit])
+    extends WriterCommitMessage
+
+class GraftLogBatchWrite(root: String, schema: StructType,
+    partCols: Seq[String], staging: String,
+    conf: SerializableConfiguration) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    GraftLogWriterFactory(staging, schema)
+    GraftLogWriterFactory(staging, schema, partCols, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    GraftLogWrite.commitStaged(new Configuration(), root, staging,
-      messages.map(_.asInstanceOf[GraftLogCommitMessage].file).toSeq)
+    GraftLogWrite.commitStaged(conf.value, root, staging,
+      messages.flatMap(_.asInstanceOf[GraftLogCommitMessage].files).toSeq,
+      Some(schema))
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(staging)
-    p.getFileSystem(new Configuration()).delete(p, true)
+    p.getFileSystem(conf.value).delete(p, true)
   }
 }
 
 /** Streaming sink: one committed version per epoch, replay-idempotent
-  * via the per-(query, epoch) marker.
+  * via the per-(query, epoch) marker written INSIDE the commit's
+  * torn-window (see [[GraftLogWrite]] scaladoc).
   */
 class GraftLogStreamingWrite(root: String, schema: StructType,
-    queryId: String) extends StreamingWrite {
+    partCols: Seq[String], queryId: String,
+    conf: SerializableConfiguration) extends StreamingWrite {
 
   private def staging(epochId: Long) =
     s"$root/_staging_${queryId}_$epochId"
@@ -224,58 +350,112 @@ class GraftLogStreamingWrite(root: String, schema: StructType,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    GraftLogStreamingWriterFactory(s"$root/_staging_$queryId", schema)
+    GraftLogStreamingWriterFactory(s"$root/_staging_$queryId", schema,
+      partCols, conf)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
-    val fs = new Path(root).getFileSystem(conf)
-    if (fs.exists(epochMarker(epochId))) {
-      // replayed epoch (crash between version commit and checkpoint
-      // advance): the version is already in the log — drop the replay
-      fs.delete(new Path(staging(epochId)), true)
-      return
+    val c = conf.value
+    val fs = new Path(root).getFileSystem(c)
+    val marker = epochMarker(epochId)
+    if (fs.exists(marker)) {
+      // the marker names the version this epoch claimed; _ok decides
+      // whether that commit completed
+      val in = fs.open(marker)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toInt finally in.close()
+      if (fs.exists(new Path(s"$root/_log/v$v._ok"))) {
+        // replayed epoch (crash between version commit and checkpoint
+        // advance): the version is in the log — drop the replay
+        fs.delete(new Path(staging(epochId)), true)
+        return
+      }
+      // crashed between marker and _ok: version v is torn (invisible);
+      // clear the marker and redo the commit (the torn claim, if still
+      // present, blocks loudly with its documented recovery)
+      fs.delete(marker, false)
     }
-    GraftLogWrite.commitStaged(conf, root, staging(epochId),
-      messages.map(_.asInstanceOf[GraftLogCommitMessage].file).toSeq)
-    fs.create(epochMarker(epochId), true).close()
+    GraftLogWrite.commitStaged(c, root, staging(epochId),
+      messages.flatMap(_.asInstanceOf[GraftLogCommitMessage].files).toSeq,
+      Some(schema),
+      beforeOk = { n =>
+        val out = fs.create(marker, true)
+        try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+      })
   }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(staging(epochId))
-    p.getFileSystem(new Configuration()).delete(p, true)
+    p.getFileSystem(conf.value).delete(p, true)
   }
 }
 
-case class GraftLogWriterFactory(staging: String, schema: StructType)
+case class GraftLogWriterFactory(staging: String, schema: StructType,
+    partCols: Seq[String], conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new GraftLogDataWriter(
-      s"$staging/part-$partitionId-$taskId.parquet", schema)
+    new GraftLogDataWriter(staging, s"part-$partitionId-$taskId.parquet",
+      schema, partCols, conf.value)
 }
 
 case class GraftLogStreamingWriterFactory(stagingBase: String,
-    schema: StructType) extends StreamingDataWriterFactory {
+    schema: StructType, partCols: Seq[String],
+    conf: SerializableConfiguration) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftLogDataWriter(
-      s"${stagingBase}_$epochId/part-$partitionId-$taskId.parquet", schema)
+    new GraftLogDataWriter(s"${stagingBase}_$epochId",
+      s"part-$partitionId-$taskId.parquet", schema, partCols, conf.value)
 }
 
-/** Per-task part-file writer: InternalRow → Group, one file per task,
+/** Per-task part-file writer: InternalRow → Group — one file per task
+  * per partition-value combination (Hive `k=v/` subdirectories when
+  * `partitionBy` is set), each described by its own footer at commit
+  * (rows, bytes, column min/max → the manifest statistics row),
   * deleted on abort.
   */
-class GraftLogDataWriter(file: String, schema: StructType)
+class GraftLogDataWriter(staging: String, fileName: String,
+    schema: StructType, partCols: Seq[String], baseConf: Configuration)
     extends DataWriter[InternalRow] {
 
-  private val conf = new Configuration()
+  private val conf = new Configuration(baseConf)
   private val msg = GraftLogWrite.toMessageType(schema)
-  private val writer = GraftLogWrite.groupWriter(new Path(file), msg, conf)
   private val factory = new SimpleGroupFactory(msg)
+  private val partIdx: Array[Int] = partCols.map(schema.fieldIndex).toArray
+
+  // one open writer per partition directory ("" when unpartitioned)
+  private val writers = mutable.LinkedHashMap[String, ParquetWriter[Group]]()
+  private def fileFor(dir: String): String =
+    if (dir.isEmpty) s"$staging/$fileName" else s"$staging/$dir/$fileName"
+
+  private def partitionDir(row: InternalRow): String =
+    if (partIdx.isEmpty) ""
+    else partIdx.zipWithIndex.map { case (fi, pi) =>
+      val dt = schema(fi).dataType
+      val v: Any =
+        if (row.isNullAt(fi)) null
+        else dt match {
+          case LongType | TimestampType | TimestampNTZType => row.getLong(fi)
+          case IntegerType => row.getInt(fi)
+          case DateType =>
+            java.time.LocalDate.ofEpochDay(row.getInt(fi).toLong)
+          case DoubleType  => row.getDouble(fi)
+          case FloatType   => row.getFloat(fi)
+          case BooleanType => row.getBoolean(fi)
+          case StringType  => row.getUTF8String(fi).toString
+          case other => throw new IllegalArgumentException(
+            s"graftlog write: unsupported partition type $other " +
+              s"for ${partCols(pi)}")
+        }
+      GraftLogWrite.partitionSegment(partCols(pi), v)
+    }.mkString("/")
 
   override def write(row: InternalRow): Unit = {
+    val dir = partitionDir(row)
+    val w = writers.getOrElseUpdate(dir,
+      GraftLogWrite.groupWriter(new Path(fileFor(dir)), msg,
+        new Configuration(conf)))
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
@@ -298,17 +478,23 @@ class GraftLogDataWriter(file: String, schema: StructType)
       }
       i += 1
     }
-    writer.write(g)
+    w.write(g)
   }
 
   override def commit(): WriterCommitMessage = {
-    writer.close()
-    GraftLogCommitMessage(file)
+    val files = writers.toSeq.map { case (dir, w) =>
+      w.close()
+      val f = fileFor(dir)
+      val (rows, bytes, stats) =
+        GraftLogStats.describeFile(conf, f, schema)
+      GraftLogFileCommit(f, rows, bytes, stats)
+    }
+    GraftLogCommitMessage(files)
   }
 
-  override def abort(): Unit = {
-    writer.close()
-    val p = new Path(file)
+  override def abort(): Unit = writers.foreach { case (dir, w) =>
+    w.close()
+    val p = new Path(fileFor(dir))
     p.getFileSystem(conf).delete(p, false)
   }
 

@@ -1,0 +1,371 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.{GraftLog, GraftLogScan, GraftLogStats, GraftLogWrite}
+
+/** Round-12 connector surface: manifest-embedded file statistics (zero
+  * plan-time data-file footer I/O), the append schema contract, OCC
+  * write refusal, per-file INT96 pushdown safety on mixed-encoding
+  * logs, Hive-layout partitioned writes whose pruning IS the stats
+  * skip, CDC reads (batch fold-to-snapshot and the streaming tail over
+  * a compaction), columnar/row reader equality, and the atomic
+  * streaming-epoch marker.
+  */
+class GraftLogManifestSpec extends SparkSpecBase {
+
+  private def conf = spark.sessionState.newHadoopConf()
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): GraftLogScan =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[GraftLogScan]
+    }.head
+
+  test("a connector-written table plans with ZERO data-file footer " +
+      "opens: schema, statistics and the file skip all come from the " +
+      "manifest — and the skip still prunes files") {
+    val root = Files.createTempDirectory("graft_manstats").toString
+    // 4 range-clustered part-files (one per write task)
+    spark.range(1000).selectExpr("id", "concat('s-', id) AS name")
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+      .write.format("graftlog").option("path", root)
+      .option("schema", "id BIGINT, name STRING").mode("append").save()
+    val before = GraftLog.planFooterReads.get()
+    val all = spark.read.format("graftlog").option("path", root).load()
+    assert(all.schema.fieldNames.toSeq === Seq("id", "name"))
+    val allScan = scanOf(all)
+    assert(allScan.toBatch.planInputPartitions().length === 4)
+    assert(allScan.estimateStatistics().numRows.getAsLong === 1000L)
+    assert(allScan.estimateStatistics().sizeInBytes.getAsLong > 0L)
+    // selective long predicate → only the last range file survives
+    val sel = spark.read.format("graftlog").option("path", root).load()
+      .filter(col("id") > 900L)
+    val selScan = scanOf(sel)
+    val kept = selScan.toBatch.planInputPartitions().length
+    assert(kept === 1, s"manifest stats skip kept $kept of 4")
+    assert(sel.collect().map(_.getLong(0)).sorted.toSeq === (901L to 999L))
+    // string equality outside every file's [min,max] → zero files
+    val none = spark.read.format("graftlog").option("path", root).load()
+      .filter(col("name") === "zzz")
+    assert(scanOf(none).toBatch.planInputPartitions().isEmpty)
+    assert(none.count() === 0L)
+    // the whole exercise — schema inference, stats, skip, execution —
+    // opened NO data-file footer on the plan path
+    assert(GraftLog.planFooterReads.get() === before,
+      s"plan-time footer reads: ${GraftLog.planFooterReads.get() - before}")
+  }
+
+  test("append schema contract: a drifted schema refuses loudly BEFORE " +
+      "any task runs, and the log is unchanged") {
+    val root = Files.createTempDirectory("graft_manschema").toString
+    spark.range(10).selectExpr("id", "id * 0.5 AS score")
+      .write.format("graftlog").option("path", root)
+      .option("schema", "id BIGINT, score DOUBLE").mode("append").save()
+    assert(GraftLog.latestVersion(conf, root) === 1)
+    // the DataFrame API path: Spark's own by-name V2 write validation
+    // refuses a drifted query against the table schema the connector
+    // infers — no drifted file is ever staged
+    intercept[Exception] {
+      spark.range(5).selectExpr("id", "CAST(id AS STRING) AS score")
+        .write.format("graftlog").option("path", root)
+        .mode("append").save()
+    }
+    intercept[Exception] {
+      spark.range(5).selectExpr("id")
+        .write.format("graftlog").option("path", root)
+        .mode("append").save()
+    }
+    assert(GraftLog.latestVersion(conf, root) === 1, "log grew on refusal")
+    assert(spark.read.format("graftlog").option("path", root).load()
+      .count() === 10L)
+    // the connector's OWN contract (defense in depth for any write path
+    // that reaches the builder directly): exact name+type match, else a
+    // named refusal
+    def info(ddl: String) =
+      new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def schema(): StructType = StructType.fromDDL(ddl)
+        override def queryId(): String = "t"
+        override def options() =
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            java.util.Collections.emptyMap())
+      }
+    val table = StructType.fromDDL("id BIGINT, score DOUBLE")
+    val wrap = new org.apache.spark.util.SerializableConfiguration(conf)
+    val e = intercept[IllegalStateException] {
+      new graft.sources.GraftLogWriteBuilder(root,
+        info("id BIGINT, score STRING"), wrap, Some(table)).build()
+    }
+    assert(e.getMessage.contains("schema mismatch"), e.getMessage)
+    // matching schema builds fine
+    new graft.sources.GraftLogWriteBuilder(root,
+      info("id BIGINT, score DOUBLE"), wrap, Some(table)).build()
+  }
+
+  test("a write to an OCC-protocol root refuses loudly instead of " +
+      "committing an invisible, forkable version") {
+    // minimal OCC log: one sealed text manifest over one data file,
+    // schema-compatible with the attempted append (so Spark's by-name
+    // validation passes and the refusal is provably the CONNECTOR's)
+    val root = Files.createTempDirectory("graft_manocc").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    spark.range(7).coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/data_a")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_log"))
+    val o = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_log/v1.txt"), false)
+    o.write("add data_a\ncommit 1\n".getBytes("UTF-8")); o.close()
+    assert(GraftLog.latestVersion(conf, root) === 1)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception] {
+      spark.range(3).selectExpr("id")
+        .write.format("graftlog").option("path", root)
+        .mode("append").save()
+    }
+    assert(msgs(e).exists(_.contains("OCC-protocol")), msgs(e).mkString(" | "))
+    assert(GraftLog.latestVersion(conf, root) === 1)
+    assert(spark.read.format("graftlog").option("path", root).load()
+      .count() === 7L)
+  }
+
+  test("mixed INT96/INT64 timestamp encodings: a filter pushed because " +
+      "the FIRST file is INT64 is dropped per-file for the INT96 one — " +
+      "the scan neither errors nor loses rows") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_manmixed").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    def commit(v: Int, adds: Seq[String]): Unit = {
+      adds.map(("add", _)).toDF("action", "file").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/_log/v$v")
+      fs.create(new org.apache.hadoop.fs.Path(s"$root/_log/v$v._ok"), true)
+        .close()
+    }
+    // v1: ids 0..499 as INT64 micros (NOT Spark's INT96 default) —
+    // the first live file, so the pushdown probe sees no INT96
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    def withTsType(t: String)(body: => Unit): Unit =
+      try { spark.conf.set("spark.sql.parquet.outputTimestampType", t); body }
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None =>
+          spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+    withTsType("TIMESTAMP_MICROS") {
+      spark.range(500).selectExpr("id",
+          "timestamp_micros(id * 1000000L) AS ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/data_a")
+    }
+    commit(1, Seq("data_a"))
+    // v2: ids 500..999 written as legacy INT96
+    withTsType("INT96") {
+      spark.range(500, 1000).selectExpr("id",
+          "timestamp_micros(id * 1000000L) AS ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/data_b")
+    }
+    commit(2, Seq("data_b"))
+    val df = spark.read.format("graftlog").option("path", root).load()
+      .filter(col("ts") >= lit(java.time.Instant.ofEpochSecond(250L)))
+    // the filter IS pushed (first-file probe saw INT64)...
+    assert(scanOf(df).pushedDesc.exists(_.contains("ts")),
+      scanOf(df).description())
+    // ...and the INT96 file still decodes: 250..999 all present
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === (250L to 999L))
+  }
+
+  test("partitioned write: Hive k=v layout on disk, values still in the " +
+      "files, and partition pruning is the ordinary manifest-stats skip") {
+    val root = Files.createTempDirectory("graft_manpart").toString
+    spark.range(300)
+      .selectExpr("id", "CAST(pmod(id, 3) AS INT) AS bucket",
+        "concat('r-', id) AS tag")
+      .coalesce(2)
+      .write.format("graftlog").option("path", root)
+      .option("schema", "id BIGINT, bucket INT, tag STRING")
+      .option("partitionBy", "bucket")
+      .mode("append").save()
+    // layout: data_v1/bucket=<v>/part-*.parquet
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data_v1"))
+      .map(_.getPath.getName).sorted
+    assert(dirs.toSeq === Seq("bucket=0", "bucket=1", "bucket=2"))
+    val before = GraftLog.planFooterReads.get()
+    val all = spark.read.format("graftlog").option("path", root).load()
+    assert(all.count() === 300L)
+    val allParts = scanOf(all).toBatch.planInputPartitions().length
+    assert(allParts === 6, s"2 tasks × 3 partitions, got $allParts")
+    val one = spark.read.format("graftlog").option("path", root).load()
+      .filter(col("bucket") === 1)
+    val kept = scanOf(one).toBatch.planInputPartitions().length
+    assert(kept === 2, s"partition pruning kept $kept of $allParts")
+    val got = one.collect()
+    assert(got.length === 100 && got.forall(_.getInt(1) == 1))
+    assert(GraftLog.planFooterReads.get() === before,
+      "partition pruning opened data-file footers at plan time")
+  }
+
+  test("CDC batch read: the change feed folds to the latest snapshot, " +
+      "versions and change types are tagged, and the range is selectable") {
+    val root = operators.Maintenance.txnTableDir(spark, sfDir)
+    val cdc = spark.read.format("graftlog").option("path", root)
+      .option("readChangeFeed", true).load()
+    assert(cdc.schema.fieldNames.takeRight(2).toSeq ===
+      Seq("_change_type", "_commit_version"))
+    // fold: inserts minus deletes per key, applied in version order.
+    // v2 is a remove-all/add-all transition and v3 a compaction, so the
+    // fold result must equal snapshot v3 exactly.
+    val latest = GraftLog.latestVersion(conf, root)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderkey")
+      .orderBy(col("_commit_version").desc,
+        // within one version, remove-then-add semantics: insert wins
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    val folded = cdc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("_change_type") === "insert")
+      .drop("rn", "_change_type", "_commit_version")
+    val snap = operators.Maintenance.readVersion(spark, root, latest)
+    assert(folded.exceptAll(snap).isEmpty && snap.exceptAll(folded).isEmpty,
+      "CDC fold != latest snapshot")
+    // per-version counts: v1 = insert-only, v2/v3 = delete + insert
+    val counts = cdc.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val aCount = operators.Maintenance.readVersion(spark, root, 1).count()
+    val bCount = operators.Maintenance.readVersion(spark, root, 2).count()
+    assert(counts((1L, "insert")) === aCount)
+    assert(counts((2L, "delete")) === aCount)
+    assert(counts((2L, "insert")) === bCount)
+    assert(counts((3L, "delete")) === bCount)
+    assert(counts((3L, "insert")) === bCount)
+    // startingVersion narrows the range
+    val fromV3 = spark.read.format("graftlog").option("path", root)
+      .option("readChangeFeed", true).option("startingVersion", 3).load()
+    assert(fromV3.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(3L))
+  }
+
+  test("CDC streaming tail consumes a compaction (remove+add) as " +
+      "delete+insert rows instead of refusing") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_mancdcs").toString
+    val ckp = Files.createTempDirectory("graft_mancdcs_ckp").toString
+    val out = Files.createTempDirectory("graft_mancdcs_out").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    def commit(v: Int, adds: Seq[String],
+        removes: Seq[String] = Nil): Unit = {
+      (adds.map(("add", _)) ++ removes.map(("remove", _)))
+        .toDF("action", "file").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/_log/v$v")
+      fs.create(new org.apache.hadoop.fs.Path(s"$root/_log/v$v._ok"), true)
+        .close()
+    }
+    def land(tag: String, from: Long, until: Long): Unit =
+      spark.range(from, until).selectExpr("id", "id * 7 AS v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/$tag")
+    land("f1", 0, 100); commit(1, Seq("f1"))
+    // compaction: rewrite f1's content as f1c
+    land("f1c", 0, 100); commit(2, Seq("f1c"), removes = Seq("f1"))
+    spark.readStream.format("graftlog").option("path", root)
+      .option("readChangeFeed", true).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val got = spark.read.parquet(out)
+    val byVt = got.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(byVt === Map((1L, "insert") -> 100L, (2L, "delete") -> 100L,
+      (2L, "insert") -> 100L), byVt.toString)
+  }
+
+  test("columnar reader is the default batch path (plan shows " +
+      "ColumnarToRow), equals the row reader value-for-value, and " +
+      "null handling matches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_mancol").toString
+    // nullable columns of every supported family
+    spark.range(2000).selectExpr(
+        "id",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE CAST(id AS INT) END AS i",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE id * 0.25 END AS d",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE concat('v-', id) END AS s",
+        "id % 2 = 0 AS b",
+        "CASE WHEN id % 11 = 0 THEN NULL " +
+          "ELSE timestamp_micros(id * 1000L) END AS ts",
+        "CAST(date_add(DATE'2020-01-01', CAST(id % 300 AS INT)) " +
+          "AS DATE) AS dt")
+      .write.format("graftlog").option("path", root)
+      .option("schema", "id BIGINT, i INT, d DOUBLE, s STRING, " +
+        "b BOOLEAN, ts TIMESTAMP, dt DATE")
+      .mode("append").save()
+    def readWith(columnar: Boolean) =
+      spark.read.format("graftlog").option("path", root)
+        .option("columnar", columnar).load()
+        .filter(col("id") >= 100L)
+    val colDf = readWith(true)
+    assert(colDf.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"),
+      colDf.queryExecution.executedPlan.toString.take(1200))
+    val a = colDf.collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = readWith(false).collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.length === 1900 && a.toSeq === b.toSeq)
+    // pruned projection through the columnar path
+    val two = spark.read.format("graftlog").option("path", root).load()
+      .select(sum(col("d")).as("sd"), count(col("s")).as("cs"))
+      .collect().head
+    val twoRow = spark.read.format("graftlog").option("path", root)
+      .option("columnar", false).load()
+      .select(sum(col("d")).as("sd"), count(col("s")).as("cs"))
+      .collect().head
+    assert(two === twoRow)
+  }
+
+  test("streaming epoch marker is atomic with the version commit: a " +
+      "marker WITHOUT its _ok is torn (redo), a marker WITH it is a " +
+      "replay (no-op)") {
+    val root = Files.createTempDirectory("graft_manepoch").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val ddl = StructType.fromDDL("id BIGINT")
+    val msg = GraftLogWrite.toMessageType(ddl)
+    def stage(epoch: Long, ids: Seq[Long]): graft.sources.GraftLogCommitMessage = {
+      val f = s"$root/_staging_q_$epoch/part-0-0.parquet"
+      val w = GraftLogWrite.groupWriter(new org.apache.hadoop.fs.Path(f),
+        msg, new org.apache.hadoop.conf.Configuration(conf))
+      val gf = new org.apache.parquet.example.data.simple
+        .SimpleGroupFactory(msg)
+      ids.foreach { i => val g = gf.newGroup(); g.add("id", i); w.write(g) }
+      w.close()
+      val (r, by, st) = GraftLogStats.describeFile(conf, f, ddl)
+      graft.sources.GraftLogCommitMessage(
+        Seq(graft.sources.GraftLogFileCommit(f, r, by, st)))
+    }
+    val sink = new graft.sources.GraftLogStreamingWrite(root, ddl, Nil,
+      "q", new org.apache.spark.util.SerializableConfiguration(conf))
+    // TORN: a marker claiming v1 exists but v1 was never committed
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_log/_epoch_q_7")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_log"))
+    val o = fs.create(marker, true)
+    o.write("1".getBytes("UTF-8")); o.close()
+    sink.commit(7L, Array(stage(7, Seq(1L, 2L, 3L))))
+    assert(GraftLog.latestVersion(conf, root) === 1, "torn marker blocked redo")
+    assert(spark.read.format("graftlog").option("path", root).load()
+      .count() === 3L)
+    // REPLAY: same epoch again — version count must not grow
+    sink.commit(7L, Array(stage(7, Seq(1L, 2L, 3L))))
+    assert(GraftLog.latestVersion(conf, root) === 1, "replayed epoch committed twice")
+    // a NEW epoch commits v2
+    sink.commit(8L, Array(stage(8, Seq(4L))))
+    assert(GraftLog.latestVersion(conf, root) === 2)
+    assert(spark.read.format("graftlog").option("path", root).load()
+      .count() === 4L)
+  }
+}

@@ -352,7 +352,12 @@ class GraftLogSourceSpec extends SparkSpecBase {
     }
     val winner = stage("part-0-1.parquet", Seq(1L, 2L, 3L))
     stage("part-0-2.parquet", Seq(1L, 2L, 3L)) // retried loser attempt
-    val v = GraftLogWrite.commitStaged(conf, root, staging, Seq(winner))
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT")
+    val (wRows, wBytes, wStats) =
+      graft.sources.GraftLogStats.describeFile(conf, winner, ddl)
+    val v = GraftLogWrite.commitStaged(conf, root, staging,
+      Seq(graft.sources.GraftLogFileCommit(winner, wRows, wBytes, wStats)),
+      Some(ddl))
     assert(v === 1)
     val got = spark.read.format("graftlog").option("path", root).load()
       .collect().map(_.getLong(0)).sorted
