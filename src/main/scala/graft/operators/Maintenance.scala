@@ -1057,6 +1057,123 @@ object Maintenance {
       |FROM orders
       |ORDER BY version""".stripMargin
 
+  /** The transaction log as a CHANGE FEED: `readChangeFeed` reads of
+    * the REAL log (not a derived ops table) — each version's adds emit
+    * as `insert` rows and its removes as `delete` rows, tagged with the
+    * commit version. Summarized per (version, change type) with exact
+    * cents, so the oracle can state the whole history in closed form:
+    * v1 inserts snapshot A; v2 is a remove-all/add-all transition
+    * (delete A, insert B); v3 is a compaction (delete B, insert B —
+    * content-identical by the log's own law). A CDC bug anywhere — a
+    * lost remove, a version tag off by one, a delete row read from the
+    * wrong file — hash-fails. GraftLogManifestSpec additionally pins
+    * the row-level fold of this feed equals the latest snapshot.
+    */
+  def logCdc(s: SparkSession, d: String): DataFrame = {
+    val root = txnTableDir(s, d)
+    s.read.format(graft.sources.GraftLog.Format)
+      .option("path", root).option("readChangeFeed", true).load()
+      .groupBy(
+        col(graft.sources.GraftLog.CommitVersionCol).as("version"),
+        col(graft.sources.GraftLog.ChangeTypeCol).as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(RefTransforms.cents(col("o_totalprice"))).as("total_cents"))
+      .orderBy(col("version"), col("change_type"))
+  }
+
+  val logCdcSql: String =
+    """WITH a AS (SELECT COUNT(*) AS n,
+      |                  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+      |                    AS BIGINT)) AS BIGINT) AS c
+      |           FROM orders WHERE o_orderkey % 10 <> 0),
+      |     b AS (SELECT COUNT(*) AS n,
+      |                  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+      |                    AS BIGINT)) AS BIGINT) AS c
+      |           FROM orders WHERE o_orderkey % 13 <> 0)
+      |SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+      |       n AS n_rows, c AS total_cents FROM a
+      |UNION ALL SELECT CAST(2 AS BIGINT), 'delete', n, c FROM a
+      |UNION ALL SELECT CAST(2 AS BIGINT), 'insert', n, c FROM b
+      |UNION ALL SELECT CAST(3 AS BIGINT), 'delete', n, c FROM b
+      |UNION ALL SELECT CAST(3 AS BIGINT), 'insert', n, c FROM b
+      |ORDER BY version, change_type""".stripMargin
+
+  /** Time travel as a LANGUAGE feature: the same version spine as
+    * [[logVersions]], but every AS-OF read resolves through SQL —
+    * `SELECT ... FROM graft.orders_txnlog VERSION AS OF v` against the
+    * registered [[graft.sources.GraftCatalog]] — instead of a reader
+    * option. The catalog maps identifier → warehouse path and delegates
+    * to the connector's one resolveVersion, so the SQL path inherits
+    * the watermark/uncommitted refusals (spec-pinned); the oracle gate
+    * here proves the AS-OF binding itself: a catalog that resolved
+    * `VERSION AS OF 1` to the wrong snapshot hash-fails.
+    */
+  def catalogAsof(s: SparkSession, d: String): DataFrame = {
+    val root = txnTableDir(s, d)
+    val parent = root.substring(0, root.lastIndexOf('/'))
+    val table = root.substring(root.lastIndexOf('/') + 1)
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", parent)
+    val latest = latestVersion(s, root)
+    (1 to latest).map { v =>
+      s.sql(s"SELECT * FROM graft.`$table` VERSION AS OF $v")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(RefTransforms.cents(col("o_totalprice"))).as("total_cents"))
+        .select(lit(v.toLong).as("version"), col("n_rows"),
+          col("total_cents"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  val catalogAsofSql: String = logVersionsSql
+
+  /** Lays down (once per JVM) an orders slice written through the
+    * connector's PARTITIONED write path: Hive `o_orderstatus=<v>/`
+    * layout under one committed version, partition values in the files,
+    * per-file min=max statistics in the manifest.
+    */
+  private[graft] def partitionedTableDir(s: SparkSession,
+      d: String): String = {
+    val root = SetupOnce.runtimeDir(d, "orders_graftpart")
+    SetupOnce(root) {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.format(graft.sources.GraftLog.Format)
+        .option("path", root)
+        .option("schema",
+          "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .option("partitionBy", "o_orderstatus")
+        .mode("append").save()
+    }
+    root
+  }
+
+  /** Partitioned-write roundtrip with partition PRUNING as the access
+    * path: a single-status filter over the partitioned log plans only
+    * that partition's files — from manifest statistics alone, zero
+    * footer opens (GraftLogManifestSpec pins both) — and the aggregate
+    * hash-checks the surviving rows against the oracle's derivation, so
+    * a row landed in the wrong partition directory (or a skip that
+    * dropped a live file) fails on content, not just on file counts.
+    */
+  def logPartitioned(s: SparkSession, d: String): DataFrame = {
+    val root = partitionedTableDir(s, d)
+    s.read.format(graft.sources.GraftLog.Format).option("path", root)
+      .load()
+      .filter(col("o_orderstatus") === "F")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(RefTransforms.cents(col("o_totalprice"))).as("total_cents"))
+      .select(lit("F").as("o_orderstatus"), col("n_rows"),
+        col("total_cents"))
+  }
+
+  val logPartitionedSql: String =
+    """SELECT 'F' AS o_orderstatus, COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT) AS total_cents
+      |FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
   val logVacuumSql: String =
     s"""SELECT CAST(2 AS INT) AS kept_from, CAST(3 AS INT) AS v_latest,
        |       CAST($TxnBuckets AS BIGINT) AS n_files_deleted,

@@ -1,0 +1,158 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** SQL catalog over graftlog tables — the surface that makes time
+  * travel a LANGUAGE feature instead of a reader option:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/warehouse
+  *
+  *   SELECT * FROM graft.db.orders VERSION AS OF 2
+  *   SELECT * FROM graft.db.orders TIMESTAMP AS OF '2026-01-03 12:00:00'
+  * }}}
+  *
+  * Identifier → path mapping is the plain warehouse layout:
+  * `warehouse/<namespace.../><table>`, each table directory a graftlog
+  * root (committed `_log`). Resolution reuses the connector's one
+  * source of truth — [[GraftLog.resolveVersion]] — so the SQL path
+  * refuses uncommitted versions and vacuum-expired snapshots with the
+  * SAME errors the DataFrame option path raises, and `TIMESTAMP AS OF`
+  * binds to the newest version whose COMMIT TIME (the `_ok` marker's /
+  * sealed OCC manifest's filesystem timestamp — the instant the
+  * version became visible) is at or before the requested instant.
+  *
+  * The catalog is read-path-only by design: writes go through
+  * `df.write.format("graftlog")` (two-phase staged commit) or the
+  * explicit maintenance utilities, keeping exactly one commit
+  * protocol. CREATE/ALTER/RENAME through SQL refuse loudly.
+  *
+  * The warehouse location is re-read from the live session conf on
+  * every resolution (falling back to the option captured at
+  * initialize), so a long-lived session can repoint the catalog
+  * without re-registration — and a stale singleton can never silently
+  * serve tables from a previous warehouse setting.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var initWarehouse: Option[String] = None
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    initWarehouse = Option(options.get("warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def warehouse: String =
+    SparkSession.getActiveSession
+      .flatMap(s => s.conf.getOption(
+        s"spark.sql.catalog.$catalogName.warehouse"))
+      .orElse(initWarehouse)
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog $catalogName requires spark.sql.catalog.$catalogName" +
+          ".warehouse"))
+
+  private def rootOf(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  private def conf: Configuration = GraftLog.sessionConf()
+
+  private def tableAt(ident: Identifier, version: Option[Int]): Table = {
+    val c = conf
+    val root = rootOf(ident)
+    if (GraftLog.latestVersion(c, root) == 0)
+      throw new NoSuchTableException(ident)
+    val v = GraftLog.resolveVersion(c, root, version)
+    GraftLogTable(root, v, GraftLog.inferSchema(c, root, v),
+      new SerializableConfiguration(c))
+  }
+
+  override def loadTable(ident: Identifier): Table = tableAt(ident, None)
+
+  /** `VERSION AS OF <n>` */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft catalog: VERSION AS OF takes a version number, got " +
+          s"'$version'")
+    }
+    tableAt(ident, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands micros since epoch; binds to
+    * the newest version committed at or before that instant.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val c = conf
+    val root = rootOf(ident)
+    val latest = GraftLog.latestVersion(c, root)
+    if (latest == 0) throw new NoSuchTableException(ident)
+    val fs = new Path(root).getFileSystem(c)
+    val occ = fs.exists(new Path(s"$root/_log/v1.txt"))
+    def commitMicros(v: Int): Long = {
+      val marker =
+        if (occ) new Path(s"$root/_log/v$v.txt")
+        else new Path(s"$root/_log/v$v._ok")
+      fs.getFileStatus(marker).getModificationTime * 1000L
+    }
+    val v = (1 to latest).reverseIterator
+      .find(commitMicros(_) <= timestamp)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: no version of $root committed at or before " +
+          s"timestamp micros=$timestamp (v1 committed at " +
+          s"${commitMicros(1)})"))
+    tableAt(ident, Some(v))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftLog.latestVersion(conf, rootOf(ident)) > 0
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = (warehouse +: namespace.toSeq).mkString("/")
+    val c = conf
+    val fs = new Path(base).getFileSystem(c)
+    val p = new Path(base)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).collect {
+      case st if st.isDirectory &&
+        fs.exists(new Path(st.getPath, "_log")) =>
+        Identifier.of(namespace, st.getPath.getName)
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog is read-path-only: create tables by writing " +
+        s"df.write.format(\"graftlog\") to ${rootOf(ident)} with " +
+        "option(\"schema\", <ddl>)")
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog is read-path-only: schema evolves through the " +
+        "write path's documented contract, not ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = false
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog is read-path-only: a graftlog table's identity is " +
+        "its directory; rename at the storage layer")
+}
