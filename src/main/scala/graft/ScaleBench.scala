@@ -56,7 +56,11 @@ object ScaleBench {
     "q_tpch_q14", "q_kmeans", "q_tpch_q9", "q_tpch_q12", "q_occ_log",
     "q_active_window", "q_bfs_levels",
     // round-11 additions (graftlog DSv2 connector family)
-    "q_log_versions", "q_log_vacuum")
+    "q_log_versions", "q_log_vacuum",
+    // round-12 additions (manifest-stats control plane, CDC, catalog,
+    // partitioned writes — the whole family reads through the
+    // vectorized connector)
+    "q_log_cdc", "q_log_partitioned", "q_catalog_asof", "q_log_write")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("spark.log.level", "ERROR")

@@ -329,6 +329,36 @@ class GraftLogManifestSpec extends SparkSpecBase {
     assert(two === twoRow)
   }
 
+  test("connector-scan microbench: the vectorized reader is not slower " +
+      "than row-at-a-time Group assembly on a full-decode aggregate " +
+      "(typically ~2x faster; the bound here is lenient for CI noise)") {
+    val root = Files.createTempDirectory("graft_mancolbench").toString
+    spark.range(2000000)
+      .selectExpr("id", "id * 0.5 AS d", "concat('name-', id % 1000) AS s")
+      .repartition(8)
+      .write.format(graft.sources.GraftLog.Format).option("path", root)
+      .option("schema", "id BIGINT, d DOUBLE, s STRING")
+      .mode("append").save()
+    def run(columnar: Boolean): (Long, org.apache.spark.sql.Row) = {
+      val df = spark.read.format("graftlog").option("path", root)
+        .option("columnar", columnar).load()
+        .select(sum(col("id")).as("si"), sum(col("d")).as("sd"),
+          count(col("s")).as("cs"))
+      val t0 = System.nanoTime()
+      val r = df.collect().head
+      ((System.nanoTime() - t0) / 1000000L, r)
+    }
+    run(columnar = true); run(columnar = false) // JIT + page-cache warm
+    val (tCol, rCol) = Seq(run(columnar = true), run(columnar = true))
+      .minBy(_._1)
+    val (tRow, rRow) = Seq(run(columnar = false), run(columnar = false))
+      .minBy(_._1)
+    assert(rCol === rRow)
+    info(s"columnar ${tCol}ms vs row ${tRow}ms over 2M rows x 3 cols")
+    assert(tCol <= tRow * 1.3 + 150,
+      s"vectorized read slower than row path: ${tCol}ms vs ${tRow}ms")
+  }
+
   test("streaming epoch marker is atomic with the version commit: a " +
       "marker WITHOUT its _ok is torn (redo), a marker WITH it is a " +
       "replay (no-op)") {
