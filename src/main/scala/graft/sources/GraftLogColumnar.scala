@@ -47,7 +47,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GraftLogColumnarReader(file: String, pruned: StructType,
     predicate: Option[FilterPredicate], predicateRefs: Set[String],
-    baseConf: Configuration, cdcMeta: Option[(String, Long)] = None)
+    baseConf: Configuration, cdcMeta: Option[(String, Long)] = None,
+    range: Option[(Long, Long)] = None)
     extends PartitionReader[ColumnarBatch] {
 
   private val Capacity = 4096
@@ -78,6 +79,9 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
 
   private val reader: ParquetFileReader = {
     val ob = HadoopReadOptions.builder(conf)
+    // a byte-range split reads only the row groups whose midpoint falls
+    // inside it (exactly-once across a covering range set)
+    range.foreach { case (s, e) => ob.withRange(s, e) }
     effectiveFilter.foreach(p => ob.withRecordFilter(FilterCompat.get(p)))
     val r = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), conf), ob.build())

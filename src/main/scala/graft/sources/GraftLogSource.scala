@@ -81,9 +81,10 @@ import graft.sources.GraftLogStats.{ColStats, FileEntry}
   * fold on the driver in one pass, and are immutable once committed —
   * a bounded driver-side cache makes the per-version fold O(versions),
   * not O(versions²). Data reading parallelizes one InputPartition per
-  * part-file (a production split would further cut by row group;
-  * file-level is the honest local[32] grain since the writer bounds
-  * file sizes). Readers use parquet-hadoop's public column-IO path —
+  * part-file, and files larger than the session's maxPartitionBytes
+  * split into byte ranges (row groups assigned by midpoint — Spark's
+  * own FileScan discipline), so a 10 GB compacted file is ~80 tasks,
+  * not one. Readers use parquet-hadoop's public column-IO path —
   * the default batch factory is the vectorized [[GraftLogColumnarReader]],
   * with the row-at-a-time Group reader as the streaming/edge fallback.
   */
@@ -224,7 +225,7 @@ object GraftLog {
     }
     val fs = fsOf(conf, root)
     val out = mutable.ArrayBuffer[ManifestRow]()
-    listParquetFiles(fs, new Path(s"$root/_log/v$v")).foreach { f =>
+    listParquetFiles(fs, new Path(s"$root/_log/v$v")).map(_._1).foreach { f =>
       val reader =
         ParquetReader.builder(new GroupReadSupport(), f)
           .withConf(new Configuration(conf))
@@ -292,19 +293,22 @@ object GraftLog {
   def expandEntry(conf: Configuration, root: String,
       entry: String): Seq[String] =
     listParquetFiles(fsOf(conf, root), new Path(s"$root/$entry"))
-      .map(_.toString)
+      .map(_._1.toString)
 
   /** Expand one manifest row to concrete [[FileEntry]]s with ABSOLUTE
     * paths. A stats-bearing row IS a file (the connector's write path
     * logs part-files individually) — no filesystem round-trip at all;
-    * a bare row may be a Hive-partitioned directory and lists.
+    * a bare row may be a Hive-partitioned directory and lists (byte
+    * lengths captured from the listing the walk pays anyway, so the
+    * scan can SPLIT large legacy files without another RPC).
     */
   def expandRow(conf: Configuration, root: String,
       row: ManifestRow): Seq[FileEntry] =
     if (row.rows.isDefined)
       Seq(FileEntry(s"$root/${row.file}", row.rows, row.bytes,
         row.stats.flatMap(GraftLogStats.parseStats)))
-    else expandEntry(conf, root, row.file).map(FileEntry(_))
+    else listParquetFiles(fsOf(conf, root), new Path(s"$root/${row.file}"))
+      .map { case (p, len) => FileEntry(p.toString, bytes = Some(len)) }
 
   /** Live part-files as [[FileEntry]]s (absolute paths, stats when the
     * manifest carries them) — what the scan plans from.
@@ -318,15 +322,19 @@ object GraftLog {
       asOf: Int): Seq[String] =
     dataFileEntries(conf, root, asOf).map(_.path)
 
-  private def listParquetFiles(fs: FileSystem, p: Path): Seq[Path] =
+  private def listParquetFiles(fs: FileSystem,
+      p: Path): Seq[(Path, Long)] =
     if (!fs.exists(p)) Seq.empty
-    else if (fs.getFileStatus(p).isFile) Seq(p)
-    else fs.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory) listParquetFiles(fs, st.getPath)
-      else if (n.endsWith(".parquet") && !n.startsWith("_") &&
-        !n.startsWith(".")) Seq(st.getPath)
-      else Seq.empty
+    else {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) Seq((p, st.getLen))
+      else fs.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { c =>
+        val n = c.getPath.getName
+        if (c.isDirectory) listParquetFiles(fs, c.getPath)
+        else if (n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")) Seq((c.getPath, c.getLen))
+        else Seq.empty
+      }
     }
 
   /** Checked version resolve: default latest; refuse below watermark. */
@@ -890,6 +898,15 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val filters = skipFilters
     val pred = effectivePredicate
+    // a 10 GB compacted file must not become one task: surviving files
+    // above the session's maxPartitionBytes split into byte ranges
+    // (parquet assigns each row group to the range holding its
+    // midpoint, so a covering range set reads every row exactly once —
+    // the same discipline Spark's own FileScan uses). Byte lengths
+    // come from the manifest (or the expansion listing) — no extra RPC.
+    val maxSplit = SparkSession.getActiveSession
+      .map(_.sessionState.conf.filesMaxPartitionBytes)
+      .getOrElse(128L * 1024 * 1024)
     entries.filter { case (e, _) =>
       if (filters.isEmpty) true
       else e.stats match {
@@ -898,9 +915,18 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
         case None =>
           pred.forall(p => GraftLog.fileMayMatch(conf.value, e.path, p))
       }
-    }.map { case (e, meta) =>
-      GraftLogInputPartition(e.path, meta): InputPartition
-    }.toArray
+    }.flatMap { case (e, meta) =>
+      e.bytes match {
+        case Some(len) if len > maxSplit =>
+          val n = ((len + maxSplit - 1) / maxSplit).toInt
+          (0 until n).map { i =>
+            val s = i * maxSplit
+            GraftLogInputPartition(e.path, meta,
+              Some((s, math.min(s + maxSplit, len))))
+          }
+        case _ => Seq(GraftLogInputPartition(e.path, meta, None))
+      }
+    }.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -926,7 +952,8 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
 }
 
 case class GraftLogInputPartition(file: String,
-    cdcMeta: Option[(String, Long)] = None) extends InputPartition
+    cdcMeta: Option[(String, Long)] = None,
+    range: Option[(Long, Long)] = None) extends InputPartition
 
 /** Version-number offset of the streaming tail. */
 case class GraftLogOffset(version: Int)
@@ -1016,14 +1043,14 @@ case class GraftLogReaderFactory(pruned: StructType,
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftLogInputPartition]
     new GraftLogPartitionReader(p.file, pruned, predicate, predicateRefs,
-      conf.value, p.cdcMeta)
+      conf.value, p.cdcMeta, p.range)
   }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftLogInputPartition]
     new GraftLogColumnarReader(p.file, pruned, predicate, predicateRefs,
-      conf.value, p.cdcMeta)
+      conf.value, p.cdcMeta, p.range)
   }
 }
 
@@ -1036,7 +1063,8 @@ case class GraftLogReaderFactory(pruned: StructType,
   */
 class GraftLogPartitionReader(file: String, pruned: StructType,
     predicate: Option[FilterPredicate], predicateRefs: Set[String],
-    baseConf: Configuration, cdcMeta: Option[(String, Long)] = None)
+    baseConf: Configuration, cdcMeta: Option[(String, Long)] = None,
+    range: Option[(Long, Long)] = None)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration(baseConf)
@@ -1094,8 +1122,9 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
       wanted.map(n =>
         fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-    val b = ParquetReader.builder(new GroupReadSupport(), new Path(file))
+    var b = ParquetReader.builder(new GroupReadSupport(), new Path(file))
       .withConf(conf)
+    range.foreach { case (s, e) => b = b.withFileRange(s, e) }
     filt.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
   }
 

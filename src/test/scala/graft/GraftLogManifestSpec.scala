@@ -329,6 +329,43 @@ class GraftLogManifestSpec extends SparkSpecBase {
     assert(two === twoRow)
   }
 
+  test("large files split into byte-range partitions (row groups " +
+      "assigned by midpoint): every row read exactly once, on both the " +
+      "columnar and row paths, legacy and manifest-stats entries alike") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_mansplit").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    // one ~1.5MB file with MANY small row groups (legacy manifest entry)
+    spark.range(200000).selectExpr("id", "id * 3 AS v")
+      .coalesce(1).write.option("parquet.block.size", "65536")
+      .mode("overwrite").parquet(s"$root/data_a")
+    Seq(("add", "data_a")).toDF("action", "file").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/_log/v1")
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_log/v1._ok"), true)
+      .close()
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "131072")
+      def read(columnar: Boolean) = spark.read.format("graftlog")
+        .option("path", root).option("columnar", columnar).load()
+      val parts = scanOf(read(true)).toBatch.planInputPartitions()
+      assert(parts.length > 2, s"no split: ${parts.length} partitions")
+      assert(parts.forall(_.asInstanceOf[graft.sources.GraftLogInputPartition]
+        .range.isDefined))
+      Seq(true, false).foreach { columnar =>
+        val ids = read(columnar).collect().map(_.getLong(0)).sorted
+        assert(ids.length === 200000,
+          s"columnar=$columnar read ${ids.length} rows (lost or doubled " +
+            "row groups at range boundaries)")
+        assert(ids.toSeq === (0L until 200000L), s"columnar=$columnar")
+      }
+      // a filtered ranged read still returns exactly the matching rows
+      val f = read(true).filter(col("id") >= 150000L)
+      assert(f.collect().map(_.getLong(0)).sorted.toSeq ===
+        (150000L until 200000L))
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("connector-scan microbench: the vectorized reader is not slower " +
       "than row-at-a-time Group assembly on a full-decode aggregate " +
       "(typically ~2x faster; the bound here is lenient for CI noise)") {
