@@ -1174,6 +1174,60 @@ object Maintenance {
       |         AS BIGINT) AS total_cents
       |FROM orders WHERE o_orderstatus = 'F'""".stripMargin
 
+  /** Lays down (once per JVM) a log whose schema WIDENS between
+    * commits: v1 appends even keys under (o_orderkey); v2 appends odd
+    * keys under the explicitly-extended (o_orderkey, o_totalprice).
+    */
+  private[graft] def evolvedTableDir(s: SparkSession, d: String): String = {
+    val root = SetupOnce.runtimeDir(d, "orders_graftevolve")
+    SetupOnce(root) {
+      val o = Tables.orders(s, d)
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"))
+        .write.format(graft.sources.GraftLog.Format).option("path", root)
+        .option("schema", "o_orderkey BIGINT").mode("append").save()
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.format(graft.sources.GraftLog.Format).option("path", root)
+        .option("schema", "o_orderkey BIGINT, o_totalprice DOUBLE")
+        .mode("append").save()
+    }
+    root
+  }
+
+  /** Documented schema WIDENING, oracle-gated: the latest snapshot
+    * reads BOTH generations — v1's files null-fill the widened
+    * o_totalprice (count/cents cover odd keys only), while the total
+    * row count covers everything; the v1 AS-OF read keeps its own
+    * 1-column schema. A widening bug anywhere — a null-fill that
+    * dropped rows, a pushed predicate breaking on the absent column,
+    * a schema row recorded un-widened — hash-fails the closed-form
+    * derivation.
+    */
+  def logEvolve(s: SparkSession, d: String): DataFrame = {
+    val root = evolvedTableDir(s, d)
+    val v1 = readVersion(s, root, 1)
+      .agg(count(lit(1)).as("n_rows_v1"))
+    readVersion(s, root, latestVersion(s, root))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_priced"),
+        sum(RefTransforms.cents(col("o_totalprice"))).as("cents_priced"))
+      .crossJoin(v1)
+      .select(col("n_rows_v1"), col("n_rows"), col("n_priced"),
+        col("cents_priced"))
+  }
+
+  val logEvolveSql: String =
+    """SELECT CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_rows_v1,
+      |       COUNT(*) AS n_rows,
+      |       CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_priced,
+      |       CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+      |                THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |                ELSE 0 END) AS BIGINT) AS cents_priced
+      |FROM orders""".stripMargin
+
   val logVacuumSql: String =
     s"""SELECT CAST(2 AS INT) AS kept_from, CAST(3 AS INT) AS v_latest,
        |       CAST($TxnBuckets AS BIGINT) AS n_files_deleted,

@@ -74,8 +74,17 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
           org.apache.parquet.schema.PrimitiveType
             .PrimitiveTypeName.INT96 => t.getName
     }.toSet
+  // pruned data columns present in THIS file; columns a widening
+  // appended after the file was written stay all-null vectors
+  private val present: Array[(StructField, Int)] =
+    dataFields.filter { case (f, _) => fileSchema.containsField(f.name) }
+  private val absent: Array[Int] =
+    dataFields.filterNot { case (f, _) =>
+      fileSchema.containsField(f.name) }.map(_._2)
   private val effectiveFilter: Option[FilterPredicate] =
-    if (predicateRefs.exists(fileInt96.contains)) None else predicate
+    if (predicateRefs.exists(r => fileInt96.contains(r) ||
+      !fileSchema.containsField(r))) None
+    else predicate
 
   private val reader: ParquetFileReader = {
     val ob = HadoopReadOptions.builder(conf)
@@ -85,9 +94,9 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
     effectiveFilter.foreach(p => ob.withRecordFilter(FilterCompat.get(p)))
     val r = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), conf), ob.build())
-    if (dataFields.nonEmpty) {
+    if (present.nonEmpty) {
       val projection = new MessageType(fileSchema.getName,
-        dataFields.map { case (f, _) =>
+        present.map { case (f, _) =>
           fileSchema.getType(fileSchema.getFieldIndex(f.name)) }: _*)
       r.setRequestedSchema(projection)
     }
@@ -95,9 +104,9 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
   }
 
   private val projection: Option[MessageType] =
-    if (dataFields.isEmpty) None
+    if (present.isEmpty) None
     else Some(new MessageType(fileSchema.getName,
-      dataFields.map { case (f, _) =>
+      present.map { case (f, _) =>
         fileSchema.getType(fileSchema.getFieldIndex(f.name)) }: _*))
 
   // ColumnReadStoreImpl resolves a PrimitiveConverter per column for
@@ -110,9 +119,9 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
     override def end(): Unit = ()
   }
 
-  // one writer closure per data column: (reader, vector, rowIdx)
+  // one writer closure per PRESENT data column: (reader, vector, rowIdx)
   private val writers: Array[(ColumnReader, OnHeapColumnVector, Int) => Unit] =
-    dataFields.map { case (f, _) =>
+    present.map { case (f, _) =>
       f.dataType match {
         case TimestampType if fileInt96.contains(f.name) =>
           (cr, v, i) =>
@@ -140,8 +149,10 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
   private var groupReaders: Array[ColumnReader] = _
   private var groupMaxDef: Array[Int] = _
   private var groupRemaining: Long = 0L
-  // metadata-count mode state (no data columns)
-  private val countsOnly = dataFields.isEmpty
+  // metadata-count mode state (no columns to decode from THIS file —
+  // a bare count, a CDC-meta-only read, or a file predating every
+  // pruned column's widening)
+  private val countsOnly = present.isEmpty
   private var countRemaining: Long =
     if (countsOnly) reader.getRowGroups.asScala.map(_.getRowCount).sum
     else 0L
@@ -158,17 +169,20 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
     true
   }
 
-  private def fillMeta(n: Int): Unit = cdcMeta.foreach { case (ct, ver) =>
-    val ctBytes = UTF8String.fromString(ct).getBytes
-    pruned.fields.zipWithIndex.foreach {
-      case (f, i) if f.name == GraftLog.ChangeTypeCol =>
-        var r = 0
-        while (r < n) { vectors(i).putByteArray(r, ctBytes); r += 1 }
-      case (f, i) if f.name == GraftLog.CommitVersionCol =>
-        var r = 0
-        while (r < n) { vectors(i).putLong(r, ver); r += 1 }
-      case _ => ()
+  private def fillMeta(n: Int): Unit = {
+    cdcMeta.foreach { case (ct, ver) =>
+      val ctBytes = UTF8String.fromString(ct).getBytes
+      pruned.fields.zipWithIndex.foreach {
+        case (f, i) if f.name == GraftLog.ChangeTypeCol =>
+          var r = 0
+          while (r < n) { vectors(i).putByteArray(r, ctBytes); r += 1 }
+        case (f, i) if f.name == GraftLog.CommitVersionCol =>
+          var r = 0
+          while (r < n) { vectors(i).putLong(r, ver); r += 1 }
+        case _ => ()
+      }
     }
+    absent.foreach(i => vectors(i).putNulls(0, n))
   }
 
   override def next(): Boolean = {
@@ -190,7 +204,7 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
     var c = 0
     while (c < writers.length) {
       val cr = groupReaders(c)
-      val vec = vectors(dataFields(c)._2)
+      val vec = vectors(present(c)._2)
       val write = writers(c)
       val maxDef = groupMaxDef(c)
       var r = 0

@@ -350,6 +350,28 @@ object GraftLog {
     v
   }
 
+  /** Every column of a log table is nullable: the write path emits
+    * parquet `optional` fields, and WIDENING null-fills new columns in
+    * old files — a query-derived NOT NULL must never leak into the
+    * recorded table schema (a null fill under a non-nullable field is
+    * a codegen NPE at read).
+    */
+  def asNullable(st: StructType): StructType =
+    StructType(st.fields.map(_.copy(nullable = true)))
+
+  /** Documented WIDENING: `next` extends `current` by appending new
+    * columns — the existing fields an exact (name, type) prefix, in
+    * order. The one schema evolution the log admits: readers null-fill
+    * the appended columns for files written before them, so every
+    * version stays readable and time travel returns each version's own
+    * schema. Renames, drops, type changes, reorders are NOT widenings.
+    */
+  def widens(current: StructType, next: StructType): Boolean =
+    next.length > current.length &&
+      next.fields.take(current.length).map(f => (f.name, f.dataType))
+        .sameElements(current.fields.map(f => (f.name, f.dataType))) &&
+      next.fieldNames.distinct.length == next.length
+
   /** Schema DDL recorded in the newest manifest at or below `asOf` —
     * the connector's write path logs it at every commit, so a
     * connector-written table infers its schema without touching any
@@ -361,7 +383,7 @@ object GraftLog {
       .flatMap(v => versionRows(conf, root, v)
         .collectFirst { case ManifestRow("schema", ddl, _, _, _) => ddl })
       .nextOption()
-      .map(StructType.fromDDL)
+      .map(ddl => asNullable(StructType.fromDDL(ddl)))
 
   /** Spark schema of the snapshot: the manifest's recorded DDL when
     * present (zero data-file I/O), else the footer of the first live
@@ -639,10 +661,27 @@ class GraftLogSource extends TableProvider with DataSourceRegister {
     // TableProvider has no catalog to CREATE through)
     if (GraftLog.latestVersion(conf, root) == 0 &&
         options.containsKey("schema"))
-      return StructType.fromDDL(options.get("schema"))
+      return GraftLog.asNullable(StructType.fromDDL(options.get("schema")))
     val v = GraftLog.resolveVersion(conf, root,
       Option(options.get("version")).map(_.toInt))
-    val data = GraftLog.inferSchema(conf, root, v)
+    val current = GraftLog.inferSchema(conf, root, v)
+    // documented widening on append: an EXPLICIT option("schema") that
+    // strictly extends the current schema becomes the table schema for
+    // this write (Spark then validates the incoming columns against it
+    // by name, and the commit records the new DDL); anything else that
+    // differs refuses here, before any task runs
+    val data = Option(options.get("schema"))
+        .map(d => GraftLog.asNullable(StructType.fromDDL(d))) match {
+      case Some(next)
+        if next.fields.map(f => (f.name, f.dataType)).toSeq !=
+          current.fields.map(f => (f.name, f.dataType)).toSeq =>
+        if (GraftLog.widens(current, next)) next
+        else throw new IllegalStateException(
+          s"graftlog: option(\"schema\") [${next.toDDL}] neither matches " +
+            s"the table schema [${current.toDDL}] nor widens it (widening " +
+            "= append new columns; existing names/types keep their order)")
+      case _ => current
+    }
     if (isCdc(options))
       data.add(GraftLog.ChangeTypeCol, StringType)
         .add(GraftLog.CommitVersionCol, LongType)
@@ -1085,8 +1124,13 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
         f.name == GraftLog.CommitVersionCol) }
 
   // captured from this FILE's footer so mixed-encoding logs (INT96 in
-  // one snapshot, INT64 micros in another) decode correctly per file
+  // one snapshot, INT64 micros in another) decode correctly per file,
+  // and columns a WIDENING appended after this file was written are
+  // null-filled instead of looked up
   private var fileInt96: Set[String] = Set.empty
+  // pruned data columns present in THIS file, with their output index;
+  // group field order == this array's order
+  private var present: Array[(StructField, Int)] = Array.empty
 
   private val reader: ParquetReader[Group] = {
     val footer = ParquetFileReader.open(
@@ -1100,20 +1144,27 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
             org.apache.parquet.schema.PrimitiveType
               .PrimitiveTypeName.INT96 => t.getName
       }.toSet
+    present = dataFields.filter { case (f, _) =>
+      fileSchema.containsField(f.name) }
     // the pushed predicate is dropped for THIS file if any column it
-    // references is INT96 here (Spark re-applies residuals; parquet's
-    // validator would otherwise reject longColumn-vs-INT96 at build)
+    // references is INT96 here (parquet's validator would reject
+    // longColumn-vs-INT96 at build) or absent here (written before a
+    // widening — its value is null for every row of this file); Spark
+    // re-applies all filters as residuals either way
     val filt =
-      if (predicateRefs.exists(fileInt96.contains)) None else predicate
+      if (predicateRefs.exists(r => fileInt96.contains(r) ||
+        !fileSchema.containsField(r))) None
+      else predicate
     // projection = the file's OWN field definitions filtered to the
-    // pruned names (guaranteed physical-type compatible); an empty
-    // projection (e.g. a bare count) still needs one column to drive
-    // row iteration — take the first field, UNLESS a predicate exists
-    // (a runtime filter can arrive after pruning): parquet's filter
-    // validator requires every predicate column in the read schema, so
-    // that rare case reads the full schema rather than failing
+    // pruned names present here (guaranteed physical-type compatible);
+    // an empty projection (a bare count, or a read of only-widened
+    // columns) still needs one column to drive row iteration — take the
+    // first field, UNLESS a predicate exists (a runtime filter can
+    // arrive after pruning): parquet's filter validator requires every
+    // predicate column in the read schema, so that rare case reads the
+    // full schema rather than failing
     val wanted =
-      if (dataFields.nonEmpty) dataFields.map(_._1.name).toSeq
+      if (present.nonEmpty) present.map(_._1.name).toSeq
       else if (filt.isDefined)
         fileSchema.getFields.toArray(
           Array.empty[org.apache.parquet.schema.Type]).map(_.getName).toSeq
@@ -1129,7 +1180,7 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
   }
 
   private lazy val getters: Array[(Group, Int) => Any] =
-    dataFields.map { case (f, _) =>
+    present.map { case (f, _) =>
       f.dataType match {
         case TimestampType if fileInt96.contains(f.name) =>
           (g: Group, i: Int) =>
@@ -1157,11 +1208,13 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
   }
 
   override def get(): InternalRow = {
+    // GenericInternalRow initializes every slot null — absent (widened)
+    // columns need no explicit fill
     val row = new GenericInternalRow(pruned.length)
     metaConst.foreach { case (i, v) => row.update(i, v) }
     var d = 0
-    while (d < dataFields.length) {
-      val outIdx = dataFields(d)._2
+    while (d < present.length) {
+      val outIdx = present(d)._2
       if (current.getFieldRepetitionCount(d) == 0) row.update(outIdx, null)
       else row.update(outIdx, getters(d)(current, d))
       d += 1

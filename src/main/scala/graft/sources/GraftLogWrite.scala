@@ -65,9 +65,19 @@ import org.apache.spark.util.SerializableConfiguration
   * refuses — maintenance rewrites stay with the explicit utilities
   * (Maintenance.vacuumLog/compaction). A brand new table bootstraps by
   * passing `option("schema", <ddl>)` on the first write (a
-  * TableProvider has no catalog to CREATE through); every subsequent
-  * append must match the table's schema exactly (names and types, in
-  * order) or it refuses before launching a single task.
+  * TableProvider has no catalog to CREATE through). Every subsequent
+  * append resolves against the TABLE schema (from the manifest — the
+  * user option cannot redefine an existing table), so a drifted FILE
+  * is unrepresentable: non-storable types refuse in analysis,
+  * coercible ones are cast to the table type, missing nullable columns
+  * null-fill (SQL-standard insert semantics), and the write builder
+  * re-checks exact name/type match as defense in depth for paths that
+  * bypass Spark's resolution. The ONE admitted evolution is documented
+  * WIDENING: an append passing an explicit `option("schema", <ddl>)`
+  * that appends new columns (the existing fields an exact prefix)
+  * commits under the extended schema; readers null-fill the new
+  * columns for files written before it, and time travel returns each
+  * version's own schema.
   *
   * `option("partitionBy", "c1,c2")` lays part-files out in Hive-style
   * `c1=v/c2=v/` subdirectories under the version's data directory.
@@ -185,7 +195,10 @@ object GraftLogWrite {
       val gf = new SimpleGroupFactory(msg)
       schema.foreach { s =>
         val g = gf.newGroup()
-        g.add("action", "schema"); g.add("file", s.toDDL)
+        // all-nullable: the parquet fields are optional and widening
+        // null-fills — a query-derived NOT NULL must not be recorded
+        g.add("action", "schema")
+        g.add("file", GraftLog.asNullable(s).toDDL)
         w.write(g)
       }
       adds.foreach { fc =>
@@ -278,7 +291,9 @@ class GraftLogWriteBuilder(root: String, info: LogicalWriteInfo,
       s"graftlog write: schema mismatch on append to $root — table " +
         s"schema is [${ts.toDDL}] but the write's is " +
         s"[${info.schema().toDDL}]; appends must match the table " +
-        "schema exactly (names and types, in order)")
+        "schema exactly (names and types, in order), or WIDEN it " +
+        "explicitly by passing option(\"schema\", <ddl>) that appends " +
+        "new columns")
   }
 
   private def partCols: Seq[String] =

@@ -66,22 +66,29 @@ class GraftLogManifestSpec extends SparkSpecBase {
       .write.format("graftlog").option("path", root)
       .option("schema", "id BIGINT, score DOUBLE").mode("append").save()
     assert(GraftLog.latestVersion(conf, root) === 1)
-    // the DataFrame API path: Spark's own by-name V2 write validation
-    // refuses a drifted query against the table schema the connector
-    // infers — no drifted file is ever staged
+    // the DataFrame API path resolves the query against the TABLE
+    // schema (from the manifest, not the user option) before the
+    // builder ever runs, so a drifted FILE is unrepresentable:
+    //  - a non-storable type refuses in analysis;
+    //  - a coercible type (string→double) is CAST to the table type;
+    //  - a missing nullable column is NULL-FILLED (SQL-standard insert
+    //    semantics) — the committed file still carries the full table
+    //    schema.
     intercept[Exception] {
-      spark.range(5).selectExpr("id", "CAST(id AS STRING) AS score")
-        .write.format("graftlog").option("path", root)
-        .mode("append").save()
-    }
-    intercept[Exception] {
-      spark.range(5).selectExpr("id")
+      spark.range(5).selectExpr("id", "array(id) AS score")
         .write.format("graftlog").option("path", root)
         .mode("append").save()
     }
     assert(GraftLog.latestVersion(conf, root) === 1, "log grew on refusal")
-    assert(spark.read.format("graftlog").option("path", root).load()
-      .count() === 10L)
+    spark.range(100, 105).selectExpr("id")
+      .write.format("graftlog").option("path", root)
+      .mode("append").save()
+    assert(GraftLog.latestVersion(conf, root) === 2)
+    val after = spark.read.format("graftlog").option("path", root).load()
+    assert(after.schema.toDDL === "id BIGINT,score DOUBLE")
+    assert(after.count() === 15L)
+    assert(after.filter(col("score").isNull).count() === 5L,
+      "missing nullable column must null-fill under the table schema")
     // the connector's OWN contract (defense in depth for any write path
     // that reaches the builder directly): exact name+type match, else a
     // named refusal
@@ -327,6 +334,61 @@ class GraftLogManifestSpec extends SparkSpecBase {
       .select(sum(col("d")).as("sd"), count(col("s")).as("cs"))
       .collect().head
     assert(two === twoRow)
+  }
+
+  test("documented widening: an explicit extended option(schema) append " +
+      "commits under the new schema, old files null-fill the new " +
+      "columns, time travel returns each version's own schema, and " +
+      "non-widening changes still refuse") {
+    val root = Files.createTempDirectory("graft_manwiden").toString
+    spark.range(10).selectExpr("id")
+      .write.format("graftlog").option("path", root)
+      .option("schema", "id BIGINT").mode("append").save()
+    // widened append: id + tag
+    spark.range(10, 30).selectExpr("id", "concat('t-', id) AS tag")
+      .write.format("graftlog").option("path", root)
+      .option("schema", "id BIGINT, tag STRING").mode("append").save()
+    val latest = spark.read.format("graftlog").option("path", root).load()
+    assert(latest.schema.fieldNames.toSeq === Seq("id", "tag"))
+    val rows = latest.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .sortBy(_._1)
+    assert(rows.length === 30)
+    assert(rows.take(10).forall(_._2 == null), "old files must null-fill")
+    assert(rows.drop(10).forall { case (id, t) => t == s"t-$id" })
+    // both reader paths agree
+    val rowPath = spark.read.format("graftlog").option("path", root)
+      .option("columnar", false).load().collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .sortBy(_._1)
+    assert(rowPath.toSeq === rows.toSeq)
+    // filters on the widened column: pushed predicate must not break
+    // the old file (column absent there — predicate dropped per-file)
+    assert(latest.filter(col("tag") === "t-15").count() === 1L)
+    assert(latest.filter(col("tag").isNotNull).count() === 20L)
+    // time travel: version 1 has its own schema
+    val v1 = spark.read.format("graftlog").option("path", root)
+      .option("version", 1).load()
+    assert(v1.schema.fieldNames.toSeq === Seq("id"))
+    assert(v1.count() === 10L)
+    // non-widenings refuse: type change, reorder, rename
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    Seq("id STRING, tag STRING",           // type change
+        "tag STRING, id BIGINT",           // reorder
+        "id BIGINT, label STRING, id2 INT" // rename of existing 'tag'?
+                                           // no: tag dropped = not prefix
+    ).foreach { ddl =>
+      val e = intercept[Exception] {
+        spark.range(3).selectExpr("id")
+          .write.format("graftlog").option("path", root)
+          .option("schema", ddl).mode("append").save()
+      }
+      assert(msgs(e).exists(m => m.contains("widen") ||
+        m.contains("schema mismatch")), s"$ddl: ${msgs(e).mkString(" | ")}")
+    }
+    assert(graft.sources.GraftLog.latestVersion(conf, root) === 2)
   }
 
   test("large files split into byte-range partitions (row groups " +
