@@ -736,7 +736,8 @@ case class GraftLogTable(root: String, asOfVersion: Int,
     require(asOfVersion >= 1,
       s"no committed versions under $root — write one first")
     new GraftLogScanBuilder(root, asOfVersion, tableSchema, conf, cdc,
-      cdcStart, options.getBoolean("columnar", true))
+      cdcStart, options.getBoolean("columnar", true),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -749,7 +750,7 @@ case class GraftLogTable(root: String, asOfVersion: Int,
 
 class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
     conf: SerializableConfiguration, cdc: Boolean, cdcStart: Int,
-    columnar: Boolean)
+    columnar: Boolean, maxVersionsPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -791,7 +792,7 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
       .reduceOption(FilterApi.and)
     GraftLogScan(root, version, dataSchema, int96, pruned,
       accepted.map(_.toString), predicate, accepted, conf, cdc, cdcStart,
-      columnar)
+      columnar, maxVersionsPerTrigger)
   }
 }
 
@@ -799,7 +800,8 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
     int96: Set[String], pruned: StructType,
     pushedDesc: Array[String], predicate: Option[FilterPredicate],
     staticFilters: Array[Filter], conf: SerializableConfiguration,
-    cdc: Boolean, cdcStart: Int, columnar: Boolean)
+    cdc: Boolean, cdcStart: Int, columnar: Boolean,
+    maxVersionsPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -987,7 +989,7 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
   override def toMicroBatchStream(
       checkpointLocation: String): streaming.MicroBatchStream =
     new GraftLogMicroBatchStream(root, pruned, effectivePredicate,
-      predicateRefs, conf, cdc)
+      predicateRefs, conf, cdc, cdcStart, maxVersionsPerTrigger)
 }
 
 case class GraftLogInputPartition(file: String,
@@ -1005,16 +1007,62 @@ case class GraftLogOffset(version: Int)
   * start+1..end (plus, in CDC mode, delete rows for files REMOVED).
   * Torn commits are invisible (latestOffset stops before them), so a
   * batch can never read a half-written version.
+  *
+  * VACUUM SAFETY: a cold start begins at the vacuum watermark (expired
+  * versions' data files may be gone — expanding them to an empty file
+  * list would be SILENT loss, the worst failure a tail can have), and a
+  * checkpointed offset that has since fallen below the watermark
+  * refuses loudly instead of emitting a gap.
+  *
+  * ADMISSION CONTROL: `option("maxVersionsPerTrigger", n)` caps each
+  * micro-batch at n committed versions — a tail restarted after a long
+  * outage catches up in bounded batches instead of one giant one (at
+  * 100 TB, "read 10 000 versions in one trigger" is a driver OOM, not
+  * a plan).
   */
 class GraftLogMicroBatchStream(root: String, pruned: StructType,
     predicate: Option[FilterPredicate], predicateRefs: Set[String],
-    conf: SerializableConfiguration, cdc: Boolean)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    conf: SerializableConfiguration, cdc: Boolean, cdcStart: Int = 1,
+    maxVersionsPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
-  override def initialOffset(): Offset = GraftLogOffset(0)
+  override def initialOffset(): Offset =
+    GraftLogOffset(math.max(GraftLog.vacuumWatermark(conf.value, root),
+      if (cdc) cdcStart else 1) - 1)
 
   override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger
+      .map(n => ReadLimit.maxFiles(n)) // unit here = committed versions
+      .getOrElse(ReadLimit.allAvailable())
+
+  // Trigger.AvailableNow: pin the target ONCE, then drain to it in
+  // rate-limited batches (without this interface Spark wraps the stream
+  // and collapses the drain into a single unbounded batch)
+  private var availableNowEnd: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(GraftLog.latestVersion(conf.value, root))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftLogOffset].version
+    val latest = availableNowEnd
+      .getOrElse(GraftLog.latestVersion(conf.value, root))
+    val capped = limit match {
+      case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        math.min(latest, s + f.maxFiles())
+      case _ => latest
+    }
+    GraftLogOffset(capped)
+  }
+
+  override def reportLatestOffset(): Offset =
     GraftLogOffset(GraftLog.latestVersion(conf.value, root))
 
   override def deserializeOffset(json: String): Offset =
@@ -1025,6 +1073,12 @@ class GraftLogMicroBatchStream(root: String, pruned: StructType,
     val s = start.asInstanceOf[GraftLogOffset].version
     val e = end.asInstanceOf[GraftLogOffset].version
     val c = conf.value
+    val wm = GraftLog.vacuumWatermark(c, root)
+    if (s + 1 < wm && s + 1 <= e) throw new IllegalStateException(
+      s"graftlog stream: checkpointed offset $s requires version " +
+        s"${s + 1}, but the vacuum watermark is $wm — the expired " +
+        "versions' files may be gone, and skipping them would be " +
+        "silent data loss; start a fresh stream from a snapshot")
     (s + 1 to e).flatMap { v =>
       val rows = GraftLog.versionRows(c, root, v)
       val removed = rows.collect {

@@ -428,6 +428,61 @@ class GraftLogManifestSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("streaming tail is vacuum-safe and rate-limitable: cold starts " +
+      "begin at the watermark (never silently skipping expired adds), a " +
+      "checkpoint below the watermark refuses loudly, and " +
+      "maxVersionsPerTrigger bounds each micro-batch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_mantailvac").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    def commit(v: Int, adds: Seq[String]): Unit = {
+      adds.map(("add", _)).toDF("action", "file").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/_log/v$v")
+      fs.create(new org.apache.hadoop.fs.Path(s"$root/_log/v$v._ok"), true)
+        .close()
+    }
+    def land(tag: String, from: Long, until: Long): Unit =
+      spark.range(from, until).selectExpr("id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/$tag")
+    land("f1", 0, 100);   commit(1, Seq("f1"))
+    land("f2", 100, 200); commit(2, Seq("f2"))
+    land("f3", 200, 300); commit(3, Seq("f3"))
+    // vacuum to keepFrom=2: versions below 2 are expired
+    operators.Maintenance.vacuumLog(spark, root, keepFrom = 2)
+    assert(GraftLog.vacuumWatermark(conf, root) === 2)
+    val out = Files.createTempDirectory("graft_mantailvac_out").toString
+    val ckp = Files.createTempDirectory("graft_mantailvac_ckp").toString
+    var batches = 0
+    spark.readStream.format("graftlog").option("path", root)
+      .option("maxVersionsPerTrigger", 1).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        b.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    // cold start at the watermark: v1's adds are EXPIRED, not silently
+    // emitted-as-nothing; v2 and v3 arrive as one version per batch
+    val ids = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (100L until 300L),
+      s"expected versions 2..3 only, got ${ids.length} rows")
+    assert(batches === 2, s"maxVersionsPerTrigger=1 gave $batches batches")
+    // a checkpoint that has fallen below the watermark refuses loudly
+    val stream = new graft.sources.GraftLogMicroBatchStream(root,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"), None,
+      Set.empty,
+      new org.apache.spark.util.SerializableConfiguration(conf),
+      cdc = false)
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(graft.sources.GraftLogOffset(0),
+        graft.sources.GraftLogOffset(3))
+    }
+    assert(e.getMessage.contains("watermark") &&
+      e.getMessage.contains("silent data loss"), e.getMessage)
+  }
+
   test("connector-scan microbench: the vectorized reader is not slower " +
       "than row-at-a-time Group assembly on a full-decode aggregate " +
       "(typically ~2x faster; the bound here is lenient for CI noise)") {
