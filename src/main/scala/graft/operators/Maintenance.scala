@@ -1228,6 +1228,30 @@ object Maintenance {
       |                ELSE 0 END) AS BIGINT) AS cents_priced
       |FROM orders""".stripMargin
 
+  /** Manifest-served aggregates: COUNT(*) / COUNT(col) / MIN / MAX over
+    * the connector-written log answer from the manifest statistics
+    * alone — GraftLogAggScan, ONE partition, zero data bytes at any
+    * table size (GraftLogManifestSpec pins the plan shape and the
+    * zero-footer counter; this query hash-gates the VALUES against the
+    * oracle's full-scan computation, so a wrong bound anywhere in the
+    * stats pipeline — writer aggregation across row groups, JSON
+    * round-trip, manifest fold — fails here).
+    */
+  def logAgg(s: SparkSession, d: String): DataFrame = {
+    val root = writtenTableDir(s, d)
+    s.read.format(graft.sources.GraftLog.Format).option("path", root)
+      .load()
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_priced"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  val logAggSql: String =
+    """SELECT COUNT(*) AS n_rows, COUNT(o_totalprice) AS n_priced,
+      |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders""".stripMargin
+
   val logVacuumSql: String =
     s"""SELECT CAST(2 AS INT) AS kept_from, CAST(3 AS INT) AS v_latest,
        |       CAST($TxnBuckets AS BIGINT) AS n_files_deleted,

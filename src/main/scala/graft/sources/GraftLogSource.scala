@@ -752,7 +752,8 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
     conf: SerializableConfiguration, cdc: Boolean, cdcStart: Int,
     columnar: Boolean, maxVersionsPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   // the DATA schema: what lives in parquet files (CDC meta columns are
   // scan-synthesized constants, never pushed anywhere)
@@ -786,14 +787,162 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = {
-    val predicate = accepted
-      .flatMap(f => GraftLog.toParquetPredicate(dataSchema, f))
-      .reduceOption(FilterApi.and)
-    GraftLogScan(root, version, dataSchema, int96, pruned,
-      accepted.map(_.toString), predicate, accepted, conf, cdc, cdcStart,
-      columnar, maxVersionsPerTrigger)
+  // -------------------------------------------------------------------
+  // aggregate pushdown: COUNT / MIN / MAX answered from the MANIFEST
+  // -------------------------------------------------------------------
+
+  /** Un-grouped COUNT(*) / COUNT(col) / MIN / MAX over a stats-bearing
+    * log are answerable from the manifest alone — O(catalog) driver
+    * work and ONE scan task, zero data bytes, at any table size. Served
+    * only when it is EXACT: every live file carries statistics, no
+    * filters are in play (ours are all residual, so Spark only offers
+    * aggregates on filterless scans), no grouping, and MIN/MAX columns
+    * are types whose footer bounds are exact values (integral, date,
+    * timestamp, boolean — strings can be writer-truncated and floats
+    * carry NaN/-0.0 caveats, so they refuse and scan normally). A file
+    * whose column is all-null contributes nothing to MIN/MAX; a file
+    * with missing bounds that is NOT all-null refuses the pushdown.
+    */
+  private var pushedAgg: Option[(StructType, Seq[Any])] = None
+
+  private def exactBoundType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DateType | TimestampType |
+        TimestampNTZType | BooleanType => true
+    case _ => false
   }
+
+  private def computeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (cdc || accepted.nonEmpty || agg.groupByExpressions.nonEmpty)
+      return None
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+        if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val entries = GraftLog.dataFileEntries(conf.value, root, version)
+    if (!entries.forall(e => e.rows.isDefined && e.stats.isDefined))
+      return None
+    val totalRows = entries.iterator.map(_.rows.get).sum
+    def dtOf(c: String): Option[DataType] =
+      dataSchema.fields.find(_.name == c).map(_.dataType)
+    def nonNullCount(c: String): Option[Long] =
+      if (entries.forall(e => e.stats.get.nulls.contains(c)))
+        Some(totalRows - entries.iterator.map(_.stats.get.nulls(c)).sum)
+      else None
+    // fold one bound across files: None = refused, Some(None) = all
+    // null, Some(Some(v)) = the exact extremum (canonical form)
+    def bound(c: String, dt: DataType, takeMin: Boolean)
+        : Option[Option[Any]] = {
+      var acc: Option[Any] = None
+      entries.foreach { e =>
+        val st = e.stats.get
+        val b = if (takeMin) st.min.get(c) else st.max.get(c)
+        b match {
+          case Some(v) =>
+            acc = Some(acc.fold(v) { prev => (dt, prev, v) match {
+              case (BooleanType, p: Boolean, x: Boolean) =>
+                if (takeMin) p && x else p || x
+              case (_, p: Long, x: Long) =>
+                if (takeMin) math.min(p, x) else math.max(p, x)
+              case _ => return None
+            }})
+          case None =>
+            val allNull = st.nulls.get(c).exists(n =>
+              e.rows.exists(r => n >= r)) || e.rows.contains(0L)
+            if (!allNull) return None
+        }
+      }
+      Some(acc)
+    }
+    def render(dt: DataType, v: Any): Any = (dt, v) match {
+      case (IntegerType | DateType, l: Long) => l.toInt
+      case _                                 => v
+    }
+    val results = agg.aggregateExpressions().map {
+      case _: CountStar => Some((LongType: DataType, totalRows: Any))
+      case c: Count if !c.isDistinct =>
+        colName(c.column).flatMap(nonNullCount)
+          .map(n => (LongType: DataType, n: Any))
+      case m: Min => for {
+        c <- colName(m.column)
+        dt <- dtOf(c) if exactBoundType(dt)
+        b <- bound(c, dt, takeMin = true)
+      } yield (dt, b.map(render(dt, _)).orNull: Any)
+      case m: Max => for {
+        c <- colName(m.column)
+        dt <- dtOf(c) if exactBoundType(dt)
+        b <- bound(c, dt, takeMin = false)
+      } yield (dt, b.map(render(dt, _)).orNull: Any)
+      case _ => None
+    }
+    if (results.exists(_.isEmpty)) return None
+    val fields = results.zipWithIndex.map { case (r, i) =>
+      StructField(s"agg_$i", r.get._1, nullable = true) }
+    Some((StructType(fields), results.map(_.get._2).toSeq))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = computeAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    pushedAgg = computeAgg(agg)
+    pushedAgg.isDefined
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, values)) =>
+      GraftLogAggScan(root, version, schema, values)
+    case None =>
+      val predicate = accepted
+        .flatMap(f => GraftLog.toParquetPredicate(dataSchema, f))
+        .reduceOption(FilterApi.and)
+      GraftLogScan(root, version, dataSchema, int96, pruned,
+        accepted.map(_.toString), predicate, accepted, conf, cdc, cdcStart,
+        columnar, maxVersionsPerTrigger)
+  }
+}
+
+/** The scan an aggregate-pushdown query gets: ONE partition emitting
+  * the single pre-computed row — the manifest already answered the
+  * query, so no data file is opened, let alone scanned.
+  */
+case class GraftLogAggScan(root: String, version: Int,
+    resultSchema: StructType, values: Seq[Any]) extends Scan with Batch {
+  override def readSchema(): StructType = resultSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftLogAggScan root=$root version=$version " +
+      s"manifest-served=[${resultSchema.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftLogAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftLogAggReaderFactory(resultSchema)
+}
+
+case class GraftLogAggPartition(values: Seq[Any]) extends InputPartition
+
+case class GraftLogAggReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vs = partition.asInstanceOf[GraftLogAggPartition].values
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        val row = new GenericInternalRow(schema.length)
+        vs.zipWithIndex.foreach { case (v, i) => row.update(i, v) }
+        row
+      }
+      override def close(): Unit = ()
+    }
 }
 
 case class GraftLogScan(root: String, version: Int, full: StructType,

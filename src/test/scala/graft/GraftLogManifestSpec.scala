@@ -428,6 +428,55 @@ class GraftLogManifestSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("aggregate pushdown: un-grouped COUNT/MIN/MAX are served from " +
+      "the manifest (one partition, zero plan-time footer opens, exact " +
+      "values incl. all-null columns); inexact shapes scan normally") {
+    val root = Files.createTempDirectory("graft_managg").toString
+    spark.range(1, 5001).selectExpr(
+        "id",
+        "CASE WHEN id % 4 = 0 THEN NULL ELSE id * 0.5 END AS d",
+        "CAST(NULL AS BIGINT) AS empty_col",
+        "CAST(date_add(DATE'2021-03-01', CAST(id % 100 AS INT)) AS DATE)" +
+          " AS dt")
+      .repartition(4)
+      .write.format("graftlog").option("path", root)
+      .option("schema",
+        "id BIGINT, d DOUBLE, empty_col BIGINT, dt DATE")
+      .mode("append").save()
+    val before = GraftLog.planFooterReads.get()
+    val agg = spark.read.format("graftlog").option("path", root).load()
+      .agg(count(lit(1)).as("n"), count(col("d")).as("nd"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"),
+        min(col("empty_col")).as("me"),
+        min(col("dt")).as("mind"), max(col("dt")).as("maxd"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftLogAggScan"), plan.take(1500))
+    val r = agg.collect().head
+    assert(r.getLong(0) === 5000L)
+    assert(r.getLong(1) === 3750L) // ids divisible by 4 are null
+    assert(r.getLong(2) === 1L && r.getLong(3) === 5000L)
+    assert(r.isNullAt(4), "min of an all-null column must be null")
+    assert(r.getDate(5).toString === "2021-03-01")
+    assert(r.getDate(6).toString === "2021-06-08") // +99 days
+    assert(GraftLog.planFooterReads.get() === before,
+      "aggregate pushdown opened data-file footers")
+    // inexact/unservable shapes fall back to the ordinary scan:
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val minDouble = spark.read.format("graftlog").option("path", root)
+      .load().agg(min(col("d")).as("m"))
+    assert(!planOf(minDouble).contains("GraftLogAggScan"),
+      "float bounds are not exact values — must not push")
+    assert(minDouble.collect().head.getDouble(0) === 0.5)
+    val grouped = spark.read.format("graftlog").option("path", root)
+      .load().groupBy(pmod(col("id"), lit(2))).count()
+    assert(!planOf(grouped).contains("GraftLogAggScan"))
+    val filtered = spark.read.format("graftlog").option("path", root)
+      .load().filter(col("id") > 10L).agg(count(lit(1)))
+    assert(!planOf(filtered).contains("GraftLogAggScan"))
+    assert(filtered.collect().head.getLong(0) === 4990L)
+  }
+
   test("streaming tail is vacuum-safe and rate-limitable: cold starts " +
       "begin at the watermark (never silently skipping expired adds), a " +
       "checkpoint below the watermark refuses loudly, and " +
