@@ -60,7 +60,8 @@ object ScaleBench {
     // round-12 additions (manifest-stats control plane, CDC, catalog,
     // partitioned writes — the whole family reads through the
     // vectorized connector)
-    "q_log_cdc", "q_log_partitioned", "q_catalog_asof", "q_log_write")
+    "q_log_cdc", "q_log_partitioned", "q_catalog_asof", "q_log_write",
+    "q_log_evolve", "q_log_agg")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("spark.log.level", "ERROR")
