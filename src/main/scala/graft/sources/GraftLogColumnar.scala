@@ -54,19 +54,41 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
   private val Capacity = 4096
   private val conf = new Configuration(baseConf)
 
+  // CDC meta names are scan-synthesized ONLY on CDC partitions (cdcMeta
+  // set); a legacy table whose own schema uses them reads them as data
   private val dataFields: Array[(StructField, Int)] =
     pruned.fields.zipWithIndex.filter { case (f, _) =>
-      !(f.name == GraftLog.ChangeTypeCol ||
+      cdcMeta.isEmpty || !(f.name == GraftLog.ChangeTypeCol ||
         f.name == GraftLog.CommitVersionCol) }
 
-  // footer pre-read: the file's schema decides the per-file predicate
-  // drop (INT96) and supplies physical types for the projection
-  private val (fileSchema, createdBy) = {
-    val f = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(file), conf))
-    try (f.getFileMetaData.getSchema, f.getFileMetaData.getCreatedBy)
-    finally f.close()
+  // ONE footer read per file: open optimistically WITH the pushed
+  // predicate — parquet's row-group filter validates the predicate
+  // against this file's schema inside open(), so a file storing a
+  // referenced column as INT96 (or not at all: written before a
+  // widening) rejects there, and the retry without the predicate IS
+  // the per-file predicate drop (Spark re-applies every filter as
+  // residual). The common case — predicate applicable or absent —
+  // pays exactly one footer read; only the rare mixed-encoding /
+  // pre-widening file pays two.
+  private val reader: ParquetFileReader = {
+    def openWith(filter: Option[FilterPredicate]): ParquetFileReader = {
+      val ob = HadoopReadOptions.builder(conf)
+      // a byte-range split reads only the row groups whose midpoint
+      // falls inside it (exactly-once across a covering range set)
+      range.foreach { case (s, e) => ob.withRange(s, e) }
+      filter.foreach(p => ob.withRecordFilter(FilterCompat.get(p)))
+      ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(file), conf), ob.build())
+    }
+    predicate match {
+      case None => openWith(None)
+      case some => try openWith(some)
+        catch { case _: Exception => openWith(None) }
+    }
   }
+
+  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  private val createdBy = reader.getFooter.getFileMetaData.getCreatedBy
   private val fileInt96: Set[String] = fileSchema.getFields
     .toArray(Array.empty[org.apache.parquet.schema.Type]).collect {
       case t: org.apache.parquet.schema.PrimitiveType
@@ -81,33 +103,14 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
   private val absent: Array[Int] =
     dataFields.filterNot { case (f, _) =>
       fileSchema.containsField(f.name) }.map(_._2)
-  private val effectiveFilter: Option[FilterPredicate] =
-    if (predicateRefs.exists(r => fileInt96.contains(r) ||
-      !fileSchema.containsField(r))) None
-    else predicate
-
-  private val reader: ParquetFileReader = {
-    val ob = HadoopReadOptions.builder(conf)
-    // a byte-range split reads only the row groups whose midpoint falls
-    // inside it (exactly-once across a covering range set)
-    range.foreach { case (s, e) => ob.withRange(s, e) }
-    effectiveFilter.foreach(p => ob.withRecordFilter(FilterCompat.get(p)))
-    val r = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(file), conf), ob.build())
-    if (present.nonEmpty) {
-      val projection = new MessageType(fileSchema.getName,
-        present.map { case (f, _) =>
-          fileSchema.getType(fileSchema.getFieldIndex(f.name)) }: _*)
-      r.setRequestedSchema(projection)
-    }
-    r
-  }
 
   private val projection: Option[MessageType] =
     if (present.isEmpty) None
     else Some(new MessageType(fileSchema.getName,
       present.map { case (f, _) =>
         fileSchema.getType(fileSchema.getFieldIndex(f.name)) }: _*))
+
+  projection.foreach(reader.setRequestedSchema)
 
   // ColumnReadStoreImpl resolves a PrimitiveConverter per column for
   // dictionary-support decisions; this reader pulls typed values off

@@ -203,10 +203,17 @@ object GraftLog {
   // rewrites a committed version in place), so a bounded driver-side
   // cache turns the v1..asOf fold from O(versions²) manifest I/O across
   // a version loop into O(versions)
+  // The key carries the manifest DIRECTORY's modification time: a table
+  // dropped and recreated at the same path (fixture rebuilds, a
+  // long-lived driver) gets fresh entries instead of the old table's
+  // manifests — one status RPC per fold step buys out the footer+page
+  // read, the expensive part.
   private val manifestCache =
-    new java.util.LinkedHashMap[(String, Int), Seq[ManifestRow]](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Int, Long), Seq[ManifestRow]](
+        64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int), Seq[ManifestRow]]): Boolean =
+          e: java.util.Map.Entry[(String, Int, Long), Seq[ManifestRow]])
+          : Boolean =
         size() > 4096
     }
 
@@ -218,12 +225,15 @@ object GraftLog {
     */
   private def readMarkerManifest(conf: Configuration, root: String,
       v: Int): Seq[ManifestRow] = {
-    val key = (root, v)
+    val fs = fsOf(conf, root)
+    val mtime =
+      try fs.getFileStatus(new Path(s"$root/_log/v$v")).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return Seq.empty }
+    val key = (root, v, mtime)
     manifestCache.synchronized {
       val hit = manifestCache.get(key)
       if (hit != null) return hit
     }
-    val fs = fsOf(conf, root)
     val out = mutable.ArrayBuffer[ManifestRow]()
     listParquetFiles(fs, new Path(s"$root/_log/v$v")).map(_._1).foreach { f =>
       val reader =
@@ -682,10 +692,16 @@ class GraftLogSource extends TableProvider with DataSourceRegister {
             "= append new columns; existing names/types keep their order)")
       case _ => current
     }
-    if (isCdc(options))
+    if (isCdc(options)) {
+      val clash = data.fieldNames.filter(n =>
+        n == GraftLog.ChangeTypeCol || n == GraftLog.CommitVersionCol)
+      require(clash.isEmpty,
+        s"graftlog: cannot read the change feed of a table whose schema " +
+          s"already contains ${clash.mkString(", ")} — the names are " +
+          "reserved for CDC metadata")
       data.add(GraftLog.ChangeTypeCol, StringType)
         .add(GraftLog.CommitVersionCol, LongType)
-    else data
+    } else data
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -1121,7 +1137,7 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftLogReaderFactory(pruned, effectivePredicate, predicateRefs,
-      conf, columnar)
+      conf, columnar, cdc)
 
   /** The log as a STREAM: each committed version is a micro-batch —
     * `readStream.format("graftlog")` tails the commit log the way
@@ -1254,7 +1270,7 @@ class GraftLogMicroBatchStream(root: String, pruned: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftLogReaderFactory(pruned, predicate, predicateRefs, conf,
-      columnar = false)
+      columnar = false, cdc)
 
   override def commit(end: Offset): Unit = ()
 
@@ -1263,11 +1279,15 @@ class GraftLogMicroBatchStream(root: String, pruned: StructType,
 
 case class GraftLogReaderFactory(pruned: StructType,
     predicate: Option[FilterPredicate], predicateRefs: Set[String],
-    conf: SerializableConfiguration, columnar: Boolean)
+    conf: SerializableConfiguration, columnar: Boolean,
+    cdc: Boolean = false)
     extends PartitionReaderFactory {
 
+  // the meta names are only scan-synthesized on CDC scans — a legacy
+  // table whose OWN schema uses them reads them as ordinary data
   private def dataFieldCount: Int =
-    pruned.fields.count(f => f.name != GraftLog.ChangeTypeCol &&
+    if (!cdc) pruned.length
+    else pruned.fields.count(f => f.name != GraftLog.ChangeTypeCol &&
       f.name != GraftLog.CommitVersionCol)
 
   /** Vectorized reads whenever the projection has data columns to
@@ -1312,7 +1332,8 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
   private val conf = new Configuration(baseConf)
 
   // CDC meta columns are scan-synthesized constants at their pruned
-  // positions; everything else decodes from the file
+  // positions — ONLY on CDC partitions (cdcMeta set); a legacy table
+  // whose own schema happens to use the names reads them as data
   private val metaConst: Map[Int, Any] = cdcMeta match {
     case Some((ct, v)) => pruned.fields.zipWithIndex.collect {
       case (f, i) if f.name == GraftLog.ChangeTypeCol =>
@@ -1323,7 +1344,7 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
   }
   private val dataFields: Array[(StructField, Int)] =
     pruned.fields.zipWithIndex.filter { case (f, _) =>
-      !(f.name == GraftLog.ChangeTypeCol ||
+      cdcMeta.isEmpty || !(f.name == GraftLog.ChangeTypeCol ||
         f.name == GraftLog.CommitVersionCol) }
 
   // captured from this FILE's footer so mixed-encoding logs (INT96 in

@@ -308,9 +308,37 @@ class GraftLogWriteBuilder(root: String, info: LogicalWriteInfo,
         s"not in the write schema [${info.schema().toDDL}]")
   }
 
+  private def checkReservedNames(): Unit = {
+    val reserved = info.schema().fieldNames.filter(n =>
+      n == GraftLog.ChangeTypeCol || n == GraftLog.CommitVersionCol)
+    require(reserved.isEmpty,
+      s"graftlog write: column name(s) ${reserved.mkString(", ")} are " +
+        "reserved for change-feed metadata (readChangeFeed reads " +
+        "synthesize them); rename the column(s)")
+  }
+
   override def build(): Write = {
-    checkSchema(); checkPartCols()
-    new Write {
+    checkSchema(); checkPartCols(); checkReservedNames()
+    // a partitioned write CLUSTERS and SORTS by the partition columns,
+    // so each task streams one partition value at a time and the
+    // writer keeps exactly ONE open parquet writer (one ~row-group
+    // buffer) — without this, option("partitionBy", "event_date") over
+    // a year of unclustered data holds 365 open writers per task, the
+    // first thing that OOMs at scale (Spark's own FileFormatWriter
+    // sorts for the same reason)
+    new Write
+        with org.apache.spark.sql.connector.write
+          .RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+      override def requiredDistribution(): Distribution =
+        if (partCols.isEmpty) Distributions.unspecified()
+        else Distributions.clustered(
+          partCols.map(c => Expressions.column(c):
+            org.apache.spark.sql.connector.expressions.Expression).toArray)
+      override def requiredOrdering(): Array[SortOrder] =
+        partCols.map(c => Expressions.sort(Expressions.column(c),
+          SortDirection.ASCENDING)).toArray
       override def toBatch: BatchWrite =
         new GraftLogBatchWrite(root, info.schema(), partCols,
           s"$root/_staging_${info.queryId()}_${UUID.randomUUID()}", conf)
@@ -375,27 +403,42 @@ class GraftLogStreamingWrite(root: String, schema: StructType,
     val marker = epochMarker(epochId)
     if (fs.exists(marker)) {
       // the marker names the version this epoch claimed; _ok decides
-      // whether that commit completed
+      // whether that commit completed. An EMPTY marker is the legacy
+      // (pre-atomic) protocol, which only ever wrote the marker AFTER
+      // a successful commit — the epoch is in the log, drop the replay.
       val in = fs.open(marker)
-      val v = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim.toInt finally in.close()
-      if (fs.exists(new Path(s"$root/_log/v$v._ok"))) {
-        // replayed epoch (crash between version commit and checkpoint
-        // advance): the version is in the log — drop the replay
-        fs.delete(new Path(staging(epochId)), true)
-        return
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      content.toIntOption match {
+        case Some(v) if fs.exists(new Path(s"$root/_log/v$v._ok")) =>
+          // replayed epoch (crash between version commit and checkpoint
+          // advance): the version is in the log — drop the replay
+          fs.delete(new Path(staging(epochId)), true)
+          return
+        case Some(_) =>
+          // crashed between marker and _ok: the version is torn
+          // (invisible); clear the marker and redo the commit (the torn
+          // claim, if still present, blocks loudly with its documented
+          // recovery)
+          fs.delete(marker, false)
+        case None =>
+          fs.delete(new Path(staging(epochId)), true)
+          return // legacy committed marker
       }
-      // crashed between marker and _ok: version v is torn (invisible);
-      // clear the marker and redo the commit (the torn claim, if still
-      // present, blocks loudly with its documented recovery)
-      fs.delete(marker, false)
     }
     GraftLogWrite.commitStaged(c, root, staging(epochId),
       messages.flatMap(_.asInstanceOf[GraftLogCommitMessage].files).toSeq,
       Some(schema),
       beforeOk = { n =>
-        val out = fs.create(marker, true)
+        // atomic content: write-then-rename, so a crash can never leave
+        // a PARTIAL version number (a truncated "1" of "12" would make
+        // the replay check consult the wrong, long-committed version
+        // and silently drop this epoch's rows)
+        val tmp = new Path(s"${marker.toString}.tmp")
+        val out = fs.create(tmp, true)
         try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+        require(fs.rename(tmp, marker),
+          s"graftlog write: rename $tmp -> $marker failed")
       })
   }
 
@@ -429,6 +472,13 @@ case class GraftLogStreamingWriterFactory(stagingBase: String,
   * `partitionBy` is set), each described by its own footer at commit
   * (rows, bytes, column min/max → the manifest statistics row),
   * deleted on abort.
+  *
+  * The Write requires clustering + ordering on the partition columns,
+  * so rows arrive grouped by partition value and exactly ONE parquet
+  * writer (one row-group buffer) is open at a time; if a partition
+  * value ever recurs anyway (a path that skipped the sort), the writer
+  * reopens that directory under a suffixed file name — memory-safe and
+  * collision-free either way.
   */
 class GraftLogDataWriter(staging: String, fileName: String,
     schema: StructType, partCols: Seq[String], baseConf: Configuration)
@@ -439,10 +489,39 @@ class GraftLogDataWriter(staging: String, fileName: String,
   private val factory = new SimpleGroupFactory(msg)
   private val partIdx: Array[Int] = partCols.map(schema.fieldIndex).toArray
 
-  // one open writer per partition directory ("" when unpartitioned)
-  private val writers = mutable.LinkedHashMap[String, ParquetWriter[Group]]()
-  private def fileFor(dir: String): String =
-    if (dir.isEmpty) s"$staging/$fileName" else s"$staging/$dir/$fileName"
+  private var currentDir: String = null
+  private var currentFile: String = null
+  private var currentWriter: ParquetWriter[Group] = null
+  private val finishedFiles = mutable.ArrayBuffer[String]()
+  private val dirVisits = mutable.HashMap[String, Int]()
+
+  private def fileFor(dir: String, visit: Int): String = {
+    val name =
+      if (visit == 0) fileName
+      else s"${fileName.stripSuffix(".parquet")}-r$visit.parquet"
+    if (dir.isEmpty) s"$staging/$name" else s"$staging/$dir/$name"
+  }
+
+  private def closeCurrent(): Unit = if (currentWriter != null) {
+    currentWriter.close()
+    finishedFiles += currentFile
+    currentWriter = null
+    currentDir = null
+    currentFile = null
+  }
+
+  private def writerFor(dir: String): ParquetWriter[Group] = {
+    if (currentWriter == null || dir != currentDir) {
+      closeCurrent()
+      val visit = dirVisits.getOrElse(dir, 0)
+      dirVisits(dir) = visit + 1
+      currentFile = fileFor(dir, visit)
+      currentWriter = GraftLogWrite.groupWriter(new Path(currentFile),
+        msg, new Configuration(conf))
+      currentDir = dir
+    }
+    currentWriter
+  }
 
   private def partitionDir(row: InternalRow): String =
     if (partIdx.isEmpty) ""
@@ -467,10 +546,7 @@ class GraftLogDataWriter(staging: String, fileName: String,
     }.mkString("/")
 
   override def write(row: InternalRow): Unit = {
-    val dir = partitionDir(row)
-    val w = writers.getOrElseUpdate(dir,
-      GraftLogWrite.groupWriter(new Path(fileFor(dir)), msg,
-        new Configuration(conf)))
+    val w = writerFor(partitionDir(row))
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
@@ -497,9 +573,8 @@ class GraftLogDataWriter(staging: String, fileName: String,
   }
 
   override def commit(): WriterCommitMessage = {
-    val files = writers.toSeq.map { case (dir, w) =>
-      w.close()
-      val f = fileFor(dir)
+    closeCurrent()
+    val files = finishedFiles.toSeq.map { f =>
       val (rows, bytes, stats) =
         GraftLogStats.describeFile(conf, f, schema)
       GraftLogFileCommit(f, rows, bytes, stats)
@@ -507,10 +582,12 @@ class GraftLogDataWriter(staging: String, fileName: String,
     GraftLogCommitMessage(files)
   }
 
-  override def abort(): Unit = writers.foreach { case (dir, w) =>
-    w.close()
-    val p = new Path(fileFor(dir))
-    p.getFileSystem(conf).delete(p, false)
+  override def abort(): Unit = {
+    closeCurrent()
+    finishedFiles.foreach { f =>
+      val p = new Path(f)
+      p.getFileSystem(conf).delete(p, false)
+    }
   }
 
   override def close(): Unit = ()

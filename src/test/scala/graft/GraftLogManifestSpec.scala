@@ -204,12 +204,15 @@ class GraftLogManifestSpec extends SparkSpecBase {
     val before = GraftLog.planFooterReads.get()
     val all = spark.read.format("graftlog").option("path", root).load()
     assert(all.count() === 300L)
+    // the write REQUIRES clustering+ordering by the partition columns,
+    // so each partition value lands in exactly one task = one file
+    // (not tasks × values small files)
     val allParts = scanOf(all).toBatch.planInputPartitions().length
-    assert(allParts === 6, s"2 tasks × 3 partitions, got $allParts")
+    assert(allParts === 3, s"one file per partition value, got $allParts")
     val one = spark.read.format("graftlog").option("path", root).load()
       .filter(col("bucket") === 1)
     val kept = scanOf(one).toBatch.planInputPartitions().length
-    assert(kept === 2, s"partition pruning kept $kept of $allParts")
+    assert(kept === 1, s"partition pruning kept $kept of $allParts")
     val got = one.collect()
     assert(got.length === 100 && got.forall(_.getInt(1) == 1))
     assert(GraftLog.planFooterReads.get() === before,
@@ -334,6 +337,104 @@ class GraftLogManifestSpec extends SparkSpecBase {
       .select(sum(col("d")).as("sd"), count(col("s")).as("cs"))
       .collect().head
     assert(two === twoRow)
+  }
+
+  test("review hardening: reserved CDC names refuse on write but read " +
+      "as DATA from legacy tables (CDC over them refuses); the manifest " +
+      "cache keys on mtime so a recreated table is never served stale; " +
+      "a legacy empty epoch marker still means committed; an unsorted " +
+      "partitioned writer stays memory-safe via suffixed files") {
+    import spark.implicits._
+    // 1. reserved names refuse on the write path
+    intercept[Exception] {
+      spark.range(3).selectExpr("id", "'x' AS _change_type")
+        .write.format("graftlog").option("path",
+          Files.createTempDirectory("graft_manresv").toString)
+        .option("schema", "id BIGINT, _change_type STRING")
+        .mode("append").save()
+    }
+    // 2. a LEGACY table whose own schema uses the name reads it as data
+    val legacyRoot = Files.createTempDirectory("graft_manlegacy").toString
+    val fs = new org.apache.hadoop.fs.Path(legacyRoot).getFileSystem(conf)
+    spark.range(5).selectExpr("id", "concat('u-', id) AS _change_type")
+      .coalesce(1).write.mode("overwrite").parquet(s"$legacyRoot/data_a")
+    Seq(("add", "data_a")).toDF("action", "file").coalesce(1)
+      .write.mode("overwrite").parquet(s"$legacyRoot/_log/v1")
+    fs.create(new org.apache.hadoop.fs.Path(s"$legacyRoot/_log/v1._ok"),
+      true).close()
+    val legacy = spark.read.format("graftlog").option("path", legacyRoot)
+      .load().collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(legacy.toSeq === (0L until 5L).map(i => (i, s"u-$i")),
+      "user column named _change_type must read as stored data")
+    intercept[Exception] {
+      spark.read.format("graftlog").option("path", legacyRoot)
+        .option("readChangeFeed", true).load()
+    }
+    // 3. cache staleness: drop and recreate the SAME path — the reader
+    // must see the new table, not cached manifests
+    val reRoot = Files.createTempDirectory("graft_manredo").toString
+    def create(n: Long): Unit =
+      spark.range(n).selectExpr("id")
+        .write.format("graftlog").option("path", reRoot)
+        .option("schema", "id BIGINT").mode("append").save()
+    create(10)
+    assert(spark.read.format("graftlog").option("path", reRoot).load()
+      .count() === 10L)
+    fs.delete(new org.apache.hadoop.fs.Path(reRoot), true)
+    Thread.sleep(5) // distinct directory mtime
+    create(20)
+    assert(spark.read.format("graftlog").option("path", reRoot).load()
+      .count() === 20L, "stale manifest cache served the old table")
+    // 4. legacy EMPTY epoch marker (pre-atomic protocol wrote it after
+    // a successful commit): a replay is a no-op, not a crash or a dup
+    val epRoot = Files.createTempDirectory("graft_manlegep").toString
+    val ddl = StructType.fromDDL("id BIGINT")
+    val msg = GraftLogWrite.toMessageType(ddl)
+    def stage(epoch: Long): graft.sources.GraftLogCommitMessage = {
+      val f = s"$epRoot/_staging_q_$epoch/part-0-0.parquet"
+      val w = GraftLogWrite.groupWriter(new org.apache.hadoop.fs.Path(f),
+        msg, new org.apache.hadoop.conf.Configuration(conf))
+      val gf = new org.apache.parquet.example.data.simple
+        .SimpleGroupFactory(msg)
+      (1L to 3L).foreach { i =>
+        val g = gf.newGroup(); g.add("id", i); w.write(g) }
+      w.close()
+      val (r, by, st) = GraftLogStats.describeFile(conf, f, ddl)
+      graft.sources.GraftLogCommitMessage(
+        Seq(graft.sources.GraftLogFileCommit(f, r, by, st)))
+    }
+    val sink = new graft.sources.GraftLogStreamingWrite(epRoot, ddl, Nil,
+      "q", new org.apache.spark.util.SerializableConfiguration(conf))
+    sink.commit(4L, Array(stage(4)))
+    assert(GraftLog.latestVersion(conf, epRoot) === 1)
+    // overwrite the marker with the legacy EMPTY form
+    fs.create(new org.apache.hadoop.fs.Path(s"$epRoot/_log/_epoch_q_4"),
+      true).close()
+    sink.commit(4L, Array(stage(4))) // replay: must be a no-op
+    assert(GraftLog.latestVersion(conf, epRoot) === 1,
+      "legacy empty marker re-committed the epoch")
+    // 5. an UNSORTED partitioned writer (defensive path: the required
+    // ordering was bypassed) closes per run and suffixes revisited
+    // directories — never two open writers, never a name collision
+    val wRoot = Files.createTempDirectory("graft_manunsorted").toString
+    val writer = new graft.sources.GraftLogDataWriter(
+      s"$wRoot/_staging", "part-0-0.parquet",
+      StructType.fromDDL("id BIGINT, k INT"), Seq("k"), conf)
+    (0 until 20).foreach { i =>
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(2)
+      row.update(0, i.toLong); row.update(1, i % 2) // alternating k
+      writer.write(row)
+    }
+    val cm = writer.commit()
+      .asInstanceOf[graft.sources.GraftLogCommitMessage]
+    assert(cm.files.length === 20, // one file per k-run
+      s"expected 20 single-run files, got ${cm.files.length}")
+    assert(cm.files.map(_.file).distinct.length === 20, "name collision")
+    val back = spark.read.parquet(cm.files.map(_.file): _*)
+    assert(back.count() === 20L)
+    assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 20L))
   }
 
   test("documented widening: an explicit extended option(schema) append " +
