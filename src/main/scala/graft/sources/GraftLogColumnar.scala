@@ -69,7 +69,10 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
   // the per-file predicate drop (Spark re-applies every filter as
   // residual). The common case — predicate applicable or absent —
   // pays exactly one footer read; only the rare mixed-encoding /
-  // pre-widening file pays two.
+  // pre-widening file pays two. The retry catches ONLY the validator's
+  // IllegalArgumentException (SchemaCompatibilityValidator's rejection
+  // type): a genuine IO failure must propagate, not be silently
+  // converted into an unfiltered second read that masks it.
   private val reader: ParquetFileReader = {
     def openWith(filter: Option[FilterPredicate]): ParquetFileReader = {
       val ob = HadoopReadOptions.builder(conf)
@@ -83,7 +86,7 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
     predicate match {
       case None => openWith(None)
       case some => try openWith(some)
-        catch { case _: Exception => openWith(None) }
+        catch { case _: IllegalArgumentException => openWith(None) }
     }
   }
 

@@ -753,7 +753,9 @@ case class GraftLogTable(root: String, asOfVersion: Int,
       s"no committed versions under $root — write one first")
     new GraftLogScanBuilder(root, asOfVersion, tableSchema, conf, cdc,
       cdcStart, options.getBoolean("columnar", true),
-      Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+      if (cdc) None
+      else Option(options.get("startingVersion")).map(_.toInt))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -766,7 +768,8 @@ case class GraftLogTable(root: String, asOfVersion: Int,
 
 class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
     conf: SerializableConfiguration, cdc: Boolean, cdcStart: Int,
-    columnar: Boolean, maxVersionsPerTrigger: Option[Int] = None)
+    columnar: Boolean, maxVersionsPerTrigger: Option[Int] = None,
+    streamStart: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -781,6 +784,7 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
 
   private var pruned: StructType = tableSchema
   private var accepted: Array[Filter] = Array.empty
+  private var skipOnly: Array[Filter] = Array.empty
 
   // catalog-cheap probe (manifest-described tables skip even this):
   // INT96-backed columns take no pushdown
@@ -792,12 +796,22 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
 
   /** Accept what converts; return EVERYTHING as residual — row-group
     * statistics are coarse, so Spark must re-apply (the same contract
-    * its built-in parquet source uses).
+    * its built-in parquet source uses). Filters that DON'T convert to a
+    * parquet predicate (a literal 1000-value IN list, say) are still
+    * tracked for the MANIFEST-STATS file skip, which handles a wider
+    * shape set than row-group predicate trees ([[GraftLogStats
+    * .mayMatch]] is per-file map lookups and conservatively keeps
+    * anything it can't rule out) — without this, a static large IN
+    * prunes files only when it arrives as a runtime filter.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter(f =>
       f.references.forall(!int96.contains(_)) &&
         GraftLog.toParquetPredicate(dataSchema, f).isDefined)
+    val acceptedSet = accepted.toSet
+    skipOnly = filters.filter(f => !acceptedSet.contains(f) &&
+      f.references.forall(c => !int96.contains(c) &&
+        dataSchema.fieldNames.contains(c)))
     filters
   }
 
@@ -921,7 +935,7 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
         .reduceOption(FilterApi.and)
       GraftLogScan(root, version, dataSchema, int96, pruned,
         accepted.map(_.toString), predicate, accepted, conf, cdc, cdcStart,
-        columnar, maxVersionsPerTrigger)
+        columnar, maxVersionsPerTrigger, skipOnly, streamStart)
   }
 }
 
@@ -966,7 +980,9 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
     pushedDesc: Array[String], predicate: Option[FilterPredicate],
     staticFilters: Array[Filter], conf: SerializableConfiguration,
     cdc: Boolean, cdcStart: Int, columnar: Boolean,
-    maxVersionsPerTrigger: Option[Int] = None)
+    maxVersionsPerTrigger: Option[Int] = None,
+    skipOnlyFilters: Array[Filter] = Array.empty,
+    streamStart: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -1014,9 +1030,11 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
       .flatMap(_.references).toSet
 
   /** Every filter usable for the manifest-stats file skip (wider than
-    * the parquet-convertible set: large In()s from DPP included).
+    * the parquet-convertible set: large In()s — both literal and DPP
+    * runtime ones — included).
     */
-  private def skipFilters: Array[Filter] = staticFilters ++ runtimeFilters
+  private def skipFilters: Array[Filter] =
+    staticFilters ++ skipOnlyFilters ++ runtimeFilters
 
   override def readSchema(): StructType = pruned
 
@@ -1154,7 +1172,8 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
   override def toMicroBatchStream(
       checkpointLocation: String): streaming.MicroBatchStream =
     new GraftLogMicroBatchStream(root, pruned, effectivePredicate,
-      predicateRefs, conf, cdc, cdcStart, maxVersionsPerTrigger)
+      predicateRefs, conf, cdc, cdcStart, maxVersionsPerTrigger,
+      streamStart)
 }
 
 case class GraftLogInputPartition(file: String,
@@ -1173,11 +1192,16 @@ case class GraftLogOffset(version: Int)
   * Torn commits are invisible (latestOffset stops before them), so a
   * batch can never read a half-written version.
   *
-  * VACUUM SAFETY: a cold start begins at the vacuum watermark (expired
-  * versions' data files may be gone — expanding them to an empty file
-  * list would be SILENT loss, the worst failure a tail can have), and a
+  * VACUUM SAFETY: a cold start of a VACUUMED log refuses loudly —
+  * versions below the watermark are expired (their data files may be
+  * gone; expanding them to an empty file list would be SILENT loss,
+  * the worst failure a tail can have), so skipping them must be an
+  * explicit decision: `option("startingVersion", n)` with n at or
+  * above the watermark acknowledges the gap and starts there. A
   * checkpointed offset that has since fallen below the watermark
-  * refuses loudly instead of emitting a gap.
+  * refuses loudly the same way — the loud/silent handling of the
+  * identical gap is consistent on both paths. (CDC tails carry their
+  * own `startingVersion`, watermark-checked at load.)
   *
   * ADMISSION CONTROL: `option("maxVersionsPerTrigger", n)` caps each
   * micro-batch at n committed versions — a tail restarted after a long
@@ -1188,15 +1212,35 @@ case class GraftLogOffset(version: Int)
 class GraftLogMicroBatchStream(root: String, pruned: StructType,
     predicate: Option[FilterPredicate], predicateRefs: Set[String],
     conf: SerializableConfiguration, cdc: Boolean, cdcStart: Int = 1,
-    maxVersionsPerTrigger: Option[Int] = None)
+    maxVersionsPerTrigger: Option[Int] = None,
+    streamStart: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
-  override def initialOffset(): Offset =
-    GraftLogOffset(math.max(GraftLog.vacuumWatermark(conf.value, root),
-      if (cdc) cdcStart else 1) - 1)
+  override def initialOffset(): Offset = {
+    val wm = GraftLog.vacuumWatermark(conf.value, root)
+    if (cdc) GraftLogOffset(math.max(wm, cdcStart) - 1)
+    else streamStart match {
+      case Some(sv) =>
+        require(sv >= 1, s"graftlog stream: startingVersion $sv < 1")
+        if (sv < wm) throw new IllegalStateException(
+          s"graftlog stream: startingVersion $sv expired — the vacuum " +
+            s"watermark of $root is $wm and the expired versions' files " +
+            "may be gone; acknowledge the gap with " +
+            s"option(\"startingVersion\", $wm) or higher")
+        GraftLogOffset(sv - 1)
+      case None if wm > 1 => throw new IllegalStateException(
+        s"graftlog stream: cold start of a vacuumed log — versions " +
+          s"1..${wm - 1} of $root are expired and their rows cannot be " +
+          "tailed; silently starting at the watermark would omit " +
+          "still-live rows those versions added. Acknowledge the gap " +
+          s"with option(\"startingVersion\", $wm), or start a fresh " +
+          "stream from a snapshot read")
+      case None => GraftLogOffset(0)
+    }
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

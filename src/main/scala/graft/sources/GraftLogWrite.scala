@@ -226,6 +226,36 @@ object GraftLogWrite {
       beforeOk: Int => Unit = _ => ()): Int = {
     val fs = new Path(root).getFileSystem(conf)
     val n = claimVersion(conf, root)
+    // COMMIT-TIME schema revalidation: this write analyzed against the
+    // table schema as of planning, but a concurrent WIDENING may have
+    // committed in between — recording the analysis-time schema row now
+    // would silently re-narrow the table (the widened column vanishes
+    // from every subsequent default read even though the other writer's
+    // files carry it). Re-read the current schema under the claim we
+    // now hold (every version < n is committed, none can land until we
+    // release n): equal → record as planned; current strictly widens
+    // ours → RE-WIDEN the recorded DDL to the current schema (our files
+    // carry an exact prefix; readers null-fill, exactly the widening
+    // contract); anything else → release the claim and refuse.
+    val recordedSchema = schema.map(GraftLog.asNullable).map { s0 =>
+      val cur = if (n > 1) GraftLog.schemaFromManifest(conf, root, n - 1)
+                else None
+      cur match {
+        case Some(c)
+          if c.fields.map(f => (f.name, f.dataType))
+            .sameElements(s0.fields.map(f => (f.name, f.dataType))) => s0
+        case Some(c) if GraftLog.widens(s0, c) => c // concurrent widening
+        case Some(c) if GraftLog.widens(c, s0) => s0 // we ARE the widening
+        case Some(c) =>
+          fs.delete(new Path(s"$root/_log/v$n._claim"), false)
+          throw new IllegalStateException(
+            s"graftlog write: table schema of $root changed " +
+              s"incompatibly between analysis and commit — now " +
+              s"[${c.toDDL}], this write prepared [${s0.toDDL}]; " +
+              "retry the append")
+        case None => s0
+      }
+    }
     val dataDir = s"data_v$n"
     val manifestAdds =
       if (files.isEmpty) Nil
@@ -246,7 +276,7 @@ object GraftLogWrite {
           fc.copy(file = s"$dataDir/$rel")
         }
       }
-    writeManifest(conf, root, n, manifestAdds, schema)
+    writeManifest(conf, root, n, manifestAdds, recordedSchema)
     fs.delete(new Path(staging), true) // drop loser-attempt remnants
     beforeOk(n)
     fs.create(new Path(s"$root/_log/v$n._ok"), true).close()

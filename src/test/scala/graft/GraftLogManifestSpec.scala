@@ -578,9 +578,9 @@ class GraftLogManifestSpec extends SparkSpecBase {
     assert(filtered.collect().head.getLong(0) === 4990L)
   }
 
-  test("streaming tail is vacuum-safe and rate-limitable: cold starts " +
-      "begin at the watermark (never silently skipping expired adds), a " +
-      "checkpoint below the watermark refuses loudly, and " +
+  test("streaming tail is vacuum-safe and rate-limitable: a cold start " +
+      "of a vacuumed log refuses unless startingVersion acknowledges " +
+      "the gap, a checkpoint below the watermark refuses loudly, and " +
       "maxVersionsPerTrigger bounds each micro-batch") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_mantailvac").toString
@@ -602,9 +602,28 @@ class GraftLogManifestSpec extends SparkSpecBase {
     assert(GraftLog.vacuumWatermark(conf, root) === 2)
     val out = Files.createTempDirectory("graft_mantailvac_out").toString
     val ckp = Files.createTempDirectory("graft_mantailvac_ckp").toString
+    // UNACKNOWLEDGED cold start of a vacuumed log: refuse loudly —
+    // versions 1..wm-1 are expired, and silently starting at the
+    // watermark would omit rows those versions added (the identical
+    // gap a below-watermark checkpoint already refuses on)
+    def mkStream(start: Option[Int]) =
+      new graft.sources.GraftLogMicroBatchStream(root,
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"), None,
+        Set.empty,
+        new org.apache.spark.util.SerializableConfiguration(conf),
+        cdc = false, streamStart = start)
+    val cold = intercept[IllegalStateException] { mkStream(None).initialOffset() }
+    assert(cold.getMessage.contains("startingVersion") &&
+      cold.getMessage.contains("expired"), cold.getMessage)
+    // an acknowledgment BELOW the watermark is equally refused
+    val low = intercept[IllegalStateException] {
+      mkStream(Some(1)).initialOffset()
+    }
+    assert(low.getMessage.contains("expired"), low.getMessage)
     var batches = 0
     spark.readStream.format("graftlog").option("path", root)
-      .option("maxVersionsPerTrigger", 1).load()
+      .option("maxVersionsPerTrigger", 1)
+      .option("startingVersion", 2).load()
       .writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         batches += 1
@@ -613,20 +632,15 @@ class GraftLogManifestSpec extends SparkSpecBase {
       .option("checkpointLocation", ckp)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start().awaitTermination()
-    // cold start at the watermark: v1's adds are EXPIRED, not silently
-    // emitted-as-nothing; v2 and v3 arrive as one version per batch
+    // acknowledged start at the watermark: v2 and v3 arrive as one
+    // version per batch
     val ids = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
     assert(ids.toSeq === (100L until 300L),
       s"expected versions 2..3 only, got ${ids.length} rows")
     assert(batches === 2, s"maxVersionsPerTrigger=1 gave $batches batches")
     // a checkpoint that has fallen below the watermark refuses loudly
-    val stream = new graft.sources.GraftLogMicroBatchStream(root,
-      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"), None,
-      Set.empty,
-      new org.apache.spark.util.SerializableConfiguration(conf),
-      cdc = false)
     val e = intercept[IllegalStateException] {
-      stream.planInputPartitions(graft.sources.GraftLogOffset(0),
+      mkStream(None).planInputPartitions(graft.sources.GraftLogOffset(0),
         graft.sources.GraftLogOffset(3))
     }
     assert(e.getMessage.contains("watermark") &&
