@@ -109,13 +109,22 @@ class GraftCatalog extends TableCatalog {
         else new Path(s"$root/_log/v$v._ok")
       fs.getFileStatus(marker).getModificationTime * 1000L
     }
-    val v = (1 to latest).reverseIterator
-      .find(commitMicros(_) <= timestamp)
-      .getOrElse(throw new IllegalArgumentException(
+    // versions commit strictly in claim order, so marker mtimes are
+    // non-decreasing in v: binary-search the newest version committed
+    // at or before the instant — O(log V) status probes, not a
+    // newest-first linear walk (O(V) at streaming-sink version counts)
+    if (commitMicros(1) > timestamp)
+      throw new IllegalArgumentException(
         s"graft catalog: no version of $root committed at or before " +
           s"timestamp micros=$timestamp (v1 committed at " +
-          s"${commitMicros(1)})"))
-    tableAt(ident, Some(v))
+          s"${commitMicros(1)})")
+    var lo = 1
+    var hi = latest
+    while (lo < hi) { // invariant: commitMicros(lo) <= timestamp
+      val mid = lo + (hi - lo + 1) / 2
+      if (commitMicros(mid) <= timestamp) lo = mid else hi = mid - 1
+    }
+    tableAt(ident, Some(lo))
   }
 
   override def tableExists(ident: Identifier): Boolean =

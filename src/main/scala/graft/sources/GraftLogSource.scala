@@ -115,6 +115,28 @@ object GraftLog {
     */
   val planFooterReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Plan-time CONTROL-PLANE round-trips — one increment per `_log`
+    * listing, per manifest/checkpoint status probe, and per manifest/
+    * checkpoint file open. This is the metric the CHECKPOINT design
+    * bounds: without checkpoints a cold plan of version N folds N
+    * manifests (O(N) round-trips — at a streaming sink committing one
+    * version per epoch, that is 10⁵⁺ within months); with them it reads
+    * one checkpoint plus at most [[CheckpointInterval]] tail manifests,
+    * independent of N. GraftLogCheckpointSpec pins the independence.
+    */
+  val planControlReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Write a consolidated checkpoint every this-many connector commits. */
+  val CheckpointInterval = 10
+
+  /** Test hook: forget every cached manifest/checkpoint, as a fresh
+    * driver would (cold-plan simulation).
+    */
+  def clearPlanCaches(): Unit = {
+    manifestCache.synchronized { manifestCache.clear() }
+    occCache.synchronized { occCache.clear() }
+  }
+
   /** One manifest row: action ∈ {add, remove, schema, txn, ...}; adds
     * written by the connector carry exact per-file statistics.
     */
@@ -139,24 +161,20 @@ object GraftLog {
   private[sources] def isOcc(conf: Configuration, root: String): Boolean =
     fsOf(conf, root).exists(new Path(s"$root/_log/v1.txt"))
 
-  /** One `_log` directory listing — serves the latest-version walk and
-    * the vacuum watermark without a per-version existence RPC
-    * (O(versions) round-trips per read was the r11 shape).
+  /** One `_log` directory listing — serves the latest-version walk, the
+    * vacuum watermark AND checkpoint discovery without a per-version
+    * existence RPC (O(versions) round-trips per read was the r11 shape).
     */
   private def listLogNames(conf: Configuration, root: String): Set[String] = {
+    planControlReads.incrementAndGet()
     val fs = fsOf(conf, root)
     val logPath = new Path(s"$root/_log")
     if (!fs.exists(logPath)) Set.empty
     else fs.listStatus(logPath).iterator.map(_.getPath.getName).toSet
   }
 
-  /** Highest COMMITTED version: marker protocol = max N with `v<N>._ok`;
-    * OCC = max N with a SEALED `v<N>.txt`. Torn commits end the log.
-    * Driven by a single `_log` listing (plus, for OCC, the seal check
-    * each candidate manifest needs anyway).
-    */
-  def latestVersion(conf: Configuration, root: String): Int = {
-    val names = listLogNames(conf, root)
+  private def latestFromNames(conf: Configuration, root: String,
+      names: Set[String]): Int =
     if (names.contains("v1.txt")) {
       val fs = fsOf(conf, root)
       Iterator.from(1)
@@ -168,7 +186,26 @@ object GraftLog {
         .takeWhile(v => names.contains(s"v$v._ok"))
         .foldLeft(0)((_, v) => v)
     }
-  }
+
+  /** Highest COMMITTED version: marker protocol = max N with `v<N>._ok`;
+    * OCC = max N with a SEALED `v<N>.txt`. Torn commits end the log.
+    * Driven by a single `_log` listing (plus, for OCC, the seal check
+    * each candidate manifest needs anyway).
+    */
+  def latestVersion(conf: Configuration, root: String): Int =
+    latestFromNames(conf, root, listLogNames(conf, root))
+
+  /** Newest COMMITTED checkpoint at or below `asOf`, from the one
+    * listing: `_ckpt_v<K>` directory plus its `_ckpt_v<K>._ok` marker
+    * (the same two-phase visibility discipline versions use — a torn
+    * checkpoint write is invisible).
+    */
+  private def checkpointAt(names: Set[String], asOf: Int): Option[Int] =
+    names.iterator.collect {
+      case n if n.startsWith("_ckpt_v") && n.endsWith("._ok") =>
+        n.stripPrefix("_ckpt_v").stripSuffix("._ok").toInt
+    }.filter(k => k <= asOf && names.contains(s"_ckpt_v$k"))
+      .maxOption
 
   /** Lowest readable version (1 if never vacuumed) — max over the
     * `_vacuum_v*` markers, NOT a consecutive walk (a first vacuum at
@@ -180,11 +217,24 @@ object GraftLog {
         n.stripPrefix("_vacuum_v").toInt }
       .foldLeft(1)(math.max)
 
-  /** Sealed OCC manifest actions, or None if absent/torn. */
+  /** Sealed OCC manifest actions, or None if absent/torn. Cached on the
+    * manifest FILE's (length, mtime) — immutable once sealed, and a
+    * torn file that later completes changes both, so stale entries are
+    * unreachable.
+    */
   private def readOccManifest(fs: FileSystem, root: String,
       v: Int): Option[Seq[(String, String)]] = {
     val p = new Path(s"$root/_log/v$v.txt")
-    if (!fs.exists(p)) return None
+    planControlReads.incrementAndGet()
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val key = s"${p.toString}@${st.getLen}:${st.getModificationTime}"
+    occCache.synchronized {
+      val hit = occCache.get(key)
+      if (hit != null) return hit
+    }
+    planControlReads.incrementAndGet()
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
@@ -195,27 +245,101 @@ object GraftLog {
       case Seq(seal) => seal == s"commit ${actions.length}"
       case _         => false
     }
-    if (sealed_) Some(actions) else None
+    val res = if (sealed_) Some(actions) else None
+    occCache.synchronized { occCache.put(key, res) }
+    res
   }
 
-  // committed manifests are immutable (the `v<N>._ok` marker is only
-  // ever dropped after the manifest is fully written, and nothing
-  // rewrites a committed version in place), so a bounded driver-side
-  // cache turns the v1..asOf fold from O(versions²) manifest I/O across
-  // a version loop into O(versions)
-  // The key carries the manifest DIRECTORY's modification time: a table
-  // dropped and recreated at the same path (fixture rebuilds, a
-  // long-lived driver) gets fresh entries instead of the old table's
-  // manifests — one status RPC per fold step buys out the footer+page
-  // read, the expensive part.
+  // committed manifests and checkpoints are immutable (the `._ok`
+  // marker is only ever dropped after the file is fully written, and
+  // nothing rewrites a committed one in place), so a bounded
+  // driver-side cache turns repeated folds into status probes. Keys
+  // carry the manifest FILE's (length, mtime) — not the directory's,
+  // whose mtime is 0 on object-store fake directories and
+  // millisecond-coarse locally: a table dropped and recreated at the
+  // same path gets fresh entries because the new file's identity
+  // differs, even on S3A.
   private val manifestCache =
-    new java.util.LinkedHashMap[(String, Int, Long), Seq[ManifestRow]](
+    new java.util.LinkedHashMap[String, Seq[ManifestRow]](
         64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int, Long), Seq[ManifestRow]])
+          e: java.util.Map.Entry[String, Seq[ManifestRow]]): Boolean =
+        size() > 4096
+    }
+
+  private val occCache =
+    new java.util.LinkedHashMap[String, Option[Seq[(String, String)]]](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[Seq[(String, String)]]])
           : Boolean =
         size() > 4096
     }
+
+  /** Decode every manifest row of one parquet file. */
+  private def decodeManifestFile(conf: Configuration,
+      f: Path): Seq[ManifestRow] = {
+    planControlReads.incrementAndGet()
+    val out = mutable.ArrayBuffer[ManifestRow]()
+    val reader =
+      ParquetReader.builder(new GroupReadSupport(), f)
+        .withConf(new Configuration(conf))
+        .build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        def opt[T](name: String, get: => T): Option[T] =
+          if (g.getType.containsField(name) &&
+            g.getFieldRepetitionCount(name) > 0) Some(get) else None
+        out += ManifestRow(
+          g.getString("action", 0), g.getString("file", 0),
+          opt("rows", g.getLong("rows", 0)),
+          opt("bytes", g.getLong("bytes", 0)),
+          opt("stats", g.getString("stats", 0)))
+        g = reader.read()
+      }
+    } finally reader.close()
+    out.toSeq
+  }
+
+  /** Read the rows of one manifest-shaped directory (`_log/v<N>` or
+    * `_log/_ckpt_v<K>`) through the cache. The connector writes the
+    * single file `manifest.parquet`, probed directly (ONE status RPC,
+    * zero reads on a cache hit); legacy manifests (a Spark
+    * `coalesce(1)` write) fall back to a directory listing.
+    */
+  private def readManifestDir(conf: Configuration, root: String,
+      rel: String): Seq[ManifestRow] = {
+    val fs = fsOf(conf, root)
+    val direct = new Path(s"$root/$rel/manifest.parquet")
+    planControlReads.incrementAndGet()
+    val files: Seq[(Path, Long, Long)] =
+      try {
+        val st = fs.getFileStatus(direct)
+        Seq((direct, st.getLen, st.getModificationTime))
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          planControlReads.incrementAndGet()
+          try fs.listStatus(new Path(s"$root/$rel")).toSeq
+            .sortBy(_.getPath.getName)
+            .collect { case st if !st.isDirectory &&
+              st.getPath.getName.endsWith(".parquet") &&
+              !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith(".") =>
+              (st.getPath, st.getLen, st.getModificationTime) }
+          catch { case _: java.io.FileNotFoundException => return Seq.empty }
+      }
+    if (files.isEmpty) return Seq.empty
+    val key = files.map { case (p, l, m) => s"$p@$l:$m" }.mkString(";")
+    manifestCache.synchronized {
+      val hit = manifestCache.get(key)
+      if (hit != null) return hit
+    }
+    val rows = files.flatMap { case (p, _, _) =>
+      decodeManifestFile(conf, p) }
+    manifestCache.synchronized { manifestCache.put(key, rows) }
+    rows
+  }
 
   /** Marker-protocol manifest rows: the `_log/v<N>/` parquet read
     * through the same Group reader the data path uses — a plain footer+
@@ -224,41 +348,19 @@ object GraftLog {
     * (action, file) alone; connector-written ones add rows/bytes/stats.
     */
   private def readMarkerManifest(conf: Configuration, root: String,
-      v: Int): Seq[ManifestRow] = {
-    val fs = fsOf(conf, root)
-    val mtime =
-      try fs.getFileStatus(new Path(s"$root/_log/v$v")).getModificationTime
-      catch { case _: java.io.FileNotFoundException => return Seq.empty }
-    val key = (root, v, mtime)
-    manifestCache.synchronized {
-      val hit = manifestCache.get(key)
-      if (hit != null) return hit
-    }
-    val out = mutable.ArrayBuffer[ManifestRow]()
-    listParquetFiles(fs, new Path(s"$root/_log/v$v")).map(_._1).foreach { f =>
-      val reader =
-        ParquetReader.builder(new GroupReadSupport(), f)
-          .withConf(new Configuration(conf))
-          .build()
-      try {
-        var g = reader.read()
-        while (g != null) {
-          def opt[T](name: String, get: => T): Option[T] =
-            if (g.getType.containsField(name) &&
-              g.getFieldRepetitionCount(name) > 0) Some(get) else None
-          out += ManifestRow(
-            g.getString("action", 0), g.getString("file", 0),
-            opt("rows", g.getLong("rows", 0)),
-            opt("bytes", g.getLong("bytes", 0)),
-            opt("stats", g.getString("stats", 0)))
-          g = reader.read()
-        }
-      } finally reader.close()
-    }
-    val rows = out.toSeq
-    manifestCache.synchronized { manifestCache.put(key, rows) }
-    rows
-  }
+      v: Int): Seq[ManifestRow] =
+    readManifestDir(conf, root, s"_log/v$v")
+
+  /** Rows of a committed checkpoint, or None when unreadable (planning
+    * then falls back to the full fold — checkpoints are an
+    * acceleration, never the source of truth).
+    */
+  private def readCheckpoint(conf: Configuration, root: String,
+      k: Int): Option[Seq[ManifestRow]] =
+    try {
+      val rows = readManifestDir(conf, root, s"_log/_ckpt_v$k")
+      if (rows.isEmpty) None else Some(rows)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Manifest rows of ONE committed version, protocol-dispatched. */
   def versionRows(conf: Configuration, root: String,
@@ -276,16 +378,36 @@ object GraftLog {
     versionRows(conf, root, v).map(r => (r.action, r.file))
 
   /** Live ADD rows (as logged — file or directory paths relative to
-    * root, with manifest statistics when present) as of `asOf`: fold
-    * adds minus removes over v1..asOf.
+    * root, with manifest statistics when present) as of `asOf`: the
+    * newest committed CHECKPOINT at or below `asOf` (its add rows ARE
+    * the live set as of its version) plus a fold of the tail manifests
+    * — O(1 + tail ≤ [[CheckpointInterval]]) control-plane reads,
+    * independent of the table's version count. No checkpoint (or an
+    * unreadable one) falls back to the full v1..asOf fold; OCC logs
+    * (text manifests, utility-managed) always full-fold.
     */
   def liveAdds(conf: Configuration, root: String,
       asOf: Int): Seq[ManifestRow] = {
-    val latest = latestVersion(conf, root)
+    val names = listLogNames(conf, root)
+    val latest = latestFromNames(conf, root, names)
     require(asOf >= 1 && asOf <= latest,
       s"version $asOf not committed under $root (latest: $latest)")
+    val occ = names.contains("v1.txt")
     val live = mutable.LinkedHashMap[String, ManifestRow]()
-    (1 to asOf).foreach { v =>
+    val start =
+      (if (occ) None else checkpointAt(names, asOf)) match {
+        case Some(k) => readCheckpoint(conf, root, k) match {
+          case Some(rows) =>
+            rows.foreach {
+              case r @ ManifestRow("add", f, _, _, _) => live(f) = r
+              case _                                  => ()
+            }
+            k + 1
+          case None => 1
+        }
+        case None => 1
+      }
+    (start to asOf).foreach { v =>
       versionRows(conf, root, v).foreach {
         case r @ ManifestRow("add", f, _, _, _) => live(f) = r
         case ManifestRow("remove", f, _, _, _)  => live -= f
@@ -385,15 +507,50 @@ object GraftLog {
   /** Schema DDL recorded in the newest manifest at or below `asOf` —
     * the connector's write path logs it at every commit, so a
     * connector-written table infers its schema without touching any
-    * data file.
+    * data file. A committed checkpoint carries the schema current AS OF
+    * its version (recorded from the full history at checkpoint time),
+    * so the backward walk stops there instead of descending to v1.
     */
   def schemaFromManifest(conf: Configuration, root: String,
-      asOf: Int): Option[StructType] =
-    (asOf to 1 by -1).iterator
+      asOf: Int): Option[StructType] = {
+    val names = listLogNames(conf, root)
+    val occ = names.contains("v1.txt")
+    val ckpt = if (occ) None else checkpointAt(names, asOf)
+    val ckptRows = ckpt.flatMap(k => readCheckpoint(conf, root, k))
+    val floor = if (ckptRows.isDefined) ckpt.get else 0
+    (asOf to (floor + 1) by -1).iterator
       .flatMap(v => versionRows(conf, root, v)
         .collectFirst { case ManifestRow("schema", ddl, _, _, _) => ddl })
       .nextOption()
+      .orElse(ckptRows.flatMap(_.collectFirst {
+        case ManifestRow("schema", ddl, _, _, _) => ddl }))
       .map(ddl => asNullable(StructType.fromDDL(ddl)))
+  }
+
+  /** Write a consolidated checkpoint of version `k`: the live add rows
+    * (with their statistics) plus the current schema DDL, landed as
+    * `_log/_ckpt_v<k>/manifest.parquet` and made visible by its `._ok`
+    * marker — the same two-phase discipline versions use, so a torn
+    * checkpoint write is simply invisible and the next interval
+    * retries. Planning semantics never depend on checkpoints (they are
+    * a pure acceleration of the fold), which is why failures here may
+    * be swallowed by callers whose commit already succeeded.
+    */
+  def writeCheckpoint(conf: Configuration, root: String, k: Int): Unit = {
+    val fs = fsOf(conf, root)
+    if (fs.exists(new Path(s"$root/_log/_ckpt_v$k._ok"))) return
+    val latest = latestVersion(conf, root)
+    require(k >= 1 && k <= latest,
+      s"cannot checkpoint uncommitted version $k of $root (latest $latest)")
+    require(!isOcc(conf, root),
+      s"graftlog: OCC logs are utility-managed; no checkpoints")
+    val schemaRow = schemaFromManifest(conf, root, k)
+      .map(s => ManifestRow("schema", s.toDDL)).toSeq
+    val rows = schemaRow ++ liveAdds(conf, root, k)
+    GraftLogWrite.writeManifestRows(conf,
+      new Path(s"$root/_log/_ckpt_v$k/manifest.parquet"), rows)
+    fs.create(new Path(s"$root/_log/_ckpt_v$k._ok"), true).close()
+  }
 
   /** Spark schema of the snapshot: the manifest's recorded DDL when
     * present (zero data-file I/O), else the footer of the first live

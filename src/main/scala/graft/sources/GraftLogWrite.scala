@@ -172,14 +172,12 @@ object GraftLogWrite {
         "after 1000 attempts")
   }
 
-  /** Manifest write through the same Group path the reader uses: one
-    * row per committed file with its statistics, plus the table-schema
-    * DDL row that lets readers infer schema without any data-file I/O.
+  /** The manifest/checkpoint parquet schema: (action, file) plus the
+    * statistics columns connector adds carry.
     */
-  private def writeManifest(conf: Configuration, root: String, n: Int,
-      adds: Seq[GraftLogFileCommit], schema: Option[StructType]): Unit = {
+  private val manifestMessageType: MessageType = {
     import PrimitiveType.PrimitiveTypeName._
-    val msg = Types.buildMessage()
+    Types.buildMessage()
       .addField(Types.optional(BINARY)
         .as(LogicalTypeAnnotation.stringType()).named("action"))
       .addField(Types.optional(BINARY)
@@ -189,27 +187,41 @@ object GraftLogWrite {
       .addField(Types.optional(BINARY)
         .as(LogicalTypeAnnotation.stringType()).named("stats"))
       .named("manifest")
-    val w = groupWriter(new Path(s"$root/_log/v$n/manifest.parquet"),
-      msg, new Configuration(conf))
+  }
+
+  /** Write manifest-shaped rows to one parquet file — the shared
+    * low-level writer behind version manifests AND checkpoints.
+    */
+  private[graft] def writeManifestRows(conf: Configuration, path: Path,
+      rows: Seq[GraftLog.ManifestRow]): Unit = {
+    val msg = manifestMessageType
+    val w = groupWriter(path, msg, new Configuration(conf))
     try {
       val gf = new SimpleGroupFactory(msg)
-      schema.foreach { s =>
+      rows.foreach { r =>
         val g = gf.newGroup()
-        // all-nullable: the parquet fields are optional and widening
-        // null-fills — a query-derived NOT NULL must not be recorded
-        g.add("action", "schema")
-        g.add("file", GraftLog.asNullable(s).toDDL)
-        w.write(g)
-      }
-      adds.foreach { fc =>
-        val g = gf.newGroup()
-        g.add("action", "add"); g.add("file", fc.file)
-        g.add("rows", fc.rows); g.add("bytes", fc.bytes)
-        fc.stats.foreach(g.add("stats", _))
+        g.add("action", r.action); g.add("file", r.file)
+        r.rows.foreach(g.add("rows", _))
+        r.bytes.foreach(g.add("bytes", _))
+        r.stats.foreach(g.add("stats", _))
         w.write(g)
       }
     } finally w.close()
   }
+
+  /** Manifest write through the same Group path the reader uses: one
+    * row per committed file with its statistics, plus the table-schema
+    * DDL row that lets readers infer schema without any data-file I/O.
+    */
+  private def writeManifest(conf: Configuration, root: String, n: Int,
+      adds: Seq[GraftLogFileCommit], schema: Option[StructType]): Unit =
+    writeManifestRows(conf, new Path(s"$root/_log/v$n/manifest.parquet"),
+      // all-nullable: the parquet fields are optional and widening
+      // null-fills — a query-derived NOT NULL must not be recorded
+      schema.map(s => GraftLog.ManifestRow("schema",
+        GraftLog.asNullable(s).toDDL)).toSeq ++
+        adds.map(fc => GraftLog.ManifestRow("add", fc.file,
+          Some(fc.rows), Some(fc.bytes), fc.stats)))
 
   /** Driver-side commit: claim, publish the COMMITTED files (and only
     * those — a retried or speculative task attempt leaves its loser's
@@ -280,6 +292,16 @@ object GraftLogWrite {
     fs.delete(new Path(staging), true) // drop loser-attempt remnants
     beforeOk(n)
     fs.create(new Path(s"$root/_log/v$n._ok"), true).close()
+    // every CheckpointInterval commits, consolidate the live set so
+    // snapshot resolution stays O(checkpoint + tail) at any version
+    // count (a streaming sink commits one version PER EPOCH — without
+    // this, a year of 1-minute triggers makes every cold plan O(500k)
+    // driver round-trips). Advisory: the commit above is already
+    // durable, so a failed checkpoint write must not fail the write —
+    // the next interval retries.
+    if (n % GraftLog.CheckpointInterval == 0)
+      try GraftLog.writeCheckpoint(conf, root, n)
+      catch { case scala.util.control.NonFatal(_) => () }
     n
   }
 
