@@ -26,20 +26,28 @@ import org.apache.spark.util.SerializableConfiguration
   * streaming tail, which reads one version per micro-batch).
   *
   * Two-phase commit, same discipline as the read side expects:
-  *  1. executors write parquet part-files into a write-scoped STAGING
-  *     directory (never visible to readers — `_staging_*` is not
-  *     reachable from any manifest), then read their OWN footer once
-  *     to record exact per-file statistics (rows, bytes, column
-  *     min/max — [[GraftLogStats.describeFile]]);
+  *  1. executors write parquet part-files DIRECTLY AT THEIR FINAL
+  *     location — a write-scoped `data/w_<query>_<uuid>/` directory
+  *     whose names no other writer can collide with, and which no
+  *     reader can see (visibility is gated purely by the manifest) —
+  *     then read their OWN footer once to record exact per-file
+  *     statistics (rows, bytes, column min/max —
+  *     [[GraftLogStats.describeFile]]);
   *  2. the driver CLAIMS the next version number put-if-absent
   *     (`_log/v<N>._claim` with overwrite=false — the OCC protocol's
   *     atomicity primitive, so concurrent writers serialize without a
-  *     coordinator), renames staging to `data_v<N>/` (partition
-  *     subdirectories preserved), writes the manifest — ONE ROW PER
-  *     COMMITTED FILE carrying its statistics, plus the schema DDL —
-  *     and only then drops the `v<N>._ok` marker that makes the
-  *     version visible. A crash anywhere before the marker leaves a
-  *     torn (invisible) version; `abort` deletes the staging.
+  *     coordinator), writes the manifest — ONE ROW PER COMMITTED FILE
+  *     carrying its statistics, plus the schema DDL — and only then
+  *     drops the `v<N>._ok` marker that makes the version visible.
+  *     Publication is the manifest row: commit performs ZERO renames
+  *     at any file count (a 10⁵-file compaction commit is one parquet
+  *     write + one marker, where per-file renames — copy+delete on
+  *     object stores — would be minutes inside the commit window).
+  *     A crash anywhere before the marker leaves a torn (invisible)
+  *     version; `abort` deletes the write directory; a LOSER task
+  *     attempt (retry/speculation) deletes its own uniquely-named
+  *     files in its task abort, and files orphaned by a crashed
+  *     executor are never referenced by any manifest.
   *
   * The per-file statistics rows are what make scan planning a pure
   * manifest read (GraftLogScan serves `estimateStatistics` and the
@@ -214,28 +222,50 @@ object GraftLogWrite {
     * DDL row that lets readers infer schema without any data-file I/O.
     */
   private def writeManifest(conf: Configuration, root: String, n: Int,
-      adds: Seq[GraftLogFileCommit], schema: Option[StructType]): Unit =
+      adds: Seq[GraftLogFileCommit], schema: Option[StructType],
+      removes: Seq[String] = Nil): Unit =
     writeManifestRows(conf, new Path(s"$root/_log/v$n/manifest.parquet"),
       // all-nullable: the parquet fields are optional and widening
       // null-fills — a query-derived NOT NULL must not be recorded
       schema.map(s => GraftLog.ManifestRow("schema",
         GraftLog.asNullable(s).toDDL)).toSeq ++
+        removes.map(GraftLog.ManifestRow("remove", _)) ++
         adds.map(fc => GraftLog.ManifestRow("add", fc.file,
           Some(fc.rows), Some(fc.bytes), fc.stats)))
 
-  /** Driver-side commit: claim, publish the COMMITTED files (and only
-    * those — a retried or speculative task attempt leaves its loser's
-    * file in staging, and renaming the whole directory would publish
-    * it; per-file rename of exactly the commit-message set is the
-    * correct two-phase discipline), partition subpaths preserved, into
-    * data_v<N>; manifest (stats + schema rows); `beforeOk` hook (the
-    * streaming epoch marker lands here, INSIDE the torn-commit
-    * window); marker. Returns the committed version.
+  /** Filesystem renames performed inside commit windows — the metric
+    * the in-place publication design drives to zero for connector
+    * writes (GraftLogManifestSpec pins it): at a 10⁵-file epoch or
+    * compaction commit, per-file renames are minutes inside the commit
+    * window, and on object stores each is a copy+delete.
+    */
+  val commitRenames = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Driver-side commit: claim; publish the COMMITTED files (and only
+    * those — the manifest is the visibility gate, so only the
+    * commit-message set ever becomes readable); manifest (stats +
+    * schema + remove rows); `beforeOk` hook (the streaming epoch marker
+    * lands here, INSIDE the torn-commit window); marker. Returns the
+    * committed version.
+    *
+    * Publication is O(1) filesystem mutations for the connector write
+    * path: tasks write their part-files directly at the FINAL location
+    * (a write-scoped `data/w_<query>_<uuid>/` directory — unique names,
+    * so no writer can collide), and commit records those paths in the
+    * manifest as-is — zero renames, any file count. Until the `_ok`
+    * marker lands, nothing references the files (crash-before-marker
+    * leaves a torn, invisible version); a retried or speculative LOSER
+    * attempt's files are deleted by its own task-level abort, and a
+    * crashed executor's orphans are simply never referenced (job-level
+    * abort removes the whole write directory). Staging directories
+    * OUTSIDE `data/` (maintenance utilities, tests) keep the legacy
+    * per-file-rename publication into `data_v<N>/`.
     */
   private[graft] def commitStaged(conf: Configuration, root: String,
       staging: String, files: Seq[GraftLogFileCommit],
       schema: Option[StructType] = None,
-      beforeOk: Int => Unit = _ => ()): Int = {
+      beforeOk: Int => Unit = _ => (),
+      removes: Seq[String] = Nil): Int = {
     val fs = new Path(root).getFileSystem(conf)
     val n = claimVersion(conf, root)
     // COMMIT-TIME schema revalidation: this write analyzed against the
@@ -268,12 +298,21 @@ object GraftLogWrite {
         case None => s0
       }
     }
-    val dataDir = s"data_v$n"
+    val inPlace = staging.startsWith(s"$root/data/")
     val manifestAdds =
       if (files.isEmpty) Nil
       // an empty write is still a committed (empty) version: readers
       // of v<N> see exactly what the writer wrote — nothing
+      else if (inPlace)
+        // files already live at their final unique paths; the manifest
+        // row IS the publication — no filesystem mutation at all
+        files.map { fc =>
+          require(fc.file.startsWith(staging),
+            s"graftlog write: staged file ${fc.file} outside $staging")
+          fc.copy(file = fc.file.stripPrefix(root).stripPrefix("/"))
+        }
       else {
+        val dataDir = s"data_v$n"
         fs.mkdirs(new Path(s"$root/$dataDir"))
         files.map { fc =>
           val src = new Path(fc.file)
@@ -283,13 +322,18 @@ object GraftLogWrite {
             s"graftlog write: staged file ${fc.file} outside $staging")
           val dst = new Path(s"$root/$dataDir/$rel")
           fs.mkdirs(dst.getParent)
+          commitRenames.incrementAndGet()
           require(fs.rename(src, dst),
             s"graftlog write: rename $src -> $dst failed")
           fc.copy(file = s"$dataDir/$rel")
         }
       }
-    writeManifest(conf, root, n, manifestAdds, recordedSchema)
-    fs.delete(new Path(staging), true) // drop loser-attempt remnants
+    writeManifest(conf, root, n, manifestAdds, recordedSchema,
+      removes)
+    // legacy staging: drop loser-attempt remnants. In-place staging IS
+    // the final directory — deleting it would delete the committed
+    // files; losers there were removed by their own task aborts.
+    if (!inPlace) fs.delete(new Path(staging), true)
     beforeOk(n)
     fs.create(new Path(s"$root/_log/v$n._ok"), true).close()
     // every CheckpointInterval commits, consolidate the live set so
@@ -391,9 +435,12 @@ class GraftLogWriteBuilder(root: String, info: LogicalWriteInfo,
       override def requiredOrdering(): Array[SortOrder] =
         partCols.map(c => Expressions.sort(Expressions.column(c),
           SortDirection.ASCENDING)).toArray
+      // part-files land directly at their FINAL unique location (the
+      // write-scoped data/w_*/ directory) — publication is the
+      // manifest row, so commit performs ZERO renames at any file count
       override def toBatch: BatchWrite =
         new GraftLogBatchWrite(root, info.schema(), partCols,
-          s"$root/_staging_${info.queryId()}_${UUID.randomUUID()}", conf)
+          s"$root/data/w_${info.queryId()}_${UUID.randomUUID()}", conf)
       override def toStreaming: StreamingWrite =
         new GraftLogStreamingWrite(root, info.schema(), partCols,
           info.queryId(), conf)
@@ -438,14 +485,14 @@ class GraftLogStreamingWrite(root: String, schema: StructType,
     conf: SerializableConfiguration) extends StreamingWrite {
 
   private def staging(epochId: Long) =
-    s"$root/_staging_${queryId}_$epochId"
+    s"$root/data/w_${queryId}_$epochId"
 
   private def epochMarker(epochId: Long) =
     new Path(s"$root/_log/_epoch_${queryId}_$epochId")
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    GraftLogStreamingWriterFactory(s"$root/_staging_$queryId", schema,
+    GraftLogStreamingWriterFactory(s"$root/data/w_$queryId", schema,
       partCols, conf)
 
   override def commit(epochId: Long,
@@ -501,12 +548,22 @@ class GraftLogStreamingWrite(root: String, schema: StructType,
   }
 }
 
+/** Part-file names carry a per-ATTEMPT uuid besides partition/task ids:
+  * files now live at their final path from the moment they're written,
+  * so two attempts at the same work (a speculative twin, a task retry,
+  * or a replayed streaming epoch after an app restart that reuses task
+  * ids) must never target the same name — the loser's uniquely-named
+  * file is deleted by its own abort (or by the replay check), never
+  * fought over.
+  */
 case class GraftLogWriterFactory(staging: String, schema: StructType,
     partCols: Seq[String], conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new GraftLogDataWriter(staging, s"part-$partitionId-$taskId.parquet",
+    new GraftLogDataWriter(staging,
+      s"part-$partitionId-$taskId-" +
+        s"${UUID.randomUUID().toString.take(8)}.parquet",
       schema, partCols, conf.value)
 }
 
@@ -516,7 +573,9 @@ case class GraftLogStreamingWriterFactory(stagingBase: String,
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftLogDataWriter(s"${stagingBase}_$epochId",
-      s"part-$partitionId-$taskId.parquet", schema, partCols, conf.value)
+      s"part-$partitionId-$taskId-" +
+        s"${UUID.randomUUID().toString.take(8)}.parquet",
+      schema, partCols, conf.value)
 }
 
 /** Per-task part-file writer: InternalRow → Group — one file per task

@@ -196,10 +196,13 @@ class GraftLogManifestSpec extends SparkSpecBase {
       .option("schema", "id BIGINT, bucket INT, tag STRING")
       .option("partitionBy", "bucket")
       .mode("append").save()
-    // layout: data_v1/bucket=<v>/part-*.parquet
+    // layout: data/w_<query>_<uuid>/bucket=<v>/part-*.parquet — written
+    // in place (publication is the manifest row, zero commit renames)
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
-    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data_v1"))
-      .map(_.getPath.getName).sorted
+    val writeDir = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/data")).map(_.getPath)
+      .filter(_.getName.startsWith("w_")).head
+    val dirs = fs.listStatus(writeDir).map(_.getPath.getName).sorted
     assert(dirs.toSeq === Seq("bucket=0", "bucket=1", "bucket=2"))
     val before = GraftLog.planFooterReads.get()
     val all = spark.read.format("graftlog").option("path", root).load()
@@ -391,7 +394,8 @@ class GraftLogManifestSpec extends SparkSpecBase {
     val ddl = StructType.fromDDL("id BIGINT")
     val msg = GraftLogWrite.toMessageType(ddl)
     def stage(epoch: Long): graft.sources.GraftLogCommitMessage = {
-      val f = s"$epRoot/_staging_q_$epoch/part-0-0.parquet"
+      val f = s"$epRoot/data/w_q_$epoch/part-0-0-" +
+        s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
       val w = GraftLogWrite.groupWriter(new org.apache.hadoop.fs.Path(f),
         msg, new org.apache.hadoop.conf.Configuration(conf))
       val gf = new org.apache.parquet.example.data.simple
@@ -685,7 +689,8 @@ class GraftLogManifestSpec extends SparkSpecBase {
     val ddl = StructType.fromDDL("id BIGINT")
     val msg = GraftLogWrite.toMessageType(ddl)
     def stage(epoch: Long, ids: Seq[Long]): graft.sources.GraftLogCommitMessage = {
-      val f = s"$root/_staging_q_$epoch/part-0-0.parquet"
+      val f = s"$root/data/w_q_$epoch/part-0-0-" +
+        s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
       val w = GraftLogWrite.groupWriter(new org.apache.hadoop.fs.Path(f),
         msg, new org.apache.hadoop.conf.Configuration(conf))
       val gf = new org.apache.parquet.example.data.simple
@@ -715,5 +720,42 @@ class GraftLogManifestSpec extends SparkSpecBase {
     assert(GraftLog.latestVersion(conf, root) === 2)
     assert(spark.read.format("graftlog").option("path", root).load()
       .count() === 4L)
+  }
+
+  test("connector commits publish by MANIFEST, not rename: a many-file " +
+      "write performs zero renames, and crash-before-marker leaves " +
+      "nothing any reader or next writer can see") {
+    val root = Files.createTempDirectory("graft_manorename").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val renamesBefore = GraftLogWrite.commitRenames.get()
+    spark.range(5000).selectExpr("id").repartition(20)
+      .write.format("graftlog").option("path", root)
+      .option("schema", "id BIGINT").mode("append").save()
+    assert(GraftLogWrite.commitRenames.get() === renamesBefore,
+      "connector commit performed filesystem renames")
+    // the committed files live where the tasks WROTE them (write-scoped
+    // unique names under data/), referenced by the manifest in place
+    val files = GraftLog.dataFiles(conf, root, 1)
+    assert(files.length === 20)
+    assert(files.forall(_.contains("/data/w_")), files.head)
+    assert(spark.read.format("graftlog").option("path", root).load()
+      .count() === 5000L)
+    // crash-before-marker simulation: orphan data files + a manifest
+    // for v2, but no _ok — the version is torn and invisible, and the
+    // next writer claims v2 cleanly over it... except the manifest dir
+    // would collide; the claim protocol is what prevents two writers
+    // from preparing the same number, so simulate the orphan-data case
+    // (crash BEFORE the claim): files under data/ that no manifest
+    // references are simply never read
+    spark.range(9000, 9100).selectExpr("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/data/w_crashed_write")
+    assert(GraftLog.latestVersion(conf, root) === 1)
+    assert(spark.read.format("graftlog").option("path", root).load()
+      .count() === 5000L, "orphaned (uncommitted) files became visible")
+    spark.range(5000, 5100).selectExpr("id")
+      .write.format("graftlog").option("path", root).mode("append").save()
+    assert(GraftLog.latestVersion(conf, root) === 2)
+    assert(spark.read.format("graftlog").option("path", root).load()
+      .count() === 5100L)
   }
 }

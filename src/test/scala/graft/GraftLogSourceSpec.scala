@@ -304,8 +304,9 @@ class GraftLogSourceSpec extends SparkSpecBase {
     assert(all.length === 250)
     assert(all(42) === ((42L, "n-42", 21.0)))
     // round-trip THROUGH Spark's own reader too (written files are
-    // plain parquet, not a private format)
-    val native = spark.read.parquet(s"$root/data_v1", s"$root/data_v2")
+    // plain parquet, not a private format; manifest paths locate them)
+    val native = spark.read.parquet(
+      GraftLog.dataFiles(conf, root, 2): _*)
     assert(native.count() === 250L)
     // a torn claim (claim file without manifest+marker) stays invisible
     // AND blocks the next writer LOUDLY — skipping the number would
