@@ -1252,6 +1252,87 @@ object Maintenance {
       |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_log_vectors — embeddings (array<float>) IN the versioned log
+  // ---------------------------------------------------------------------
+
+  /** Lays down (once per JVM) the embeddings table INSIDE the
+    * transaction log: two connector appends (even vec_ids bootstrap the
+    * table, odd ones land as v2) with the `embedding ARRAY<FLOAT>`
+    * column stored through the connector's nested write path — the
+    * round-13 composition proof that the LLM-pipeline family's own
+    * vector data can live in the table format (through round 12 the
+    * writer refused every nested type).
+    */
+  private[graft] def vectorTableDir(s: SparkSession, d: String): String = {
+    val root = SetupOnce.runtimeDir(d, "embeddings_graftlog")
+    SetupOnce(root) {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      Seq(0, 1).foreach { parity =>
+        e.filter(pmod(col("vec_id"), lit(2)) === parity)
+          .write.format(graft.sources.GraftLog.Format)
+          .option("path", root)
+          .option("schema",
+            "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+          .mode("append").save()
+      }
+    }
+    root
+  }
+
+  val VecQueries = 4
+  val VecTopK = 5
+
+  /** Cosine top-k over embeddings READ FROM THE LOG — the LLM-pipeline
+    * and table-format families composed: v2 (the full corpus) serves an
+    * exact brute-force top-[[VecTopK]] for the [[VecQueries]] query
+    * vectors (Ann's broadcast + window-rank shape, same
+    * double-precision left-fold dot as the DuckDB oracle), and the v1
+    * AS-OF read rides along as a row count — so a nested-column bug
+    * anywhere in the connector (a float decoded out of order, an
+    * element null-filled wrongly, a version fold losing a file)
+    * hash-fails against the oracle's recomputation from the plain
+    * parquet table.
+    */
+  def logVectors(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val root = vectorTableDir(s, d)
+    val latest = readVersion(s, root, 2)
+    val v1 = readVersion(s, root, 1)
+      .agg(count(lit(1)).as("n_rows_v1"))
+    val q = broadcast(latest.filter(col("vec_id") < VecQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val n = latest.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    q.join(n, col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        VectorFunctions.cosineSim(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= VecTopK)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .crossJoin(broadcast(v1))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val logVectorsSql: String = {
+    val sim = graft.functions.VectorFunctions.cosineSql("q.v", "n.v")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |     q AS (SELECT * FROM e WHERE vec_id < $VecQueries),
+       |     scored AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, $sim AS sim,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY $sim DESC, n.vec_id ASC) AS rank
+       |  FROM q, e n WHERE q.vec_id <> n.vec_id),
+       |     v1 AS (SELECT COUNT(*) AS n_rows_v1 FROM embeddings
+       |            WHERE vec_id % 2 = 0)
+       |SELECT q_id, rank, n_id, sim, n_rows_v1 FROM scored CROSS JOIN v1
+       |WHERE rank <= $VecTopK ORDER BY q_id, rank""".stripMargin
+  }
+
   val logVacuumSql: String =
     s"""SELECT CAST(2 AS INT) AS kept_from, CAST(3 AS INT) AS v_latest,
        |       CAST($TxnBuckets AS BIGINT) AS n_files_deleted,

@@ -482,14 +482,28 @@ object GraftLog {
     v
   }
 
-  /** Every column of a log table is nullable: the write path emits
-    * parquet `optional` fields, and WIDENING null-fills new columns in
-    * old files — a query-derived NOT NULL must never leak into the
-    * recorded table schema (a null fill under a non-nullable field is
-    * a codegen NPE at read).
+  /** Every column of a log table is nullable — RECURSIVELY: the write
+    * path emits parquet `optional` fields at every nesting level
+    * (array elements, map values, struct subfields), and WIDENING
+    * null-fills new columns in old files — a query-derived NOT NULL
+    * (or containsNull=false) must never leak into the recorded table
+    * schema (a null fill under a non-nullable field is a codegen NPE
+    * at read, and two writes differing only in inferred nullability
+    * must not read as a schema mismatch).
     */
+  def deepNullable(dt: DataType): DataType = dt match {
+    case StructType(fs) => StructType(fs.map(f =>
+      f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case ArrayType(et, _) =>
+      ArrayType(deepNullable(et), containsNull = true)
+    case MapType(kt, vt, _) =>
+      MapType(deepNullable(kt), deepNullable(vt),
+        valueContainsNull = true)
+    case other => other
+  }
+
   def asNullable(st: StructType): StructType =
-    StructType(st.fields.map(_.copy(nullable = true)))
+    deepNullable(st).asInstanceOf[StructType]
 
   /** Documented WIDENING: `next` extends `current` by appending new
     * columns — the existing fields an exact (name, type) prefix, in
@@ -498,11 +512,14 @@ object GraftLog {
     * version stays readable and time travel returns each version's own
     * schema. Renames, drops, type changes, reorders are NOT widenings.
     */
-  def widens(current: StructType, next: StructType): Boolean =
-    next.length > current.length &&
-      next.fields.take(current.length).map(f => (f.name, f.dataType))
-        .sameElements(current.fields.map(f => (f.name, f.dataType))) &&
-      next.fieldNames.distinct.length == next.length
+  def widens(current: StructType, next: StructType): Boolean = {
+    val c = asNullable(current)
+    val n = asNullable(next)
+    n.length > c.length &&
+      n.fields.take(c.length).map(f => (f.name, f.dataType))
+        .sameElements(c.fields.map(f => (f.name, f.dataType))) &&
+      n.fieldNames.distinct.length == n.length
+  }
 
   /** Schema DDL recorded in the newest manifest at or below `asOf` —
     * the connector's write path logs it at every commit, so a
@@ -567,10 +584,31 @@ object GraftLog {
         HadoopInputFile.fromPath(new Path(first), conf))
       val msg = try footer.getFileMetaData.getSchema finally footer.close()
       StructType(msg.getFields.toArray(Array.empty[Type]).map { t =>
-        StructField(t.getName, toSparkType(t.asPrimitiveType()),
-          nullable = true)
+        StructField(t.getName, toSparkTypeAny(t), nullable = true)
       })
     }
+
+  /** Parquet type (primitive or group) → Spark type: the standard LIST
+    * and MAP annotations plus plain struct groups, recursively.
+    */
+  private def toSparkTypeAny(t: Type): DataType = t match {
+    case p: PrimitiveType => toSparkType(p)
+    case g: org.apache.parquet.schema.GroupType =>
+      g.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
+          val repeated = g.getType(0).asGroupType()
+          ArrayType(toSparkTypeAny(repeated.getType(0)),
+            containsNull = true)
+        case _: LogicalTypeAnnotation.MapLogicalTypeAnnotation =>
+          val kv = g.getType(0).asGroupType()
+          MapType(toSparkTypeAny(kv.getType(0)),
+            toSparkTypeAny(kv.getType(1)), valueContainsNull = true)
+        case _ =>
+          StructType(g.getFields.toArray(Array.empty[Type]).map { f =>
+            StructField(f.getName, toSparkTypeAny(f), nullable = true)
+          })
+      }
+  }
 
   private def toSparkType(p: PrimitiveType): DataType = {
     import PrimitiveType.PrimitiveTypeName._
@@ -1496,11 +1534,18 @@ case class GraftLogReaderFactory(pruned: StructType,
     * the one edge kept on the row reader is an empty data projection
     * under a predicate (the runtime-filter-after-prune case), where
     * the row reader's read-full-schema fallback is the simple correct
-    * answer. The decision depends only on (pruned, predicate), so it is
-    * constant across partitions — Spark requires that.
+    * answer. NESTED projections (array/map/struct columns) read through
+    * the row reader — their repetition-level assembly is the Group
+    * walk's job; the vectorized path stays flat-primitive-only. The
+    * decision depends only on (pruned, predicate), so it is constant
+    * across partitions — Spark requires that.
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    columnar && !(dataFieldCount == 0 && predicate.isDefined)
+    columnar && !(dataFieldCount == 0 && predicate.isDefined) &&
+      pruned.fields.forall(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => false
+        case _ => true
+      })
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
@@ -1553,6 +1598,7 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
   // and columns a WIDENING appended after this file was written are
   // null-filled instead of looked up
   private var fileInt96: Set[String] = Set.empty
+  private var cachedFileSchema: MessageType = _
   // pruned data columns present in THIS file, with their output index;
   // group field order == this array's order
   private var present: Array[(StructField, Int)] = Array.empty
@@ -1562,6 +1608,7 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
       HadoopInputFile.fromPath(new Path(file), conf))
     val fileSchema = try footer.getFileMetaData.getSchema
     finally footer.close()
+    cachedFileSchema = fileSchema
     fileInt96 = fileSchema.getFields
       .toArray(Array.empty[org.apache.parquet.schema.Type]).collect {
         case t: org.apache.parquet.schema.PrimitiveType
@@ -1604,25 +1651,100 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
     filt.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
   }
 
-  private lazy val getters: Array[(Group, Int) => Any] =
+  /** Recursive decoder for one (Spark type, file parquet type) pair —
+    * `(parent group, field index, repetition index) => Spark value`.
+    * Primitives decode per THIS file's physical encoding (INT96
+    * timestamps via julian-day+nanos); the standard nested encodings
+    * recurse: LIST's `list/element` levels, MAP's `key_value`, and
+    * plain struct groups (struct subfields absent from this file —
+    * written before a widening — null-fill by name).
+    */
+  private def decoderFor(dt: DataType,
+      pt: org.apache.parquet.schema.Type): (Group, Int, Int) => Any =
+    (dt, pt) match {
+      case (TimestampType, p: org.apache.parquet.schema.PrimitiveType)
+        if p.getPrimitiveTypeName ==
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96 =>
+        (g, i, r) => GraftLog.int96ToMicros(g.getInt96(i, r).getBytes)
+      case (LongType | TimestampType | TimestampNTZType, _) =>
+        (g, i, r) => g.getLong(i, r)
+      case (IntegerType | DateType, _) => (g, i, r) => g.getInteger(i, r)
+      case (DoubleType, _)  => (g, i, r) => g.getDouble(i, r)
+      case (FloatType, _)   => (g, i, r) => g.getFloat(i, r)
+      case (BooleanType, _) => (g, i, r) => g.getBoolean(i, r)
+      case (StringType, _)  => (g, i, r) =>
+        UTF8String.fromBytes(g.getBinary(i, r).getBytes)
+      case (BinaryType, _)  => (g, i, r) => g.getBinary(i, r).getBytes
+      case (ArrayType(et, _), gt: org.apache.parquet.schema.GroupType) =>
+        val repeated = gt.getType(0).asGroupType() // "list"
+        val elem = decoderFor(et, repeated.getType(0))
+        (g, i, r) => {
+          val outer = g.getGroup(i, r)
+          val n = outer.getFieldRepetitionCount(0)
+          val out = new Array[Any](n)
+          var j = 0
+          while (j < n) {
+            val entry = outer.getGroup(0, j)
+            out(j) =
+              if (entry.getFieldRepetitionCount(0) == 0) null
+              else elem(entry, 0, 0)
+            j += 1
+          }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+        }
+      case (MapType(kt, vt, _), gt: org.apache.parquet.schema.GroupType) =>
+        val kv = gt.getType(0).asGroupType() // "key_value"
+        val keyDec = decoderFor(kt, kv.getType(0))
+        val valDec = decoderFor(vt, kv.getType(1))
+        (g, i, r) => {
+          val outer = g.getGroup(i, r)
+          val n = outer.getFieldRepetitionCount(0)
+          val keys = new Array[Any](n)
+          val vals = new Array[Any](n)
+          var j = 0
+          while (j < n) {
+            val entry = outer.getGroup(0, j)
+            keys(j) = keyDec(entry, 0, 0)
+            vals(j) =
+              if (entry.getFieldRepetitionCount(1) == 0) null
+              else valDec(entry, 1, 0)
+            j += 1
+          }
+          new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+        }
+      case (st: StructType, gt: org.apache.parquet.schema.GroupType) =>
+        val subs: Array[Option[(Int, (Group, Int, Int) => Any)]] =
+          st.fields.map { f =>
+            if (gt.containsField(f.name)) {
+              val idx = gt.getFieldIndex(f.name)
+              Some((idx, decoderFor(f.dataType, gt.getType(idx))))
+            } else None
+          }
+        (g, i, r) => {
+          val nested = g.getGroup(i, r)
+          val row = new GenericInternalRow(st.length)
+          var j = 0
+          while (j < st.length) {
+            subs(j) match {
+              case Some((idx, dec))
+                if nested.getFieldRepetitionCount(idx) > 0 =>
+                row.update(j, dec(nested, idx, 0))
+              case _ => () // absent or null subfield stays null
+            }
+            j += 1
+          }
+          row
+        }
+      case (other, p) => throw new IllegalArgumentException(
+        s"graftlog: unsupported read type $other (parquet $p)")
+    }
+
+  private lazy val getters: Array[(Group, Int, Int) => Any] =
     present.map { case (f, _) =>
-      f.dataType match {
-        case TimestampType if fileInt96.contains(f.name) =>
-          (g: Group, i: Int) =>
-            GraftLog.int96ToMicros(g.getInt96(i, 0).getBytes)
-        case LongType | TimestampType | TimestampNTZType =>
-          (g: Group, i: Int) => g.getLong(i, 0)
-        case IntegerType | DateType =>
-          (g: Group, i: Int) => g.getInteger(i, 0)
-        case DoubleType  => (g: Group, i: Int) => g.getDouble(i, 0)
-        case FloatType   => (g: Group, i: Int) => g.getFloat(i, 0)
-        case BooleanType => (g: Group, i: Int) => g.getBoolean(i, 0)
-        case StringType  => (g: Group, i: Int) =>
-          UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-        case BinaryType  => (g: Group, i: Int) => g.getBinary(i, 0).getBytes
-        case other => throw new IllegalArgumentException(
-          s"graftlog: unsupported read type $other for ${f.name}")
-      }
+      decoderFor(f.dataType, cachedFileSchema.getType(
+        cachedFileSchema.getFieldIndex(f.name)))
     }
 
   private var current: Group = _
@@ -1641,7 +1763,7 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
     while (d < present.length) {
       val outIdx = present(d)._2
       if (current.getFieldRepetitionCount(d) == 0) row.update(outIdx, null)
-      else row.update(outIdx, getters(d)(current, d))
+      else row.update(outIdx, getters(d)(current, d, 0))
       d += 1
     }
     row

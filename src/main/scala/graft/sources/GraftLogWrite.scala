@@ -96,35 +96,63 @@ import org.apache.spark.util.SerializableConfiguration
   */
 object GraftLogWrite {
 
+  /** One Spark field → parquet type, recursively: primitives as before,
+    * plus the STANDARD nested encodings (the same shapes Spark's own
+    * writer emits, so files interchange both ways) —
+    * `array<t>` as the 3-level LIST (`optional group (LIST) { repeated
+    * group list { optional t element } }`), `map<k,v>` as MAP
+    * (`repeated group key_value { required k key; optional v value }`),
+    * and `struct<...>` as a plain optional group. Everything optional
+    * (the log is all-nullable by contract) except map keys, which
+    * Spark's MapData cannot hold null for.
+    */
+  private[sources] def toParquetType(name: String, dt: DataType,
+      required: Boolean = false): org.apache.parquet.schema.Type = {
+    import PrimitiveType.PrimitiveTypeName._
+    def prim(p: PrimitiveType.PrimitiveTypeName,
+        ann: LogicalTypeAnnotation = null) = {
+      val b = if (required) Types.required(p) else Types.optional(p)
+      (if (ann == null) b else b.as(ann)).named(name)
+    }
+    dt match {
+      case LongType    => prim(INT64)
+      case IntegerType => prim(INT32)
+      case DoubleType  => prim(DOUBLE)
+      case FloatType   => prim(FLOAT)
+      case BooleanType => prim(BOOLEAN)
+      case StringType  => prim(BINARY, LogicalTypeAnnotation.stringType())
+      case BinaryType  => prim(BINARY)
+      case DateType    => prim(INT32, LogicalTypeAnnotation.dateType())
+      case TimestampType => prim(INT64,
+        LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS))
+      case TimestampNTZType => prim(INT64,
+        LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.MICROS))
+      case ArrayType(et, _) =>
+        Types.optionalList()
+          .element(toParquetType("element", et))
+          .named(name)
+      case MapType(kt, vt, _) =>
+        Types.optionalMap()
+          .key(toParquetType("key", kt, required = true))
+          .value(toParquetType("value", vt))
+          .named(name)
+      case StructType(fields) =>
+        val g = Types.optionalGroup()
+        fields.foreach(f => g.addField(toParquetType(f.name, f.dataType)))
+        g.named(name)
+      case other => throw new IllegalArgumentException(
+        s"graftlog write: unsupported type $other for $name")
+    }
+  }
+
   /** Spark → parquet schema for the supported hash-stable type set
     * (the same set the reader decodes; see [[GraftLog]]).
     */
   def toMessageType(schema: StructType): MessageType = {
-    import PrimitiveType.PrimitiveTypeName._
     val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      val t = f.dataType match {
-        case LongType    => Types.optional(INT64)
-        case IntegerType => Types.optional(INT32)
-        case DoubleType  => Types.optional(DOUBLE)
-        case FloatType   => Types.optional(FLOAT)
-        case BooleanType => Types.optional(BOOLEAN)
-        case StringType  => Types.optional(BINARY)
-          .as(LogicalTypeAnnotation.stringType())
-        case BinaryType  => Types.optional(BINARY)
-        case DateType    => Types.optional(INT32)
-          .as(LogicalTypeAnnotation.dateType())
-        case TimestampType => Types.optional(INT64)
-          .as(LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
-        case TimestampNTZType => Types.optional(INT64)
-          .as(LogicalTypeAnnotation.timestampType(false,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
-        case other => throw new IllegalArgumentException(
-          s"graftlog write: unsupported type $other for ${f.name}")
-      }
-      b.addField(t.named(f.name))
-    }
+    schema.fields.foreach(f => b.addField(toParquetType(f.name, f.dataType)))
     b.named("spark_schema")
   }
 
@@ -381,8 +409,12 @@ class GraftLogWriteBuilder(root: String, info: LogicalWriteInfo,
     * a future extension, silent drift is not.
     */
   private def checkSchema(): Unit = tableSchema.foreach { ts =>
-    val incoming = info.schema().fields.map(f => (f.name, f.dataType)).toSeq
-    val table = ts.fields.map(f => (f.name, f.dataType)).toSeq
+    // nullability (at every nesting level) is not part of the contract:
+    // the log stores everything optional, so compare normalized types
+    val incoming = GraftLog.asNullable(info.schema()).fields
+      .map(f => (f.name, f.dataType)).toSeq
+    val table = GraftLog.asNullable(ts).fields
+      .map(f => (f.name, f.dataType)).toSeq
     if (incoming != table) throw new IllegalStateException(
       s"graftlog write: schema mismatch on append to $root — table " +
         s"schema is [${ts.toDDL}] but the write's is " +
@@ -656,28 +688,63 @@ class GraftLogDataWriter(staging: String, fileName: String,
       GraftLogWrite.partitionSegment(partCols(pi), v)
     }.mkString("/")
 
+  /** One value (InternalRow field or ArrayData element — both are
+    * SpecializedGetters) into field `idx` of `g`, recursing for the
+    * standard nested encodings [[GraftLogWrite.toParquetType]] builds.
+    * Callers have already null-checked.
+    */
+  private def addValue(g: Group, idx: Int, dt: DataType,
+      src: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int): Unit = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      g.add(idx, src.getLong(i))
+    case IntegerType | DateType => g.add(idx, src.getInt(i))
+    case DoubleType             => g.add(idx, src.getDouble(i))
+    case FloatType              => g.add(idx, src.getFloat(i))
+    case BooleanType            => g.add(idx, src.getBoolean(i))
+    case StringType             => g.add(idx,
+      Binary.fromConstantByteArray(src.getUTF8String(i).getBytes))
+    case BinaryType             => g.add(idx,
+      Binary.fromConstantByteArray(src.getBinary(i)))
+    case ArrayType(et, _) =>
+      val outer = g.addGroup(idx) // the LIST wrapper group
+      val arr = src.getArray(i)
+      var j = 0
+      while (j < arr.numElements()) {
+        val entry = outer.addGroup(0) // repeated group "list"
+        if (!arr.isNullAt(j)) addValue(entry, 0, et, arr, j)
+        j += 1
+      }
+    case MapType(kt, vt, _) =>
+      val outer = g.addGroup(idx)
+      val m = src.getMap(i)
+      val keys = m.keyArray(); val vals = m.valueArray()
+      var j = 0
+      while (j < m.numElements()) {
+        val kv = outer.addGroup(0) // repeated group "key_value"
+        addValue(kv, 0, kt, keys, j)
+        if (!vals.isNullAt(j)) addValue(kv, 1, vt, vals, j)
+        j += 1
+      }
+    case st: StructType =>
+      val nested = g.addGroup(idx)
+      val struct = src.getStruct(i, st.length)
+      var j = 0
+      while (j < st.length) {
+        if (!struct.isNullAt(j)) addValue(nested, j, st(j).dataType,
+          struct, j)
+        j += 1
+      }
+    case other => throw new IllegalArgumentException(
+      s"graftlog write: unsupported type $other")
+  }
+
   override def write(row: InternalRow): Unit = {
     val w = writerFor(partitionDir(row))
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
-      if (!row.isNullAt(i)) {
-        val name = schema(i).name
-        schema(i).dataType match {
-          case LongType | TimestampType | TimestampNTZType =>
-            g.add(name, row.getLong(i))
-          case IntegerType | DateType => g.add(name, row.getInt(i))
-          case DoubleType             => g.add(name, row.getDouble(i))
-          case FloatType              => g.add(name, row.getFloat(i))
-          case BooleanType            => g.add(name, row.getBoolean(i))
-          case StringType             => g.add(name,
-            Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
-          case BinaryType             => g.add(name,
-            Binary.fromConstantByteArray(row.getBinary(i)))
-          case other => throw new IllegalArgumentException(
-            s"graftlog write: unsupported type $other for $name")
-        }
-      }
+      if (!row.isNullAt(i)) addValue(g, i, schema(i).dataType, row, i)
       i += 1
     }
     w.write(g)
