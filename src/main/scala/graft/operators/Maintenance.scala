@@ -1253,6 +1253,67 @@ object Maintenance {
       |FROM orders""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_log_decimal — exact money (DECIMAL) IN the versioned log
+  // ---------------------------------------------------------------------
+
+  /** Lays down (once per JVM) the orders money column as DECIMAL(14,2)
+    * inside the log — the reference's own DDL type
+    * (lambda_function.py:209 `amount DECIMAL(10, 2)`), which the engine
+    * elsewhere handles via the documented exact-cents BIGINT twin; the
+    * table format itself must store the decimal exactly. The value is
+    * derived EXACTLY from the established cents arithmetic (floor(x*100
+    * +0.5), then a scale-preserving *0.01 decimal multiply — no
+    * double→decimal rounding anywhere), so both engines state the same
+    * decimal in closed form.
+    */
+  private[graft] def decimalTableDir(s: SparkSession, d: String): String = {
+    val root = SetupOnce.runtimeDir(d, "orders_graftdec")
+    SetupOnce(root) {
+      Tables.orders(s, d)
+        .selectExpr("o_orderkey",
+          "CAST(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) " +
+            "AS DECIMAL(16,2)) * CAST(0.01 AS DECIMAL(3,2)) " +
+            "AS DECIMAL(14,2)) AS price")
+        .write.format(graft.sources.GraftLog.Format)
+        .option("path", root)
+        .option("schema", "o_orderkey BIGINT, price DECIMAL(14,2)")
+        .mode("append").save()
+    }
+    root
+  }
+
+  /** Decimal round-trip through the log, hash-gated: COUNT/MIN/MAX are
+    * manifest-served (exact decimal bounds from the per-file
+    * statistics — GraftLogDecimalSpec pins the GraftLogAggScan plan and
+    * zero footer opens), SUM runs the real scan through the vectorized
+    * decimal decode; all three leave as digit strings (DecimalType is
+    * accumulation-only in result schemas — SchemaLintSpec's rule).
+    */
+  def logDecimal(s: SparkSession, d: String): DataFrame = {
+    val root = decimalTableDir(s, d)
+    val t = readVersion(s, root, 1)
+    val pushed = t
+      .agg(count(lit(1)).as("n_rows"), min(col("price")).as("mn"),
+        max(col("price")).as("mx"))
+      .select(col("n_rows"), col("mn").cast("string").as("min_price"),
+        col("mx").cast("string").as("max_price"))
+    val summed = t.agg(sum(col("price")).cast("string").as("sum_price"))
+    pushed.crossJoin(summed)
+  }
+
+  val logDecimalSql: String =
+    """WITH t AS (
+      |  SELECT CAST(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |           AS DECIMAL(16,2)) * CAST(0.01 AS DECIMAL(3,2))
+      |           AS DECIMAL(14,2)) AS price
+      |  FROM orders)
+      |SELECT COUNT(*) AS n_rows,
+      |       CAST(MIN(price) AS VARCHAR) AS min_price,
+      |       CAST(MAX(price) AS VARCHAR) AS max_price,
+      |       CAST(SUM(price) AS VARCHAR) AS sum_price
+      |FROM t""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_log_vectors — embeddings (array<float>) IN the versioned log
   // ---------------------------------------------------------------------
 

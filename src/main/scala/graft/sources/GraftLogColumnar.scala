@@ -128,6 +128,10 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
   // one writer closure per PRESENT data column: (reader, vector, rowIdx)
   private val writers: Array[(ColumnReader, OnHeapColumnVector, Int) => Unit] =
     present.map { case (f, _) =>
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      lazy val physical = fileSchema
+        .getType(fileSchema.getFieldIndex(f.name))
+        .asPrimitiveType().getPrimitiveTypeName
       f.dataType match {
         case TimestampType if fileInt96.contains(f.name) =>
           (cr, v, i) =>
@@ -141,6 +145,26 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
         case BooleanType => (cr, v, i) => v.putBoolean(i, cr.getBoolean)
         case StringType | BinaryType => (cr, v, i) =>
           { val b = cr.getBinary.getBytes; v.putByteArray(i, b) }
+        case dec: org.apache.spark.sql.types.DecimalType =>
+          // decode per THIS file's physical encoding; putDecimal routes
+          // to the vector's precision-appropriate representation
+          physical match {
+            case INT32 => (cr, v, i) => v.putDecimal(i,
+              org.apache.spark.sql.types.Decimal(
+                BigDecimal(BigInt(cr.getInteger), dec.scale),
+                dec.precision, dec.scale), dec.precision)
+            case INT64 => (cr, v, i) => v.putDecimal(i,
+              org.apache.spark.sql.types.Decimal(
+                BigDecimal(BigInt(cr.getLong), dec.scale),
+                dec.precision, dec.scale), dec.precision)
+            case FIXED_LEN_BYTE_ARRAY | BINARY => (cr, v, i) =>
+              v.putDecimal(i, org.apache.spark.sql.types.Decimal(
+                BigDecimal(BigInt(new java.math.BigInteger(
+                  cr.getBinary.getBytes)), dec.scale),
+                dec.precision, dec.scale), dec.precision)
+            case other => throw new IllegalArgumentException(
+              s"graftlog: unsupported decimal physical $other for ${f.name}")
+          }
         case other => throw new IllegalArgumentException(
           s"graftlog: unsupported read type $other for ${f.name}")
       }

@@ -613,6 +613,8 @@ object GraftLog {
   private def toSparkType(p: PrimitiveType): DataType = {
     import PrimitiveType.PrimitiveTypeName._
     val ann = p.getLogicalTypeAnnotation
+    def dec(d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =
+      DecimalType(d.getPrecision, d.getScale)
     p.getPrimitiveTypeName match {
       case INT64 => ann match {
         case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
@@ -620,11 +622,22 @@ object GraftLog {
             LogicalTypeAnnotation.TimeUnit.MICROS,
             s"unsupported timestamp unit ${ts.getUnit} for ${p.getName}")
           if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          dec(d)
         case _ => LongType
       }
       case INT32 => ann match {
         case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => DateType
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          dec(d)
         case _ => IntegerType
+      }
+      case FIXED_LEN_BYTE_ARRAY => ann match {
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          dec(d)
+        case other => throw new IllegalArgumentException(
+          s"graftlog: unsupported fixed binary annotation $other " +
+            s"for ${p.getName}")
       }
       // legacy 12-byte Spark/Impala timestamp (julian day + nanos) —
       // still what some writers emit; maps to session-adjusted
@@ -633,10 +646,13 @@ object GraftLog {
       case DOUBLE  => DoubleType
       case FLOAT   => FloatType
       case BOOLEAN => BooleanType
-      case BINARY =>
-        if (ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation])
+      case BINARY => ann match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
           StringType
-        else BinaryType
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          dec(d)
+        case _ => BinaryType
+      }
       case other => throw new IllegalArgumentException(
         s"graftlog: unsupported parquet type $other for ${p.getName}")
     }
@@ -1033,6 +1049,7 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
   private def exactBoundType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DateType | TimestampType |
         TimestampNTZType | BooleanType => true
+    case _: DecimalType => true // exact by construction (no truncation)
     case _ => false
   }
 
@@ -1065,7 +1082,10 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
       var acc: Option[Any] = None
       entries.foreach { e =>
         val st = e.stats.get
-        val b = if (takeMin) st.min.get(c) else st.max.get(c)
+        // stored form → canonical comparison form (decimals arrive as
+        // exact strings from the manifest JSON)
+        val b = (if (takeMin) st.min.get(c) else st.max.get(c))
+          .map(GraftLogStats.decode(dt, _))
         b match {
           case Some(v) =>
             acc = Some(acc.fold(v) { prev => (dt, prev, v) match {
@@ -1073,6 +1093,8 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
                 if (takeMin) p && x else p || x
               case (_, p: Long, x: Long) =>
                 if (takeMin) math.min(p, x) else math.max(p, x)
+              case (_: DecimalType, p: BigDecimal, x: BigDecimal) =>
+                if (takeMin) p.min(x) else p.max(x)
               case _ => return None
             }})
           case None =>
@@ -1085,6 +1107,8 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
     }
     def render(dt: DataType, v: Any): Any = (dt, v) match {
       case (IntegerType | DateType, l: Long) => l.toInt
+      case (d: DecimalType, b: BigDecimal) =>
+        org.apache.spark.sql.types.Decimal(b, d.precision, d.scale)
       case _                                 => v
     }
     val results = agg.aggregateExpressions().map {
@@ -1666,6 +1690,25 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
         if p.getPrimitiveTypeName ==
           org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96 =>
         (g, i, r) => GraftLog.int96ToMicros(g.getInt96(i, r).getBytes)
+      case (dec: DecimalType, p: org.apache.parquet.schema.PrimitiveType) =>
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        p.getPrimitiveTypeName match {
+          case INT32 => (g, i, r) =>
+            org.apache.spark.sql.types.Decimal(
+              BigDecimal(BigInt(g.getInteger(i, r)), dec.scale),
+              dec.precision, dec.scale)
+          case INT64 => (g, i, r) =>
+            org.apache.spark.sql.types.Decimal(
+              BigDecimal(BigInt(g.getLong(i, r)), dec.scale),
+              dec.precision, dec.scale)
+          case FIXED_LEN_BYTE_ARRAY | BINARY => (g, i, r) =>
+            org.apache.spark.sql.types.Decimal(
+              BigDecimal(BigInt(new java.math.BigInteger(
+                g.getBinary(i, r).getBytes)), dec.scale),
+              dec.precision, dec.scale)
+          case other => throw new IllegalArgumentException(
+            s"graftlog: unsupported decimal physical type $other")
+        }
       case (LongType | TimestampType | TimestampNTZType, _) =>
         (g, i, r) => g.getLong(i, r)
       case (IntegerType | DateType, _) => (g, i, r) => g.getInteger(i, r)

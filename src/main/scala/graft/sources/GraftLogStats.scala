@@ -132,6 +132,15 @@ object GraftLogStats {
       if (f.isNaN) None else Some(f.doubleValue())
     case (BooleanType, b: java.lang.Boolean) => Some(b.booleanValue())
     case (StringType, b: Binary) => Some(b.toStringUsingUTF8)
+    // decimal bounds by physical encoding; canonical form = BigDecimal
+    // at the column's scale (exact — encodes as a JSON string)
+    case (d: DecimalType, i: Integer) =>
+      Some(BigDecimal(BigInt(i.intValue()), d.scale))
+    case (d: DecimalType, l: java.lang.Long) =>
+      Some(BigDecimal(BigInt(l.longValue()), d.scale))
+    case (d: DecimalType, b: Binary) =>
+      Some(BigDecimal(
+        BigInt(new java.math.BigInteger(b.getBytes)), d.scale))
     case _ => None
   }
 
@@ -141,11 +150,12 @@ object GraftLogStats {
     if (compare(dt, a, b).exists(_ >= 0)) a else b
 
   private def toJson(v: Any): JValue = v match {
-    case l: Long    => JInt(BigInt(l))
-    case d: Double  => JString(d.toString) // exact round-trip
-    case s: String  => JString(s)
-    case b: Boolean => JBool(b)
-    case other      => JString(other.toString)
+    case l: Long        => JInt(BigInt(l))
+    case d: Double      => JString(d.toString) // exact round-trip
+    case s: String      => JString(s)
+    case b: Boolean     => JBool(b)
+    case bd: BigDecimal => JString(bd.toString) // exact (decimal bounds)
+    case other          => JString(other.toString)
   }
 
   // -------------------------------------------------------------------
@@ -236,8 +246,10 @@ object GraftLogStats {
   /** Decode a stored stat value to its canonical comparison form under
     * the column's Spark type (doubles arrive as exact strings).
     */
-  private def decode(dt: DataType, stored: Any): Any = (dt, stored) match {
+  private[sources] def decode(dt: DataType, stored: Any): Any =
+    (dt, stored) match {
     case (DoubleType | FloatType, s: String) => s.toDouble
+    case (_: DecimalType, s: String)         => BigDecimal(s)
     case _                                   => stored
   }
 
@@ -260,6 +272,8 @@ object GraftLogStats {
     case (DoubleType | FloatType, n: Number) => Some(n.doubleValue())
     case (StringType, s: String) => Some(s)
     case (BooleanType, b: Boolean) => Some(b)
+    case (_: DecimalType, d: java.math.BigDecimal) => Some(BigDecimal(d))
+    case (_: DecimalType, d: BigDecimal) => Some(d)
     case _ => None
   }
 
@@ -281,6 +295,8 @@ object GraftLogStats {
           y.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       case (BooleanType, x: Boolean, y: Boolean) =>
         Some(java.lang.Boolean.compare(x, y))
+      case (_: DecimalType, x: BigDecimal, y: BigDecimal) =>
+        Some(x.compare(y))
       case _ => None
     }
 

@@ -129,6 +129,22 @@ object GraftLogWrite {
       case TimestampNTZType => prim(INT64,
         LogicalTypeAnnotation.timestampType(false,
           LogicalTypeAnnotation.TimeUnit.MICROS))
+      // the standard parquet decimal physical ladder (what Spark's own
+      // writer picks): INT32 to precision 9, INT64 to 18, then
+      // fixed-length binary sized to the precision — the reference's
+      // own money DDL is DECIMAL(10,2), so the table format must not
+      // inherit the engine's documented double deviation
+      case dec: DecimalType =>
+        val ann = LogicalTypeAnnotation.decimalType(dec.scale,
+          dec.precision)
+        if (dec.precision <= 9) prim(INT32, ann)
+        else if (dec.precision <= 18) prim(INT64, ann)
+        else {
+          val bytes = GraftLogWrite.decimalFixedWidth(dec.precision)
+          val b = if (required) Types.required(FIXED_LEN_BYTE_ARRAY)
+                  else Types.optional(FIXED_LEN_BYTE_ARRAY)
+          b.length(bytes).as(ann).named(name)
+        }
       case ArrayType(et, _) =>
         Types.optionalList()
           .element(toParquetType("element", et))
@@ -145,6 +161,31 @@ object GraftLogWrite {
       case other => throw new IllegalArgumentException(
         s"graftlog write: unsupported type $other for $name")
     }
+  }
+
+  /** Minimum FIXED_LEN_BYTE_ARRAY width whose two's-complement range
+    * covers `precision` decimal digits — parquet-format's prescribed
+    * sizing (the same table Spark's writer uses).
+    */
+  private[sources] def decimalFixedWidth(precision: Int): Int =
+    (1 to 32).find(n =>
+      BigInt(10).pow(precision) - 1 <= (BigInt(2).pow(8 * n - 1) - 1))
+      .getOrElse(throw new IllegalArgumentException(
+        s"decimal precision $precision too large"))
+
+  /** Unscaled decimal → two's-complement big-endian bytes padded to the
+    * fixed width (sign-extended).
+    */
+  private[sources] def decimalFixedBytes(unscaled: java.math.BigInteger,
+      width: Int): Array[Byte] = {
+    val raw = unscaled.toByteArray // minimal two's complement
+    require(raw.length <= width,
+      s"decimal unscaled value needs ${raw.length} bytes > width $width")
+    val out = new Array[Byte](width)
+    val pad: Byte = if (unscaled.signum() < 0) -1 else 0
+    java.util.Arrays.fill(out, 0, width - raw.length, pad)
+    System.arraycopy(raw, 0, out, width - raw.length, raw.length)
+    out
   }
 
   /** Spark → parquet schema for the supported hash-stable type set
@@ -681,6 +722,9 @@ class GraftLogDataWriter(staging: String, fileName: String,
           case FloatType   => row.getFloat(fi)
           case BooleanType => row.getBoolean(fi)
           case StringType  => row.getUTF8String(fi).toString
+          case d: DecimalType =>
+            row.getDecimal(fi, d.precision, d.scale)
+              .toJavaBigDecimal.toPlainString
           case other => throw new IllegalArgumentException(
             s"graftlog write: unsupported partition type $other " +
               s"for ${partCols(pi)}")
@@ -706,6 +750,14 @@ class GraftLogDataWriter(staging: String, fileName: String,
       Binary.fromConstantByteArray(src.getUTF8String(i).getBytes))
     case BinaryType             => g.add(idx,
       Binary.fromConstantByteArray(src.getBinary(i)))
+    case dec: DecimalType =>
+      val d = src.getDecimal(i, dec.precision, dec.scale)
+      if (dec.precision <= 9) g.add(idx, d.toUnscaledLong.toInt)
+      else if (dec.precision <= 18) g.add(idx, d.toUnscaledLong)
+      else g.add(idx, Binary.fromConstantByteArray(
+        GraftLogWrite.decimalFixedBytes(
+          d.toJavaBigDecimal.unscaledValue(),
+          GraftLogWrite.decimalFixedWidth(dec.precision))))
     case ArrayType(et, _) =>
       val outer = g.addGroup(idx) // the LIST wrapper group
       val arr = src.getArray(i)
