@@ -1127,6 +1127,55 @@ object Maintenance {
 
   val catalogAsofSql: String = logVersionsSql
 
+  /** CTAS + INSERT INTO as LANGUAGE features: `CREATE TABLE graft.t AS
+    * SELECT` routes through the catalog's createTable (an EMPTY v1
+    * committed with the schema — time-travelable from the instant the
+    * table exists) and lands its query result as v2 through the very
+    * same two-phase commit every write uses; `INSERT INTO` appends v3.
+    * The whole spine is then read back through SQL `VERSION AS OF`, so
+    * a create that lost rows, an insert that landed twice, or an AS-OF
+    * binding off by one hash-fails against the closed-form oracle.
+    */
+  def catalogCtas(s: SparkSession, d: String): DataFrame = {
+    val wh = SetupOnce.runtimeDir(d, "ctas_warehouse")
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    SetupOnce(s"$wh/orders_ctas") {
+      Tables.orders(s, d).createOrReplaceTempView("graft_ctas_src")
+      s.sql(
+        """CREATE TABLE graft.orders_ctas AS
+          |SELECT o_orderkey, o_totalprice FROM graft_ctas_src
+          |WHERE o_orderkey % 3 = 0""".stripMargin)
+      s.sql(
+        """INSERT INTO graft.orders_ctas
+          |SELECT o_orderkey, o_totalprice FROM graft_ctas_src
+          |WHERE o_orderkey % 3 <> 0""".stripMargin)
+    }
+    (1 to 3).map { v =>
+      s.sql(s"SELECT * FROM graft.orders_ctas VERSION AS OF $v")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .select(lit(v.toLong).as("version"), col("n_rows"),
+          col("total_cents"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  val catalogCtasSql: String =
+    """SELECT CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS n_rows,
+      |       CAST(NULL AS BIGINT) AS total_cents
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), COUNT(*),
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT)
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), COUNT(*),
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT)
+      |FROM orders
+      |ORDER BY version""".stripMargin
+
   /** Lays down (once per JVM) an orders slice written through the
     * connector's PARTITIONED write path: Hive `o_orderstatus=<v>/`
     * layout under one committed version, partition values in the files,
@@ -1402,6 +1451,161 @@ object Maintenance {
        |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
        |         AS BIGINT) AS total_cents
        |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_log_merge / q_log_delete — row-level MERGE and DELETE on the log
+  // ---------------------------------------------------------------------
+
+  /** MERGE INTO the log — the LWW key-match upsert ([[Relational
+    * .upsertLww]]'s semantics) as a ROW-LEVEL table-format operation.
+    * The full machinery (catalog-prune → semi-join touch detection →
+    * anti-join rewrite → one zero-rename remove+add commit) lives with
+    * the connector in [[graft.sources.GraftLogOps]], where the SQL
+    * DELETE surface shares it.
+    */
+  private[graft] def mergeIntoLog(s: SparkSession, root: String,
+      source: DataFrame, keys: Seq[String]): Int =
+    graft.sources.GraftLogOps.mergeIntoLog(s, root, source, keys)
+
+  /** Row-level DELETE on the log (SQL NULL semantics; no-match =
+    * no-op) — see [[graft.sources.GraftLogOps.deleteFromLog]].
+    */
+  private[graft] def deleteFromLog(s: SparkSession, root: String,
+      cond: Column): Int =
+    graft.sources.GraftLogOps.deleteFromLog(s, root, cond)
+
+  /** Lays down (once per JVM) the MERGE fixture: v1 = orders keyed by
+    * o_orderkey, Hive-partitioned on bucket = key mod 8 (so per-file
+    * manifest statistics carry min=max=bucket); then ONE merge whose
+    * source updates the keys ≡3 mod 16 (price doubled — an exact FP op
+    * both engines state identically) and inserts their negations as new
+    * rows. Only the bucket=3 file contains matched keys, so the merge
+    * rewrites exactly that file (GraftLogMergeSpec pins the single
+    * remove and the zero-rename commit).
+    */
+  private[graft] def mergedTableDir(s: SparkSession, d: String): String = {
+    val root = SetupOnce.runtimeDir(d, "orders_graftmerge")
+    SetupOnce(root) {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          pmod(col("o_orderkey"), lit(8L)).as("bucket"),
+          col("o_totalprice"))
+      base.write.format(graft.sources.GraftLog.Format)
+        .option("path", root)
+        .option("schema",
+          "o_orderkey BIGINT, bucket BIGINT, o_totalprice DOUBLE")
+        .option("partitionBy", "bucket").mode("append").save()
+      val upd = Tables.orders(s, d).filter(col("o_orderkey") % 16 === 3)
+      val source = upd.select(col("o_orderkey"), lit(3L).as("bucket"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .unionByName(upd.select((-col("o_orderkey")).as("o_orderkey"),
+          pmod(-col("o_orderkey"), lit(8L)).as("bucket"),
+          col("o_totalprice")))
+      mergeIntoLog(s, root, source, Seq("o_orderkey"))
+    }
+    root
+  }
+
+  /** MERGE INTO, hash-gated end-to-end: the post-merge snapshot's exact
+    * aggregate (the LWW oracle recomputed in closed form by DuckDB) CROSS
+    * JOIN the merge version's change-feed row counts — delete rows are
+    * exactly the rewritten file's old rows (keys ≡3 mod 8), insert rows
+    * the kept (≡11 mod 16) plus updated-and-inserted (2 × ≡3 mod 16)
+    * rows. A merge bug anywhere — a lost unmatched row, a double-applied
+    * update, a rewrite touching the wrong file — hash-fails one side.
+    */
+  def logMerge(s: SparkSession, d: String): DataFrame = {
+    val root = mergedTableDir(s, d)
+    val v = latestVersion(s, root)
+    val snap = readVersion(s, root, v)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+    val ct = col(graft.sources.GraftLog.ChangeTypeCol)
+    val cdc = s.read.format(graft.sources.GraftLog.Format)
+      .option("path", root).option("readChangeFeed", true).load()
+      .filter(col(graft.sources.GraftLog.CommitVersionCol) === v)
+      .agg(sum(when(ct === "delete", 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(ct === "insert", 1L).otherwise(0L)).as("n_inserted"))
+    snap.crossJoin(cdc)
+  }
+
+  val logMergeSql: String =
+    """WITH m AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 16 = 3 THEN o_totalprice * 2
+      |              ELSE o_totalprice END AS price
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 16 = 3),
+      |agg AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |         CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS total_cents
+      |  FROM m),
+      |cdc AS (
+      |  SELECT (SELECT COUNT(*) FROM orders
+      |          WHERE o_orderkey % 8 = 3) AS n_deleted,
+      |         (SELECT COUNT(*) FROM orders WHERE o_orderkey % 16 = 11)
+      |         + 2 * (SELECT COUNT(*) FROM orders
+      |                WHERE o_orderkey % 16 = 3) AS n_inserted)
+      |SELECT agg.n_rows, agg.total_cents, cdc.n_deleted, cdc.n_inserted
+      |FROM agg CROSS JOIN cdc""".stripMargin
+
+  /** The DELETE fixture: same bucket-partitioned layout, one row-level
+    * delete of the keys ≡3 mod 16 — half of the bucket=3 file's rows,
+    * so exactly that file is rewritten without them.
+    */
+  private[graft] def deletedTableDir(s: SparkSession, d: String): String = {
+    val root = SetupOnce.runtimeDir(d, "orders_graftdel")
+    SetupOnce(root) {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          pmod(col("o_orderkey"), lit(8L)).as("bucket"),
+          col("o_totalprice"))
+        .write.format(graft.sources.GraftLog.Format)
+        .option("path", root)
+        .option("schema",
+          "o_orderkey BIGINT, bucket BIGINT, o_totalprice DOUBLE")
+        .option("partitionBy", "bucket").mode("append").save()
+      deleteFromLog(s, root, col("o_orderkey") % 16 === 3)
+    }
+    root
+  }
+
+  /** Row-level DELETE, hash-gated the same way as the merge: post-delete
+    * snapshot aggregate + the delete version's change-feed counts
+    * (delete rows = the whole rewritten file, insert rows = its kept
+    * remainder).
+    */
+  def logDelete(s: SparkSession, d: String): DataFrame = {
+    val root = deletedTableDir(s, d)
+    val v = latestVersion(s, root)
+    val snap = readVersion(s, root, v)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+    val ct = col(graft.sources.GraftLog.ChangeTypeCol)
+    val cdc = s.read.format(graft.sources.GraftLog.Format)
+      .option("path", root).option("readChangeFeed", true).load()
+      .filter(col(graft.sources.GraftLog.CommitVersionCol) === v)
+      .agg(sum(when(ct === "delete", 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(ct === "insert", 1L).otherwise(0L)).as("n_inserted"))
+    snap.crossJoin(cdc)
+  }
+
+  val logDeleteSql: String =
+    """WITH agg AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS total_cents
+      |  FROM orders WHERE o_orderkey % 16 <> 3),
+      |cdc AS (
+      |  SELECT (SELECT COUNT(*) FROM orders
+      |          WHERE o_orderkey % 8 = 3) AS n_deleted,
+      |         (SELECT COUNT(*) FROM orders
+      |          WHERE o_orderkey % 16 = 11) AS n_inserted)
+      |SELECT agg.n_rows, agg.total_cents, cdc.n_deleted, cdc.n_inserted
+      |FROM agg CROSS JOIN cdc""".stripMargin
 
   // ---------------------------------------------------------------------
   // q_occ_log — optimistic concurrency: conflict-detected commits

@@ -33,10 +33,20 @@ import org.apache.spark.util.SerializableConfiguration
   * sealed OCC manifest's filesystem timestamp — the instant the
   * version became visible) is at or before the requested instant.
   *
-  * The catalog is read-path-only by design: writes go through
-  * `df.write.format("graftlog")` (two-phase staged commit) or the
-  * explicit maintenance utilities, keeping exactly one commit
-  * protocol. CREATE/ALTER/RENAME through SQL refuse loudly.
+  * `CREATE TABLE` (and so CTAS — `CREATE TABLE graft.t AS SELECT ...`,
+  * plus subsequent `INSERT INTO graft.t`) routes through the SAME
+  * two-phase commit protocol the write path uses: create commits an
+  * EMPTY version 1 carrying the schema DDL (the table exists and is
+  * time-travelable from that instant), and the CTAS/INSERT data lands
+  * as ordinary appended versions — exactly one commit protocol, no
+  * catalog-private metadata. `PARTITIONED BY (col)` (identity only)
+  * becomes the default Hive-layout partitioning for writes through the
+  * created table instance; partitioning is physical layout, never
+  * truth (values stay in the files, pruning derives from manifest
+  * statistics). Schema evolution stays with the write path's
+  * documented WIDENING contract — ALTER/RENAME through SQL refuse
+  * loudly, as does DROP (a graftlog table's identity is its
+  * directory; delete at the storage layer).
   *
   * The warehouse location is re-read from the live session conf on
   * every resolution (falling back to the option captured at
@@ -143,25 +153,60 @@ class GraftCatalog extends TableCatalog {
     }
   }
 
+  /** `CREATE TABLE` / the create half of CTAS: commit an EMPTY version
+    * 1 carrying the schema DDL through [[GraftLogWrite.commitStaged]] —
+    * the exact protocol every data write uses (claim put-if-absent,
+    * manifest, `_ok` marker), so concurrent CREATEs serialize on the
+    * version claim and a torn create is invisible. The returned table
+    * is immediately writable (CTAS appends its query result as v2) and
+    * readable (`VERSION AS OF 1` is the committed empty snapshot).
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is read-path-only: create tables by writing " +
-        s"df.write.format(\"graftlog\") to ${rootOf(ident)} with " +
-        "option(\"schema\", <ddl>)")
+      properties: util.Map[String, String]): Table = {
+    val c = conf
+    val root = rootOf(ident)
+    if (GraftLog.latestVersion(c, root) > 0)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map { t =>
+      val refs = t.references()
+      if (t.name() == "identity" && refs.length == 1 &&
+          refs(0).fieldNames().length == 1) refs(0).fieldNames()(0)
+      else throw new UnsupportedOperationException(
+        s"graft catalog: unsupported partition transform $t — only " +
+          "identity partitioning (PARTITIONED BY (col)) is expressible " +
+          "in the log's Hive layout")
+    }
+    val missing = partCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"graft catalog: PARTITIONED BY column(s) ${missing.mkString(", ")}" +
+        s" not in the table schema [${schema.toDDL}]")
+    val normalized = GraftLog.asNullable(schema)
+    // refuse unstorable types at CREATE, not at the first append
+    GraftLogWrite.toMessageType(normalized)
+    GraftLogWrite.commitStaged(c, root,
+      s"$root/data/w_create_${java.util.UUID.randomUUID()}",
+      Nil, Some(normalized))
+    GraftLogTable(root, 1, normalized, new SerializableConfiguration(c),
+      partitionCols = partCols)
+  }
 
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table =
     throw new UnsupportedOperationException(
-      "graft catalog is read-path-only: schema evolves through the " +
-        "write path's documented contract, not ALTER TABLE")
+      "graft catalog: schema evolves through the write path's " +
+        "documented WIDENING contract (an append passing an extended " +
+        "option(\"schema\")), not ALTER TABLE")
 
+  // deliberately a no-op (never destructive): a graftlog table IS its
+  // directory + log — deleting history through SQL would discard every
+  // time-travelable version; delete at the storage layer if truly meant
   override def dropTable(ident: Identifier): Boolean = false
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
-      "graft catalog is read-path-only: a graftlog table's identity is " +
-        "its directory; rename at the storage layer")
+      "graft catalog: a graftlog table's identity is its directory; " +
+        "rename at the storage layer")
 }

@@ -85,8 +85,10 @@ import graft.sources.GraftLogStats.{ColStats, FileEntry}
   * split into byte ranges (row groups assigned by midpoint — Spark's
   * own FileScan discipline), so a 10 GB compacted file is ~80 tasks,
   * not one. Readers use parquet-hadoop's public column-IO path —
-  * the default batch factory is the vectorized [[GraftLogColumnarReader]],
-  * with the row-at-a-time Group reader as the streaming/edge fallback.
+  * the default factory (batch AND streaming micro-batches) is the
+  * vectorized [[GraftLogColumnarReader]], with the row-at-a-time Group
+  * reader serving nested projections and the rare
+  * empty-projection-under-predicate edge.
   */
 object GraftLog {
 
@@ -945,13 +947,24 @@ class GraftLogSource extends TableProvider with DataSourceRegister {
 case class GraftLogTable(root: String, asOfVersion: Int,
     tableSchema: StructType,
     conf: SerializableConfiguration, cdc: Boolean = false,
-    cdcStart: Int = 1) extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    cdcStart: Int = 1, partitionCols: Seq[String] = Nil)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   // no backticks/quoting: Spark renders this name inside error messages
   // that are themselves parsed as identifiers
   override def name(): String =
     s"graftlog:$root@v$asOfVersion${if (cdc) s" cdc($cdcStart..)" else ""}"
   override def schema(): StructType = tableSchema
+  // identity partitioning only — set by the catalog's CREATE TABLE
+  // PARTITIONED BY; a write through this table instance lays out
+  // Hive-style k=v/ directories unless option("partitionBy") overrides.
+  // Partitioning is physical LAYOUT, not truth: the values stay in the
+  // files and pruning derives from manifest statistics either way.
+  override def partitioning(): Array[Transform] =
+    partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .identity(c): Transform).toArray
   override def capabilities(): util.Set[TableCapability] =
     if (cdc) util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
@@ -973,7 +986,27 @@ case class GraftLogTable(root: String, asOfVersion: Int,
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(!cdc, "graftlog: a change-feed read is not writable")
     new GraftLogWriteBuilder(root, info, conf,
-      if (asOfVersion >= 1) Some(tableSchema) else None)
+      if (asOfVersion >= 1) Some(tableSchema) else None, partitionCols)
+  }
+
+  /** SQL `DELETE FROM graft.t WHERE ...` (and TRUNCATE, which arrives
+    * as AlwaysTrue): expressible predicates route to the row-level
+    * rewrite ([[GraftLogOps.deleteFromLog]] — only the files containing
+    * matching rows are rewritten, one remove+add version, CDC-visible).
+    * Inexpressible predicates refuse at ANALYSIS via canDeleteWhere —
+    * never a silent wrong-rows delete.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !cdc && asOfVersion >= 1 &&
+      filters.forall(f => GraftLogOps.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(!cdc, "graftlog: cannot DELETE FROM a change-feed read")
+    val spark = SparkSession.active
+    val cond = filters.flatMap(GraftLogOps.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    GraftLogOps.deleteFromLog(spark, root, cond)
   }
 }
 
@@ -1392,7 +1425,7 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
       checkpointLocation: String): streaming.MicroBatchStream =
     new GraftLogMicroBatchStream(root, pruned, effectivePredicate,
       predicateRefs, conf, cdc, cdcStart, maxVersionsPerTrigger,
-      streamStart)
+      streamStart, columnar)
 }
 
 case class GraftLogInputPartition(file: String,
@@ -1432,7 +1465,7 @@ class GraftLogMicroBatchStream(root: String, pruned: StructType,
     predicate: Option[FilterPredicate], predicateRefs: Set[String],
     conf: SerializableConfiguration, cdc: Boolean, cdcStart: Int = 1,
     maxVersionsPerTrigger: Option[Int] = None,
-    streamStart: Option[Int] = None)
+    streamStart: Option[Int] = None, columnar: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
@@ -1531,9 +1564,15 @@ class GraftLogMicroBatchStream(root: String, pruned: StructType,
     }.map(p => p: InputPartition).toArray
   }
 
+  // the micro-batch tail reads through the SAME factory the batch scan
+  // uses, vectorized included — supportColumnarReads routes nested
+  // projections and the empty-projection-under-predicate edge to the
+  // row reader per the same rules, so a streaming epoch's plan carries
+  // the identical ColumnarToRow span a batch read of that version would
+  // (StreamingSpec pins plan shape and batch/stream row parity)
   override def createReaderFactory(): PartitionReaderFactory =
     GraftLogReaderFactory(pruned, predicate, predicateRefs, conf,
-      columnar = false, cdc)
+      columnar, cdc)
 
   override def commit(end: Offset): Unit = ()
 

@@ -440,7 +440,8 @@ object GraftLogWrite {
 }
 
 class GraftLogWriteBuilder(root: String, info: LogicalWriteInfo,
-    conf: SerializableConfiguration, tableSchema: Option[StructType])
+    conf: SerializableConfiguration, tableSchema: Option[StructType],
+    defaultPartCols: Seq[String] = Nil)
     extends WriteBuilder {
 
   /** Schema contract on append: the incoming query's columns must match
@@ -465,9 +466,13 @@ class GraftLogWriteBuilder(root: String, info: LogicalWriteInfo,
         "new columns")
   }
 
-  private def partCols: Seq[String] =
-    Option(info.options.get("partitionBy")).toSeq
+  // option("partitionBy") per write; a catalog-created table's declared
+  // PARTITIONED BY columns are the default when the option is absent
+  private def partCols: Seq[String] = {
+    val opt = Option(info.options.get("partitionBy")).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    if (opt.nonEmpty) opt else defaultPartCols
+  }
 
   private def checkPartCols(): Unit = {
     val missing = partCols.filterNot(c =>

@@ -101,9 +101,8 @@ class GraftCatalogSpec extends SparkSpecBase {
       .collect().head.getLong(0) === 10L)
   }
 
-  test("listTables surfaces graftlog roots under the warehouse; the " +
-      "catalog is read-path-only (CREATE refuses with the write-path " +
-      "pointer)") {
+  test("listTables surfaces graftlog roots under the warehouse; ALTER " +
+      "and RENAME refuse; DROP never deletes history") {
     val root = Maintenance.txnTableDir(spark, sfDir)
     val parent = root.substring(0, root.lastIndexOf('/'))
     val table = root.substring(root.lastIndexOf('/') + 1)
@@ -111,13 +110,79 @@ class GraftCatalogSpec extends SparkSpecBase {
     val names = spark.sql("SHOW TABLES IN graft").collect()
       .map(_.getString(1)).toSet
     assert(names.contains(table), names.toString)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$table` ADD COLUMN extra BIGINT")
+    }
+    assert(msgs(e1).exists(_.contains("WIDENING")), msgs(e1).mkString(" | "))
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$table` RENAME TO renamed_away")
+    }
+    assert(msgs(e2).exists(m => m.contains("storage layer") ||
+      m.contains("RENAME")), msgs(e2).mkString(" | "))
+    // DROP is a deliberate no-op: the log (and every version) survives
+    spark.sql(s"DROP TABLE IF EXISTS graft.`$table`")
+    assert(GraftLog.latestVersion(conf, root) >= 1)
+  }
+
+  test("CREATE TABLE / CTAS / INSERT INTO route through the ONE commit " +
+      "protocol: create commits an empty v1 carrying the schema, CTAS " +
+      "data lands as v2, INSERT appends v3 — every step time-travelable " +
+      "and readable through the option path too") {
+    val wh = Files.createTempDirectory("graft_cat_ctas").toString
+    register(wh)
+    spark.range(0, 50).selectExpr("id", "id * 2 AS v")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql(
+      "CREATE TABLE graft.t1 AS SELECT id, v FROM ctas_src WHERE id < 30")
+    // v1 = the committed empty create (schema readable, zero rows)
+    assert(spark.sql("SELECT count(*) FROM graft.t1 VERSION AS OF 1")
+      .collect().head.getLong(0) === 0L)
+    assert(spark.sql("SELECT * FROM graft.t1 VERSION AS OF 1")
+      .schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(spark.sql("SELECT count(*) FROM graft.t1")
+      .collect().head.getLong(0) === 30L)
+    spark.sql("INSERT INTO graft.t1 SELECT id, v FROM ctas_src WHERE id >= 30")
+    assert(spark.sql("SELECT count(*) FROM graft.t1")
+      .collect().head.getLong(0) === 50L)
+    assert(spark.sql("SELECT count(*) FROM graft.t1 VERSION AS OF 2")
+      .collect().head.getLong(0) === 30L)
+    assert(GraftLog.latestVersion(conf, s"$wh/t1") === 3)
+    // the SQL-created table is the same log the option path reads
+    assert(spark.read.format("graftlog").option("path", s"$wh/t1").load()
+      .count() === 50L)
+    // duplicate CREATE refuses; IF NOT EXISTS stays quiet
+    intercept[org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException] {
+      spark.sql("CREATE TABLE graft.t1 (id BIGINT)")
+    }
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.t1 (id BIGINT)")
+    assert(GraftLog.latestVersion(conf, s"$wh/t1") === 3) // unchanged
+    // partitioned CTAS: identity PARTITIONED BY lays Hive k=v/ dirs,
+    // values stay IN the files, per-file stats carry min=max=value
+    spark.sql(
+      "CREATE TABLE graft.t2 PARTITIONED BY (grp) AS " +
+        "SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS grp " +
+        "FROM ctas_src")
+    val files = GraftLog.dataFiles(conf, s"$wh/t2",
+      GraftLog.latestVersion(conf, s"$wh/t2"))
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.contains("grp=a") || f.contains("grp=b")),
+      files.take(3).mkString(", "))
+    assert(spark.sql("SELECT grp, count(*) AS n FROM graft.t2 GROUP BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .toSeq === Seq(("a", 25L), ("b", 25L)))
+    // unstorable column types refuse at CREATE, before any write
     val e = intercept[Exception] {
-      spark.sql("CREATE TABLE graft.brand_new (id BIGINT) ")
+      spark.sql("CREATE TABLE graft.t3 (id BIGINT, o INTERVAL DAY)")
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("read-path-only")),
+    assert(msgs(e).exists(_.contains("unsupported type")),
       msgs(e).mkString(" | "))
+    assert(GraftLog.latestVersion(conf, s"$wh/t3") === 0)
   }
 }

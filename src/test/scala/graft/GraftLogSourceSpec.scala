@@ -425,4 +425,70 @@ class GraftLogSourceSpec extends SparkSpecBase {
       !r.getAs[java.time.LocalDateTime]("o_orderdate").isAfter(someTs))
     assert(filtered(col("o_orderdate") <= lit(someTs)) === wantTs.toLong)
   }
+
+  test("streaming tail reads VECTORIZED: every micro-batch plan carries " +
+      "ColumnarToRow over the connector scan and the drained rows equal " +
+      "the batch read; a nested projection falls back to the row reader") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // returns the LAST micro-batch's physical plan (the foreachBatch
+    // DataFrame itself arrives pre-executed as an ExistingRDD — the
+    // real scan plan lives in the stream's IncrementalExecution)
+    def drain(root: String, ckp: String,
+        rows: scala.collection.mutable.ArrayBuffer[Seq[Any]]): String = {
+      val q = spark.readStream.format("graftlog").option("path", root)
+        .load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          rows ++= b.collect().map(_.toSeq)
+          ()
+        }
+        .option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime
+        .StreamingQueryWrapper].explainInternal(false)
+    }
+
+    // flat projection: the vectorized path, same factory as batch
+    val root = Files.createTempDirectory("graft_tailvec").toString
+    Seq(0, 1).foreach { p =>
+      spark.range(0, 200).filter(pmod(col("id"), lit(2)) === p)
+        .selectExpr("id", "id * 3 AS v")
+        .write.format("graftlog").option("path", root)
+        .option("schema", "id BIGINT, v BIGINT").mode("append").save()
+    }
+    val rows = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val plan = drain(root,
+      Files.createTempDirectory("graft_tailvec_ckp").toString, rows)
+    assert(plan.contains("ColumnarToRow"), plan.take(1500))
+    val want = spark.read.format("graftlog").option("path", root).load()
+      .collect().map(_.toSeq.map(_.asInstanceOf[Long]))
+      .sortBy(_.head).toSeq
+    assert(rows.map(_.map(_.asInstanceOf[Long])).sortBy(_.head).toSeq
+      === want)
+    assert(want.length === 200)
+
+    // nested projection: supportColumnarReads routes to the row reader
+    // (repetition-level assembly is the Group walk's job) — same rows,
+    // no ColumnarToRow span
+    val root2 = Files.createTempDirectory("graft_tailvec_nested").toString
+    Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)),
+        (3L, Seq(5.0f, 6.0f)))
+      .toDF("id", "emb")
+      .write.format("graftlog").option("path", root2)
+      .option("schema", "id BIGINT, emb ARRAY<FLOAT>")
+      .mode("append").save()
+    val rows2 = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val plan2 = drain(root2,
+      Files.createTempDirectory("graft_tailvec_nested_ckp").toString,
+      rows2)
+    assert(!plan2.contains("ColumnarToRow"), plan2.take(1500))
+    assert(rows2.map(r => (r.head.asInstanceOf[Long],
+        r(1).asInstanceOf[scala.collection.Seq[Float]].toList))
+      .sortBy(_._1).toList
+      === List((1L, List(1.0f, 2.0f)), (2L, List(3.0f, 4.0f)),
+        (3L, List(5.0f, 6.0f))))
+  }
 }
