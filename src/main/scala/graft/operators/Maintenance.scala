@@ -1552,6 +1552,141 @@ object Maintenance {
       |SELECT agg.n_rows, agg.total_cents, cdc.n_deleted, cdc.n_inserted
       |FROM agg CROSS JOIN cdc""".stripMargin
 
+  /** The SQL-DML fixture: the bucket-partitioned orders log behind the
+    * [[graft.sources.GraftCatalog]], mutated by THREE SQL statements —
+    * UPDATE (doubles prices of keys ≡3 mod 16), DELETE (keys ≡11 mod
+    * 16; the `%` predicate is inexpressible as a data-source filter, so
+    * it runs as the group-based row-level rewrite), MERGE INTO (triples
+    * prices of keys ≡5 mod 16 and inserts their negations). Each
+    * statement commits ONE remove+add version whose rewrite touched
+    * only the files Spark's runtime `_file` group filter selected
+    * (GraftLogSqlDmlSpec pins the group discipline; the query hash-
+    * gates the cumulative semantics).
+    */
+  private[graft] def sqlDmlTableDir(s: SparkSession, d: String): String = {
+    val wh = SetupOnce.runtimeDir(d, "dml_warehouse")
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val root = s"$wh/orders_dml"
+    SetupOnce(root) {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          pmod(col("o_orderkey"), lit(8L)).as("bucket"),
+          col("o_totalprice"))
+        .write.format(graft.sources.GraftLog.Format)
+        .option("path", root)
+        .option("schema",
+          "o_orderkey BIGINT, bucket BIGINT, o_totalprice DOUBLE")
+        .option("partitionBy", "bucket").mode("append").save()
+      s.sql("UPDATE graft.orders_dml SET o_totalprice = " +
+        "o_totalprice * 2 WHERE o_orderkey % 16 = 3")
+      s.sql("DELETE FROM graft.orders_dml WHERE o_orderkey % 16 = 11")
+      val upd = Tables.orders(s, d).filter(col("o_orderkey") % 16 === 5)
+      upd.select(col("o_orderkey"), lit(5L).as("bucket"),
+          (col("o_totalprice") * 3).as("o_totalprice"))
+        .unionByName(upd.select((-col("o_orderkey")).as("o_orderkey"),
+          pmod(-col("o_orderkey"), lit(8L)).as("bucket"),
+          col("o_totalprice")))
+        .createOrReplaceTempView("graft_dml_src")
+      s.sql(
+        """MERGE INTO graft.orders_dml t USING graft_dml_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    root
+  }
+
+  /** SQL UPDATE + DELETE + MERGE INTO, hash-gated end to end: the final
+    * snapshot's exact aggregate after all three DML versions, against
+    * the oracle's closed-form restatement of the same history. A DML
+    * bug anywhere — an update applied outside its predicate, a delete
+    * dropping kept rows of a rewritten file, a merge double-inserting —
+    * hash-fails; n_versions pins one committed version per statement.
+    */
+  def logDml(s: SparkSession, d: String): DataFrame = {
+    val root = sqlDmlTableDir(s, d)
+    val latest = latestVersion(s, root)
+    readVersion(s, root, latest)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .select(lit(latest.toLong).as("n_versions"), col("n_rows"),
+        col("total_cents"))
+  }
+
+  val logDmlSql: String =
+    """WITH m AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 16 = 3 THEN o_totalprice * 2
+      |              WHEN o_orderkey % 16 = 5 THEN o_totalprice * 3
+      |              ELSE o_totalprice END AS price
+      |  FROM orders WHERE o_orderkey % 16 <> 11
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 16 = 5)
+      |SELECT CAST(4 AS BIGINT) AS n_versions, COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT) AS total_cents
+      |FROM m""".stripMargin
+
+  /** The OPTIMIZE fixture: the bucket-partitioned orders log (8 small
+    * files), compacted through [[graft.sources.GraftLogOps.compactLog]]
+    * into target-size output files as one remove+add version.
+    */
+  private[graft] def compactedTableDir(s: SparkSession, d: String): String = {
+    val root = SetupOnce.runtimeDir(d, "orders_graftcompact")
+    SetupOnce(root) {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          pmod(col("o_orderkey"), lit(8L)).as("bucket"),
+          col("o_totalprice"))
+        .write.format(graft.sources.GraftLog.Format)
+        .option("path", root)
+        .option("schema",
+          "o_orderkey BIGINT, bucket BIGINT, o_totalprice DOUBLE")
+        .option("partitionBy", "bucket").mode("append").save()
+      graft.sources.GraftLogOps.compactLog(s, root)
+    }
+    root
+  }
+
+  /** OPTIMIZE through the connector, hash-gated: the pre- and post-
+    * compaction snapshots must agree exactly (content preservation is
+    * the whole contract — a compaction that drops, duplicates, or
+    * reorders-into-wrong-files hash-fails one spine row), and the
+    * in-row `files_reduced` flag pins that the rewrite actually shrank
+    * the file count (manifest-derived, zero data I/O).
+    */
+  def logCompact(s: SparkSession, d: String): DataFrame = {
+    val root = compactedTableDir(s, d)
+    val conf = s.sessionState.newHadoopConf()
+    val reduced =
+      if (graft.sources.GraftLog.dataFiles(conf, root, 2).size <
+        graft.sources.GraftLog.dataFiles(conf, root, 1).size) 1L else 0L
+    (1 to 2).map { v =>
+      readVersion(s, root, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .select(lit(v.toLong).as("version"), col("n_rows"),
+          col("total_cents"), lit(reduced).as("files_reduced"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  val logCompactSql: String =
+    """SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT) AS total_cents,
+      |       CAST(1 AS BIGINT) AS files_reduced
+      |FROM orders
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), COUNT(*),
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT),
+      |       CAST(1 AS BIGINT)
+      |FROM orders
+      |ORDER BY version""".stripMargin
+
   /** The DELETE fixture: same bucket-partitioned layout, one row-level
     * delete of the keys ≡3 mod 16 — half of the bucket=3 file's rows,
     * so exactly that file is rewritten without them.

@@ -48,18 +48,20 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftLogColumnarReader(file: String, pruned: StructType,
     predicate: Option[FilterPredicate], predicateRefs: Set[String],
     baseConf: Configuration, cdcMeta: Option[(String, Long)] = None,
-    range: Option[(Long, Long)] = None)
+    range: Option[(Long, Long)] = None, synthFile: Boolean = false)
     extends PartitionReader[ColumnarBatch] {
 
   private val Capacity = 4096
   private val conf = new Configuration(baseConf)
 
-  // CDC meta names are scan-synthesized ONLY on CDC partitions (cdcMeta
-  // set); a legacy table whose own schema uses them reads them as data
+  // meta names are scan-synthesized ONLY when the scan says so (CDC
+  // tags on CDC partitions; `_file` when the table schema doesn't
+  // shadow it); a legacy table whose own schema uses them reads data
   private val dataFields: Array[(StructField, Int)] =
     pruned.fields.zipWithIndex.filter { case (f, _) =>
-      cdcMeta.isEmpty || !(f.name == GraftLog.ChangeTypeCol ||
-        f.name == GraftLog.CommitVersionCol) }
+      (cdcMeta.isEmpty || !(f.name == GraftLog.ChangeTypeCol ||
+        f.name == GraftLog.CommitVersionCol)) &&
+        (!synthFile || f.name != GraftLog.FileCol) }
 
   // ONE footer read per file: open optimistically WITH the pushed
   // predicate — parquet's row-group filter validates the predicate
@@ -199,6 +201,8 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
     true
   }
 
+  private val fileBytes: Array[Byte] = UTF8String.fromString(file).getBytes
+
   private def fillMeta(n: Int): Unit = {
     cdcMeta.foreach { case (ct, ver) =>
       val ctBytes = UTF8String.fromString(ct).getBytes
@@ -211,6 +215,12 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
           while (r < n) { vectors(i).putLong(r, ver); r += 1 }
         case _ => ()
       }
+    }
+    if (synthFile) pruned.fields.zipWithIndex.foreach {
+      case (f, i) if f.name == GraftLog.FileCol =>
+        var r = 0
+        while (r < n) { vectors(i).putByteArray(r, fileBytes); r += 1 }
+      case _ => ()
     }
     absent.foreach(i => vectors(i).putNulls(0, n))
   }

@@ -200,6 +200,38 @@ object GraftLogOps {
     commitRewrite(s, root, "delete", kept, schema, touched)
   }
 
+  /** OPTIMIZE (compaction) on the log: rewrite the live files smaller
+    * than `smallBytes` into ~`targetBytes` output files, committed as
+    * one remove+add version — content-preserving by construction (the
+    * rewrite is a plain read of exactly the removed files), CDC-visible
+    * as delete+insert, refused by the snapshot streaming tail exactly
+    * like any rewrite (CDC tails consume it). Files already at or above
+    * the small-file threshold are untouched; fewer than two small files
+    * means nothing to gain, so nothing commits. Returns the committed
+    * (or current) version.
+    */
+  def compactLog(s: SparkSession, root: String,
+      smallBytes: Long = 32L * 1024 * 1024,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val conf = s.sessionState.newHadoopConf()
+    val latest = GraftLog.latestVersion(conf, root)
+    require(latest >= 1, s"no committed versions under $root")
+    val schema = GraftLog.inferSchema(conf, root, latest)
+    val entries = statsEntries(s, root, latest)
+    val small = entries.filter(_._2.bytes.exists(_ < smallBytes))
+    if (small.size < 2) return latest // nothing worth binning
+    val totalBytes = small.map(_._2.bytes.get).sum
+    val outFiles = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val cols = schema.fieldNames.map(col).toSeq
+    val compacted = s.read
+      .parquet(small.map(e => s"$root/${e._1}"): _*)
+      .select(cols: _*)
+      .coalesce(outFiles)
+    commitRewrite(s, root, "compact", compacted, schema,
+      small.map(_._1))
+  }
+
   /** Data-source Filter → Column, for the shapes SQL `DELETE FROM`
     * hands a SupportsDelete table. None = not expressible (the DELETE
     * then refuses during analysis via canDeleteWhere, never silently

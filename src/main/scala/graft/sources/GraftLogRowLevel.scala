@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** SQL UPDATE / MERGE INTO / complex DELETE on the log, as Spark's
+  * GROUP-BASED (copy-on-write) row-level operation:
+  *
+  *  1. Spark rewrites the DML command into a ReplaceData plan over this
+  *     operation's scan ([[GraftLogScanBuilder]] in `rowLevel` mode —
+  *     filters prune FILES via manifest statistics but never push a
+  *     record predicate, because the rewrite must read every row of
+  *     every touched file);
+  *  2. `RowLevelOperationRuntimeGroupFiltering` computes the files that
+  *     actually contain matched rows (a subquery over the `_file`
+  *     metadata column, fully pushed) and runtime-filters the scan with
+  *     `In(_file, ...)` — so only the TOUCHED files are read/rewritten,
+  *     the same group discipline the explicit mergeIntoLog utility uses;
+  *  3. the write lands the rewritten rows at their final write-scoped
+  *     `data/w_replace_<uuid>` location (zero-rename publication) and
+  *     commits remove(exactly the files the scan planned) + add(new
+  *     files) as ONE version — change-feed-visible as delete+insert,
+  *     and guarded by the commit-time remove revalidation (a concurrent
+  *     rewrite of the same files refuses instead of losing an update).
+  *
+  * The scan instance is captured at build time so the write's commit
+  * can read the post-runtime-filter file set: a file that was never
+  * read must never be removed, and every file whose rows fed the
+  * rewrite must be.
+  */
+class GraftLogRowLevelBuilder(root: String,
+    conf: SerializableConfiguration, info: RowLevelOperationInfo)
+    extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new GraftLogRowLevelOperation(root, conf, info.command)
+}
+
+class GraftLogRowLevelOperation(root: String,
+    conf: SerializableConfiguration,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** The copy-on-write scan, captured when Spark builds it — the
+    * write's commit reads its planned (post-group-filter) file set as
+    * the remove set.
+    */
+  @volatile private[sources] var cowScan: Option[GraftLogScan] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"GraftLogRowLevelOperation[$cmd] root=$root"
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val c = conf.value
+    val latest = GraftLog.latestVersion(c, root)
+    require(latest >= 1, s"no committed versions under $root")
+    // row-level SQL needs per-file manifest rows (to remove exactly the
+    // touched files) and their statistics (to prune candidates); legacy
+    // logs refuse at ANALYSIS, before any job runs
+    val adds = GraftLog.liveAdds(c, root, latest)
+    require(adds.forall(r => r.rows.isDefined && r.stats.isDefined),
+      s"graftlog row-level SQL: $root has legacy manifest entries " +
+        "(no per-file statistics); UPDATE/MERGE/DELETE-rewrite require " +
+        "a connector-written log")
+    val schema = GraftLog.inferSchema(c, root, latest)
+    new GraftLogScanBuilder(root, latest, schema, conf, cdc = false,
+      cdcStart = 1, columnar = options.getBoolean("columnar", true),
+      rowLevel = true, onBuild = s => cowScan = Some(s))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftLogReplaceDataWrite(root, info.schema(),
+            s"$root/data/w_replace_${info.queryId()}_${UUID.randomUUID()}",
+            conf, GraftLogRowLevelOperation.this)
+      }
+    }
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftLog.FileCol))
+}
+
+/** The replace-data write: the same per-task parquet writers and
+  * statistics discipline as an ordinary append, but commit records
+  * remove rows for the operation's planned file set — one remove+add
+  * version, zero renames.
+  */
+class GraftLogReplaceDataWrite(root: String, writeSchema: StructType,
+    staging: String, conf: SerializableConfiguration,
+    op: GraftLogRowLevelOperation) extends BatchWrite {
+
+  // the rewrite writes the TABLE's data columns; metadata attributes
+  // (if a plan shape ever carries them through) are scan-synthesized
+  // and must not land in files
+  private val dataSchema = StructType(writeSchema.fields.filterNot(f =>
+    f.name == GraftLog.FileCol || f.name == GraftLog.ChangeTypeCol ||
+      f.name == GraftLog.CommitVersionCol))
+
+  require(dataSchema.length == writeSchema.length,
+    s"graftlog replace-data: unexpected metadata columns in the write " +
+      s"schema [${writeSchema.toDDL}]")
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    GraftLogWriterFactory(staging, dataSchema, Nil, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val removes = op.cowScan match {
+      case Some(scan) => scan.plannedRelFiles
+      case None => throw new IllegalStateException(
+        "graftlog replace-data: commit before the copy-on-write scan " +
+          "was planned — the remove set is unknown")
+    }
+    GraftLogWrite.commitStaged(conf.value, root, staging,
+      messages.flatMap(_.asInstanceOf[GraftLogCommitMessage].files).toSeq,
+      Some(dataSchema), removes = removes)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(staging)
+    p.getFileSystem(conf.value).delete(p, true)
+  }
+}

@@ -109,6 +109,15 @@ object GraftLog {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
 
+  /** File-provenance METADATA column (SupportsMetadataColumns): the
+    * absolute path of the data file each row came from — selectable as
+    * `SELECT _file, ...`, and the group-identity attribute Spark's
+    * row-level commands (UPDATE/MERGE/complex DELETE) use to runtime-
+    * filter the copy-on-write scan down to the files that actually
+    * contain matched rows.
+    */
+  val FileCol = "_file"
+
   /** Plan-time data-file footer opens — the metric the manifest-stats
     * design exists to drive to zero. Incremented at every driver-side
     * footer read that serves PLANNING (schema inference, stats, file
@@ -950,7 +959,9 @@ case class GraftLogTable(root: String, asOfVersion: Int,
     cdcStart: Int = 1, partitionCols: Seq[String] = Nil)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   // no backticks/quoting: Spark renders this name inside error messages
   // that are themselves parsed as identifiers
   override def name(): String =
@@ -989,12 +1000,48 @@ case class GraftLogTable(root: String, asOfVersion: Int,
       if (asOfVersion >= 1) Some(tableSchema) else None, partitionCols)
   }
 
+  /** `_file` — file provenance per row, and the group identity Spark's
+    * row-level commands runtime-filter on. Hidden when the table's OWN
+    * schema uses the name (legacy data wins, same policy as the CDC
+    * meta names).
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (tableSchema.fieldNames.contains(GraftLog.FileCol)) Array.empty
+    else Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftLog.FileCol
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "absolute path of the data file this row came from"
+      })
+
+  /** SQL UPDATE / MERGE INTO / complex DELETE: the group-based
+    * (copy-on-write) row-level operation — Spark rewrites the command
+    * into a ReplaceData plan over this table, runtime-filters the scan
+    * to the files that contain matched rows (via the `_file` metadata
+    * column), and the write commits remove(those files)+add(rewrite)
+    * as ONE version. See [[GraftLogRowLevelOperation]].
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!cdc,
+      "graftlog: row-level operations are not valid on a change-feed read")
+    require(!tableSchema.fieldNames.contains(GraftLog.FileCol),
+      s"graftlog: row-level SQL needs the ${GraftLog.FileCol} metadata " +
+        "column, which this table's own schema shadows")
+    new GraftLogRowLevelBuilder(root, conf, info)
+  }
+
   /** SQL `DELETE FROM graft.t WHERE ...` (and TRUNCATE, which arrives
     * as AlwaysTrue): expressible predicates route to the row-level
     * rewrite ([[GraftLogOps.deleteFromLog]] — only the files containing
     * matching rows are rewritten, one remove+add version, CDC-visible).
-    * Inexpressible predicates refuse at ANALYSIS via canDeleteWhere —
-    * never a silent wrong-rows delete.
+    * Inexpressible predicates rewrite through the group-based row-level
+    * plan instead (Spark's OptimizeMetadataOnlyDeleteFromTable picks
+    * this path only when canDeleteWhere holds).
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     !cdc && asOfVersion >= 1 &&
@@ -1013,7 +1060,8 @@ case class GraftLogTable(root: String, asOfVersion: Int,
 class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
     conf: SerializableConfiguration, cdc: Boolean, cdcStart: Int,
     columnar: Boolean, maxVersionsPerTrigger: Option[Int] = None,
-    streamStart: Option[Int] = None)
+    streamStart: Option[Int] = None, rowLevel: Boolean = false,
+    onBuild: GraftLogScan => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1049,9 +1097,16 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
     * prunes files only when it arrives as a runtime filter.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    accepted = filters.filter(f =>
-      f.references.forall(!int96.contains(_)) &&
-        GraftLog.toParquetPredicate(dataSchema, f).isDefined)
+    // COPY-ON-WRITE scans (rowLevel): a pushed parquet predicate would
+    // drop the KEPT rows of a partially-matching row group — the
+    // rewrite must read every row of every touched file, so filters
+    // participate in the FILE-level skip only (a wholly-pruned file is
+    // neither read nor removed — still live, still correct)
+    accepted =
+      if (rowLevel) Array.empty
+      else filters.filter(f =>
+        f.references.forall(!int96.contains(_)) &&
+          GraftLog.toParquetPredicate(dataSchema, f).isDefined)
     val acceptedSet = accepted.toSet
     skipOnly = filters.filter(f => !acceptedSet.contains(f) &&
       f.references.forall(c => !int96.contains(c) &&
@@ -1185,9 +1240,11 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
       val predicate = accepted
         .flatMap(f => GraftLog.toParquetPredicate(dataSchema, f))
         .reduceOption(FilterApi.and)
-      GraftLogScan(root, version, dataSchema, int96, pruned,
+      val scan = GraftLogScan(root, version, dataSchema, int96, pruned,
         accepted.map(_.toString), predicate, accepted, conf, cdc, cdcStart,
-        columnar, maxVersionsPerTrigger, skipOnly, streamStart)
+        columnar, maxVersionsPerTrigger, skipOnly, streamStart, rowLevel)
+      onBuild(scan)
+      scan
   }
 }
 
@@ -1234,7 +1291,7 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
     cdc: Boolean, cdcStart: Int, columnar: Boolean,
     maxVersionsPerTrigger: Option[Int] = None,
     skipOnlyFilters: Array[Filter] = Array.empty,
-    streamStart: Option[Int] = None)
+    streamStart: Option[Int] = None, rowLevel: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -1247,13 +1304,54 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
   private var runtimeFilters: Array[Filter] = Array.empty
   private[sources] var runtimeDesc: Array[String] = Array.empty
 
+  /** Runtime GROUP filter on the `_file` metadata column — the one
+    * Spark's row-level commands push after computing which files hold
+    * matched rows. Paths are compared in canonical URI-path form
+    * (scheme/authority rendering varies across filesystems).
+    */
+  private var fileFilter: Option[Set[String]] = None
+
+  /** Does the `_file` metadata column synthesize on this scan? (Never
+    * when the table's own schema shadows the name.)
+    */
+  private def synthFile: Boolean =
+    pruned.fieldNames.contains(GraftLog.FileCol) &&
+      !full.fieldNames.contains(GraftLog.FileCol)
+
+  private def normPath(p: String): String = new Path(p).toUri.getPath
+
+  /** Attributes runtime filters may target. A COPY-ON-WRITE scan
+    * advertises ONLY the `_file` group identity: Spark's runtime group
+    * filtering builds its pruning key from this exact set, so listing
+    * data columns here would make it prune on a whole-row struct —
+    * inconvertible to a file skip — instead of the file list. Ordinary
+    * scans advertise their OUTPUT columns (DPP on join keys): Spark's
+    * PartitionPruning resolves every advertised name against the scan
+    * relation's output and throws on a miss, so a column pruned away
+    * must not be advertised.
+    */
   override def filterAttributes():
-      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    full.fieldNames.filterNot(int96.contains)
-      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val names =
+      if (rowLevel) Array(GraftLog.FileCol)
+      else pruned.fieldNames.filterNot(int96.contains)
+    names.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
 
   override def filter(filters: Array[Filter]): Unit = {
-    val usable = filters.filter(f =>
+    val (fileFilters, dataFilters) = filters.partition(
+      _.references.contains(GraftLog.FileCol))
+    if (!full.fieldNames.contains(GraftLog.FileCol)) fileFilters.foreach {
+      case In(GraftLog.FileCol, vs) if vs != null =>
+        val set = vs.iterator.collect { case s: String => normPath(s) }
+          .toSet
+        fileFilter = Some(fileFilter.fold(set)(_ intersect set))
+      case EqualTo(GraftLog.FileCol, v: String) =>
+        val set = Set(normPath(v))
+        fileFilter = Some(fileFilter.fold(set)(_ intersect set))
+      case _ => () // conservative: unknown shapes keep every file
+    }
+    val usable = dataFilters.filter(f =>
       f.references.forall(c => !int96.contains(c) &&
         full.fieldNames.contains(c)))
     if (usable.nonEmpty) {
@@ -1263,10 +1361,13 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
   }
 
   /** Static + runtime parquet predicate (the convertible subset), for
-    * reader-level row-group skipping and record filtering.
+    * reader-level row-group skipping and record filtering. A COPY-ON-
+    * WRITE scan never pushes a record predicate: the rewrite must read
+    * every row of every touched file (file-level skip still applies).
     */
   private def effectivePredicate: Option[FilterPredicate] =
-    (staticFilters ++ runtimeFilters).toSeq
+    if (rowLevel) None
+    else (staticFilters ++ runtimeFilters).toSeq
       .flatMap(f => GraftLog.toParquetPredicate(full, f))
       .reduceOption(FilterApi.and)
 
@@ -1277,7 +1378,8 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
     * validator at reader build).
     */
   private def predicateRefs: Set[String] =
-    (staticFilters ++ runtimeFilters).iterator
+    if (rowLevel) Set.empty
+    else (staticFilters ++ runtimeFilters).iterator
       .filter(f => GraftLog.toParquetPredicate(full, f).isDefined)
       .flatMap(_.references).toSet
 
@@ -1371,6 +1473,14 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
     * decide from the manifest alone; legacy entries fall back to
     * parquet's own footer-level RowGroupFilter.
     */
+  /** Files a copy-on-write plan actually covered (manifest-relative,
+    * post every skip including the runtime group filter) — the EXACT
+    * remove set the paired replace-data write commits: a file that was
+    * never read must never be removed, and every file whose rows were
+    * fed to the rewrite must be.
+    */
+  @volatile private[sources] var plannedRelFiles: Seq[String] = Seq.empty
+
   override def planInputPartitions(): Array[InputPartition] = {
     val filters = skipFilters
     val pred = effectivePredicate
@@ -1383,15 +1493,25 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
     val maxSplit = SparkSession.getActiveSession
       .map(_.sessionState.conf.filesMaxPartitionBytes)
       .getOrElse(128L * 1024 * 1024)
-    entries.filter { case (e, _) =>
-      if (filters.isEmpty) true
-      else e.stats match {
-        case Some(st) =>
-          filters.forall(f => GraftLogStats.mayMatch(full, st, e.rows, f))
-        case None =>
-          pred.forall(p => GraftLog.fileMayMatch(conf.value, e.path, p))
+    val survivors = entries.filter { case (e, _) =>
+      fileFilter.forall(_.contains(normPath(e.path))) && {
+        if (filters.isEmpty) true
+        else e.stats match {
+          case Some(st) =>
+            filters.forall(f =>
+              GraftLogStats.mayMatch(full, st, e.rows, f))
+          case None =>
+            pred.forall(p => GraftLog.fileMayMatch(conf.value, e.path, p))
+        }
       }
-    }.flatMap { case (e, meta) =>
+    }
+    if (rowLevel) plannedRelFiles = survivors.map { case (e, _) =>
+      val rel = e.path.stripPrefix(s"$root/")
+      require(rel != e.path,
+        s"graftlog row-level scan: ${e.path} not under $root")
+      rel
+    }.distinct
+    survivors.flatMap { case (e, meta) =>
       e.bytes match {
         case Some(len) if len > maxSplit =>
           val n = ((len + maxSplit - 1) / maxSplit).toInt
@@ -1407,7 +1527,7 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftLogReaderFactory(pruned, effectivePredicate, predicateRefs,
-      conf, columnar, cdc)
+      conf, columnar, cdc, synthFile)
 
   /** The log as a STREAM: each committed version is a micro-batch —
     * `readStream.format("graftlog")` tails the commit log the way
@@ -1425,7 +1545,7 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
       checkpointLocation: String): streaming.MicroBatchStream =
     new GraftLogMicroBatchStream(root, pruned, effectivePredicate,
       predicateRefs, conf, cdc, cdcStart, maxVersionsPerTrigger,
-      streamStart, columnar)
+      streamStart, columnar, synthFile)
 }
 
 case class GraftLogInputPartition(file: String,
@@ -1465,7 +1585,8 @@ class GraftLogMicroBatchStream(root: String, pruned: StructType,
     predicate: Option[FilterPredicate], predicateRefs: Set[String],
     conf: SerializableConfiguration, cdc: Boolean, cdcStart: Int = 1,
     maxVersionsPerTrigger: Option[Int] = None,
-    streamStart: Option[Int] = None, columnar: Boolean = false)
+    streamStart: Option[Int] = None, columnar: Boolean = false,
+    synthFile: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
@@ -1572,7 +1693,7 @@ class GraftLogMicroBatchStream(root: String, pruned: StructType,
   // (StreamingSpec pins plan shape and batch/stream row parity)
   override def createReaderFactory(): PartitionReaderFactory =
     GraftLogReaderFactory(pruned, predicate, predicateRefs, conf,
-      columnar, cdc)
+      columnar, cdc, synthFile)
 
   override def commit(end: Offset): Unit = ()
 
@@ -1582,15 +1703,17 @@ class GraftLogMicroBatchStream(root: String, pruned: StructType,
 case class GraftLogReaderFactory(pruned: StructType,
     predicate: Option[FilterPredicate], predicateRefs: Set[String],
     conf: SerializableConfiguration, columnar: Boolean,
-    cdc: Boolean = false)
+    cdc: Boolean = false, synthFile: Boolean = false)
     extends PartitionReaderFactory {
 
-  // the meta names are only scan-synthesized on CDC scans — a legacy
-  // table whose OWN schema uses them reads them as ordinary data
+  // the meta names are only scan-synthesized when the SCAN says so
+  // (CDC partitions; `_file` when the table schema doesn't shadow it) —
+  // a legacy table whose OWN schema uses them reads them as data
   private def dataFieldCount: Int =
-    if (!cdc) pruned.length
-    else pruned.fields.count(f => f.name != GraftLog.ChangeTypeCol &&
-      f.name != GraftLog.CommitVersionCol)
+    pruned.fields.count(f =>
+      (!cdc || (f.name != GraftLog.ChangeTypeCol &&
+        f.name != GraftLog.CommitVersionCol)) &&
+        (!synthFile || f.name != GraftLog.FileCol))
 
   /** Vectorized reads whenever the projection has data columns to
     * drive batch row counts OR no predicate needs record-level care;
@@ -1614,14 +1737,14 @@ case class GraftLogReaderFactory(pruned: StructType,
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftLogInputPartition]
     new GraftLogPartitionReader(p.file, pruned, predicate, predicateRefs,
-      conf.value, p.cdcMeta, p.range)
+      conf.value, p.cdcMeta, p.range, synthFile)
   }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftLogInputPartition]
     new GraftLogColumnarReader(p.file, pruned, predicate, predicateRefs,
-      conf.value, p.cdcMeta, p.range)
+      conf.value, p.cdcMeta, p.range, synthFile)
   }
 }
 
@@ -1635,26 +1758,37 @@ case class GraftLogReaderFactory(pruned: StructType,
 class GraftLogPartitionReader(file: String, pruned: StructType,
     predicate: Option[FilterPredicate], predicateRefs: Set[String],
     baseConf: Configuration, cdcMeta: Option[(String, Long)] = None,
-    range: Option[(Long, Long)] = None)
+    range: Option[(Long, Long)] = None, synthFile: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration(baseConf)
 
-  // CDC meta columns are scan-synthesized constants at their pruned
-  // positions — ONLY on CDC partitions (cdcMeta set); a legacy table
-  // whose own schema happens to use the names reads them as data
-  private val metaConst: Map[Int, Any] = cdcMeta match {
-    case Some((ct, v)) => pruned.fields.zipWithIndex.collect {
-      case (f, i) if f.name == GraftLog.ChangeTypeCol =>
-        i -> UTF8String.fromString(ct)
-      case (f, i) if f.name == GraftLog.CommitVersionCol => i -> v
-    }.toMap
-    case None => Map.empty
+  // metadata columns are scan-synthesized constants at their pruned
+  // positions — CDC tags only on CDC partitions (cdcMeta set), `_file`
+  // only when the scan says the table schema doesn't shadow it; a
+  // legacy table whose own schema uses the names reads them as data
+  private val metaConst: Map[Int, Any] = {
+    val cdcConsts = cdcMeta match {
+      case Some((ct, v)) => pruned.fields.zipWithIndex.collect {
+        case (f, i) if f.name == GraftLog.ChangeTypeCol =>
+          i -> UTF8String.fromString(ct)
+        case (f, i) if f.name == GraftLog.CommitVersionCol => i -> (v: Any)
+      }.toMap
+      case None => Map.empty[Int, Any]
+    }
+    val fileConsts =
+      if (!synthFile) Map.empty[Int, Any]
+      else pruned.fields.zipWithIndex.collect {
+        case (f, i) if f.name == GraftLog.FileCol =>
+          i -> (UTF8String.fromString(file): Any)
+      }.toMap
+    cdcConsts ++ fileConsts
   }
   private val dataFields: Array[(StructField, Int)] =
     pruned.fields.zipWithIndex.filter { case (f, _) =>
-      cdcMeta.isEmpty || !(f.name == GraftLog.ChangeTypeCol ||
-        f.name == GraftLog.CommitVersionCol) }
+      (cdcMeta.isEmpty || !(f.name == GraftLog.ChangeTypeCol ||
+        f.name == GraftLog.CommitVersionCol)) &&
+        (!synthFile || f.name != GraftLog.FileCol) }
 
   // captured from this FILE's footer so mixed-encoding logs (INT96 in
   // one snapshot, INT64 micros in another) decode correctly per file,

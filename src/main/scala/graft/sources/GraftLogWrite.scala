@@ -337,6 +337,26 @@ object GraftLogWrite {
       removes: Seq[String] = Nil): Int = {
     val fs = new Path(root).getFileSystem(conf)
     val n = claimVersion(conf, root)
+    // REMOVE-SET revalidation under the claim: a row-level rewrite
+    // (merge/delete/replace-data) computed its remove set against the
+    // snapshot it read, but a concurrent rewrite may have replaced one
+    // of those files in between — committing the stale remove would
+    // silently drop the OTHER writer's rewrite (a lost update). Every
+    // version < n is committed and nothing can land until n releases,
+    // so the check is exact, and it costs one (cached) manifest fold.
+    if (removes.nonEmpty) {
+      val live = GraftLog.liveAdds(conf, root, n - 1).map(_.file).toSet
+      val gone = removes.filterNot(live.contains)
+      if (gone.nonEmpty) {
+        fs.delete(new Path(s"$root/_log/v$n._claim"), false)
+        throw new IllegalStateException(
+          s"graftlog write: write-write conflict on $root — " +
+            s"${gone.take(3).mkString(", ")}${if (gone.size > 3) ", ..."
+            else ""} were rewritten or removed by a concurrent commit " +
+            "after this operation read them; retry the operation " +
+            "against the current snapshot")
+      }
+    }
     // COMMIT-TIME schema revalidation: this write analyzed against the
     // table schema as of planning, but a concurrent WIDENING may have
     // committed in between — recording the analysis-time schema row now
@@ -484,11 +504,12 @@ class GraftLogWriteBuilder(root: String, info: LogicalWriteInfo,
 
   private def checkReservedNames(): Unit = {
     val reserved = info.schema().fieldNames.filter(n =>
-      n == GraftLog.ChangeTypeCol || n == GraftLog.CommitVersionCol)
+      n == GraftLog.ChangeTypeCol || n == GraftLog.CommitVersionCol ||
+        n == GraftLog.FileCol)
     require(reserved.isEmpty,
       s"graftlog write: column name(s) ${reserved.mkString(", ")} are " +
-        "reserved for change-feed metadata (readChangeFeed reads " +
-        "synthesize them); rename the column(s)")
+        "reserved for scan metadata (change-feed tags and file " +
+        "provenance are synthesized at read); rename the column(s)")
   }
 
   override def build(): Write = {

@@ -104,9 +104,10 @@ class GraftLogMergeSpec extends SparkSpecBase {
     assert(GraftLog.latestVersion(conf, legacy) === before)
   }
 
-  test("SQL DELETE FROM routes through the row-level rewrite (one " +
-      "remove+add version, CDC-visible); TRUNCATE empties the table; " +
-      "an inexpressible predicate refuses at analysis") {
+  test("SQL DELETE FROM routes through the metadata-path rewrite for " +
+      "expressible predicates (one remove+add version, CDC-visible); " +
+      "TRUNCATE empties the table; inexpressible predicates take the " +
+      "group-based row-level plan") {
     val root = mkTable()
     val parent = root.substring(0, root.lastIndexOf('/'))
     val name = root.substring(root.lastIndexOf('/') + 1)
@@ -124,12 +125,14 @@ class GraftLogMergeSpec extends SparkSpecBase {
       .filter(_.action == "remove")
     assert(removes.size === 1, removes.map(_.file).mkString(", "))
     assert(removes.head.file.contains("bucket=2"), removes.head.file)
-    // an inexpressible predicate refuses at ANALYSIS (no silent delete)
-    val e = intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql(s"DELETE FROM graft.`$name` WHERE id % 2 = 0")
-    }
-    assert(GraftLog.latestVersion(conf, root) === 2)
-    assert(e.getMessage != null)
+    // an inexpressible predicate can't use the metadata path — it runs
+    // as the group-based row-level rewrite instead (GraftLogSqlDmlSpec
+    // pins that path's group discipline in detail)
+    spark.sql(s"DELETE FROM graft.`$name` WHERE id % 2 = 0")
+    assert(GraftLog.latestVersion(conf, root) === 3)
+    assert(spark.sql(s"SELECT id FROM graft.`$name`")
+      .collect().map(_.getLong(0)).sorted.toSeq
+      === (0L until 100L).filter(i => i % 2 == 1 && i % 4 != 2))
     // TRUNCATE = delete-all: every file removed, the table reads empty,
     // history stays time-travelable
     spark.sql(s"TRUNCATE TABLE graft.`$name`")
@@ -137,6 +140,22 @@ class GraftLogMergeSpec extends SparkSpecBase {
       .collect().head.getLong(0) === 0L)
     assert(spark.read.format("graftlog").option("path", root)
       .option("version", 1).load().count() === 100L)
+  }
+
+  test("compactLog bins the small files into one remove+add version " +
+      "with content preserved; an already-compacted log is a no-op") {
+    val root = mkTable()
+    val v2 = graft.sources.GraftLogOps.compactLog(spark, root)
+    assert(v2 === 2)
+    assert(GraftLog.dataFiles(conf, root, 2).size <
+      GraftLog.dataFiles(conf, root, 1).size)
+    val got = spark.read.format("graftlog").option("path", root).load()
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+      .toSeq
+    assert(got === (0L until 100L).map(i => (i, i * 10.0)))
+    // one output file left below the small threshold → nothing to bin
+    assert(graft.sources.GraftLogOps.compactLog(spark, root) === 2)
+    assert(GraftLog.latestVersion(conf, root) === 2)
   }
 
   test("deleteFromLog: matched rows leave, NULL-condition rows are " +
