@@ -88,7 +88,10 @@ class GraftCatalog extends TableCatalog {
       throw new NoSuchTableException(ident)
     val v = GraftLog.resolveVersion(c, root, version)
     GraftLogTable(root, v, GraftLog.inferSchema(c, root, v),
-      new SerializableConfiguration(c))
+      new SerializableConfiguration(c),
+      // a CREATE-declared PARTITIONED BY survives sessions through its
+      // manifest row — later INSERT INTOs keep the declared layout
+      partitionCols = GraftLog.partColsFromManifest(c, root, v))
   }
 
   override def loadTable(ident: Identifier): Table = tableAt(ident, None)
@@ -185,9 +188,22 @@ class GraftCatalog extends TableCatalog {
     val normalized = GraftLog.asNullable(schema)
     // refuse unstorable types at CREATE, not at the first append
     GraftLogWrite.toMessageType(normalized)
-    GraftLogWrite.commitStaged(c, root,
+    // expectedVersion pins "the empty v1": losing a concurrent CREATE
+    // race must refuse (not silently stack a second empty version onto
+    // the winner's table); the declared PARTITIONED BY is persisted as
+    // a manifest row so later sessions' writes keep the layout
+    try GraftLogWrite.commitStaged(c, root,
       s"$root/data/w_create_${java.util.UUID.randomUUID()}",
-      Nil, Some(normalized))
+      Nil, Some(normalized), expectedVersion = Some(1),
+      extraRows =
+        if (partCols.isEmpty) Nil
+        else Seq(GraftLog.ManifestRow("partcols", partCols.mkString(","))))
+    catch {
+      case e: IllegalStateException
+        if e.getMessage.contains("concurrent writer committed first") =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+    }
     GraftLogTable(root, 1, normalized, new SerializableConfiguration(c),
       partitionCols = partCols)
   }

@@ -150,7 +150,8 @@ object GraftLogOps {
       val touched: Seq[String] =
         if (candidates.isEmpty) Seq.empty
         else toRelPaths(root,
-          s.read.parquet(candidates.map(c => s"$root/${c._1}"): _*)
+          s.read.schema(schema)
+            .parquet(candidates.map(c => s"$root/${c._1}"): _*)
             .withColumn("_graft_file", input_file_name())
             .join(src.select(keys.map(col): _*), keys, "left_semi")
             .select("_graft_file").distinct()
@@ -160,7 +161,8 @@ object GraftLogOps {
       val cols = schema.fieldNames.map(col).toSeq
       val rewritten =
         if (touched.isEmpty) src.select(cols: _*)
-        else s.read.parquet(touched.map(f => s"$root/$f"): _*)
+        else s.read.schema(schema)
+          .parquet(touched.map(f => s"$root/$f"): _*)
           .select(cols: _*)
           .join(src.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(src.select(cols: _*))
@@ -186,7 +188,8 @@ object GraftLogOps {
     val entries = statsEntries(s, root, latest)
     if (entries.isEmpty) return latest
     val touched = toRelPaths(root,
-      s.read.parquet(entries.map(e => s"$root/${e._1}"): _*)
+      s.read.schema(schema)
+        .parquet(entries.map(e => s"$root/${e._1}"): _*)
         .withColumn("_graft_file", input_file_name())
         .filter(cond)
         .select("_graft_file").distinct()
@@ -194,7 +197,8 @@ object GraftLogOps {
       entries.map(_._1))
     if (touched.isEmpty) return latest // no-op: nothing matched
     val cols = schema.fieldNames.map(col).toSeq
-    val kept = s.read.parquet(touched.map(f => s"$root/$f"): _*)
+    val kept = s.read.schema(schema)
+      .parquet(touched.map(f => s"$root/$f"): _*)
       .select(cols: _*)
       .filter(coalesce(cond, lit(false)) === false)
     commitRewrite(s, root, "delete", kept, schema, touched)
@@ -224,7 +228,7 @@ object GraftLogOps {
     val outFiles = math.max(1L,
       (totalBytes + targetBytes - 1) / targetBytes).toInt
     val cols = schema.fieldNames.map(col).toSeq
-    val compacted = s.read
+    val compacted = s.read.schema(schema)
       .parquet(small.map(e => s"$root/${e._1}"): _*)
       .select(cols: _*)
       .coalesce(outFiles)

@@ -79,10 +79,14 @@ class GraftLogRowLevelOperation(root: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new GraftLogReplaceDataWrite(root, info.schema(),
+        override def toBatch: BatchWrite = {
+          val c = conf.value
+          val tableSchema = GraftLog.inferSchema(c, root,
+            GraftLog.latestVersion(c, root))
+          new GraftLogReplaceDataWrite(root, info.schema(), tableSchema,
             s"$root/data/w_replace_${info.queryId()}_${UUID.randomUUID()}",
             conf, GraftLogRowLevelOperation.this)
+        }
       }
     }
 
@@ -96,23 +100,30 @@ class GraftLogRowLevelOperation(root: String,
   * version, zero renames.
   */
 class GraftLogReplaceDataWrite(root: String, writeSchema: StructType,
-    staging: String, conf: SerializableConfiguration,
+    tableSchema: StructType, staging: String,
+    conf: SerializableConfiguration,
     op: GraftLogRowLevelOperation) extends BatchWrite {
 
-  // the rewrite writes the TABLE's data columns; metadata attributes
-  // (if a plan shape ever carries them through) are scan-synthesized
-  // and must not land in files
-  private val dataSchema = StructType(writeSchema.fields.filterNot(f =>
-    f.name == GraftLog.FileCol || f.name == GraftLog.ChangeTypeCol ||
-      f.name == GraftLog.CommitVersionCol))
-
-  require(dataSchema.length == writeSchema.length,
-    s"graftlog replace-data: unexpected metadata columns in the write " +
-      s"schema [${writeSchema.toDDL}]")
+  // the rewrite must write EXACTLY the table's columns (the append
+  // contract): if a plan shape ever carried a scan-synthesized
+  // metadata attribute into the write schema, silently dropping it
+  // would misalign every row's ordinals against the writer's schema —
+  // refuse loudly instead. A legacy table whose OWN schema uses a
+  // meta-like name passes, because the comparison is against the
+  // table's recorded schema, not a name blacklist.
+  {
+    val incoming = GraftLog.asNullable(writeSchema).fields
+      .map(f => (f.name, f.dataType)).toSeq
+    val table = GraftLog.asNullable(tableSchema).fields
+      .map(f => (f.name, f.dataType)).toSeq
+    require(incoming == table,
+      s"graftlog replace-data: write schema [${writeSchema.toDDL}] " +
+        s"must equal the table schema [${tableSchema.toDDL}]")
+  }
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    GraftLogWriterFactory(staging, dataSchema, Nil, conf)
+    GraftLogWriterFactory(staging, writeSchema, Nil, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val removes = op.cowScan match {
@@ -123,7 +134,7 @@ class GraftLogReplaceDataWrite(root: String, writeSchema: StructType,
     }
     GraftLogWrite.commitStaged(conf.value, root, staging,
       messages.flatMap(_.asInstanceOf[GraftLogCommitMessage].files).toSeq,
-      Some(dataSchema), removes = removes)
+      Some(writeSchema), removes = removes)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -555,6 +555,31 @@ object GraftLog {
       .map(ddl => asNullable(StructType.fromDDL(ddl)))
   }
 
+  /** Declared partition columns (catalog `PARTITIONED BY`) recorded in
+    * the newest manifest at or below `asOf` — written by CREATE TABLE's
+    * empty commit and carried forward by checkpoints, so a table loaded
+    * in a LATER session still defaults its writes to the declared Hive
+    * layout instead of silently dropping the accepted DDL clause. Same
+    * backward walk (and the same checkpoint floor) as the schema row.
+    */
+  def partColsFromManifest(conf: Configuration, root: String,
+      asOf: Int): Seq[String] = {
+    val names = listLogNames(conf, root)
+    val occ = names.contains("v1.txt")
+    if (occ) return Nil
+    val ckpt = checkpointAt(names, asOf)
+    val ckptRows = ckpt.flatMap(k => readCheckpoint(conf, root, k))
+    val floor = if (ckptRows.isDefined) ckpt.get else 0
+    (asOf to (floor + 1) by -1).iterator
+      .flatMap(v => versionRows(conf, root, v)
+        .collectFirst { case ManifestRow("partcols", cols, _, _, _) =>
+          cols })
+      .nextOption()
+      .orElse(ckptRows.flatMap(_.collectFirst {
+        case ManifestRow("partcols", cols, _, _, _) => cols }))
+      .toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+  }
+
   /** Write a consolidated checkpoint of version `k`: the live add rows
     * (with their statistics) plus the current schema DDL, landed as
     * `_log/_ckpt_v<k>/manifest.parquet` and made visible by its `._ok`
@@ -574,7 +599,10 @@ object GraftLog {
       s"graftlog: OCC logs are utility-managed; no checkpoints")
     val schemaRow = schemaFromManifest(conf, root, k)
       .map(s => ManifestRow("schema", s.toDDL)).toSeq
-    val rows = schemaRow ++ liveAdds(conf, root, k)
+    val partRow = Some(partColsFromManifest(conf, root, k))
+      .filter(_.nonEmpty)
+      .map(cols => ManifestRow("partcols", cols.mkString(","))).toSeq
+    val rows = schemaRow ++ partRow ++ liveAdds(conf, root, k)
     GraftLogWrite.writeManifestRows(conf,
       new Path(s"$root/_log/_ckpt_v$k/manifest.parquet"), rows)
     fs.create(new Path(s"$root/_log/_ckpt_v$k._ok"), true).close()

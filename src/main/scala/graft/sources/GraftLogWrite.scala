@@ -165,13 +165,20 @@ object GraftLogWrite {
 
   /** Minimum FIXED_LEN_BYTE_ARRAY width whose two's-complement range
     * covers `precision` decimal digits — parquet-format's prescribed
-    * sizing (the same table Spark's writer uses).
+    * sizing (the same table Spark's writer uses). Memoized per
+    * precision: the write path consults it PER VALUE for precision>18
+    * columns, and the BigInt exponentiation search must not run
+    * millions of times on a large decimal write.
     */
+  private val fixedWidthByPrecision =
+    new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+
   private[sources] def decimalFixedWidth(precision: Int): Int =
-    (1 to 32).find(n =>
-      BigInt(10).pow(precision) - 1 <= (BigInt(2).pow(8 * n - 1) - 1))
-      .getOrElse(throw new IllegalArgumentException(
-        s"decimal precision $precision too large"))
+    fixedWidthByPrecision.computeIfAbsent(precision, p =>
+      (1 to 32).find(n =>
+        BigInt(10).pow(p) - 1 <= (BigInt(2).pow(8 * n - 1) - 1))
+        .getOrElse(throw new IllegalArgumentException(
+          s"decimal precision $p too large")))
 
   /** Unscaled decimal → two's-complement big-endian bytes padded to the
     * fixed width (sign-extended).
@@ -292,12 +299,14 @@ object GraftLogWrite {
     */
   private def writeManifest(conf: Configuration, root: String, n: Int,
       adds: Seq[GraftLogFileCommit], schema: Option[StructType],
-      removes: Seq[String] = Nil): Unit =
+      removes: Seq[String] = Nil,
+      extraRows: Seq[GraftLog.ManifestRow] = Nil): Unit =
     writeManifestRows(conf, new Path(s"$root/_log/v$n/manifest.parquet"),
       // all-nullable: the parquet fields are optional and widening
       // null-fills — a query-derived NOT NULL must not be recorded
       schema.map(s => GraftLog.ManifestRow("schema",
         GraftLog.asNullable(s).toDDL)).toSeq ++
+        extraRows ++
         removes.map(GraftLog.ManifestRow("remove", _)) ++
         adds.map(fc => GraftLog.ManifestRow("add", fc.file,
           Some(fc.rows), Some(fc.bytes), fc.stats)))
@@ -334,9 +343,26 @@ object GraftLogWrite {
       staging: String, files: Seq[GraftLogFileCommit],
       schema: Option[StructType] = None,
       beforeOk: Int => Unit = _ => (),
-      removes: Seq[String] = Nil): Int = {
+      removes: Seq[String] = Nil,
+      expectedVersion: Option[Int] = None,
+      extraRows: Seq[GraftLog.ManifestRow] = Nil): Int = {
     val fs = new Path(root).getFileSystem(conf)
     val n = claimVersion(conf, root)
+    // EXPECTED-VERSION gate under the claim: CREATE TABLE commits "the
+    // empty v1" — if a concurrent CREATE won the race, this claim
+    // rebased past it and committing would silently stack a bogus
+    // extra version (or re-widen the winner's schema) on a table this
+    // caller did not create. Release the claim and refuse loudly; the
+    // catalog maps this to TableAlreadyExistsException.
+    expectedVersion.foreach { exp =>
+      if (n != exp) {
+        fs.delete(new Path(s"$root/_log/v$n._claim"), false)
+        throw new IllegalStateException(
+          s"graftlog write: expected to commit version $exp of $root " +
+            s"but the next claimable version is $n — a concurrent " +
+            "writer committed first")
+      }
+    }
     // REMOVE-SET revalidation under the claim: a row-level rewrite
     // (merge/delete/replace-data) computed its remove set against the
     // snapshot it read, but a concurrent rewrite may have replaced one
@@ -418,7 +444,7 @@ object GraftLogWrite {
         }
       }
     writeManifest(conf, root, n, manifestAdds, recordedSchema,
-      removes)
+      removes, extraRows)
     // legacy staging: drop loser-attempt remnants. In-place staging IS
     // the final directory — deleting it would delete the committed
     // files; losers there were removed by their own task aborts.
@@ -583,16 +609,40 @@ class GraftLogStreamingWrite(root: String, schema: StructType,
     partCols: Seq[String], queryId: String,
     conf: SerializableConfiguration) extends StreamingWrite {
 
+  // staging is per-ATTEMPT, not per-epoch: a replayed epoch (crash
+  // between version commit and checkpoint advance, then restart) runs
+  // under a NEW StreamingWrite instance — with a deterministic
+  // per-epoch path, the replay's drop/abort cleanup would recursively
+  // delete the directory the COMMITTED attempt published in place,
+  // i.e. delete data files a manifest still references (silent row
+  // loss surfacing as FileNotFoundException at the next real scan).
+  // With the attempt id in the path, cleanup can only ever touch the
+  // replay's own never-referenced files.
+  private val attemptId = UUID.randomUUID().toString.take(8)
+
   private def staging(epochId: Long) =
-    s"$root/data/w_${queryId}_$epochId"
+    s"$root/data/w_${queryId}_${attemptId}_$epochId"
 
   private def epochMarker(epochId: Long) =
     new Path(s"$root/_log/_epoch_${queryId}_$epochId")
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    GraftLogStreamingWriterFactory(s"$root/data/w_$queryId", schema,
-      partCols, conf)
+    GraftLogStreamingWriterFactory(s"$root/data/w_${queryId}_$attemptId",
+      schema, partCols, conf)
+
+  /** Drop a REPLAYED epoch: delete only the replay attempt's OWN files
+    * (named by its commit messages) — never a directory. With in-place
+    * publication a directory can hold COMMITTED files (same-instance
+    * epoch handling, or any future path reuse), and a recursive delete
+    * here would remove data a manifest still references: the committed
+    * snapshot would silently lose rows, surfacing as
+    * FileNotFoundException at the next real scan.
+    */
+  private def dropReplay(fs: org.apache.hadoop.fs.FileSystem,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.flatMap(_.asInstanceOf[GraftLogCommitMessage].files)
+      .foreach(fc => fs.delete(new Path(fc.file), false))
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -611,7 +661,7 @@ class GraftLogStreamingWrite(root: String, schema: StructType,
         case Some(v) if fs.exists(new Path(s"$root/_log/v$v._ok")) =>
           // replayed epoch (crash between version commit and checkpoint
           // advance): the version is in the log — drop the replay
-          fs.delete(new Path(staging(epochId)), true)
+          dropReplay(fs, messages)
           return
         case Some(_) =>
           // crashed between marker and _ok: the version is torn
@@ -620,7 +670,7 @@ class GraftLogStreamingWrite(root: String, schema: StructType,
           // recovery)
           fs.delete(marker, false)
         case None =>
-          fs.delete(new Path(staging(epochId)), true)
+          dropReplay(fs, messages)
           return // legacy committed marker
       }
     }

@@ -174,6 +174,38 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(spark.sql("SELECT grp, count(*) AS n FROM graft.t2 GROUP BY grp")
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
       .toSeq === Seq(("a", 25L), ("b", 25L)))
+    // PARTITIONED BY survives SESSIONS: the declared layout is a
+    // manifest row, so an INSERT INTO resolving through a FRESH
+    // loadTable (not the createTable-returned instance) still lays
+    // down Hive k=v/ directories, and partitioning() reports it
+    spark.sql(
+      "CREATE TABLE graft.t4 (id BIGINT, grp STRING) PARTITIONED BY (grp)")
+    spark.sql(
+      "INSERT INTO graft.t4 SELECT id, " +
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM ctas_src")
+    val files4 = GraftLog.dataFiles(conf, s"$wh/t4",
+      GraftLog.latestVersion(conf, s"$wh/t4"))
+    assert(files4.nonEmpty &&
+      files4.forall(f => f.contains("grp=a") || f.contains("grp=b")),
+      files4.take(3).mkString(", "))
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val t4 = cat.loadTable(Identifier.of(Array.empty, "t4"))
+    assert(t4.partitioning().length === 1,
+      t4.partitioning().mkString(", "))
+    // a CREATE losing the claim race refuses instead of silently
+    // stacking an extra empty version (the commit-time gate; the
+    // pre-check covers the common duplicate case above)
+    val e0 = intercept[IllegalStateException] {
+      graft.sources.GraftLogWrite.commitStaged(conf, s"$wh/t4",
+        s"$wh/t4/data/w_race", Nil,
+        Some(org.apache.spark.sql.types.StructType.fromDDL("id BIGINT")),
+        expectedVersion = Some(1))
+    }
+    assert(e0.getMessage.contains("concurrent writer committed first"),
+      e0.getMessage)
+    // the refused claim was released: the table still appends cleanly
+    spark.sql("INSERT INTO graft.t4 SELECT id, 'a' FROM ctas_src LIMIT 1")
     // unstorable column types refuse at CREATE, before any write
     val e = intercept[Exception] {
       spark.sql("CREATE TABLE graft.t3 (id BIGINT, o INTERVAL DAY)")

@@ -393,8 +393,13 @@ class GraftLogManifestSpec extends SparkSpecBase {
     val epRoot = Files.createTempDirectory("graft_manlegep").toString
     val ddl = StructType.fromDDL("id BIGINT")
     val msg = GraftLogWrite.toMessageType(ddl)
+    val epSink = new graft.sources.GraftLogStreamingWrite(epRoot, ddl,
+      Nil, "q", new org.apache.spark.util.SerializableConfiguration(conf))
+    val epBase = epSink.createStreamingWriterFactory(null)
+      .asInstanceOf[graft.sources.GraftLogStreamingWriterFactory]
+      .stagingBase
     def stage(epoch: Long): graft.sources.GraftLogCommitMessage = {
-      val f = s"$epRoot/data/w_q_$epoch/part-0-0-" +
+      val f = s"${epBase}_$epoch/part-0-0-" +
         s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
       val w = GraftLogWrite.groupWriter(new org.apache.hadoop.fs.Path(f),
         msg, new org.apache.hadoop.conf.Configuration(conf))
@@ -407,16 +412,19 @@ class GraftLogManifestSpec extends SparkSpecBase {
       graft.sources.GraftLogCommitMessage(
         Seq(graft.sources.GraftLogFileCommit(f, r, by, st)))
     }
-    val sink = new graft.sources.GraftLogStreamingWrite(epRoot, ddl, Nil,
-      "q", new org.apache.spark.util.SerializableConfiguration(conf))
-    sink.commit(4L, Array(stage(4)))
+    epSink.commit(4L, Array(stage(4)))
     assert(GraftLog.latestVersion(conf, epRoot) === 1)
     // overwrite the marker with the legacy EMPTY form
     fs.create(new org.apache.hadoop.fs.Path(s"$epRoot/_log/_epoch_q_4"),
       true).close()
-    sink.commit(4L, Array(stage(4))) // replay: must be a no-op
+    epSink.commit(4L, Array(stage(4))) // replay: must be a no-op
     assert(GraftLog.latestVersion(conf, epRoot) === 1,
       "legacy empty marker re-committed the epoch")
+    // and the drop deleted only the REPLAY's files: the committed rows
+    // remain readable through a real (file-opening) scan
+    assert(spark.read.format("graftlog").option("path", epRoot).load()
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L),
+      "legacy replay drop deleted committed data")
     // 5. an UNSORTED partitioned writer (defensive path: the required
     // ordering was bypassed) closes per run and suffixes revisited
     // directories — never two open writers, never a name collision
@@ -688,8 +696,18 @@ class GraftLogManifestSpec extends SparkSpecBase {
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     val ddl = StructType.fromDDL("id BIGINT")
     val msg = GraftLogWrite.toMessageType(ddl)
+    val sink = new graft.sources.GraftLogStreamingWrite(root, ddl, Nil,
+      "q", new org.apache.spark.util.SerializableConfiguration(conf))
+    // files stage where the sink's OWN factory would put them (the
+    // per-ATTEMPT write-scoped directory — a replayed epoch after
+    // restart gets a fresh one, so its cleanup can never reach files a
+    // manifest references)
+    val stagingBase = sink
+      .createStreamingWriterFactory(null)
+      .asInstanceOf[graft.sources.GraftLogStreamingWriterFactory]
+      .stagingBase
     def stage(epoch: Long, ids: Seq[Long]): graft.sources.GraftLogCommitMessage = {
-      val f = s"$root/data/w_q_$epoch/part-0-0-" +
+      val f = s"${stagingBase}_$epoch/part-0-0-" +
         s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
       val w = GraftLogWrite.groupWriter(new org.apache.hadoop.fs.Path(f),
         msg, new org.apache.hadoop.conf.Configuration(conf))
@@ -701,8 +719,6 @@ class GraftLogManifestSpec extends SparkSpecBase {
       graft.sources.GraftLogCommitMessage(
         Seq(graft.sources.GraftLogFileCommit(f, r, by, st)))
     }
-    val sink = new graft.sources.GraftLogStreamingWrite(root, ddl, Nil,
-      "q", new org.apache.spark.util.SerializableConfiguration(conf))
     // TORN: a marker claiming v1 exists but v1 was never committed
     val marker = new org.apache.hadoop.fs.Path(s"$root/_log/_epoch_q_7")
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_log"))
@@ -712,11 +728,45 @@ class GraftLogManifestSpec extends SparkSpecBase {
     assert(GraftLog.latestVersion(conf, root) === 1, "torn marker blocked redo")
     assert(spark.read.format("graftlog").option("path", root).load()
       .count() === 3L)
-    // REPLAY: same epoch again — version count must not grow
+    // REPLAY: same epoch again — version count must not grow, and the
+    // drop must delete ONLY the replay's own files: the committed
+    // file must still exist and a NON-aggregate read (which opens the
+    // data files, not just the manifest) must still see every row
     sink.commit(7L, Array(stage(7, Seq(1L, 2L, 3L))))
     assert(GraftLog.latestVersion(conf, root) === 1, "replayed epoch committed twice")
+    val committed = GraftLog.dataFiles(conf, root, 1)
+    assert(committed.forall(f =>
+      fs.exists(new org.apache.hadoop.fs.Path(f))),
+      "replay drop deleted a committed data file")
+    assert(spark.read.format("graftlog").option("path", root).load()
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // REPLAY FROM A RESTARTED APP: a fresh sink instance (new attempt
+    // id) replays the same epoch — same contract, across instances
+    val sink2 = new graft.sources.GraftLogStreamingWrite(root, ddl, Nil,
+      "q", new org.apache.spark.util.SerializableConfiguration(conf))
+    val base2 = sink2.createStreamingWriterFactory(null)
+      .asInstanceOf[graft.sources.GraftLogStreamingWriterFactory]
+      .stagingBase
+    def stage2(epoch: Long, ids: Seq[Long]) = {
+      val f = s"${base2}_$epoch/part-0-0-" +
+        s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+      val w = GraftLogWrite.groupWriter(new org.apache.hadoop.fs.Path(f),
+        msg, new org.apache.hadoop.conf.Configuration(conf))
+      val gf = new org.apache.parquet.example.data.simple
+        .SimpleGroupFactory(msg)
+      ids.foreach { i => val g = gf.newGroup(); g.add("id", i); w.write(g) }
+      w.close()
+      val (r, by, st) = GraftLogStats.describeFile(conf, f, ddl)
+      graft.sources.GraftLogCommitMessage(
+        Seq(graft.sources.GraftLogFileCommit(f, r, by, st)))
+    }
+    sink2.commit(7L, Array(stage2(7, Seq(1L, 2L, 3L))))
+    assert(GraftLog.latestVersion(conf, root) === 1)
+    assert(spark.read.format("graftlog").option("path", root).load()
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L),
+      "cross-restart replay lost committed rows")
     // a NEW epoch commits v2
-    sink.commit(8L, Array(stage(8, Seq(4L))))
+    sink2.commit(8L, Array(stage2(8, Seq(4L))))
     assert(GraftLog.latestVersion(conf, root) === 2)
     assert(spark.read.format("graftlog").option("path", root).load()
       .count() === 4L)

@@ -142,6 +142,41 @@ class GraftLogMergeSpec extends SparkSpecBase {
       .option("version", 1).load().count() === 100L)
   }
 
+  test("row-level ops on a WIDENED table: the rewrite reads pre-" +
+      "widening files under the TABLE schema (appended column null-" +
+      "filled), for merge, delete, and compaction alike") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_merge_widen").toString
+    spark.range(0, 50).selectExpr("id")
+      .write.format("graftlog").option("path", root)
+      .option("schema", "id BIGINT").mode("append").save()
+    spark.range(50, 60).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .write.format("graftlog").option("path", root)
+      .option("schema", "id BIGINT, v DOUBLE").mode("append").save()
+    // the merge touches keys living in a PRE-widening file
+    val source = Seq((5L, Some(-5.0)), (999L, Some(-999.0)))
+      .toDF("id", "v")
+    assert(Maintenance.mergeIntoLog(spark, root, source, Seq("id")) === 3)
+    def snapshot(): Seq[(Long, Option[Double])] =
+      spark.read.format("graftlog").option("path", root).load()
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .sortBy(_._1).toSeq
+    val want = ((0L until 50L).map(i =>
+      (i, if (i == 5) Some(-5.0) else None)) ++
+      (50L until 60L).map(i => (i, Some(i.toDouble))) :+
+      ((999L, Some(-999.0)))).sortBy(_._1)
+    assert(snapshot() === want)
+    // delete on the widened column: NULL-condition (pre-widening) rows
+    // are kept, matching rows leave
+    Maintenance.deleteFromLog(spark, root, col("v") > 55.0)
+    assert(snapshot() === want.filterNot(_._2.exists(_ > 55.0)))
+    // compaction across both generations preserves the null-fill
+    val before = snapshot()
+    graft.sources.GraftLogOps.compactLog(spark, root)
+    assert(snapshot() === before)
+  }
+
   test("compactLog bins the small files into one remove+add version " +
       "with content preserved; an already-compacted log is a no-op") {
     val root = mkTable()
