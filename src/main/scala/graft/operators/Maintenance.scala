@@ -876,24 +876,8 @@ object Maintenance {
     * finds nothing to delete.
     */
   private[graft] def vacuumLog(s: SparkSession, root: String,
-      keepFrom: Int): (Int, Int) = {
-    val latest = latestVersion(s, root)
-    require(keepFrom >= 1 && keepFrom <= latest,
-      s"keepFrom $keepFrom outside committed versions 1..$latest")
-    val keep = (keepFrom to latest)
-      .flatMap(v => liveFiles(s, root, v)).toSet
-    val expired = (1 until keepFrom)
-      .flatMap(v => liveFiles(s, root, v)).toSet
-    val dead = (expired -- keep).toSeq.sorted
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    val deleted = dead.count { f =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$f"), true)
-    }
-    fs.create(new org.apache.hadoop.fs.Path(
-      s"$root/_log/_vacuum_v$keepFrom"), true).close()
-    (deleted, keep.size)
-  }
+      keepFrom: Int): (Int, Int) =
+    graft.sources.GraftLogOps.vacuumLog(s, root, keepFrom)
 
   /** Lowest readable version after vacuuming (1 if never vacuumed).
     * Derived by LISTING `_log/_vacuum_v*` markers and taking the max —
@@ -1630,21 +1614,121 @@ object Maintenance {
       |         AS BIGINT) AS total_cents
       |FROM m""".stripMargin
 
-  /** The OPTIMIZE fixture: the bucket-partitioned orders log (8 small
-    * files), compacted through [[graft.sources.GraftLogOps.compactLog]]
-    * into target-size output files as one remove+add version.
+  /** The LIFECYCLE fixture: the entire table life in SQL ALONE —
+    * CREATE TABLE (v1), two INSERT INTO halves (v2, v3), UPDATE (v4),
+    * DELETE (v5), `CALL graft.system.optimize` (v6),
+    * `CALL graft.system.checkpoint`, `CALL graft.system.vacuum`
+    * keeping only the optimized snapshot. No Scala utility is invoked
+    * anywhere; the procedures ARE the maintenance surface.
+    */
+  private[graft] def lifecycleTableDir(s: SparkSession, d: String): String = {
+    val wh = SetupOnce.runtimeDir(d, "lifecycle_warehouse")
+    val root = s"$wh/orders_lc"
+    SetupOnce(root) {
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Tables.orders(s, d).createOrReplaceTempView("graft_lc_src")
+      s.sql("CREATE TABLE graft.orders_lc (o_orderkey BIGINT, " +
+        "bucket BIGINT, o_totalprice DOUBLE) PARTITIONED BY (bucket)")
+      // the (key div 8) parity split is independent of bucket = key
+      // mod 8, so each INSERT lands one file in every bucket
+      s.sql("INSERT INTO graft.orders_lc SELECT o_orderkey, " +
+        "o_orderkey % 8, o_totalprice FROM graft_lc_src " +
+        "WHERE CAST(o_orderkey / 8 AS BIGINT) % 2 = 1")
+      s.sql("INSERT INTO graft.orders_lc SELECT o_orderkey, " +
+        "o_orderkey % 8, o_totalprice FROM graft_lc_src " +
+        "WHERE CAST(o_orderkey / 8 AS BIGINT) % 2 = 0")
+      s.sql("UPDATE graft.orders_lc SET o_totalprice = " +
+        "o_totalprice * 2 WHERE o_orderkey % 16 = 3")
+      s.sql("DELETE FROM graft.orders_lc WHERE o_orderkey % 16 = 11")
+      s.sql("CALL graft.system.optimize('orders_lc')").collect()
+      s.sql("CALL graft.system.checkpoint('orders_lc')").collect()
+      s.sql("CALL graft.system.vacuum('orders_lc', 6)").collect()
+    }
+    root
+  }
+
+  /** The SQL-only lifecycle, hash-gated end to end: the final
+    * snapshot's exact aggregate after CREATE → INSERT ×2 → UPDATE →
+    * DELETE → OPTIMIZE → CHECKPOINT → VACUUM, against the oracle's
+    * closed-form restatement. In-row pins: one committed version per
+    * mutating statement (n_versions = 6), the vacuum watermark
+    * (kept_from = 6), OPTIMIZE really shrank the live set
+    * (files_reduced), and the round-14 partition discipline — EVERY
+    * live file after the whole history keeps min==max on the
+    * partition column (part_pure), so compaction never eroded the
+    * manifest-stats skip. All pins are manifest-derived, zero data
+    * I/O.
+    */
+  def logLifecycle(s: SparkSession, d: String): DataFrame = {
+    val root = lifecycleTableDir(s, d)
+    val conf = s.sessionState.newHadoopConf()
+    val latest = latestVersion(s, root)
+    val keptFrom = graft.sources.GraftLog.vacuumWatermark(conf, root)
+    val live = graft.sources.GraftLog.liveAdds(conf, root, latest)
+    val partPure =
+      if (live.forall { r =>
+        r.stats.flatMap(graft.sources.GraftLogStats.parseStats).exists {
+          st => (st.min.get("bucket"), st.max.get("bucket")) match {
+            case (Some(a), Some(b)) =>
+              a == b && st.nulls.getOrElse("bucket", 0L) == 0L
+            case _ => false
+          }
+        }
+      }) 1L else 0L
+    val reduced =
+      if (live.size <
+        graft.sources.GraftLog.liveAdds(conf, root, latest - 1).size) 1L
+      else 0L
+    readVersion(s, root, latest)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .select(lit(latest.toLong).as("n_versions"),
+        lit(keptFrom.toLong).as("kept_from"),
+        lit(partPure).as("part_pure"),
+        lit(reduced).as("files_reduced"),
+        col("n_rows"), col("total_cents"))
+  }
+
+  val logLifecycleSql: String =
+    """WITH m AS (
+      |  SELECT CASE WHEN o_orderkey % 16 = 3 THEN o_totalprice * 2
+      |              ELSE o_totalprice END AS price
+      |  FROM orders WHERE o_orderkey % 16 <> 11)
+      |SELECT CAST(6 AS BIGINT) AS n_versions,
+      |       CAST(6 AS BIGINT) AS kept_from,
+      |       CAST(1 AS BIGINT) AS part_pure,
+      |       CAST(1 AS BIGINT) AS files_reduced,
+      |       COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT) AS total_cents
+      |FROM m""".stripMargin
+
+  /** The OPTIMIZE fixture: TWO appends of the bucket-partitioned
+    * orders log (odd keys then even keys → 16 small files, two per
+    * bucket), compacted through [[graft.sources.GraftLogOps.compactLog]]
+    * — PARTITION-AWARE, so the 16 files bin WITHIN their bucket groups
+    * into 8 single-bucket rewrites as one remove+add version.
     */
   private[graft] def compactedTableDir(s: SparkSession, d: String): String = {
     val root = SetupOnce.runtimeDir(d, "orders_graftcompact")
     SetupOnce(root) {
-      Tables.orders(s, d)
+      val base = Tables.orders(s, d)
         .select(col("o_orderkey"),
           pmod(col("o_orderkey"), lit(8L)).as("bucket"),
           col("o_totalprice"))
+      // split on (key div 8) parity — INDEPENDENT of bucket = key mod 8,
+      // so each append lands one file in EVERY bucket (8 + 8 files)
+      base.filter((col("o_orderkey") / 8).cast("long") % 2 === 1)
         .write.format(graft.sources.GraftLog.Format)
         .option("path", root)
         .option("schema",
           "o_orderkey BIGINT, bucket BIGINT, o_totalprice DOUBLE")
+        .option("partitionBy", "bucket").mode("append").save()
+      base.filter((col("o_orderkey") / 8).cast("long") % 2 === 0)
+        .write.format(graft.sources.GraftLog.Format)
+        .option("path", root)
         .option("partitionBy", "bucket").mode("append").save()
       graft.sources.GraftLogOps.compactLog(s, root)
     }
@@ -1654,35 +1738,51 @@ object Maintenance {
   /** OPTIMIZE through the connector, hash-gated: the pre- and post-
     * compaction snapshots must agree exactly (content preservation is
     * the whole contract — a compaction that drops, duplicates, or
-    * reorders-into-wrong-files hash-fails one spine row), and the
-    * in-row `files_reduced` flag pins that the rewrite actually shrank
-    * the file count (manifest-derived, zero data I/O).
+    * reorders-into-wrong-files hash-fails one spine row); the in-row
+    * `files_reduced` flag pins that the rewrite actually shrank the
+    * file count, and `prune_intact` pins the round-14 partition
+    * discipline: a `bucket = 3` manifest-stats scan touches exactly
+    * ONE file after OPTIMIZE — compaction must never erode the skip
+    * that is this connector's pruning (all manifest-derived, zero
+    * data I/O).
     */
   def logCompact(s: SparkSession, d: String): DataFrame = {
     val root = compactedTableDir(s, d)
     val conf = s.sessionState.newHadoopConf()
     val reduced =
-      if (graft.sources.GraftLog.dataFiles(conf, root, 2).size <
-        graft.sources.GraftLog.dataFiles(conf, root, 1).size) 1L else 0L
-    (1 to 2).map { v =>
+      if (graft.sources.GraftLog.dataFiles(conf, root, 3).size <
+        graft.sources.GraftLog.dataFiles(conf, root, 2).size) 1L else 0L
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "o_orderkey BIGINT, bucket BIGINT, o_totalprice DOUBLE")
+    val b3Files = graft.sources.GraftLog.liveAdds(conf, root, 3)
+      .count { r =>
+        r.stats.flatMap(graft.sources.GraftLogStats.parseStats).forall(
+          st => graft.sources.GraftLogStats.mayMatch(schema, st, r.rows,
+            org.apache.spark.sql.sources.EqualTo("bucket", 3L)))
+      }
+    val pruneIntact = if (b3Files == 1) 1L else 0L
+    (2 to 3).map { v =>
       readVersion(s, root, v)
         .agg(count(lit(1)).as("n_rows"),
           sum(cents(col("o_totalprice"))).as("total_cents"))
         .select(lit(v.toLong).as("version"), col("n_rows"),
-          col("total_cents"), lit(reduced).as("files_reduced"))
+          col("total_cents"), lit(reduced).as("files_reduced"),
+          lit(pruneIntact).as("prune_intact"))
     }.reduce(_.unionByName(_)).orderBy(col("version"))
   }
 
   val logCompactSql: String =
-    """SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+    """SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n_rows,
       |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
       |         AS BIGINT) AS total_cents,
-      |       CAST(1 AS BIGINT) AS files_reduced
+      |       CAST(1 AS BIGINT) AS files_reduced,
+      |       CAST(1 AS BIGINT) AS prune_intact
       |FROM orders
       |UNION ALL
-      |SELECT CAST(2 AS BIGINT), COUNT(*),
+      |SELECT CAST(3 AS BIGINT), COUNT(*),
       |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
       |         AS BIGINT),
+      |       CAST(1 AS BIGINT),
       |       CAST(1 AS BIGINT)
       |FROM orders
       |ORDER BY version""".stripMargin

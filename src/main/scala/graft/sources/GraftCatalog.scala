@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
@@ -54,7 +54,8 @@ import org.apache.spark.util.SerializableConfiguration
   * without re-registration — and a stale singleton can never silently
   * serve tables from a previous warehouse setting.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var initWarehouse: Option[String] = None
@@ -87,11 +88,14 @@ class GraftCatalog extends TableCatalog {
     if (GraftLog.latestVersion(c, root) == 0)
       throw new NoSuchTableException(ident)
     val v = GraftLog.resolveVersion(c, root, version)
-    GraftLogTable(root, v, GraftLog.inferSchema(c, root, v),
+    // ONE backward manifest walk resolves schema AND the declared
+    // PARTITIONED BY (which survives sessions through its manifest
+    // row — later INSERT INTOs keep the declared layout)
+    val (schemaOpt, partCols) = GraftLog.tableMeta(c, root, v)
+    GraftLogTable(root, v,
+      schemaOpt.getOrElse(GraftLog.inferSchema(c, root, v)),
       new SerializableConfiguration(c),
-      // a CREATE-declared PARTITIONED BY survives sessions through its
-      // manifest row — later INSERT INTOs keep the declared layout
-      partitionCols = GraftLog.partColsFromManifest(c, root, v))
+      partitionCols = partCols)
   }
 
   override def loadTable(ident: Identifier): Table = tableAt(ident, None)
@@ -107,7 +111,14 @@ class GraftCatalog extends TableCatalog {
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands micros since epoch; binds to
-    * the newest version committed at or before that instant.
+    * the newest version committed at or before that instant. The
+    * commit time is the `committs` micros recorded IN the version's
+    * manifest (strictly increasing by construction at commit, so two
+    * versions landing within one filesystem-clock second still
+    * resolve correctly — object-store mtimes are second-granular);
+    * legacy/OCC versions without the row fall back to the marker
+    * mtime, which is non-decreasing too (versions commit strictly in
+    * claim order).
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val c = conf
@@ -116,16 +127,17 @@ class GraftCatalog extends TableCatalog {
     if (latest == 0) throw new NoSuchTableException(ident)
     val fs = new Path(root).getFileSystem(c)
     val occ = fs.exists(new Path(s"$root/_log/v1.txt"))
-    def commitMicros(v: Int): Long = {
-      val marker =
-        if (occ) new Path(s"$root/_log/v$v.txt")
-        else new Path(s"$root/_log/v$v._ok")
-      fs.getFileStatus(marker).getModificationTime * 1000L
-    }
-    // versions commit strictly in claim order, so marker mtimes are
-    // non-decreasing in v: binary-search the newest version committed
-    // at or before the instant — O(log V) status probes, not a
-    // newest-first linear walk (O(V) at streaming-sink version counts)
+    def commitMicros(v: Int): Long =
+      GraftLog.commitMicros(c, root, v).getOrElse {
+        val marker =
+          if (occ) new Path(s"$root/_log/v$v.txt")
+          else new Path(s"$root/_log/v$v._ok")
+        fs.getFileStatus(marker).getModificationTime * 1000L
+      }
+    // commit times are non-decreasing in v: binary-search the newest
+    // version committed at or before the instant — O(log V) manifest/
+    // status probes, not a newest-first linear walk (O(V) at
+    // streaming-sink version counts)
     if (commitMicros(1) > timestamp)
       throw new IllegalArgumentException(
         s"graft catalog: no version of $root committed at or before " +
@@ -199,8 +211,12 @@ class GraftCatalog extends TableCatalog {
         if (partCols.isEmpty) Nil
         else Seq(GraftLog.ManifestRow("partcols", partCols.mkString(","))))
     catch {
-      case e: IllegalStateException
-        if e.getMessage.contains("concurrent writer committed first") =>
+      // typed, not message-matched: losing the v1 claim to a COMMITTED
+      // concurrent CREATE (version mismatch) and losing it to one still
+      // IN FLIGHT (claim pending) both mean the table is someone
+      // else's — surface the SQL-standard error for each
+      case _: GraftLogVersionMismatchException |
+           _: GraftLogClaimPendingException =>
         throw new org.apache.spark.sql.catalyst.analysis
           .TableAlreadyExistsException(ident)
     }
@@ -208,21 +224,105 @@ class GraftCatalog extends TableCatalog {
       partitionCols = partCols)
   }
 
+  /** `ALTER TABLE ... ADD COLUMN(S)` — the one ALTER the log admits,
+    * because it IS the write path's documented WIDENING contract:
+    * commit an EMPTY version whose recorded schema appends the new
+    * nullable column(s); readers null-fill them for every file written
+    * before, and time travel returns each version's own schema. Column
+    * position, RENAME, DROP, and type changes refuse loudly —
+    * name-based resolution means a rename today would orphan every old
+    * file's column (field-ID mapping is the real formats' answer, and
+    * a loud refusal beats a silent data loss until the log has one).
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: schema evolves through the write path's " +
-        "documented WIDENING contract (an append passing an extended " +
-        "option(\"schema\")), not ALTER TABLE")
+      changes: TableChange*): Table = {
+    val c = conf
+    val root = rootOf(ident)
+    val latest = GraftLog.latestVersion(c, root)
+    if (latest == 0) throw new NoSuchTableException(ident)
+    val current = GraftLog.inferSchema(c, root, latest)
+    val added = changes.map {
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 &&
+          a.position() == null =>
+        StructField(a.fieldNames()(0),
+          GraftLog.deepNullable(a.dataType()), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER $other — only appended " +
+          "top-level ADD COLUMN maps to the log's documented WIDENING " +
+          "contract (nullable, name-resolved); RENAME/DROP/positioned " +
+          "adds would orphan or misread existing files' columns")
+    }
+    val dup = added.map(_.name).filter(n =>
+      current.fieldNames.contains(n) ||
+        added.count(_.name == n) > 1)
+    require(dup.isEmpty,
+      s"graft catalog: ADD COLUMN ${dup.distinct.mkString(", ")} " +
+        s"already present in [${current.toDDL}]")
+    val widened = GraftLog.asNullable(StructType(
+      current.fields ++ added))
+    // refuse unstorable types now, not at the next append
+    GraftLogWrite.toMessageType(widened)
+    require(GraftLog.widens(current, widened),
+      s"graft catalog: [${widened.toDDL}] does not widen " +
+        s"[${current.toDDL}]")
+    // an empty commit carrying the widened DDL — the same versioned,
+    // time-travelable protocol every write uses; a concurrent
+    // INCOMPATIBLE schema change refuses under the claim
+    GraftLogWrite.commitStaged(c, root,
+      s"$root/data/w_alter_${java.util.UUID.randomUUID()}",
+      Nil, Some(widened))
+    loadTable(ident)
+  }
 
-  // deliberately a no-op (never destructive): a graftlog table IS its
+  // deliberately refuses (never destructive): a graftlog table IS its
   // directory + log — deleting history through SQL would discard every
-  // time-travelable version; delete at the storage layer if truly meant
-  override def dropTable(ident: Identifier): Boolean = false
+  // time-travelable version; delete at the storage layer if truly
+  // meant. A loud refusal, not `false`: returning false makes Spark's
+  // DropTableExec report NoSuchTableException for a table that
+  // demonstrably exists — a misleading error hiding the real reason.
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "graft catalog: DROP TABLE is deliberately not supported — a " +
+        "graftlog table is its directory and versioned log, and " +
+        "dropping through SQL would discard every time-travelable " +
+        "version; delete the table directory at the storage layer if " +
+        "that is truly meant")
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "graft catalog: a graftlog table's identity is its directory; " +
         "rename at the storage layer")
+
+  // ------------------------------------------------------------------
+  // Stored procedures: the SQL maintenance surface —
+  // CALL graft.system.optimize/vacuum/checkpoint('<table>').
+  // Table arguments accept dot-qualified names and resolve through the
+  // same warehouse mapping as table identifiers.
+  // ------------------------------------------------------------------
+
+  private def procRootOf(table: String): String = {
+    val root =
+      (warehouse +: table.split('.').toSeq.filter(_.nonEmpty))
+        .mkString("/")
+    if (GraftLog.latestVersion(conf, root) == 0)
+      throw new NoSuchTableException(
+        Identifier.of(Array.empty, table))
+    root
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    require(ident.namespace.toSeq == Seq("system"),
+      s"graft catalog: procedures live under the `system` namespace " +
+        s"(got ${ident.namespace.mkString(".")}.${ident.name})")
+    GraftProcedures.load(ident.name, procRootOf)
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      GraftProcedures.Names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
 }

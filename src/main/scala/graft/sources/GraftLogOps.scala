@@ -1,22 +1,31 @@
 package graft.sources
 
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** Row-level operations on the transaction log: MERGE (LWW key-match
-  * upsert) and DELETE, each rewriting ONLY the files that actually
-  * contain affected rows, committed as ONE remove+add version through
-  * the connector's zero-rename publication. The SQL surface
-  * (`DELETE FROM graft.t WHERE ...`, TRUNCATE) delegates here via
-  * [[GraftLogTable]]'s SupportsDelete; the utility surface
-  * (Maintenance.mergeIntoLog / deleteFromLog) is the same code.
+  * upsert), DELETE, and OPTIMIZE (compaction), each rewriting ONLY the
+  * files that actually contain affected rows, committed as ONE
+  * remove+add version through the connector's zero-rename publication.
+  * The SQL surface (`DELETE FROM graft.t WHERE ...`, TRUNCATE,
+  * `CALL graft.system.optimize(...)`) delegates here via
+  * [[GraftLogTable]]'s SupportsDelete and the catalog's procedures;
+  * the utility surface (Maintenance.mergeIntoLog / deleteFromLog) is
+  * the same code.
   *
-  * Scale shape shared by both operations:
+  * Scale shape shared by the row-level operations:
   *  1. catalog-level candidate prune from the per-file manifest
-  *     statistics (merge: source key bounds) — zero data I/O;
+  *     statistics — PER FILE against the source's key profile (exact
+  *     distinct keys when few, per-range-bucket exact bounds when
+  *     many), so a CDC batch whose keys span the domain still prunes
+  *     to the files that actually overlap them, instead of one global
+  *     [min, max] keeping everything;
   *  2. exact touch detection: one distributed scan/semi-join whose
   *     driver-collected result is DISTINCT FILE NAMES — bounded by the
   *     file count, never row count;
@@ -24,8 +33,56 @@ import org.apache.spark.sql.types.StructType
   *     touched data + source, not table size);
   *  4. one commit: remove touched, add rewritten — the change feed
   *     shows the version as delete(old file rows) + insert(rewrite).
+  *
+  * Concurrency: every operation here is OPTIMISTIC with bounded
+  * auto-retry. The commit revalidates its remove set (and, for MERGE,
+  * concurrently-ADDED files against its source keys — the
+  * write-serializable half) under the version claim; a conflict or a
+  * pending claim releases everything, the operation re-plans against
+  * the NEW snapshot, and retries — so two concurrent merges on
+  * disjoint keys both land without caller intervention, the way real
+  * table formats behave at streaming-ingest commit rates.
   */
 object GraftLogOps {
+
+  /** Bounded optimistic retries before surfacing the conflict. */
+  val MaxCommitAttempts = 5
+
+  /** How many distinct source keys are collected exactly for per-file
+    * candidate pruning before falling back to range-bucket profiles
+    * (matches the In() width [[GraftLogStats.mayMatch]] accepts).
+    */
+  val MaxInlineKeys = 1000
+
+  /** Range buckets for large-source key profiles: each bucket carries
+    * the EXACT min/max of the source keys that fell in it, so the
+    * per-file overlap test stays conservative but domain-spanning
+    * sources no longer degenerate to one global interval.
+    */
+  val RangeBuckets = 256
+
+  /** Re-plan-and-retry loop for optimistic row-level commits: a
+    * write-write/read-write conflict means a concurrent writer
+    * invalidated this plan — recompute against the new snapshot; a
+    * pending claim means a writer is mid-commit — brief backoff, then
+    * the claim either committed (rebase) or its documented recovery
+    * applies. After [[MaxCommitAttempts]] the conflict surfaces as-is.
+    */
+  private def withRetry[T](body: () => T): T = {
+    var attempt = 1
+    var last: IllegalStateException = null
+    while (attempt <= MaxCommitAttempts) {
+      try return body()
+      catch {
+        case e: GraftLogConflictException =>
+          last = e; attempt += 1
+        case e: GraftLogClaimPendingException =>
+          last = e; attempt += 1
+          Thread.sleep(20L * attempt) // let the in-flight commit finish
+      }
+    }
+    throw last
+  }
 
   /** Files of the latest snapshot as stats-bearing
     * [[GraftLogStats.FileEntry]]s keyed by their manifest-relative
@@ -60,6 +117,103 @@ object GraftLogOps {
       norm.contains(new Path(s"$root/$rel").toUri.getPath))
   }
 
+  /** A merge key column as a double for range bucketing — only types
+    * whose order survives the cast (the bucket BOUNDS stay exact
+    * per-bucket min/max of the original values, so the cast is pure
+    * binning, never truth).
+    */
+  private def asDoubleExpr(k: String, dt: DataType): Option[Column] =
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType | _: DecimalType =>
+        Some(col(k).cast("double"))
+      case DateType      => Some(unix_date(col(k)).cast("double"))
+      case TimestampType => Some(unix_micros(col(k)).cast("double"))
+      case _             => None
+    }
+
+  /** The source's key profile for ONE merge key, as a data-source
+    * Filter the per-file stats skip evaluates: the exact distinct
+    * values when ≤ [[MaxInlineKeys]] (an In — per-file pruning is then
+    * exact); otherwise ≤ [[RangeBuckets]] range buckets each carrying
+    * the exact min/max of the source keys inside it (orderable types),
+    * or the single global [min, max] as the last resort. None = the
+    * source has NO non-null value for this key — an equi-match is
+    * impossible, so no file is a candidate. All work here reads the
+    * (cached) SOURCE only — zero table data I/O.
+    */
+  private[sources] def sourceKeyFilter(src: DataFrame, k: String,
+      dt: DataType): Option[Filter] = {
+    val nonNull = src.filter(col(k).isNotNull)
+    val vals = nonNull.select(col(k)).distinct()
+      .limit(MaxInlineKeys + 1).collect().map(_.get(0))
+    if (vals.isEmpty) return None
+    if (vals.length <= MaxInlineKeys)
+      return Some(In(k, vals.asInstanceOf[Array[Any]]))
+    asDoubleExpr(k, dt) match {
+      case Some(kd) =>
+        val d = nonNull.select(col(k).as("kv"), kd.as("kd"))
+        val g = d.agg(min(col("kd")), max(col("kd"))).head()
+        val lo = g.getDouble(0); val hi = g.getDouble(1)
+        val width =
+          math.max((hi - lo) / RangeBuckets, java.lang.Double.MIN_VALUE)
+        val buckets = d.groupBy(
+            least(floor((col("kd") - lit(lo)) / lit(width)),
+              lit(RangeBuckets - 1)).as("b"))
+          .agg(min(col("kv")).as("blo"), max(col("kv")).as("bhi"))
+          .collect()
+        Some(buckets.map(r => And(GreaterThanOrEqual(k, r.get(1)),
+            LessThanOrEqual(k, r.get(2))): Filter)
+          .reduce(Or(_, _)))
+      case None => // unorderable-for-binning: global bounds
+        val g = nonNull.agg(min(col(k)), max(col(k))).head()
+        Some(And(GreaterThanOrEqual(k, g.get(0)),
+          LessThanOrEqual(k, g.get(1))))
+    }
+  }
+
+  /** Per-key source profiles for all merge keys; None = some key is
+    * all-null in the source, so NO source row can equi-match any table
+    * row (pure-insert merge: zero candidate files, and concurrent adds
+    * can never conflict).
+    */
+  private[graft] def sourceKeysFilters(src: DataFrame,
+      schema: StructType, keys: Seq[String]): Option[Seq[Filter]] = {
+    val fs = keys.map(k => sourceKeyFilter(src, k, schema(k).dataType))
+    if (fs.exists(_.isEmpty)) None else Some(fs.flatten)
+  }
+
+  /** May this file hold rows matching the source keys? Per-key
+    * conjunctive test against the file's manifest statistics —
+    * stats-less entries conservatively may.
+    */
+  private def mayHoldKeys(schema: StructType,
+      keyFilters: Option[Seq[Filter]],
+      stats: Option[GraftLogStats.ColStats], rows: Option[Long])
+      : Boolean =
+    keyFilters match {
+      case None => false
+      case Some(fs) => stats match {
+        case Some(st) =>
+          fs.forall(f => GraftLogStats.mayMatch(schema, st, rows, f))
+        case None => true
+      }
+    }
+
+  /** The candidate files a merge with these keys could touch — each
+    * file's own manifest interval tested against the source's key
+    * profile. Exposed for GraftLogMergeSpec: a 2-key source spanning
+    * the key domain must prune to exactly the 2 files holding those
+    * keys, not everything between them.
+    */
+  private[graft] def pruneCandidates(schema: StructType,
+      entries: Seq[(String, GraftLogStats.FileEntry)], src: DataFrame,
+      keys: Seq[String]): Seq[(String, GraftLogStats.FileEntry)] = {
+    val keyFilters = sourceKeysFilters(src, schema, keys)
+    entries.filter { case (_, fe) =>
+      mayHoldKeys(schema, keyFilters, fe.stats, fe.rows) }
+  }
+
   /** Write `df` as this row-level operation's new data files — landed
     * DIRECTLY at their final write-scoped location (`data/w_<op>_<uuid>`,
     * the connector's zero-rename publication discipline: nothing
@@ -67,10 +221,15 @@ object GraftLogOps {
     * remove+add version. Per-file statistics are read off each new
     * file's footer, so the rewritten snapshot plans from the manifest
     * exactly like any connector write. Empty part-files (a task whose
-    * whole input was deleted) are dropped from the commit and disk.
+    * whole input was deleted) are dropped from the commit and disk. A
+    * refused commit (conflict / pending claim) deletes the staged
+    * files before rethrowing, so the optimistic retry re-plans from a
+    * clean slate.
     */
   private def commitRewrite(s: SparkSession, root: String, op: String,
-      df: DataFrame, schema: StructType, removes: Seq[String]): Int = {
+      df: DataFrame, schema: StructType, removes: Seq[String],
+      addConflict: Option[(Int, GraftLog.ManifestRow => Boolean)] = None,
+      layoutCols: Seq[String] = Nil): Int = {
     val conf = s.sessionState.newHadoopConf()
     val staging = s"$root/data/w_${op}_${java.util.UUID.randomUUID()}"
     df.write.parquet(staging)
@@ -95,8 +254,21 @@ object GraftLogOps {
         } else Some(GraftLogFileCommit(s"$staging/$n", rows, bytes,
           stats))
       }
-    GraftLogWrite.commitStaged(conf, root, staging, files, Some(schema),
-      removes = removes)
+    // the rewrite lands files OUTSIDE the Hive directory layout, which
+    // would erase a path-INFERRED layout for later operations — so the
+    // layout this operation observed is re-recorded as a manifest row
+    // (the same row catalog PARTITIONED BY writes), keeping compaction
+    // grouping and catalog write defaults stable across rewrites
+    val layoutRows =
+      if (layoutCols.isEmpty) Nil
+      else Seq(GraftLog.ManifestRow("partcols", layoutCols.mkString(",")))
+    try GraftLogWrite.commitStaged(conf, root, staging, files,
+      Some(schema), removes = removes, addConflict = addConflict,
+      extraRows = layoutRows)
+    catch { case scala.util.control.NonFatal(e) =>
+      fs.delete(new Path(staging), true) // never referenced — clean up
+      throw e
+    }
   }
 
   /** MERGE INTO the log — the LWW key-match upsert as a ROW-LEVEL
@@ -109,65 +281,75 @@ object GraftLogOps {
     * contract), source keys must be unique (one LWW winner per key —
     * checked), and the log must be connector-written (per-file
     * statistics). A no-op merge (empty source) commits nothing.
-    * Returns the committed (or current, if no-op) version.
+    * WRITE-SERIALIZABLE under concurrency: the commit refuses (and the
+    * bounded retry re-plans) when a concurrent commit removed a
+    * planned file OR added files whose statistics may hold the merge
+    * keys — so the one-winner-per-key invariant survives concurrent
+    * appends, not just concurrent rewrites. Returns the committed (or
+    * current, if no-op) version.
     */
   def mergeIntoLog(s: SparkSession, root: String,
       source: DataFrame, keys: Seq[String]): Int = {
     val conf = s.sessionState.newHadoopConf()
-    val latest = GraftLog.latestVersion(conf, root)
-    require(latest >= 1, s"no committed versions under $root")
-    val schema = GraftLog.inferSchema(conf, root, latest)
-    require(keys.nonEmpty && keys.forall(schema.fieldNames.contains),
-      s"merge keys ${keys.mkString(", ")} not all in [${schema.toDDL}]")
-    val incoming = GraftLog.asNullable(source.schema)
-      .fields.map(f => (f.name, f.dataType)).toSeq
-    val table = schema.fields.map(f => (f.name, f.dataType)).toSeq
-    require(incoming == table,
-      s"merge source schema [${source.schema.toDDL}] must match the " +
-        s"table schema [${schema.toDDL}] (names and types, in order)")
-    val entries = statsEntries(s, root, latest)
     val src = source.cache()
     try {
       val srcCount = src.count()
-      if (srcCount == 0) return latest // no-op: nothing matched or inserted
-      require(src.select(keys.map(col): _*).distinct().count() == srcCount,
-        "merge source keys must be unique (one LWW winner per key)")
-      // 1. catalog prune on source key bounds
-      val boundAggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
-      val boundsRow = src.agg(boundAggs.head, boundAggs.tail: _*).head()
-      val candidates = entries.filter { case (_, fe) =>
-        keys.zipWithIndex.forall { case (k, i) =>
-          val mn = boundsRow.get(2 * i)
-          val mx = boundsRow.get(2 * i + 1)
-          mn == null || mx == null ||
-            (GraftLogStats.mayMatch(schema, fe.stats.get, fe.rows,
-              GreaterThanOrEqual(k, mn)) &&
-              GraftLogStats.mayMatch(schema, fe.stats.get, fe.rows,
-                LessThanOrEqual(k, mx)))
+      withRetry { () =>
+        val latest = GraftLog.latestVersion(conf, root)
+        require(latest >= 1, s"no committed versions under $root")
+        val schema = GraftLog.inferSchema(conf, root, latest)
+        require(keys.nonEmpty && keys.forall(schema.fieldNames.contains),
+          s"merge keys ${keys.mkString(", ")} not all in " +
+            s"[${schema.toDDL}]")
+        val incoming = GraftLog.asNullable(source.schema)
+          .fields.map(f => (f.name, f.dataType)).toSeq
+        val table = schema.fields.map(f => (f.name, f.dataType)).toSeq
+        require(incoming == table,
+          s"merge source schema [${source.schema.toDDL}] must match " +
+            s"the table schema [${schema.toDDL}] (names and types, in " +
+            "order)")
+        if (srcCount == 0) latest // no-op: nothing matched or inserted
+        else {
+          require(
+            src.select(keys.map(col): _*).distinct().count() == srcCount,
+            "merge source keys must be unique (one LWW winner per key)")
+          val entries = statsEntries(s, root, latest)
+          // 1. catalog prune: each file's interval vs the source's key
+          //    profile (exact keys or per-bucket bounds) — zero data I/O
+          val keyFilters = sourceKeysFilters(src, schema, keys)
+          val candidates = entries.filter { case (_, fe) =>
+            mayHoldKeys(schema, keyFilters, fe.stats, fe.rows) }
+          // 2. exact touched files: distinct file names, never row data
+          val touched: Seq[String] =
+            if (candidates.isEmpty) Seq.empty
+            else toRelPaths(root,
+              s.read.schema(schema)
+                .parquet(candidates.map(c => s"$root/${c._1}"): _*)
+                .withColumn("_graft_file", input_file_name())
+                .join(src.select(keys.map(col): _*), keys, "left_semi")
+                .select("_graft_file").distinct()
+                .collect().map(_.getString(0)).toSeq,
+              candidates.map(_._1))
+          // 3. rewrite: unmatched rows of touched files + whole source
+          val cols = schema.fieldNames.map(col).toSeq
+          val rewritten =
+            if (touched.isEmpty) src.select(cols: _*)
+            else s.read.schema(schema)
+              .parquet(touched.map(f => s"$root/$f"): _*)
+              .select(cols: _*)
+              .join(src.select(keys.map(col): _*), keys, "left_anti")
+              .unionByName(src.select(cols: _*))
+          // 4. one remove+add commit, add-conflict-guarded: adds
+          //    committed after `latest` whose stats may hold our keys
+          //    refuse → the retry re-plans with those files included
+          commitRewrite(s, root, "merge", rewritten, schema, touched,
+            addConflict = Some((latest, (r: GraftLog.ManifestRow) =>
+              !r.rows.contains(0L) && mayHoldKeys(schema, keyFilters,
+                r.stats.flatMap(GraftLogStats.parseStats), r.rows))),
+            layoutCols = layoutPartCols(conf, root, latest,
+              entries.map(_._1)))
         }
       }
-      // 2. exact touched files: distinct file names, never row data
-      val touched: Seq[String] =
-        if (candidates.isEmpty) Seq.empty
-        else toRelPaths(root,
-          s.read.schema(schema)
-            .parquet(candidates.map(c => s"$root/${c._1}"): _*)
-            .withColumn("_graft_file", input_file_name())
-            .join(src.select(keys.map(col): _*), keys, "left_semi")
-            .select("_graft_file").distinct()
-            .collect().map(_.getString(0)).toSeq,
-          candidates.map(_._1))
-      // 3. rewrite: unmatched rows of touched files + the whole source
-      val cols = schema.fieldNames.map(col).toSeq
-      val rewritten =
-        if (touched.isEmpty) src.select(cols: _*)
-        else s.read.schema(schema)
-          .parquet(touched.map(f => s"$root/$f"): _*)
-          .select(cols: _*)
-          .join(src.select(keys.map(col): _*), keys, "left_anti")
-          .unionByName(src.select(cols: _*))
-      // 4. one remove+add commit
-      commitRewrite(s, root, "merge", rewritten, schema, touched)
     } finally src.unpersist()
   }
 
@@ -178,62 +360,250 @@ object GraftLogOps {
     * FILE NAMES (parquet row-group pruning applies, so a selective
     * condition over a clustered table reads little); the rewrite reads
     * only the touched files. A delete that matches nothing commits
-    * nothing. Returns the committed (or current) version.
+    * nothing; a lost write-write race re-plans and retries (concurrent
+    * APPENDS need no check: delete-then-append is a valid serial
+    * order, so appended rows correctly survive). Returns the committed
+    * (or current) version.
     */
   def deleteFromLog(s: SparkSession, root: String, cond: Column): Int = {
     val conf = s.sessionState.newHadoopConf()
-    val latest = GraftLog.latestVersion(conf, root)
-    require(latest >= 1, s"no committed versions under $root")
-    val schema = GraftLog.inferSchema(conf, root, latest)
-    val entries = statsEntries(s, root, latest)
-    if (entries.isEmpty) return latest
-    val touched = toRelPaths(root,
-      s.read.schema(schema)
-        .parquet(entries.map(e => s"$root/${e._1}"): _*)
-        .withColumn("_graft_file", input_file_name())
-        .filter(cond)
-        .select("_graft_file").distinct()
-        .collect().map(_.getString(0)).toSeq,
-      entries.map(_._1))
-    if (touched.isEmpty) return latest // no-op: nothing matched
-    val cols = schema.fieldNames.map(col).toSeq
-    val kept = s.read.schema(schema)
-      .parquet(touched.map(f => s"$root/$f"): _*)
-      .select(cols: _*)
-      .filter(coalesce(cond, lit(false)) === false)
-    commitRewrite(s, root, "delete", kept, schema, touched)
+    withRetry { () =>
+      val latest = GraftLog.latestVersion(conf, root)
+      require(latest >= 1, s"no committed versions under $root")
+      val schema = GraftLog.inferSchema(conf, root, latest)
+      val entries = statsEntries(s, root, latest)
+      if (entries.isEmpty) latest
+      else {
+        val touched = toRelPaths(root,
+          s.read.schema(schema)
+            .parquet(entries.map(e => s"$root/${e._1}"): _*)
+            .withColumn("_graft_file", input_file_name())
+            .filter(cond)
+            .select("_graft_file").distinct()
+            .collect().map(_.getString(0)).toSeq,
+          entries.map(_._1))
+        if (touched.isEmpty) latest // no-op: nothing matched
+        else {
+          val cols = schema.fieldNames.map(col).toSeq
+          val kept = s.read.schema(schema)
+            .parquet(touched.map(f => s"$root/$f"): _*)
+            .select(cols: _*)
+            .filter(coalesce(cond, lit(false)) === false)
+          commitRewrite(s, root, "delete", kept, schema, touched,
+            layoutCols = layoutPartCols(conf, root, latest,
+              entries.map(_._1)))
+        }
+      }
+    }
   }
 
-  /** OPTIMIZE (compaction) on the log: rewrite the live files smaller
-    * than `smallBytes` into ~`targetBytes` output files, committed as
-    * one remove+add version — content-preserving by construction (the
-    * rewrite is a plain read of exactly the removed files), CDC-visible
-    * as delete+insert, refused by the snapshot streaming tail exactly
-    * like any rewrite (CDC tails consume it). Files already at or above
-    * the small-file threshold are untouched; fewer than two small files
-    * means nothing to gain, so nothing commits. Returns the committed
-    * (or current) version.
+  /** The table's partition columns for LAYOUT purposes: the declared
+    * catalog `PARTITIONED BY` (manifest row) when present, else
+    * inferred from the live files' own Hive path segments (an
+    * `option("partitionBy", ...)` table carries `k=v/` directories but
+    * no declaration) — accepted only when EVERY file agrees on the
+    * same segment-name sequence, so a mixed layout never pretends to
+    * be partitioned. Values are never parsed from the names (they stay
+    * in the files and their stats); only the column NAMES matter here.
+    */
+  private[sources] def layoutPartCols(conf: Configuration, root: String,
+      asOf: Int, files: Seq[String]): Seq[String] = {
+    val declared = GraftLog.partColsFromManifest(conf, root, asOf)
+    if (declared.nonEmpty) declared
+    else {
+      val segNames = files.map(_.split('/').dropRight(1).toSeq
+        .filter(_.indexOf('=') > 0).map(_.takeWhile(_ != '=')))
+      segNames.headOption match {
+        case Some(names) if names.nonEmpty &&
+          segNames.forall(_ == names) => names
+        case _ => Nil
+      }
+    }
+  }
+
+  /** Grouping key for compaction: the file's partition-value tuple read
+    * from its own manifest statistics (min==max per partition column by
+    * construction of partitioned writes — this holds even for files a
+    * row-level rewrite landed OUTSIDE the Hive directory layout, so
+    * post-DML tables still group correctly). A file whose stats show
+    * mixed values for any partition column falls into one shared
+    * residual group — already-wide files compact together and never
+    * contaminate a single-value group.
+    */
+  private[sources] def partGroupKey(partCols: Seq[String],
+      fe: GraftLogStats.FileEntry): String =
+    if (partCols.isEmpty) ""
+    else fe.stats match {
+      case None => " mixed"
+      case Some(st) =>
+        val parts = partCols.map { c =>
+          val nulls = st.nulls.getOrElse(c, 0L)
+          (st.min.get(c), st.max.get(c)) match {
+            case (Some(a), Some(b)) if a == b && nulls == 0L =>
+              Some(s"$c=$a")
+            case (None, None)
+              if fe.rows.exists(r => r > 0 && nulls >= r) =>
+              Some(s"$c= null") // an all-null partition value
+            case _ => None
+          }
+        }
+        if (parts.forall(_.isDefined)) parts.flatten.mkString("/")
+        else " mixed"
+    }
+
+  /** First-fit size binning within one partition group: name-sorted for
+    * determinism, each bin targeting `targetBytes`.
+    */
+  private[sources] def packBins(files: Seq[(String, Long)],
+      targetBytes: Long): Seq[Seq[String]] = {
+    val bins = mutable.ArrayBuffer[Seq[String]]()
+    var cur = mutable.ArrayBuffer[String]()
+    var curBytes = 0L
+    files.sortBy(_._1).foreach { case (f, b) =>
+      if (cur.nonEmpty && curBytes + b > targetBytes) {
+        bins += cur.toSeq; cur = mutable.ArrayBuffer[String]()
+        curBytes = 0L
+      }
+      cur += f; curBytes += b
+    }
+    if (cur.nonEmpty) bins += cur.toSeq
+    bins.toSeq
+  }
+
+  /** Concurrent rewrite jobs an OPTIMIZE drives at once — bins are
+    * independent single-task jobs, so this bounds driver-side job
+    * bookkeeping, not executor parallelism (each job's one task still
+    * lands on any free core/executor).
+    */
+  val CompactJobParallelism = 16
+
+  /** OPTIMIZE (compaction) on the log — PARTITION-AWARE: small live
+    * files are grouped by their partition-value tuple (from each
+    * file's own manifest statistics) and binned into ~`targetBytes`
+    * rewrites WITHIN each group, so a compacted file never mixes
+    * partition values and every post-OPTIMIZE file keeps min==max on
+    * the partition columns — the manifest-stats skip that IS this
+    * connector's pruning survives compaction intact (a bucket=3 scan
+    * reads exactly as few files after OPTIMIZE as before; spec-pinned).
+    * Each bin is one INDEPENDENT single-task rewrite job, launched
+    * [[CompactJobParallelism]]-wide from a driver pool — the standard
+    * OPTIMIZE execution shape: compacting 10k small files into ~100
+    * bins runs ~100 parallel one-task jobs, never one job whose
+    * parallelism is capped at the output file count. `clusterBy`
+    * optionally sorts within each bin to restore clustering. All bins
+    * commit as ONE remove+add version — content-preserving by
+    * construction, CDC-visible as delete+insert, refused by the
+    * snapshot streaming tail exactly like any rewrite. Groups with
+    * fewer than two small files have nothing to gain and are
+    * untouched; a lost concurrency race deletes the staged files,
+    * re-plans and retries. Returns the committed (or current) version.
     */
   def compactLog(s: SparkSession, root: String,
       smallBytes: Long = 32L * 1024 * 1024,
-      targetBytes: Long = 128L * 1024 * 1024): Int = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil): Int = {
+    val conf = s.sessionState.newHadoopConf()
+    withRetry { () =>
+      val latest = GraftLog.latestVersion(conf, root)
+      require(latest >= 1, s"no committed versions under $root")
+      val schema = GraftLog.inferSchema(conf, root, latest)
+      val entries = statsEntries(s, root, latest)
+      val partCols = layoutPartCols(conf, root, latest,
+        entries.map(_._1))
+      val small = entries.filter(_._2.bytes.exists(_ < smallBytes))
+      val groups = small
+        .groupBy { case (_, fe) => partGroupKey(partCols, fe) }
+        .filter(_._2.size >= 2) // a lone small file gains nothing
+      if (groups.isEmpty) latest // nothing worth binning
+      else {
+        val bins: Seq[Seq[String]] = groups.toSeq.sortBy(_._1)
+          .flatMap { case (_, fs) =>
+            packBins(fs.map(f => (f._1, f._2.bytes.get)), targetBytes) }
+        val cols = schema.fieldNames.map(col).toSeq
+        val staging =
+          s"$root/data/w_compact_${java.util.UUID.randomUUID()}"
+        val fs = new Path(root).getFileSystem(conf)
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(bins.size, CompactJobParallelism))
+        try {
+          val tasks = bins.zipWithIndex.map { case (b, i) =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              override def call(): Unit = {
+                val d = s.read.schema(schema)
+                  .parquet(b.map(f => s"$root/$f"): _*)
+                  .select(cols: _*).coalesce(1)
+                (if (clusterBy.isEmpty) d
+                 else d.sortWithinPartitions(clusterBy.map(col): _*))
+                  .write.parquet(s"$staging/bin-$i")
+              }
+            })
+          }
+          tasks.foreach(_.get()) // propagate the first failure
+          val files = bins.indices.flatMap { i =>
+            fs.delete(new Path(s"$staging/bin-$i/_SUCCESS"), false)
+            fs.listStatus(new Path(s"$staging/bin-$i")).toSeq
+              .map(_.getPath.getName)
+              .filter(n => n.endsWith(".parquet") &&
+                !n.startsWith("_") && !n.startsWith("."))
+              .sorted
+              .flatMap { n =>
+                val (rows, bytes, stats) = GraftLogStats.describeFile(
+                  conf, s"$staging/bin-$i/$n", schema)
+                if (rows == 0L) {
+                  fs.delete(new Path(s"$staging/bin-$i/$n"), false)
+                  None
+                } else Some(GraftLogFileCommit(s"$staging/bin-$i/$n",
+                  rows, bytes, stats))
+              }
+          }
+          GraftLogWrite.commitStaged(conf, root, staging, files,
+            Some(schema), removes = bins.flatten,
+            extraRows =
+              if (partCols.isEmpty) Nil
+              else Seq(GraftLog.ManifestRow("partcols",
+                partCols.mkString(","))))
+        } catch { case scala.util.control.NonFatal(e) =>
+          fs.delete(new Path(staging), true) // never referenced
+          throw e match {
+            case ee: java.util.concurrent.ExecutionException
+              if ee.getCause != null => ee.getCause
+            case other => other
+          }
+        } finally pool.shutdown()
+      }
+    }
+  }
+
+  /** VACUUM: expire every version below `keepFrom` and physically
+    * delete the data files no RETAINED version references. The
+    * retained live sets fold from the committed manifests
+    * (catalog-sized work — versions × files metadata rows, never data
+    * rows); the deletable set is (files referenced by expired
+    * versions) minus (files referenced by any retained one), so a file
+    * shared across the boundary — the common case under compaction —
+    * is NEVER deleted. A `_vacuum_v<keepFrom>` watermark marker
+    * commits the expiration (the log's two-phase discipline): reads
+    * below the watermark refuse cleanly instead of failing mid-scan on
+    * missing files. Returns (filesDeleted, filesRetained).
+    * Idempotent: a second pass finds nothing to delete.
+    */
+  def vacuumLog(s: SparkSession, root: String,
+      keepFrom: Int): (Int, Int) = {
     val conf = s.sessionState.newHadoopConf()
     val latest = GraftLog.latestVersion(conf, root)
-    require(latest >= 1, s"no committed versions under $root")
-    val schema = GraftLog.inferSchema(conf, root, latest)
-    val entries = statsEntries(s, root, latest)
-    val small = entries.filter(_._2.bytes.exists(_ < smallBytes))
-    if (small.size < 2) return latest // nothing worth binning
-    val totalBytes = small.map(_._2.bytes.get).sum
-    val outFiles = math.max(1L,
-      (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val cols = schema.fieldNames.map(col).toSeq
-    val compacted = s.read.schema(schema)
-      .parquet(small.map(e => s"$root/${e._1}"): _*)
-      .select(cols: _*)
-      .coalesce(outFiles)
-    commitRewrite(s, root, "compact", compacted, schema,
-      small.map(_._1))
+    require(keepFrom >= 1 && keepFrom <= latest,
+      s"keepFrom $keepFrom outside committed versions 1..$latest")
+    val keep = (keepFrom to latest)
+      .flatMap(v => GraftLog.liveEntries(conf, root, v)).toSet
+    val expired = (1 until keepFrom)
+      .flatMap(v => GraftLog.liveEntries(conf, root, v)).toSet
+    val dead = (expired -- keep).toSeq.sorted
+    val fs = new Path(root).getFileSystem(conf)
+    val deleted = dead.count { f =>
+      fs.delete(new Path(s"$root/$f"), true)
+    }
+    fs.create(new Path(s"$root/_log/_vacuum_v$keepFrom"), true).close()
+    (deleted, keep.size)
   }
 
   /** Data-source Filter → Column, for the shapes SQL `DELETE FROM`

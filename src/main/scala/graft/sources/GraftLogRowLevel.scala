@@ -52,6 +52,19 @@ class GraftLogRowLevelOperation(root: String,
     */
   @volatile private[sources] var cowScan: Option[GraftLogScan] = None
 
+  /** How many scans Spark built for this operation. The remove-set
+    * derivation ASSUMES the one-scan contract Spark's group-based
+    * rewrite holds today (RowLevelOperationRuntimeGroupFiltering
+    * reuses the operation's single Scan; the group-filter subquery
+    * plans before the runtime-filtered main scan) — if a future Spark
+    * version ever built a SECOND scan for this operation, the captured
+    * file set could be the unfiltered candidate list while only
+    * touched rows were rewritten: silent row loss. The commit refuses
+    * loudly instead ([[GraftLogReplaceDataWrite.commit]]).
+    */
+  private[sources] val scanBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String =
@@ -73,7 +86,9 @@ class GraftLogRowLevelOperation(root: String,
     val schema = GraftLog.inferSchema(c, root, latest)
     new GraftLogScanBuilder(root, latest, schema, conf, cdc = false,
       cdcStart = 1, columnar = options.getBoolean("columnar", true),
-      rowLevel = true, onBuild = s => cowScan = Some(s))
+      rowLevel = true, onBuild = { s =>
+        scanBuilds.incrementAndGet(); cowScan = Some(s)
+      })
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -126,15 +141,34 @@ class GraftLogReplaceDataWrite(root: String, writeSchema: StructType,
     GraftLogWriterFactory(staging, writeSchema, Nil, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // the one-scan contract, guarded: with two scans built for one
+    // operation the captured (last-planned) file set may not be the
+    // set whose rows actually fed this rewrite — committing it as the
+    // remove set could silently drop rows; refuse instead
+    val builds = op.scanBuilds.get()
+    if (builds > 1) throw new IllegalStateException(
+      s"graftlog replace-data: $builds scans were built for one " +
+        "row-level operation — the planner no longer reuses the " +
+        "operation's single copy-on-write scan, so the captured " +
+        "remove set cannot be trusted; refusing to commit")
     val removes = op.cowScan match {
       case Some(scan) => scan.plannedRelFiles
       case None => throw new IllegalStateException(
         "graftlog replace-data: commit before the copy-on-write scan " +
           "was planned — the remove set is unknown")
     }
-    GraftLogWrite.commitStaged(conf.value, root, staging,
+    // flat-landed rewrite files would erase a path-inferred layout for
+    // later compaction/insert defaults — re-record the observed layout
+    val c = conf.value
+    val latest = GraftLog.latestVersion(c, root)
+    val layout = GraftLogOps.layoutPartCols(c, root, latest,
+      GraftLog.liveEntries(c, root, latest))
+    GraftLogWrite.commitStaged(c, root, staging,
       messages.flatMap(_.asInstanceOf[GraftLogCommitMessage].files).toSeq,
-      Some(writeSchema), removes = removes)
+      Some(writeSchema), removes = removes,
+      extraRows =
+        if (layout.isEmpty) Nil
+        else Seq(GraftLog.ManifestRow("partcols", layout.mkString(","))))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

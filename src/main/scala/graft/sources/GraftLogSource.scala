@@ -540,45 +540,67 @@ object GraftLog {
     * so the backward walk stops there instead of descending to v1.
     */
   def schemaFromManifest(conf: Configuration, root: String,
-      asOf: Int): Option[StructType] = {
-    val names = listLogNames(conf, root)
-    val occ = names.contains("v1.txt")
-    val ckpt = if (occ) None else checkpointAt(names, asOf)
-    val ckptRows = ckpt.flatMap(k => readCheckpoint(conf, root, k))
-    val floor = if (ckptRows.isDefined) ckpt.get else 0
-    (asOf to (floor + 1) by -1).iterator
-      .flatMap(v => versionRows(conf, root, v)
-        .collectFirst { case ManifestRow("schema", ddl, _, _, _) => ddl })
-      .nextOption()
-      .orElse(ckptRows.flatMap(_.collectFirst {
-        case ManifestRow("schema", ddl, _, _, _) => ddl }))
-      .map(ddl => asNullable(StructType.fromDDL(ddl)))
-  }
+      asOf: Int): Option[StructType] = tableMeta(conf, root, asOf)._1
 
-  /** Declared partition columns (catalog `PARTITIONED BY`) recorded in
-    * the newest manifest at or below `asOf` — written by CREATE TABLE's
-    * empty commit and carried forward by checkpoints, so a table loaded
-    * in a LATER session still defaults its writes to the declared Hive
-    * layout instead of silently dropping the accepted DDL clause. Same
-    * backward walk (and the same checkpoint floor) as the schema row.
+  /** Declared partition columns (catalog `PARTITIONED BY`, or the
+    * layout a row-level operation observed and re-recorded) in the
+    * newest manifest at or below `asOf` — written by CREATE TABLE's
+    * empty commit, by row-level rewrites (whose flat-landed files
+    * would otherwise erase a path-inferred layout), and carried
+    * forward by checkpoints — so a table loaded in a LATER session
+    * still defaults its writes to the declared Hive layout instead of
+    * silently dropping the accepted DDL clause. One shared backward
+    * walk with the schema row ([[tableMeta]]).
     */
   def partColsFromManifest(conf: Configuration, root: String,
-      asOf: Int): Seq[String] = {
+      asOf: Int): Seq[String] = tableMeta(conf, root, asOf)._2
+
+  /** Schema DDL and partition columns in ONE backward walk (newest row
+    * of each kind at or below `asOf`, checkpoint rows as the floor's
+    * fallback). The catalog resolves BOTH on every loadTable: folding
+    * them into one walk means the partcols lookup costs nothing beyond
+    * the schema lookup the resolution already pays — a connector table
+    * stops at the newest manifest (every commit carries the schema
+    * row, row-level commits carry partcols), and a checkpointed table
+    * walks at most the tail.
+    */
+  def tableMeta(conf: Configuration, root: String,
+      asOf: Int): (Option[StructType], Seq[String]) = {
     val names = listLogNames(conf, root)
     val occ = names.contains("v1.txt")
-    if (occ) return Nil
+    if (occ) return (None, Nil) // OCC manifests carry actions only
     val ckpt = checkpointAt(names, asOf)
     val ckptRows = ckpt.flatMap(k => readCheckpoint(conf, root, k))
     val floor = if (ckptRows.isDefined) ckpt.get else 0
-    (asOf to (floor + 1) by -1).iterator
-      .flatMap(v => versionRows(conf, root, v)
-        .collectFirst { case ManifestRow("partcols", cols, _, _, _) =>
-          cols })
-      .nextOption()
-      .orElse(ckptRows.flatMap(_.collectFirst {
-        case ManifestRow("partcols", cols, _, _, _) => cols }))
-      .toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    var ddl: Option[String] = None
+    var parts: Option[String] = None
+    val it = (asOf to (floor + 1) by -1).iterator
+    while (it.hasNext && (ddl.isEmpty || parts.isEmpty)) {
+      val rows = versionRows(conf, root, it.next())
+      if (ddl.isEmpty) ddl = rows.collectFirst {
+        case ManifestRow("schema", d, _, _, _) => d }
+      if (parts.isEmpty) parts = rows.collectFirst {
+        case ManifestRow("partcols", c, _, _, _) => c }
+    }
+    def fromCkpt(action: String): Option[String] =
+      ckptRows.flatMap(_.collectFirst {
+        case ManifestRow(`action`, v, _, _, _) => v })
+    (ddl.orElse(fromCkpt("schema"))
+       .map(d => asNullable(StructType.fromDDL(d))),
+     parts.orElse(fromCkpt("partcols")).toSeq
+       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
   }
+
+  /** Commit timestamp (micros) recorded in version `v`'s manifest row —
+    * present on every connector commit since the row was introduced,
+    * absent on legacy/OCC versions (callers fall back to marker
+    * mtimes). Strictly increasing in `v` by construction at commit.
+    */
+  def commitMicros(conf: Configuration, root: String,
+      v: Int): Option[Long] =
+    versionRows(conf, root, v).collectFirst {
+      case ManifestRow("committs", t, _, _, _) => t.toLong
+    }
 
   /** Write a consolidated checkpoint of version `k`: the live add rows
     * (with their statistics) plus the current schema DDL, landed as

@@ -94,6 +94,31 @@ import org.apache.spark.util.SerializableConfiguration
   * manifest statistics carry min=max=value for them — so partition
   * pruning IS the ordinary stats skip, no special path.
   */
+/** A commit refused because a CONCURRENT writer invalidated what this
+  * operation prepared — its remove set (a touched file was rewritten
+  * first) or, for key-guarded operations like MERGE, its read snapshot
+  * (a concurrent append added rows the operation's keys may match).
+  * Retryable by re-planning against the current snapshot:
+  * [[GraftLogOps]] does exactly that, bounded, so callers of the
+  * utility surface never see the race at all.
+  */
+class GraftLogConflictException(msg: String)
+  extends IllegalStateException(msg)
+
+/** A commit that pinned its exact version number (CREATE TABLE's
+  * "the empty v1") lost the claim race — NOT retryable at the same
+  * number; the catalog maps it to TableAlreadyExistsException.
+  */
+class GraftLogVersionMismatchException(msg: String)
+  extends IllegalStateException(msg)
+
+/** The next version number is claimed but not committed — another
+  * writer is in flight (retry shortly), or died mid-commit (delete the
+  * stale `_claim` to recover, the documented OCC discipline).
+  */
+class GraftLogClaimPendingException(msg: String)
+  extends IllegalStateException(msg)
+
 object GraftLogWrite {
 
   /** One Spark field → parquet type, recursively: primitives as before,
@@ -245,7 +270,7 @@ object GraftLogWrite {
         case _: java.io.IOException =>
           if (fs.exists(new Path(s"$root/_log/v$n._ok"))) {
             n += 1; attempts += 1 // committed winner — rebase past it
-          } else throw new IllegalStateException(
+          } else throw new GraftLogClaimPendingException(
             s"graftlog write: version $n of $root is claimed but not " +
               "committed — another writer is in flight, or died " +
               s"mid-commit; if dead, delete _log/v$n._claim to recover")
@@ -300,16 +325,23 @@ object GraftLogWrite {
   private def writeManifest(conf: Configuration, root: String, n: Int,
       adds: Seq[GraftLogFileCommit], schema: Option[StructType],
       removes: Seq[String] = Nil,
-      extraRows: Seq[GraftLog.ManifestRow] = Nil): Unit =
+      extraRows: Seq[GraftLog.ManifestRow] = Nil,
+      commitMicros: Long): Unit =
     writeManifestRows(conf, new Path(s"$root/_log/v$n/manifest.parquet"),
-      // all-nullable: the parquet fields are optional and widening
-      // null-fills — a query-derived NOT NULL must not be recorded
-      schema.map(s => GraftLog.ManifestRow("schema",
-        GraftLog.asNullable(s).toDDL)).toSeq ++
-        extraRows ++
-        removes.map(GraftLog.ManifestRow("remove", _)) ++
-        adds.map(fc => GraftLog.ManifestRow("add", fc.file,
-          Some(fc.rows), Some(fc.bytes), fc.stats)))
+      // the commit timestamp lives IN the manifest: object-store marker
+      // mtimes are second-granular, so two versions in one second would
+      // tie under TIMESTAMP AS OF — the recorded micros are made
+      // strictly increasing at commit, so resolution never depends on
+      // filesystem clocks
+      GraftLog.ManifestRow("committs", commitMicros.toString) +:
+        // all-nullable: the parquet fields are optional and widening
+        // null-fills — a query-derived NOT NULL must not be recorded
+        (schema.map(s => GraftLog.ManifestRow("schema",
+          GraftLog.asNullable(s).toDDL)).toSeq ++
+          extraRows ++
+          removes.map(GraftLog.ManifestRow("remove", _)) ++
+          adds.map(fc => GraftLog.ManifestRow("add", fc.file,
+            Some(fc.rows), Some(fc.bytes), fc.stats))))
 
   /** Filesystem renames performed inside commit windows — the metric
     * the in-place publication design drives to zero for connector
@@ -345,7 +377,9 @@ object GraftLogWrite {
       beforeOk: Int => Unit = _ => (),
       removes: Seq[String] = Nil,
       expectedVersion: Option[Int] = None,
-      extraRows: Seq[GraftLog.ManifestRow] = Nil): Int = {
+      extraRows: Seq[GraftLog.ManifestRow] = Nil,
+      addConflict: Option[(Int, GraftLog.ManifestRow => Boolean)] = None)
+      : Int = {
     val fs = new Path(root).getFileSystem(conf)
     val n = claimVersion(conf, root)
     // EXPECTED-VERSION gate under the claim: CREATE TABLE commits "the
@@ -357,7 +391,7 @@ object GraftLogWrite {
     expectedVersion.foreach { exp =>
       if (n != exp) {
         fs.delete(new Path(s"$root/_log/v$n._claim"), false)
-        throw new IllegalStateException(
+        throw new GraftLogVersionMismatchException(
           s"graftlog write: expected to commit version $exp of $root " +
             s"but the next claimable version is $n — a concurrent " +
             "writer committed first")
@@ -375,12 +409,36 @@ object GraftLogWrite {
       val gone = removes.filterNot(live.contains)
       if (gone.nonEmpty) {
         fs.delete(new Path(s"$root/_log/v$n._claim"), false)
-        throw new IllegalStateException(
+        throw new GraftLogConflictException(
           s"graftlog write: write-write conflict on $root — " +
             s"${gone.take(3).mkString(", ")}${if (gone.size > 3) ", ..."
             else ""} were rewritten or removed by a concurrent commit " +
             "after this operation read them; retry the operation " +
             "against the current snapshot")
+      }
+    }
+    // ADD-SET revalidation under the claim — the write-SERIALIZABLE
+    // half of conflict detection: a key-guarded operation (MERGE's "one
+    // LWW winner per key") planned its rewrite against the snapshot at
+    // `readVersion`, but a concurrent APPEND may have landed rows its
+    // keys match — committing anyway would stack a duplicate key the
+    // serial order (append, then merge) would have rewritten. The
+    // caller supplies the predicate (its source-key filter evaluated
+    // against each concurrently-added file's manifest statistics);
+    // stats-less adds conflict conservatively. Removes in the
+    // intervening versions are covered by the remove revalidation.
+    addConflict.foreach { case (readVersion, test) =>
+      val clash = ((readVersion + 1) until n).iterator.flatMap { v =>
+        GraftLog.versionRows(conf, root, v).filter(r =>
+          r.action == "add" && test(r)).map(r => s"v$v:${r.file}")
+      }.take(3).toSeq
+      if (clash.nonEmpty) {
+        fs.delete(new Path(s"$root/_log/v$n._claim"), false)
+        throw new GraftLogConflictException(
+          s"graftlog write: read-write conflict on $root — " +
+            s"${clash.mkString(", ")} were added by concurrent commits " +
+            "after this operation's read snapshot and may match its " +
+            "keys; retry the operation against the current snapshot")
       }
     }
     // COMMIT-TIME schema revalidation: this write analyzed against the
@@ -443,8 +501,15 @@ object GraftLogWrite {
           fc.copy(file = s"$dataDir/$rel")
         }
       }
+    // strictly increasing across versions even under wall-clock
+    // retrograde (NTP step-back): TIMESTAMP AS OF binary-searches these
+    // micros, and versions commit strictly in claim order, so the
+    // recorded sequence must be monotone regardless of the host clock
+    val commitMicros = math.max(System.currentTimeMillis() * 1000L,
+      (if (n > 1) GraftLog.commitMicros(conf, root, n - 1) else None)
+        .map(_ + 1L).getOrElse(Long.MinValue))
     writeManifest(conf, root, n, manifestAdds, recordedSchema,
-      removes, extraRows)
+      removes, extraRows, commitMicros)
     // legacy staging: drop loser-attempt remnants. In-place staging IS
     // the final directory — deleting it would delete the committed
     // files; losers there were removed by their own task aborts.

@@ -1,0 +1,166 @@
+package graft.sources
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The SQL maintenance surface — table-lifecycle operations as catalog
+  * STORED PROCEDURES, so the full story (CREATE → INSERT → DML →
+  * OPTIMIZE → VACUUM → time travel) runs in SQL alone:
+  *
+  * {{{
+  *   CALL graft.system.optimize('orders')            -- compact small files
+  *   CALL graft.system.optimize('orders', 'o_date')  -- + cluster within bins
+  *   CALL graft.system.vacuum('orders', 3)           -- expire versions < 3
+  *   CALL graft.system.checkpoint('orders')          -- consolidate the log
+  * }}}
+  *
+  * Each procedure resolves its table through the catalog's warehouse
+  * mapping (namespace-qualified names join with '/', exactly like
+  * table identifiers) and delegates to the SAME utilities the Scala
+  * surface uses ([[GraftLogOps]] / [[GraftLog.writeCheckpoint]]) — one
+  * implementation, two front doors. Results come back as ordinary
+  * result sets (a [[LocalScan]] of the operation's audit row), so a
+  * SQL caller sees what changed: committed version and live file
+  * count for OPTIMIZE, deleted/retained counts for VACUUM.
+  */
+private[sources] object GraftProcedures {
+
+  val Names: Seq[String] = Seq("optimize", "vacuum", "checkpoint")
+
+  /** One-row result set. */
+  private final case class AuditScan(schema: StructType,
+      row: InternalRow) extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = Array(row)
+  }
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def result(schema: StructType,
+      values: Any*): java.util.Iterator[Scan] =
+    Collections.singletonList(
+      AuditScan(schema, new GenericInternalRow(values.toArray))
+        : Scan).iterator()
+
+  private def session: SparkSession = SparkSession.active
+
+  /** `optimize(table [, cluster_by])` → [[GraftLogOps.compactLog]]:
+    * partition-aware small-file compaction, optionally sorted within
+    * each bin by the comma-separated `cluster_by` columns.
+    */
+  private final class Optimize(rootOf: String => String)
+      extends UnboundProcedure {
+    override def name(): String = "optimize"
+    override def description(): String =
+      "compact small files, partition-aware; optional clustering sort"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "optimize"
+        override def description(): String = Optimize.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] =
+          if (inputType.length > 1)
+            Array(param("table", StringType),
+              param("cluster_by", StringType))
+          else Array(param("table", StringType))
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val s = session
+          val root = rootOf(input.getUTF8String(0).toString)
+          val clusterBy =
+            if (input.numFields > 1 && !input.isNullAt(1))
+              input.getUTF8String(1).toString.split(",")
+                .map(_.trim).filter(_.nonEmpty).toSeq
+            else Nil
+          val v = GraftLogOps.compactLog(s, root, clusterBy = clusterBy)
+          val live = GraftLog.liveEntries(
+            s.sessionState.newHadoopConf(), root, v).size
+          result(StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("live_files", LongType, nullable = false))),
+            v.toLong, live.toLong)
+        }
+      }
+  }
+
+  /** `vacuum(table, keep_from)` → [[GraftLogOps.vacuumLog]]: expire
+    * versions below `keep_from`, delete unreferenced files.
+    */
+  private final class Vacuum(rootOf: String => String)
+      extends UnboundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "expire versions below keep_from and delete unreferenced files"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "vacuum"
+        override def description(): String = Vacuum.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] =
+          Array(param("table", StringType),
+            param("keep_from", IntegerType))
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val root = rootOf(input.getUTF8String(0).toString)
+          val keepFrom = input.getInt(1)
+          val (deleted, retained) =
+            GraftLogOps.vacuumLog(session, root, keepFrom)
+          result(StructType(Seq(
+            StructField("kept_from", LongType, nullable = false),
+            StructField("files_deleted", LongType, nullable = false),
+            StructField("files_retained", LongType, nullable = false))),
+            keepFrom.toLong, deleted.toLong, retained.toLong)
+        }
+      }
+  }
+
+  /** `checkpoint(table)` → [[GraftLog.writeCheckpoint]] at the latest
+    * version: consolidate the live set so cold planning reads
+    * O(checkpoint + tail) — the manual trigger of what every
+    * CheckpointInterval-th commit does automatically.
+    */
+  private final class Checkpoint(rootOf: String => String)
+      extends UnboundProcedure {
+    override def name(): String = "checkpoint"
+    override def description(): String =
+      "consolidate the live set into a checkpoint at the latest version"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "checkpoint"
+        override def description(): String =
+          Checkpoint.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] =
+          Array(param("table", StringType))
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val s = session
+          val root = rootOf(input.getUTF8String(0).toString)
+          val conf = s.sessionState.newHadoopConf()
+          val latest = GraftLog.latestVersion(conf, root)
+          GraftLog.writeCheckpoint(conf, root, latest)
+          result(StructType(Seq(
+            StructField("version", LongType, nullable = false))),
+            latest.toLong)
+        }
+      }
+  }
+
+  def load(name: String, rootOf: String => String): UnboundProcedure =
+    name.toLowerCase(java.util.Locale.ROOT) match {
+      case "optimize"   => new Optimize(rootOf)
+      case "vacuum"     => new Vacuum(rootOf)
+      case "checkpoint" => new Checkpoint(rootOf)
+      case other => throw new IllegalArgumentException(
+        s"graft catalog: unknown procedure system.$other — available: " +
+          Names.mkString(", "))
+    }
+}

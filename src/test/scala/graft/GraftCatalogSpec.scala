@@ -76,18 +76,23 @@ class GraftCatalogSpec extends SparkSpecBase {
       .getModificationTime
     val (m1, m2) = (okMtime(1), okMtime(2))
     assert(m2 > m1)
+    // the recorded commit instants (manifest committs micros) drive
+    // resolution; the marker mtimes above only anchor the SQL literal
+    val t1 = GraftLog.commitMicros(conf, root, 1).get
+    val t2 = GraftLog.commitMicros(conf, root, 2).get
+    assert(t2 > t1)
     val cat = spark.sessionState.catalogManager.catalog("graft")
       .asInstanceOf[GraftCatalog]
     val ident = Identifier.of(Array.empty, "t")
     def versionAt(micros: Long): Int =
       cat.loadTable(ident, micros)
         .asInstanceOf[graft.sources.GraftLogTable].asOfVersion
-    assert(versionAt(m1 * 1000L) === 1)            // exactly at v1
-    assert(versionAt(m2 * 1000L - 1000L) === 1)    // between commits
-    assert(versionAt(m2 * 1000L) === 2)            // at v2
-    assert(versionAt(m2 * 1000L + 60000000L) === 2) // after everything
+    assert(versionAt(t1) === 1)                  // exactly at v1
+    assert(versionAt(t1 + (t2 - t1) / 2) === 1)  // between commits
+    assert(versionAt(t2) === 2)                  // at v2
+    assert(versionAt(t2 + 60000000L) === 2)      // after everything
     val e = intercept[IllegalArgumentException] {
-      versionAt(m1 * 1000L - 1000000L)             // before v1
+      versionAt(t1 - 1000000L)                   // before v1
     }
     assert(e.getMessage.contains("no version"), e.getMessage)
     // and through actual SQL: a timestamp literal between the commits
@@ -101,8 +106,9 @@ class GraftCatalogSpec extends SparkSpecBase {
       .collect().head.getLong(0) === 10L)
   }
 
-  test("listTables surfaces graftlog roots under the warehouse; ALTER " +
-      "and RENAME refuse; DROP never deletes history") {
+  test("listTables surfaces graftlog roots under the warehouse; " +
+      "RENAME and destructive ALTERs refuse; DROP refuses LOUDLY and " +
+      "never deletes history") {
     val root = Maintenance.txnTableDir(spark, sfDir)
     val parent = root.substring(0, root.lastIndexOf('/'))
     val table = root.substring(root.lastIndexOf('/') + 1)
@@ -114,7 +120,7 @@ class GraftCatalogSpec extends SparkSpecBase {
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
     val e1 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.`$table` ADD COLUMN extra BIGINT")
+      spark.sql(s"ALTER TABLE graft.`$table` DROP COLUMN o_orderkey")
     }
     assert(msgs(e1).exists(_.contains("WIDENING")), msgs(e1).mkString(" | "))
     val e2 = intercept[Exception] {
@@ -122,9 +128,96 @@ class GraftCatalogSpec extends SparkSpecBase {
     }
     assert(msgs(e2).exists(m => m.contains("storage layer") ||
       m.contains("RENAME")), msgs(e2).mkString(" | "))
-    // DROP is a deliberate no-op: the log (and every version) survives
-    spark.sql(s"DROP TABLE IF EXISTS graft.`$table`")
+    // DROP refuses loudly — never `false`, which would surface as a
+    // misleading NoSuchTableException for a table that plainly exists —
+    // and the log (every version) survives
+    val e3 = intercept[Exception] {
+      spark.sql(s"DROP TABLE graft.`$table`")
+    }
+    assert(msgs(e3).exists(_.contains("storage layer")),
+      msgs(e3).mkString(" | "))
     assert(GraftLog.latestVersion(conf, root) >= 1)
+  }
+
+  test("ALTER TABLE ADD COLUMN commits a widened empty version (the " +
+      "write path's WIDENING contract as SQL): old files read back " +
+      "null-filled, INSERT writes the new column, time travel returns " +
+      "each version's own schema; duplicates and positioned adds refuse") {
+    val wh = Files.createTempDirectory("graft_cat_alter").toString
+    register(wh)
+    spark.sql("CREATE TABLE graft.alt (id BIGINT)")
+    spark.sql("INSERT INTO graft.alt SELECT id FROM range(5)") // v2
+    spark.sql("ALTER TABLE graft.alt ADD COLUMN v DOUBLE")     // v3
+    assert(GraftLog.latestVersion(conf, s"$wh/alt") === 3)
+    assert(spark.sql("SELECT * FROM graft.alt").schema.fieldNames.toSeq
+      === Seq("id", "v"))
+    // pre-widening rows null-fill the appended column
+    assert(spark.sql("SELECT count(*) FROM graft.alt WHERE v IS NULL")
+      .collect().head.getLong(0) === 5L)
+    // the widened schema is writable immediately
+    spark.sql("INSERT INTO graft.alt VALUES (100, 1.5)")       // v4
+    val got = spark.sql(
+      "SELECT id, v FROM graft.alt WHERE v IS NOT NULL").collect()
+    assert(got.length === 1 && got.head.getLong(0) === 100L &&
+      got.head.getDouble(1) === 1.5)
+    // time travel returns each version's own schema
+    assert(spark.sql("SELECT * FROM graft.alt VERSION AS OF 2")
+      .schema.fieldNames.toSeq === Seq("id"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // a duplicate column name refuses (Spark's analyzer catches it
+    // before the catalog; the catalog's own `already present` guard
+    // backstops non-SQL callers)
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.alt ADD COLUMN id BIGINT")
+    }
+    assert(msgs(e1).exists(m => m.contains("already exists") ||
+      m.contains("already present")), msgs(e1).mkString(" | "))
+    // a positioned add is NOT a widening (appended columns only)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.alt ADD COLUMN w DOUBLE FIRST")
+    }
+    assert(msgs(e2).exists(_.contains("WIDENING")),
+      msgs(e2).mkString(" | "))
+    assert(GraftLog.latestVersion(conf, s"$wh/alt") === 4)
+  }
+
+  test("TIMESTAMP AS OF resolves from the manifest's committs micros, " +
+      "not marker mtimes: two versions forced into the SAME marker " +
+      "mtime second still resolve to their own commit instants") {
+    val wh = Files.createTempDirectory("graft_cat_tie").toString
+    val root = s"$wh/tie"
+    def append(from: Long, until: Long): Unit =
+      spark.range(from, until).selectExpr("id")
+        .write.format("graftlog").option("path", root)
+        .option("schema", "id BIGINT").mode("append").save()
+    append(0, 10)  // v1
+    append(10, 30) // v2, typically within the same wall-clock second
+    register(wh)
+    // recorded commit micros are strictly increasing...
+    val t1 = GraftLog.commitMicros(conf, root, 1).get
+    val t2 = GraftLog.commitMicros(conf, root, 2).get
+    assert(t2 > t1)
+    // ...even though the markers now carry ONE shared mtime second
+    // (the object-store granularity that used to make resolution tie)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    Seq(1, 2).foreach { v =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/_log/v$v._ok"),
+        (t1 / 1000L / 1000L) * 1000L, -1)
+    }
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val ident = Identifier.of(Array.empty, "tie")
+    def versionAt(micros: Long): Int =
+      cat.loadTable(ident, micros)
+        .asInstanceOf[graft.sources.GraftLogTable].asOfVersion
+    assert(versionAt(t1) === 1)
+    assert(versionAt(t2 - 1) === 1)
+    assert(versionAt(t2) === 2)
+    assert(versionAt(t2 + 1000000L) === 2)
+    val e = intercept[IllegalArgumentException] { versionAt(t1 - 1) }
+    assert(e.getMessage.contains("no version"), e.getMessage)
   }
 
   test("CREATE TABLE / CTAS / INSERT INTO route through the ONE commit " +

@@ -177,20 +177,145 @@ class GraftLogMergeSpec extends SparkSpecBase {
     assert(snapshot() === before)
   }
 
-  test("compactLog bins the small files into one remove+add version " +
-      "with content preserved; an already-compacted log is a no-op") {
-    val root = mkTable()
-    val v2 = graft.sources.GraftLogOps.compactLog(spark, root)
-    assert(v2 === 2)
-    assert(GraftLog.dataFiles(conf, root, 2).size <
-      GraftLog.dataFiles(conf, root, 1).size)
+  test("compactLog is PARTITION-AWARE: small files bin WITHIN their " +
+      "partition-value group, every post-OPTIMIZE file keeps min==max " +
+      "on the partition column, and a partition-predicate scan skips " +
+      "exactly as many files after compaction as before; groups with " +
+      "one small file are untouched, and a compacted log is a no-op") {
+    val root = mkTable() // 4 bucket files (one each) — v1
+    // second append: 4 more files, one per bucket → every group has 2
+    spark.range(100, 200)
+      .selectExpr("id", "id % 4 AS bucket", "CAST(id * 10 AS DOUBLE) AS v")
+      .write.format("graftlog").option("path", root)
+      .option("partitionBy", "bucket").mode("append").save()
+    assert(GraftLog.dataFiles(conf, root, 2).size === 8)
+    val v3 = graft.sources.GraftLogOps.compactLog(spark, root)
+    assert(v3 === 3)
+    // 8 small files → 4 output files, ONE per bucket group
+    val after = GraftLog.liveAdds(conf, root, 3)
+    assert(after.size === 4, after.map(_.file).mkString(", "))
+    // partition locality survived: every compacted file's bucket
+    // bounds are min==max — the manifest-stats skip is intact
+    after.foreach { r =>
+      val st = graft.sources.GraftLogStats.parseStats(r.stats.get).get
+      assert(st.min("bucket") === st.max("bucket"),
+        s"${r.file}: bucket bounds ${st.min("bucket")}..${st.max("bucket")}")
+    }
+    // a bucket = 3 scan touches exactly ONE file after OPTIMIZE (it
+    // touched two of eight before — compaction IMPROVED the skip, and
+    // crucially did not erode it to a full-table read)
+    def mayMatchCount(v: Int): Int =
+      GraftLog.liveAdds(conf, root, v).count { r =>
+        val st = graft.sources.GraftLogStats.parseStats(r.stats.get).get
+        graft.sources.GraftLogStats.mayMatch(
+          spark.read.format("graftlog").option("path", root).load().schema,
+          st, r.rows, org.apache.spark.sql.sources.EqualTo("bucket", 3L))
+      }
+    assert(mayMatchCount(2) === 2)
+    assert(mayMatchCount(3) === 1)
+    // content preserved exactly
     val got = spark.read.format("graftlog").option("path", root).load()
       .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
       .toSeq
-    assert(got === (0L until 100L).map(i => (i, i * 10.0)))
-    // one output file left below the small threshold → nothing to bin
-    assert(graft.sources.GraftLogOps.compactLog(spark, root) === 2)
-    assert(GraftLog.latestVersion(conf, root) === 2)
+    assert(got === (0L until 200L).map(i => (i, i * 10.0)))
+    // every group now holds ONE file below the threshold → no-op
+    assert(graft.sources.GraftLogOps.compactLog(spark, root) === 3)
+    assert(GraftLog.latestVersion(conf, root) === 3)
+  }
+
+  test("per-file MERGE candidate pruning: a 2-key source spanning the " +
+      "key domain prunes to exactly the 2 files holding those keys — " +
+      "not every file between them") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_prune").toString
+    // 4 files RANGE-partitioned on id: [0,24] [25,49] [50,74] [75,99]
+    spark.range(0, 100)
+      .selectExpr("id", "CAST(id / 25 AS BIGINT) AS grp",
+        "CAST(id AS DOUBLE) AS v")
+      .write.format("graftlog").option("path", root)
+      .option("schema", "id BIGINT, grp BIGINT, v DOUBLE")
+      .option("partitionBy", "grp").mode("append").save()
+    val entries = GraftLog.liveAdds(conf, root, 1)
+      .map(r => (r.file, GraftLog.expandRow(conf, root, r).head))
+    assert(entries.size === 4)
+    val src = Seq((3L, 0L, -3.0), (97L, 3L, -97.0)).toDF("id", "grp", "v")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, grp BIGINT, v DOUBLE")
+    val candidates = graft.sources.GraftLogOps
+      .pruneCandidates(schema, entries, src, Seq("id"))
+      .map(_._1).sorted
+    assert(candidates.size === 2, candidates.mkString(", "))
+    assert(candidates.exists(_.contains("grp=0")), candidates)
+    assert(candidates.exists(_.contains("grp=3")), candidates)
+    // and the merge itself rewrites exactly those two files
+    val v2 = Maintenance.mergeIntoLog(spark, root, src, Seq("id"))
+    assert(v2 === 2)
+    val removes = GraftLog.versionRows(conf, root, 2)
+      .filter(_.action == "remove").map(_.file).sorted
+    assert(removes === candidates)
+  }
+
+  test("concurrent merges on disjoint keys BOTH land without caller " +
+      "intervention: the loser of the claim/conflict race re-plans " +
+      "against the new snapshot and retries (bounded OCC auto-retry)") {
+    import spark.implicits._
+    val root = mkTable()
+    val srcA = Seq((1L, 1L, -1.0)).toDF("id", "bucket", "v")
+    val srcB = Seq((2L, 2L, -2.0)).toDF("id", "bucket", "v")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(srcA, srcB).map { src =>
+      new Thread(() => {
+        gate.await()
+        try results.add(Maintenance.mergeIntoLog(spark, root, src,
+          Seq("id")))
+        catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown()
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, errors.toString)
+    assert(results.size === 2)
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.toSeq.sorted === Seq(2, 3))
+    val got = spark.read.format("graftlog").option("path", root).load()
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got(1L) === -1.0 && got(2L) === -2.0)
+    assert(got.size === 100)
+  }
+
+  test("MERGE is write-SERIALIZABLE, not merely snapshot-isolated: a " +
+      "commit whose read snapshot was invalidated by a concurrently-" +
+      "ADDED file that may hold its merge keys refuses (the add-" +
+      "conflict revalidation under the claim), and the bounded retry " +
+      "re-plans so the LWW invariant holds anyway") {
+    import spark.implicits._
+    val root = mkTable()
+    // mechanism: a commit prepared at readVersion=1 must refuse when
+    // v2 added a file whose stats may hold key id=150
+    spark.range(150, 151)
+      .selectExpr("id", "id % 4 AS bucket", "CAST(0 AS DOUBLE) AS v")
+      .write.format("graftlog").option("path", root)
+      .option("partitionBy", "bucket").mode("append").save() // v2
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, bucket BIGINT, v DOUBLE")
+    val conflictTest: graft.sources.GraftLog.ManifestRow => Boolean =
+      r => graft.sources.GraftLogStats.parseStats(r.stats.get).exists(
+        st => graft.sources.GraftLogStats.mayMatch(schema, st, r.rows,
+          org.apache.spark.sql.sources.EqualTo("id", 150L)))
+    val e = intercept[graft.sources.GraftLogConflictException] {
+      graft.sources.GraftLogWrite.commitStaged(conf, root,
+        s"$root/data/w_test_x", Nil, Some(schema),
+        addConflict = Some((1, conflictTest)))
+    }
+    assert(e.getMessage.contains("read-write conflict"), e.getMessage)
+    // no claim leaked: the next ordinary commit still lands
+    assert(Maintenance.mergeIntoLog(spark, root,
+      Seq((150L, 2L, -150.0)).toDF("id", "bucket", "v"), Seq("id")) === 3)
+    val got = spark.read.format("graftlog").option("path", root).load()
+      .filter(col("id") === 150L).collect()
+    assert(got.length === 1 && got.head.getDouble(2) === -150.0)
   }
 
   test("deleteFromLog: matched rows leave, NULL-condition rows are " +
