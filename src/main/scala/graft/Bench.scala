@@ -28,6 +28,19 @@ import org.apache.spark.sql.SparkSession
   * query escalates to min-of-3. The `noisy` flag keys on that ambient
   * sample alone; the end-of-run loadavg is recorded too but is
   * forensic-only, since by then it largely measures the bench itself.
+  *
+  * MID-RUN contention defense (round-13: the official record printed
+  * 177.6 s where the identical binary measures ~104 s quiet — the host
+  * loaded AFTER the start sample, which the start-gated min-of-N can't
+  * see): each query now escalates ON ITS OWN EVIDENCE — when the
+  * max/min spread of its successful runs exceeds
+  * [[SpreadEscalationRatio]], extra runs are taken (up to
+  * [[MaxRunsPerQuery]] total) until the spread settles or the cap
+  * hits. A query whose two runs disagree 2× is measuring the HOST, not
+  * the plan — one more quiet-interval run recovers the steady state
+  * the record is supposed to carry, protecting the driver's
+  * 2×-of-baseline gate from spurious trips. The metric line records
+  * how many queries escalated (`spread_escalations`) for forensics.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -92,8 +105,9 @@ object Bench {
       case Some(names) => SparkEntry.benchQueries.filter(kv => names(kv._1))
       case None        => SparkEntry.benchQueries
     }
+    var spreadEscalations = 0
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to nRuns).map { _ =>
+      def runOnce(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -103,16 +117,28 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      val runs = scala.collection.mutable.ArrayBuffer[(Double, Boolean)]()
+      (1 to nRuns).foreach(_ => runs += runOnce())
       // a failed run returns in milliseconds — it must not masquerade as
       // the steady-state cost, so the min is over SUCCESSFUL runs; a query
       // with NO successful run reports the sentinel -1 (stderr carries the
       // failure message), so a regression-to-failure can never read as a
       // speedup in round-over-round comparisons
-      val good = runs.collect { case (t, true) => t }
+      def good = runs.collect { case (t, true) => t }.toSeq
+      // mid-run contention the start sample can't see: runs of ONE query
+      // disagreeing >2× measure the host, not the plan — take extra runs
+      // until the spread settles or the cap hits
+      var escalated = false
+      while (needsEscalation(good) && runs.size < MaxRunsPerQuery) {
+        escalated = true
+        runs += runOnce()
+      }
+      if (escalated) spreadEscalations += 1
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val loadEnd = load1()
-    println(metricLine(results, sfDir, loadStart, loadEnd, hostCpus))
+    println(metricLine(results, sfDir, loadStart, loadEnd, hostCpus,
+      spreadEscalations))
     // The per-query line above is ~4 KiB at 93 queries and the driver keeps
     // only a bounded stdout tail, parsing the LAST line as JSON — rounds 4-6
     // lost their totals when the big line overflowed that tail. So the very
@@ -129,7 +155,8 @@ object Bench {
     */
   def metricLine(results: Seq[(String, Double)], sfDir: String,
       loadStart: Double = 0.0, loadEnd: Double = 0.0,
-      hostCpus: Int = Runtime.getRuntime.availableProcessors): String = {
+      hostCpus: Int = Runtime.getRuntime.availableProcessors,
+      spreadEscalations: Int = 0): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total sums successes only — the -1 sentinels must not deflate it
@@ -141,8 +168,29 @@ object Bench {
     val noisy = isNoisy(loadStart, hostCpus)
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""load1_start":$loadStart,"load1_end":$loadEnd,"noisy":$noisy,""" +
-      s""""sf":"$sf"}"""
+      s""""spread_escalations":$spreadEscalations,"sf":"$sf"}"""
   }
+
+  /** Per-query escalation cap: initial runs plus enough retries to ride
+    * out a transient load spike, but bounded so a persistently-noisy
+    * host cannot stretch one query forever.
+    */
+  val MaxRunsPerQuery = 5
+
+  /** A query's successful runs disagreeing by more than this ratio are
+    * measuring mid-run HOST contention, not the plan (an identical
+    * binary's identical plan does not legitimately vary 2× at a fixed
+    * scale) — the signal the process-start load sample cannot see.
+    */
+  val SpreadEscalationRatio = 2.0
+
+  /** Escalate when ≥2 successful runs disagree by more than
+    * [[SpreadEscalationRatio]] (sub-10ms timings are exempt: scheduler
+    * jitter dominates there and another run proves nothing).
+    */
+  def needsEscalation(good: Seq[Double]): Boolean =
+    good.size >= 2 && good.min > 0.01 &&
+      good.max / good.min > SpreadEscalationRatio
 
   /** Ambient 1-minute loadavg above which a run escalates to min-of-3
     * and records `noisy`. Rounds 8 and 9 both recorded at ambient load1

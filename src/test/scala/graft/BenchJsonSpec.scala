@@ -89,6 +89,25 @@ class BenchJsonSpec extends AnyFunSuite {
     }
   }
 
+  test("per-query spread escalation: runs disagreeing >2x demand more " +
+      "runs (mid-run host contention the start sample can't see), " +
+      "agreeing or sub-10ms runs don't, and the count lands in the " +
+      "metric line") {
+    // the r13 record printed 177.6 s where the binary measures ~104 s
+    // quiet — the contention arrived AFTER the start sample; per-query
+    // spread is the only signal that sees it
+    assert(Bench.needsEscalation(Seq(0.5, 1.2)))     // 2.4x: host noise
+    assert(!Bench.needsEscalation(Seq(0.5, 0.6)))    // steady state
+    assert(!Bench.needsEscalation(Seq(0.004, 0.009))) // jitter regime
+    assert(!Bench.needsEscalation(Seq(0.5)))         // one run: no spread
+    assert(!Bench.needsEscalation(Seq.empty))        // all-failed query
+    assert(Bench.needsEscalation(Seq(0.3, 0.31, 0.9))) // still split
+    assert(Bench.MaxRunsPerQuery >= 4) // room for 2 base + ≥2 retries
+    val node = mapper.readTree(Bench.metricLine(Seq("q_a" -> 1.0), "/d",
+      0.5, 1.0, hostCpus = 8, spreadEscalations = 3))
+    assert(node.get("spread_escalations").asInt() === 3)
+  }
+
   test("documented query counts in SURVEY.md and README.md match the " +
       "registry (ends the recurring doc-drift)") {
     // every round that adds queries used to leave stale counts behind in

@@ -1,0 +1,79 @@
+import org.apache.spark.sql.functions._
+
+/** Dev-loop scale probe (not a spec): times each SQL DML statement
+  * through SupportsRowLevelOperations on a bucket-partitioned orders
+  * log at the given scale directory — the 1×/10×/100× ladder PLANS.md
+  * records for the group-filter thesis (rewrite cost scales with
+  * touched files + source, not table size). Mirrors the q_log_dml
+  * fixture shape exactly (bucket = key mod 8; UPDATE keys ≡3 mod 16,
+  * DELETE ≡11 mod 16, MERGE ≡5 mod 16).
+  */
+object DmlScaleProbe {
+  def main(args: Array[String]): Unit = {
+    System.setProperty("spark.log.level", "ERROR")
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Sessions.build(s"local[$cpus]", cpus, "dml-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    val wh = s"/tmp/graft_dml_scale_${System.nanoTime()}"
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    def timed(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[dmlscale] $label%-10s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    // one throwaway DML round at the smallest scale pays JIT/codegen
+    // warmup OUTSIDE the measured points (the same reason Bench runs
+    // shape warmups): without it the 1x point absorbs C2 compilation
+    // of the whole write/scan path and reads SLOWER than 10x
+    graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("dml_src")
+    spark.sql("CREATE TABLE graft.warm (o_orderkey BIGINT, bucket " +
+      "BIGINT, o_totalprice DOUBLE) PARTITIONED BY (bucket)")
+    spark.sql("INSERT INTO graft.warm SELECT o_orderkey, o_orderkey % " +
+      "8, o_totalprice FROM dml_src")
+    spark.sql("UPDATE graft.warm SET o_totalprice = o_totalprice * 2 " +
+      "WHERE o_orderkey % 16 = 3")
+    spark.sql("DELETE FROM graft.warm WHERE o_orderkey % 16 = 11")
+    spark.sql("CALL graft.system.optimize('warm')").collect()
+    graft.Tables.orders(spark, d).createOrReplaceTempView("dml_src")
+    println(s"[dmlscale] sfDir=$d rows=" +
+      graft.Tables.orders(spark, d).count())
+    timed("load") {
+      spark.sql("CREATE TABLE graft.t (o_orderkey BIGINT, bucket " +
+        "BIGINT, o_totalprice DOUBLE) PARTITIONED BY (bucket)")
+      spark.sql("INSERT INTO graft.t SELECT o_orderkey, o_orderkey % " +
+        "8, o_totalprice FROM dml_src")
+    }
+    timed("update") {
+      spark.sql("UPDATE graft.t SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderkey % 16 = 3")
+    }
+    timed("delete") {
+      spark.sql("DELETE FROM graft.t WHERE o_orderkey % 16 = 11")
+    }
+    graft.Tables.orders(spark, d).filter(col("o_orderkey") % 16 === 5)
+      .select(col("o_orderkey"), lit(5L).as("bucket"),
+        (col("o_totalprice") * 3).as("o_totalprice"))
+      .createOrReplaceTempView("dml_merge_src")
+    timed("merge") {
+      spark.sql(
+        """MERGE INTO graft.t t USING dml_merge_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    timed("optimize") {
+      spark.sql("CALL graft.system.optimize('t')").collect()
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val latest = graft.sources.GraftLog.latestVersion(conf, s"$wh/t")
+    println(s"[dmlscale] versions=$latest live_files=" +
+      graft.sources.GraftLog.liveEntries(conf, s"$wh/t", latest).size +
+      " rows=" + spark.sql("SELECT count(*) FROM graft.t")
+        .collect().head.getLong(0))
+    spark.stop()
+  }
+}
