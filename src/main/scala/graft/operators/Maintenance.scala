@@ -1705,6 +1705,98 @@ object Maintenance {
       |         AS BIGINT) AS total_cents
       |FROM m""".stripMargin
 
+  /** The COLUMN-MAPPING fixture: schema evolution beyond widening, in
+    * SQL alone — CREATE (v1), INSERT half (v2), RENAME COLUMN price →
+    * amount (v3, column mapping: files keep the stable physical name),
+    * INSERT the other half under the new name (v4), DROP COLUMN tag
+    * (v5, tombstoned), UPDATE through the renamed column (v6), and
+    * OPTIMIZE across both naming generations (v7).
+    */
+  private[graft] def renamedTableDir(s: SparkSession, d: String): String = {
+    val wh = SetupOnce.runtimeDir(d, "cmap_warehouse")
+    val root = s"$wh/orders_cm"
+    SetupOnce(root) {
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Tables.orders(s, d).createOrReplaceTempView("graft_cm_src")
+      s.sql("CREATE TABLE graft.orders_cm (o_orderkey BIGINT, bucket " +
+        "BIGINT, price DOUBLE, tag STRING) PARTITIONED BY (bucket)")
+      s.sql("INSERT INTO graft.orders_cm SELECT o_orderkey, " +
+        "o_orderkey % 8, o_totalprice, 't' FROM graft_cm_src " +
+        "WHERE CAST(o_orderkey / 8 AS BIGINT) % 2 = 1")
+      s.sql("ALTER TABLE graft.orders_cm RENAME COLUMN price TO amount")
+      s.sql("INSERT INTO graft.orders_cm SELECT o_orderkey, " +
+        "o_orderkey % 8, o_totalprice, 't' FROM graft_cm_src " +
+        "WHERE CAST(o_orderkey / 8 AS BIGINT) % 2 = 0")
+      s.sql("ALTER TABLE graft.orders_cm DROP COLUMN tag")
+      s.sql("UPDATE graft.orders_cm SET amount = amount * 2 " +
+        "WHERE o_orderkey % 16 = 3")
+      s.sql("CALL graft.system.optimize('orders_cm')").collect()
+    }
+    root
+  }
+
+  /** Column mapping, hash-gated end to end: the final snapshot's exact
+    * aggregate over the RENAMED column (both naming generations' files
+    * plus a post-rename UPDATE plus compaction), the dropped column's
+    * absence (n_cols), one committed version per statement
+    * (n_versions), a pre-rename time-travel aggregate under the OLD
+    * name (v2_cents — per-version schemas), and the partition
+    * discipline surviving it all (part_pure). A mapping bug anywhere —
+    * a reader binding the logical name against old files, a writer
+    * emitting the logical name into new files, stats keyed wrong —
+    * hash-fails against the oracle's closed-form restatement.
+    */
+  def logRename(s: SparkSession, d: String): DataFrame = {
+    val root = renamedTableDir(s, d)
+    val conf = s.sessionState.newHadoopConf()
+    val latest = latestVersion(s, root)
+    val live = graft.sources.GraftLog.liveAdds(conf, root, latest)
+    val partPure =
+      if (live.forall { r =>
+        r.stats.flatMap(graft.sources.GraftLogStats.parseStats).exists {
+          st => (st.min.get("bucket"), st.max.get("bucket")) match {
+            case (Some(a), Some(b)) =>
+              a == b && st.nulls.getOrElse("bucket", 0L) == 0L
+            case _ => false
+          }
+        }
+      }) 1L else 0L
+    val snap = readVersion(s, root, latest)
+    val v2 = readVersion(s, root, 2)
+      .agg(sum(cents(col("price"))).as("v2_cents"))
+    snap
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("amount"))).as("total_cents"))
+      .select(lit(latest.toLong).as("n_versions"),
+        lit(snap.schema.length.toLong).as("n_cols"),
+        lit(partPure).as("part_pure"),
+        col("n_rows"), col("total_cents"))
+      .crossJoin(v2)
+  }
+
+  val logRenameSql: String =
+    """WITH m AS (
+      |  SELECT CASE WHEN o_orderkey % 16 = 3 THEN o_totalprice * 2
+      |              ELSE o_totalprice END AS amount
+      |  FROM orders),
+      |v2 AS (
+      |  SELECT CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS v2_cents
+      |  -- floor, not CAST: DuckDB's double->bigint cast ROUNDS where
+      |  -- Spark's truncates; floor agrees in both engines
+      |  FROM orders WHERE CAST(floor(o_orderkey / 8) AS BIGINT) % 2 = 1)
+      |SELECT CAST(7 AS BIGINT) AS n_versions,
+      |       CAST(3 AS BIGINT) AS n_cols,
+      |       CAST(1 AS BIGINT) AS part_pure,
+      |       COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(floor(amount * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT) AS total_cents,
+      |       v2.v2_cents AS v2_cents
+      |FROM m CROSS JOIN v2
+      |GROUP BY v2.v2_cents""".stripMargin
+
   /** The OPTIMIZE fixture: TWO appends of the bucket-partitioned
     * orders log (odd keys then even keys → 16 small files, two per
     * bucket), compacted through [[graft.sources.GraftLogOps.compactLog]]

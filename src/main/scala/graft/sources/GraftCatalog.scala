@@ -88,14 +88,16 @@ class GraftCatalog extends TableCatalog
     if (GraftLog.latestVersion(c, root) == 0)
       throw new NoSuchTableException(ident)
     val v = GraftLog.resolveVersion(c, root, version)
-    // ONE backward manifest walk resolves schema AND the declared
+    // ONE backward manifest walk resolves schema, the declared
     // PARTITIONED BY (which survives sessions through its manifest
-    // row — later INSERT INTOs keep the declared layout)
-    val (schemaOpt, partCols) = GraftLog.tableMeta(c, root, v)
+    // row — later INSERT INTOs keep the declared layout) AND the
+    // column mapping a RENAME/DROP may have recorded
+    val meta = GraftLog.tableMeta(c, root, v)
     GraftLogTable(root, v,
-      schemaOpt.getOrElse(GraftLog.inferSchema(c, root, v)),
+      meta.schema.getOrElse(GraftLog.inferSchema(c, root, v)),
       new SerializableConfiguration(c),
-      partitionCols = partCols)
+      partitionCols = meta.partCols, colMap = meta.colMap,
+      tombstones = meta.tombstones)
   }
 
   override def loadTable(ident: Identifier): Table = tableAt(ident, None)
@@ -224,15 +226,28 @@ class GraftCatalog extends TableCatalog
       partitionCols = partCols)
   }
 
-  /** `ALTER TABLE ... ADD COLUMN(S)` — the one ALTER the log admits,
-    * because it IS the write path's documented WIDENING contract:
-    * commit an EMPTY version whose recorded schema appends the new
-    * nullable column(s); readers null-fill them for every file written
-    * before, and time travel returns each version's own schema. Column
-    * position, RENAME, DROP, and type changes refuse loudly —
-    * name-based resolution means a rename today would orphan every old
-    * file's column (field-ID mapping is the real formats' answer, and
-    * a loud refusal beats a silent data loss until the log has one).
+  /** `ALTER TABLE ... ADD / RENAME / DROP COLUMN` — schema evolution
+    * without rewriting a byte of data:
+    *
+    *  - ADD COLUMN (appended, top-level) IS the write path's
+    *    documented WIDENING contract: an EMPTY version whose recorded
+    *    schema appends the new nullable column; readers null-fill old
+    *    files, time travel returns per-version schemas.
+    *  - RENAME COLUMN uses COLUMN MAPPING (the name-mode discipline
+    *    real table formats use): the logical name changes, the STABLE
+    *    PHYSICAL name files were written under does not — a `colmap`
+    *    manifest row records logical→physical, readers and writers
+    *    translate at the scan/write boundary, and no existing file is
+    *    orphaned.
+    *  - DROP COLUMN removes the logical column and TOMBSTONES its
+    *    physical name — old files keep the bytes (time travel still
+    *    reads them), current reads never see it, and no future ADD may
+    *    reuse the name (a name-resolved reader would serve the stale
+    *    data as the new column).
+    *
+    * Positioned adds and type changes still refuse loudly. Every
+    * variant commits one empty version pinned at latest+1, so a
+    * concurrent schema change refuses instead of being clobbered.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -240,37 +255,80 @@ class GraftCatalog extends TableCatalog
     val root = rootOf(ident)
     val latest = GraftLog.latestVersion(c, root)
     if (latest == 0) throw new NoSuchTableException(ident)
-    val current = GraftLog.inferSchema(c, root, latest)
-    val added = changes.map {
+    val meta = GraftLog.tableMeta(c, root, latest)
+    val current = meta.schema.getOrElse(GraftLog.inferSchema(c, root,
+      latest))
+    def checkName(n: String): String = {
+      require(!n.exists(ch => ch == ',' || ch == ':' || ch == '!'),
+        s"graft catalog: column name '$n' may not contain ',' ':' '!' " +
+          "(colmap row delimiters)")
+      n
+    }
+    var fields = current.fields.toSeq
+    var colMap = meta.colMap
+    var tombstones = meta.tombstones
+    val usedPhysical: Set[String] =
+      current.fieldNames.map(n => colMap.getOrElse(n, n)).toSet
+    changes.foreach {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 &&
           a.position() == null =>
-        StructField(a.fieldNames()(0),
-          GraftLog.deepNullable(a.dataType()), nullable = true)
+        val n = checkName(a.fieldNames()(0))
+        require(!fields.exists(_.name == n),
+          s"graft catalog: ADD COLUMN $n already present in " +
+            s"[${StructType(fields).toDDL}]")
+        require(!tombstones.contains(n) && !usedPhysical.contains(n),
+          s"graft catalog: column name $n was used by a renamed or " +
+            "dropped column — old files still store data under it; " +
+            "choose a different name")
+        fields :+= StructField(n, GraftLog.deepNullable(a.dataType()),
+          nullable = true)
+      case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
+        val from = r.fieldNames()(0)
+        val to = checkName(r.newName())
+        val idx = fields.indexWhere(_.name == from)
+        require(idx >= 0, s"graft catalog: RENAME COLUMN $from — no " +
+          s"such column in [${StructType(fields).toDDL}]")
+        require(!fields.exists(_.name == to),
+          s"graft catalog: RENAME COLUMN to $to — already present")
+        require(!meta.partCols.contains(from),
+          s"graft catalog: $from is a PARTITIONED BY column; renaming " +
+            "it would desynchronize the declared layout — unsupported")
+        val physical = colMap.getOrElse(from, from)
+        colMap = (colMap - from) + (to -> physical)
+        fields = fields.updated(idx, fields(idx).copy(name = to))
+      case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
+        val n = d.fieldNames()(0)
+        val idx = fields.indexWhere(_.name == n)
+        require(idx >= 0, s"graft catalog: DROP COLUMN $n — no such " +
+          s"column in [${StructType(fields).toDDL}]")
+        require(fields.size > 1,
+          "graft catalog: cannot DROP the last column")
+        require(!meta.partCols.contains(n),
+          s"graft catalog: $n is a PARTITIONED BY column; dropping it " +
+            "would desynchronize the declared layout — unsupported")
+        tombstones += colMap.getOrElse(n, n)
+        colMap -= n
+        fields = fields.patch(idx, Nil, 1)
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported ALTER $other — only appended " +
-          "top-level ADD COLUMN maps to the log's documented WIDENING " +
-          "contract (nullable, name-resolved); RENAME/DROP/positioned " +
-          "adds would orphan or misread existing files' columns")
+        s"graft catalog: unsupported ALTER $other — ADD COLUMN " +
+          "(appended) follows the WIDENING contract, RENAME/DROP use " +
+          "column mapping; positioned adds and type changes would " +
+          "misread existing files' columns")
     }
-    val dup = added.map(_.name).filter(n =>
-      current.fieldNames.contains(n) ||
-        added.count(_.name == n) > 1)
-    require(dup.isEmpty,
-      s"graft catalog: ADD COLUMN ${dup.distinct.mkString(", ")} " +
-        s"already present in [${current.toDDL}]")
-    val widened = GraftLog.asNullable(StructType(
-      current.fields ++ added))
+    val next = GraftLog.asNullable(StructType(fields))
     // refuse unstorable types now, not at the next append
-    GraftLogWrite.toMessageType(widened)
-    require(GraftLog.widens(current, widened),
-      s"graft catalog: [${widened.toDDL}] does not widen " +
-        s"[${current.toDDL}]")
-    // an empty commit carrying the widened DDL — the same versioned,
-    // time-travelable protocol every write uses; a concurrent
-    // INCOMPATIBLE schema change refuses under the claim
+    GraftLogWrite.toMessageType(next)
+    // one empty commit carrying the new DDL (and the mapping, when one
+    // exists) — pinned at latest+1 so a concurrent commit of ANY kind
+    // refuses this ALTER instead of being silently clobbered by it
     GraftLogWrite.commitStaged(c, root,
       s"$root/data/w_alter_${java.util.UUID.randomUUID()}",
-      Nil, Some(widened))
+      Nil, Some(next), expectedVersion = Some(latest + 1),
+      allowSchemaChange = true,
+      extraRows =
+        if (colMap.isEmpty && tombstones.isEmpty) Nil
+        else Seq(GraftLog.ManifestRow("colmap",
+          GraftLog.encodeColMap(colMap, tombstones))))
     loadTable(ident)
   }
 

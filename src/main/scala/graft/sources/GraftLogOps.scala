@@ -228,11 +228,16 @@ object GraftLogOps {
     */
   private def commitRewrite(s: SparkSession, root: String, op: String,
       df: DataFrame, schema: StructType, removes: Seq[String],
+      meta: GraftLog.TableMeta,
       addConflict: Option[(Int, GraftLog.ManifestRow => Boolean)] = None,
       layoutCols: Seq[String] = Nil): Int = {
     val conf = s.sessionState.newHadoopConf()
+    // files are written under PHYSICAL names (positional rename — the
+    // logical/physical schemas differ only in top-level field names);
+    // the manifest records the LOGICAL schema
+    val physSchema = meta.physicalSchema(schema)
     val staging = s"$root/data/w_${op}_${java.util.UUID.randomUUID()}"
-    df.write.parquet(staging)
+    df.toDF(physSchema.fieldNames.toSeq: _*).write.parquet(staging)
     val fs = new Path(root).getFileSystem(conf)
     // Spark's committer drops a _SUCCESS marker; it is never referenced,
     // but delete it so the write directory holds only committed files
@@ -247,7 +252,7 @@ object GraftLogOps {
       .sorted
       .flatMap { n =>
         val (rows, bytes, stats) =
-          GraftLogStats.describeFile(conf, s"$staging/$n", schema)
+          GraftLogStats.describeFile(conf, s"$staging/$n", physSchema)
         if (rows == 0L) {
           fs.delete(new Path(s"$staging/$n"), false)
           None
@@ -297,7 +302,17 @@ object GraftLogOps {
       withRetry { () =>
         val latest = GraftLog.latestVersion(conf, root)
         require(latest >= 1, s"no committed versions under $root")
-        val schema = GraftLog.inferSchema(conf, root, latest)
+        val meta = GraftLog.tableMeta(conf, root, latest)
+        val schema = meta.schema
+          .getOrElse(GraftLog.inferSchema(conf, root, latest))
+        // column mapping: files + stats speak PHYSICAL names; the
+        // table, source and keys speak logical — read physical, rename
+        // positionally back to logical, and rename filters/keys when
+        // testing stats (identity everywhere on unmapped tables)
+        val physSchema = meta.physicalSchema(schema)
+        def readLogical(paths: Seq[String]): DataFrame =
+          s.read.schema(physSchema).parquet(paths: _*)
+            .toDF(schema.fieldNames.toSeq: _*)
         require(keys.nonEmpty && keys.forall(schema.fieldNames.contains),
           s"merge keys ${keys.mkString(", ")} not all in " +
             s"[${schema.toDDL}]")
@@ -317,14 +332,14 @@ object GraftLogOps {
           // 1. catalog prune: each file's interval vs the source's key
           //    profile (exact keys or per-bucket bounds) — zero data I/O
           val keyFilters = sourceKeysFilters(src, schema, keys)
+            .map(_.map(f => GraftLog.renameFilter(f, meta.colMap)))
           val candidates = entries.filter { case (_, fe) =>
-            mayHoldKeys(schema, keyFilters, fe.stats, fe.rows) }
+            mayHoldKeys(physSchema, keyFilters, fe.stats, fe.rows) }
           // 2. exact touched files: distinct file names, never row data
           val touched: Seq[String] =
             if (candidates.isEmpty) Seq.empty
             else toRelPaths(root,
-              s.read.schema(schema)
-                .parquet(candidates.map(c => s"$root/${c._1}"): _*)
+              readLogical(candidates.map(c => s"$root/${c._1}"))
                 .withColumn("_graft_file", input_file_name())
                 .join(src.select(keys.map(col): _*), keys, "left_semi")
                 .select("_graft_file").distinct()
@@ -334,8 +349,7 @@ object GraftLogOps {
           val cols = schema.fieldNames.map(col).toSeq
           val rewritten =
             if (touched.isEmpty) src.select(cols: _*)
-            else s.read.schema(schema)
-              .parquet(touched.map(f => s"$root/$f"): _*)
+            else readLogical(touched.map(f => s"$root/$f"))
               .select(cols: _*)
               .join(src.select(keys.map(col): _*), keys, "left_anti")
               .unionByName(src.select(cols: _*))
@@ -343,11 +357,12 @@ object GraftLogOps {
           //    committed after `latest` whose stats may hold our keys
           //    refuse → the retry re-plans with those files included
           commitRewrite(s, root, "merge", rewritten, schema, touched,
+            meta,
             addConflict = Some((latest, (r: GraftLog.ManifestRow) =>
-              !r.rows.contains(0L) && mayHoldKeys(schema, keyFilters,
+              !r.rows.contains(0L) && mayHoldKeys(physSchema, keyFilters,
                 r.stats.flatMap(GraftLogStats.parseStats), r.rows))),
             layoutCols = layoutPartCols(conf, root, latest,
-              entries.map(_._1)))
+              entries.map(_._1), meta))
         }
       }
     } finally src.unpersist()
@@ -370,13 +385,18 @@ object GraftLogOps {
     withRetry { () =>
       val latest = GraftLog.latestVersion(conf, root)
       require(latest >= 1, s"no committed versions under $root")
-      val schema = GraftLog.inferSchema(conf, root, latest)
+      val meta = GraftLog.tableMeta(conf, root, latest)
+      val schema = meta.schema
+        .getOrElse(GraftLog.inferSchema(conf, root, latest))
+      val physSchema = meta.physicalSchema(schema)
+      def readLogical(paths: Seq[String]): DataFrame =
+        s.read.schema(physSchema).parquet(paths: _*)
+          .toDF(schema.fieldNames.toSeq: _*)
       val entries = statsEntries(s, root, latest)
       if (entries.isEmpty) latest
       else {
         val touched = toRelPaths(root,
-          s.read.schema(schema)
-            .parquet(entries.map(e => s"$root/${e._1}"): _*)
+          readLogical(entries.map(e => s"$root/${e._1}"))
             .withColumn("_graft_file", input_file_name())
             .filter(cond)
             .select("_graft_file").distinct()
@@ -385,13 +405,12 @@ object GraftLogOps {
         if (touched.isEmpty) latest // no-op: nothing matched
         else {
           val cols = schema.fieldNames.map(col).toSeq
-          val kept = s.read.schema(schema)
-            .parquet(touched.map(f => s"$root/$f"): _*)
+          val kept = readLogical(touched.map(f => s"$root/$f"))
             .select(cols: _*)
             .filter(coalesce(cond, lit(false)) === false)
-          commitRewrite(s, root, "delete", kept, schema, touched,
+          commitRewrite(s, root, "delete", kept, schema, touched, meta,
             layoutCols = layoutPartCols(conf, root, latest,
-              entries.map(_._1)))
+              entries.map(_._1), meta))
         }
       }
     }
@@ -407,15 +426,24 @@ object GraftLogOps {
     * in the files and their stats); only the column NAMES matter here.
     */
   private[sources] def layoutPartCols(conf: Configuration, root: String,
-      asOf: Int, files: Seq[String]): Seq[String] = {
-    val declared = GraftLog.partColsFromManifest(conf, root, asOf)
+      asOf: Int, files: Seq[String],
+      meta: GraftLog.TableMeta = GraftLog.TableMeta(None, Nil))
+      : Seq[String] = {
+    val declared = meta.partCols match {
+      case Nil  => GraftLog.partColsFromManifest(conf, root, asOf)
+      case cols => cols
+    }
     if (declared.nonEmpty) declared
     else {
       val segNames = files.map(_.split('/').dropRight(1).toSeq
         .filter(_.indexOf('=') > 0).map(_.takeWhile(_ != '=')))
       segNames.headOption match {
         case Some(names) if names.nonEmpty &&
-          segNames.forall(_ == names) => names
+          segNames.forall(_ == names) =>
+          // Hive segments carry PHYSICAL names (writers render them);
+          // the declared/recorded form is logical — map back
+          val reverse = meta.colMap.map(_.swap)
+          names.map(n => reverse.getOrElse(n, n))
         case _ => Nil
       }
     }
@@ -506,20 +534,25 @@ object GraftLogOps {
     withRetry { () =>
       val latest = GraftLog.latestVersion(conf, root)
       require(latest >= 1, s"no committed versions under $root")
-      val schema = GraftLog.inferSchema(conf, root, latest)
+      val meta = GraftLog.tableMeta(conf, root, latest)
+      val schema = meta.schema
+        .getOrElse(GraftLog.inferSchema(conf, root, latest))
+      val physSchema = meta.physicalSchema(schema)
       val entries = statsEntries(s, root, latest)
       val partCols = layoutPartCols(conf, root, latest,
-        entries.map(_._1))
+        entries.map(_._1), meta) // logical
+      val partColsPhys = partCols.map(meta.physicalName) // stats keys
       val small = entries.filter(_._2.bytes.exists(_ < smallBytes))
       val groups = small
-        .groupBy { case (_, fe) => partGroupKey(partCols, fe) }
+        .groupBy { case (_, fe) => partGroupKey(partColsPhys, fe) }
         .filter(_._2.size >= 2) // a lone small file gains nothing
       if (groups.isEmpty) latest // nothing worth binning
       else {
         val bins: Seq[Seq[String]] = groups.toSeq.sortBy(_._1)
           .flatMap { case (_, fs) =>
             packBins(fs.map(f => (f._1, f._2.bytes.get)), targetBytes) }
-        val cols = schema.fieldNames.map(col).toSeq
+        val physCols = physSchema.fieldNames.map(col).toSeq
+        val clusterPhys = clusterBy.map(meta.physicalName)
         val staging =
           s"$root/data/w_compact_${java.util.UUID.randomUUID()}"
         val fs = new Path(root).getFileSystem(conf)
@@ -529,11 +562,13 @@ object GraftLogOps {
           val tasks = bins.zipWithIndex.map { case (b, i) =>
             pool.submit(new java.util.concurrent.Callable[Unit] {
               override def call(): Unit = {
-                val d = s.read.schema(schema)
+                // pure file shuffling: read AND write physical names —
+                // no logical translation needed anywhere in the rewrite
+                val d = s.read.schema(physSchema)
                   .parquet(b.map(f => s"$root/$f"): _*)
-                  .select(cols: _*).coalesce(1)
-                (if (clusterBy.isEmpty) d
-                 else d.sortWithinPartitions(clusterBy.map(col): _*))
+                  .select(physCols: _*).coalesce(1)
+                (if (clusterPhys.isEmpty) d
+                 else d.sortWithinPartitions(clusterPhys.map(col): _*))
                   .write.parquet(s"$staging/bin-$i")
               }
             })
@@ -548,7 +583,7 @@ object GraftLogOps {
               .sorted
               .flatMap { n =>
                 val (rows, bytes, stats) = GraftLogStats.describeFile(
-                  conf, s"$staging/bin-$i/$n", schema)
+                  conf, s"$staging/bin-$i/$n", physSchema)
                 if (rows == 0L) {
                   fs.delete(new Path(s"$staging/bin-$i/$n"), false)
                   None
@@ -559,9 +594,12 @@ object GraftLogOps {
           GraftLogWrite.commitStaged(conf, root, staging, files,
             Some(schema), removes = bins.flatten,
             extraRows =
-              if (partCols.isEmpty) Nil
-              else Seq(GraftLog.ManifestRow("partcols",
-                partCols.mkString(","))))
+              (if (partCols.isEmpty) Nil
+               else Seq(GraftLog.ManifestRow("partcols",
+                 partCols.mkString(",")))) ++
+              (if (meta.colMap.isEmpty && meta.tombstones.isEmpty) Nil
+               else Seq(GraftLog.ManifestRow("colmap",
+                 GraftLog.encodeColMap(meta.colMap, meta.tombstones)))))
         } catch { case scala.util.control.NonFatal(e) =>
           fs.delete(new Path(staging), true) // never referenced
           throw e match {

@@ -83,12 +83,14 @@ class GraftLogRowLevelOperation(root: String,
       s"graftlog row-level SQL: $root has legacy manifest entries " +
         "(no per-file statistics); UPDATE/MERGE/DELETE-rewrite require " +
         "a connector-written log")
-    val schema = GraftLog.inferSchema(c, root, latest)
+    val meta = GraftLog.tableMeta(c, root, latest)
+    val schema = meta.schema
+      .getOrElse(GraftLog.inferSchema(c, root, latest))
     new GraftLogScanBuilder(root, latest, schema, conf, cdc = false,
       cdcStart = 1, columnar = options.getBoolean("columnar", true),
       rowLevel = true, onBuild = { s =>
         scanBuilds.incrementAndGet(); cowScan = Some(s)
-      })
+      }, colMap = meta.colMap)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -136,9 +138,18 @@ class GraftLogReplaceDataWrite(root: String, writeSchema: StructType,
         s"must equal the table schema [${tableSchema.toDDL}]")
   }
 
+  // column mapping: part-files are written under PHYSICAL names (the
+  // rewrite rows arrive in logical order — positionally identical)
+  private def physWriteSchema: StructType = {
+    val c = conf.value
+    val meta = GraftLog.tableMeta(c, root,
+      GraftLog.latestVersion(c, root))
+    meta.physicalSchema(writeSchema)
+  }
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    GraftLogWriterFactory(staging, writeSchema, Nil, conf)
+    GraftLogWriterFactory(staging, physWriteSchema, Nil, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // the one-scan contract, guarded: with two scans built for one
@@ -162,7 +173,8 @@ class GraftLogReplaceDataWrite(root: String, writeSchema: StructType,
     val c = conf.value
     val latest = GraftLog.latestVersion(c, root)
     val layout = GraftLogOps.layoutPartCols(c, root, latest,
-      GraftLog.liveEntries(c, root, latest))
+      GraftLog.liveEntries(c, root, latest),
+      GraftLog.tableMeta(c, root, latest))
     GraftLogWrite.commitStaged(c, root, staging,
       messages.flatMap(_.asInstanceOf[GraftLogCommitMessage].files).toSeq,
       Some(writeSchema), removes = removes,

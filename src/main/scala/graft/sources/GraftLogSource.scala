@@ -540,7 +540,7 @@ object GraftLog {
     * so the backward walk stops there instead of descending to v1.
     */
   def schemaFromManifest(conf: Configuration, root: String,
-      asOf: Int): Option[StructType] = tableMeta(conf, root, asOf)._1
+      asOf: Int): Option[StructType] = tableMeta(conf, root, asOf).schema
 
   /** Declared partition columns (catalog `PARTITIONED BY`, or the
     * layout a row-level operation observed and re-recorded) in the
@@ -553,42 +553,125 @@ object GraftLog {
     * walk with the schema row ([[tableMeta]]).
     */
   def partColsFromManifest(conf: Configuration, root: String,
-      asOf: Int): Seq[String] = tableMeta(conf, root, asOf)._2
+      asOf: Int): Seq[String] = tableMeta(conf, root, asOf).partCols
 
-  /** Schema DDL and partition columns in ONE backward walk (newest row
-    * of each kind at or below `asOf`, checkpoint rows as the floor's
-    * fallback). The catalog resolves BOTH on every loadTable: folding
-    * them into one walk means the partcols lookup costs nothing beyond
-    * the schema lookup the resolution already pays — a connector table
-    * stops at the newest manifest (every commit carries the schema
-    * row, row-level commits carry partcols), and a checkpointed table
+  /** Catalog-resolved table metadata: the schema, declared partition
+    * columns, and (for renamed/dropped-column tables) the COLUMN
+    * MAPPING — logical name → stable PHYSICAL name files are written
+    * under — plus the tombstoned physical names no future column may
+    * reuse (an old file's stale column must never be read as a new
+    * column that happens to share its name).
+    */
+  case class TableMeta(schema: Option[StructType],
+      partCols: Seq[String],
+      colMap: Map[String, String] = Map.empty,
+      tombstones: Set[String] = Set.empty) {
+    /** Is any column's physical name distinct from its logical name
+      * (or any physical name retired)? Identity-mapped tables take
+      * every legacy code path untouched.
+      */
+    def mapped: Boolean =
+      tombstones.nonEmpty || colMap.exists { case (l, p) => l != p }
+    def physicalName(c: String): String = colMap.getOrElse(c, c)
+    /** Positional rename: logical and physical schemas differ ONLY in
+      * top-level field names.
+      */
+    def physicalSchema(logical: StructType): StructType =
+      StructType(logical.fields.map(f =>
+        f.copy(name = physicalName(f.name))))
+  }
+
+  /** `colmap` manifest row encoding: `logical:physical` live pairs and
+    * `!physical` tombstones, comma-joined. Names are validated at
+    * ALTER time to exclude the delimiters.
+    */
+  def encodeColMap(colMap: Map[String, String],
+      tombstones: Set[String]): String =
+    (colMap.toSeq.sortBy(_._1).map { case (l, p) => s"$l:$p" } ++
+      tombstones.toSeq.sorted.map("!" + _)).mkString(",")
+
+  def decodeColMap(s: String): (Map[String, String], Set[String]) = {
+    val entries = s.split(",").map(_.trim).filter(_.nonEmpty)
+    val (tombs, pairs) = entries.partition(_.startsWith("!"))
+    (pairs.map { e =>
+      val Array(l, p) = e.split(":", 2); (l, p)
+    }.toMap, tombs.map(_.stripPrefix("!")).toSet)
+  }
+
+  /** Rename a data-source Filter's column references logical →
+    * physical (top-level names only — the mapping is top-level by
+    * construction). Shapes with no attribute or unknown shapes pass
+    * through; every use is conservative (pushdown/skip), so an
+    * untranslated shape only costs a skip, never correctness.
+    */
+  def renameFilter(f: Filter,
+      m: Map[String, String]): Filter = {
+    def r(c: String) = m.getOrElse(c, c)
+    f match {
+      case EqualTo(c, v)            => EqualTo(r(c), v)
+      case EqualNullSafe(c, v)      => EqualNullSafe(r(c), v)
+      case GreaterThan(c, v)        => GreaterThan(r(c), v)
+      case GreaterThanOrEqual(c, v) =>
+        GreaterThanOrEqual(r(c), v)
+      case LessThan(c, v)           => LessThan(r(c), v)
+      case LessThanOrEqual(c, v)    => LessThanOrEqual(r(c), v)
+      case In(c, vs)                => In(r(c), vs)
+      case IsNull(c)                => IsNull(r(c))
+      case IsNotNull(c)             => IsNotNull(r(c))
+      case StringStartsWith(c, v)   => StringStartsWith(r(c), v)
+      case StringEndsWith(c, v)     => StringEndsWith(r(c), v)
+      case StringContains(c, v)     => StringContains(r(c), v)
+      case And(l, x) => And(renameFilter(l, m),
+        renameFilter(x, m))
+      case Or(l, x)  => Or(renameFilter(l, m),
+        renameFilter(x, m))
+      case Not(x)    => Not(renameFilter(x, m))
+      case other             => other
+    }
+  }
+
+  /** Schema DDL, partition columns, and column mapping in ONE backward
+    * walk (newest row of each kind at or below `asOf`, checkpoint rows
+    * as the floor's fallback). The catalog resolves all of them on
+    * every loadTable: folding them into one walk means the extra
+    * lookups cost nothing beyond the schema lookup the resolution
+    * already pays — a connector table stops at the newest manifest
+    * (every commit carries the schema row), and a checkpointed table
     * walks at most the tail.
     */
   def tableMeta(conf: Configuration, root: String,
-      asOf: Int): (Option[StructType], Seq[String]) = {
+      asOf: Int): TableMeta = {
     val names = listLogNames(conf, root)
     val occ = names.contains("v1.txt")
-    if (occ) return (None, Nil) // OCC manifests carry actions only
+    if (occ) return TableMeta(None, Nil) // OCC manifests: actions only
     val ckpt = checkpointAt(names, asOf)
     val ckptRows = ckpt.flatMap(k => readCheckpoint(conf, root, k))
     val floor = if (ckptRows.isDefined) ckpt.get else 0
     var ddl: Option[String] = None
     var parts: Option[String] = None
+    var cmap: Option[String] = None
     val it = (asOf to (floor + 1) by -1).iterator
-    while (it.hasNext && (ddl.isEmpty || parts.isEmpty)) {
+    while (it.hasNext && (ddl.isEmpty || parts.isEmpty || cmap.isEmpty)) {
       val rows = versionRows(conf, root, it.next())
       if (ddl.isEmpty) ddl = rows.collectFirst {
         case ManifestRow("schema", d, _, _, _) => d }
       if (parts.isEmpty) parts = rows.collectFirst {
         case ManifestRow("partcols", c, _, _, _) => c }
+      if (cmap.isEmpty) cmap = rows.collectFirst {
+        case ManifestRow("colmap", c, _, _, _) => c }
     }
     def fromCkpt(action: String): Option[String] =
       ckptRows.flatMap(_.collectFirst {
         case ManifestRow(`action`, v, _, _, _) => v })
-    (ddl.orElse(fromCkpt("schema"))
-       .map(d => asNullable(StructType.fromDDL(d))),
-     parts.orElse(fromCkpt("partcols")).toSeq
-       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+    val (colMap, tombs) = cmap.orElse(fromCkpt("colmap"))
+      .map(decodeColMap).getOrElse((Map.empty[String, String],
+        Set.empty[String]))
+    TableMeta(
+      ddl.orElse(fromCkpt("schema"))
+        .map(d => asNullable(StructType.fromDDL(d))),
+      parts.orElse(fromCkpt("partcols")).toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+      colMap, tombs)
   }
 
   /** Commit timestamp (micros) recorded in version `v`'s manifest row —
@@ -619,12 +702,16 @@ object GraftLog {
       s"cannot checkpoint uncommitted version $k of $root (latest $latest)")
     require(!isOcc(conf, root),
       s"graftlog: OCC logs are utility-managed; no checkpoints")
-    val schemaRow = schemaFromManifest(conf, root, k)
+    val meta = tableMeta(conf, root, k)
+    val schemaRow = meta.schema
       .map(s => ManifestRow("schema", s.toDDL)).toSeq
-    val partRow = Some(partColsFromManifest(conf, root, k))
-      .filter(_.nonEmpty)
+    val partRow = Some(meta.partCols).filter(_.nonEmpty)
       .map(cols => ManifestRow("partcols", cols.mkString(","))).toSeq
-    val rows = schemaRow ++ partRow ++ liveAdds(conf, root, k)
+    val mapRow =
+      if (meta.colMap.isEmpty && meta.tombstones.isEmpty) Nil
+      else Seq(ManifestRow("colmap",
+        encodeColMap(meta.colMap, meta.tombstones)))
+    val rows = schemaRow ++ partRow ++ mapRow ++ liveAdds(conf, root, k)
     GraftLogWrite.writeManifestRows(conf,
       new Path(s"$root/_log/_ckpt_v$k/manifest.parquet"), rows)
     fs.create(new Path(s"$root/_log/_ckpt_v$k._ok"), true).close()
@@ -998,15 +1085,21 @@ class GraftLogSource extends TableProvider with DataSourceRegister {
           s"CDC startingVersion $s outside committed range 1..$v")
         s
       }
+    val meta =
+      if (v >= 1) Some(GraftLog.tableMeta(conf, root, v)) else None
     GraftLogTable(root, v, schema, new SerializableConfiguration(conf),
-      cdc, cdcStart)
+      cdc, cdcStart,
+      colMap = meta.map(_.colMap).getOrElse(Map.empty),
+      tombstones = meta.map(_.tombstones).getOrElse(Set.empty))
   }
 }
 
 case class GraftLogTable(root: String, asOfVersion: Int,
     tableSchema: StructType,
     conf: SerializableConfiguration, cdc: Boolean = false,
-    cdcStart: Int = 1, partitionCols: Seq[String] = Nil)
+    cdcStart: Int = 1, partitionCols: Seq[String] = Nil,
+    colMap: Map[String, String] = Map.empty,
+    tombstones: Set[String] = Set.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -1040,14 +1133,16 @@ case class GraftLogTable(root: String, asOfVersion: Int,
       cdcStart, options.getBoolean("columnar", true),
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
       if (cdc) None
-      else Option(options.get("startingVersion")).map(_.toInt))
+      else Option(options.get("startingVersion")).map(_.toInt),
+      colMap = colMap)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(!cdc, "graftlog: a change-feed read is not writable")
     new GraftLogWriteBuilder(root, info, conf,
-      if (asOfVersion >= 1) Some(tableSchema) else None, partitionCols)
+      if (asOfVersion >= 1) Some(tableSchema) else None, partitionCols,
+      colMap, tombstones)
   }
 
   /** `_file` — file provenance per row, and the group identity Spark's
@@ -1111,18 +1206,34 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
     conf: SerializableConfiguration, cdc: Boolean, cdcStart: Int,
     columnar: Boolean, maxVersionsPerTrigger: Option[Int] = None,
     streamStart: Option[Int] = None, rowLevel: Boolean = false,
-    onBuild: GraftLogScan => Unit = _ => ())
+    onBuild: GraftLogScan => Unit = _ => (),
+    colMap: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
-  // the DATA schema: what lives in parquet files (CDC meta columns are
-  // scan-synthesized constants, never pushed anywhere)
-  private val dataSchema: StructType =
+  // COLUMN MAPPING: Spark speaks LOGICAL names (the table schema);
+  // files, their footers and the manifest statistics speak the stable
+  // PHYSICAL names a RENAME left behind. Everything file-facing below
+  // (parquet predicates, the stats skip, reader schemas) runs in
+  // physical terms; readSchema presents the logical names back. The
+  // two schemas are POSITIONALLY identical, so translation is a
+  // top-level field rename, never a reshape. Identity-mapped tables
+  // (no rename/drop ever) hit only no-op translations.
+  private def phys(c: String): String = colMap.getOrElse(c, c)
+  private def physSchema(st: StructType): StructType =
+    if (colMap.isEmpty) st
+    else StructType(st.fields.map(f => f.copy(name = phys(f.name))))
+  private def physFilter(f: Filter): Filter =
+    if (colMap.isEmpty) f else GraftLog.renameFilter(f, colMap)
+
+  // the DATA schema (PHYSICAL form): what lives in parquet files (CDC
+  // meta columns are scan-synthesized constants, never pushed anywhere)
+  private val dataSchema: StructType = physSchema(
     if (cdc) StructType(tableSchema.fields.filterNot(f =>
       f.name == GraftLog.ChangeTypeCol ||
         f.name == GraftLog.CommitVersionCol))
-    else tableSchema
+    else tableSchema)
 
   private var pruned: StructType = tableSchema
   private var accepted: Array[Filter] = Array.empty
@@ -1155,12 +1266,12 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
     accepted =
       if (rowLevel) Array.empty
       else filters.filter(f =>
-        f.references.forall(!int96.contains(_)) &&
-          GraftLog.toParquetPredicate(dataSchema, f).isDefined)
+        f.references.forall(c => !int96.contains(phys(c))) &&
+          GraftLog.toParquetPredicate(dataSchema, physFilter(f)).isDefined)
     val acceptedSet = accepted.toSet
     skipOnly = filters.filter(f => !acceptedSet.contains(f) &&
-      f.references.forall(c => !int96.contains(c) &&
-        dataSchema.fieldNames.contains(c)))
+      f.references.forall(c => !int96.contains(phys(c)) &&
+        dataSchema.fieldNames.contains(phys(c))))
     filters
   }
 
@@ -1252,15 +1363,16 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
     val results = agg.aggregateExpressions().map {
       case _: CountStar => Some((LongType: DataType, totalRows: Any))
       case c: Count if !c.isDistinct =>
-        colName(c.column).flatMap(nonNullCount)
+        // agg expressions name LOGICAL columns; stats key on physical
+        colName(c.column).map(phys).flatMap(nonNullCount)
           .map(n => (LongType: DataType, n: Any))
       case m: Min => for {
-        c <- colName(m.column)
+        c <- colName(m.column).map(phys)
         dt <- dtOf(c) if exactBoundType(dt)
         b <- bound(c, dt, takeMin = true)
       } yield (dt, b.map(render(dt, _)).orNull: Any)
       case m: Max => for {
-        c <- colName(m.column)
+        c <- colName(m.column).map(phys)
         dt <- dtOf(c) if exactBoundType(dt)
         b <- bound(c, dt, takeMin = false)
       } yield (dt, b.map(render(dt, _)).orNull: Any)
@@ -1287,12 +1399,17 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
     case Some((schema, values)) =>
       GraftLogAggScan(root, version, schema, values)
     case None =>
-      val predicate = accepted
+      val acceptedPhys = accepted.map(physFilter)
+      val predicate = acceptedPhys
         .flatMap(f => GraftLog.toParquetPredicate(dataSchema, f))
         .reduceOption(FilterApi.and)
-      val scan = GraftLogScan(root, version, dataSchema, int96, pruned,
-        accepted.map(_.toString), predicate, accepted, conf, cdc, cdcStart,
-        columnar, maxVersionsPerTrigger, skipOnly, streamStart, rowLevel)
+      val scan = GraftLogScan(root, version, dataSchema, int96,
+        physSchema(pruned),
+        accepted.map(_.toString), predicate, acceptedPhys, conf, cdc,
+        cdcStart, columnar, maxVersionsPerTrigger,
+        skipOnly.map(physFilter), streamStart, rowLevel,
+        presented = if (colMap.isEmpty) None else Some(pruned),
+        colMap = colMap)
       onBuild(scan)
       scan
   }
@@ -1341,9 +1458,18 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
     cdc: Boolean, cdcStart: Int, columnar: Boolean,
     maxVersionsPerTrigger: Option[Int] = None,
     skipOnlyFilters: Array[Filter] = Array.empty,
-    streamStart: Option[Int] = None, rowLevel: Boolean = false)
+    streamStart: Option[Int] = None, rowLevel: Boolean = false,
+    presented: Option[StructType] = None,
+    colMap: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  // COLUMN MAPPING: `full`/`pruned`/`staticFilters` arrive in PHYSICAL
+  // (file-side) terms from the builder; `presented` carries the
+  // LOGICAL field names Spark binds the output to (positionally
+  // identical to `pruned`). Runtime filters arrive logical and are
+  // renamed at the door. Identity-mapped tables pass presented=None
+  // and colMap=empty — every legacy path byte-identical.
 
   /** Runtime filters (DPP-style: Spark hands them to the scan after the
     * build side of a join resolves) join the static set for BOTH the
@@ -1382,9 +1508,12 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
     */
   override def filterAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // advertised in LOGICAL names (Spark resolves them against the
+    // relation's output); the int96 exclusion keys on the PHYSICAL name
     val names =
       if (rowLevel) Array(GraftLog.FileCol)
-      else pruned.fieldNames.filterNot(int96.contains)
+      else presented.getOrElse(pruned).fieldNames
+        .filterNot(n => int96.contains(colMap.getOrElse(n, n)))
     names.map(org.apache.spark.sql.connector.expressions.Expressions.column)
   }
 
@@ -1401,8 +1530,11 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
         fileFilter = Some(fileFilter.fold(set)(_ intersect set))
       case _ => () // conservative: unknown shapes keep every file
     }
-    val usable = dataFilters.filter(f =>
-      f.references.forall(c => !int96.contains(c) &&
+    // runtime filters arrive in LOGICAL names — rename to physical
+    // before anything file-facing consumes them
+    val usable = dataFilters
+      .map(f => if (colMap.isEmpty) f else GraftLog.renameFilter(f, colMap))
+      .filter(f => f.references.forall(c => !int96.contains(c) &&
         full.fieldNames.contains(c)))
     if (usable.nonEmpty) {
       runtimeFilters ++= usable
@@ -1440,7 +1572,7 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
   private def skipFilters: Array[Filter] =
     staticFilters ++ skipOnlyFilters ++ runtimeFilters
 
-  override def readSchema(): StructType = pruned
+  override def readSchema(): StructType = presented.getOrElse(pruned)
 
   /** The files this scan covers, with manifest statistics when the log
     * records them — and, for CDC, the (change_type, version) tag each

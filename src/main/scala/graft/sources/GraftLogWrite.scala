@@ -378,7 +378,8 @@ object GraftLogWrite {
       removes: Seq[String] = Nil,
       expectedVersion: Option[Int] = None,
       extraRows: Seq[GraftLog.ManifestRow] = Nil,
-      addConflict: Option[(Int, GraftLog.ManifestRow => Boolean)] = None)
+      addConflict: Option[(Int, GraftLog.ManifestRow => Boolean)] = None,
+      allowSchemaChange: Boolean = false)
       : Int = {
     val fs = new Path(root).getFileSystem(conf)
     val n = claimVersion(conf, root)
@@ -453,7 +454,12 @@ object GraftLogWrite {
     // carry an exact prefix; readers null-fill, exactly the widening
     // contract); anything else → release the claim and refuse.
     val recordedSchema = schema.map(GraftLog.asNullable).map { s0 =>
-      val cur = if (n > 1) GraftLog.schemaFromManifest(conf, root, n - 1)
+      // ALTER TABLE (rename/drop via column mapping) legitimately
+      // records a schema that neither equals nor widens the previous
+      // one — it pins expectedVersion instead, so nothing can have
+      // interleaved between its read and this claim
+      val cur = if (n > 1 && !allowSchemaChange)
+                  GraftLog.schemaFromManifest(conf, root, n - 1)
                 else None
       cur match {
         case Some(c)
@@ -552,8 +558,20 @@ object GraftLogWrite {
 
 class GraftLogWriteBuilder(root: String, info: LogicalWriteInfo,
     conf: SerializableConfiguration, tableSchema: Option[StructType],
-    defaultPartCols: Seq[String] = Nil)
+    defaultPartCols: Seq[String] = Nil,
+    colMap: Map[String, String] = Map.empty,
+    tombstones: Set[String] = Set.empty)
     extends WriteBuilder {
+
+  // COLUMN MAPPING: the incoming query and the manifest's recorded
+  // schema speak LOGICAL names; part-files are written under the
+  // stable PHYSICAL names a RENAME left behind (positionally
+  // identical, so only the parquet message type and the partition
+  // directory rendering change). Identity-mapped tables see no-ops.
+  private def phys(c: String): String = colMap.getOrElse(c, c)
+  private def physSchema(st: StructType): StructType =
+    if (colMap.isEmpty) st
+    else StructType(st.fields.map(f => f.copy(name = phys(f.name))))
 
   /** Schema contract on append: the incoming query's columns must match
     * the table's, name and type, in order — checked BEFORE any task
@@ -603,8 +621,23 @@ class GraftLogWriteBuilder(root: String, info: LogicalWriteInfo,
         "provenance are synthesized at read); rename the column(s)")
   }
 
+  /** A widened schema's NEW columns must not resurrect a retired
+    * physical name: old files still carry the dropped column's data
+    * under it, and a name-resolved reader would serve that stale data
+    * as the new column's values.
+    */
+  private def checkTombstones(): Unit = tableSchema.foreach { ts =>
+    val newCols = info.schema().fields.drop(ts.length).map(_.name)
+    val clash = newCols.filter(n =>
+      tombstones.contains(n) || colMap.valuesIterator.contains(n))
+    require(clash.isEmpty,
+      s"graftlog write: column name(s) ${clash.mkString(", ")} were " +
+        "used by a renamed or dropped column — old files still store " +
+        "data under the name; choose a different column name")
+  }
+
   override def build(): Write = {
-    checkSchema(); checkPartCols(); checkReservedNames()
+    checkSchema(); checkPartCols(); checkReservedNames(); checkTombstones()
     // a partitioned write CLUSTERS and SORTS by the partition columns,
     // so each task streams one partition value at a time and the
     // writer keeps exactly ONE open parquet writer (one ~row-group
@@ -629,11 +662,14 @@ class GraftLogWriteBuilder(root: String, info: LogicalWriteInfo,
       // write-scoped data/w_*/ directory) — publication is the
       // manifest row, so commit performs ZERO renames at any file count
       override def toBatch: BatchWrite =
-        new GraftLogBatchWrite(root, info.schema(), partCols,
-          s"$root/data/w_${info.queryId()}_${UUID.randomUUID()}", conf)
+        new GraftLogBatchWrite(root, physSchema(info.schema()), partCols
+            .map(phys),
+          s"$root/data/w_${info.queryId()}_${UUID.randomUUID()}", conf,
+          recordSchema = info.schema())
       override def toStreaming: StreamingWrite =
-        new GraftLogStreamingWrite(root, info.schema(), partCols,
-          info.queryId(), conf)
+        new GraftLogStreamingWrite(root, physSchema(info.schema()),
+          partCols.map(phys), info.queryId(), conf,
+          recordSchema = info.schema())
     }
   }
 }
@@ -649,7 +685,8 @@ case class GraftLogCommitMessage(files: Seq[GraftLogFileCommit])
 
 class GraftLogBatchWrite(root: String, schema: StructType,
     partCols: Seq[String], staging: String,
-    conf: SerializableConfiguration) extends BatchWrite {
+    conf: SerializableConfiguration,
+    recordSchema: StructType = null) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -658,7 +695,9 @@ class GraftLogBatchWrite(root: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     GraftLogWrite.commitStaged(conf.value, root, staging,
       messages.flatMap(_.asInstanceOf[GraftLogCommitMessage].files).toSeq,
-      Some(schema))
+      // the manifest records the LOGICAL schema; `schema` is the
+      // physical (file-side) form under column mapping
+      Some(Option(recordSchema).getOrElse(schema)))
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(staging)
@@ -672,7 +711,8 @@ class GraftLogBatchWrite(root: String, schema: StructType,
   */
 class GraftLogStreamingWrite(root: String, schema: StructType,
     partCols: Seq[String], queryId: String,
-    conf: SerializableConfiguration) extends StreamingWrite {
+    conf: SerializableConfiguration,
+    recordSchema: StructType = null) extends StreamingWrite {
 
   // staging is per-ATTEMPT, not per-epoch: a replayed epoch (crash
   // between version commit and checkpoint advance, then restart) runs
@@ -741,7 +781,7 @@ class GraftLogStreamingWrite(root: String, schema: StructType,
     }
     GraftLogWrite.commitStaged(c, root, staging(epochId),
       messages.flatMap(_.asInstanceOf[GraftLogCommitMessage].files).toSeq,
-      Some(schema),
+      Some(Option(recordSchema).getOrElse(schema)),
       beforeOk = { n =>
         // atomic content: write-then-rename, so a crash can never leave
         // a PARTIAL version number (a truncated "1" of "12" would make

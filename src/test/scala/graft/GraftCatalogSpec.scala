@@ -119,10 +119,15 @@ class GraftCatalogSpec extends SparkSpecBase {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // a TYPE change is genuinely destructive (old files would misread)
+    // and refuses; RENAME/DROP COLUMN are supported via column mapping
+    // since round 14 (GraftLogColumnMapSpec pins them)
     val e1 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.`$table` DROP COLUMN o_orderkey")
+      spark.sql(
+        s"ALTER TABLE graft.`$table` ALTER COLUMN o_orderkey TYPE INT")
     }
-    assert(msgs(e1).exists(_.contains("WIDENING")), msgs(e1).mkString(" | "))
+    assert(msgs(e1).exists(m => m.contains("WIDENING") ||
+      m.contains("NOT_SUPPORTED_CHANGE_COLUMN")), msgs(e1).mkString(" | "))
     val e2 = intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.`$table` RENAME TO renamed_away")
     }
