@@ -293,7 +293,10 @@ class GraftCatalog extends TableCatalog
         require(!meta.partCols.contains(from),
           s"graft catalog: $from is a PARTITIONED BY column; renaming " +
             "it would desynchronize the declared layout — unsupported")
-        val physical = colMap.getOrElse(from, from)
+        // the RETAINED physical name lands in the colmap row too — a
+        // pre-existing delimiter-bearing name would encode a row
+        // decodeColMap can never parse back (a bricked table)
+        val physical = checkName(colMap.getOrElse(from, from))
         colMap = (colMap - from) + (to -> physical)
         fields = fields.updated(idx, fields(idx).copy(name = to))
       case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
@@ -306,7 +309,8 @@ class GraftCatalog extends TableCatalog
         require(!meta.partCols.contains(n),
           s"graft catalog: $n is a PARTITIONED BY column; dropping it " +
             "would desynchronize the declared layout — unsupported")
-        tombstones += colMap.getOrElse(n, n)
+        // same guard: the tombstoned PHYSICAL name is encoded verbatim
+        tombstones += checkName(colMap.getOrElse(n, n))
         colMap -= n
         fields = fields.patch(idx, Nil, 1)
       case other => throw new UnsupportedOperationException(

@@ -456,13 +456,19 @@ object GraftLogOps {
     * post-DML tables still group correctly). A file whose stats show
     * mixed values for any partition column falls into one shared
     * residual group — already-wide files compact together and never
-    * contaminate a single-value group.
+    * contaminate a single-value group. The key is a per-column token
+    * SEQUENCE, never a joined string: string partition values may
+    * themselves contain '=' or '/', and a joined rendering could
+    * collide two different tuples into one group — mixing values in a
+    * compacted file, the exact erosion this grouping exists to prevent
+    * (Seq equality is element-wise, and each element's position fixes
+    * its column, so tokens stay injective per column).
     */
-  private[sources] def partGroupKey(partCols: Seq[String],
-      fe: GraftLogStats.FileEntry): String =
-    if (partCols.isEmpty) ""
+  private[graft] def partGroupKey(partCols: Seq[String],
+      fe: GraftLogStats.FileEntry): Seq[String] =
+    if (partCols.isEmpty) Seq("")
     else fe.stats match {
-      case None => " mixed"
+      case None => Seq("\u0000mixed")
       case Some(st) =>
         val parts = partCols.map { c =>
           val nulls = st.nulls.getOrElse(c, 0L)
@@ -471,12 +477,12 @@ object GraftLogOps {
               Some(s"$c=$a")
             case (None, None)
               if fe.rows.exists(r => r > 0 && nulls >= r) =>
-              Some(s"$c= null") // an all-null partition value
+              Some(s"$c=\u0000null") // an all-null partition value
             case _ => None
           }
         }
-        if (parts.forall(_.isDefined)) parts.flatten.mkString("/")
-        else " mixed"
+        if (parts.forall(_.isDefined)) parts.flatten
+        else Seq("\u0000mixed")
     }
 
   /** First-fit size binning within one partition group: name-sorted for
@@ -548,7 +554,8 @@ object GraftLogOps {
         .filter(_._2.size >= 2) // a lone small file gains nothing
       if (groups.isEmpty) latest // nothing worth binning
       else {
-        val bins: Seq[Seq[String]] = groups.toSeq.sortBy(_._1)
+        val bins: Seq[Seq[String]] = groups.toSeq
+          .sortBy(_._1.mkString("\u0000"))
           .flatMap { case (_, fs) =>
             packBins(fs.map(f => (f._1, f._2.bytes.get)), targetBytes) }
         val physCols = physSchema.fieldNames.map(col).toSeq

@@ -70,6 +70,13 @@ class GraftLogRowLevelOperation(root: String,
   override def description(): String =
     s"GraftLogRowLevelOperation[$cmd] root=$root"
 
+  /** The table metadata (schema/partcols/colmap) and version this
+    * operation resolved at scan time — the write half reuses them
+    * instead of re-walking the manifest log twice more per statement.
+    */
+  @volatile private[sources] var opMeta: Option[(Int, GraftLog.TableMeta)] =
+    None
+
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val c = conf.value
@@ -84,6 +91,7 @@ class GraftLogRowLevelOperation(root: String,
         "(no per-file statistics); UPDATE/MERGE/DELETE-rewrite require " +
         "a connector-written log")
     val meta = GraftLog.tableMeta(c, root, latest)
+    opMeta = Some((latest, meta))
     val schema = meta.schema
       .getOrElse(GraftLog.inferSchema(c, root, latest))
     new GraftLogScanBuilder(root, latest, schema, conf, cdc = false,
@@ -139,17 +147,16 @@ class GraftLogReplaceDataWrite(root: String, writeSchema: StructType,
   }
 
   // column mapping: part-files are written under PHYSICAL names (the
-  // rewrite rows arrive in logical order — positionally identical)
-  private def physWriteSchema: StructType = {
-    val c = conf.value
-    val meta = GraftLog.tableMeta(c, root,
-      GraftLog.latestVersion(c, root))
-    meta.physicalSchema(writeSchema)
-  }
+  // rewrite rows arrive in logical order — positionally identical);
+  // the mapping is the one the operation's scan resolved, not a fresh
+  // manifest walk per write stage
+  private def opMeta: GraftLog.TableMeta =
+    op.opMeta.map(_._2).getOrElse(GraftLog.TableMeta(None, Nil))
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    GraftLogWriterFactory(staging, physWriteSchema, Nil, conf)
+    GraftLogWriterFactory(staging, opMeta.physicalSchema(writeSchema),
+      Nil, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // the one-scan contract, guarded: with two scans built for one
@@ -170,11 +177,12 @@ class GraftLogReplaceDataWrite(root: String, writeSchema: StructType,
     }
     // flat-landed rewrite files would erase a path-inferred layout for
     // later compaction/insert defaults — re-record the observed layout
+    // (meta + version reused from the operation's scan resolution)
     val c = conf.value
-    val latest = GraftLog.latestVersion(c, root)
+    val (latest, meta) = op.opMeta.getOrElse(
+      (GraftLog.latestVersion(c, root), GraftLog.TableMeta(None, Nil)))
     val layout = GraftLogOps.layoutPartCols(c, root, latest,
-      GraftLog.liveEntries(c, root, latest),
-      GraftLog.tableMeta(c, root, latest))
+      GraftLog.liveEntries(c, root, latest), meta)
     GraftLogWrite.commitStaged(c, root, staging,
       messages.flatMap(_.asInstanceOf[GraftLogCommitMessage].files).toSeq,
       Some(writeSchema), removes = removes,

@@ -540,7 +540,26 @@ object GraftLog {
     * so the backward walk stops there instead of descending to v1.
     */
   def schemaFromManifest(conf: Configuration, root: String,
-      asOf: Int): Option[StructType] = tableMeta(conf, root, asOf).schema
+      asOf: Int): Option[StructType] = {
+    // schema-ONLY walk, separate from tableMeta: connector manifests
+    // carry the schema row at EVERY commit, so this stops at the
+    // newest manifest — the hot write path calls it per commit (the
+    // widening revalidation), and riding tableMeta's walk would read
+    // the whole checkpoint tail hunting for partcols/colmap rows an
+    // ordinary table never has
+    val names = listLogNames(conf, root)
+    if (names.contains("v1.txt")) return None // OCC: actions only
+    val ckpt = checkpointAt(names, asOf)
+    val ckptRows = ckpt.flatMap(k => readCheckpoint(conf, root, k))
+    val floor = if (ckptRows.isDefined) ckpt.get else 0
+    (asOf to (floor + 1) by -1).iterator
+      .flatMap(v => versionRows(conf, root, v)
+        .collectFirst { case ManifestRow("schema", ddl, _, _, _) => ddl })
+      .nextOption()
+      .orElse(ckptRows.flatMap(_.collectFirst {
+        case ManifestRow("schema", ddl, _, _, _) => ddl }))
+      .map(ddl => asNullable(StructType.fromDDL(ddl)))
+  }
 
   /** Declared partition columns (catalog `PARTITIONED BY`, or the
     * layout a row-level operation observed and re-recorded) in the

@@ -510,10 +510,20 @@ object GraftLogWrite {
     // strictly increasing across versions even under wall-clock
     // retrograde (NTP step-back): TIMESTAMP AS OF binary-searches these
     // micros, and versions commit strictly in claim order, so the
-    // recorded sequence must be monotone regardless of the host clock
+    // recorded sequence must be monotone regardless of the host clock.
+    // A LEGACY previous version (no committs row — resolution falls
+    // back to its marker mtime) clamps against that same mtime, so the
+    // boundary between old-binary and new-binary commits stays
+    // monotone too.
+    val prevMicros: Option[Long] =
+      if (n <= 1) None
+      else GraftLog.commitMicros(conf, root, n - 1).orElse(
+        try Some(fs.getFileStatus(
+          new Path(s"$root/_log/v${n - 1}._ok")).getModificationTime
+          * 1000L)
+        catch { case _: java.io.FileNotFoundException => None })
     val commitMicros = math.max(System.currentTimeMillis() * 1000L,
-      (if (n > 1) GraftLog.commitMicros(conf, root, n - 1) else None)
-        .map(_ + 1L).getOrElse(Long.MinValue))
+      prevMicros.map(_ + 1L).getOrElse(Long.MinValue))
     writeManifest(conf, root, n, manifestAdds, recordedSchema,
       removes, extraRows, commitMicros)
     // legacy staging: drop loser-attempt remnants. In-place staging IS

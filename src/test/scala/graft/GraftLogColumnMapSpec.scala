@@ -185,5 +185,44 @@ class GraftLogColumnMapSpec extends SparkSpecBase {
       m.contains("UNRESOLVED") || m.contains("not found") ||
       m.contains("missing field") || m.toLowerCase.contains("resolve")),
       msgs(e4).mkString(" | "))
+    // a PRE-EXISTING delimiter-bearing column name must refuse
+    // rename/drop too: its PHYSICAL name would land in the colmap row
+    // verbatim and encode an undecodable entry — a bricked table
+    spark.sql("CREATE TABLE graft.weird (`a,b` STRING, id BIGINT)")
+    val e5 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.weird DROP COLUMN `a,b`")
+    }
+    assert(msgs(e5).exists(_.contains("delimiter")),
+      msgs(e5).mkString(" | "))
+    val e6 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.weird RENAME COLUMN `a,b` TO ok")
+    }
+    assert(msgs(e6).exists(_.contains("delimiter")),
+      msgs(e6).mkString(" | "))
+    // the refused ALTERs committed nothing — the table still loads
+    assert(spark.sql("SELECT * FROM graft.weird").schema.fieldNames
+      .toSeq === Seq("a,b", "id"))
+  }
+
+  test("compaction group keys are injective for hostile string " +
+      "partition values: '=' and '/' inside values can never collide " +
+      "two different partition tuples into one group") {
+    import graft.sources.{GraftLogOps, GraftLogStats}
+    def fe(vals: (String, String)*): GraftLogStats.FileEntry =
+      GraftLogStats.FileEntry("f", rows = Some(1L), bytes = Some(1L),
+        stats = Some(GraftLogStats.ColStats(
+          vals.map { case (c, v) => c -> (v: Any) }.toMap,
+          vals.map { case (c, v) => c -> (v: Any) }.toMap,
+          vals.map { case (c, _) => c -> 0L }.toMap)))
+    val cols = Seq("x", "y")
+    // the classic joined-string collision shape: both would render
+    // "x=p/y=q/y=r" under a '/'-joined key
+    val a = GraftLogOps.partGroupKey(cols, fe("x" -> "p/y=q", "y" -> "r"))
+    val b = GraftLogOps.partGroupKey(cols, fe("x" -> "p", "y" -> "q/y=r"))
+    assert(a !== b, s"collided: $a")
+    // equal tuples still group together
+    val c1 = GraftLogOps.partGroupKey(cols, fe("x" -> "p", "y" -> "q"))
+    val c2 = GraftLogOps.partGroupKey(cols, fe("x" -> "p", "y" -> "q"))
+    assert(c1 === c2)
   }
 }
