@@ -32,13 +32,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[sources] object GraftProcedures {
 
-  val Names: Seq[String] = Seq("optimize", "vacuum", "checkpoint")
+  val Names: Seq[String] = Seq("optimize", "vacuum", "checkpoint",
+    "history")
 
-  /** One-row result set. */
+  /** Result set of zero or more audit rows. */
   private final case class AuditScan(schema: StructType,
-      row: InternalRow) extends LocalScan {
+      auditRows: Seq[InternalRow]) extends LocalScan {
     override def readSchema(): StructType = schema
-    override def rows(): Array[InternalRow] = Array(row)
+    override def rows(): Array[InternalRow] = auditRows.toArray
   }
 
   private def param(name: String, dt: DataType): ProcedureParameter =
@@ -47,7 +48,7 @@ private[sources] object GraftProcedures {
   private def result(schema: StructType,
       values: Any*): java.util.Iterator[Scan] =
     Collections.singletonList(
-      AuditScan(schema, new GenericInternalRow(values.toArray))
+      AuditScan(schema, Seq(new GenericInternalRow(values.toArray)))
         : Scan).iterator()
 
   private def session: SparkSession = SparkSession.active
@@ -154,11 +155,81 @@ private[sources] object GraftProcedures {
       }
   }
 
+  /** `history(table)` — one row per RETAINED version, newest first:
+    * version number, commit timestamp (the manifest's committs micros;
+    * marker mtime for legacy versions), adds/removes counts, and the
+    * operation class derivable from the manifest shape. The audit
+    * surface real formats call DESCRIBE HISTORY — folded entirely from
+    * the log's control plane, zero data I/O.
+    */
+  private final class History(rootOf: String => String)
+      extends UnboundProcedure {
+    override def name(): String = "history"
+    override def description(): String =
+      "one row per retained version: commit time, adds, removes"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "history"
+        override def description(): String = History.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] =
+          Array(param("table", StringType))
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val s = session
+          val root = rootOf(input.getUTF8String(0).toString)
+          val conf = s.sessionState.newHadoopConf()
+          val latest = GraftLog.latestVersion(conf, root)
+          val wm = GraftLog.vacuumWatermark(conf, root)
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(conf)
+          val occ = GraftLog.isOcc(conf, root)
+          val schema = StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("committed_at", TimestampType, nullable = true),
+            StructField("operation", StringType, nullable = false),
+            StructField("n_added", LongType, nullable = false),
+            StructField("n_removed", LongType, nullable = false)))
+          val rows = (latest to wm by -1).map { v =>
+            val mrows = GraftLog.versionRows(conf, root, v)
+            val micros = mrows.collectFirst {
+              case GraftLog.ManifestRow("committs", t, _, _, _) =>
+                t.toLong
+            }.orElse {
+              val marker =
+                if (occ) s"$root/_log/v$v.txt"
+                else s"$root/_log/v$v._ok"
+              try Some(fs.getFileStatus(
+                new org.apache.hadoop.fs.Path(marker))
+                .getModificationTime * 1000L)
+              catch { case _: java.io.FileNotFoundException => None }
+            }
+            val adds = mrows.count(_.action == "add").toLong
+            val removes = mrows.count(_.action == "remove").toLong
+            val schemaChanged = mrows.exists(_.action == "schema")
+            val op =
+              if (adds > 0 && removes > 0) "REWRITE"
+              else if (removes > 0) "REMOVE"
+              else if (adds > 0) "WRITE"
+              else if (v == 1) "CREATE"
+              else if (schemaChanged) "ALTER" // incl. empty appends
+              else "EMPTY"
+            new GenericInternalRow(Array[Any](v.toLong,
+              micros.map(Long.box).orNull,
+              UTF8String.fromString(op), adds, removes))
+          }
+          Collections.singletonList(
+            AuditScan(schema, rows): Scan).iterator()
+        }
+      }
+  }
+
   def load(name: String, rootOf: String => String): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
       case "optimize"   => new Optimize(rootOf)
       case "vacuum"     => new Vacuum(rootOf)
       case "checkpoint" => new Checkpoint(rootOf)
+      case "history"    => new History(rootOf)
       case other => throw new IllegalArgumentException(
         s"graft catalog: unknown procedure system.$other — available: " +
           Names.mkString(", "))

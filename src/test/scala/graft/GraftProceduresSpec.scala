@@ -75,6 +75,29 @@ class GraftProceduresSpec extends SparkSpecBase {
       .collect().head.getLong(0) === 100L)
   }
 
+  test("CALL graft.system.history returns one audit row per retained " +
+      "version, newest first, with commit instants and operation " +
+      "classes folded from the control plane alone") {
+    val wh = Files.createTempDirectory("graft_hist").toString
+    register(wh)
+    spark.sql("CREATE TABLE graft.h (id BIGINT, v DOUBLE)")        // v1
+    spark.sql("INSERT INTO graft.h SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(0, 10)")                                         // v2
+    spark.sql("ALTER TABLE graft.h ADD COLUMN note STRING")        // v3
+    spark.sql("DELETE FROM graft.h WHERE id = 3")                  // v4
+    val hist = spark.sql("CALL graft.system.history('h')").collect()
+    assert(hist.map(_.getLong(0)).toSeq === Seq(4L, 3L, 2L, 1L))
+    assert(hist.map(_.getString(2)).toSeq ===
+      Seq("REWRITE", "ALTER", "WRITE", "CREATE"))
+    // commit instants: present and non-decreasing oldest → newest
+    val ts = hist.reverse.map(_.getTimestamp(1))
+    assert(ts.forall(_ != null))
+    assert(ts.sliding(2).forall(p => !p(0).after(p(1))), ts.toSeq)
+    // adds/removes: the delete rewrote one file into one file
+    val v4 = hist.head
+    assert(v4.getLong(3) === 1L && v4.getLong(4) === 1L)
+  }
+
   test("optimize accepts a clustering sort; procedures refuse unknown " +
       "names and missing tables loudly") {
     val wh = Files.createTempDirectory("graft_proc2").toString
