@@ -155,12 +155,16 @@ private[sources] object GraftProcedures {
       }
   }
 
-  /** `history(table)` — one row per RETAINED version, newest first:
-    * version number, commit timestamp (the manifest's committs micros;
-    * marker mtime for legacy versions), adds/removes counts, and the
-    * operation class derivable from the manifest shape. The audit
-    * surface real formats call DESCRIBE HISTORY — folded entirely from
-    * the log's control plane, zero data I/O.
+  /** `history(table [, max_versions])` — one row per RETAINED version,
+    * newest first: version number, commit timestamp (the manifest's
+    * committs micros; marker mtime for legacy versions), adds/removes
+    * counts, and the operation class derivable from the manifest
+    * shape. The audit surface real formats call DESCRIBE HISTORY —
+    * folded entirely from the log's control plane, zero data I/O. The
+    * walk is one (cached) manifest read PER RETURNED ROW, so
+    * `max_versions` is the cost dial at streaming-sink version counts
+    * (a year of minute-triggers is ~500k versions; asking for the
+    * newest 100 reads 100 manifests, never the whole log).
     */
   private final class History(rootOf: String => String)
       extends UnboundProcedure {
@@ -173,14 +177,24 @@ private[sources] object GraftProcedures {
         override def description(): String = History.this.description()
         override def isDeterministic: Boolean = false
         override def parameters(): Array[ProcedureParameter] =
-          Array(param("table", StringType))
+          if (inputType.length > 1)
+            Array(param("table", StringType),
+              param("max_versions", IntegerType))
+          else Array(param("table", StringType))
         override def call(input: InternalRow)
             : java.util.Iterator[Scan] = {
           val s = session
           val root = rootOf(input.getUTF8String(0).toString)
           val conf = s.sessionState.newHadoopConf()
           val latest = GraftLog.latestVersion(conf, root)
-          val wm = GraftLog.vacuumWatermark(conf, root)
+          val maxV =
+            if (input.numFields > 1 && !input.isNullAt(1))
+              input.getInt(1)
+            else Int.MaxValue
+          require(maxV > 0,
+            s"graft catalog: history max_versions must be positive")
+          val wm = math.max(GraftLog.vacuumWatermark(conf, root),
+            if (latest - maxV + 1 > 0) latest - maxV + 1 else 1)
           val fs = new org.apache.hadoop.fs.Path(root)
             .getFileSystem(conf)
           val occ = GraftLog.isOcc(conf, root)

@@ -96,6 +96,9 @@ class GraftProceduresSpec extends SparkSpecBase {
     // adds/removes: the delete rewrote one file into one file
     val v4 = hist.head
     assert(v4.getLong(3) === 1L && v4.getLong(4) === 1L)
+    // max_versions bounds the walk: newest 2 rows only
+    val top2 = spark.sql("CALL graft.system.history('h', 2)").collect()
+    assert(top2.map(_.getLong(0)).toSeq === Seq(4L, 3L))
   }
 
   test("optimize accepts a clustering sort; procedures refuse unknown " +
