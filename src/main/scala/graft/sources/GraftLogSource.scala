@@ -1063,7 +1063,23 @@ class GraftLogSource extends TableProvider with DataSourceRegister {
       case Some(next)
         if next.fields.map(f => (f.name, f.dataType)).toSeq !=
           current.fields.map(f => (f.name, f.dataType)).toSeq =>
-        if (GraftLog.widens(current, next)) next
+        if (GraftLog.widens(current, next)) {
+          // the same tombstone gate the catalog's ADD COLUMN enforces:
+          // a widened column must not resurrect a renamed/dropped
+          // column's physical name — old files still store data under
+          // it, and a name-resolved reader would serve that stale data
+          // as the new column's values (both front doors refuse)
+          val meta = GraftLog.tableMeta(conf, root, v)
+          val clash = next.fields.drop(current.length).map(_.name)
+            .filter(n => meta.tombstones.contains(n) ||
+              meta.colMap.valuesIterator.contains(n))
+          require(clash.isEmpty,
+            s"graftlog write: column name(s) ${clash.mkString(", ")} " +
+              "were used by a renamed or dropped column — old files " +
+              "still store data under the name; choose a different " +
+              "column name")
+          next
+        }
         else throw new IllegalStateException(
           s"graftlog: option(\"schema\") [${next.toDDL}] neither matches " +
             s"the table schema [${current.toDDL}] nor widens it (widening " +

@@ -112,6 +112,20 @@ class GraftLogColumnMapSpec extends SparkSpecBase {
     // time travel: the dropped column still reads at its own versions
     assert(spark.sql("SELECT junk FROM graft.d VERSION AS OF 2 " +
       "WHERE id = 3").collect().head.getString(0) === "x3")
+    // the OPTION-path widening (format("graftlog").option("schema"))
+    // enforces the same tombstone: both front doors refuse resurrection
+    val root = spark.conf.get("spark.sql.catalog.graft.warehouse") + "/d"
+    val e2 = intercept[Exception] {
+      spark.range(0, 1)
+        .selectExpr("id", "CAST(id AS DOUBLE) AS v", "'n' AS note",
+          "'zz' AS junk")
+        .write.format("graftlog").option("path", root)
+        .option("schema",
+          "id BIGINT, v DOUBLE, note STRING, junk STRING")
+        .mode("append").save()
+    }
+    assert(msgs(e2).exists(_.contains("renamed or dropped")),
+      msgs(e2).mkString(" | "))
   }
 
   test("DML and OPTIMIZE keep working on a renamed table: UPDATE / " +
