@@ -130,12 +130,9 @@ class GraftCatalog extends TableCatalog
     val fs = new Path(root).getFileSystem(c)
     val occ = fs.exists(new Path(s"$root/_log/v1.txt"))
     def commitMicros(v: Int): Long =
-      GraftLog.commitMicros(c, root, v).getOrElse {
-        val marker =
-          if (occ) new Path(s"$root/_log/v$v.txt")
-          else new Path(s"$root/_log/v$v._ok")
-        fs.getFileStatus(marker).getModificationTime * 1000L
-      }
+      GraftLog.commitInstantMicros(c, root, v, occ).getOrElse(
+        throw new IllegalStateException(
+          s"graft catalog: version $v of $root has no commit marker"))
     // commit times are non-decreasing in v: binary-search the newest
     // version committed at or before the instant — O(log V) manifest/
     // status probes, not a newest-first linear walk (O(V) at

@@ -376,10 +376,37 @@ object GraftLog {
   /** Manifest rows of ONE committed version, protocol-dispatched. */
   def versionRows(conf: Configuration, root: String,
       v: Int): Seq[ManifestRow] =
-    if (isOcc(conf, root))
+    versionRows(conf, root, v, isOcc(conf, root))
+
+  /** Protocol-known variant: a caller iterating MANY versions (the
+    * history audit, the CDC fold) resolves the protocol once instead
+    * of paying an existence RPC per version.
+    */
+  def versionRows(conf: Configuration, root: String, v: Int,
+      occ: Boolean): Seq[ManifestRow] =
+    if (occ)
       readOccManifest(fsOf(conf, root), root, v).getOrElse(Seq.empty)
         .map { case (a, f) => ManifestRow(a, f) }
     else readMarkerManifest(conf, root, v)
+
+  /** The instant version `v` became VISIBLE, in micros: the manifest's
+    * committs row (strictly increasing by construction at commit),
+    * falling back to the commit marker's mtime for legacy/OCC versions
+    * — the ONE resolution rule TIMESTAMP AS OF, the history audit, and
+    * the commit-time monotonicity clamp all share.
+    */
+  def commitInstantMicros(conf: Configuration, root: String, v: Int,
+      occ: Boolean = false): Option[Long] =
+    versionRows(conf, root, v, occ).collectFirst {
+      case ManifestRow("committs", t, _, _, _) => t.toLong
+    }.orElse {
+      val marker =
+        if (occ) new Path(s"$root/_log/v$v.txt")
+        else new Path(s"$root/_log/v$v._ok")
+      try Some(fsOf(conf, root).getFileStatus(marker)
+        .getModificationTime * 1000L)
+      catch { case _: java.io.FileNotFoundException => None }
+    }
 
   /** Action list of ONE committed version — the streaming tail's unit
     * of progress (legacy tuple surface over [[versionRows]]).

@@ -466,7 +466,27 @@ object GraftLogWrite {
           if c.fields.map(f => (f.name, f.dataType))
             .sameElements(s0.fields.map(f => (f.name, f.dataType))) => s0
         case Some(c) if GraftLog.widens(s0, c) => c // concurrent widening
-        case Some(c) if GraftLog.widens(c, s0) => s0 // we ARE the widening
+        case Some(c) if GraftLog.widens(c, s0) =>
+          // we ARE the widening — but the analysis-time tombstone gate
+          // ran against the snapshot this write PLANNED on: a
+          // concurrent ALTER DROP/RENAME committed in between could
+          // have tombstoned one of our appended names, and recording
+          // the widened schema now would resurrect it (old files'
+          // stale data served as the new column). Re-check under the
+          // claim, where the mapping can no longer move.
+          val meta = GraftLog.tableMeta(conf, root, n - 1)
+          val clash = s0.fields.drop(c.length).map(_.name).filter(nm =>
+            meta.tombstones.contains(nm) ||
+              meta.colMap.valuesIterator.contains(nm))
+          if (clash.nonEmpty) {
+            fs.delete(new Path(s"$root/_log/v$n._claim"), false)
+            throw new GraftLogConflictException(
+              s"graftlog write: widened column(s) " +
+                s"${clash.mkString(", ")} collide with a column " +
+                "renamed or dropped by a concurrent commit; retry " +
+                "the append against the current snapshot")
+          }
+          s0 // we ARE the widening
         case Some(c) =>
           fs.delete(new Path(s"$root/_log/v$n._claim"), false)
           throw new IllegalStateException(
@@ -517,11 +537,7 @@ object GraftLogWrite {
     // monotone too.
     val prevMicros: Option[Long] =
       if (n <= 1) None
-      else GraftLog.commitMicros(conf, root, n - 1).orElse(
-        try Some(fs.getFileStatus(
-          new Path(s"$root/_log/v${n - 1}._ok")).getModificationTime
-          * 1000L)
-        catch { case _: java.io.FileNotFoundException => None })
+      else GraftLog.commitInstantMicros(conf, root, n - 1)
     val commitMicros = math.max(System.currentTimeMillis() * 1000L,
       prevMicros.map(_ + 1L).getOrElse(Long.MinValue))
     writeManifest(conf, root, n, manifestAdds, recordedSchema,

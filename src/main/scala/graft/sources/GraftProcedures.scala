@@ -195,38 +195,38 @@ private[sources] object GraftProcedures {
             s"graft catalog: history max_versions must be positive")
           val wm = math.max(GraftLog.vacuumWatermark(conf, root),
             if (latest - maxV + 1 > 0) latest - maxV + 1 else 1)
-          val fs = new org.apache.hadoop.fs.Path(root)
-            .getFileSystem(conf)
-          val occ = GraftLog.isOcc(conf, root)
+          val occ = GraftLog.isOcc(conf, root) // resolved ONCE
           val schema = StructType(Seq(
             StructField("version", LongType, nullable = false),
             StructField("committed_at", TimestampType, nullable = true),
             StructField("operation", StringType, nullable = false),
             StructField("n_added", LongType, nullable = false),
             StructField("n_removed", LongType, nullable = false)))
+          def ddlOf(v: Int): Option[String] =
+            GraftLog.versionRows(conf, root, v, occ).collectFirst {
+              case GraftLog.ManifestRow("schema", d, _, _, _) => d }
           val rows = (latest to wm by -1).map { v =>
-            val mrows = GraftLog.versionRows(conf, root, v)
-            val micros = mrows.collectFirst {
-              case GraftLog.ManifestRow("committs", t, _, _, _) =>
-                t.toLong
-            }.orElse {
-              val marker =
-                if (occ) s"$root/_log/v$v.txt"
-                else s"$root/_log/v$v._ok"
-              try Some(fs.getFileStatus(
-                new org.apache.hadoop.fs.Path(marker))
-                .getModificationTime * 1000L)
-              catch { case _: java.io.FileNotFoundException => None }
-            }
+            val mrows = GraftLog.versionRows(conf, root, v, occ)
+            // the ONE commit-instant rule TIMESTAMP AS OF uses
+            val micros = GraftLog.commitInstantMicros(conf, root, v, occ)
             val adds = mrows.count(_.action == "add").toLong
             val removes = mrows.count(_.action == "remove").toLong
-            val schemaChanged = mrows.exists(_.action == "schema")
+            // an empty commit is ALTER only when the recorded DDL
+            // really differs from the previous version's (connector
+            // commits ALL carry a schema row, so presence alone would
+            // mislabel zero-row appends); the v-1 manifest this reads
+            // is the cached one the walk's next row reads anyway
+            def schemaChanged: Boolean = {
+              val d = mrows.collectFirst {
+                case GraftLog.ManifestRow("schema", x, _, _, _) => x }
+              d.isDefined && v > 1 && d != ddlOf(v - 1)
+            }
             val op =
               if (adds > 0 && removes > 0) "REWRITE"
               else if (removes > 0) "REMOVE"
               else if (adds > 0) "WRITE"
               else if (v == 1) "CREATE"
-              else if (schemaChanged) "ALTER" // incl. empty appends
+              else if (schemaChanged) "ALTER"
               else "EMPTY"
             new GenericInternalRow(Array[Any](v.toLong,
               micros.map(Long.box).orNull,

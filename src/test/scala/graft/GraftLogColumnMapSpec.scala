@@ -126,6 +126,20 @@ class GraftLogColumnMapSpec extends SparkSpecBase {
     }
     assert(msgs(e2).exists(_.contains("renamed or dropped")),
       msgs(e2).mkString(" | "))
+    // and the RACE variant: a widening whose analysis-time gate passed
+    // but whose appended name was tombstoned by a commit in between
+    // refuses AT COMMIT (the claim-time recheck) — without it, the
+    // widening would resurrect the dropped column's physical name
+    val e3 = intercept[graft.sources.GraftLogConflictException] {
+      graft.sources.GraftLogWrite.commitStaged(conf, root,
+        s"$root/data/w_race_widen", Nil,
+        Some(org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, v DOUBLE, note STRING, junk STRING")))
+    }
+    assert(e3.getMessage.contains("renamed or dropped"), e3.getMessage)
+    // the refused claim was released; the table still reads and appends
+    assert(spark.sql("SELECT count(*) FROM graft.d")
+      .collect().head.getLong(0) === 21L)
   }
 
   test("DML and OPTIMIZE keep working on a renamed table: UPDATE / " +

@@ -15,8 +15,6 @@ import graft.sources.{GraftCatalog, GraftLog}
   */
 class GraftLogColumnMapStreamSpec extends SparkSpecBase {
 
-  private def conf = spark.sessionState.newHadoopConf()
-
   test("the streaming tail of a RENAMED table emits both naming " +
       "generations' rows under the logical schema") {
     val wh = Files.createTempDirectory("graft_cmap_stream").toString
@@ -37,7 +35,9 @@ class GraftLogColumnMapStreamSpec extends SparkSpecBase {
       .option("checkpointLocation", s"$out/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    // loud on timeout: a still-running query would otherwise fail the
+    // content assertion with a misleading partial-sink message
+    assert(q.awaitTermination(120000), "stream did not drain in 120s")
     val got = spark.read.parquet(s"$out/data")
     assert(got.schema.fieldNames.toSeq === Seq("id", "score"))
     val rows = got.collect().map(r => (r.getLong(0), r.getDouble(1)))
