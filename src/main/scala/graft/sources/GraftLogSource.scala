@@ -1281,7 +1281,12 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
   // physical terms; readSchema presents the logical names back. The
   // two schemas are POSITIONALLY identical, so translation is a
   // top-level field rename, never a reshape. Identity-mapped tables
-  // (no rename/drop ever) hit only no-op translations.
+  // (no rename/drop ever) hit only no-op translations. Documented
+  // semantics for MULTI-VERSION reads (CDC, streaming tail): the
+  // whole range binds the READ-TIME logical names — pre-rename
+  // versions' rows surface under the current names (the mapping makes
+  // that correct byte-for-byte), while a point-in-time read (VERSION/
+  // TIMESTAMP AS OF) returns that version's own names.
   private def phys(c: String): String = colMap.getOrElse(c, c)
   private def physSchema(st: StructType): StructType =
     if (colMap.isEmpty) st
