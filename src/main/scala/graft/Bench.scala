@@ -51,6 +51,14 @@ object Bench {
     // construction, so the startup chatter never happens, and the only
     // lines this main emits are the JSON metric + real `[bench]` failures
     System.setProperty("spark.log.level", "ERROR")
+    // RECORDING DISCIPLINE (round-15): two consecutive rounds recorded
+    // their official number at ambient load1 ≈ 3 and needed judge
+    // adjudication — so the recorded run now GATES on a quiet host: wait
+    // (bounded) until the ambient 1-minute loadavg drops below the gate
+    // before any measurement. The wait is recorded; a host that never
+    // quiets within the budget records `noisy` honestly instead of
+    // silently publishing a contended number as if it were clean.
+    val gateWait = waitForQuietHost()
     // ambient load, sampled before ANY of this process's heavy work —
     // a sample taken after the warmup would largely measure the warmup
     val loadStart = load1()
@@ -105,8 +113,18 @@ object Bench {
       case Some(names) => SparkEntry.benchQueries.filter(kv => names(kv._1))
       case None        => SparkEntry.benchQueries
     }
+    // RANDOMIZED measurement order (recorded seed): an alphabetical
+    // order couples each query to a fixed neighborhood — a load spike or
+    // a GC debt always lands on the same names, which round-over-round
+    // comparison then misreads as a per-query regression. The seed is
+    // recorded so any specific ordering can be replayed.
+    val orderSeed = sys.env.get("SPARK_GRAFT_BENCH_SEED")
+      .flatMap(_.toLongOption).getOrElse(System.nanoTime())
+    val order = new scala.util.Random(orderSeed)
+      .shuffle(selected.toSeq.sortBy(_._1))
     var spreadEscalations = 0
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val measured = order.map { case (name, fn) =>
       def runOnce(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
@@ -127,18 +145,28 @@ object Bench {
       def good = runs.collect { case (t, true) => t }.toSeq
       // mid-run contention the start sample can't see: runs of ONE query
       // disagreeing >2× measure the host, not the plan — take extra runs
-      // until the spread settles or the cap hits
+      // until the MOST RECENT pair of runs agrees (a quiet interval ends
+      // the loop; the accumulated max/min spread is monotone and could
+      // never settle) or the cap hits
       var escalated = false
       while (needsEscalation(good) && runs.size < MaxRunsPerQuery) {
         escalated = true
         runs += runOnce()
       }
       if (escalated) spreadEscalations += 1
+      allRuns(name) = good
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
+    // output sorted by name regardless of measurement order, so records
+    // diff cleanly round over round
+    val results = measured.sortBy(_._1)
     val loadEnd = load1()
+    // forensic band line FIRST (may scroll out of the driver's bounded
+    // tail): every successful run of every query, so the recorded min's
+    // margin is auditable without a re-run
+    println(runsLine(allRuns.toSeq.sortBy(_._1)))
     println(metricLine(results, sfDir, loadStart, loadEnd, hostCpus,
-      spreadEscalations))
+      spreadEscalations, gateWait, orderSeed))
     // The per-query line above is ~4 KiB at 93 queries and the driver keeps
     // only a bounded stdout tail, parsing the LAST line as JSON — rounds 4-6
     // lost their totals when the big line overflowed that tail. So the very
@@ -156,7 +184,8 @@ object Bench {
   def metricLine(results: Seq[(String, Double)], sfDir: String,
       loadStart: Double = 0.0, loadEnd: Double = 0.0,
       hostCpus: Int = Runtime.getRuntime.availableProcessors,
-      spreadEscalations: Int = 0): String = {
+      spreadEscalations: Int = 0, gateWaitSec: Double = 0.0,
+      orderSeed: Long = 0L): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total sums successes only — the -1 sentinels must not deflate it
@@ -168,7 +197,46 @@ object Bench {
     val noisy = isNoisy(loadStart, hostCpus)
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""load1_start":$loadStart,"load1_end":$loadEnd,"noisy":$noisy,""" +
-      s""""spread_escalations":$spreadEscalations,"sf":"$sf"}"""
+      s""""spread_escalations":$spreadEscalations,""" +
+      s""""gate_wait_sec":$gateWaitSec,"order_seed":$orderSeed,""" +
+      s""""sf":"$sf"}"""
+  }
+
+  /** Forensic per-query run band — every successful run time, so the
+    * record carries the BAND each min was taken from, not one sample.
+    * Printed before the metric line (it may scroll out of the driver's
+    * bounded tail; the metric and total lines stay last).
+    */
+  def runsLine(allRuns: Seq[(String, Seq[Double])]): String = {
+    val qs = allRuns.map { case (k, rs) =>
+      "\"" + k + "\":[" + rs.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    s"""{"metric":"runs","queries":$qs}"""
+  }
+
+  /** Ambient load the RECORDED run requires before starting, and the
+    * longest it will wait for it. 1.5 is below the `noisy` threshold
+    * with margin: a 32-thread stage runs at the speed of its slowest
+    * task, so even a couple of busy foreign cores perturb the record.
+    */
+  val QuietGateLoad = 1.5
+  val QuietGateMaxWaitSec = 480
+
+  /** Poll the 1-minute loadavg until it drops below [[QuietGateLoad]]
+    * or the bounded wait elapses; returns the seconds waited. A host
+    * that never quiets proceeds anyway — the `noisy` flag then records
+    * the contention honestly rather than blocking the round's record
+    * forever. Skippable for dev loops via SPARK_GRAFT_BENCH_NO_GATE.
+    */
+  def waitForQuietHost(): Double = {
+    if (sys.env.contains("SPARK_GRAFT_BENCH_NO_GATE")) return 0.0
+    val t0 = System.nanoTime()
+    var waited = 0.0
+    while (load1() >= QuietGateLoad && waited < QuietGateMaxWaitSec) {
+      Thread.sleep(10000L)
+      waited = (System.nanoTime() - t0) / 1e9
+    }
+    waited
   }
 
   /** Per-query escalation cap: initial runs plus enough retries to ride
@@ -184,13 +252,21 @@ object Bench {
     */
   val SpreadEscalationRatio = 2.0
 
-  /** Escalate when ≥2 successful runs disagree by more than
-    * [[SpreadEscalationRatio]] (sub-10ms timings are exempt: scheduler
-    * jitter dominates there and another run proves nothing).
+  /** Escalate when the MOST RECENT two successful runs disagree by more
+    * than [[SpreadEscalationRatio]] (sub-10ms timings are exempt:
+    * scheduler jitter dominates there and another run proves nothing).
+    * Recent-pair, not all-runs: the max/min spread over ALL accumulated
+    * runs is monotonically non-decreasing, so once tripped it could
+    * never settle and every escalation ran to the cap — two consecutive
+    * agreeing runs are the actual "quiet interval reached" signal, and
+    * the reported min is unaffected either way.
     */
   def needsEscalation(good: Seq[Double]): Boolean =
-    good.size >= 2 && good.min > 0.01 &&
-      good.max / good.min > SpreadEscalationRatio
+    good.size >= 2 && {
+      val recent = good.takeRight(2)
+      recent.min > 0.01 &&
+        recent.max / recent.min > SpreadEscalationRatio
+    }
 
   /** Ambient 1-minute loadavg above which a run escalates to min-of-3
     * and records `noisy`. Rounds 8 and 9 both recorded at ambient load1

@@ -10,7 +10,17 @@ object Verify {
     val spark = Sessions.build(s"local[$cpus]", cpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev loop only (the driver never sets it): restrict to a comma
+    // list of query names so one operator's gate runs without the
+    // full-suite dump; the manifest below shrinks to match so
+    // check.py compares exactly what ran
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -30,6 +40,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter(kv => selected.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // the INTENDED query set, so downstream compares (check.py,
@@ -37,7 +48,7 @@ object Verify {
     // rows-only query that failed in the isolated-per-query loop above —
     // instead of silently shrinking their denominator to the dirs that
     // happen to exist
-    val manifest = SparkEntry.queries.keys.toSeq.sorted
+    val manifest = selected.keys.toSeq.sorted
       .map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     spark.stop()

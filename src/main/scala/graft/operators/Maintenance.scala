@@ -1667,6 +1667,23 @@ object Maintenance {
     val latest = latestVersion(s, root)
     val keptFrom = graft.sources.GraftLog.vacuumWatermark(conf, root)
     val live = graft.sources.GraftLog.liveAdds(conf, root, latest)
+    // DESCRIBE DETAIL rides the lifecycle gate: the procedure's one
+    // audit row must agree with the manifest fold this query already
+    // computes (file count, version, watermark) — a detail() that
+    // reports a different table than the log hash-fails here
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse",
+      root.substring(0, root.lastIndexOf('/')))
+    val det = s.sql("CALL graft.system.detail('orders_lc')").collect()(0)
+    val detailOk =
+      if (det.getAs[String]("format") == "graftlog" &&
+        det.getAs[Long]("version") == latest.toLong &&
+        det.getAs[Long]("num_files") == live.size.toLong &&
+        det.getAs[Long]("vacuum_watermark") == keptFrom.toLong &&
+        det.getAs[Long]("num_dv_files") == 0L &&
+        det.getAs[String]("partition_columns") == "bucket") 1L
+      else 0L
     val partPure =
       if (live.forall { r =>
         r.stats.flatMap(graft.sources.GraftLogStats.parseStats).exists {
@@ -1688,6 +1705,7 @@ object Maintenance {
         lit(keptFrom.toLong).as("kept_from"),
         lit(partPure).as("part_pure"),
         lit(reduced).as("files_reduced"),
+        lit(detailOk).as("detail_ok"),
         col("n_rows"), col("total_cents"))
   }
 
@@ -1700,6 +1718,7 @@ object Maintenance {
       |       CAST(6 AS BIGINT) AS kept_from,
       |       CAST(1 AS BIGINT) AS part_pure,
       |       CAST(1 AS BIGINT) AS files_reduced,
+      |       CAST(1 AS BIGINT) AS detail_ok,
       |       COUNT(*) AS n_rows,
       |       CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT))
       |         AS BIGINT) AS total_cents
@@ -1797,6 +1816,168 @@ object Maintenance {
       |FROM m CROSS JOIN v2
       |GROUP BY v2.v2_cents""".stripMargin
 
+  /** The NESTED column-mapping fixture: the same schema-evolution
+    * story as [[renamedTableDir]], but INSIDE a struct — CREATE with
+    * `meta STRUCT<score, tag>` (v1), INSERT half (v2), RENAME
+    * meta.score → meta.amount (v3: the colmap row carries the
+    * dot-joined path, files keep the stable physical subfield name),
+    * INSERT the other half under the new name (v4), DROP meta.tag
+    * (v5: path tombstoned), UPDATE through the renamed subfield (v6),
+    * OPTIMIZE across both naming generations (v7).
+    */
+  private[graft] def renamedNestedTableDir(s: SparkSession,
+      d: String): String = {
+    val wh = SetupOnce.runtimeDir(d, "cmapn_warehouse")
+    val root = s"$wh/orders_cmn"
+    SetupOnce(root) {
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      Tables.orders(s, d).createOrReplaceTempView("graft_cmn_src")
+      s.sql("CREATE TABLE graft.orders_cmn (o_orderkey BIGINT, " +
+        "bucket BIGINT, meta STRUCT<score: DOUBLE, tag: STRING>) " +
+        "PARTITIONED BY (bucket)")
+      s.sql("INSERT INTO graft.orders_cmn SELECT o_orderkey, " +
+        "o_orderkey % 8, named_struct('score', o_totalprice, " +
+        "'tag', 't') FROM graft_cmn_src " +
+        "WHERE CAST(o_orderkey / 8 AS BIGINT) % 2 = 1")
+      s.sql("ALTER TABLE graft.orders_cmn RENAME COLUMN meta.score " +
+        "TO amount")
+      s.sql("INSERT INTO graft.orders_cmn SELECT o_orderkey, " +
+        "o_orderkey % 8, named_struct('amount', o_totalprice, " +
+        "'tag', 't') FROM graft_cmn_src " +
+        "WHERE CAST(o_orderkey / 8 AS BIGINT) % 2 = 0")
+      s.sql("ALTER TABLE graft.orders_cmn DROP COLUMN meta.tag")
+      s.sql("UPDATE graft.orders_cmn SET meta = " +
+        "named_struct('amount', meta.amount * 2) " +
+        "WHERE o_orderkey % 16 = 3")
+      s.sql("CALL graft.system.optimize('orders_cmn')").collect()
+    }
+    root
+  }
+
+  /** NESTED column mapping, hash-gated end to end: the final
+    * snapshot's exact aggregate over the renamed STRUCT FIELD (both
+    * naming generations' files + a post-rename UPDATE + compaction),
+    * the dropped subfield's absence (n_meta_fields), one committed
+    * version per statement, and a pre-rename time-travel aggregate
+    * under the OLD nested name (per-version schemas hold inside
+    * structs too). A path-mapping bug anywhere — a reader binding the
+    * logical subfield name against old files, a writer emitting the
+    * logical name into new files, a rewrite renaming only top-level —
+    * hash-fails against the closed form.
+    */
+  def logRenameNested(s: SparkSession, d: String): DataFrame = {
+    val root = renamedNestedTableDir(s, d)
+    val latest = latestVersion(s, root)
+    val snap = readVersion(s, root, latest)
+    val metaArity = snap.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].length
+    val v2 = readVersion(s, root, 2)
+      .agg(sum(cents(col("meta.score"))).as("v2_cents"))
+    snap
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("meta.amount"))).as("total_cents"))
+      .select(lit(latest.toLong).as("n_versions"),
+        lit(metaArity.toLong).as("n_meta_fields"),
+        col("n_rows"), col("total_cents"))
+      .crossJoin(v2)
+  }
+
+  val logRenameNestedSql: String =
+    """WITH m AS (
+      |  SELECT CASE WHEN o_orderkey % 16 = 3 THEN o_totalprice * 2
+      |              ELSE o_totalprice END AS amount
+      |  FROM orders),
+      |v2 AS (
+      |  SELECT CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS v2_cents
+      |  FROM orders WHERE CAST(floor(o_orderkey / 8) AS BIGINT) % 2 = 1)
+      |SELECT CAST(7 AS BIGINT) AS n_versions,
+      |       CAST(1 AS BIGINT) AS n_meta_fields,
+      |       COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(floor(amount * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT) AS total_cents,
+      |       v2.v2_cents AS v2_cents
+      |FROM m CROSS JOIN v2
+      |GROUP BY v2.v2_cents""".stripMargin
+
+  /** CDC ACROSS A RENAME BOUNDARY, version-stamped: the change feed of
+    * the column-mapping fixture ([[renamedTableDir]]) read from v1 —
+    * pre-rename versions' rows surface under the READ-TIME logical
+    * name (`amount`), correct byte-for-byte because the mapping pins
+    * the physical name; the `_commit_version` stamp on every row joins
+    * against `CALL graft.system.schema_history` to recover exactly
+    * which logical naming each version used (the in-row
+    * `n_schema_gens` pin = CREATE, RENAME, DROP). The whole history —
+    * two inserts under different namings, the UPDATE's delete+insert,
+    * OPTIMIZE's content-identical rewrite — restated in closed form by
+    * the oracle; a feed that lost a remove, tagged a version off by
+    * one, or bound the wrong generation's name hash-fails.
+    */
+  def logCdcRename(s: SparkSession, d: String): DataFrame = {
+    val root = renamedTableDir(s, d)
+    val parent = root.substring(0, root.lastIndexOf('/'))
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", parent)
+    val gens = s.sql("CALL graft.system.schema_history('orders_cm')")
+      .count()
+    s.read.format(graft.sources.GraftLog.Format)
+      .option("path", root).option("readChangeFeed", true).load()
+      .groupBy(
+        col(graft.sources.GraftLog.CommitVersionCol).as("version"),
+        col(graft.sources.GraftLog.ChangeTypeCol).as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("amount"))).as("total_cents"))
+      .select(col("version"), col("change_type"), col("n_rows"),
+        col("total_cents"), lit(gens).as("n_schema_gens"))
+      .orderBy(col("version"), col("change_type"))
+  }
+
+  val logCdcRenameSql: String =
+    """WITH a AS (  -- v2 insert: first half, pre-rename naming
+      |  SELECT COUNT(*) AS n,
+      |         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS c
+      |  FROM orders WHERE CAST(floor(o_orderkey / 8) AS BIGINT) % 2 = 1),
+      |b AS (       -- v4 insert: second half, post-rename naming
+      |  SELECT COUNT(*) AS n,
+      |         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS c
+      |  FROM orders WHERE CAST(floor(o_orderkey / 8) AS BIGINT) % 2 = 0),
+      |bk3 AS (     -- v6 UPDATE touches exactly ONE bucket=3 file:
+      |             -- keys ≡3 mod 16 are 8i+3 with i even, i.e. the
+      |             -- parity-0 (v4) half precisely — the runtime group
+      |             -- filter prunes v2's bucket=3 file (≡11 mod 16)
+      |  SELECT COUNT(*) AS n,
+      |         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS c_pre,
+      |         CAST(SUM(CAST(floor(o_totalprice * 2 * 100 + 0.5)
+      |           AS BIGINT)) AS BIGINT) AS c_post
+      |  FROM orders WHERE o_orderkey % 16 = 3),
+      |fin AS (     -- v7 OPTIMIZE: content-identical remove+add of all
+      |  SELECT COUNT(*) AS n,
+      |         CAST(SUM(CAST(floor(
+      |           CASE WHEN o_orderkey % 16 = 3 THEN o_totalprice * 2
+      |                ELSE o_totalprice END * 100 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS c
+      |  FROM orders)
+      |SELECT CAST(2 AS BIGINT) AS version, 'insert' AS change_type,
+      |       n AS n_rows, c AS total_cents,
+      |       CAST(3 AS BIGINT) AS n_schema_gens FROM a
+      |UNION ALL SELECT CAST(4 AS BIGINT), 'insert', n, c,
+      |       CAST(3 AS BIGINT) FROM b
+      |UNION ALL SELECT CAST(6 AS BIGINT), 'delete', n, c_pre,
+      |       CAST(3 AS BIGINT) FROM bk3
+      |UNION ALL SELECT CAST(6 AS BIGINT), 'insert', n, c_post,
+      |       CAST(3 AS BIGINT) FROM bk3
+      |UNION ALL SELECT CAST(7 AS BIGINT), 'delete', n, c,
+      |       CAST(3 AS BIGINT) FROM fin
+      |UNION ALL SELECT CAST(7 AS BIGINT), 'insert', n, c,
+      |       CAST(3 AS BIGINT) FROM fin
+      |ORDER BY version, change_type""".stripMargin
+
   /** The OPTIMIZE fixture: TWO appends of the bucket-partitioned
     * orders log (odd keys then even keys → 16 small files, two per
     * bucket), compacted through [[graft.sources.GraftLogOps.compactLog]]
@@ -1878,6 +2059,96 @@ object Maintenance {
       |       CAST(1 AS BIGINT)
       |FROM orders
       |ORDER BY version""".stripMargin
+
+  /** The MERGE-ON-READ fixture: bucket-partitioned orders log (one
+    * append → one file per bucket), then two SPARSE deletes committed
+    * as DELETION VECTORS (keys ≡3 mod 64 and ≡11 mod 64 — both land
+    * in the bucket=3 file at 1/8 of its rows each, well under the
+    * [[graft.sources.GraftLogOps.DvRewriteFraction]] rewrite cutoff),
+    * then OPTIMIZE — which must fold the vectors away (the DV'd file
+    * compacts even though it is the lone member of its partition
+    * group, and the rewrite materializes the mask).
+    */
+  private[graft] def dvTableDir(s: SparkSession, d: String): String = {
+    val root = SetupOnce.runtimeDir(d, "orders_graftdv")
+    SetupOnce(root) {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          pmod(col("o_orderkey"), lit(8L)).as("bucket"),
+          col("o_totalprice"))
+        .write.format(graft.sources.GraftLog.Format)
+        .option("path", root)
+        .option("schema",
+          "o_orderkey BIGINT, bucket BIGINT, o_totalprice DOUBLE")
+        .option("partitionBy", "bucket").mode("append").save()
+      graft.sources.GraftLogOps.deleteFromLog(s, root,
+        col("o_orderkey") % 64 === 3,
+        graft.sources.GraftLogOps.DeleteModeMor) // v2: dv commit
+      graft.sources.GraftLogOps.deleteFromLog(s, root,
+        col("o_orderkey") % 64 === 11,
+        graft.sources.GraftLogOps.DeleteModeMor) // v3: mask union
+      graft.sources.GraftLogOps.compactLog(s, root) // v4: folds the dv
+    }
+    root
+  }
+
+  /** Merge-on-read DELETE via deletion vectors, hash-gated end to end:
+    * the final (post-OPTIMIZE) snapshot's exact aggregate, the masked
+    * v2 snapshot (first dv in effect — time travel applies each
+    * version's own mask), the change feed's delete counts for both dv
+    * versions (the DELTA positions, not the complete mask — v3 must
+    * emit only the newly-deleted rows), and two manifest pins:
+    * `dv_live` (v3 carries exactly one masked file) and
+    * `dv_after_optimize` (OPTIMIZE purged every vector). A masking bug
+    * anywhere — a resurrected row in a rewrite, a delta that re-emits
+    * old deletions, a fold that drops the mask — hash-fails.
+    */
+  def logDv(s: SparkSession, d: String): DataFrame = {
+    val root = dvTableDir(s, d)
+    val conf = s.sessionState.newHadoopConf()
+    val latest = latestVersion(s, root)
+    val dvLive = graft.sources.GraftLog.liveState(conf, root, 3)
+      .dvs.size.toLong
+    val dvAfter = graft.sources.GraftLog.liveState(conf, root, latest)
+      .dvs.size.toLong
+    val snap = readVersion(s, root, latest)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+    val v2 = readVersion(s, root, 2)
+      .agg(sum(cents(col("o_totalprice"))).as("v2_cents"))
+    val ct = col(graft.sources.GraftLog.ChangeTypeCol)
+    val cv = col(graft.sources.GraftLog.CommitVersionCol)
+    val cdc = s.read.format(graft.sources.GraftLog.Format)
+      .option("path", root).option("readChangeFeed", true).load()
+      .filter(ct === "delete" && cv.isin(2L, 3L))
+      .agg(
+        sum(when(cv === 2L, 1L).otherwise(0L)).as("d2_rows"),
+        sum(when(cv === 3L, 1L).otherwise(0L)).as("d3_rows"))
+    snap.crossJoin(v2).crossJoin(cdc)
+      .select(col("n_rows"), col("total_cents"), col("v2_cents"),
+        col("d2_rows"), col("d3_rows"),
+        lit(dvLive).as("dv_live"),
+        lit(dvAfter).as("dv_after_optimize"))
+  }
+
+  val logDvSql: String =
+    """WITH kept AS (
+      |  SELECT o_totalprice FROM orders
+      |  WHERE o_orderkey % 64 NOT IN (3, 11)),
+      |k2 AS (
+      |  SELECT o_totalprice FROM orders WHERE o_orderkey % 64 <> 3)
+      |SELECT
+      |  (SELECT COUNT(*) FROM kept) AS n_rows,
+      |  (SELECT CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+      |     AS BIGINT)) AS BIGINT) FROM kept) AS total_cents,
+      |  (SELECT CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+      |     AS BIGINT)) AS BIGINT) FROM k2) AS v2_cents,
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 64 = 3)
+      |    AS d2_rows,
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 64 = 11)
+      |    AS d3_rows,
+      |  CAST(1 AS BIGINT) AS dv_live,
+      |  CAST(0 AS BIGINT) AS dv_after_optimize""".stripMargin
 
   /** The DELETE fixture: same bucket-partitioned layout, one row-level
     * delete of the keys ≡3 mod 16 — half of the bucket=3 file's rows,

@@ -224,27 +224,32 @@ class GraftCatalog extends TableCatalog
   }
 
   /** `ALTER TABLE ... ADD / RENAME / DROP COLUMN` — schema evolution
-    * without rewriting a byte of data:
+    * without rewriting a byte of data, top-level AND struct-nested
+    * (`ALTER TABLE t RENAME COLUMN meta.score TO amount`):
     *
-    *  - ADD COLUMN (appended, top-level) IS the write path's
-    *    documented WIDENING contract: an EMPTY version whose recorded
-    *    schema appends the new nullable column; readers null-fill old
-    *    files, time travel returns per-version schemas.
+    *  - ADD COLUMN (appended) IS the write path's documented WIDENING
+    *    contract at top level — an EMPTY version whose recorded schema
+    *    appends the new nullable column; NESTED adds append a field to
+    *    an existing struct (old files' struct decoder null-fills
+    *    absent subfields by name, so every version stays readable).
     *  - RENAME COLUMN uses COLUMN MAPPING (the name-mode discipline
     *    real table formats use): the logical name changes, the STABLE
     *    PHYSICAL name files were written under does not — a `colmap`
-    *    manifest row records logical→physical, readers and writers
-    *    translate at the scan/write boundary, and no existing file is
-    *    orphaned.
-    *  - DROP COLUMN removes the logical column and TOMBSTONES its
-    *    physical name — old files keep the bytes (time travel still
-    *    reads them), current reads never see it, and no future ADD may
-    *    reuse the name (a name-resolved reader would serve the stale
-    *    data as the new column).
+    *    manifest row records the dot-joined logical path → physical
+    *    path, readers and writers translate at the scan/write
+    *    boundary, and no existing file is orphaned. Renaming a STRUCT
+    *    rekeys its children's mapping entries (their logical prefix
+    *    moved with it).
+    *  - DROP COLUMN removes the logical column/field and TOMBSTONES
+    *    its physical path — old files keep the bytes (time travel
+    *    still reads them), current reads never see it, and no future
+    *    ADD may reuse the path (a name-resolved reader would serve the
+    *    stale data as the new column).
     *
-    * Positioned adds and type changes still refuse loudly. Every
-    * variant commits one empty version pinned at latest+1, so a
-    * concurrent schema change refuses instead of being clobbered.
+    * Paths through arrays/maps, positioned adds and type changes
+    * refuse loudly. Every variant commits one empty version pinned at
+    * latest+1, so a concurrent schema change refuses instead of being
+    * clobbered.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -256,60 +261,131 @@ class GraftCatalog extends TableCatalog
     val current = meta.schema.getOrElse(GraftLog.inferSchema(c, root,
       latest))
     def checkName(n: String): String = {
-      require(!n.exists(ch => ch == ',' || ch == ':' || ch == '!'),
+      require(!n.exists(ch => ch == ',' || ch == ':' || ch == '!' ||
+          ch == '.'),
         s"graft catalog: column name '$n' may not contain ',' ':' '!' " +
-          "(colmap row delimiters)")
+          "'.' (colmap row delimiter / path separator)")
       n
     }
     var fields = current.fields.toSeq
     var colMap = meta.colMap
     var tombstones = meta.tombstones
+
+    /** Rewrite the struct at `path.init`, applying `fn` to its field
+      * list — `path` must thread plain structs only (array/map
+      * nesting refuses: a mapping on an element type has no stable
+      * per-path identity in the parquet schema walk this engine uses).
+      * Every segment along the way must itself be dot-free, or the
+      * dot-joined colmap key would be ambiguous against it.
+      */
+    def rewriteAt(fs: Seq[StructField], path: Seq[String],
+        fn: Seq[StructField] => Seq[StructField]): Seq[StructField] =
+      if (path.isEmpty) fn(fs)
+      else {
+        val idx = fs.indexWhere(_.name == path.head)
+        require(idx >= 0, s"graft catalog: no such column ${path.head}" +
+          s" in [${StructType(fs).toDDL}]")
+        checkName(path.head)
+        fs(idx).dataType match {
+          case st: StructType =>
+            val updated = StructType(
+              rewriteAt(st.fields.toSeq, path.tail, fn))
+            fs.updated(idx, fs(idx).copy(dataType = updated))
+          case other => throw new UnsupportedOperationException(
+            s"graft catalog: cannot ALTER inside ${path.head} " +
+              s"($other) — nested column changes thread plain structs " +
+              "only (array/map element fields have no stable mapping " +
+              "identity)")
+        }
+      }
+
+    /** The would-be PHYSICAL path of a (possibly nested) logical path
+      * under the CURRENT mapping — what tombstone checks compare.
+      */
+    def physicalPathOf(segments: Seq[String]): String =
+      GraftLog.TableMeta(None, Nil, colMap, tombstones)
+        .physicalPath(segments.mkString("."))
+
     val usedPhysical: Set[String] =
       current.fieldNames.map(n => colMap.getOrElse(n, n)).toSet
     changes.foreach {
-      case a: TableChange.AddColumn if a.fieldNames().length == 1 &&
-          a.position() == null =>
-        val n = checkName(a.fieldNames()(0))
-        require(!fields.exists(_.name == n),
-          s"graft catalog: ADD COLUMN $n already present in " +
-            s"[${StructType(fields).toDDL}]")
-        require(!tombstones.contains(n) && !usedPhysical.contains(n),
+      case a: TableChange.AddColumn if a.position() == null =>
+        val path = a.fieldNames().toSeq
+        val parent = path.init
+        val n = checkName(path.last)
+        val physPath =
+          if (parent.isEmpty) n
+          else s"${physicalPathOf(parent)}.$n"
+        require(!tombstones.contains(physPath) &&
+          !colMap.valuesIterator.contains(physPath) &&
+          (parent.nonEmpty || !usedPhysical.contains(n)),
           s"graft catalog: column name $n was used by a renamed or " +
             "dropped column — old files still store data under it; " +
             "choose a different name")
-        fields :+= StructField(n, GraftLog.deepNullable(a.dataType()),
-          nullable = true)
-      case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
-        val from = r.fieldNames()(0)
+        fields = rewriteAt(fields, parent, { fs =>
+          require(!fs.exists(_.name == n),
+            s"graft catalog: ADD COLUMN ${path.mkString(".")} already " +
+              s"present in [${StructType(fs).toDDL}]")
+          fs :+ StructField(n, GraftLog.deepNullable(a.dataType()),
+            nullable = true)
+        })
+      case r: TableChange.RenameColumn =>
+        val path = r.fieldNames().toSeq
+        val from = path.mkString(".")
         val to = checkName(r.newName())
-        val idx = fields.indexWhere(_.name == from)
-        require(idx >= 0, s"graft catalog: RENAME COLUMN $from — no " +
-          s"such column in [${StructType(fields).toDDL}]")
-        require(!fields.exists(_.name == to),
-          s"graft catalog: RENAME COLUMN to $to — already present")
+        val toPath = (path.init :+ to).mkString(".")
         require(!meta.partCols.contains(from),
           s"graft catalog: $from is a PARTITIONED BY column; renaming " +
             "it would desynchronize the declared layout — unsupported")
-        // the RETAINED physical name lands in the colmap row too — a
+        // the RETAINED physical path lands in the colmap row — a
         // pre-existing delimiter-bearing name would encode a row
-        // decodeColMap can never parse back (a bricked table)
-        val physical = checkName(colMap.getOrElse(from, from))
-        colMap = (colMap - from) + (to -> physical)
-        fields = fields.updated(idx, fields(idx).copy(name = to))
-      case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
-        val n = d.fieldNames()(0)
-        val idx = fields.indexWhere(_.name == n)
-        require(idx >= 0, s"graft catalog: DROP COLUMN $n — no such " +
-          s"column in [${StructType(fields).toDDL}]")
-        require(fields.size > 1,
-          "graft catalog: cannot DROP the last column")
+        // decodeColMap can never parse back (a bricked table); every
+        // segment is validated by rewriteAt / checkName
+        val physical = physicalPathOf(path)
+        physical.split('.').foreach(checkName)
+        fields = rewriteAt(fields, path.init, { fs =>
+          val idx = fs.indexWhere(_.name == path.last)
+          require(idx >= 0, s"graft catalog: RENAME COLUMN $from — no " +
+            s"such column in [${StructType(fs).toDDL}]")
+          require(!fs.exists(_.name == to),
+            s"graft catalog: RENAME COLUMN to $to — already present")
+          fs.updated(idx, fs(idx).copy(name = to))
+        })
+        // rekey: the renamed path itself, plus every DESCENDANT entry
+        // whose logical prefix just moved (renaming a struct carries
+        // its children's mappings along)
+        val prefix = from + "."
+        colMap = colMap.map {
+          case (l, p) if l == from => (toPath, p)
+          case (l, p) if l.startsWith(prefix) =>
+            (toPath + "." + l.stripPrefix(prefix), p)
+          case other => other
+        }
+        if (!colMap.contains(toPath)) colMap += (toPath -> physical)
+      case d: TableChange.DeleteColumn =>
+        val path = d.fieldNames().toSeq
+        val n = path.mkString(".")
         require(!meta.partCols.contains(n),
           s"graft catalog: $n is a PARTITIONED BY column; dropping it " +
             "would desynchronize the declared layout — unsupported")
-        // same guard: the tombstoned PHYSICAL name is encoded verbatim
-        tombstones += checkName(colMap.getOrElse(n, n))
-        colMap -= n
-        fields = fields.patch(idx, Nil, 1)
+        val physical = physicalPathOf(path)
+        physical.split('.').foreach(checkName)
+        fields = rewriteAt(fields, path.init, { fs =>
+          val idx = fs.indexWhere(_.name == path.last)
+          require(idx >= 0, s"graft catalog: DROP COLUMN $n — no such " +
+            s"column in [${StructType(fs).toDDL}]")
+          require(fs.size > 1,
+            if (path.init.isEmpty)
+              "graft catalog: cannot DROP the last column"
+            else
+              s"graft catalog: cannot DROP the last field of struct " +
+                s"${path.init.mkString(".")} — drop the struct instead")
+          fs.patch(idx, Nil, 1)
+        })
+        tombstones += physical
+        val prefix = n + "."
+        colMap = colMap.filter { case (l, _) =>
+          l != n && !l.startsWith(prefix) }
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER $other — ADD COLUMN " +
           "(appended) follows the WIDENING contract, RENAME/DROP use " +

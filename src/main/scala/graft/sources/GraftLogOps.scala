@@ -117,6 +117,79 @@ object GraftLogOps {
       norm.contains(new Path(s"$root/$rel").toUri.getPath))
   }
 
+  private[sources] def normPath(p: String): String =
+    new Path(p).toUri.getPath
+
+  /** Executor-side deletion-vector sidecar cache: a rewrite task
+    * evaluates the mask per row, and the sidecar (a few KB–MB of
+    * sorted longs) must be read once per executor, not once per row.
+    * Size-capped by wholesale clear — sidecars are tiny and the cap
+    * only matters across many unrelated rewrites in one long JVM.
+    */
+  private object DvSidecarCache {
+    private val m =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    def get(conf: Configuration, path: String): Array[Long] = {
+      if (m.size > 256) m.clear()
+      m.computeIfAbsent(path,
+        p => GraftLog.readDv(conf, new Path(p)))
+    }
+  }
+
+  /** Read data files (absolute paths, PHYSICAL schema) with their
+    * DELETION VECTORS applied — the one read primitive every rewrite
+    * (merge, copy-on-write delete, compaction) must use on a DV'd
+    * table: a raw parquet read would RESURRECT masked rows into the
+    * rewrite. `dvByNormPath` maps canonical file path → absolute
+    * sidecar path; files without an entry read mask-free, and an empty
+    * map is the untouched legacy path (no metadata columns, no UDF).
+    * The mask itself is a per-row sorted-array membership test against
+    * the executor-cached sidecar — no join, no shuffle.
+    */
+  private[sources] def maskedParquet(s: SparkSession,
+      physSchema: StructType, files: Seq[String],
+      dvByNormPath: Map[String, String]): DataFrame = {
+    val raw = s.read.schema(physSchema).parquet(files: _*)
+    if (dvByNormPath.isEmpty) raw
+    else {
+      val cnf = new org.apache.spark.util.SerializableConfiguration(
+        s.sessionState.newHadoopConf())
+      val masked = udf { (file: String, pos: Long) =>
+        dvByNormPath.get(normPath(file)) match {
+          case Some(sidecar) =>
+            java.util.Arrays.binarySearch(
+              DvSidecarCache.get(cnf.value, sidecar), pos) >= 0
+          case None => false
+        }
+      }
+      val physCols = physSchema.fieldNames.map(col).toSeq
+      raw.filter(!masked(col("_metadata.file_path"),
+          col("_metadata.row_index")))
+        .select(physCols: _*)
+    }
+  }
+
+  /** Absolute-sidecar map for a snapshot's deletion vectors, keyed on
+    * canonical file paths — what [[maskedParquet]] consumes.
+    */
+  private def dvPathMap(root: String,
+      dvs: Map[String, GraftLog.DvDescriptor]): Map[String, String] =
+    dvs.map { case (f, d) =>
+      normPath(s"$root/$f") -> s"$root/${d.dv}" }
+
+  /** Positional rename between the logical and physical schema forms
+    * at EVERY nesting level: the two differ only in field names, so a
+    * struct cast renames nested fields without touching values (a
+    * plain `toDF` renames top-level only, which would write a nested
+    * rename's files under LOGICAL inner names). Identity-mapped
+    * tables hit the no-cast fast path column-for-column.
+    */
+  private def renameTo(df: DataFrame, target: StructType): DataFrame =
+    df.select(df.schema.fields.zip(target.fields).map { case (s0, t) =>
+      (if (s0.dataType == t.dataType) col(s0.name)
+       else col(s0.name).cast(t.dataType)).as(t.name)
+    }.toIndexedSeq: _*)
+
   /** A merge key column as a double for range bucketing — only types
     * whose order survives the cast (the bucket BOUNDS stay exact
     * per-bucket min/max of the original values, so the cast is pure
@@ -230,14 +303,15 @@ object GraftLogOps {
       df: DataFrame, schema: StructType, removes: Seq[String],
       meta: GraftLog.TableMeta,
       addConflict: Option[(Int, GraftLog.ManifestRow => Boolean)] = None,
-      layoutCols: Seq[String] = Nil): Int = {
+      layoutCols: Seq[String] = Nil,
+      readVersion: Option[Int] = None): Int = {
     val conf = s.sessionState.newHadoopConf()
     // files are written under PHYSICAL names (positional rename — the
     // logical/physical schemas differ only in top-level field names);
     // the manifest records the LOGICAL schema
     val physSchema = meta.physicalSchema(schema)
     val staging = s"$root/data/w_${op}_${java.util.UUID.randomUUID()}"
-    df.toDF(physSchema.fieldNames.toSeq: _*).write.parquet(staging)
+    renameTo(df, physSchema).write.parquet(staging)
     val fs = new Path(root).getFileSystem(conf)
     // Spark's committer drops a _SUCCESS marker; it is never referenced,
     // but delete it so the write directory holds only committed files
@@ -269,7 +343,7 @@ object GraftLogOps {
       else Seq(GraftLog.ManifestRow("partcols", layoutCols.mkString(",")))
     try GraftLogWrite.commitStaged(conf, root, staging, files,
       Some(schema), removes = removes, addConflict = addConflict,
-      extraRows = layoutRows)
+      extraRows = layoutRows, readVersion = readVersion)
     catch { case scala.util.control.NonFatal(e) =>
       fs.delete(new Path(staging), true) // never referenced — clean up
       throw e
@@ -308,11 +382,14 @@ object GraftLogOps {
         // column mapping: files + stats speak PHYSICAL names; the
         // table, source and keys speak logical — read physical, rename
         // positionally back to logical, and rename filters/keys when
-        // testing stats (identity everywhere on unmapped tables)
+        // testing stats (identity everywhere on unmapped tables).
+        // DELETION VECTORS apply at the read: a raw parquet read of a
+        // DV'd file would resurrect its masked rows into the rewrite.
         val physSchema = meta.physicalSchema(schema)
+        val dvMap = dvPathMap(root,
+          GraftLog.liveState(conf, root, latest).dvs)
         def readLogical(paths: Seq[String]): DataFrame =
-          s.read.schema(physSchema).parquet(paths: _*)
-            .toDF(schema.fieldNames.toSeq: _*)
+          renameTo(maskedParquet(s, physSchema, paths, dvMap), schema)
         require(keys.nonEmpty && keys.forall(schema.fieldNames.contains),
           s"merge keys ${keys.mkString(", ")} not all in " +
             s"[${schema.toDDL}]")
@@ -362,7 +439,8 @@ object GraftLogOps {
               !r.rows.contains(0L) && mayHoldKeys(physSchema, keyFilters,
                 r.stats.flatMap(GraftLogStats.parseStats), r.rows))),
             layoutCols = layoutPartCols(conf, root, latest,
-              entries.map(_._1), meta))
+              entries.map(_._1), meta),
+            readVersion = Some(latest))
         }
       }
     } finally src.unpersist()
@@ -380,7 +458,53 @@ object GraftLogOps {
     * order, so appended rows correctly survive). Returns the committed
     * (or current) version.
     */
-  def deleteFromLog(s: SparkSession, root: String, cond: Column): Int = {
+  def deleteFromLog(s: SparkSession, root: String, cond: Column): Int =
+    deleteFromLog(s, root, cond, DeleteModeCow)
+
+  /** DELETE mode names: copy-on-write rewrites every touched file
+    * without the matched rows (best when deletes are dense — the
+    * rewrite was going to touch most bytes anyway); merge-on-read
+    * commits DELETION VECTORS instead (best for SCATTERED deletes —
+    * a 1-row delete at 100 TB becomes a KB sidecar + one manifest row,
+    * not a full file rewrite). The SQL front door
+    * (`DELETE FROM graft.t WHERE ...`) picks via the session conf
+    * `spark.graft.log.delete.mode`.
+    */
+  val DeleteModeCow = "copy-on-write"
+  val DeleteModeMor = "merge-on-read"
+  val DeleteModeConf = "spark.graft.log.delete.mode"
+
+  /** Per-file density cutoff for merge-on-read: a file losing at least
+    * this fraction of its rows is REWRITTEN instead of masked — the
+    * read-side masking tax (row reader + per-row membership) isn't
+    * worth it when most of the file is dead, and the rewrite was
+    * going to read every surviving byte anyway. The same commit may
+    * mix both shapes: dv rows for sparse files, remove+add for dense.
+    */
+  val DvRewriteFraction = 0.5
+
+  /** Row-level DELETE on the log: rewrite or mask ONLY the files
+    * containing rows matching `cond` (SQL DELETE semantics — a NULL
+    * condition keeps the row), committed as one version. Touch
+    * detection is one distributed filtered scan collecting DISTINCT
+    * FILE NAMES (parquet row-group pruning applies); `mode` picks the
+    * write shape per [[DeleteModeCow]]/[[DeleteModeMor]]. A delete
+    * matching nothing commits nothing; a lost race re-plans and
+    * retries (concurrent APPENDS need no check: delete-then-append is
+    * a valid serial order). Returns the committed (or current)
+    * version.
+    */
+  def deleteFromLog(s: SparkSession, root: String, cond: Column,
+      mode: String): Int = mode match {
+    case DeleteModeCow => cowDelete(s, root, cond)
+    case DeleteModeMor => morDelete(s, root, cond)
+    case other => throw new IllegalArgumentException(
+      s"graftlog delete: unknown mode '$other' — use $DeleteModeCow " +
+        s"or $DeleteModeMor")
+  }
+
+  private def cowDelete(s: SparkSession, root: String,
+      cond: Column): Int = {
     val conf = s.sessionState.newHadoopConf()
     withRetry { () =>
       val latest = GraftLog.latestVersion(conf, root)
@@ -389,9 +513,10 @@ object GraftLogOps {
       val schema = meta.schema
         .getOrElse(GraftLog.inferSchema(conf, root, latest))
       val physSchema = meta.physicalSchema(schema)
+      val dvMap = dvPathMap(root,
+        GraftLog.liveState(conf, root, latest).dvs)
       def readLogical(paths: Seq[String]): DataFrame =
-        s.read.schema(physSchema).parquet(paths: _*)
-          .toDF(schema.fieldNames.toSeq: _*)
+        renameTo(maskedParquet(s, physSchema, paths, dvMap), schema)
       val entries = statsEntries(s, root, latest)
       if (entries.isEmpty) latest
       else {
@@ -410,8 +535,178 @@ object GraftLogOps {
             .filter(coalesce(cond, lit(false)) === false)
           commitRewrite(s, root, "delete", kept, schema, touched, meta,
             layoutCols = layoutPartCols(conf, root, latest,
-              entries.map(_._1), meta))
+              entries.map(_._1), meta),
+            readVersion = Some(latest))
         }
+      }
+    }
+  }
+
+  /** Merge-on-read DELETE: commit a DELETION-VECTOR sidecar per
+    * sparsely-touched file (complete mask + this commit's delta) and
+    * rewrite only the densely-touched ones ([[DvRewriteFraction]]) —
+    * write amplification proportional to MATCHED rows, not touched
+    * FILES. The scale shape:
+    *
+    *  1. one distributed scan over the candidate files computes
+    *     matched (file, row position) pairs via the parquet reader's
+    *     own `_metadata.row_index` — positions never reach the driver;
+    *  2. per-file matched COUNTS (one row per file) come back to pick
+    *     dense files for rewrite;
+    *  3. executors write one sidecar pair per sparse file
+    *     (prior mask ∪ matches, matches \ prior) under a write-scoped
+    *     `data/dv_<uuid>/` directory — the same zero-rename
+    *     publication data files use: nothing references the sidecars
+    *     until the manifest row does;
+    *  4. ONE commit: `dv` rows for sparse files, remove+add for dense
+    *     ones, guarded by liveness AND dv-conflict revalidation (a
+    *     concurrent re-mask of the same file refuses — complete-mask
+    *     replacement semantics would otherwise lose its deletions).
+    *
+    * The change feed emits the delta positions as delete rows; time
+    * travel before the commit reads the file unmasked; OPTIMIZE folds
+    * the vectors away (the DV'd file compacts, its mask dies with the
+    * remove). Readers of a DV'd snapshot take the row-reader path —
+    * the masking tax OPTIMIZE exists to clear.
+    */
+  private def morDelete(s: SparkSession, root: String,
+      cond: Column): Int = {
+    val conf = s.sessionState.newHadoopConf()
+    val fs = new Path(root).getFileSystem(conf)
+    withRetry { () =>
+      val latest = GraftLog.latestVersion(conf, root)
+      require(latest >= 1, s"no committed versions under $root")
+      val meta = GraftLog.tableMeta(conf, root, latest)
+      val schema = meta.schema
+        .getOrElse(GraftLog.inferSchema(conf, root, latest))
+      val physSchema = meta.physicalSchema(schema)
+      val dvs = GraftLog.liveState(conf, root, latest).dvs
+      val entries = statsEntries(s, root, latest)
+      if (entries.isEmpty) return latest
+      val rowsByRel = entries.map(e => (e._1, e._2.rows.get)).toMap
+      val relByNorm = entries.map(e =>
+        (normPath(s"$root/${e._1}"), e._1)).toMap
+      // matched (file, position) pairs over the RAW files — prior
+      // masks subtract executor-side at sidecar build, so a re-matched
+      // already-deleted row never reaches the delta
+      val logicalCols = physSchema.fieldNames.zip(schema.fieldNames)
+        .map { case (p, l) => col(p).as(l) }.toSeq
+      val matched = s.read.schema(physSchema)
+        .parquet(entries.map(e => s"$root/${e._1}"): _*)
+        .select(Seq(col("_metadata.file_path").as("_g_file"),
+          col("_metadata.row_index").as("_g_pos")) ++ logicalCols: _*)
+        .filter(cond)
+        .select(col("_g_file"), col("_g_pos"))
+      val counts = matched.groupBy("_g_file").count().collect()
+        .flatMap(r => relByNorm.get(normPath(r.getString(0)))
+          .map(rel => (rel, r.getLong(1))))
+      if (counts.isEmpty) return latest // no-op: nothing matched
+      val (denseRel, sparseRel) = counts.partition { case (rel, c) =>
+        c >= (rowsByRel(rel) * DvRewriteFraction).ceil.toLong }
+      val dvDirRel = s"data/dv_${java.util.UUID.randomUUID()}"
+      val cnf = new org.apache.spark.util.SerializableConfiguration(conf)
+      val priorByNorm: Map[String, String] = sparseRel.flatMap {
+        case (rel, _) => dvs.get(rel).map(d =>
+          (normPath(s"$root/$rel"), s"$root/${d.dv}")) }.toMap
+      val sparseNorm = sparseRel.map(e => normPath(s"$root/${e._1}")).toSet
+      // executor job: sidecar pair per sparse file, positions never on
+      // the driver; returns ONE small metadata row per file
+      import s.implicits._
+      val dvBase = s"$root/$dvDirRel"
+      val dvMetaRaw: Array[(String, String, Long, String, Long)] =
+        if (sparseRel.isEmpty) Array.empty
+        else matched.as[(String, Long)]
+          .filter(r => sparseNorm.contains(normPath(r._1)))
+          .groupByKey(r => normPath(r._1))
+          .mapGroups { (fnorm, it) =>
+            val hit = it.map(_._2).toArray
+            java.util.Arrays.sort(hit)
+            val prior = priorByNorm.get(fnorm)
+              .map(p => GraftLog.readDv(cnf.value, new Path(p)))
+              .getOrElse(Array.empty[Long])
+            val priorSet = prior.toSet
+            val delta = hit.filterNot(priorSet.contains).distinct
+            val complete = (prior ++ delta).distinct
+            java.util.Arrays.sort(complete)
+            val tag = java.security.MessageDigest.getInstance("SHA-1")
+              .digest(fnorm.getBytes("UTF-8"))
+              .take(8).map("%02x".format(_)).mkString
+            val dvPath = s"$dvBase/$tag.dv"
+            val deltaPath = s"$dvBase/$tag.delta.dv"
+            GraftLog.writeDv(cnf.value, new Path(dvPath), complete)
+            GraftLog.writeDv(cnf.value, new Path(deltaPath), delta)
+            (fnorm, dvPath, complete.length.toLong, deltaPath,
+              delta.length.toLong)
+          }.collect()
+      // files whose every match was already masked are no-ops — their
+      // just-written sidecars are unreferenced garbage, clean them now
+      val (dvMeta, noop) = dvMetaRaw.partition(_._5 > 0L)
+      noop.foreach { case (_, dv, _, delta, _) =>
+        fs.delete(new Path(dv), false)
+        fs.delete(new Path(delta), false)
+      }
+      val dvRows = dvMeta.toSeq.sortBy(_._1).map {
+        case (fnorm, dv, card, delta, dcard) =>
+          GraftLog.ManifestRow("dv", relByNorm(fnorm),
+            stats = Some(GraftLog.encodeDv(GraftLog.DvDescriptor(
+              dv.stripPrefix(s"$root/"), card,
+              delta.stripPrefix(s"$root/"), dcard))))
+      }
+      val layout = layoutPartCols(conf, root, latest,
+        entries.map(_._1), meta)
+      val layoutRows =
+        if (layout.isEmpty) Nil
+        else Seq(GraftLog.ManifestRow("partcols", layout.mkString(",")))
+      try {
+        if (denseRel.isEmpty) {
+          if (dvRows.isEmpty) { fs.delete(new Path(dvBase), true); latest }
+          else GraftLogWrite.commitStaged(conf, root,
+            s"$root/$dvDirRel", Nil, Some(schema),
+            extraRows = layoutRows ++ dvRows,
+            dvFiles = dvMeta.map(m => relByNorm(m._1)).toSeq,
+            readVersion = Some(latest))
+        } else {
+          // dense files rewrite copy-on-write (masked read — prior
+          // deletions stay deleted), committed TOGETHER with the dv
+          // rows as one version
+          val denseFiles = denseRel.map(e => s"$root/${e._1}").toSeq
+          val cols = schema.fieldNames.map(col).toSeq
+          val kept = renameTo(maskedParquet(s, physSchema, denseFiles,
+              dvPathMap(root, dvs)), schema)
+            .select(cols: _*)
+            .filter(coalesce(cond, lit(false)) === false)
+          val staging = s"$root/data/w_delete_${java.util.UUID
+            .randomUUID()}"
+          renameTo(kept, physSchema).write.parquet(staging)
+          fs.delete(new Path(s"$staging/_SUCCESS"), false)
+          val files = fs.listStatus(new Path(staging))
+            .toSeq.map(_.getPath.getName)
+            .filter(n => n.endsWith(".parquet") &&
+              !n.startsWith("_") && !n.startsWith("."))
+            .sorted
+            .flatMap { n =>
+              val (rows, bytes, st) = GraftLogStats.describeFile(
+                conf, s"$staging/$n", physSchema)
+              if (rows == 0L) {
+                fs.delete(new Path(s"$staging/$n"), false); None
+              } else Some(GraftLogFileCommit(s"$staging/$n", rows,
+                bytes, st))
+            }
+          try GraftLogWrite.commitStaged(conf, root, staging, files,
+            Some(schema), removes = denseRel.map(_._1).toSeq,
+            extraRows = layoutRows ++ dvRows,
+            dvFiles = dvMeta.map(m => relByNorm(m._1)).toSeq,
+            readVersion = Some(latest))
+          catch { case scala.util.control.NonFatal(e) =>
+            fs.delete(new Path(staging), true)
+            throw e
+          }
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        // sidecars are never referenced until the manifest row lands —
+        // a refused commit cleans its own staging
+        fs.delete(new Path(dvBase), true)
+        throw e
       }
     }
   }
@@ -544,14 +839,23 @@ object GraftLogOps {
       val schema = meta.schema
         .getOrElse(GraftLog.inferSchema(conf, root, latest))
       val physSchema = meta.physicalSchema(schema)
+      val dvs = GraftLog.liveState(conf, root, latest).dvs
+      val dvMap = dvPathMap(root, dvs)
       val entries = statsEntries(s, root, latest)
       val partCols = layoutPartCols(conf, root, latest,
         entries.map(_._1), meta) // logical
       val partColsPhys = partCols.map(meta.physicalName) // stats keys
-      val small = entries.filter(_._2.bytes.exists(_ < smallBytes))
+      // DV'd files are candidates REGARDLESS of size: OPTIMIZE is how
+      // deletion vectors fold away (the rewrite materializes the mask,
+      // the remove kills the dv row, readers go vectorized again)
+      val small = entries.filter(e =>
+        e._2.bytes.exists(_ < smallBytes) || dvs.contains(e._1))
       val groups = small
         .groupBy { case (_, fe) => partGroupKey(partColsPhys, fe) }
-        .filter(_._2.size >= 2) // a lone small file gains nothing
+        // a lone small file gains nothing — unless it carries a dv,
+        // which compacting purges
+        .filter(g => g._2.size >= 2 ||
+          g._2.exists(e => dvs.contains(e._1)))
       if (groups.isEmpty) latest // nothing worth binning
       else {
         val bins: Seq[Seq[String]] = groups.toSeq
@@ -571,8 +875,13 @@ object GraftLogOps {
               override def call(): Unit = {
                 // pure file shuffling: read AND write physical names —
                 // no logical translation needed anywhere in the rewrite
-                val d = s.read.schema(physSchema)
-                  .parquet(b.map(f => s"$root/$f"): _*)
+                // (deletion vectors applied at the read, so a masked
+                // row never survives into the compacted file; bins
+                // without a DV'd file keep the mask-free fast path)
+                val binDv = dvMap.filter { case (k, _) =>
+                  b.exists(f => normPath(s"$root/$f") == k) }
+                val d = maskedParquet(s, physSchema,
+                    b.map(f => s"$root/$f"), binDv)
                   .select(physCols: _*).coalesce(1)
                 (if (clusterPhys.isEmpty) d
                  else d.sortWithinPartitions(clusterPhys.map(col): _*))
@@ -600,6 +909,7 @@ object GraftLogOps {
           }
           GraftLogWrite.commitStaged(conf, root, staging, files,
             Some(schema), removes = bins.flatten,
+            readVersion = Some(latest),
             extraRows =
               (if (partCols.isEmpty) Nil
                else Seq(GraftLog.ManifestRow("partcols",
@@ -608,6 +918,17 @@ object GraftLogOps {
                else Seq(GraftLog.ManifestRow("colmap",
                  GraftLog.encodeColMap(meta.colMap, meta.tombstones)))))
         } catch { case scala.util.control.NonFatal(e) =>
+          // quiesce stragglers BEFORE deleting the staging tree: a
+          // plain shutdown() lets still-running bin tasks recreate
+          // data/w_compact_* directories under a tree this cleanup
+          // just removed, leaving orphaned part-files nothing
+          // references or cleans. shutdownNow interrupts them (a
+          // Spark job interrupted mid-write aborts its own tasks) and
+          // the bounded await ensures none is mid-mkdir when the
+          // recursive delete runs.
+          pool.shutdownNow()
+          pool.awaitTermination(60,
+            java.util.concurrent.TimeUnit.SECONDS)
           fs.delete(new Path(staging), true) // never referenced
           throw e match {
             case ee: java.util.concurrent.ExecutionException
@@ -626,11 +947,13 @@ object GraftLogOps {
     * rows); the deletable set is (files referenced by expired
     * versions) minus (files referenced by any retained one), so a file
     * shared across the boundary — the common case under compaction —
-    * is NEVER deleted. A `_vacuum_v<keepFrom>` watermark marker
-    * commits the expiration (the log's two-phase discipline): reads
-    * below the watermark refuse cleanly instead of failing mid-scan on
-    * missing files. Returns (filesDeleted, filesRetained).
-    * Idempotent: a second pass finds nothing to delete.
+    * is NEVER deleted. The `_vacuum_v<keepFrom>` watermark marker is
+    * written BEFORE the deletes (true two-phase discipline): from that
+    * instant reads below the watermark refuse cleanly at load, so a
+    * crash mid-delete — or a reader racing the delete window — can
+    * never resolve an expired version and then FileNotFound mid-scan;
+    * the files merely linger until the next (idempotent) pass finishes
+    * the deletes. Returns (filesDeleted, filesRetained).
     */
   def vacuumLog(s: SparkSession, root: String,
       keepFrom: Int): (Int, Int) = {
@@ -639,15 +962,19 @@ object GraftLogOps {
     require(keepFrom >= 1 && keepFrom <= latest,
       s"keepFrom $keepFrom outside committed versions 1..$latest")
     val keep = (keepFrom to latest)
-      .flatMap(v => GraftLog.liveEntries(conf, root, v)).toSet
+      .flatMap(v => GraftLog.referencedEntries(conf, root, v)).toSet
     val expired = (1 until keepFrom)
-      .flatMap(v => GraftLog.liveEntries(conf, root, v)).toSet
+      .flatMap(v => GraftLog.referencedEntries(conf, root, v)).toSet
     val dead = (expired -- keep).toSeq.sorted
     val fs = new Path(root).getFileSystem(conf)
+    // phase 1: commit the expiration — readers refuse below the
+    // watermark from here on, so no read started after this line can
+    // race the deletes into a mid-scan FileNotFound
+    fs.create(new Path(s"$root/_log/_vacuum_v$keepFrom"), true).close()
+    // phase 2: physically delete what no retained version references
     val deleted = dead.count { f =>
       fs.delete(new Path(s"$root/$f"), true)
     }
-    fs.create(new Path(s"$root/_log/_vacuum_v$keepFrom"), true).close()
     (deleted, keep.size)
   }
 

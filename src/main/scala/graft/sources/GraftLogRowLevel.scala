@@ -186,6 +186,10 @@ class GraftLogReplaceDataWrite(root: String, writeSchema: StructType,
     GraftLogWrite.commitStaged(c, root, staging,
       messages.flatMap(_.asInstanceOf[GraftLogCommitMessage].files).toSeq,
       Some(writeSchema), removes = removes,
+      // dv-conflict guard: the rewrite read these files masked as of
+      // the operation's snapshot — a concurrent dv commit on one of
+      // them would be silently resurrected by this remove+add
+      readVersion = op.opMeta.map(_._1),
       extraRows =
         if (layout.isEmpty) Nil
         else Seq(GraftLog.ManifestRow("partcols", layout.mkString(","))))

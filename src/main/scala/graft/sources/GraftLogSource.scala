@@ -218,6 +218,13 @@ object GraftLog {
     }.filter(k => k <= asOf && names.contains(s"_ckpt_v$k"))
       .maxOption
 
+  /** Newest committed checkpoint at or below `asOf` (audit surface —
+    * the `detail` procedure reports it).
+    */
+  def newestCheckpointAt(conf: Configuration, root: String,
+      asOf: Int): Option[Int] =
+    checkpointAt(listLogNames(conf, root), asOf)
+
   /** Lowest readable version (1 if never vacuumed) — max over the
     * `_vacuum_v*` markers, NOT a consecutive walk (a first vacuum at
     * keepFrom >= 3 must still raise the watermark).
@@ -415,49 +422,148 @@ object GraftLog {
       v: Int): Seq[(String, String)] =
     versionRows(conf, root, v).map(r => (r.action, r.file))
 
-  /** Live ADD rows (as logged — file or directory paths relative to
-    * root, with manifest statistics when present) as of `asOf`: the
-    * newest committed CHECKPOINT at or below `asOf` (its add rows ARE
-    * the live set as of its version) plus a fold of the tail manifests
-    * — O(1 + tail ≤ [[CheckpointInterval]]) control-plane reads,
-    * independent of the table's version count. No checkpoint (or an
-    * unreadable one) falls back to the full v1..asOf fold; OCC logs
-    * (text manifests, utility-managed) always full-fold.
+  /** A DELETION VECTOR attached to one live data file — the
+    * merge-on-read half of row-level DELETE: instead of rewriting the
+    * whole file to drop a few rows (copy-on-write amplification — the
+    * dominant DML cost at 100 TB with scattered keys), the delete
+    * commits a sidecar of MASKED ROW POSITIONS and every reader skips
+    * them. `dv` is the COMPLETE mask (all positions ever deleted from
+    * the file — each new DV commit replaces the previous one wholesale,
+    * so readers never merge chains); `delta` is the positions THIS
+    * commit newly deleted (what the change feed emits as delete rows).
+    * Paths are root-relative sidecar files ([[readDv]] format);
+    * OPTIMIZE and every rewrite fold DVs away (the remove of the data
+    * file drops its DV from the fold).
     */
-  def liveAdds(conf: Configuration, root: String,
-      asOf: Int): Seq[ManifestRow] = {
+  case class DvDescriptor(dv: String, card: Long,
+      delta: String, deltaCard: Long)
+
+  /** `dv` manifest-row stats payload: `{"dv":path,"card":n,
+    * "delta":path,"dcard":m}`.
+    */
+  def encodeDv(d: DvDescriptor): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("dv" -> d.dv) ~ ("card" -> d.card) ~
+          ("delta" -> d.delta) ~ ("dcard" -> d.deltaCard)))
+  }
+
+  def decodeDv(json: String): DvDescriptor = {
+    val m = org.json4s.jackson.JsonMethods.parse(json)
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    DvDescriptor(
+      (m \ "dv").extract[String], (m \ "card").extract[Long],
+      (m \ "delta").extract[String], (m \ "dcard").extract[Long])
+  }
+
+  /** Sidecar format: magic "GDV1", int count, then count big-endian
+    * longs sorted ascending — the masked row positions (file-absolute
+    * row indexes). Small, immutable, written once at commit.
+    */
+  private val DvMagic = 0x47445631 // "GDV1"
+
+  def writeDv(conf: Configuration, path: Path,
+      positions: Array[Long]): Unit = {
+    val fs = path.getFileSystem(conf)
+    fs.mkdirs(path.getParent)
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(path, false)))
+    try {
+      out.writeInt(DvMagic)
+      out.writeInt(positions.length)
+      positions.foreach(out.writeLong)
+    } finally out.close()
+  }
+
+  def readDv(conf: Configuration, path: Path): Array[Long] = {
+    val fs = path.getFileSystem(conf)
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(path)))
+    try {
+      require(in.readInt() == DvMagic,
+        s"graftlog: $path is not a deletion-vector sidecar")
+      val n = in.readInt()
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) { out(i) = in.readLong(); i += 1 }
+      out
+    } finally in.close()
+  }
+
+  /** The complete live state of one snapshot: the live add rows plus
+    * the current deletion vector (if any) per live file, keyed by the
+    * file's manifest-relative path.
+    */
+  case class LiveState(adds: Seq[ManifestRow],
+      dvs: Map[String, DvDescriptor])
+
+  /** Live ADD rows and DELETION VECTORS as of `asOf`: the newest
+    * committed CHECKPOINT at or below `asOf` (its add/dv rows ARE the
+    * live state as of its version) plus a fold of the tail manifests
+    * — O(1 + tail ≤ [[CheckpointInterval]]) control-plane reads,
+    * independent of the table's version count. Fold rules: `add`
+    * (re)binds the file and clears any DV (a re-added path is a fresh
+    * file); `remove` drops the file AND its DV; `dv` binds the file's
+    * CURRENT complete mask (each commit's mask replaces the previous
+    * wholesale). No checkpoint (or an unreadable one) falls back to
+    * the full v1..asOf fold; OCC logs always full-fold.
+    */
+  def liveState(conf: Configuration, root: String,
+      asOf: Int): LiveState = {
     val names = listLogNames(conf, root)
     val latest = latestFromNames(conf, root, names)
     require(asOf >= 1 && asOf <= latest,
       s"version $asOf not committed under $root (latest: $latest)")
     val occ = names.contains("v1.txt")
     val live = mutable.LinkedHashMap[String, ManifestRow]()
+    val dvs = mutable.LinkedHashMap[String, DvDescriptor]()
+    def fold(rows: Seq[ManifestRow]): Unit = rows.foreach {
+      case r @ ManifestRow("add", f, _, _, _) => live(f) = r; dvs -= f
+      case ManifestRow("remove", f, _, _, _)  => live -= f; dvs -= f
+      case ManifestRow("dv", f, _, _, Some(json)) =>
+        dvs(f) = decodeDv(json)
+      case _ => ()
+    }
     val start =
       (if (occ) None else checkpointAt(names, asOf)) match {
         case Some(k) => readCheckpoint(conf, root, k) match {
-          case Some(rows) =>
-            rows.foreach {
-              case r @ ManifestRow("add", f, _, _, _) => live(f) = r
-              case _                                  => ()
-            }
-            k + 1
-          case None => 1
+          case Some(rows) => fold(rows); k + 1
+          case None       => 1
         }
         case None => 1
       }
-    (start to asOf).foreach { v =>
-      versionRows(conf, root, v).foreach {
-        case r @ ManifestRow("add", f, _, _, _) => live(f) = r
-        case ManifestRow("remove", f, _, _, _)  => live -= f
-        case _                                  => ()
-      }
-    }
-    live.values.toSeq
+    (start to asOf).foreach(v => fold(versionRows(conf, root, v)))
+    LiveState(live.values.toSeq, dvs.toMap)
   }
+
+  /** Live ADD rows (as logged — file or directory paths relative to
+    * root, with manifest statistics when present) as of `asOf`.
+    * NOTE: callers that READ data through raw parquet must consult
+    * [[liveState]] for deletion vectors — a DV'd file's rows are not
+    * all live.
+    */
+  def liveAdds(conf: Configuration, root: String,
+      asOf: Int): Seq[ManifestRow] = liveState(conf, root, asOf).adds
 
   /** Live file ENTRIES (paths relative to root) as of `asOf`. */
   def liveEntries(conf: Configuration, root: String,
       asOf: Int): Seq[String] = liveAdds(conf, root, asOf).map(_.file)
+
+  /** Every root-relative path version `v` REFERENCES — live data files,
+    * live DV sidecars, and the version's OWN delta sidecars (a CDC
+    * replay of `v` needs them) — the retention unit VACUUM folds over:
+    * a file is deletable only when no retained version references it.
+    */
+  def referencedEntries(conf: Configuration, root: String,
+      v: Int): Seq[String] = {
+    val st = liveState(conf, root, v)
+    val deltas = versionRows(conf, root, v).collect {
+      case ManifestRow("dv", _, _, _, Some(json)) => decodeDv(json).delta
+    }
+    st.adds.map(_.file) ++
+      st.dvs.values.flatMap(d => Seq(d.dv, d.delta)) ++ deltas
+  }
 
   /** Expand a single logged entry (file or directory) to part-files. */
   def expandEntry(conf: Configuration, root: String,
@@ -618,13 +724,50 @@ object GraftLog {
       */
     def mapped: Boolean =
       tombstones.nonEmpty || colMap.exists { case (l, p) => l != p }
-    def physicalName(c: String): String = colMap.getOrElse(c, c)
-    /** Positional rename: logical and physical schemas differ ONLY in
-      * top-level field names.
+    def physicalName(c: String): String =
+      colMap.get(c).map(_.split('.').last).getOrElse(c)
+    /** Positional rename at EVERY nesting level: colMap keys are
+      * dot-joined LOGICAL paths (top-level or struct-nested), values
+      * the full PHYSICAL paths — the schemas stay positionally
+      * identical, only names change ([[GraftLog.physicalSchemaOf]]).
       */
     def physicalSchema(logical: StructType): StructType =
-      StructType(logical.fields.map(f =>
-        f.copy(name = physicalName(f.name))))
+      physicalSchemaOf(logical, colMap)
+    /** Full physical path of a logical path: each segment resolves
+      * through the mapping of its own prefix (a child under a renamed
+      * struct keeps its own leaf name but inherits the parent's
+      * physical segment).
+      */
+    def physicalPath(lpath: String): String = {
+      val segs = lpath.split('.')
+      segs.indices.map { i =>
+        val prefix = segs.take(i + 1).mkString(".")
+        colMap.get(prefix).map(_.split('.').last).getOrElse(segs(i))
+      }.mkString(".")
+    }
+  }
+
+  /** Logical → physical schema under a (possibly nested) column
+    * mapping: rename the LEAF segment of every mapped path, recursing
+    * into struct fields (array/map element types are not mappable —
+    * ALTER refuses those paths). Identity map returns the input
+    * untouched.
+    */
+  def physicalSchemaOf(logical: StructType,
+      colMap: Map[String, String]): StructType = {
+    if (colMap.isEmpty) return logical
+    def walk(st: StructType, prefix: String): StructType =
+      StructType(st.fields.map { f =>
+        val lpath = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        val pname = colMap.get(lpath).map(_.split('.').last)
+          .getOrElse(f.name)
+        val dt = f.dataType match {
+          case s: StructType => walk(s, lpath)
+          case other         => other
+        }
+        f.copy(name = pname, dataType = dt)
+      })
+    walk(logical, "")
   }
 
   /** `colmap` manifest row encoding: `logical:physical` live pairs and
@@ -678,12 +821,13 @@ object GraftLog {
 
   /** Schema DDL, partition columns, and column mapping in ONE backward
     * walk (newest row of each kind at or below `asOf`, checkpoint rows
-    * as the floor's fallback). The catalog resolves all of them on
-    * every loadTable: folding them into one walk means the extra
-    * lookups cost nothing beyond the schema lookup the resolution
-    * already pays — a connector table stops at the newest manifest
-    * (every commit carries the schema row), and a checkpointed table
-    * walks at most the tail.
+    * as the floor's fallback). The SCHEMA row stops at the newest
+    * manifest (every connector commit records it); the partcols/colmap
+    * hunt continues to the checkpoint floor when those rows are absent
+    * — the common unpartitioned, unmapped case — so a cold resolution
+    * costs up to [[CheckpointInterval]] cached manifest reads, bounded
+    * by the auto-checkpoint and cost-only (the rows, when present, are
+    * always at or below a schema-bearing manifest).
     */
   def tableMeta(conf: Configuration, root: String,
       asOf: Int): TableMeta = {
@@ -757,7 +901,14 @@ object GraftLog {
       if (meta.colMap.isEmpty && meta.tombstones.isEmpty) Nil
       else Seq(ManifestRow("colmap",
         encodeColMap(meta.colMap, meta.tombstones)))
-    val rows = schemaRow ++ partRow ++ mapRow ++ liveAdds(conf, root, k)
+    val st = liveState(conf, root, k)
+    // deletion vectors are part of the live state — a checkpointed
+    // table must mask exactly what the full fold would. dv rows come
+    // AFTER the add rows: the fold's `add` clears any vector for the
+    // (re)added path, so a dv preceding its file's add would vanish
+    val dvRows = st.dvs.toSeq.sortBy(_._1).map { case (f, d) =>
+      ManifestRow("dv", f, stats = Some(encodeDv(d))) }
+    val rows = schemaRow ++ partRow ++ mapRow ++ st.adds ++ dvRows
     GraftLogWrite.writeManifestRows(conf,
       new Path(s"$root/_log/_ckpt_v$k/manifest.parquet"), rows)
     fs.create(new Path(s"$root/_log/_ckpt_v$k._ok"), true).close()
@@ -1260,7 +1411,12 @@ case class GraftLogTable(root: String, asOfVersion: Int,
     val cond = filters.flatMap(GraftLogOps.filterToColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    GraftLogOps.deleteFromLog(spark, root, cond)
+    // write-shape choice: copy-on-write (default) rewrites touched
+    // files; merge-on-read commits deletion vectors — the scattered-
+    // delete shape where CoW amplification dominates at 100 TB
+    val mode = spark.conf.getOption(GraftLogOps.DeleteModeConf)
+      .getOrElse(GraftLogOps.DeleteModeCow)
+    GraftLogOps.deleteFromLog(spark, root, cond, mode)
   }
 }
 
@@ -1287,10 +1443,10 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
   // versions' rows surface under the current names (the mapping makes
   // that correct byte-for-byte), while a point-in-time read (VERSION/
   // TIMESTAMP AS OF) returns that version's own names.
-  private def phys(c: String): String = colMap.getOrElse(c, c)
+  private def phys(c: String): String =
+    colMap.get(c).map(_.split('.').last).getOrElse(c)
   private def physSchema(st: StructType): StructType =
-    if (colMap.isEmpty) st
-    else StructType(st.fields.map(f => f.copy(name = phys(f.name))))
+    GraftLog.physicalSchemaOf(st, colMap)
   private def physFilter(f: Filter): Filter =
     if (colMap.isEmpty) f else GraftLog.renameFilter(f, colMap)
 
@@ -1381,7 +1537,12 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
         if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
       case _ => None
     }
-    val entries = GraftLog.dataFileEntries(conf.value, root, version)
+    val st = GraftLog.liveState(conf.value, root, version)
+    // deletion vectors: manifest rows/bounds describe the UNMASKED
+    // file — COUNT would overcount and a masked row may have held the
+    // extremum, so the pushdown refuses and the scan answers exactly
+    if (st.dvs.nonEmpty) return None
+    val entries = st.adds.flatMap(GraftLog.expandRow(conf.value, root, _))
     if (!entries.forall(e => e.rows.isDefined && e.stats.isDefined))
       return None
     val totalRows = entries.iterator.map(_.rows.get).sum
@@ -1641,32 +1802,80 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
 
   override def readSchema(): StructType = presented.getOrElse(pruned)
 
-  /** The files this scan covers, with manifest statistics when the log
-    * records them — and, for CDC, the (change_type, version) tag each
-    * file's rows carry. Computed ONCE per scan from the manifest fold;
-    * this is the control-plane read that replaces the per-file footer
-    * walk.
+  /** One file this scan covers: its entry (with manifest statistics
+    * when recorded), the CDC (change_type, version) tag when reading a
+    * change feed, and — under merge-on-read deletes — the deletion
+    * vector to apply: `dvMask` skips the sidecar's positions (snapshot
+    * reads of a DV'd file), `dvEmit` emits ONLY them (the change feed's
+    * delete rows for a dv commit). Sidecar paths are absolute.
     */
-  private lazy val entries: Seq[(FileEntry, Option[(String, Long)])] =
-    if (!cdc)
-      GraftLog.dataFileEntries(conf.value, root, version).map((_, None))
-    else (cdcStart to version).flatMap { v =>
-      val rows = GraftLog.versionRows(conf.value, root, v)
-      rows.flatMap {
-        case r @ GraftLog.ManifestRow("add", _, _, _, _) =>
-          GraftLog.expandRow(conf.value, root, r)
-            .map(e => (e, Some(("insert", v.toLong))))
-        case GraftLog.ManifestRow("remove", f, _, _, _) =>
-          val expanded = GraftLog.expandEntry(conf.value, root, f)
-          if (expanded.isEmpty) throw new IllegalStateException(
-            s"graftlog CDC: version $v removes $f but the file is gone " +
-              "(compacted away and vacuumed?) — the change feed for " +
-              "this range is no longer reconstructible; raise " +
-              "startingVersion past it")
-          expanded.map(p => (FileEntry(p), Some(("delete", v.toLong))))
-        case _ => Seq.empty
+  private[sources] case class PlannedFile(entry: FileEntry,
+      cdcMeta: Option[(String, Long)] = None,
+      dvMask: Option[String] = None, dvEmit: Option[String] = None,
+      maskedRows: Long = 0L)
+
+  /** The files this scan covers. Computed ONCE per scan from the
+    * manifest fold; this is the control-plane read that replaces the
+    * per-file footer walk.
+    */
+  private lazy val entries: Seq[PlannedFile] =
+    if (!cdc) {
+      val st = GraftLog.liveState(conf.value, root, version)
+      st.adds.flatMap { r =>
+        val dv = st.dvs.get(r.file)
+        GraftLog.expandRow(conf.value, root, r).map(e =>
+          PlannedFile(e,
+            dvMask = dv.map(d => s"$root/${d.dv}"),
+            maskedRows = dv.map(_.card).getOrElse(0L)))
+      }
+    } else {
+      // the DV state folds from v1 (a vector committed BEFORE the read
+      // range still masks the remove rows a later rewrite emits); the
+      // feed itself starts at cdcStart
+      val running = mutable.HashMap[String, GraftLog.DvDescriptor]()
+      if (cdcStart > 1)
+        running ++= GraftLog.liveState(conf.value, root, cdcStart - 1).dvs
+      (cdcStart to version).flatMap { v =>
+        val rows = GraftLog.versionRows(conf.value, root, v)
+        rows.flatMap {
+          case r @ GraftLog.ManifestRow("add", f, _, _, _) =>
+            running -= f
+            GraftLog.expandRow(conf.value, root, r)
+              .map(e => PlannedFile(e, Some(("insert", v.toLong))))
+          case GraftLog.ManifestRow("remove", f, _, _, _) =>
+            // delete rows for the file's LIVE remainder: positions
+            // already masked by an earlier dv commit were emitted as
+            // deletes THEN and must not re-delete here
+            val mask = running.remove(f)
+            val expanded = GraftLog.expandEntry(conf.value, root, f)
+            if (expanded.isEmpty) throw new IllegalStateException(
+              s"graftlog CDC: version $v removes $f but the file is gone " +
+                "(compacted away and vacuumed?) — the change feed for " +
+                "this range is no longer reconstructible; raise " +
+                "startingVersion past it")
+            expanded.map(p => PlannedFile(FileEntry(p),
+              Some(("delete", v.toLong)),
+              dvMask = mask.map(d => s"$root/${d.dv}")))
+          case GraftLog.ManifestRow("dv", f, _, _, Some(json)) =>
+            val d = GraftLog.decodeDv(json)
+            running(f) = d
+            // the newly-masked positions ARE this version's deletes
+            Seq(PlannedFile(FileEntry(s"$root/$f"),
+              Some(("delete", v.toLong)),
+              dvEmit = Some(s"$root/${d.delta}")))
+          case _ => Seq.empty
+        }
       }
     }
+
+  /** Does any planned file carry a deletion vector? DV'd reads go
+    * through the row reader (position-tracking masking; the vectorized
+    * path stays mask-free), and Spark requires the columnar decision
+    * be constant across one scan's partitions — so one DV'd file makes
+    * the whole scan row-based until OPTIMIZE folds the vectors away.
+    */
+  private lazy val hasDv: Boolean =
+    entries.exists(e => e.dvMask.isDefined || e.dvEmit.isDefined)
 
   /** Planner-visible stats for the snapshot: exact row count and bytes
     * from the MANIFEST when every live file carries them (the
@@ -1679,7 +1888,8 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
   private lazy val memoStats: Statistics = {
     var bytes = 0L
     var rows = 0L
-    entries.foreach { case (e, _) =>
+    entries.foreach { pf =>
+      val e = pf.entry
       (e.rows, e.bytes) match {
         case (Some(r), Some(b)) => rows += r; bytes += b
         case _ =>
@@ -1691,6 +1901,7 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
             ParquetFileReader.open(HadoopInputFile.fromPath(p, c))
           try rows += footer.getRecordCount finally footer.close()
       }
+      rows -= pf.maskedRows // deletion-vector'd rows are not served
     }
     val dataPrunedWidth = pruned.fields.count(f => !cdc ||
       (f.name != GraftLog.ChangeTypeCol &&
@@ -1698,11 +1909,71 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
     val frac = math.min(1.0,
       dataPrunedWidth.toDouble / math.max(1, full.length))
     val scaled = math.max(1L, (bytes * math.max(frac, 0.1)).toLong)
+    // PER-COLUMN statistics for the CBO: distinct counts from the
+    // manifest's HLL registers (merged across files — the one join-
+    // ordering input a plain size estimate can't provide) plus exact
+    // null counts. Served only for columns EVERY live file sketches
+    // (a partial merge would undercount); keyed by the LOGICAL output
+    // name Spark resolves attributes against, folded from stats that
+    // key on physical names. Estimates describe the UNMASKED files —
+    // fine for an optimizer input, refused where exactness matters
+    // (the aggregate pushdown's own gate).
+    val colStatsMap: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (!cdc) {
+        val logicalNames = presented.getOrElse(pruned).fieldNames
+        val physNames = pruned.fieldNames
+        val described = entries.map(_.entry).filter(e =>
+          !e.rows.contains(0L))
+        logicalNames.indices.foreach { i =>
+          val logical = logicalNames(i)
+          val phys = physNames(i)
+          if (logical != GraftLog.FileCol || phys == logical) {
+            val sketches = described.map(_.stats.flatMap(
+              _.ndv.get(phys)).map(GraftLogStats.NdvSketch.fromB64))
+            val nullCounts = described.map(_.stats.flatMap(
+              _.nulls.get(phys)))
+            val distinct: Option[Long] =
+              if (described.nonEmpty && sketches.forall(_.isDefined))
+                Some(GraftLogStats.NdvSketch.estimate(
+                  sketches.flatten.reduce(
+                    GraftLogStats.NdvSketch.merge)))
+              else None
+            val nullsTotal: Option[Long] =
+              if (described.nonEmpty && nullCounts.forall(_.isDefined))
+                Some(nullCounts.flatten.sum)
+              else None
+            if (distinct.isDefined || nullsTotal.isDefined)
+              out.put(
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .column(logical),
+                new org.apache.spark.sql.connector.read.colstats
+                    .ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    distinct.fold(java.util.OptionalLong.empty())(
+                      java.util.OptionalLong.of)
+                  override def nullCount(): java.util.OptionalLong =
+                    nullsTotal.fold(java.util.OptionalLong.empty())(
+                      java.util.OptionalLong.of)
+                })
+          }
+        }
+      }
+      out
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(scaled)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats
+            .ColumnStatistics] = colStatsMap
     }
   }
 
@@ -1726,9 +1997,16 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
     * post every skip including the runtime group filter) — the EXACT
     * remove set the paired replace-data write commits: a file that was
     * never read must never be removed, and every file whose rows were
-    * fed to the rewrite must be.
+    * fed to the rewrite must be. POSITIVE provenance invariant
+    * (upgrading the one-scan refusal): re-planning may only ever
+    * NARROW the set (runtime filters arriving), so the final plan —
+    * the one whose tasks actually execute — is provably a subset of
+    * every earlier one; a plan that ADDED files would make the
+    * captured remove set untrustworthy and refuses before any task
+    * runs.
     */
   @volatile private[sources] var plannedRelFiles: Seq[String] = Seq.empty
+  @volatile private[sources] var planCount: Int = 0
 
   override def planInputPartitions(): Array[InputPartition] = {
     val filters = skipFilters
@@ -1742,11 +2020,14 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
     val maxSplit = SparkSession.getActiveSession
       .map(_.sessionState.conf.filesMaxPartitionBytes)
       .getOrElse(128L * 1024 * 1024)
-    val survivors = entries.filter { case (e, _) =>
+    val survivors = entries.filter { pf =>
+      val e = pf.entry
       fileFilter.forall(_.contains(normPath(e.path))) && {
         if (filters.isEmpty) true
         else e.stats match {
           case Some(st) =>
+            // stats describe the UNMASKED file — a superset of the
+            // served rows, so the skip stays conservative under DVs
             filters.forall(f =>
               GraftLogStats.mayMatch(full, st, e.rows, f))
           case None =>
@@ -1754,29 +2035,44 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
         }
       }
     }
-    if (rowLevel) plannedRelFiles = survivors.map { case (e, _) =>
-      val rel = e.path.stripPrefix(s"$root/")
-      require(rel != e.path,
-        s"graftlog row-level scan: ${e.path} not under $root")
-      rel
-    }.distinct
-    survivors.flatMap { case (e, meta) =>
+    if (rowLevel) this.synchronized {
+      val rel = survivors.map { pf =>
+        val r = pf.entry.path.stripPrefix(s"$root/")
+        require(r != pf.entry.path,
+          s"graftlog row-level scan: ${pf.entry.path} not under $root")
+        r
+      }.distinct
+      if (planCount > 0 && !rel.toSet.subsetOf(plannedRelFiles.toSet))
+        throw new IllegalStateException(
+          "graftlog row-level scan: a re-plan WIDENED the planned " +
+            s"file set (${rel.diff(plannedRelFiles).take(3)
+              .mkString(", ")} appeared) — runtime filtering may only " +
+            "narrow it, so the captured remove set would no longer " +
+            "describe the rows feeding the rewrite; refusing before " +
+            "any task runs")
+      plannedRelFiles = rel
+      planCount += 1
+    }
+    survivors.flatMap { pf =>
+      val e = pf.entry
       e.bytes match {
         case Some(len) if len > maxSplit =>
           val n = ((len + maxSplit - 1) / maxSplit).toInt
           (0 until n).map { i =>
             val s = i * maxSplit
-            GraftLogInputPartition(e.path, meta,
-              Some((s, math.min(s + maxSplit, len))))
+            GraftLogInputPartition(e.path, pf.cdcMeta,
+              Some((s, math.min(s + maxSplit, len))),
+              dvMask = pf.dvMask, dvEmit = pf.dvEmit)
           }
-        case _ => Seq(GraftLogInputPartition(e.path, meta, None))
+        case _ => Seq(GraftLogInputPartition(e.path, pf.cdcMeta, None,
+          dvMask = pf.dvMask, dvEmit = pf.dvEmit))
       }
     }.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftLogReaderFactory(pruned, effectivePredicate, predicateRefs,
-      conf, columnar, cdc, synthFile)
+      conf, columnar && !hasDv, cdc, synthFile)
 
   /** The log as a STREAM: each committed version is a micro-batch —
     * `readStream.format("graftlog")` tails the commit log the way
@@ -1799,7 +2095,9 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
 
 case class GraftLogInputPartition(file: String,
     cdcMeta: Option[(String, Long)] = None,
-    range: Option[(Long, Long)] = None) extends InputPartition
+    range: Option[(Long, Long)] = None,
+    dvMask: Option[String] = None,
+    dvEmit: Option[String] = None) extends InputPartition
 
 /** Version-number offset of the streaming tail. */
 case class GraftLogOffset(version: Int)
@@ -1910,27 +2208,55 @@ class GraftLogMicroBatchStream(root: String, pruned: StructType,
         s"${s + 1}, but the vacuum watermark is $wm — the expired " +
         "versions' files may be gone, and skipping them would be " +
         "silent data loss; start a fresh stream from a snapshot")
+    // DV state as of the batch start, so a rewrite's remove rows don't
+    // re-delete positions an earlier dv commit already emitted
+    lazy val running = {
+      val m = mutable.HashMap[String, GraftLog.DvDescriptor]()
+      if (cdc && s >= 1) m ++= GraftLog.liveState(c, root, s).dvs
+      m
+    }
     (s + 1 to e).flatMap { v =>
       val rows = GraftLog.versionRows(c, root, v)
       val removed = rows.collect {
         case GraftLog.ManifestRow("remove", f, _, _, _) => f }
-      if (removed.nonEmpty && !cdc) throw new IllegalStateException(
-        s"graftlog stream: version $v of $root is not append-only " +
-          s"(removes ${removed.take(3).mkString(", ")}...); the tail " +
-          "emits appended rows only — run maintenance rewrites on a " +
-          "separate log, start a fresh stream from a snapshot, or tail " +
-          "with option(\"readChangeFeed\", true) to consume removes as " +
-          "delete rows")
+      val dvRows = rows.collect {
+        case GraftLog.ManifestRow("dv", f, _, _, Some(json)) =>
+          (f, GraftLog.decodeDv(json)) }
+      if ((removed.nonEmpty || dvRows.nonEmpty) && !cdc)
+        throw new IllegalStateException(
+          s"graftlog stream: version $v of $root is not append-only " +
+            s"(${(removed.map("removes " + _) ++
+              dvRows.map("deletion vector on " + _._1))
+              .take(3).mkString(", ")}...); the tail " +
+            "emits appended rows only — run maintenance rewrites on a " +
+            "separate log, start a fresh stream from a snapshot, or tail " +
+            "with option(\"readChangeFeed\", true) to consume removes as " +
+            "delete rows")
       val adds = rows.collect {
         case r @ GraftLog.ManifestRow("add", _, _, _, _) => r }
         .flatMap(GraftLog.expandRow(c, root, _))
         .map(fe => GraftLogInputPartition(fe.path,
           if (cdc) Some(("insert", v.toLong)) else None))
+      if (cdc) rows.foreach {
+        case GraftLog.ManifestRow("add", f, _, _, _) => running -= f
+        case _ => ()
+      }
       val dels =
         if (!cdc) Seq.empty
-        else removed.flatMap(GraftLog.expandEntry(c, root, _))
-          .map(p => GraftLogInputPartition(p, Some(("delete", v.toLong))))
-      adds ++ dels
+        else removed.flatMap { f =>
+          val mask = running.remove(f)
+          GraftLog.expandEntry(c, root, f).map(p =>
+            GraftLogInputPartition(p, Some(("delete", v.toLong)),
+              dvMask = mask.map(d => s"$root/${d.dv}")))
+        }
+      val dvDels =
+        if (!cdc) Seq.empty
+        else dvRows.map { case (f, d) =>
+          running(f) = d
+          GraftLogInputPartition(s"$root/$f", Some(("delete", v.toLong)),
+            dvEmit = Some(s"$root/${d.delta}"))
+        }
+      adds ++ dels ++ dvDels
     }.map(p => p: InputPartition).toArray
   }
 
@@ -1939,10 +2265,16 @@ class GraftLogMicroBatchStream(root: String, pruned: StructType,
   // projections and the empty-projection-under-predicate edge to the
   // row reader per the same rules, so a streaming epoch's plan carries
   // the identical ColumnarToRow span a batch read of that version would
-  // (StreamingSpec pins plan shape and batch/stream row parity)
+  // (StreamingSpec pins plan shape and batch/stream row parity).
+  // CDC tails read row-based: a dv version's delete partitions need the
+  // position-selecting row reader, Spark requires one columnar decision
+  // per scan, and whether a FUTURE micro-batch will carry dv rows is
+  // unknowable at factory-build time — the snapshot tail keeps the
+  // vectorized path (it refuses dv versions loudly, so the question
+  // never arises there)
   override def createReaderFactory(): PartitionReaderFactory =
     GraftLogReaderFactory(pruned, predicate, predicateRefs, conf,
-      columnar, cdc, synthFile)
+      columnar && !cdc, cdc, synthFile)
 
   override def commit(end: Offset): Unit = ()
 
@@ -1986,12 +2318,18 @@ case class GraftLogReaderFactory(pruned: StructType,
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftLogInputPartition]
     new GraftLogPartitionReader(p.file, pruned, predicate, predicateRefs,
-      conf.value, p.cdcMeta, p.range, synthFile)
+      conf.value, p.cdcMeta, p.range, synthFile, p.dvMask, p.dvEmit)
   }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftLogInputPartition]
+    // defense in depth: the scan disables the columnar path whenever
+    // any planned file carries a deletion vector — a masked partition
+    // reaching this factory columnar would silently serve deleted rows
+    require(p.dvMask.isEmpty && p.dvEmit.isEmpty,
+      s"graftlog: deletion-vector partition ${p.file} cannot be read " +
+        "through the vectorized path")
     new GraftLogColumnarReader(p.file, pruned, predicate, predicateRefs,
       conf.value, p.cdcMeta, p.range, synthFile)
   }
@@ -2007,10 +2345,27 @@ case class GraftLogReaderFactory(pruned: StructType,
 class GraftLogPartitionReader(file: String, pruned: StructType,
     predicate: Option[FilterPredicate], predicateRefs: Set[String],
     baseConf: Configuration, cdcMeta: Option[(String, Long)] = None,
-    range: Option[(Long, Long)] = None, synthFile: Boolean = false)
+    range: Option[(Long, Long)] = None, synthFile: Boolean = false,
+    dvMask: Option[String] = None, dvEmit: Option[String] = None)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration(baseConf)
+
+  // DELETION-VECTOR mode: dvMask SKIPS the sidecar's positions (a
+  // snapshot read of a DV'd file), dvEmit emits ONLY them (the change
+  // feed's delete rows for a dv commit). Positions are file-absolute
+  // row indexes, so the record stream must track them exactly: the
+  // pushed predicate is dropped for this file (record-level filtering
+  // and predicate-driven row-group skips would desynchronize the
+  // count; Spark re-applies every filter as residual), and a
+  // byte-range split learns its first row index from the footer's
+  // block metadata below.
+  private val dvPositions: Array[Long] =
+    dvMask.orElse(dvEmit)
+      .map(p => GraftLog.readDv(conf, new Path(p)))
+      .getOrElse(Array.empty)
+  private val dvActive = dvMask.isDefined || dvEmit.isDefined
+  private val dvSelect = dvEmit.isDefined // emit-only vs skip mode
 
   // metadata columns are scan-synthesized constants at their pruned
   // positions — CDC tags only on CDC partitions (cdcMeta set), `_file`
@@ -2049,11 +2404,29 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
   // group field order == this array's order
   private var present: Array[(StructField, Int)] = Array.empty
 
+  // first row index of this reader's record stream within the FILE:
+  // 0 for a whole-file read; for a byte-range split, the sum of row
+  // counts of the row groups BEFORE the range — parquet assigns a row
+  // group to the range containing its midpoint (startingPos +
+  // compressedSize / 2, the filterFileMetaDataByMidpoint rule), so the
+  // groups this split reads are exactly those whose midpoint lands in
+  // [start, end), and the rows before them are the prefix sum of the
+  // earlier groups. Only computed in deletion-vector mode (positions
+  // must be file-absolute); spec-pinned against a forced-split read.
+  private var dvStartRow: Long = 0L
+
   private val reader: ParquetReader[Group] = {
     val footer = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), conf))
-    val fileSchema = try footer.getFileMetaData.getSchema
-    finally footer.close()
+    val fileSchema = try {
+      if (dvActive) range.foreach { case (s, _) =>
+        import scala.jdk.CollectionConverters._
+        dvStartRow = footer.getFooter.getBlocks.asScala
+          .filter(b => b.getStartingPos + b.getCompressedSize / 2 < s)
+          .map(_.getRowCount).sum
+      }
+      footer.getFileMetaData.getSchema
+    } finally footer.close()
     cachedFileSchema = fileSchema
     fileInt96 = fileSchema.getFields
       .toArray(Array.empty[org.apache.parquet.schema.Type]).collect {
@@ -2067,10 +2440,13 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
     // the pushed predicate is dropped for THIS file if any column it
     // references is INT96 here (parquet's validator would reject
     // longColumn-vs-INT96 at build) or absent here (written before a
-    // widening — its value is null for every row of this file); Spark
-    // re-applies all filters as residuals either way
+    // widening — its value is null for every row of this file), and
+    // ALWAYS under a deletion vector (record filtering and
+    // predicate-driven row-group skips would desynchronize the
+    // position count the mask keys on); Spark re-applies all filters
+    // as residuals either way
     val filt =
-      if (predicateRefs.exists(r => fileInt96.contains(r) ||
+      if (dvActive || predicateRefs.exists(r => fileInt96.contains(r) ||
         !fileSchema.containsField(r))) None
       else predicate
     // projection = the file's OWN field definitions filtered to the
@@ -2214,9 +2590,39 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
 
   private var current: Group = _
 
+  // position of the NEXT record the underlying reader will return,
+  // and the cursor into the sorted dv positions array — both advance
+  // monotonically, so membership is a pointer walk, never a search
+  private var dvPos: Long = dvStartRow
+  private var dvIdx: Int = {
+    // first masked position at or after this split's start row
+    var i = java.util.Arrays.binarySearch(dvPositions, dvStartRow)
+    if (i < 0) i = -i - 1
+    i
+  }
+
+  /** Is file-row `p` in the deletion vector? (Pointer walk.) */
+  private def dvContains(p: Long): Boolean = {
+    while (dvIdx < dvPositions.length && dvPositions(dvIdx) < p)
+      dvIdx += 1
+    dvIdx < dvPositions.length && dvPositions(dvIdx) == p
+  }
+
   override def next(): Boolean = {
-    current = reader.read()
-    current != null
+    if (!dvActive) {
+      current = reader.read()
+      current != null
+    } else {
+      // skip masked records (or, in emit mode, unmasked ones) while
+      // tracking the file-absolute position of every record consumed
+      while ({ current = reader.read(); current != null }) {
+        val p = dvPos
+        dvPos += 1
+        val in = dvContains(p)
+        if (in == dvSelect) return true
+      }
+      false
+    }
   }
 
   override def get(): InternalRow = {

@@ -47,9 +47,94 @@ import org.json4s.jackson.JsonMethods
   */
 object GraftLogStats {
 
-  /** Decoded per-file column statistics (values canonical per above). */
+  /** Decoded per-file column statistics (values canonical per above).
+    * `ndv` carries base64 HLL registers per column ([[NdvSketch]]) —
+    * merged across files at plan time into the `distinctCount` the
+    * connector serves Spark's CBO ([[GraftLogScan]]'s columnStats).
+    */
   case class ColStats(min: Map[String, Any], max: Map[String, Any],
-      nulls: Map[String, Long])
+      nulls: Map[String, Long], ndv: Map[String, String] = Map.empty)
+
+  /** Per-column DISTINCT-COUNT sketch: a plain dense HyperLogLog with
+    * 2^8 registers (≤3% relative error — join-ordering accuracy, not
+    * truth), one per primitive column per file, carried in the
+    * manifest stats JSON as ~344 base64 chars. Registers OR-merge
+    * across files, which is the whole point: per-file exact distinct
+    * counts cannot be combined, sketches can — so a 10⁵-file
+    * snapshot's NDV is a driver-side register fold, zero data I/O at
+    * plan time. The sketch is built from ONE extra executor-side read
+    * of the just-written file ([[describeFile]]) — amortized into the
+    * write like the footer read, and the uniform point every writer
+    * (connector append, rewrite, compaction) already passes through;
+    * disable via hadoop conf `graft.log.ndv.enabled=false` for
+    * ingest paths that don't want the write-time read tax.
+    */
+  object NdvSketch {
+    val Registers = 256 // p = 8
+    def empty(): Array[Byte] = new Array[Byte](Registers)
+
+    /** 64-bit finalizer (splitmix64) — deterministic across JVMs. */
+    def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    /** FNV-1a 64 over bytes, splitmix-finalized. */
+    def hashBytes(b: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < b.length) {
+        h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1
+      }
+      mix64(h)
+    }
+
+    def update(reg: Array[Byte], hash: Long): Unit = {
+      val idx = (hash >>> 56).toInt // top 8 bits pick the register
+      val rest = hash << 8
+      val rank = (if (rest == 0L) 57
+                  else java.lang.Long.numberOfLeadingZeros(rest) + 1)
+        .toByte
+      if (rank > reg(idx)) reg(idx) = rank
+    }
+
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](Registers)
+      var i = 0
+      while (i < Registers) {
+        out(i) = if (a(i) >= b(i)) a(i) else b(i); i += 1
+      }
+      out
+    }
+
+    /** Standard HLL estimator with the small-range (linear counting)
+      * correction — the regime file-level sketches usually sit in.
+      */
+    def estimate(reg: Array[Byte]): Long = {
+      val m = Registers.toDouble
+      var sum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < Registers) {
+        sum += math.pow(2.0, -reg(i).toDouble)
+        if (reg(i) == 0) zeros += 1
+        i += 1
+      }
+      val alpha = 0.7213 / (1 + 1.079 / m)
+      val e = alpha * m * m / sum
+      val corrected =
+        if (e <= 2.5 * m && zeros > 0) m * math.log(m / zeros)
+        else e
+      math.max(0L, math.round(corrected))
+    }
+
+    def toB64(reg: Array[Byte]): String =
+      java.util.Base64.getEncoder.encodeToString(reg)
+    def fromB64(s: String): Array[Byte] =
+      java.util.Base64.getDecoder.decode(s)
+  }
 
   /** One live data file as the manifest describes it. Legacy manifests
     * (and directory entries) carry the path alone; connector-written
@@ -106,17 +191,90 @@ object GraftLogStats {
         }
       }
       nullsDropped.foreach(nulls.remove)
+      val ndv =
+        if (!conf.getBoolean("graft.log.ndv.enabled", true)) Map.empty
+        else ndvSketches(footer)
       val json =
-        if (mins.isEmpty && nulls.isEmpty) None
+        if (mins.isEmpty && nulls.isEmpty && ndv.isEmpty) None
         else Some(JsonMethods.compact(JsonMethods.render(JObject(
           "min" -> JObject(mins.toList.map { case (k, v) =>
             k -> toJson(v) }),
           "max" -> JObject(maxs.toList.map { case (k, v) =>
             k -> toJson(v) }),
           "nulls" -> JObject(nulls.toList.map { case (k, v) =>
-            k -> JInt(BigInt(v)) })))))
+            k -> JInt(BigInt(v)) }),
+          "ndv" -> JObject(ndv.toList.sortBy(_._1).map { case (k, v) =>
+            k -> JString(v) })))))
       (rows, bytes, json)
     } finally footer.close()
+  }
+
+  /** One pass over the just-written file's TOP-LEVEL PRIMITIVE columns
+    * building a [[NdvSketch]] per column (base64 registers, keyed by
+    * the physical column name like every other stat). Runs on the
+    * EXECUTOR that wrote the file, straight off parquet-hadoop's
+    * column readers — no Spark job, no Group materialization. Hashing
+    * is by PHYSICAL parquet value (the same value every future writer
+    * of the column produces), so sketches merge consistently across
+    * files and schema generations.
+    */
+  private def ndvSketches(
+      footer: ParquetFileReader): Map[String, String] = {
+    import org.apache.parquet.column.impl.ColumnReadStoreImpl
+    import org.apache.parquet.io.api.{Converter, GroupConverter, PrimitiveConverter}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val schema = footer.getFooter.getFileMetaData.getSchema
+    val createdBy = footer.getFooter.getFileMetaData.getCreatedBy
+    val prims = schema.getFields.asScala.toArray.collect {
+      case t: org.apache.parquet.schema.PrimitiveType => t
+    }
+    if (prims.isEmpty) return Map.empty
+    val proj = new org.apache.parquet.schema.MessageType(
+      schema.getName, prims.map(t => t:
+        org.apache.parquet.schema.Type): _*)
+    val regs = prims.map(_ => NdvSketch.empty())
+    val inert = new GroupConverter {
+      override def getConverter(i: Int): Converter =
+        new PrimitiveConverter {}
+      override def start(): Unit = ()
+      override def end(): Unit = ()
+    }
+    var pages = footer.readNextRowGroup()
+    while (pages != null) {
+      val store = new ColumnReadStoreImpl(pages, inert, proj, createdBy)
+      val cols = proj.getColumns.asScala.toArray
+      var c = 0
+      while (c < cols.length) {
+        val cr = store.getColumnReader(cols(c))
+        val maxDef = cols(c).getMaxDefinitionLevel
+        val kind = prims(c).getPrimitiveTypeName
+        val reg = regs(c)
+        var r = 0L
+        val n = pages.getRowCount
+        while (r < n) {
+          if (cr.getCurrentDefinitionLevel == maxDef) {
+            val h = kind match {
+              case INT64   => NdvSketch.mix64(cr.getLong)
+              case INT32   => NdvSketch.mix64(cr.getInteger.toLong)
+              case DOUBLE  => NdvSketch.mix64(
+                java.lang.Double.doubleToLongBits(cr.getDouble))
+              case FLOAT   => NdvSketch.mix64(
+                java.lang.Double.doubleToLongBits(cr.getFloat.toDouble))
+              case BOOLEAN => NdvSketch.mix64(
+                if (cr.getBoolean) 1L else 0L)
+              case _       => NdvSketch.hashBytes(cr.getBinary.getBytes)
+            }
+            NdvSketch.update(reg, h)
+          }
+          cr.consume()
+          r += 1
+        }
+        c += 1
+      }
+      pages = footer.readNextRowGroup()
+    }
+    prims.indices.map(i =>
+      prims(i).getName -> NdvSketch.toB64(regs(i))).toMap
   }
 
   /** Parquet footer bound → canonical value, or None for unusable bounds
@@ -180,7 +338,8 @@ object GraftLogStats {
       Some(ColStats(
         obj("min").flatMap { case (k, v) => raw(v).map(k -> _) },
         obj("max").flatMap { case (k, v) => raw(v).map(k -> _) },
-        obj("nulls").collect { case (k, JInt(n)) => k -> n.toLong }))
+        obj("nulls").collect { case (k, JInt(n)) => k -> n.toLong },
+        obj("ndv").collect { case (k, JString(s)) => k -> s }))
     } catch { case _: Exception => None }
 
   // -------------------------------------------------------------------

@@ -379,7 +379,9 @@ object GraftLogWrite {
       expectedVersion: Option[Int] = None,
       extraRows: Seq[GraftLog.ManifestRow] = Nil,
       addConflict: Option[(Int, GraftLog.ManifestRow => Boolean)] = None,
-      allowSchemaChange: Boolean = false)
+      allowSchemaChange: Boolean = false,
+      dvFiles: Seq[String] = Nil,
+      readVersion: Option[Int] = None)
       : Int = {
     val fs = new Path(root).getFileSystem(conf)
     val n = claimVersion(conf, root)
@@ -405,9 +407,13 @@ object GraftLogWrite {
     // silently drop the OTHER writer's rewrite (a lost update). Every
     // version < n is committed and nothing can land until n releases,
     // so the check is exact, and it costs one (cached) manifest fold.
-    if (removes.nonEmpty) {
+    if (removes.nonEmpty || dvFiles.nonEmpty) {
       val live = GraftLog.liveAdds(conf, root, n - 1).map(_.file).toSet
-      val gone = removes.filterNot(live.contains)
+      // dvFiles are files this commit attaches a DELETION VECTOR to —
+      // they must still be live (a concurrent rewrite replaced the
+      // path → this mask would bind to a dead file) exactly like the
+      // remove set must
+      val gone = (removes ++ dvFiles).filterNot(live.contains)
       if (gone.nonEmpty) {
         fs.delete(new Path(s"$root/_log/v$n._claim"), false)
         throw new GraftLogConflictException(
@@ -416,6 +422,32 @@ object GraftLogWrite {
             else ""} were rewritten or removed by a concurrent commit " +
             "after this operation read them; retry the operation " +
             "against the current snapshot")
+      }
+    }
+    // DELETION-VECTOR revalidation under the claim: this operation
+    // READ the files it now removes (their kept rows fed the rewrite)
+    // or re-masks (its complete DV unions the mask it read) — a
+    // concurrent dv commit on any of them in between means this plan
+    // was computed on a stale mask: committing the rewrite would
+    // RESURRECT the concurrently-deleted rows, and committing the dv
+    // would DROP the concurrent mask (complete-replacement semantics).
+    // Refuse; the bounded retry re-plans on the current snapshot.
+    readVersion.foreach { rv =>
+      val watched = (removes ++ dvFiles).toSet
+      if (watched.nonEmpty) {
+        val clash = ((rv + 1) until n).iterator.flatMap { v =>
+          GraftLog.versionRows(conf, root, v).filter(r =>
+            r.action == "dv" && watched.contains(r.file))
+            .map(r => s"v$v:${r.file}")
+        }.take(3).toSeq
+        if (clash.nonEmpty) {
+          fs.delete(new Path(s"$root/_log/v$n._claim"), false)
+          throw new GraftLogConflictException(
+            s"graftlog write: deletion-vector conflict on $root — " +
+              s"${clash.mkString(", ")} were re-masked by concurrent " +
+              "commits after this operation's read snapshot; retry " +
+              "against the current snapshot")
+        }
       }
     }
     // ADD-SET revalidation under the claim — the write-SERIALIZABLE
@@ -592,12 +624,13 @@ class GraftLogWriteBuilder(root: String, info: LogicalWriteInfo,
   // COLUMN MAPPING: the incoming query and the manifest's recorded
   // schema speak LOGICAL names; part-files are written under the
   // stable PHYSICAL names a RENAME left behind (positionally
-  // identical, so only the parquet message type and the partition
-  // directory rendering change). Identity-mapped tables see no-ops.
-  private def phys(c: String): String = colMap.getOrElse(c, c)
+  // identical at every nesting level, so only the parquet message
+  // type and the partition directory rendering change).
+  // Identity-mapped tables see no-ops.
+  private def phys(c: String): String =
+    colMap.get(c).map(_.split('.').last).getOrElse(c)
   private def physSchema(st: StructType): StructType =
-    if (colMap.isEmpty) st
-    else StructType(st.fields.map(f => f.copy(name = phys(f.name))))
+    GraftLog.physicalSchemaOf(st, colMap)
 
   /** Schema contract on append: the incoming query's columns must match
     * the table's, name and type, in order — checked BEFORE any task

@@ -33,7 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object GraftProcedures {
 
   val Names: Seq[String] = Seq("optimize", "vacuum", "checkpoint",
-    "history")
+    "history", "detail", "schema_history")
 
   /** Result set of zero or more audit rows. */
   private final case class AuditScan(schema: StructType,
@@ -238,12 +238,133 @@ private[sources] object GraftProcedures {
       }
   }
 
+  /** `detail(table)` — the single-row DESCRIBE DETAIL companion to
+    * `history`: format, latest version, live file count and byte size,
+    * deletion-vector state (files masked / rows masked), partition
+    * columns, newest checkpoint, vacuum watermark, and the column-
+    * mapping generation (renamed + tombstoned counts). Folded entirely
+    * from the log's control plane — zero data I/O at any table size.
+    */
+  private final class Detail(rootOf: String => String)
+      extends UnboundProcedure {
+    override def name(): String = "detail"
+    override def description(): String =
+      "one row: format, files, bytes, dv state, layout, checkpoint"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "detail"
+        override def description(): String = Detail.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] =
+          Array(param("table", StringType))
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val s = session
+          val root = rootOf(input.getUTF8String(0).toString)
+          val conf = s.sessionState.newHadoopConf()
+          val latest = GraftLog.latestVersion(conf, root)
+          val st = GraftLog.liveState(conf, root, latest)
+          val meta = GraftLog.tableMeta(conf, root, latest)
+          val bytes = st.adds.flatMap(_.bytes).sum
+          val ckpt = GraftLog.newestCheckpointAt(conf, root, latest)
+          result(StructType(Seq(
+            StructField("format", StringType, nullable = false),
+            StructField("version", LongType, nullable = false),
+            StructField("num_files", LongType, nullable = false),
+            StructField("size_bytes", LongType, nullable = false),
+            StructField("num_dv_files", LongType, nullable = false),
+            StructField("dv_masked_rows", LongType, nullable = false),
+            StructField("partition_columns", StringType,
+              nullable = false),
+            StructField("checkpoint_version", LongType,
+              nullable = false),
+            StructField("vacuum_watermark", LongType, nullable = false),
+            StructField("renamed_columns", LongType, nullable = false),
+            StructField("tombstoned_columns", LongType,
+              nullable = false))),
+            UTF8String.fromString(GraftLog.ShortName), latest.toLong,
+            st.adds.size.toLong, bytes,
+            st.dvs.size.toLong, st.dvs.values.map(_.card).sum,
+            UTF8String.fromString(meta.partCols.mkString(",")),
+            ckpt.getOrElse(0).toLong,
+            GraftLog.vacuumWatermark(conf, root).toLong,
+            meta.colMap.count { case (l, p) => l != p }.toLong,
+            meta.tombstones.size.toLong)
+        }
+      }
+  }
+
+  /** `schema_history(table)` — one row per version that CHANGED the
+    * recorded schema or column mapping, oldest first: the per-version
+    * logical naming a CDC consumer replaying history needs. The change
+    * feed stamps every row `_commit_version`; joining that stamp
+    * against this result recovers exactly which logical names each
+    * version's rows carried — the explicit answer to "multi-version
+    * reads bind read-time names" (GraftLogScanBuilder's documented
+    * colmap semantics).
+    */
+  private final class SchemaHistory(rootOf: String => String)
+      extends UnboundProcedure {
+    override def name(): String = "schema_history"
+    override def description(): String =
+      "one row per schema/colmap change: version, ddl, column mapping"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "schema_history"
+        override def description(): String =
+          SchemaHistory.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] =
+          Array(param("table", StringType))
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val s = session
+          val root = rootOf(input.getUTF8String(0).toString)
+          val conf = s.sessionState.newHadoopConf()
+          val latest = GraftLog.latestVersion(conf, root)
+          val wm = GraftLog.vacuumWatermark(conf, root)
+          val occ = GraftLog.isOcc(conf, root)
+          val schema = StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("schema_ddl", StringType, nullable = false),
+            StructField("column_mapping", StringType, nullable = false)))
+          var prev: Option[(String, String)] = None
+          val rows = (wm to latest).flatMap { v =>
+            val mrows = GraftLog.versionRows(conf, root, v, occ)
+            val ddl = mrows.collectFirst {
+              case GraftLog.ManifestRow("schema", d, _, _, _) => d }
+            val cmap = mrows.collectFirst {
+              case GraftLog.ManifestRow("colmap", c, _, _, _) => c }
+            ddl match {
+              case Some(d) =>
+                // the colmap row is recorded only when it CHANGES (or
+                // by rewrites re-recording it) — absent means
+                // unchanged, so carry the previous value forward
+                val m = cmap.getOrElse(prev.map(_._2).getOrElse(""))
+                val cur = (d, m)
+                if (prev.contains(cur)) { prev = Some(cur); None }
+                else {
+                  prev = Some(cur)
+                  Some(new GenericInternalRow(Array[Any](v.toLong,
+                    UTF8String.fromString(d), UTF8String.fromString(m))))
+                }
+              case None => None
+            }
+          }
+          Collections.singletonList(
+            AuditScan(schema, rows): Scan).iterator()
+        }
+      }
+  }
+
   def load(name: String, rootOf: String => String): UnboundProcedure =
     name.toLowerCase(java.util.Locale.ROOT) match {
-      case "optimize"   => new Optimize(rootOf)
-      case "vacuum"     => new Vacuum(rootOf)
-      case "checkpoint" => new Checkpoint(rootOf)
-      case "history"    => new History(rootOf)
+      case "optimize"       => new Optimize(rootOf)
+      case "vacuum"         => new Vacuum(rootOf)
+      case "checkpoint"     => new Checkpoint(rootOf)
+      case "history"        => new History(rootOf)
+      case "detail"         => new Detail(rootOf)
+      case "schema_history" => new SchemaHistory(rootOf)
       case other => throw new IllegalArgumentException(
         s"graft catalog: unknown procedure system.$other — available: " +
           Names.mkString(", "))

@@ -74,6 +74,50 @@ object DmlScaleProbe {
       graft.sources.GraftLog.liveEntries(conf, s"$wh/t", latest).size +
       " rows=" + spark.sql("SELECT count(*) FROM graft.t")
         .collect().head.getLong(0))
+
+    // ---- merge-on-read vs copy-on-write on a SPARSE scattered delete
+    // (the deletion-vector thesis: write amplification ∝ matched rows,
+    // not touched files — every bucket file holds matches, so CoW
+    // rewrites the whole table while MoR writes KB sidecars)
+    import graft.sources.GraftLogOps
+    def mkLog(name: String): String = {
+      val root = s"$wh/$name"
+      graft.Tables.orders(spark, d)
+        .select(col("o_orderkey"),
+          pmod(col("o_orderkey"), lit(8L)).as("bucket"),
+          col("o_totalprice"))
+        .write.format(graft.sources.GraftLog.Format)
+        .option("path", root)
+        .option("schema",
+          "o_orderkey BIGINT, bucket BIGINT, o_totalprice DOUBLE")
+        .option("partitionBy", "bucket").mode("append").save()
+      root
+    }
+    val cow = mkLog("sparse_cow")
+    val mor = mkLog("sparse_mor")
+    val cond = col("o_orderkey") % 256 === 7
+    timed("del_cow") {
+      GraftLogOps.deleteFromLog(spark, cow, cond,
+        GraftLogOps.DeleteModeCow)
+    }
+    timed("del_mor") {
+      GraftLogOps.deleteFromLog(spark, mor, cond,
+        GraftLogOps.DeleteModeMor)
+    }
+    timed("read_cow") {
+      spark.read.format(graft.sources.GraftLog.Format)
+        .option("path", cow).load().agg(sum(col("o_totalprice")))
+        .collect()
+    }
+    timed("read_mor") { // the masking tax OPTIMIZE clears
+      spark.read.format(graft.sources.GraftLog.Format)
+        .option("path", mor).load().agg(sum(col("o_totalprice")))
+        .collect()
+    }
+    timed("fold_mor") { GraftLogOps.compactLog(spark, mor) }
+    val morV = graft.sources.GraftLog.latestVersion(conf, mor)
+    println(s"[dmlscale] mor dvs_after_fold=" +
+      graft.sources.GraftLog.liveState(conf, mor, morV).dvs.size)
     spark.stop()
   }
 }

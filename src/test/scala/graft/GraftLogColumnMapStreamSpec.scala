@@ -81,4 +81,39 @@ class GraftLogColumnMapStreamSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
     assert(snap === (0L until 3L).map(i => (i, i.toDouble)))
   }
+
+  test("VERSION-STAMPED naming recovery: every change-feed row's " +
+      "_commit_version joins against schema_history to tell which " +
+      "logical name that version's rows carried — the documented " +
+      "read-time-names semantics made explicit for replay consumers") {
+    val wh = Files.createTempDirectory("graft_cmap_hist").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val root = s"$wh/sh"
+    spark.sql("CREATE TABLE graft.sh (id BIGINT, v DOUBLE)")       // v1
+    spark.sql("INSERT INTO graft.sh VALUES (1, 1.0)")              // v2
+    spark.sql("ALTER TABLE graft.sh RENAME COLUMN v TO score")     // v3
+    spark.sql("INSERT INTO graft.sh VALUES (2, 2.0)")              // v4
+    val hist = spark.sql("CALL graft.system.schema_history('sh')")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // one row per naming generation: CREATE's DDL (no mapping) and the
+    // RENAME's DDL + colmap; unchanged versions add no rows
+    assert(hist.map(_._1) === Seq(1L, 3L))
+    assert(hist(0)._2.contains("v") && !hist(0)._2.contains("score"))
+    assert(hist(0)._3 === "")
+    assert(hist(1)._2.contains("score"))
+    assert(hist(1)._3 === "score:v")
+    // the replay recipe: stamp → newest generation at or below it
+    def namingAt(version: Long): String =
+      hist.filter(_._1 <= version).maxBy(_._1)._2
+    val cdc = spark.read.format("graftlog").option("path", root)
+      .option("readChangeFeed", true).load()
+      .select(col(GraftLog.CommitVersionCol)).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(cdc === Seq(2L, 4L))
+    assert(!namingAt(2L).contains("score")) // v2 rows wrote under `v`
+    assert(namingAt(4L).contains("score"))  // v4 rows under `score`
+  }
 }

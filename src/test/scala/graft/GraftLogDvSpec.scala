@@ -1,0 +1,258 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftLog, GraftLogOps}
+
+/** Merge-on-read DELETE via DELETION VECTORS: a sparse delete commits a
+  * positions sidecar + one `dv` manifest row instead of rewriting the
+  * file (write amplification ∝ matched rows, not touched files — the
+  * 100 TB scattered-key shape copy-on-write is worst at). The contract
+  * pinned here:
+  *
+  *  - a MoR delete's snapshot equals the CoW delete's row-for-row;
+  *  - masks apply per version (time travel), union across deletes, and
+  *    survive checkpoint consolidation and byte-range splits;
+  *  - dense deletes fall back to rewrite ([[GraftLogOps
+  *    .DvRewriteFraction]]), sparse and dense mixing in ONE commit;
+  *  - every rewrite path (compaction, SQL UPDATE, merge) reads MASKED —
+  *    a deleted row can never resurrect — and OPTIMIZE folds vectors
+  *    away entirely;
+  *  - the change feed emits the DELTA positions as delete rows; the
+  *    snapshot streaming tail refuses a dv version loudly;
+  *  - the manifest-served aggregate pushdown refuses on a DV'd
+  *    snapshot (counts/bounds describe the unmasked file).
+  */
+class GraftLogDvSpec extends SparkSpecBase {
+
+  private def conf = spark.sessionState.newHadoopConf()
+
+  /** 400 rows, Hive-partitioned on bucket = id mod 4. */
+  private def mkTable(prefix: String): String = {
+    val root = Files.createTempDirectory(prefix).toString
+    spark.range(0, 400)
+      .selectExpr("id", "id % 4 AS bucket", "CAST(id * 10 AS DOUBLE) AS v")
+      .write.format("graftlog").option("path", root)
+      .option("schema", "id BIGINT, bucket BIGINT, v DOUBLE")
+      .option("partitionBy", "bucket").mode("append").save()
+    root
+  }
+
+  private def snap(root: String, v: Int = -1) = {
+    val r = spark.read.format("graftlog").option("path", root)
+    (if (v > 0) r.option("version", v) else r).load()
+  }
+
+  test("a sparse MoR delete commits a dv row (no rewrite), masks " +
+      "snapshot reads, unions across deletes, and equals the CoW " +
+      "delete row-for-row; time travel applies each version's own mask") {
+    val mor = mkTable("graft_dv_mor")
+    val cow = mkTable("graft_dv_cow")
+    val cond1 = col("id") % 16 === 3 // 25 of 400 rows, scattered
+    GraftLogOps.deleteFromLog(spark, mor, cond1, GraftLogOps.DeleteModeMor)
+    GraftLogOps.deleteFromLog(spark, cow, cond1, GraftLogOps.DeleteModeCow)
+    // v2: a dv commit, not a rewrite — the live FILE set is unchanged
+    assert(GraftLog.liveEntries(conf, mor, 2)
+      === GraftLog.liveEntries(conf, mor, 1))
+    val st2 = GraftLog.liveState(conf, mor, 2)
+    assert(st2.dvs.size === 1) // all matches land in the bucket=3 file
+    assert(st2.dvs.values.head.card === 25L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(rows(snap(mor)) === rows(snap(cow)))
+    // second sparse delete on the SAME file: complete mask unions,
+    // delta carries only the new positions
+    val cond2 = col("id") % 16 === 11
+    GraftLogOps.deleteFromLog(spark, mor, cond2, GraftLogOps.DeleteModeMor)
+    val st3 = GraftLog.liveState(conf, mor, 3)
+    assert(st3.dvs.values.head.card === 50L)
+    assert(st3.dvs.values.head.deltaCard === 25L)
+    assert(snap(mor).count() === 350L)
+    // time travel: v2 masks only the first delete, v1 nothing
+    assert(snap(mor, 2).count() === 375L)
+    assert(snap(mor, 1).count() === 400L)
+    // filters still work over the masked read (residual re-application)
+    assert(snap(mor).filter(col("id") % 16 === 3).count() === 0L)
+    assert(snap(mor).filter(col("bucket") === 3L).count() ===
+      100L - 50L)
+  }
+
+  test("a DENSE delete falls back to rewrite; sparse+dense mix in one " +
+      "commit (dv row for the sparse file, remove+add for the dense)") {
+    val root = mkTable("graft_dv_dense")
+    // bucket=1 loses ALL rows (dense: 100 of 100); bucket=2 loses 13
+    // of 100 (sparse)
+    val cond = (col("bucket") === 1L) ||
+      (col("bucket") === 2L && col("id") % 32 === 2)
+    GraftLogOps.deleteFromLog(spark, root, cond, GraftLogOps.DeleteModeMor)
+    val st = GraftLog.liveState(conf, root, 2)
+    assert(st.dvs.size === 1) // only the sparse file is masked
+    // the dense file was REWRITTEN: its rows are gone from the live set
+    assert(snap(root).filter(col("bucket") === 1L).count() === 0L)
+    assert(snap(root).count() === 400L - 100L - 13L)
+    // manifest shape: one version, remove+add for dense, dv for sparse
+    val rows = GraftLog.versionRows(conf, root, 2)
+    assert(rows.count(_.action == "remove") === 1)
+    assert(rows.count(_.action == "dv") === 1)
+  }
+
+  test("OPTIMIZE folds deletion vectors away (the lone DV'd file " +
+      "compacts, the mask materializes, reads go vectorized again) and " +
+      "every rewrite path reads MASKED — no resurrection anywhere") {
+    val root = mkTable("graft_dv_fold")
+    GraftLogOps.deleteFromLog(spark, root, col("id") % 16 === 3,
+      GraftLogOps.DeleteModeMor)
+    val want = snap(root).collect().map(_.toSeq).sortBy(_.toString)
+    // the DV'd scan plans ROW-BASED (masking lives in the row reader)
+    val planDv = snap(root).queryExecution.executedPlan.toString
+    assert(!planDv.contains("ColumnarToRow"), planDv.take(800))
+    val v = GraftLogOps.compactLog(spark, root)
+    assert(GraftLog.liveState(conf, root, v).dvs.isEmpty)
+    assert(snap(root).collect().map(_.toSeq).sortBy(_.toString) === want)
+    // post-fold reads are vectorized again
+    val planFolded = snap(root).queryExecution.executedPlan.toString
+    assert(planFolded.contains("ColumnarToRow"), planFolded.take(800))
+    // a merge over a STILL-DV'd table must not resurrect masked rows
+    val root2 = mkTable("graft_dv_merge")
+    GraftLogOps.deleteFromLog(spark, root2, col("id") % 16 === 3,
+      GraftLogOps.DeleteModeMor)
+    val src = spark.range(0, 1)
+      .selectExpr("CAST(5 AS BIGINT) AS id", "CAST(1 AS BIGINT) AS bucket",
+        "CAST(-5.0 AS DOUBLE) AS v")
+    GraftLogOps.mergeIntoLog(spark, root2, src, Seq("id"))
+    assert(snap(root2).filter(col("id") % 16 === 3).count() === 0L)
+    assert(snap(root2).filter(col("id") === 5L).count() === 1L)
+  }
+
+  test("masked reads survive BYTE-RANGE SPLITS: positions stay " +
+      "file-absolute when a DV'd file reads as several range tasks " +
+      "(the midpoint start-row rule)") {
+    // one larger unpartitioned file so splits have several row groups
+    val root = Files.createTempDirectory("graft_dv_split").toString
+    spark.range(0, 200000).coalesce(1)
+      .selectExpr("id", "CAST(id * 2 AS DOUBLE) AS v")
+      .write.format("graftlog").option("path", root)
+      .option("schema", "id BIGINT, v BIGINT")
+      .mode("append").save()
+    GraftLogOps.deleteFromLog(spark, root, col("id") % 1000 === 7,
+      GraftLogOps.DeleteModeMor)
+    val whole = snap(root).agg(count(lit(1)), sum(col("id"))).head()
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "65536")
+      val split = snap(root)
+      // the tiny cap really split the file into multiple tasks
+      assert(split.rdd.getNumPartitions > 1)
+      assert(split.agg(count(lit(1)), sum(col("id"))).head() === whole)
+      assert(split.filter(col("id") % 1000 === 7).count() === 0L)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("SQL front door: DELETE routes merge-on-read via the session " +
+      "conf; a later SQL UPDATE (replace-data) over the DV'd table " +
+      "reads masked and its rewrite folds the vector for touched files") {
+    val wh = Files.createTempDirectory("graft_dv_sql").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE TABLE graft.t_dv (id BIGINT, bucket BIGINT, " +
+      "v DOUBLE) PARTITIONED BY (bucket)")
+    spark.range(0, 400)
+      .selectExpr("id", "id % 4 AS bucket", "CAST(id * 10 AS DOUBLE) AS v")
+      .createOrReplaceTempView("dv_src")
+    spark.sql("INSERT INTO graft.t_dv SELECT * FROM dv_src")
+    try {
+      spark.conf.set(GraftLogOps.DeleteModeConf, GraftLogOps.DeleteModeMor)
+      // the predicate must be data-source-Filter expressible to route
+      // through deleteWhere (an arithmetic predicate takes the
+      // replace-data path instead); id < 25 masks 6-7 rows in each of
+      // the 4 bucket files — sparse everywhere
+      spark.sql("DELETE FROM graft.t_dv WHERE id < 25")
+      val root = s"$wh/t_dv"
+      val latest = GraftLog.latestVersion(conf, root)
+      assert(GraftLog.liveState(conf, root, latest).dvs.size === 4)
+      assert(spark.table("graft.t_dv").count() === 375L)
+      // replace-data UPDATE over the DV'd table: reads masked, and its
+      // remove+add of the touched (bucket=3) file folds that vector
+      spark.sql("UPDATE graft.t_dv SET v = -1.0 WHERE id % 16 = 11")
+      assert(spark.table("graft.t_dv")
+        .filter(col("id") < 25).count() === 0L)
+      // 24, not 25: id=11 (≡11 mod 16) was already deleted by id < 25,
+      // and a masked row must NOT come back as an updated row
+      assert(spark.table("graft.t_dv")
+        .filter(col("v") === -1.0).count() === 24L)
+      assert(spark.table("graft.t_dv").count() === 375L)
+      assert(GraftLog.liveState(conf, root,
+        GraftLog.latestVersion(conf, root)).dvs.size === 3)
+    } finally spark.conf.unset(GraftLogOps.DeleteModeConf)
+  }
+
+  test("the change feed emits DELTA positions as delete rows; the " +
+      "snapshot streaming tail refuses a dv version loudly; checkpoint " +
+      "consolidation carries the vectors; COUNT refuses the manifest " +
+      "pushdown and answers exactly") {
+    val root = mkTable("graft_dv_cdc")
+    GraftLogOps.deleteFromLog(spark, root, col("id") % 16 === 3,
+      GraftLogOps.DeleteModeMor)
+    GraftLogOps.deleteFromLog(spark, root, col("id") % 16 === 11,
+      GraftLogOps.DeleteModeMor)
+    val cdc = spark.read.format("graftlog").option("path", root)
+      .option("readChangeFeed", true).load()
+    val byV = cdc.filter(col(GraftLog.ChangeTypeCol) === "delete")
+      .groupBy(col(GraftLog.CommitVersionCol)).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byV === Map(2L -> 25L, 3L -> 25L)) // deltas, never the union
+    // the delete rows carry the DELETED rows' values
+    assert(cdc.filter(col(GraftLog.ChangeTypeCol) === "delete" &&
+      col(GraftLog.CommitVersionCol) === 2L)
+      .filter(col("id") % 16 === 3).count() === 25L)
+    // snapshot tail: loud refusal at the dv version
+    val err = intercept[Exception] {
+      spark.readStream.format("graftlog").option("path", root).load()
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_dv_ckp").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert((err.getMessage + rootCause(err).getMessage)
+      .contains("deletion vector"))
+    // checkpoint: the consolidated live state must keep the mask
+    GraftLog.writeCheckpoint(conf, root, 3)
+    GraftLog.clearPlanCaches()
+    assert(GraftLog.liveState(conf, root, 3).dvs.size === 1)
+    assert(snap(root).count() === 350L)
+    // COUNT must NOT be manifest-served here (it would overcount):
+    // the plan shows an ordinary scan, and the answer is exact
+    val agg = snap(root).agg(count(lit(1)).as("n"))
+    assert(!agg.queryExecution.executedPlan.toString
+      .contains("GraftLogAggScan"))
+    assert(agg.head().getLong(0) === 350L)
+    // vacuum keeps the referenced sidecars: reads stay correct after
+    GraftLogOps.vacuumLog(spark, root, 3)
+    GraftLog.clearPlanCaches()
+    assert(snap(root).count() === 350L)
+  }
+
+  test("concurrent re-mask of the same file refuses (complete-mask " +
+      "replacement would lose the other delete) and the bounded retry " +
+      "re-plans: two sequential MoR deletes both land") {
+    // the conflict path itself is exercised through the public retry:
+    // interleave by committing a dv between another delete's read and
+    // commit is internal — here we pin the GUARD's positive effect,
+    // both deletes surviving, plus the dv-file liveness revalidation
+    // being part of the commit (spec of record: GraftLogWrite)
+    val root = mkTable("graft_dv_conc")
+    GraftLogOps.deleteFromLog(spark, root, col("id") === 3L,
+      GraftLogOps.DeleteModeMor)
+    GraftLogOps.deleteFromLog(spark, root, col("id") === 19L,
+      GraftLogOps.DeleteModeMor)
+    assert(snap(root).filter(col("id").isin(3L, 19L)).count() === 0L)
+    assert(snap(root).count() === 398L)
+  }
+}

@@ -133,4 +133,55 @@ class GraftProceduresSpec extends SparkSpecBase {
       m.contains("not found") || m.contains("NoSuchTable") ||
       m.contains("no_such_table")), msgs(e2).mkString(" | "))
   }
+
+  test("CALL graft.system.detail returns the one-row DESCRIBE DETAIL " +
+      "companion: format, version, files, bytes, dv state, layout, " +
+      "checkpoint, watermark, colmap generation — all control-plane") {
+    val wh = Files.createTempDirectory("graft_proc_detail").toString
+    register(wh)
+    spark.sql("CREATE TABLE graft.dt (id BIGINT, bucket BIGINT, " +
+      "v DOUBLE) PARTITIONED BY (bucket)")
+    spark.sql("INSERT INTO graft.dt SELECT id, id % 2, " +
+      "CAST(id AS DOUBLE) FROM range(0, 100)")
+    spark.sql("ALTER TABLE graft.dt RENAME COLUMN v TO score")
+    spark.conf.set(graft.sources.GraftLogOps.DeleteModeConf,
+      graft.sources.GraftLogOps.DeleteModeMor)
+    try spark.sql("DELETE FROM graft.dt WHERE id IN (3, 7)")
+    finally spark.conf.unset(graft.sources.GraftLogOps.DeleteModeConf)
+    spark.sql("CALL graft.system.checkpoint('dt')").collect()
+    val d = spark.sql("CALL graft.system.detail('dt')").collect()(0)
+    assert(d.getAs[String]("format") === "graftlog")
+    assert(d.getAs[Long]("version") === 4L)
+    val root = s"$wh/dt"
+    val live = graft.sources.GraftLog.liveState(conf, root, 4)
+    assert(d.getAs[Long]("num_files") === live.adds.size.toLong)
+    assert(d.getAs[Long]("size_bytes") ===
+      live.adds.flatMap(_.bytes).sum)
+    assert(d.getAs[Long]("num_dv_files") === live.dvs.size.toLong)
+    assert(d.getAs[Long]("dv_masked_rows") === 2L)
+    assert(d.getAs[String]("partition_columns") === "bucket")
+    assert(d.getAs[Long]("checkpoint_version") === 4L)
+    assert(d.getAs[Long]("vacuum_watermark") === 1L)
+    assert(d.getAs[Long]("renamed_columns") === 1L)
+    assert(d.getAs[Long]("tombstoned_columns") === 0L)
+  }
+
+  test("CALL graft.system.schema_history returns one row per naming " +
+      "generation (schema or colmap change), oldest first — the " +
+      "replay companion to the change feed's _commit_version stamp") {
+    val wh = Files.createTempDirectory("graft_proc_sh").toString
+    register(wh)
+    spark.sql("CREATE TABLE graft.shp (id BIGINT, v DOUBLE)")   // v1
+    spark.sql("INSERT INTO graft.shp VALUES (1, 1.0)")          // v2
+    spark.sql("ALTER TABLE graft.shp RENAME COLUMN v TO score") // v3
+    spark.sql("ALTER TABLE graft.shp ADD COLUMN tag STRING")    // v4
+    spark.sql("INSERT INTO graft.shp VALUES (2, 2.0, 't')")     // v5
+    val rows = spark.sql("CALL graft.system.schema_history('shp')")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2))).toSeq
+    assert(rows.map(_._1) === Seq(1L, 3L, 4L))
+    assert(rows(1)._3 === "score:v")
+    assert(rows(2)._2.contains("tag"))
+    assert(rows(2)._3 === "score:v") // mapping carried forward
+  }
 }
