@@ -591,12 +591,16 @@ object GraftLogOps {
       // already-deleted row never reaches the delta
       val logicalCols = physSchema.fieldNames.zip(schema.fieldNames)
         .map { case (p, l) => col(p).as(l) }.toSeq
+      // cached: the matched set feeds BOTH the density decision and
+      // the sidecar job — uncached, the candidate files scan twice
       val matched = s.read.schema(physSchema)
         .parquet(entries.map(e => s"$root/${e._1}"): _*)
         .select(Seq(col("_metadata.file_path").as("_g_file"),
           col("_metadata.row_index").as("_g_pos")) ++ logicalCols: _*)
         .filter(cond)
         .select(col("_g_file"), col("_g_pos"))
+        .cache()
+      try {
       val counts = matched.groupBy("_g_file").count().collect()
         .flatMap(r => relByNorm.get(normPath(r.getString(0)))
           .map(rel => (rel, r.getLong(1))))
@@ -708,6 +712,7 @@ object GraftLogOps {
         fs.delete(new Path(dvBase), true)
         throw e
       }
+      } finally matched.unpersist()
     }
   }
 

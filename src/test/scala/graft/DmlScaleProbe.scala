@@ -114,6 +114,22 @@ object DmlScaleProbe {
         .option("path", mor).load().agg(sum(col("o_totalprice")))
         .collect()
     }
+    // the DV thesis in BYTES (what dominates at object-store scale):
+    // data bytes the delete commit wrote, each mode
+    def commitBytes(root: String, v: Int): Long = {
+      val fsys = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      graft.sources.GraftLog.versionRows(conf, root, v).collect {
+        case r if r.action == "add" => r.bytes.getOrElse(0L)
+        case r if r.action == "dv" =>
+          val d = graft.sources.GraftLog.decodeDv(r.stats.get)
+          fsys.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$root/${d.dv}")).getLen +
+            fsys.getFileStatus(
+              new org.apache.hadoop.fs.Path(s"$root/${d.delta}")).getLen
+      }.sum
+    }
+    println(s"[dmlscale] del_cow_bytes=${commitBytes(cow, 2)} " +
+      s"del_mor_bytes=${commitBytes(mor, 2)}")
     timed("fold_mor") { GraftLogOps.compactLog(spark, mor) }
     val morV = graft.sources.GraftLog.latestVersion(conf, mor)
     println(s"[dmlscale] mor dvs_after_fold=" +
