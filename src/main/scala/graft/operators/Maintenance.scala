@@ -1536,6 +1536,94 @@ object Maintenance {
       |SELECT agg.n_rows, agg.total_cents, cdc.n_deleted, cdc.n_inserted
       |FROM agg CROSS JOIN cdc""".stripMargin
 
+  /** The MERGE-ON-READ merge fixture: same LWW shape as
+    * [[mergedTableDir]] but SPARSE (keys ≡3 mod 64 — 1/8 of the
+    * bucket=3 file, under the rewrite cutoff) and committed with
+    * deletion vectors: the matched old versions MASK, the whole
+    * source (updates + inserted negations) appends as new files, one
+    * version, no file rewritten.
+    */
+  private[graft] def morMergedTableDir(s: SparkSession,
+      d: String): String = {
+    val root = SetupOnce.runtimeDir(d, "orders_graftmergedv")
+    SetupOnce(root) {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          pmod(col("o_orderkey"), lit(8L)).as("bucket"),
+          col("o_totalprice"))
+        .write.format(graft.sources.GraftLog.Format)
+        .option("path", root)
+        .option("schema",
+          "o_orderkey BIGINT, bucket BIGINT, o_totalprice DOUBLE")
+        .option("partitionBy", "bucket").mode("append").save()
+      val upd = Tables.orders(s, d).filter(col("o_orderkey") % 64 === 3)
+      val source = upd.select(col("o_orderkey"), lit(3L).as("bucket"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .unionByName(upd.select((-col("o_orderkey")).as("o_orderkey"),
+          pmod(-col("o_orderkey"), lit(8L)).as("bucket"),
+          col("o_totalprice")))
+      graft.sources.GraftLogOps.mergeIntoLog(s, root, source,
+        Seq("o_orderkey"), graft.sources.GraftLogOps.DeleteModeMor)
+    }
+    root
+  }
+
+  /** Merge-on-read MERGE, hash-gated end to end: the post-merge
+    * snapshot equals the SAME LWW closed form copy-on-write produces
+    * (write shape must never change query results), the change feed
+    * shows the version as DELTA-POSITION deletes (exactly the matched
+    * old rows — never the untouched bulk of the file, which is the
+    * whole point) + source inserts, and the in-row pins hold: one dv'd
+    * file, ZERO files removed (nothing was rewritten — the write-
+    * amplification claim stated as a manifest fact the oracle checks).
+    */
+  def logMergeDv(s: SparkSession, d: String): DataFrame = {
+    val root = morMergedTableDir(s, d)
+    val conf = s.sessionState.newHadoopConf()
+    val v = latestVersion(s, root)
+    val dvLive = graft.sources.GraftLog.liveState(conf, root, v)
+      .dvs.size.toLong
+    val removed = graft.sources.GraftLog.versionRows(conf, root, v)
+      .count(_.action == "remove").toLong
+    val snap = readVersion(s, root, v)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+    val ct = col(graft.sources.GraftLog.ChangeTypeCol)
+    val cdc = s.read.format(graft.sources.GraftLog.Format)
+      .option("path", root).option("readChangeFeed", true).load()
+      .filter(col(graft.sources.GraftLog.CommitVersionCol) === v)
+      .agg(sum(when(ct === "delete", 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(ct === "insert", 1L).otherwise(0L)).as("n_inserted"))
+    snap.crossJoin(cdc)
+      .select(col("n_rows"), col("total_cents"), col("n_deleted"),
+        col("n_inserted"), lit(dvLive).as("dv_live"),
+        lit(removed).as("files_removed"))
+  }
+
+  val logMergeDvSql: String =
+    """WITH m AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 64 = 3 THEN o_totalprice * 2
+      |              ELSE o_totalprice END AS price
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 64 = 3),
+      |agg AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |         CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS total_cents
+      |  FROM m),
+      |cdc AS (
+      |  SELECT (SELECT COUNT(*) FROM orders
+      |          WHERE o_orderkey % 64 = 3) AS n_deleted,
+      |         2 * (SELECT COUNT(*) FROM orders
+      |              WHERE o_orderkey % 64 = 3) AS n_inserted)
+      |SELECT agg.n_rows, agg.total_cents, cdc.n_deleted,
+      |       cdc.n_inserted, CAST(1 AS BIGINT) AS dv_live,
+      |       CAST(0 AS BIGINT) AS files_removed
+      |FROM agg CROSS JOIN cdc""".stripMargin
+
   /** The SQL-DML fixture: the bucket-partitioned orders log behind the
     * [[graft.sources.GraftCatalog]], mutated by THREE SQL statements —
     * UPDATE (doubles prices of keys ≡3 mod 16), DELETE (keys ≡11 mod

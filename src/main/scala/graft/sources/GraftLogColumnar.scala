@@ -48,11 +48,28 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftLogColumnarReader(file: String, pruned: StructType,
     predicate: Option[FilterPredicate], predicateRefs: Set[String],
     baseConf: Configuration, cdcMeta: Option[(String, Long)] = None,
-    range: Option[(Long, Long)] = None, synthFile: Boolean = false)
+    range: Option[(Long, Long)] = None, synthFile: Boolean = false,
+    dvMask: Option[String] = None, dvEmit: Option[String] = None)
     extends PartitionReader[ColumnarBatch] {
 
   private val Capacity = 4096
   private val conf = new Configuration(baseConf)
+
+  // DELETION-VECTOR mode, vectorized: masked rows are skipped WHILE the
+  // batch fills (the per-column write loop compacts survivors in
+  // place), so a DV'd table keeps the columnar path — the pushed
+  // predicate is dropped for this file (a record filter can't run here
+  // anyway, and predicate row-group skips would be fine but positions
+  // come from each group's own rowIndexOffset, so they wouldn't
+  // desync; dropping keeps the two readers' semantics identical).
+  // `dvEmit` inverts the mask: ONLY the sidecar's positions emit (the
+  // change feed's delete rows for a dv commit).
+  private val dvPositions: Array[Long] =
+    dvMask.orElse(dvEmit)
+      .map(p => GraftLog.readDv(conf, new Path(p)))
+      .getOrElse(Array.empty)
+  private val dvActive = dvMask.isDefined || dvEmit.isDefined
+  private val dvSelect = dvEmit.isDefined
 
   // meta names are scan-synthesized ONLY when the scan says so (CDC
   // tags on CDC partitions; `_file` when the table schema doesn't
@@ -85,7 +102,8 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
       ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(file), conf), ob.build())
     }
-    predicate match {
+    if (dvActive) openWith(None)
+    else predicate match {
       case None => openWith(None)
       case some => try openWith(some)
         catch { case _: IllegalArgumentException => openWith(None) }
@@ -177,17 +195,39 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
   private val batch =
     new ColumnarBatch(vectors.map(v => v: ColumnVector))
 
+  /** How many dv positions fall in [from, until). */
+  private def dvCountIn(from: Long, until: Long): Long = {
+    def lower(v: Long): Int = {
+      var i = java.util.Arrays.binarySearch(dvPositions, v)
+      if (i < 0) i = -i - 1
+      i
+    }
+    (lower(until) - lower(from)).toLong
+  }
+
   // current row group state
   private var groupReaders: Array[ColumnReader] = _
   private var groupMaxDef: Array[Int] = _
   private var groupRemaining: Long = 0L
+  // file-absolute row position of the NEXT unread row of the current
+  // group (deletion-vector mode only; each group carries its own
+  // rowIndexOffset, exact even under byte-range row-group selection)
+  private var groupPos: Long = 0L
   // metadata-count mode state (no columns to decode from THIS file —
   // a bare count, a CDC-meta-only read, or a file predating every
-  // pruned column's widening)
+  // pruned column's widening). Under a deletion vector the metadata
+  // count adjusts by the masked positions inside this reader's row
+  // groups — still zero page reads.
   private val countsOnly = present.isEmpty
   private var countRemaining: Long =
-    if (countsOnly) reader.getRowGroups.asScala.map(_.getRowCount).sum
-    else 0L
+    if (!countsOnly) 0L
+    else if (!dvActive)
+      reader.getRowGroups.asScala.map(_.getRowCount).sum
+    else reader.getRowGroups.asScala.map { b =>
+      val masked = dvCountIn(b.getRowIndexOffset,
+        b.getRowIndexOffset + b.getRowCount)
+      if (dvSelect) masked else b.getRowCount - masked
+    }.sum
 
   private def advanceGroup(): Boolean = {
     val pages = reader.readNextRowGroup()
@@ -198,6 +238,13 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
     groupReaders = cols.map(store.getColumnReader)
     groupMaxDef = cols.map(_.getMaxDefinitionLevel)
     groupRemaining = pages.getRowCount
+    if (dvActive) {
+      val off = pages.getRowIndexOffset
+      require(off.isPresent,
+        s"graftlog: $file row group carries no rowIndexOffset — " +
+          "cannot apply a deletion vector to it")
+      groupPos = off.get()
+    }
     true
   }
 
@@ -225,6 +272,9 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
     absent.foreach(i => vectors(i).putNulls(0, n))
   }
 
+  // per-batch keep mask under a deletion vector (reused buffer)
+  private val keepBuf = new Array[Boolean](Capacity)
+
   override def next(): Boolean = {
     if (countsOnly) {
       if (countRemaining <= 0L) return false
@@ -235,30 +285,63 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
       batch.setNumRows(n)
       return true
     }
-    while (groupRemaining == 0L) {
-      if (!advanceGroup()) return false
-    }
-    val n = math.min(Capacity.toLong, groupRemaining).toInt
-    groupRemaining -= n
-    vectors.foreach(_.reset())
-    var c = 0
-    while (c < writers.length) {
-      val cr = groupReaders(c)
-      val vec = vectors(present(c)._2)
-      val write = writers(c)
-      val maxDef = groupMaxDef(c)
-      var r = 0
-      while (r < n) {
-        if (cr.getCurrentDefinitionLevel == maxDef) write(cr, vec, r)
-        else vec.putNull(r)
-        cr.consume()
-        r += 1
+    while (true) {
+      while (groupRemaining == 0L) {
+        if (!advanceGroup()) return false
       }
-      c += 1
+      val n = math.min(Capacity.toLong, groupRemaining).toInt
+      groupRemaining -= n
+      // survivors of this chunk under the vector (all, when none):
+      // decided ONCE, applied identically by every column's loop
+      var kept = n
+      if (dvActive) {
+        kept = 0
+        var r = 0
+        while (r < n) {
+          val masked =
+            java.util.Arrays.binarySearch(dvPositions, groupPos + r) >= 0
+          keepBuf(r) = masked == dvSelect
+          if (keepBuf(r)) kept += 1
+          r += 1
+        }
+        groupPos += n
+      }
+      vectors.foreach(_.reset())
+      var c = 0
+      while (c < writers.length) {
+        val cr = groupReaders(c)
+        val vec = vectors(present(c)._2)
+        val write = writers(c)
+        val maxDef = groupMaxDef(c)
+        var r = 0
+        var out = 0
+        while (r < n) {
+          if (!dvActive || keepBuf(r)) {
+            if (cr.getCurrentDefinitionLevel == maxDef)
+              write(cr, vec, out)
+            else vec.putNull(out)
+            out += 1
+          } else if (cr.getCurrentDefinitionLevel == maxDef) {
+            // a masked PRESENT value must be skip()ped: the value
+            // decoder is lazy, and consume() alone would leave it
+            // queued — the next kept row would then read THIS row's
+            // value, shifting every survivor after it
+            cr.skip()
+          }
+          cr.consume()
+          r += 1
+        }
+        c += 1
+      }
+      if (kept > 0 || !dvActive) {
+        fillMeta(kept)
+        batch.setNumRows(kept)
+        return true
+      }
+      // a fully-masked chunk: advance to the next instead of emitting
+      // an empty batch
     }
-    fillMeta(n)
-    batch.setNumRows(n)
-    true
+    false // unreachable
   }
 
   override def get(): ColumnarBatch = batch

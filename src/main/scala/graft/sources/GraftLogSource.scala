@@ -1868,14 +1868,12 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
       }
     }
 
-  /** Does any planned file carry a deletion vector? DV'd reads go
-    * through the row reader (position-tracking masking; the vectorized
-    * path stays mask-free), and Spark requires the columnar decision
-    * be constant across one scan's partitions — so one DV'd file makes
-    * the whole scan row-based until OPTIMIZE folds the vectors away.
-    */
-  private lazy val hasDv: Boolean =
-    entries.exists(e => e.dvMask.isDefined || e.dvEmit.isDefined)
+  // deletion vectors apply on BOTH reader paths (the row reader tracks
+  // positions through the record stream; the columnar reader compacts
+  // survivors while the batch fills, per-group rowIndexOffset-exact),
+  // so a DV'd snapshot keeps the vectorized plan — no scan-wide
+  // fallback, and Spark's one-columnar-decision-per-scan rule is
+  // satisfied without consulting the dv state at all.
 
   /** Planner-visible stats for the snapshot: exact row count and bytes
     * from the MANIFEST when every live file carries them (the
@@ -2072,7 +2070,7 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftLogReaderFactory(pruned, effectivePredicate, predicateRefs,
-      conf, columnar && !hasDv, cdc, synthFile)
+      conf, columnar, cdc, synthFile)
 
   /** The log as a STREAM: each committed version is a micro-batch —
     * `readStream.format("graftlog")` tails the commit log the way
@@ -2265,16 +2263,11 @@ class GraftLogMicroBatchStream(root: String, pruned: StructType,
   // projections and the empty-projection-under-predicate edge to the
   // row reader per the same rules, so a streaming epoch's plan carries
   // the identical ColumnarToRow span a batch read of that version would
-  // (StreamingSpec pins plan shape and batch/stream row parity).
-  // CDC tails read row-based: a dv version's delete partitions need the
-  // position-selecting row reader, Spark requires one columnar decision
-  // per scan, and whether a FUTURE micro-batch will carry dv rows is
-  // unknowable at factory-build time — the snapshot tail keeps the
-  // vectorized path (it refuses dv versions loudly, so the question
-  // never arises there)
+  // (StreamingSpec pins plan shape and batch/stream row parity); dv
+  // partitions (CDC delta deletes, masked removes) read vectorized too
   override def createReaderFactory(): PartitionReaderFactory =
     GraftLogReaderFactory(pruned, predicate, predicateRefs, conf,
-      columnar && !cdc, cdc, synthFile)
+      columnar, cdc, synthFile)
 
   override def commit(end: Offset): Unit = ()
 
@@ -2324,14 +2317,8 @@ case class GraftLogReaderFactory(pruned: StructType,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftLogInputPartition]
-    // defense in depth: the scan disables the columnar path whenever
-    // any planned file carries a deletion vector — a masked partition
-    // reaching this factory columnar would silently serve deleted rows
-    require(p.dvMask.isEmpty && p.dvEmit.isEmpty,
-      s"graftlog: deletion-vector partition ${p.file} cannot be read " +
-        "through the vectorized path")
     new GraftLogColumnarReader(p.file, pruned, predicate, predicateRefs,
-      conf.value, p.cdcMeta, p.range, synthFile)
+      conf.value, p.cdcMeta, p.range, synthFile, p.dvMask, p.dvEmit)
   }
 }
 

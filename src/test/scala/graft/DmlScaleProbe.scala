@@ -134,6 +134,27 @@ object DmlScaleProbe {
     val morV = graft.sources.GraftLog.latestVersion(conf, mor)
     println(s"[dmlscale] mor dvs_after_fold=" +
       graft.sources.GraftLog.liveState(conf, mor, morV).dvs.size)
+
+    // ---- merge-on-read vs copy-on-write MERGE, same sparse shape:
+    // a small CDC batch whose keys scatter across every file — the
+    // streaming-ingest merge pattern where CoW rewrites the world
+    val mCow = mkLog("merge_cow")
+    val mMor = mkLog("merge_mor")
+    val mSrc = graft.Tables.orders(spark, d)
+      .filter(col("o_orderkey") % 256 === 7)
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(8L)).as("bucket"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+    timed("mrg_cow") {
+      GraftLogOps.mergeIntoLog(spark, mCow, mSrc, Seq("o_orderkey"),
+        GraftLogOps.DeleteModeCow)
+    }
+    timed("mrg_mor") {
+      GraftLogOps.mergeIntoLog(spark, mMor, mSrc, Seq("o_orderkey"),
+        GraftLogOps.DeleteModeMor)
+    }
+    println(s"[dmlscale] mrg_cow_bytes=${commitBytes(mCow, 2)} " +
+      s"mrg_mor_bytes=${commitBytes(mMor, 2)}")
     spark.stop()
   }
 }

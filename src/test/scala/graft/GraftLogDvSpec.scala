@@ -105,15 +105,18 @@ class GraftLogDvSpec extends SparkSpecBase {
     GraftLogOps.deleteFromLog(spark, root, col("id") % 16 === 3,
       GraftLogOps.DeleteModeMor)
     val want = snap(root).collect().map(_.toSeq).sortBy(_.toString)
-    // the DV'd scan plans ROW-BASED (masking lives in the row reader)
+    // the DV'd scan stays VECTORIZED (the columnar reader compacts
+    // survivors while the batch fills) and the ROW reader — the nested
+    // -projection path — masks identically: the two paths must agree
+    // row-for-row on a masked snapshot
     val planDv = snap(root).queryExecution.executedPlan.toString
-    assert(!planDv.contains("ColumnarToRow"), planDv.take(800))
+    assert(planDv.contains("ColumnarToRow"), planDv.take(800))
+    val rowPath = spark.read.format("graftlog").option("path", root)
+      .option("columnar", false).load()
+    assert(rowPath.collect().map(_.toSeq).sortBy(_.toString) === want)
     val v = GraftLogOps.compactLog(spark, root)
     assert(GraftLog.liveState(conf, root, v).dvs.isEmpty)
     assert(snap(root).collect().map(_.toSeq).sortBy(_.toString) === want)
-    // post-fold reads are vectorized again
-    val planFolded = snap(root).queryExecution.executedPlan.toString
-    assert(planFolded.contains("ColumnarToRow"), planFolded.take(800))
     // a merge over a STILL-DV'd table must not resurrect masked rows
     val root2 = mkTable("graft_dv_merge")
     GraftLogOps.deleteFromLog(spark, root2, col("id") % 16 === 3,
@@ -148,6 +151,14 @@ class GraftLogDvSpec extends SparkSpecBase {
       assert(split.rdd.getNumPartitions > 1)
       assert(split.agg(count(lit(1)), sum(col("id"))).head() === whole)
       assert(split.filter(col("id") % 1000 === 7).count() === 0L)
+      // the ROW reader's midpoint start-row computation under the same
+      // splits (the columnar path keys on per-group rowIndexOffset,
+      // the row path on footer-block prefix sums — both must agree)
+      val rowSplit = spark.read.format("graftlog").option("path", root)
+        .option("columnar", false).load()
+      assert(rowSplit.agg(count(lit(1)), sum(col("id"))).head()
+        === whole)
+      assert(rowSplit.filter(col("id") % 1000 === 7).count() === 0L)
     } finally spark.conf.set(key, prev)
   }
 
@@ -237,6 +248,60 @@ class GraftLogDvSpec extends SparkSpecBase {
     GraftLogOps.vacuumLog(spark, root, 3)
     GraftLog.clearPlanCaches()
     assert(snap(root).count() === 350L)
+  }
+
+  test("merge-on-read MERGE: matched rows mask, the source appends, " +
+      "NOTHING rewrites (sparse) — snapshot equals the copy-on-write " +
+      "merge row-for-row; dense matches still rewrite; OPTIMIZE folds") {
+    import spark.implicits._
+    val mor = mkTable("graft_dvm_mor")
+    val cow = mkTable("graft_dvm_cow")
+    // sparse: update 5 scattered ids, insert 2 new — 400-row table
+    val source = Seq(
+      (1L, 1L, -1.0), (17L, 1L, -17.0), (33L, 1L, -33.0),
+      (2L, 2L, -2.0), (18L, 2L, -18.0),
+      (1001L, 1L, -1001.0), (1002L, 2L, -1002.0))
+      .toDF("id", "bucket", "v")
+    GraftLogOps.mergeIntoLog(spark, mor, source, Seq("id"),
+      GraftLogOps.DeleteModeMor)
+    GraftLogOps.mergeIntoLog(spark, cow, source, Seq("id"),
+      GraftLogOps.DeleteModeCow)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    assert(rows(snap(mor)) === rows(snap(cow)))
+    // the MoR commit removed NOTHING (sparse) and masked exactly the
+    // matched old versions
+    val vrows = GraftLog.versionRows(conf, mor, 2)
+    assert(vrows.count(_.action == "remove") === 0)
+    val st = GraftLog.liveState(conf, mor, 2)
+    assert(st.dvs.values.map(_.deltaCard).sum === 5L)
+    // change feed: delta deletes + source inserts
+    val cdc = spark.read.format("graftlog").option("path", mor)
+      .option("readChangeFeed", true).load()
+      .filter(col(GraftLog.CommitVersionCol) === 2L)
+    assert(cdc.filter(col(GraftLog.ChangeTypeCol) === "delete")
+      .count() === 5L)
+    assert(cdc.filter(col(GraftLog.ChangeTypeCol) === "insert")
+      .count() === 7L)
+    // a DENSE merge source (rewrites ≥ half a file) still lands
+    // correctly: every bucket=1 key replaced
+    val dense = spark.range(0, 400)
+      .filter(pmod(col("id"), lit(4L)) === 1L)
+      .selectExpr("id", "CAST(1 AS BIGINT) AS bucket",
+        "CAST(-9.0 AS DOUBLE) AS v")
+    GraftLogOps.mergeIntoLog(spark, mor, dense, Seq("id"),
+      GraftLogOps.DeleteModeMor)
+    // the bucket=1 file AND the v2 source files holding ≡1-mod-4 keys
+    // all matched densely → rewrote
+    assert(GraftLog.versionRows(conf, mor, 3)
+      .count(_.action == "remove") >= 1)
+    assert(snap(mor).filter(col("bucket") === 1L && col("id") < 400L)
+      .select(col("v")).distinct().head().getDouble(0) === -9.0)
+    // OPTIMIZE folds the masks and preserves content
+    val want = rows(snap(mor))
+    val v = GraftLogOps.compactLog(spark, mor)
+    assert(GraftLog.liveState(conf, mor, v).dvs.isEmpty)
+    assert(rows(snap(mor)) === want)
   }
 
   test("concurrent re-mask of the same file refuses (complete-mask " +
