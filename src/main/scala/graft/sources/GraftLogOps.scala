@@ -256,6 +256,51 @@ object GraftLogOps {
     if (fs.exists(_.isEmpty)) None else Some(fs.flatten)
   }
 
+  /** The DELETE condition as a (physical-named) data-source Filter for
+    * the manifest-stats candidate prune — the same translation the
+    * planner uses for pushdown, so a selective delete's touch scan
+    * reads only the files whose statistics admit a match instead of
+    * every live file. None = untranslatable shape (arithmetic
+    * predicates, UDFs): every file stays a candidate, correctness
+    * unchanged — the prune is a pure I/O saver.
+    */
+  private[sources] def condFilter(s: SparkSession, schema: StructType,
+      cond: Column, meta: GraftLog.TableMeta): Option[Filter] =
+    try {
+      // the Column arrives UNRESOLVED (a bare ColumnNode tree) — run it
+      // through analysis against an empty relation of the table's
+      // logical schema so the translator sees the same resolved
+      // catalyst shapes the planner would
+      val df = s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        schema)
+      val analyzed = df.filter(cond).queryExecution.analyzed
+      analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.flatMap(org.apache.spark.sql.graft.FilterBridge.translate)
+        .map(f => GraftLog.renameFilter(f, meta.colMap))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Candidate files for a condition: manifest-stats skip when the
+    * condition translates; everything otherwise.
+    */
+  private[sources] def pruneByCond(s: SparkSession,
+      entries: Seq[(String, GraftLogStats.FileEntry)],
+      schema: StructType, physSchema: StructType, cond: Column,
+      meta: GraftLog.TableMeta)
+      : Seq[(String, GraftLogStats.FileEntry)] =
+    condFilter(s, schema, cond, meta) match {
+      case None => entries
+      case Some(f) => entries.filter { case (_, fe) =>
+        fe.stats match {
+          case Some(st) => GraftLogStats.mayMatch(physSchema, st,
+            fe.rows, f)
+          case None => true
+        }
+      }
+    }
+
   /** May this file hold rows matching the source keys? Per-key
     * conjunctive test against the file's manifest statistics —
     * stats-less entries conservatively may.
@@ -546,15 +591,18 @@ object GraftLogOps {
       def readLogical(paths: Seq[String]): DataFrame =
         renameTo(maskedParquet(s, physSchema, paths, dvMap), schema)
       val entries = statsEntries(s, root, latest)
-      if (entries.isEmpty) latest
+      // catalog prune: each file's manifest interval vs the condition
+      // (zero data I/O) — the touch scan then reads candidates only
+      val candidates = pruneByCond(s, entries, schema, physSchema, cond, meta)
+      if (candidates.isEmpty) latest
       else {
         val touched = toRelPaths(root,
-          readLogical(entries.map(e => s"$root/${e._1}"))
+          readLogical(candidates.map(e => s"$root/${e._1}"))
             .withColumn("_graft_file", input_file_name())
             .filter(cond)
             .select("_graft_file").distinct()
             .collect().map(_.getString(0)).toSeq,
-          entries.map(_._1))
+          candidates.map(_._1))
         if (touched.isEmpty) latest // no-op: nothing matched
         else {
           val cols = schema.fieldNames.map(col).toSeq
@@ -770,7 +818,10 @@ object GraftLogOps {
         .getOrElse(GraftLog.inferSchema(conf, root, latest))
       val physSchema = meta.physicalSchema(schema)
       val dvs = GraftLog.liveState(conf, root, latest).dvs
-      val entries = statsEntries(s, root, latest)
+      val allEntries = statsEntries(s, root, latest)
+      // catalog prune (zero data I/O): only files whose statistics
+      // admit a match are scanned for positions
+      val entries = pruneByCond(s, allEntries, schema, physSchema, cond, meta)
       if (entries.isEmpty) return latest
       val rowsByRel = entries.map(e => (e._1, e._2.rows.get)).toMap
       val relByNorm = entries.map(e =>

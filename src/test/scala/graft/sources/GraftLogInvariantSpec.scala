@@ -80,6 +80,37 @@ class GraftLogInvariantSpec extends graft.SparkSpecBase {
     assert(err.getMessage.contains("scans were built"))
   }
 
+  test("DELETE candidate pruning: a translatable condition prunes to " +
+      "the files whose manifest statistics admit a match (zero data " +
+      "I/O); untranslatable shapes keep every file, conservatively") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_delprune").toString
+    spark.range(0, 400)
+      .selectExpr("id", "id % 4 AS bucket", "CAST(id AS DOUBLE) AS v")
+      .write.format("graftlog").option("path", root)
+      .option("schema", "id BIGINT, bucket BIGINT, v DOUBLE")
+      .option("partitionBy", "bucket").mode("append").save()
+    val meta = GraftLog.tableMeta(conf, root, 1)
+    val schema = GraftLog.inferSchema(conf, root, 1)
+    val entries = GraftLog.liveAdds(conf, root, 1)
+      .map(r => (r.file, GraftLog.expandRow(conf, root, r).head))
+    assert(entries.size >= 4)
+    // bucket = 2 translates -> exactly the bucket=2 file(s) survive
+    val pruned = GraftLogOps.pruneByCond(spark, entries, schema,
+      schema, col("bucket") === 2L, meta)
+    assert(pruned.nonEmpty && pruned.size < entries.size)
+    assert(pruned.forall(_._1.contains("bucket=2")))
+    // arithmetic shape does not translate -> every file stays
+    val kept = GraftLogOps.pruneByCond(spark, entries, schema,
+      schema, col("id") % 16 === 3, meta)
+    assert(kept.size === entries.size)
+    // and the pruned DELETE is still correct end to end
+    GraftLogOps.deleteFromLog(spark, root, col("bucket") === 2L)
+    val left = spark.read.format("graftlog").option("path", root).load()
+    assert(left.filter(col("bucket") === 2L).count() === 0L)
+    assert(left.count() === 300L)
+  }
+
   test("plan caches key on (path, length, mtime): sound because " +
       "committed log objects are immutable — maintenance never " +
       "rewrites a manifest in place — and the documented hazard (a " +
