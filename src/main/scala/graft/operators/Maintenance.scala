@@ -1624,6 +1624,81 @@ object Maintenance {
       |       CAST(0 AS BIGINT) AS files_removed
       |FROM agg CROSS JOIN cdc""".stripMargin
 
+  /** The MERGE-ON-READ update fixture: sparse UPDATE (keys ≡3 mod 64,
+    * price doubled) committed as deletion vectors + appended
+    * transformed rows — no file rewritten.
+    */
+  private[graft] def morUpdatedTableDir(s: SparkSession,
+      d: String): String = {
+    val root = SetupOnce.runtimeDir(d, "orders_graftupddv")
+    SetupOnce(root) {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          pmod(col("o_orderkey"), lit(8L)).as("bucket"),
+          col("o_totalprice"))
+        .write.format(graft.sources.GraftLog.Format)
+        .option("path", root)
+        .option("schema",
+          "o_orderkey BIGINT, bucket BIGINT, o_totalprice DOUBLE")
+        .option("partitionBy", "bucket").mode("append").save()
+      graft.sources.GraftLogOps.updateLog(s, root,
+        col("o_orderkey") % 64 === 3,
+        Map("o_totalprice" -> (col("o_totalprice") * 2)),
+        graft.sources.GraftLogOps.DeleteModeMor)
+    }
+    root
+  }
+
+  /** Merge-on-read UPDATE via deletion vectors, hash-gated: the
+    * post-update snapshot's exact aggregate equals the closed-form
+    * conditional restatement, the change feed shows delta-position
+    * deletes (the matched OLD versions) + transformed inserts, and the
+    * pins hold: one dv'd file, zero files removed (write amplification
+    * ∝ matched rows — the update never rewrote a file).
+    */
+  def logUpdateDv(s: SparkSession, d: String): DataFrame = {
+    val root = morUpdatedTableDir(s, d)
+    val conf = s.sessionState.newHadoopConf()
+    val v = latestVersion(s, root)
+    val dvLive = graft.sources.GraftLog.liveState(conf, root, v)
+      .dvs.size.toLong
+    val removed = graft.sources.GraftLog.versionRows(conf, root, v)
+      .count(_.action == "remove").toLong
+    val snap = readVersion(s, root, v)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+    val ct = col(graft.sources.GraftLog.ChangeTypeCol)
+    val cdc = s.read.format(graft.sources.GraftLog.Format)
+      .option("path", root).option("readChangeFeed", true).load()
+      .filter(col(graft.sources.GraftLog.CommitVersionCol) === v)
+      .agg(sum(when(ct === "delete", 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(ct === "insert", 1L).otherwise(0L)).as("n_inserted"))
+    snap.crossJoin(cdc)
+      .select(col("n_rows"), col("total_cents"), col("n_deleted"),
+        col("n_inserted"), lit(dvLive).as("dv_live"),
+        lit(removed).as("files_removed"))
+  }
+
+  val logUpdateDvSql: String =
+    """WITH m AS (
+      |  SELECT CASE WHEN o_orderkey % 64 = 3 THEN o_totalprice * 2
+      |              ELSE o_totalprice END AS price
+      |  FROM orders),
+      |agg AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |         CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS total_cents
+      |  FROM m),
+      |cdc AS (
+      |  SELECT (SELECT COUNT(*) FROM orders
+      |          WHERE o_orderkey % 64 = 3) AS n_deleted,
+      |         (SELECT COUNT(*) FROM orders
+      |          WHERE o_orderkey % 64 = 3) AS n_inserted)
+      |SELECT agg.n_rows, agg.total_cents, cdc.n_deleted,
+      |       cdc.n_inserted, CAST(1 AS BIGINT) AS dv_live,
+      |       CAST(0 AS BIGINT) AS files_removed
+      |FROM agg CROSS JOIN cdc""".stripMargin
+
   /** The SQL-DML fixture: the bucket-partitioned orders log behind the
     * [[graft.sources.GraftCatalog]], mutated by THREE SQL statements —
     * UPDATE (doubles prices of keys ≡3 mod 16), DELETE (keys ≡11 mod

@@ -576,6 +576,202 @@ object GraftLogOps {
         s"or $DeleteModeMor")
   }
 
+  /** Row-level UPDATE on the log: every row matching `cond` gets the
+    * `assignments` applied (each value expression may reference the
+    * row's own columns; SQL semantics — a NULL condition leaves the
+    * row untouched), committed as one version. The utility twin of
+    * SQL `UPDATE graft.t SET ...` for option-path tables, with the
+    * same write-shape choice as DELETE/MERGE: copy-on-write rewrites
+    * every touched file; merge-on-read MASKS the matched old versions
+    * via deletion vectors and appends the transformed rows — write
+    * amplification ∝ matched rows, the scattered-update shape. Returns
+    * the committed (or current) version.
+    */
+  def updateLog(s: SparkSession, root: String, cond: Column,
+      assignments: Map[String, Column],
+      mode: String = DeleteModeCow): Int = {
+    require(assignments.nonEmpty, "graftlog update: no assignments")
+    mode match {
+      case DeleteModeCow => cowUpdate(s, root, cond, assignments)
+      case DeleteModeMor => morUpdate(s, root, cond, assignments)
+      case other => throw new IllegalArgumentException(
+        s"graftlog update: unknown mode '$other' — use $DeleteModeCow " +
+          s"or $DeleteModeMor")
+    }
+  }
+
+  /** Apply `assignments` to every column of `schema`, unconditionally
+    * (the caller has already filtered to matched rows) — values cast
+    * to the column's type, untouched columns pass through.
+    */
+  private def applyAssignments(schema: StructType,
+      assignments: Map[String, Column]): Seq[Column] = {
+    val missing = assignments.keys.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"graftlog update: assignment column(s) ${missing.mkString(", ")} " +
+        s"not in the table schema [${schema.toDDL}]")
+    schema.fields.toSeq.map { f =>
+      assignments.get(f.name) match {
+        case Some(v) => v.cast(f.dataType).as(f.name)
+        case None    => col(f.name)
+      }
+    }
+  }
+
+  private def cowUpdate(s: SparkSession, root: String, cond: Column,
+      assignments: Map[String, Column]): Int = {
+    val conf = s.sessionState.newHadoopConf()
+    withRetry { () =>
+      val latest = GraftLog.latestVersion(conf, root)
+      require(latest >= 1, s"no committed versions under $root")
+      val meta = GraftLog.tableMeta(conf, root, latest)
+      val schema = meta.schema
+        .getOrElse(GraftLog.inferSchema(conf, root, latest))
+      val physSchema = meta.physicalSchema(schema)
+      val dvMap = dvPathMap(root,
+        GraftLog.liveState(conf, root, latest).dvs)
+      def readLogical(paths: Seq[String]): DataFrame =
+        renameTo(maskedParquet(s, physSchema, paths, dvMap), schema)
+      val entries = statsEntries(s, root, latest)
+      val candidates = pruneByCond(s, entries, schema, physSchema,
+        cond, meta)
+      if (candidates.isEmpty) latest
+      else {
+        val touched = toRelPaths(root,
+          readLogical(candidates.map(e => s"$root/${e._1}"))
+            .withColumn("_graft_file", input_file_name())
+            .filter(cond)
+            .select("_graft_file").distinct()
+            .collect().map(_.getString(0)).toSeq,
+          candidates.map(_._1))
+        if (touched.isEmpty) latest // no-op: nothing matched
+        else {
+          // matched rows transform, unmatched pass through — one
+          // conditional projection over exactly the touched files
+          val matchedCond = coalesce(cond, lit(false))
+          val rewritten = readLogical(touched.map(f => s"$root/$f"))
+            .select(schema.fields.toSeq.map { f =>
+              assignments.get(f.name) match {
+                case Some(v) => when(matchedCond,
+                  v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+                case None => col(f.name)
+              }
+            }: _*)
+          commitRewrite(s, root, "update", rewritten, schema, touched,
+            meta,
+            layoutCols = layoutPartCols(conf, root, latest,
+              entries.map(_._1), meta),
+            readVersion = Some(latest))
+        }
+      }
+    }
+  }
+
+  private def morUpdate(s: SparkSession, root: String, cond: Column,
+      assignments: Map[String, Column]): Int = {
+    val conf = s.sessionState.newHadoopConf()
+    val fs = new Path(root).getFileSystem(conf)
+    withRetry { () =>
+      val latest = GraftLog.latestVersion(conf, root)
+      require(latest >= 1, s"no committed versions under $root")
+      val meta = GraftLog.tableMeta(conf, root, latest)
+      val schema = meta.schema
+        .getOrElse(GraftLog.inferSchema(conf, root, latest))
+      val physSchema = meta.physicalSchema(schema)
+      val dvs = GraftLog.liveState(conf, root, latest).dvs
+      val allEntries = statsEntries(s, root, latest)
+      val entries = pruneByCond(s, allEntries, schema, physSchema,
+        cond, meta)
+      if (entries.isEmpty) return latest
+      val rowsByRel = entries.map(e => (e._1, e._2.rows.get)).toMap
+      val relByNorm = entries.map(e =>
+        (normPath(s"$root/${e._1}"), e._1)).toMap
+      // matched rows WITH positions, prior masks EXCLUDED at the read:
+      // unlike the delete (where re-deleting a masked row is a no-op),
+      // the update APPENDS a transformed copy — transforming an
+      // already-deleted row would resurrect it
+      val matched = maskedParquetWithPos(s, physSchema, schema,
+          entries.map(e => s"$root/${e._1}"), dvPathMap(root, dvs))
+        .filter(cond)
+        .cache()
+      try {
+        val counts = matched.groupBy("_g_file").count().collect()
+          .flatMap(r => relByNorm.get(normPath(r.getString(0)))
+            .map(rel => (rel, r.getLong(1))))
+        if (counts.isEmpty) return latest // no-op: nothing matched
+        val (denseRel, sparseRel) = counts.partition { case (rel, c) =>
+          c >= (rowsByRel(rel) * DvRewriteFraction).ceil.toLong }
+        val staging =
+          s"$root/data/w_update_${java.util.UUID.randomUUID()}"
+        val dvBase = s"$staging/dv"
+        val (dvRows, dvFiles) = writeDvSidecars(s, conf, root, dvBase,
+          matched.select(col("_g_file"), col("_g_pos")),
+          sparseRel.map(_._1).toSeq, dvs, relByNorm)
+        try {
+          val cols = schema.fieldNames.map(col).toSeq
+          // ALL matched rows (sparse-masked and dense-removed alike)
+          // re-enter transformed as new files
+          val transformed = matched
+            .select(applyAssignments(schema, assignments): _*)
+          var adds = stageFiles(s, conf, transformed, physSchema,
+            staging, "upd")
+          if (denseRel.nonEmpty) {
+            val denseFiles = denseRel.map(e => s"$root/${e._1}").toSeq
+            val kept = renameTo(maskedParquet(s, physSchema, denseFiles,
+                dvPathMap(root, dvs)), schema)
+              .select(cols: _*)
+              .filter(coalesce(cond, lit(false)) === false)
+            adds ++= stageFiles(s, conf, kept, physSchema, staging,
+              "dense")
+          }
+          val layout = layoutPartCols(conf, root, latest,
+            allEntries.map(_._1), meta)
+          GraftLogWrite.commitStaged(conf, root, staging, adds,
+            Some(schema), removes = denseRel.map(_._1).toSeq,
+            extraRows =
+              (if (layout.isEmpty) Nil
+               else Seq(GraftLog.ManifestRow("partcols",
+                 layout.mkString(",")))) ++ dvRows,
+            dvFiles = dvFiles, readVersion = Some(latest))
+        } catch { case scala.util.control.NonFatal(e) =>
+          fs.delete(new Path(staging), true)
+          throw e
+        }
+      } finally matched.unpersist()
+    }
+  }
+
+  /** Masked read WITH file/position columns (`_g_file`, `_g_pos`) and
+    * the LOGICAL column names — the matched-row source for
+    * merge-on-read operations that re-emit rows (update) and so must
+    * never see an already-masked one.
+    */
+  private def maskedParquetWithPos(s: SparkSession,
+      physSchema: StructType, schema: StructType, files: Seq[String],
+      dvByNormPath: Map[String, String]): DataFrame = {
+    val logicalCols = physSchema.fields.zip(schema.fields)
+      .map { case (p, l) =>
+        (if (p.dataType == l.dataType) col(p.name)
+         else col(p.name).cast(l.dataType)).as(l.name) }.toSeq
+    val raw = s.read.schema(physSchema).parquet(files: _*)
+      .select(Seq(col("_metadata.file_path").as("_g_file"),
+        col("_metadata.row_index").as("_g_pos")) ++ logicalCols: _*)
+    if (dvByNormPath.isEmpty) raw
+    else {
+      val cnf = new org.apache.spark.util.SerializableConfiguration(
+        s.sessionState.newHadoopConf())
+      val masked = udf { (file: String, pos: Long) =>
+        dvByNormPath.get(normPath(file)) match {
+          case Some(sidecar) =>
+            java.util.Arrays.binarySearch(
+              DvSidecarCache.get(cnf.value, sidecar), pos) >= 0
+          case None => false
+        }
+      }
+      raw.filter(!masked(col("_g_file"), col("_g_pos")))
+    }
+  }
+
   private def cowDelete(s: SparkSession, root: String,
       cond: Column): Int = {
     val conf = s.sessionState.newHadoopConf()

@@ -304,6 +304,44 @@ class GraftLogDvSpec extends SparkSpecBase {
     assert(rows(snap(mor)) === want)
   }
 
+  test("merge-on-read UPDATE: matched old versions mask, transformed " +
+      "rows append, nothing rewrites (sparse) — equal to the CoW " +
+      "update row-for-row; already-masked rows NEVER resurrect as " +
+      "transformed copies; dense updates rewrite") {
+    val mor = mkTable("graft_dvu_mor")
+    val cow = mkTable("graft_dvu_cow")
+    val cond = col("id") % 16 === 3
+    val set = Map("v" -> (col("v") * 10))
+    GraftLogOps.updateLog(spark, mor, cond, set, GraftLogOps.DeleteModeMor)
+    GraftLogOps.updateLog(spark, cow, cond, set, GraftLogOps.DeleteModeCow)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    assert(rows(snap(mor)) === rows(snap(cow)))
+    assert(snap(mor).count() === 400L) // update conserves rows
+    val vrows = GraftLog.versionRows(conf, mor, 2)
+    assert(vrows.count(_.action == "remove") === 0) // sparse: no rewrite
+    assert(GraftLog.liveState(conf, mor, 2).dvs.size === 1)
+    // RESURRECTION GUARD: delete some keys, then update a condition
+    // that ALSO matches the deleted rows — they must stay deleted
+    GraftLogOps.deleteFromLog(spark, mor, col("id") === 19L,
+      GraftLogOps.DeleteModeMor)
+    GraftLogOps.updateLog(spark, mor, col("id") % 16 === 3,
+      Map("v" -> lit(-1.0)), GraftLogOps.DeleteModeMor)
+    assert(snap(mor).filter(col("id") === 19L).count() === 0L)
+    assert(snap(mor).filter(col("v") === -1.0).count() === 24L)
+    assert(snap(mor).count() === 399L)
+    // DENSE update (every bucket=1 row) rewrites instead of masking
+    val root2 = mkTable("graft_dvu_dense")
+    GraftLogOps.updateLog(spark, root2, col("bucket") === 1L,
+      Map("v" -> lit(0.0)), GraftLogOps.DeleteModeMor)
+    assert(GraftLog.versionRows(conf, root2, 2)
+      .count(_.action == "remove") === 1)
+    assert(GraftLog.liveState(conf, root2, 2).dvs.isEmpty)
+    assert(snap(root2).filter(col("bucket") === 1L && col("v") =!= 0.0)
+      .count() === 0L)
+    assert(snap(root2).count() === 400L)
+  }
+
   test("concurrent re-mask of the same file refuses (complete-mask " +
       "replacement would lose the other delete) and the bounded retry " +
       "re-plans: two sequential MoR deletes both land") {
