@@ -1539,13 +1539,19 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
     }
     val st = GraftLog.liveState(conf.value, root, version)
     // deletion vectors: manifest rows/bounds describe the UNMASKED
-    // file — COUNT would overcount and a masked row may have held the
-    // extremum, so the pushdown refuses and the scan answers exactly
-    if (st.dvs.nonEmpty) return None
+    // file. COUNT(*) stays exact — the mask cardinalities subtract
+    // (each complete mask's positions are committed rows of its live
+    // file) — but COUNT(col)/MIN/MAX refuse: a masked row's nullness
+    // or extremum is unknowable from the manifest alone.
+    val maskedRows = st.dvs.valuesIterator.map(_.card).sum
+    if (st.dvs.nonEmpty && agg.aggregateExpressions().exists {
+      case _: CountStar => false
+      case _            => true
+    }) return None
     val entries = st.adds.flatMap(GraftLog.expandRow(conf.value, root, _))
     if (!entries.forall(e => e.rows.isDefined && e.stats.isDefined))
       return None
-    val totalRows = entries.iterator.map(_.rows.get).sum
+    val totalRows = entries.iterator.map(_.rows.get).sum - maskedRows
     def dtOf(c: String): Option[DataType] =
       dataSchema.fields.find(_.name == c).map(_.dataType)
     def nonNullCount(c: String): Option[Long] =

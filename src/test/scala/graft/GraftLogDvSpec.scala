@@ -238,12 +238,17 @@ class GraftLogDvSpec extends SparkSpecBase {
     GraftLog.clearPlanCaches()
     assert(GraftLog.liveState(conf, root, 3).dvs.size === 1)
     assert(snap(root).count() === 350L)
-    // COUNT must NOT be manifest-served here (it would overcount):
-    // the plan shows an ordinary scan, and the answer is exact
+    // COUNT(*) stays MANIFEST-SERVED under deletion vectors — the
+    // mask cardinalities subtract exactly (zero data bytes); bounded
+    // aggregates refuse (a masked row may have held the extremum)
     val agg = snap(root).agg(count(lit(1)).as("n"))
-    assert(!agg.queryExecution.executedPlan.toString
+    assert(agg.queryExecution.executedPlan.toString
       .contains("GraftLogAggScan"))
     assert(agg.head().getLong(0) === 350L)
+    val mn = snap(root).agg(min(col("id")).as("m"))
+    assert(!mn.queryExecution.executedPlan.toString
+      .contains("GraftLogAggScan"))
+    assert(mn.head().getLong(0) === 0L)
     // vacuum keeps the referenced sidecars: reads stay correct after
     GraftLogOps.vacuumLog(spark, root, 3)
     GraftLog.clearPlanCaches()
