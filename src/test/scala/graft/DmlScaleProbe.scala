@@ -155,6 +155,46 @@ object DmlScaleProbe {
     }
     println(s"[dmlscale] mrg_cow_bytes=${commitBytes(mCow, 2)} " +
       s"mrg_mor_bytes=${commitBytes(mMor, 2)}")
+
+    // ---- WIDE-TABLE variant: the deletion-vector bytes gap is
+    // data-width-proportional (a sidecar is rows x 16 B regardless of
+    // column count) — measure it on a 50-column table, and the NDV
+    // write tax beside it (sketches re-read the just-written file once)
+    def mkWide(name: String, ndv: Boolean): String = {
+      val root = s"$wh/$name"
+      val wideCols = Seq(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(8L)).as("bucket")) ++
+        (0 until 48).map(i =>
+          (col("o_totalprice") + i).as(s"m$i"))
+      val ddl = "o_orderkey BIGINT, bucket BIGINT, " +
+        (0 until 48).map(i => s"m$i DOUBLE").mkString(", ")
+      // the kill switch is a hadoop conf: route it through the session
+      if (!ndv) spark.conf.set(
+        "spark.hadoop.graft.log.ndv.enabled", "false")
+      val t0 = System.nanoTime()
+      try graft.Tables.orders(spark, d).select(wideCols: _*)
+        .write.format(graft.sources.GraftLog.Format)
+        .option("path", root).option("schema", ddl)
+        .option("partitionBy", "bucket")
+        .mode("append").save()
+      finally if (!ndv) spark.conf.unset(
+        "spark.hadoop.graft.log.ndv.enabled")
+      println(f"[dmlscale] wide_load_${if (ndv) "ndv" else "nondv"}%s " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      root
+    }
+    val wCow = mkWide("wide_cow", ndv = true)
+    val wMor = mkWide("wide_mor", ndv = false)
+    timed("wdel_cow") {
+      GraftLogOps.deleteFromLog(spark, wCow, cond,
+        GraftLogOps.DeleteModeCow)
+    }
+    timed("wdel_mor") {
+      GraftLogOps.deleteFromLog(spark, wMor, cond,
+        GraftLogOps.DeleteModeMor)
+    }
+    println(s"[dmlscale] wdel_cow_bytes=${commitBytes(wCow, 2)} " +
+      s"wdel_mor_bytes=${commitBytes(wMor, 2)}")
     spark.stop()
   }
 }
