@@ -313,6 +313,16 @@ class GraftCatalog extends TableCatalog
         val path = a.fieldNames().toSeq
         val parent = path.init
         val n = checkName(path.last)
+        // duplicate check FIRST (inside the struct walk) — an ADD of
+        // an existing column must say "already present", not trip the
+        // tombstone guard on its own identity-mapped physical name
+        fields = rewriteAt(fields, parent, { fs =>
+          require(!fs.exists(_.name == n),
+            s"graft catalog: ADD COLUMN ${path.mkString(".")} already " +
+              s"present in [${StructType(fs).toDDL}]")
+          fs :+ StructField(n, GraftLog.deepNullable(a.dataType()),
+            nullable = true)
+        })
         val physPath =
           if (parent.isEmpty) n
           else s"${physicalPathOf(parent)}.$n"
@@ -322,13 +332,6 @@ class GraftCatalog extends TableCatalog
           s"graft catalog: column name $n was used by a renamed or " +
             "dropped column — old files still store data under it; " +
             "choose a different name")
-        fields = rewriteAt(fields, parent, { fs =>
-          require(!fs.exists(_.name == n),
-            s"graft catalog: ADD COLUMN ${path.mkString(".")} already " +
-              s"present in [${StructType(fs).toDDL}]")
-          fs :+ StructField(n, GraftLog.deepNullable(a.dataType()),
-            nullable = true)
-        })
       case r: TableChange.RenameColumn =>
         val path = r.fieldNames().toSeq
         val from = path.mkString(".")

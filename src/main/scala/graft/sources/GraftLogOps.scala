@@ -127,12 +127,23 @@ object GraftLogOps {
     * only matters across many unrelated rewrites in one long JVM.
     */
   private object DvSidecarCache {
-    private val m =
-      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    // access-ordered LRU: a rewrite touching thousands of DV files
+    // evicts the coldest sidecars instead of clearing ones still in
+    // use by concurrently-running tasks on the same executor
+    private val m = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Array[Long]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[Long]]): Boolean =
+          size() > 1024
+      })
     def get(conf: Configuration, path: String): Array[Long] = {
-      if (m.size > 256) m.clear()
-      m.computeIfAbsent(path,
-        p => GraftLog.readDv(conf, new Path(p)))
+      val hit = m.get(path)
+      if (hit != null) hit
+      else {
+        val v = GraftLog.readDv(conf, new Path(path))
+        m.put(path, v)
+        v
+      }
     }
   }
 
@@ -146,22 +157,31 @@ object GraftLogOps {
     * The mask itself is a per-row sorted-array membership test against
     * the executor-cached sidecar — no join, no shuffle.
     */
+  /** Per-row sidecar-membership predicate — the ONE mask evaluation
+    * both rewrite-read shapes share.
+    */
+  private def dvMaskUdf(s: SparkSession,
+      dvByNormPath: Map[String, String])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val cnf = new org.apache.spark.util.SerializableConfiguration(
+      s.sessionState.newHadoopConf())
+    udf { (file: String, pos: Long) =>
+      dvByNormPath.get(normPath(file)) match {
+        case Some(sidecar) =>
+          java.util.Arrays.binarySearch(
+            DvSidecarCache.get(cnf.value, sidecar), pos) >= 0
+        case None => false
+      }
+    }
+  }
+
   private[sources] def maskedParquet(s: SparkSession,
       physSchema: StructType, files: Seq[String],
       dvByNormPath: Map[String, String]): DataFrame = {
     val raw = s.read.schema(physSchema).parquet(files: _*)
     if (dvByNormPath.isEmpty) raw
     else {
-      val cnf = new org.apache.spark.util.SerializableConfiguration(
-        s.sessionState.newHadoopConf())
-      val masked = udf { (file: String, pos: Long) =>
-        dvByNormPath.get(normPath(file)) match {
-          case Some(sidecar) =>
-            java.util.Arrays.binarySearch(
-              DvSidecarCache.get(cnf.value, sidecar), pos) >= 0
-          case None => false
-        }
-      }
+      val masked = dvMaskUdf(s, dvByNormPath)
       val physCols = physSchema.fieldNames.map(col).toSeq
       raw.filter(!masked(col("_metadata.file_path"),
           col("_metadata.row_index")))
@@ -758,16 +778,7 @@ object GraftLogOps {
         col("_metadata.row_index").as("_g_pos")) ++ logicalCols: _*)
     if (dvByNormPath.isEmpty) raw
     else {
-      val cnf = new org.apache.spark.util.SerializableConfiguration(
-        s.sessionState.newHadoopConf())
-      val masked = udf { (file: String, pos: Long) =>
-        dvByNormPath.get(normPath(file)) match {
-          case Some(sidecar) =>
-            java.util.Arrays.binarySearch(
-              DvSidecarCache.get(cnf.value, sidecar), pos) >= 0
-          case None => false
-        }
-      }
+      val masked = dvMaskUdf(s, dvByNormPath)
       raw.filter(!masked(col("_g_file"), col("_g_pos")))
     }
   }
@@ -952,8 +963,15 @@ object GraftLogOps {
           val tag = java.security.MessageDigest.getInstance("SHA-1")
             .digest(fnorm.getBytes("UTF-8"))
             .take(8).map("%02x".format(_)).mkString
-          val dvPath = s"$dvBase/$tag.dv"
-          val deltaPath = s"$dvBase/$tag.delta.dv"
+          // ATTEMPT-unique names: a retried or speculative task must
+          // never collide with a dead twin's put-if-absent create —
+          // only the winning attempt's metadata rows reach the driver
+          // (Spark task-commit semantics), so loser files are simply
+          // never referenced (and die with the staging dir on abort)
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId().toString).getOrElse("0")
+          val dvPath = s"$dvBase/$tag-a$attempt.dv"
+          val deltaPath = s"$dvBase/$tag-a$attempt.delta.dv"
           GraftLog.writeDv(cnf.value, new Path(dvPath), complete)
           GraftLog.writeDv(cnf.value, new Path(deltaPath), delta)
           (fnorm, dvPath, complete.length.toLong, deltaPath,
@@ -1022,17 +1040,15 @@ object GraftLogOps {
       val rowsByRel = entries.map(e => (e._1, e._2.rows.get)).toMap
       val relByNorm = entries.map(e =>
         (normPath(s"$root/${e._1}"), e._1)).toMap
-      // matched (file, position) pairs over the RAW files — prior
-      // masks subtract executor-side at sidecar build, so a re-matched
-      // already-deleted row never reaches the delta
-      val logicalCols = physSchema.fieldNames.zip(schema.fieldNames)
-        .map { case (p, l) => col(p).as(l) }.toSeq
+      // matched (file, position) pairs over the RAW files (empty dv
+      // map: prior masks subtract executor-side at sidecar build, so a
+      // re-matched already-deleted row never reaches the delta). The
+      // positional-cast read keeps NESTED logical names resolvable
+      // under column mapping, same as every other DML read.
       // cached: the matched set feeds BOTH the density decision and
       // the sidecar job — uncached, the candidate files scan twice
-      val matched = s.read.schema(physSchema)
-        .parquet(entries.map(e => s"$root/${e._1}"): _*)
-        .select(Seq(col("_metadata.file_path").as("_g_file"),
-          col("_metadata.row_index").as("_g_pos")) ++ logicalCols: _*)
+      val matched = maskedParquetWithPos(s, physSchema, schema,
+          entries.map(e => s"$root/${e._1}"), Map.empty)
         .filter(cond)
         .select(col("_g_file"), col("_g_pos"))
         .cache()
@@ -1046,8 +1062,11 @@ object GraftLogOps {
       val dvBase = s"$root/data/dv_${java.util.UUID.randomUUID()}"
       val (dvRows, dvFiles) = writeDvSidecars(s, conf, root, dvBase,
         matched, sparseRel.map(_._1).toSeq, dvs, relByNorm)
+      // layout inference must see the FULL live set, not the pruned
+      // candidates — a biased subset could claim a layout the table
+      // doesn't uniformly have
       val layout = layoutPartCols(conf, root, latest,
-        entries.map(_._1), meta)
+        allEntries.map(_._1), meta)
       val layoutRows =
         if (layout.isEmpty) Nil
         else Seq(GraftLog.ManifestRow("partcols", layout.mkString(",")))
@@ -1071,21 +1090,8 @@ object GraftLogOps {
             .filter(coalesce(cond, lit(false)) === false)
           val staging = s"$root/data/w_delete_${java.util.UUID
             .randomUUID()}"
-          renameTo(kept, physSchema).write.parquet(staging)
-          fs.delete(new Path(s"$staging/_SUCCESS"), false)
-          val files = fs.listStatus(new Path(staging))
-            .toSeq.map(_.getPath.getName)
-            .filter(n => n.endsWith(".parquet") &&
-              !n.startsWith("_") && !n.startsWith("."))
-            .sorted
-            .flatMap { n =>
-              val (rows, bytes, st) = GraftLogStats.describeFile(
-                conf, s"$staging/$n", physSchema)
-              if (rows == 0L) {
-                fs.delete(new Path(s"$staging/$n"), false); None
-              } else Some(GraftLogFileCommit(s"$staging/$n", rows,
-                bytes, st))
-            }
+          val files = stageFiles(s, conf, kept, physSchema, staging,
+            "kept")
           try GraftLogWrite.commitStaged(conf, root, staging, files,
             Some(schema), removes = denseRel.map(_._1).toSeq,
             extraRows = layoutRows ++ dvRows,

@@ -322,14 +322,18 @@ private[sources] object GraftProcedures {
           val root = rootOf(input.getUTF8String(0).toString)
           val conf = s.sessionState.newHadoopConf()
           val latest = GraftLog.latestVersion(conf, root)
-          val wm = GraftLog.vacuumWatermark(conf, root)
           val occ = GraftLog.isOcc(conf, root)
           val schema = StructType(Seq(
             StructField("version", LongType, nullable = false),
             StructField("schema_ddl", StringType, nullable = false),
             StructField("column_mapping", StringType, nullable = false)))
+          // the fold starts at v1 regardless of the vacuum watermark:
+          // vacuum deletes DATA files, never manifests, and a colmap
+          // row committed before the watermark still governs every
+          // readable version — starting the carry-forward at the
+          // watermark would misreport an identity mapping
           var prev: Option[(String, String)] = None
-          val rows = (wm to latest).flatMap { v =>
+          val rows = (1 to latest).flatMap { v =>
             val mrows = GraftLog.versionRows(conf, root, v, occ)
             val ddl = mrows.collectFirst {
               case GraftLog.ManifestRow("schema", d, _, _, _) => d }

@@ -347,6 +347,35 @@ class GraftLogDvSpec extends SparkSpecBase {
     assert(snap(root2).count() === 400L)
   }
 
+  test("merge-on-read DML under NESTED column mapping: a condition on " +
+      "a renamed struct field resolves in every mode's matched scan " +
+      "(the positional-cast read, not a top-level-only rename)") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dv_cmn").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE TABLE graft.dvn (id BIGINT, " +
+      "meta STRUCT<score: DOUBLE>)")
+    spark.sql("INSERT INTO graft.dvn SELECT id, " +
+      "named_struct('score', CAST(id AS DOUBLE)) FROM range(0, 100)")
+    spark.sql("ALTER TABLE graft.dvn RENAME COLUMN meta.score TO amount")
+    val root = s"$wh/dvn"
+    GraftLogOps.deleteFromLog(spark, root,
+      col("meta.amount") === 7.0, GraftLogOps.DeleteModeMor)
+    assert(GraftLog.liveState(conf, root,
+      GraftLog.latestVersion(conf, root)).dvs.size === 1)
+    assert(spark.table("graft.dvn").count() === 99L)
+    GraftLogOps.updateLog(spark, root,
+      col("meta.amount") === 9.0,
+      Map("meta" -> org.apache.spark.sql.functions
+        .struct(lit(-9.0).as("amount"))),
+      GraftLogOps.DeleteModeMor)
+    assert(spark.table("graft.dvn")
+      .filter(col("meta.amount") === -9.0).count() === 1L)
+    assert(spark.table("graft.dvn").count() === 99L)
+  }
+
   test("concurrent re-mask of the same file refuses (complete-mask " +
       "replacement would lose the other delete) and the bounded retry " +
       "re-plans: two sequential MoR deletes both land") {
