@@ -299,7 +299,14 @@ object GraftLogOps {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
           f.condition
       }.flatMap(org.apache.spark.sql.graft.FilterBridge.translate)
-        .map(f => GraftLog.renameFilter(f, meta.colMap))
+        .map { f =>
+          // logical → physical per attribute, nested paths included
+          // (physicalPath resolves every segment through the mapping,
+          // so a leaf under a renamed struct translates too)
+          val byRef = f.references
+            .map(r => r -> meta.physicalPath(r)).toMap
+          GraftLog.renameFilter(f, byRef)
+        }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Candidate files for a condition: manifest-stats skip when the

@@ -143,6 +143,32 @@ object GraftLogStats {
   case class FileEntry(path: String, rows: Option[Long] = None,
       bytes: Option[Long] = None, stats: Option[ColStats] = None)
 
+  /** Resolve a dot-joined column path against the schema, threading
+    * plain STRUCT nesting (`meta.score` → the score leaf) — array/map
+    * interiors don't resolve (their parquet paths carry synthetic
+    * `list`/`element`/`key_value` segments and their leaves have no
+    * single per-row value to bound). Nested leaves thus carry manifest
+    * min/max/null statistics exactly like top-level columns, keyed by
+    * their PHYSICAL dotted path.
+    */
+  def fieldAt(schema: StructType, dotPath: String): Option[StructField] = {
+    val segs = dotPath.split('.')
+    var fields = schema.fields
+    var found: Option[StructField] = None
+    var i = 0
+    while (i < segs.length) {
+      fields.find(_.name == segs(i)) match {
+        case Some(f) if i == segs.length - 1 => found = Some(f); i += 1
+        case Some(f) => f.dataType match {
+          case st: StructType => fields = st.fields; i += 1
+          case _              => return None // array/map interior
+        }
+        case None => return None
+      }
+    }
+    found
+  }
+
   // -------------------------------------------------------------------
   // encode: writer side (executor, once per part-file, at close)
   // -------------------------------------------------------------------
@@ -167,7 +193,7 @@ object GraftLogStats {
       footer.getRowGroups.asScala.foreach { block =>
         block.getColumns.asScala.foreach { col =>
           val name = col.getPath.toDotString
-          schema.fields.find(_.name == name).foreach { field =>
+          fieldAt(schema, name).foreach { field =>
             val st = col.getStatistics
             if (st == null || !st.isNumNullsSet) nullsDropped += name
             else nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
@@ -359,7 +385,7 @@ object GraftLogStats {
       f: Filter): Boolean = {
     if (rows.contains(0L)) return false // an empty file matches nothing
     def dtOf(c: String): Option[DataType] =
-      schema.fields.find(_.name == c).map(_.dataType)
+      fieldAt(schema, c).map(_.dataType) // nested leaves resolve too
     def allNull(c: String): Boolean = (st.nulls.get(c), rows) match {
       case (Some(n), Some(r)) => r > 0 && n >= r
       case _                  => false

@@ -15,5 +15,5 @@ import org.apache.spark.sql.sources.Filter
 object FilterBridge {
   def translate(e: Expression): Option[Filter] =
     DataSourceStrategy.translateFilter(e,
-      supportNestedPredicatePushdown = false)
+      supportNestedPredicatePushdown = true)
 }

@@ -109,6 +109,46 @@ class GraftLogInvariantSpec extends graft.SparkSpecBase {
     val left = spark.read.format("graftlog").option("path", root).load()
     assert(left.filter(col("bucket") === 2L).count() === 0L)
     assert(left.count() === 300L)
+
+    // NESTED leaves carry manifest statistics too (the footer walk
+    // visits them; the dotted path resolves through plain structs),
+    // and a nested-predicate delete prunes on them
+    val nroot = Files.createTempDirectory("graft_delprune_n").toString
+    Seq(0, 1).foreach { p =>
+      spark.range(0, 200).filter(pmod(col("id"), lit(2)) === p)
+        .selectExpr("id",
+          "named_struct('score', CAST(id AS DOUBLE), 'tag', 't') AS meta")
+        .write.format("graftlog").option("path", nroot)
+        .option("schema",
+          "id BIGINT, meta STRUCT<score: DOUBLE, tag: STRING>")
+        .mode("append").save()
+    }
+    val nentries = GraftLog.liveAdds(conf, nroot, 2)
+      .map(r => (r.file, GraftLog.expandRow(conf, nroot, r).head))
+    nentries.foreach { case (f, fe) =>
+      val st = fe.stats.get
+      assert(st.min.contains("meta.score"), (f, st.min.keys))
+      assert(st.nulls.contains("meta.tag"))
+    }
+    // range() partitions are CONTIGUOUS, so per-file score intervals
+    // are disjoint: a point predicate on the nested leaf prunes to
+    // the covering files exactly as a top-level column would, and an
+    // out-of-domain value prunes everything
+    val nmeta = GraftLog.tableMeta(conf, nroot, 2)
+    val nschema = GraftLog.inferSchema(conf, nroot, 2)
+    val none = GraftLogOps.pruneByCond(spark, nentries, nschema,
+      nschema, col("meta.score") > 10000.0, nmeta)
+    assert(none.isEmpty)
+    val some = GraftLogOps.pruneByCond(spark, nentries, nschema,
+      nschema, col("meta.score") === 7.0, nmeta)
+    assert(some.nonEmpty && some.size < nentries.size, some.size)
+    // and the pruned nested-predicate delete is correct end to end
+    GraftLogOps.deleteFromLog(spark, nroot,
+      col("meta.score") === 7.0, GraftLogOps.DeleteModeMor)
+    val nleft = spark.read.format("graftlog").option("path", nroot)
+      .load()
+    assert(nleft.filter(col("meta.score") === 7.0).count() === 0L)
+    assert(nleft.count() === 199L)
   }
 
   test("plan caches key on (path, length, mtime): sound because " +
