@@ -64,9 +64,11 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
   // desync; dropping keeps the two readers' semantics identical).
   // `dvEmit` inverts the mask: ONLY the sidecar's positions emit (the
   // change feed's delete rows for a dv commit).
+  // sidecar loads go through the executor-wide DvSidecarCache: a large
+  // file split N ways reads its sidecar once per executor, not per split
   private val dvPositions: Array[Long] =
     dvMask.orElse(dvEmit)
-      .map(p => GraftLog.readDv(conf, new Path(p)))
+      .map(p => GraftLog.DvSidecarCache.get(conf, p))
       .getOrElse(Array.empty)
   private val dvActive = dvMask.isDefined || dvEmit.isDefined
   private val dvSelect = dvEmit.isDefined

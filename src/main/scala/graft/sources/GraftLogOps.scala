@@ -120,33 +120,6 @@ object GraftLogOps {
   private[sources] def normPath(p: String): String =
     new Path(p).toUri.getPath
 
-  /** Executor-side deletion-vector sidecar cache: a rewrite task
-    * evaluates the mask per row, and the sidecar (a few KB–MB of
-    * sorted longs) must be read once per executor, not once per row.
-    * Size-capped by wholesale clear — sidecars are tiny and the cap
-    * only matters across many unrelated rewrites in one long JVM.
-    */
-  private object DvSidecarCache {
-    // access-ordered LRU: a rewrite touching thousands of DV files
-    // evicts the coldest sidecars instead of clearing ones still in
-    // use by concurrently-running tasks on the same executor
-    private val m = java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Array[Long]](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Array[Long]]): Boolean =
-          size() > 1024
-      })
-    def get(conf: Configuration, path: String): Array[Long] = {
-      val hit = m.get(path)
-      if (hit != null) hit
-      else {
-        val v = GraftLog.readDv(conf, new Path(path))
-        m.put(path, v)
-        v
-      }
-    }
-  }
-
   /** Read data files (absolute paths, PHYSICAL schema) with their
     * DELETION VECTORS applied — the one read primitive every rewrite
     * (merge, copy-on-write delete, compaction) must use on a DV'd
@@ -169,7 +142,7 @@ object GraftLogOps {
       dvByNormPath.get(normPath(file)) match {
         case Some(sidecar) =>
           java.util.Arrays.binarySearch(
-            DvSidecarCache.get(cnf.value, sidecar), pos) >= 0
+            GraftLog.DvSidecarCache.get(cnf.value, sidecar), pos) >= 0
         case None => false
       }
     }
@@ -731,10 +704,13 @@ object GraftLogOps {
         val staging =
           s"$root/data/w_update_${java.util.UUID.randomUUID()}"
         val dvBase = s"$staging/dv"
-        val (dvRows, dvFiles) = writeDvSidecars(s, conf, root, dvBase,
-          matched.select(col("_g_file"), col("_g_pos")),
-          sparseRel.map(_._1).toSeq, dvs, relByNorm)
+        // the whole write sequence — sidecars included — sits inside
+        // the cleanup try: a Spark job failure in the SIDECAR write
+        // must delete the staging tree like every other abort path
         try {
+          val (dvRows, dvFiles) = writeDvSidecars(s, conf, root, dvBase,
+            matched.select(col("_g_file"), col("_g_pos")),
+            sparseRel.map(_._1).toSeq, dvs, relByNorm)
           val cols = schema.fieldNames.map(col).toSeq
           // ALL matched rows (sparse-masked and dense-removed alike)
           // re-enter transformed as new files
@@ -878,15 +854,13 @@ object GraftLogOps {
     val rowsByRel = candidates.map(e => (e._1, e._2.rows.get)).toMap
     val relByNorm = candidates.map(e =>
       (normPath(s"$root/${e._1}"), e._1)).toMap
-    val logicalCols = physSchema.fieldNames.zip(schema.fieldNames)
-      .map { case (p, l) => col(p).as(l) }.toSeq
-    // matched (file, position) pairs: RAW candidate read semi-joined on
-    // the merge keys — already-masked rows re-matching is harmless
-    // (prior-union dedups, delta excludes them)
-    val matched = s.read.schema(physSchema)
-      .parquet(candidates.map(c => s"$root/${c._1}"): _*)
-      .select(Seq(col("_metadata.file_path").as("_g_file"),
-        col("_metadata.row_index").as("_g_pos")) ++ logicalCols: _*)
+    // matched (file, position) pairs: RAW candidate read (empty dv map
+    // — already-masked rows re-matching is harmless: prior-union
+    // dedups, delta excludes them) semi-joined on the merge keys. The
+    // positional-CAST rename keeps nested logical names resolvable
+    // under column mapping, same as every other DML read.
+    val matched = maskedParquetWithPos(s, physSchema, schema,
+        candidates.map(c => s"$root/${c._1}"), Map.empty)
       .join(src.select(keys.map(col): _*), keys, "left_semi")
       .select(col("_g_file"), col("_g_pos"))
       .cache()
@@ -898,9 +872,11 @@ object GraftLogOps {
         c >= (rowsByRel(rel) * DvRewriteFraction).ceil.toLong }
       val staging = s"$root/data/w_merge_${java.util.UUID.randomUUID()}"
       val dvBase = s"$staging/dv"
-      val (dvRows, dvFiles) = writeDvSidecars(s, conf, root, dvBase,
-        matched, sparseRel.map(_._1).toSeq, dvs, relByNorm)
+      // sidecar write inside the cleanup try: a failed sidecar job
+      // deletes the staging tree like every other abort path
       try {
+        val (dvRows, dvFiles) = writeDvSidecars(s, conf, root, dvBase,
+          matched, sparseRel.map(_._1).toSeq, dvs, relByNorm)
         // the source appends as new files — every insert AND every
         // update's new version; updates' OLD versions are masked (dv)
         // or dropped by the dense rewrite
@@ -961,7 +937,7 @@ object GraftLogOps {
           val hit = it.map(_._2).toArray
           java.util.Arrays.sort(hit)
           val prior = priorByNorm.get(fnorm)
-            .map(p => GraftLog.readDv(cnf.value, new Path(p)))
+            .map(p => GraftLog.DvSidecarCache.get(cnf.value, p))
             .getOrElse(Array.empty[Long])
           val priorSet = prior.toSet
           val delta = hit.filterNot(priorSet.contains).distinct
@@ -984,6 +960,21 @@ object GraftLogOps {
           (fnorm, dvPath, complete.length.toLong, deltaPath,
             delta.length.toLong)
         }.collect()
+    // LOSER task attempts (retried or speculative) wrote attempt-named
+    // sidecars that no collected row references — and dvBase can be a
+    // PERMANENT directory (morDelete's data/dv_<uuid>), where an
+    // unreferenced file would be unreclaimable garbage forever (vacuum's
+    // dead set is manifest-derived). Sweep now: keep exactly the
+    // winning attempts' files, delete the rest. One listing RPC.
+    val winning = dvMetaRaw.iterator
+      .flatMap(m => Iterator(m._2, m._4))
+      .map(p => new Path(p).getName).toSet
+    val basePath = new Path(dvBase)
+    if (fs.exists(basePath))
+      fs.listStatus(basePath).foreach { st =>
+        if (!winning.contains(st.getPath.getName))
+          fs.delete(st.getPath, false)
+      }
     // files whose every match was already masked are no-ops — their
     // just-written sidecars are unreferenced garbage, clean them now
     val (dvMeta, noop) = dvMetaRaw.partition(_._5 > 0L)
@@ -1067,8 +1058,6 @@ object GraftLogOps {
       val (denseRel, sparseRel) = counts.partition { case (rel, c) =>
         c >= (rowsByRel(rel) * DvRewriteFraction).ceil.toLong }
       val dvBase = s"$root/data/dv_${java.util.UUID.randomUUID()}"
-      val (dvRows, dvFiles) = writeDvSidecars(s, conf, root, dvBase,
-        matched, sparseRel.map(_._1).toSeq, dvs, relByNorm)
       // layout inference must see the FULL live set, not the pruned
       // candidates — a biased subset could claim a layout the table
       // doesn't uniformly have
@@ -1077,7 +1066,12 @@ object GraftLogOps {
       val layoutRows =
         if (layout.isEmpty) Nil
         else Seq(GraftLog.ManifestRow("partcols", layout.mkString(",")))
+      // sidecar write inside the cleanup try: dvBase here is PERMANENT
+      // (root/data/dv_<uuid>), so a failed sidecar job must delete it —
+      // partial sidecars there would otherwise be garbage forever
       try {
+        val (dvRows, dvFiles) = writeDvSidecars(s, conf, root, dvBase,
+          matched, sparseRel.map(_._1).toSeq, dvs, relByNorm)
         if (denseRel.isEmpty) {
           if (dvRows.isEmpty) { fs.delete(new Path(dvBase), true); latest }
           else GraftLogWrite.commitStaged(conf, root,

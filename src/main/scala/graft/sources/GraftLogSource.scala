@@ -491,6 +491,33 @@ object GraftLog {
     } finally in.close()
   }
 
+  /** Executor-side deletion-vector sidecar cache, shared by EVERY mask
+    * consumer in the JVM — the scan readers (a large file split N ways
+    * must read its sidecar once per executor, not once per split) and
+    * the rewrite mask UDF alike. Keyed by the sidecar's absolute path,
+    * which is immutable (sidecars are written once, under a
+    * write-scoped directory, and never rewritten); access-ordered LRU
+    * so a job touching thousands of DV files evicts the coldest
+    * entries instead of ones still in use by concurrent tasks.
+    */
+  object DvSidecarCache {
+    private val m = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Array[Long]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[Long]]): Boolean =
+          size() > 1024
+      })
+    def get(conf: Configuration, path: String): Array[Long] = {
+      val hit = m.get(path)
+      if (hit != null) hit
+      else {
+        val v = readDv(conf, new Path(path))
+        m.put(path, v)
+        v
+      }
+    }
+  }
+
   /** The complete live state of one snapshot: the live add rows plus
     * the current deletion vector (if any) per live file, keyed by the
     * file's manifest-relative path.
@@ -2352,10 +2379,12 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
   // and predicate-driven row-group skips would desynchronize the
   // count; Spark re-applies every filter as residual), and a
   // byte-range split learns its first row index from the footer's
-  // block metadata below.
+  // block metadata below. Sidecar loads go through the executor-wide
+  // [[GraftLog.DvSidecarCache]]: a large file split N ways reads its
+  // sidecar once per executor, not once per split.
   private val dvPositions: Array[Long] =
     dvMask.orElse(dvEmit)
-      .map(p => GraftLog.readDv(conf, new Path(p)))
+      .map(p => GraftLog.DvSidecarCache.get(conf, p))
       .getOrElse(Array.empty)
   private val dvActive = dvMask.isDefined || dvEmit.isDefined
   private val dvSelect = dvEmit.isDefined // emit-only vs skip mode

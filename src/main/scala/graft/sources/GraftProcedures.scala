@@ -265,7 +265,17 @@ private[sources] object GraftProcedures {
           val latest = GraftLog.latestVersion(conf, root)
           val st = GraftLog.liveState(conf, root, latest)
           val meta = GraftLog.tableMeta(conf, root, latest)
-          val bytes = st.adds.flatMap(_.bytes).sum
+          // expand to CONCRETE files so legacy/directory manifest rows
+          // count correctly, and fall back to the filesystem length for
+          // any entry without recorded bytes — the audit row must state
+          // the table's real footprint, never a silently low number
+          val entries = st.adds.flatMap(GraftLog.expandRow(conf, root, _))
+          val bytes = entries.iterator.map { e =>
+            e.bytes.getOrElse {
+              val p = new org.apache.hadoop.fs.Path(e.path)
+              p.getFileSystem(conf).getFileStatus(p).getLen
+            }
+          }.sum
           val ckpt = GraftLog.newestCheckpointAt(conf, root, latest)
           result(StructType(Seq(
             StructField("format", StringType, nullable = false),
@@ -283,7 +293,7 @@ private[sources] object GraftProcedures {
             StructField("tombstoned_columns", LongType,
               nullable = false))),
             UTF8String.fromString(GraftLog.ShortName), latest.toLong,
-            st.adds.size.toLong, bytes,
+            entries.size.toLong, bytes,
             st.dvs.size.toLong, st.dvs.values.map(_.card).sum,
             UTF8String.fromString(meta.partCols.mkString(",")),
             ckpt.getOrElse(0).toLong,
