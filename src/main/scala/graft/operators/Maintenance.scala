@@ -1589,14 +1589,25 @@ object Maintenance {
       .agg(count(lit(1)).as("n_rows"),
         sum(cents(col("o_totalprice"))).as("total_cents"))
     val ct = col(graft.sources.GraftLog.ChangeTypeCol)
+    // the feed CLASSIFIES the merge: matched rows' masked old versions
+    // are update_preimage, their transformed re-appends
+    // update_postimage, and the genuinely-new (negated) keys plain
+    // inserts — the three-way split a consumer needs to tell moves
+    // from new data
     val cdc = s.read.format(graft.sources.GraftLog.Format)
       .option("path", root).option("readChangeFeed", true).load()
       .filter(col(graft.sources.GraftLog.CommitVersionCol) === v)
-      .agg(sum(when(ct === "delete", 1L).otherwise(0L)).as("n_deleted"),
-        sum(when(ct === "insert", 1L).otherwise(0L)).as("n_inserted"))
+      .agg(
+        sum(when(ct === "update_preimage", 1L).otherwise(0L))
+          .as("n_preimage"),
+        sum(when(ct === "update_postimage", 1L).otherwise(0L))
+          .as("n_postimage"),
+        sum(when(ct === "insert", 1L).otherwise(0L)).as("n_inserted"),
+        sum(when(ct === "delete", 1L).otherwise(0L)).as("n_deleted"))
     snap.crossJoin(cdc)
-      .select(col("n_rows"), col("total_cents"), col("n_deleted"),
-        col("n_inserted"), lit(dvLive).as("dv_live"),
+      .select(col("n_rows"), col("total_cents"), col("n_preimage"),
+        col("n_postimage"), col("n_inserted"), col("n_deleted"),
+        lit(dvLive).as("dv_live"),
         lit(removed).as("files_removed"))
   }
 
@@ -1616,11 +1627,15 @@ object Maintenance {
       |  FROM m),
       |cdc AS (
       |  SELECT (SELECT COUNT(*) FROM orders
-      |          WHERE o_orderkey % 64 = 3) AS n_deleted,
-      |         2 * (SELECT COUNT(*) FROM orders
-      |              WHERE o_orderkey % 64 = 3) AS n_inserted)
-      |SELECT agg.n_rows, agg.total_cents, cdc.n_deleted,
-      |       cdc.n_inserted, CAST(1 AS BIGINT) AS dv_live,
+      |          WHERE o_orderkey % 64 = 3) AS n_preimage,
+      |         (SELECT COUNT(*) FROM orders
+      |          WHERE o_orderkey % 64 = 3) AS n_postimage,
+      |         (SELECT COUNT(*) FROM orders
+      |          WHERE o_orderkey % 64 = 3) AS n_inserted)
+      |SELECT agg.n_rows, agg.total_cents, cdc.n_preimage,
+      |       cdc.n_postimage, cdc.n_inserted,
+      |       CAST(0 AS BIGINT) AS n_deleted,
+      |       CAST(1 AS BIGINT) AS dv_live,
       |       CAST(0 AS BIGINT) AS files_removed
       |FROM agg CROSS JOIN cdc""".stripMargin
 
@@ -1668,14 +1683,28 @@ object Maintenance {
       .agg(count(lit(1)).as("n_rows"),
         sum(cents(col("o_totalprice"))).as("total_cents"))
     val ct = col(graft.sources.GraftLog.ChangeTypeCol)
+    // the feed CLASSIFIES the update: masked old versions surface as
+    // update_preimage, the transformed appends as update_postimage —
+    // never as anonymous delete/insert churn. The value sums pin that
+    // preimages carry the OLD prices and postimages the doubled ones.
     val cdc = s.read.format(graft.sources.GraftLog.Format)
       .option("path", root).option("readChangeFeed", true).load()
       .filter(col(graft.sources.GraftLog.CommitVersionCol) === v)
-      .agg(sum(when(ct === "delete", 1L).otherwise(0L)).as("n_deleted"),
-        sum(when(ct === "insert", 1L).otherwise(0L)).as("n_inserted"))
+      .agg(
+        sum(when(ct === "update_preimage", 1L).otherwise(0L))
+          .as("n_preimage"),
+        sum(when(ct === "update_postimage", 1L).otherwise(0L))
+          .as("n_postimage"),
+        sum(when(ct === "update_preimage",
+          cents(col("o_totalprice"))).otherwise(0L)).as("pre_cents"),
+        sum(when(ct === "update_postimage",
+          cents(col("o_totalprice"))).otherwise(0L)).as("post_cents"),
+        sum(when(ct.isin("delete", "insert"), 1L).otherwise(0L))
+          .as("n_churn"))
     snap.crossJoin(cdc)
-      .select(col("n_rows"), col("total_cents"), col("n_deleted"),
-        col("n_inserted"), lit(dvLive).as("dv_live"),
+      .select(col("n_rows"), col("total_cents"), col("n_preimage"),
+        col("n_postimage"), col("pre_cents"), col("post_cents"),
+        col("n_churn"), lit(dvLive).as("dv_live"),
         lit(removed).as("files_removed"))
   }
 
@@ -1690,12 +1719,17 @@ object Maintenance {
       |           AS BIGINT) AS total_cents
       |  FROM m),
       |cdc AS (
-      |  SELECT (SELECT COUNT(*) FROM orders
-      |          WHERE o_orderkey % 64 = 3) AS n_deleted,
-      |         (SELECT COUNT(*) FROM orders
-      |          WHERE o_orderkey % 64 = 3) AS n_inserted)
-      |SELECT agg.n_rows, agg.total_cents, cdc.n_deleted,
-      |       cdc.n_inserted, CAST(1 AS BIGINT) AS dv_live,
+      |  SELECT COUNT(*) AS n_preimage,
+      |         COUNT(*) AS n_postimage,
+      |         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS pre_cents,
+      |         CAST(SUM(CAST(floor(o_totalprice * 2 * 100 + 0.5)
+      |           AS BIGINT)) AS BIGINT) AS post_cents
+      |  FROM orders WHERE o_orderkey % 64 = 3)
+      |SELECT agg.n_rows, agg.total_cents, cdc.n_preimage,
+      |       cdc.n_postimage, cdc.pre_cents, cdc.post_cents,
+      |       CAST(0 AS BIGINT) AS n_churn,
+      |       CAST(1 AS BIGINT) AS dv_live,
       |       CAST(0 AS BIGINT) AS files_removed
       |FROM agg CROSS JOIN cdc""".stripMargin
 

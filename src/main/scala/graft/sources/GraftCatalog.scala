@@ -206,6 +206,7 @@ class GraftCatalog extends TableCatalog
     try GraftLogWrite.commitStaged(c, root,
       s"$root/data/w_create_${java.util.UUID.randomUUID()}",
       Nil, Some(normalized), expectedVersion = Some(1),
+      op = Some("create"),
       extraRows =
         if (partCols.isEmpty) Nil
         else Seq(GraftLog.ManifestRow("partcols", partCols.mkString(","))))
@@ -404,7 +405,7 @@ class GraftCatalog extends TableCatalog
     GraftLogWrite.commitStaged(c, root,
       s"$root/data/w_alter_${java.util.UUID.randomUUID()}",
       Nil, Some(next), expectedVersion = Some(latest + 1),
-      allowSchemaChange = true,
+      allowSchemaChange = true, op = Some("alter"),
       extraRows =
         if (colMap.isEmpty && tombstones.isEmpty) Nil
         else Seq(GraftLog.ManifestRow("colmap",

@@ -57,13 +57,17 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
 
   // DELETION-VECTOR mode, vectorized: masked rows are skipped WHILE the
   // batch fills (the per-column write loop compacts survivors in
-  // place), so a DV'd table keeps the columnar path — the pushed
-  // predicate is dropped for this file (a record filter can't run here
-  // anyway, and predicate row-group skips would be fine but positions
-  // come from each group's own rowIndexOffset, so they wouldn't
-  // desync; dropping keeps the two readers' semantics identical).
-  // `dvEmit` inverts the mask: ONLY the sidecar's positions emit (the
-  // change feed's delete rows for a dv commit).
+  // place), so a DV'd table keeps the columnar path — AND keeps its
+  // pushed predicate: row-group skips stay position-exact because each
+  // surviving group carries its ORIGINAL file-absolute rowIndexOffset
+  // (ParquetRowIndexSpec pins that parquet preserves it under
+  // predicate filtering), and record-level filtering can't run here
+  // anyway (this reader consumes pages directly). A 1%-selective scan
+  // between a broad MoR merge and the next OPTIMIZE skips row groups
+  // exactly like an unmasked one. `dvEmit` inverts the mask: ONLY the
+  // sidecar's positions emit (the change feed's delete rows for a dv
+  // commit) — a group skipped by the predicate holds no emittable row
+  // either, since Spark re-applies the filter to the emitted deletes.
   // sidecar loads go through the executor-wide DvSidecarCache: a large
   // file split N ways reads its sidecar once per executor, not per split
   private val dvPositions: Array[Long] =
@@ -104,8 +108,7 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
       ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(file), conf), ob.build())
     }
-    if (dvActive) openWith(None)
-    else predicate match {
+    predicate match {
       case None => openWith(None)
       case some => try openWith(some)
         catch { case _: IllegalArgumentException => openWith(None) }
@@ -231,9 +234,13 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
       if (dvSelect) masked else b.getRowCount - masked
     }.sum
 
+  // decoded row groups, folded into GraftLog.scanRowGroupsRead at close
+  private var groupsRead = 0L
+
   private def advanceGroup(): Boolean = {
     val pages = reader.readNextRowGroup()
     if (pages == null) return false
+    groupsRead += 1
     val store = new ColumnReadStoreImpl(pages, inertConverter,
       projection.get, createdBy)
     val cols = projection.get.getColumns.asScala.toArray
@@ -349,6 +356,7 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
   override def get(): ColumnarBatch = batch
 
   override def close(): Unit = {
+    GraftLog.scanRowGroupsRead.addAndGet(groupsRead)
     batch.close()
     reader.close()
   }

@@ -388,7 +388,8 @@ object GraftLogOps {
       else Seq(GraftLog.ManifestRow("partcols", layoutCols.mkString(",")))
     try GraftLogWrite.commitStaged(conf, root, staging, files,
       Some(schema), removes = removes, addConflict = addConflict,
-      extraRows = layoutRows, readVersion = readVersion)
+      extraRows = layoutRows, readVersion = readVersion,
+      op = Some(op))
     catch { case scala.util.control.NonFatal(e) =>
       fs.delete(new Path(staging), true) // never referenced — clean up
       throw e
@@ -425,8 +426,10 @@ object GraftLogOps {
     * the dominant cost of streaming-CDC merges at 100 TB, where a
     * 1k-row batch touching 1k files rewrites gigabytes under CoW and
     * kilobytes under MoR). Densely-matched files (≥
-    * [[DvRewriteFraction]]) still rewrite; the change feed shows the
-    * version as delta-position deletes + source inserts; OPTIMIZE
+    * [[DvRewriteFraction]]) still rewrite; the change feed CLASSIFIES
+    * the version Delta-style — masked old versions as
+    * `update_preimage`, their transformed re-appends as
+    * `update_postimage`, genuinely-new keys as `insert`; OPTIMIZE
     * folds the masks exactly as for MoR deletes. Same contract,
     * conflict guards and LWW semantics either way.
     */
@@ -710,14 +713,16 @@ object GraftLogOps {
         try {
           val (dvRows, dvFiles) = writeDvSidecars(s, conf, root, dvBase,
             matched.select(col("_g_file"), col("_g_pos")),
-            sparseRel.map(_._1).toSeq, dvs, relByNorm)
+            sparseRel.map(_._1).toSeq, dvs, relByNorm,
+            cdcClass = Some("update_preimage"))
           val cols = schema.fieldNames.map(col).toSeq
           // ALL matched rows (sparse-masked and dense-removed alike)
-          // re-enter transformed as new files
+          // re-enter transformed as new files, change-feed-classified
+          // as postimages (their masked old versions are the preimages)
           val transformed = matched
             .select(applyAssignments(schema, assignments): _*)
           var adds = stageFiles(s, conf, transformed, physSchema,
-            staging, "upd")
+            staging, "upd", cdcClass = Some("update_postimage"))
           if (denseRel.nonEmpty) {
             val denseFiles = denseRel.map(e => s"$root/${e._1}").toSeq
             val kept = renameTo(maskedParquet(s, physSchema, denseFiles,
@@ -735,7 +740,8 @@ object GraftLogOps {
               (if (layout.isEmpty) Nil
                else Seq(GraftLog.ManifestRow("partcols",
                  layout.mkString(",")))) ++ dvRows,
-            dvFiles = dvFiles, readVersion = Some(latest))
+            dvFiles = dvFiles, readVersion = Some(latest),
+            op = Some("update"))
         } catch { case scala.util.control.NonFatal(e) =>
           fs.delete(new Path(staging), true)
           throw e
@@ -859,10 +865,13 @@ object GraftLogOps {
     // dedups, delta excludes them) semi-joined on the merge keys. The
     // positional-CAST rename keeps nested logical names resolvable
     // under column mapping, same as every other DML read.
+    // keys ride along so the change-feed classification below can
+    // split the source into updates vs inserts without a second
+    // candidate scan (matchedKeys folds from this cache)
     val matched = maskedParquetWithPos(s, physSchema, schema,
         candidates.map(c => s"$root/${c._1}"), Map.empty)
       .join(src.select(keys.map(col): _*), keys, "left_semi")
-      .select(col("_g_file"), col("_g_pos"))
+      .select(Seq(col("_g_file"), col("_g_pos")) ++ keys.map(col): _*)
       .cache()
     try {
       val counts = matched.groupBy("_g_file").count().collect()
@@ -876,12 +885,23 @@ object GraftLogOps {
       // deletes the staging tree like every other abort path
       try {
         val (dvRows, dvFiles) = writeDvSidecars(s, conf, root, dvBase,
-          matched, sparseRel.map(_._1).toSeq, dvs, relByNorm)
+          matched.select(col("_g_file"), col("_g_pos")),
+          sparseRel.map(_._1).toSeq, dvs, relByNorm,
+          cdcClass = Some("update_preimage"))
         // the source appends as new files — every insert AND every
         // update's new version; updates' OLD versions are masked (dv)
-        // or dropped by the dense rewrite
-        var adds = stageFiles(s, conf, src.select(cols: _*), physSchema,
-          staging, "src")
+        // or dropped by the dense rewrite. Staged SPLIT by match so the
+        // change feed classifies updates' new versions as postimages
+        // and genuinely-new keys as inserts (matchedKeys is bounded by
+        // the source's key cardinality and folds off the cache)
+        val matchedKeys = matched.select(keys.map(col): _*).distinct()
+        var adds = stageFiles(s, conf,
+          src.join(matchedKeys, keys, "left_semi").select(cols: _*),
+          physSchema, staging, "srcu",
+          cdcClass = Some("update_postimage"))
+        adds ++= stageFiles(s, conf,
+          src.join(matchedKeys, keys, "left_anti").select(cols: _*),
+          physSchema, staging, "srci")
         if (denseRel.nonEmpty) {
           val denseFiles = denseRel.map(e => s"$root/${e._1}").toSeq
           val kept = renameTo(maskedParquet(s, physSchema, denseFiles,
@@ -898,7 +918,7 @@ object GraftLogOps {
              else Seq(GraftLog.ManifestRow("partcols",
                layout.mkString(",")))) ++ dvRows,
           dvFiles = dvFiles, addConflict = addConflict,
-          readVersion = Some(latest))
+          readVersion = Some(latest), op = Some("merge"))
       } catch { case scala.util.control.NonFatal(e) =>
         fs.delete(new Path(staging), true) // sidecars live under it too
         throw e
@@ -919,7 +939,8 @@ object GraftLogOps {
       root: String, dvBase: String, matched: DataFrame,
       sparseRels: Seq[String],
       dvs: Map[String, GraftLog.DvDescriptor],
-      relByNorm: Map[String, String])
+      relByNorm: Map[String, String],
+      cdcClass: Option[String] = None)
       : (Seq[GraftLog.ManifestRow], Seq[String]) = {
     if (sparseRels.isEmpty) return (Nil, Nil)
     val fs = new Path(root).getFileSystem(conf)
@@ -987,7 +1008,7 @@ object GraftLogOps {
         GraftLog.ManifestRow("dv", relByNorm(fnorm),
           stats = Some(GraftLog.encodeDv(GraftLog.DvDescriptor(
             dv.stripPrefix(s"$root/"), card,
-            delta.stripPrefix(s"$root/"), dcard))))
+            delta.stripPrefix(s"$root/"), dcard, cdcClass))))
     }
     (rows, dvMeta.map(m => relByNorm(m._1)).toSeq)
   }
@@ -999,7 +1020,8 @@ object GraftLogOps {
     */
   private def stageFiles(s: SparkSession, conf: Configuration,
       df: DataFrame, physSchema: StructType, staging: String,
-      sub: String): Seq[GraftLogFileCommit] = {
+      sub: String, cdcClass: Option[String] = None)
+      : Seq[GraftLogFileCommit] = {
     val fs = new Path(staging).getFileSystem(conf)
     val dir = s"$staging/$sub"
     renameTo(df, physSchema).write.parquet(dir)
@@ -1014,7 +1036,22 @@ object GraftLogOps {
           conf, s"$dir/$n", physSchema)
         if (rows == 0L) {
           fs.delete(new Path(s"$dir/$n"), false); None
-        } else Some(GraftLogFileCommit(s"$dir/$n", rows, bytes, st))
+        } else {
+          // the CHANGE-FEED class rides in the stats JSON ("cdc" key):
+          // a MoR update/merge tags its transformed-row files
+          // update_postimage so the feed can tell moves from inserts
+          val tagged = cdcClass match {
+            case None => st
+            case Some(c) =>
+              import org.json4s._
+              import org.json4s.jackson.JsonMethods
+              val base = st.map(JsonMethods.parse(_))
+                .getOrElse(JObject())
+              Some(JsonMethods.compact(JsonMethods.render(
+                base.merge(JObject("cdc" -> JString(c))))))
+          }
+          Some(GraftLogFileCommit(s"$dir/$n", rows, bytes, tagged))
+        }
       }
   }
 
@@ -1078,7 +1115,7 @@ object GraftLogOps {
             dvBase, Nil, Some(schema),
             extraRows = layoutRows ++ dvRows,
             dvFiles = dvFiles,
-            readVersion = Some(latest))
+            readVersion = Some(latest), op = Some("delete"))
         } else {
           // dense files rewrite copy-on-write (masked read — prior
           // deletions stay deleted), committed TOGETHER with the dv
@@ -1097,7 +1134,7 @@ object GraftLogOps {
             Some(schema), removes = denseRel.map(_._1).toSeq,
             extraRows = layoutRows ++ dvRows,
             dvFiles = dvFiles,
-            readVersion = Some(latest))
+            readVersion = Some(latest), op = Some("delete"))
           catch { case scala.util.control.NonFatal(e) =>
             fs.delete(new Path(staging), true)
             throw e
@@ -1312,6 +1349,7 @@ object GraftLogOps {
           GraftLogWrite.commitStaged(conf, root, staging, files,
             Some(schema), removes = bins.flatten,
             readVersion = Some(latest),
+            op = Some("compact"),
             extraRows =
               (if (partCols.isEmpty) Nil
                else Seq(GraftLog.ManifestRow("partcols",

@@ -186,6 +186,12 @@ class GraftLogReplaceDataWrite(root: String, writeSchema: StructType,
     GraftLogWrite.commitStaged(c, root, staging,
       messages.flatMap(_.asInstanceOf[GraftLogCommitMessage].files).toSeq,
       Some(writeSchema), removes = removes,
+      op = Some(op.command() match {
+        case RowLevelOperation.Command.DELETE => "delete"
+        case RowLevelOperation.Command.UPDATE => "update"
+        case RowLevelOperation.Command.MERGE  => "merge"
+        case other => other.toString.toLowerCase
+      }),
       // dv-conflict guard: the rewrite read these files masked as of
       // the operation's snapshot — a concurrent dv commit on one of
       // them would be silently resurrected by this remove+add

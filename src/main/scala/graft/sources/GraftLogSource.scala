@@ -126,6 +126,16 @@ object GraftLog {
     */
   val planFooterReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Scan-side I/O instrumentation (folded once per reader close, so
+    * the hot loops never touch an atomic): row groups the vectorized
+    * reader actually decoded, and records the row reader actually
+    * assembled. GraftLogDvSpec pins that a selective pushed predicate
+    * keeps BOTH small on a deletion-vector'd file — row-group skips
+    * and record filtering must survive the mask.
+    */
+  val scanRowGroupsRead = new java.util.concurrent.atomic.AtomicLong(0L)
+  val scanRecordsRead = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Plan-time CONTROL-PLANE round-trips — one increment per `_log`
     * listing, per manifest/checkpoint status probe, and per manifest/
     * checkpoint file open. This is the metric the CHECKPOINT design
@@ -435,18 +445,26 @@ object GraftLog {
     * OPTIMIZE and every rewrite fold DVs away (the remove of the data
     * file drops its DV from the fold).
     */
+  /** `cdcClass` classifies the delta positions for the change feed:
+    * None = plain deletes (MoR DELETE); "update_preimage" = the masked
+    * rows are the OLD versions of rows a MoR UPDATE/MERGE re-appended
+    * transformed (whose add files carry the matching
+    * "update_postimage" class) — Delta-style `_change_type` values, so
+    * downstream consumers can distinguish moves from churn.
+    */
   case class DvDescriptor(dv: String, card: Long,
-      delta: String, deltaCard: Long)
+      delta: String, deltaCard: Long, cdcClass: Option[String] = None)
 
   /** `dv` manifest-row stats payload: `{"dv":path,"card":n,
-    * "delta":path,"dcard":m}`.
+    * "delta":path,"dcard":m[,"cdc":class]}`.
     */
   def encodeDv(d: DvDescriptor): String = {
     import org.json4s.JsonDSL._
+    val base = ("dv" -> d.dv) ~ ("card" -> d.card) ~
+      ("delta" -> d.delta) ~ ("dcard" -> d.deltaCard)
     org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(
-        ("dv" -> d.dv) ~ ("card" -> d.card) ~
-          ("delta" -> d.delta) ~ ("dcard" -> d.deltaCard)))
+        d.cdcClass.fold(base)(c => base ~ ("cdc" -> c))))
   }
 
   def decodeDv(json: String): DvDescriptor = {
@@ -454,7 +472,8 @@ object GraftLog {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     DvDescriptor(
       (m \ "dv").extract[String], (m \ "card").extract[Long],
-      (m \ "delta").extract[String], (m \ "dcard").extract[Long])
+      (m \ "delta").extract[String], (m \ "dcard").extract[Long],
+      (m \ "cdc").extractOpt[String])
   }
 
   /** Sidecar format: magic "GDV1", int count, then count big-endian
@@ -1873,8 +1892,13 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
         rows.flatMap {
           case r @ GraftLog.ManifestRow("add", f, _, _, _) =>
             running -= f
+            // a MoR update/merge writes its transformed-row files with
+            // a change-feed class in the stats JSON — surface it;
+            // untagged adds are plain inserts
             GraftLog.expandRow(conf.value, root, r)
-              .map(e => PlannedFile(e, Some(("insert", v.toLong))))
+              .map(e => PlannedFile(e,
+                Some((e.stats.flatMap(_.cdcClass).getOrElse("insert"),
+                  v.toLong))))
           case GraftLog.ManifestRow("remove", f, _, _, _) =>
             // delete rows for the file's LIVE remainder: positions
             // already masked by an earlier dv commit were emitted as
@@ -1892,9 +1916,11 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
           case GraftLog.ManifestRow("dv", f, _, _, Some(json)) =>
             val d = GraftLog.decodeDv(json)
             running(f) = d
-            // the newly-masked positions ARE this version's deletes
+            // the newly-masked positions ARE this version's deletes —
+            // or, for a MoR update/merge, the UPDATE PREIMAGES (the
+            // descriptor carries the class)
             Seq(PlannedFile(FileEntry(s"$root/$f"),
-              Some(("delete", v.toLong)),
+              Some((d.cdcClass.getOrElse("delete"), v.toLong)),
               dvEmit = Some(s"$root/${d.delta}")))
           case _ => Seq.empty
         }
@@ -2253,21 +2279,40 @@ class GraftLogMicroBatchStream(root: String, pruned: StructType,
       val dvRows = rows.collect {
         case GraftLog.ManifestRow("dv", f, _, _, Some(json)) =>
           (f, GraftLog.decodeDv(json)) }
-      if ((removed.nonEmpty || dvRows.nonEmpty) && !cdc)
+      val opRow = rows.collectFirst {
+        case GraftLog.ManifestRow("op", o, _, _, _) => o }
+      // APPEND-ONLY contract, refined by the commit's OPERATION row:
+      //  - a CONTENT-PRESERVING rewrite (compaction / OPTIMIZE — same
+      //    logical rows, different files) emits NOTHING: its adds
+      //    re-house rows earlier batches already emitted, so skipping
+      //    the whole version is exactly correct;
+      //  - a DELETION-VECTOR commit emits its adds only (a MoR
+      //    update/merge's new row versions ARE appended rows); the
+      //    masked old positions are deletions, which an append-only
+      //    tail cannot retract — documented semantics, and a consumer
+      //    that needs them tails the change feed instead;
+      //  - any OTHER remove (copy-on-write DML, a legacy commit with
+      //    no op row) still refuses loudly: its adds mix re-housed and
+      //    new rows, so neither skipping nor emitting is correct.
+      val preserving = removed.nonEmpty && opRow.contains("compact")
+      if (removed.nonEmpty && !preserving && !cdc)
         throw new IllegalStateException(
           s"graftlog stream: version $v of $root is not append-only " +
-            s"(${(removed.map("removes " + _) ++
-              dvRows.map("deletion vector on " + _._1))
+            s"(${removed.map("removes " + _)
               .take(3).mkString(", ")}...); the tail " +
             "emits appended rows only — run maintenance rewrites on a " +
             "separate log, start a fresh stream from a snapshot, or tail " +
             "with option(\"readChangeFeed\", true) to consume removes as " +
             "delete rows")
-      val adds = rows.collect {
-        case r @ GraftLog.ManifestRow("add", _, _, _, _) => r }
-        .flatMap(GraftLog.expandRow(c, root, _))
-        .map(fe => GraftLogInputPartition(fe.path,
-          if (cdc) Some(("insert", v.toLong)) else None))
+      val adds =
+        if (preserving && !cdc) Seq.empty
+        else rows.collect {
+          case r @ GraftLog.ManifestRow("add", _, _, _, _) => r }
+          .flatMap(GraftLog.expandRow(c, root, _))
+          .map(fe => GraftLogInputPartition(fe.path,
+            if (cdc) Some((fe.stats.flatMap(_.cdcClass)
+              .getOrElse("insert"), v.toLong))
+            else None))
       if (cdc) rows.foreach {
         case GraftLog.ManifestRow("add", f, _, _, _) => running -= f
         case _ => ()
@@ -2284,7 +2329,8 @@ class GraftLogMicroBatchStream(root: String, pruned: StructType,
         if (!cdc) Seq.empty
         else dvRows.map { case (f, d) =>
           running(f) = d
-          GraftLogInputPartition(s"$root/$f", Some(("delete", v.toLong)),
+          GraftLogInputPartition(s"$root/$f",
+            Some((d.cdcClass.getOrElse("delete"), v.toLong)),
             dvEmit = Some(s"$root/${d.delta}"))
         }
       adds ++ dels ++ dvDels
@@ -2374,14 +2420,14 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
   // DELETION-VECTOR mode: dvMask SKIPS the sidecar's positions (a
   // snapshot read of a DV'd file), dvEmit emits ONLY them (the change
   // feed's delete rows for a dv commit). Positions are file-absolute
-  // row indexes, so the record stream must track them exactly: the
-  // pushed predicate is dropped for this file (record-level filtering
-  // and predicate-driven row-group skips would desynchronize the
-  // count; Spark re-applies every filter as residual), and a
-  // byte-range split learns its first row index from the footer's
-  // block metadata below. Sidecar loads go through the executor-wide
-  // [[GraftLog.DvSidecarCache]]: a large file split N ways reads its
-  // sidecar once per executor, not once per split.
+  // row indexes, tracked via parquet's OWN per-record row index
+  // (`ParquetReader.getCurrentRowIndex` — file-absolute under
+  // record-level filtering, row-group skips and byte-range reads
+  // alike, pinned by ParquetRowIndexSpec), so the pushed predicate
+  // stays live on DV'd files: row groups skip and records filter
+  // exactly as on unmasked ones. Sidecar loads go through the
+  // executor-wide [[GraftLog.DvSidecarCache]]: a large file split N
+  // ways reads its sidecar once per executor, not once per split.
   private val dvPositions: Array[Long] =
     dvMask.orElse(dvEmit)
       .map(p => GraftLog.DvSidecarCache.get(conf, p))
@@ -2426,29 +2472,11 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
   // group field order == this array's order
   private var present: Array[(StructField, Int)] = Array.empty
 
-  // first row index of this reader's record stream within the FILE:
-  // 0 for a whole-file read; for a byte-range split, the sum of row
-  // counts of the row groups BEFORE the range — parquet assigns a row
-  // group to the range containing its midpoint (startingPos +
-  // compressedSize / 2, the filterFileMetaDataByMidpoint rule), so the
-  // groups this split reads are exactly those whose midpoint lands in
-  // [start, end), and the rows before them are the prefix sum of the
-  // earlier groups. Only computed in deletion-vector mode (positions
-  // must be file-absolute); spec-pinned against a forced-split read.
-  private var dvStartRow: Long = 0L
-
   private val reader: ParquetReader[Group] = {
     val footer = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), conf))
-    val fileSchema = try {
-      if (dvActive) range.foreach { case (s, _) =>
-        import scala.jdk.CollectionConverters._
-        dvStartRow = footer.getFooter.getBlocks.asScala
-          .filter(b => b.getStartingPos + b.getCompressedSize / 2 < s)
-          .map(_.getRowCount).sum
-      }
-      footer.getFileMetaData.getSchema
-    } finally footer.close()
+    val fileSchema = try footer.getFileMetaData.getSchema
+    finally footer.close()
     cachedFileSchema = fileSchema
     fileInt96 = fileSchema.getFields
       .toArray(Array.empty[org.apache.parquet.schema.Type]).collect {
@@ -2462,13 +2490,13 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
     // the pushed predicate is dropped for THIS file if any column it
     // references is INT96 here (parquet's validator would reject
     // longColumn-vs-INT96 at build) or absent here (written before a
-    // widening — its value is null for every row of this file), and
-    // ALWAYS under a deletion vector (record filtering and
-    // predicate-driven row-group skips would desynchronize the
-    // position count the mask keys on); Spark re-applies all filters
-    // as residuals either way
+    // widening — its value is null for every row of this file); Spark
+    // re-applies all filters as residuals either way. Deletion vectors
+    // do NOT drop it: the mask keys on parquet's own per-record row
+    // index, which stays file-absolute under record filtering and
+    // row-group skips (ParquetRowIndexSpec).
     val filt =
-      if (dvActive || predicateRefs.exists(r => fileInt96.contains(r) ||
+      if (predicateRefs.exists(r => fileInt96.contains(r) ||
         !fileSchema.containsField(r))) None
       else predicate
     // projection = the file's OWN field definitions filtered to the
@@ -2612,16 +2640,10 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
 
   private var current: Group = _
 
-  // position of the NEXT record the underlying reader will return,
-  // and the cursor into the sorted dv positions array — both advance
-  // monotonically, so membership is a pointer walk, never a search
-  private var dvPos: Long = dvStartRow
-  private var dvIdx: Int = {
-    // first masked position at or after this split's start row
-    var i = java.util.Arrays.binarySearch(dvPositions, dvStartRow)
-    if (i < 0) i = -i - 1
-    i
-  }
+  // cursor into the sorted dv positions array — parquet's per-record
+  // row index advances monotonically (even across row-group skips and
+  // filtered records), so membership is a pointer walk, never a search
+  private var dvIdx: Int = 0
 
   /** Is file-row `p` in the deletion vector? (Pointer walk.) */
   private def dvContains(p: Long): Boolean = {
@@ -2630,16 +2652,26 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
     dvIdx < dvPositions.length && dvPositions(dvIdx) == p
   }
 
+  // records parquet actually assembled for this reader (post record
+  // filtering), folded into GraftLog.scanRecordsRead at close
+  private var recordsRead = 0L
+
   override def next(): Boolean = {
     if (!dvActive) {
       current = reader.read()
+      if (current != null) recordsRead += 1
       current != null
     } else {
-      // skip masked records (or, in emit mode, unmasked ones) while
-      // tracking the file-absolute position of every record consumed
+      // skip masked records (or, in emit mode, unmasked ones), keyed
+      // on the FILE-ABSOLUTE row index parquet reports for the record
+      // it just returned — exact under the pushed predicate's
+      // row-group skips and record filtering, and under range splits
       while ({ current = reader.read(); current != null }) {
-        val p = dvPos
-        dvPos += 1
+        recordsRead += 1
+        val p = reader.getCurrentRowIndex
+        require(p >= 0L,
+          s"graftlog: $file reader reports no row index — cannot " +
+            "apply a deletion vector to its records")
         val in = dvContains(p)
         if (in == dvSelect) return true
       }
@@ -2662,5 +2694,8 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
     row
   }
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = {
+    GraftLog.scanRecordsRead.addAndGet(recordsRead)
+    reader.close()
+  }
 }

@@ -53,7 +53,8 @@ object GraftLogStats {
     * connector serves Spark's CBO ([[GraftLogScan]]'s columnStats).
     */
   case class ColStats(min: Map[String, Any], max: Map[String, Any],
-      nulls: Map[String, Long], ndv: Map[String, String] = Map.empty)
+      nulls: Map[String, Long], ndv: Map[String, String] = Map.empty,
+      cdcClass: Option[String] = None)
 
   /** Per-column DISTINCT-COUNT sketch: a plain dense HyperLogLog with
     * 2^8 registers (≤3% relative error — join-ordering accuracy, not
@@ -365,7 +366,8 @@ object GraftLogStats {
         obj("min").flatMap { case (k, v) => raw(v).map(k -> _) },
         obj("max").flatMap { case (k, v) => raw(v).map(k -> _) },
         obj("nulls").collect { case (k, JInt(n)) => k -> n.toLong },
-        obj("ndv").collect { case (k, JString(s)) => k -> s }))
+        obj("ndv").collect { case (k, JString(s)) => k -> s },
+        m.get("cdc").collect { case JString(c) => c }))
     } catch { case _: Exception => None }
 
   // -------------------------------------------------------------------

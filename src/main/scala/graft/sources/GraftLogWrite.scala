@@ -235,11 +235,18 @@ object GraftLogWrite {
   private[graft] def groupWriter(path: Path, schema: MessageType,
       conf: Configuration): ParquetWriter[Group] = {
     GroupWriteSupport.setSchema(schema, conf)
+    // row-group target: tunable via `graft.log.write.rowgroup.bytes`
+    // (e.g. spark.hadoop.graft.log.write.rowgroup.bytes) — smaller
+    // groups trade compression for finer predicate row-group skipping;
+    // specs also use it to force multi-group files at test scale
+    val rowGroupBytes = conf.getLong("graft.log.write.rowgroup.bytes",
+      ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
     ExampleParquetWriter.builder(
         org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(path, conf))
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .withType(schema)
+      .withRowGroupSize(rowGroupBytes)
       .build()
   }
 
@@ -381,7 +388,8 @@ object GraftLogWrite {
       addConflict: Option[(Int, GraftLog.ManifestRow => Boolean)] = None,
       allowSchemaChange: Boolean = false,
       dvFiles: Seq[String] = Nil,
-      readVersion: Option[Int] = None)
+      readVersion: Option[Int] = None,
+      op: Option[String] = None)
       : Int = {
     val fs = new Path(root).getFileSystem(conf)
     val n = claimVersion(conf, root)
@@ -572,8 +580,17 @@ object GraftLogWrite {
       else GraftLog.commitInstantMicros(conf, root, n - 1)
     val commitMicros = math.max(System.currentTimeMillis() * 1000L,
       prevMicros.map(_ + 1L).getOrElse(Long.MinValue))
+    // the OPERATION row names what this commit did ("append",
+    // "delete", "compact", ...). Consumers that must distinguish
+    // CONTENT-PRESERVING rewrites (compaction, optimize — same logical
+    // rows, different files) from genuine data change (DML) read it:
+    // the snapshot streaming tail skips preserving rewrites instead of
+    // refusing, and the change feed classifies update commits. Old
+    // versions without the row stay "unknown" — every consumer falls
+    // back to its conservative pre-op behavior.
     writeManifest(conf, root, n, manifestAdds, recordedSchema,
-      removes, extraRows, commitMicros)
+      removes, op.map(GraftLog.ManifestRow("op", _)).toSeq ++ extraRows,
+      commitMicros)
     // legacy staging: drop loser-attempt remnants. In-place staging IS
     // the final directory — deleting it would delete the committed
     // files; losers there were removed by their own task aborts.
@@ -756,7 +773,8 @@ class GraftLogBatchWrite(root: String, schema: StructType,
       messages.flatMap(_.asInstanceOf[GraftLogCommitMessage].files).toSeq,
       // the manifest records the LOGICAL schema; `schema` is the
       // physical (file-side) form under column mapping
-      Some(Option(recordSchema).getOrElse(schema)))
+      Some(Option(recordSchema).getOrElse(schema)),
+      op = Some("append"))
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(staging)
@@ -841,6 +859,7 @@ class GraftLogStreamingWrite(root: String, schema: StructType,
     GraftLogWrite.commitStaged(c, root, staging(epochId),
       messages.flatMap(_.asInstanceOf[GraftLogCommitMessage].files).toSeq,
       Some(Option(recordSchema).getOrElse(schema)),
+      op = Some("append"),
       beforeOk = { n =>
         // atomic content: write-then-rename, so a crash can never leave
         // a PARTIAL version number (a truncated "1" of "12" would make

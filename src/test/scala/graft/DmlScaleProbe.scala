@@ -169,16 +169,17 @@ object DmlScaleProbe {
       val ddl = "o_orderkey BIGINT, bucket BIGINT, " +
         (0 until 48).map(i => s"m$i DOUBLE").mkString(", ")
       // the kill switch is a hadoop conf: route it through the session
-      if (!ndv) spark.conf.set(
-        "spark.hadoop.graft.log.ndv.enabled", "false")
+      // by its BARE key — runtime session confs reach newHadoopConf
+      // verbatim (the spark.hadoop. prefix is only stripped from the
+      // startup SparkConf, so the prefixed form never arrives)
+      if (!ndv) spark.conf.set("graft.log.ndv.enabled", "false")
       val t0 = System.nanoTime()
       try graft.Tables.orders(spark, d).select(wideCols: _*)
         .write.format(graft.sources.GraftLog.Format)
         .option("path", root).option("schema", ddl)
         .option("partitionBy", "bucket")
         .mode("append").save()
-      finally if (!ndv) spark.conf.unset(
-        "spark.hadoop.graft.log.ndv.enabled")
+      finally if (!ndv) spark.conf.unset("graft.log.ndv.enabled")
       println(f"[dmlscale] wide_load_${if (ndv) "ndv" else "nondv"}%s " +
         f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
       root

@@ -202,9 +202,10 @@ class GraftLogDvSpec extends SparkSpecBase {
   }
 
   test("the change feed emits DELTA positions as delete rows; the " +
-      "snapshot streaming tail refuses a dv version loudly; checkpoint " +
-      "consolidation carries the vectors; COUNT refuses the manifest " +
-      "pushdown and answers exactly") {
+      "snapshot streaming tail TOLERATES dv versions (appends only) " +
+      "and skips the OPTIMIZE fold; checkpoint consolidation carries " +
+      "the vectors; COUNT refuses the manifest pushdown and answers " +
+      "exactly") {
     val root = mkTable("graft_dv_cdc")
     GraftLogOps.deleteFromLog(spark, root, col("id") % 16 === 3,
       GraftLogOps.DeleteModeMor)
@@ -220,19 +221,23 @@ class GraftLogDvSpec extends SparkSpecBase {
     assert(cdc.filter(col(GraftLog.ChangeTypeCol) === "delete" &&
       col(GraftLog.CommitVersionCol) === 2L)
       .filter(col("id") % 16 === 3).count() === 25L)
-    // snapshot tail: loud refusal at the dv version
-    val err = intercept[Exception] {
+    // snapshot tail: dv versions are TOLERATED — the tail emits
+    // appended rows only, a MoR delete appends nothing, and the masked
+    // positions (not retractable in an append-only stream) surface via
+    // the change feed instead
+    val ckp = Files.createTempDirectory("graft_dv_ckp").toString
+    val tailOut = Files.createTempDirectory("graft_dv_tail").toString
+    def drainTail(): Unit =
       spark.readStream.format("graftlog").option("path", root).load()
-        .writeStream.format("noop")
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft_dv_ckp").toString)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(tailOut)
+        }
+        .option("checkpointLocation", ckp)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination()
-    }
-    def rootCause(t: Throwable): Throwable =
-      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
-    assert((err.getMessage + rootCause(err).getMessage)
-      .contains("deletion vector"))
+    drainTail()
+    assert(spark.read.parquet(tailOut).count() === 400L) // v2/v3 dv: none
     // checkpoint: the consolidated live state must keep the mask
     GraftLog.writeCheckpoint(conf, root, 3)
     GraftLog.clearPlanCaches()
@@ -253,6 +258,18 @@ class GraftLogDvSpec extends SparkSpecBase {
     GraftLogOps.vacuumLog(spark, root, 3)
     GraftLog.clearPlanCaches()
     assert(snap(root).count() === 350L)
+    // tail across the FOLD: OPTIMIZE is a content-preserving rewrite
+    // (op=compact) — its adds re-house rows the tail already emitted,
+    // so the resumed stream emits NOTHING for it, then a genuine
+    // append streams through normally
+    GraftLogOps.compactLog(spark, root) // v4: folds the vectors
+    spark.range(1000, 1010)
+      .selectExpr("id", "id % 4 AS bucket",
+        "CAST(id * 10 AS DOUBLE) AS v")
+      .write.format("graftlog").option("path", root)
+      .mode("append").save() // v5
+    drainTail() // resume past offset 3: v4 skipped, v5 streams through
+    assert(spark.read.parquet(tailOut).count() === 410L)
   }
 
   test("merge-on-read MERGE: matched rows mask, the source appends, " +
@@ -280,14 +297,26 @@ class GraftLogDvSpec extends SparkSpecBase {
     assert(vrows.count(_.action == "remove") === 0)
     val st = GraftLog.liveState(conf, mor, 2)
     assert(st.dvs.values.map(_.deltaCard).sum === 5L)
-    // change feed: delta deletes + source inserts
+    // change feed, CLASSIFIED: the 5 matched keys' masked old versions
+    // are update preimages, their re-appended new versions postimages,
+    // and only the 2 genuinely-new keys plain inserts — no anonymous
+    // delete/insert churn for a row-level merge
     val cdc = spark.read.format("graftlog").option("path", mor)
       .option("readChangeFeed", true).load()
       .filter(col(GraftLog.CommitVersionCol) === 2L)
-    assert(cdc.filter(col(GraftLog.ChangeTypeCol) === "delete")
+    assert(cdc.filter(col(GraftLog.ChangeTypeCol) === "update_preimage")
+      .count() === 5L)
+    assert(cdc.filter(col(GraftLog.ChangeTypeCol) === "update_postimage")
       .count() === 5L)
     assert(cdc.filter(col(GraftLog.ChangeTypeCol) === "insert")
-      .count() === 7L)
+      .count() === 2L)
+    assert(cdc.filter(col(GraftLog.ChangeTypeCol) === "delete")
+      .count() === 0L)
+    // preimages carry the OLD values, postimages the NEW
+    assert(cdc.filter(col(GraftLog.ChangeTypeCol) === "update_preimage"
+        && col("id") === 1L).head().getAs[Double]("v") === 10.0)
+    assert(cdc.filter(col(GraftLog.ChangeTypeCol) === "update_postimage"
+        && col("id") === 1L).head().getAs[Double]("v") === -1.0)
     // a DENSE merge source (rewrites ≥ half a file) still lands
     // correctly: every bucket=1 key replaced
     val dense = spark.range(0, 400)
@@ -391,5 +420,67 @@ class GraftLogDvSpec extends SparkSpecBase {
       GraftLogOps.DeleteModeMor)
     assert(snap(root).filter(col("id").isin(3L, 19L)).count() === 0L)
     assert(snap(root).count() === 398L)
+  }
+
+  test("the pushed predicate SURVIVES a deletion vector: row-group " +
+      "skips and record filtering stay live on masked files, and both " +
+      "reader paths equal the unpushed twin value-for-value") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val root = Files.createTempDirectory("graft_dv_push").toString
+    // ONE data file forced into MANY small row groups, so group skips
+    // are observable at test scale
+    // NOTE: runtime session confs reach newHadoopConf VERBATIM — the
+    // spark.hadoop. prefix is only stripped from the STARTUP SparkConf,
+    // so hadoop-conf knobs are set by their bare key here
+    spark.conf.set("graft.log.write.rowgroup.bytes", "8192")
+    try spark.range(0, 40000)
+      .selectExpr("id", "id * 7 AS v")
+      .coalesce(1)
+      .write.format("graftlog").option("path", root)
+      .option("schema", "id BIGINT, v BIGINT").mode("append").save()
+    finally spark.conf.unset("graft.log.write.rowgroup.bytes")
+    val dataFile = GraftLog.dataFiles(conf, root, 1).head
+    val footer = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(dataFile), conf))
+    val totalGroups = try footer.getRowGroups.size finally footer.close()
+    assert(totalGroups >= 8, s"fixture wants many groups: $totalGroups")
+    // scattered sparse delete → deletion vector on the file; one masked
+    // position (39000) sits INSIDE the predicate's matching range, so a
+    // desynchronized mask would surface it (or hide a neighbor)
+    GraftLogOps.deleteFromLog(spark, root, col("id") % 1000 === 0,
+      GraftLogOps.DeleteModeMor)
+    assert(GraftLog.liveState(conf, root, 2).dvs.size === 1)
+    val pred = col("id") >= 39000L
+    // the unpushed twin: full masked scan, filtered in memory
+    val want = snap(root).collect().toSeq
+      .filter(_.getLong(0) >= 39000L).map(_.toSeq).sortBy(_.toString)
+    assert(want.size === 999) // 1000 rows minus the masked id=39000
+    // vectorized path: row groups SKIP despite the mask
+    GraftLog.scanRowGroupsRead.set(0L)
+    val gotVec = snap(root).filter(pred).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val groupsRead = GraftLog.scanRowGroupsRead.get()
+    assert(gotVec === want)
+    assert(groupsRead > 0 && groupsRead < totalGroups / 2,
+      s"expected row-group skips on the DV'd file: read $groupsRead " +
+        s"of $totalGroups")
+    // row path: record-level filtering stays live despite the mask
+    GraftLog.scanRecordsRead.set(0L)
+    val gotRow = spark.read.format("graftlog").option("path", root)
+      .option("columnar", false).load()
+      .filter(pred).collect().map(_.toSeq).sortBy(_.toString)
+    val recs = GraftLog.scanRecordsRead.get()
+    assert(gotRow === want)
+    assert(recs > 0 && recs < 5000L,
+      s"expected record filtering on the DV'd file: assembled $recs " +
+        "of 40000")
+    // change-feed delete rows (dvEmit) honor the same pushed predicate
+    val feed = spark.read.format("graftlog").option("path", root)
+      .option("readChangeFeed", true).option("startingVersion", 2).load()
+      .filter(pred)
+    assert(feed.select("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(39000L))
   }
 }
