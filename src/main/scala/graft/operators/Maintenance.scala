@@ -1261,6 +1261,150 @@ object Maintenance {
       |                ELSE 0 END) AS BIGINT) AS cents_priced
       |FROM orders""".stripMargin
 
+  /** The TYPE-WIDENING fixture: a narrow generation (INT key, FLOAT
+    * price) widened in place by `ALTER TABLE ... ALTER COLUMN ... TYPE`
+    * through the SQL catalog — no rewrite — then appended with values
+    * only the WIDE types can hold (keys past INT range), merge-on-read
+    * deleted across BOTH physical generations, and OPTIMIZE'd (the
+    * compaction reads the mixed physicals up-cast and lands everything
+    * under the wide types).
+    */
+  private[graft] def widenedTableDir(s: SparkSession, d: String): String = {
+    val root = SetupOnce.runtimeDir(d, "orders_graftwiden")
+    SetupOnce(root) {
+      val o = Tables.orders(s, d)
+      o.select(col("o_orderkey").cast("int").as("k"),
+          pmod(col("o_orderkey"), lit(8L)).as("bucket"),
+          col("o_totalprice").cast("float").as("price"))
+        .write.format(graft.sources.GraftLog.Format).option("path", root)
+        .option("schema", "k INT, bucket BIGINT, price FLOAT")
+        .option("partitionBy", "bucket").mode("append").save() // v1
+      val parent = root.substring(0, root.lastIndexOf('/'))
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", parent)
+      s.sql("ALTER TABLE graft.orders_graftwiden " +
+        "ALTER COLUMN k TYPE BIGINT") // v2
+      s.sql("ALTER TABLE graft.orders_graftwiden " +
+        "ALTER COLUMN price TYPE DOUBLE") // v3
+      // keys shifted past INT range; 3e9 ≡ 0 mod 64 and mod 8, so the
+      // delete condition and bucket layout stay aligned across halves
+      o.select((col("o_orderkey") + lit(3000000000L)).as("k"),
+          pmod(col("o_orderkey"), lit(8L)).as("bucket"),
+          col("o_totalprice").as("price"))
+        .write.format(graft.sources.GraftLog.Format).option("path", root)
+        .option("schema", "k BIGINT, bucket BIGINT, price DOUBLE")
+        .option("partitionBy", "bucket").mode("append").save() // v4
+      graft.sources.GraftLogOps.deleteFromLog(s, root,
+        col("k") % 64 === 3,
+        graft.sources.GraftLogOps.DeleteModeMor) // v5: dv, both gens
+      graft.sources.GraftLogOps.compactLog(s, root) // v6: folds, widens
+    }
+    root
+  }
+
+  /** Type widening end-to-end, hash-gated: one snapshot reads BOTH
+    * physical generations (INT32/FLOAT files up-cast value-exactly
+    * beside INT64/DOUBLE ones), the key sum needs BIGINT range, a
+    * selective equality predicate pushes over the mixed physicals
+    * (dropped per-file where the narrow physical would desync the
+    * validator, applied where it matches), the MoR delete masked rows
+    * in both generations, OPTIMIZE folded the masks, and the two
+    * schema pins hold: the v1 point-in-time read keeps its own NARROW
+    * types while the latest presents the widened ones.
+    */
+  def logWiden(s: SparkSession, d: String): DataFrame = {
+    val root = widenedTableDir(s, d)
+    val conf = s.sessionState.newHadoopConf()
+    val latest = latestVersion(s, root)
+    val dvAfter = graft.sources.GraftLog.liveState(conf, root, latest)
+      .dvs.size.toLong
+    def typeStr(v: Int): String = readVersion(s, root, v).schema.fields
+      .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+    val snap = readVersion(s, root, latest)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("k")).as("key_sum"),
+        sum(cents(col("price"))).as("price_cents"))
+    val sel = readVersion(s, root, latest)
+      .filter(col("k") === 3000000001L)
+      .agg(count(lit(1)).as("n_sel"))
+    snap.crossJoin(sel)
+      .select(col("n_rows"), col("key_sum"), col("price_cents"),
+        col("n_sel"),
+        lit(typeStr(1)).as("v1_schema"),
+        lit(typeStr(latest)).as("schema_now"),
+        lit(dvAfter).as("dv_after_optimize"))
+  }
+
+  val logWidenSql: String =
+    """WITH kept AS (
+      |  SELECT o_orderkey AS k,
+      |         CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS fprice,
+      |         o_totalprice AS dprice
+      |  FROM orders WHERE o_orderkey % 64 <> 3)
+      |SELECT 2 * COUNT(*) AS n_rows,
+      |       CAST(2 * SUM(k) + 3000000000 * COUNT(*) AS BIGINT)
+      |         AS key_sum,
+      |       CAST(SUM(CAST(floor(fprice * 100 + 0.5) AS BIGINT)) +
+      |            SUM(CAST(floor(dprice * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT) AS price_cents,
+      |       CAST(1 AS BIGINT) AS n_sel,
+      |       'k:int,bucket:bigint,price:float' AS v1_schema,
+      |       'k:bigint,bucket:bigint,price:double' AS schema_now,
+      |       CAST(0 AS BIGINT) AS dv_after_optimize
+      |FROM kept""".stripMargin
+
+  /** The NESTED-STATISTICS fixture: struct-typed training metadata
+    * (`meta.score`, `meta.price`) bucket-partitioned so each file's
+    * manifest row carries DISJOINT `meta.score` bounds — the shape a
+    * nested-field predicate prunes files from without opening one.
+    */
+  private[graft] def nestedStatsTableDir(s: SparkSession,
+      d: String): String = {
+    val root = SetupOnce.runtimeDir(d, "orders_graftnest")
+    SetupOnce(root) {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          pmod(col("o_orderkey"), lit(4L)).as("bucket"),
+          struct(
+            (pmod(col("o_orderkey"), lit(4L)) * 1000 +
+              pmod(col("o_orderkey"), lit(100L)))
+              .cast("double").as("score"),
+            col("o_totalprice").as("price")).as("meta"))
+        .write.format(graft.sources.GraftLog.Format).option("path", root)
+        .option("schema", "o_orderkey BIGINT, bucket BIGINT, " +
+          "meta STRUCT<score: DOUBLE, price: DOUBLE>")
+        .option("partitionBy", "bucket").mode("append").save()
+    }
+    root
+  }
+
+  /** Struct-leaf manifest statistics, hash-gated: a predicate on the
+    * NESTED `meta.score` field (bounds live in the manifest under the
+    * leaf's dotted path) selects exactly the bucket whose score range
+    * matches — NdvWriteFoldSpec pins that the non-matching files are
+    * pruned from the PLAN (one planned partition of four), this query
+    * hash-gates the surviving values. A nested-stats bug anywhere —
+    * bounds keyed wrong, a dotted path that stops resolving, a skip
+    * that drops a matching file — fails one side.
+    */
+  def logNestedStats(s: SparkSession, d: String): DataFrame = {
+    val root = nestedStatsTableDir(s, d)
+    s.read.format(graft.sources.GraftLog.Format).option("path", root)
+      .load()
+      .filter(col("meta.score") >= 3000.0)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("meta.price"))).as("price_cents"),
+        sum(col("meta.score").cast("long")).as("score_sum"))
+  }
+
+  val logNestedStatsSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT) AS price_cents,
+      |       CAST(SUM(3000 + o_orderkey % 100) AS BIGINT) AS score_sum
+      |FROM orders WHERE o_orderkey % 4 = 3""".stripMargin
+
   /** Manifest-served aggregates: COUNT(*) / COUNT(col) / MIN / MAX over
     * the connector-written log answer from the manifest statistics
     * alone — GraftLogAggScan, ONE partition, zero data bytes at any

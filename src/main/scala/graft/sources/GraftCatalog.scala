@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
@@ -390,11 +390,44 @@ class GraftCatalog extends TableCatalog
         val prefix = n + "."
         colMap = colMap.filter { case (l, _) =>
           l != n && !l.startsWith(prefix) }
+      case t: TableChange.UpdateColumnType =>
+        // TYPE WIDENING: the per-version schema machinery already
+        // returns each version's own schema, and both readers decode
+        // per THIS FILE's physical type — so a widening commit needs
+        // no rewrite: old files' values up-cast at the read boundary
+        // (INT32→long, FLOAT→double, decimal precision growth at the
+        // same scale keeps the physical decode keyed on the file).
+        // Anything beyond those pairs would MISREAD existing files'
+        // bytes and refuses.
+        val path = t.fieldNames().toSeq
+        val name = path.mkString(".")
+        def widensType(from: DataType, to: DataType): Boolean =
+          (from, to) match {
+            case (IntegerType, LongType)  => true
+            case (FloatType, DoubleType)  => true
+            case (f: DecimalType, w: DecimalType) =>
+              w.scale == f.scale && w.precision > f.precision
+            case _ => false
+          }
+        fields = rewriteAt(fields, path.init, { fs =>
+          val idx = fs.indexWhere(_.name == path.last)
+          require(idx >= 0, s"graft catalog: ALTER COLUMN $name — no " +
+            s"such column in [${StructType(fs).toDDL}]")
+          val cur = fs(idx).dataType
+          require(widensType(cur, t.newDataType()),
+            s"graft catalog: ALTER COLUMN $name TYPE " +
+              s"${t.newDataType().sql} — only WIDENING type changes " +
+              s"are supported from ${cur.sql} (INT->BIGINT, " +
+              "FLOAT->DOUBLE, DECIMAL precision growth at the same " +
+              "scale); anything else would misread existing files")
+          fs.updated(idx, fs(idx).copy(dataType = t.newDataType()))
+        })
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER $other — ADD COLUMN " +
           "(appended) follows the WIDENING contract, RENAME/DROP use " +
-          "column mapping; positioned adds and type changes would " +
-          "misread existing files' columns")
+          "column mapping, ALTER COLUMN TYPE widens (INT->BIGINT, " +
+          "FLOAT->DOUBLE, DECIMAL precision); positioned adds and " +
+          "narrowing changes would misread existing files' columns")
     }
     val next = GraftLog.asNullable(StructType(fields))
     // refuse unstorable types now, not at the next append

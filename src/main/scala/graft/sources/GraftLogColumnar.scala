@@ -161,6 +161,12 @@ class GraftLogColumnarReader(file: String, pruned: StructType,
         case TimestampType if fileInt96.contains(f.name) =>
           (cr, v, i) =>
             v.putLong(i, GraftLog.int96ToMicros(cr.getBinary.getBytes))
+        // TYPE-WIDENING boundary: files written before an ALTER COLUMN
+        // TYPE store the narrow physical — up-cast value-exactly
+        case LongType if physical == INT32 =>
+          (cr, v, i) => v.putLong(i, cr.getInteger.toLong)
+        case DoubleType if physical == FLOAT =>
+          (cr, v, i) => v.putDouble(i, cr.getFloat.toDouble)
         case LongType | TimestampType | TimestampNTZType =>
           (cr, v, i) => v.putLong(i, cr.getLong)
         case IntegerType | DateType => (cr, v, i) =>

@@ -1538,9 +1538,15 @@ class GraftLogScanBuilder(root: String, version: Int, tableSchema: StructType,
         f.references.forall(c => !int96.contains(phys(c))) &&
           GraftLog.toParquetPredicate(dataSchema, physFilter(f)).isDefined)
     val acceptedSet = accepted.toSet
+    // NESTED references resolve through the schema walk (dot-joined
+    // struct paths — "meta.score"), not the top-level name list: the
+    // manifest carries min/max/null statistics for struct LEAVES under
+    // their physical dotted paths, so a predicate on a nested training
+    // -metadata field prunes files exactly like a top-level one
     skipOnly = filters.filter(f => !acceptedSet.contains(f) &&
       f.references.forall(c => !int96.contains(phys(c)) &&
-        dataSchema.fieldNames.contains(phys(c))))
+        GraftLogStats.fieldAt(dataSchema,
+          colMap.getOrElse(c, c)).isDefined))
     filters
   }
 
@@ -1974,7 +1980,11 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
     // name Spark resolves attributes against, folded from stats that
     // key on physical names. Estimates describe the UNMASKED files —
     // fine for an optimizer input, refused where exactness matters
-    // (the aggregate pushdown's own gate).
+    // (the aggregate pushdown's own gate). STRUCT-LEAF sketches exist
+    // in the manifest too (dotted paths) but are NOT served here:
+    // Spark's attributeStats map keys on top-level output ATTRIBUTES,
+    // so a nested reference has no slot to land in — nested NDV
+    // surfaces through `CALL graft.system.describe_stats` instead.
     val colStatsMap: java.util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
@@ -2489,15 +2499,26 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
       fileSchema.containsField(f.name) }
     // the pushed predicate is dropped for THIS file if any column it
     // references is INT96 here (parquet's validator would reject
-    // longColumn-vs-INT96 at build) or absent here (written before a
-    // widening — its value is null for every row of this file); Spark
+    // longColumn-vs-INT96 at build), absent here (written before a
+    // column widening — its value is null for every row of this file),
+    // or stored under a NARROWER physical type than the predicate was
+    // built against (written before an ALTER COLUMN TYPE — the
+    // validator would reject longColumn-vs-INT32 the same way); Spark
     // re-applies all filters as residuals either way. Deletion vectors
     // do NOT drop it: the mask keys on parquet's own per-record row
     // index, which stays file-absolute under record filtering and
     // row-group skips (ParquetRowIndexSpec).
+    def physMismatch(r: String): Boolean =
+      pruned.fields.find(_.name == r).forall { pf =>
+        val expected = GraftLogWrite.toParquetType(r, pf.dataType)
+        val actual = fileSchema.getType(fileSchema.getFieldIndex(r))
+        !(expected.isPrimitive && actual.isPrimitive &&
+          expected.asPrimitiveType().getPrimitiveTypeName ==
+            actual.asPrimitiveType().getPrimitiveTypeName)
+      }
     val filt =
       if (predicateRefs.exists(r => fileInt96.contains(r) ||
-        !fileSchema.containsField(r))) None
+        !fileSchema.containsField(r) || physMismatch(r))) None
       else predicate
     // projection = the file's OWN field definitions filtered to the
     // pruned names present here (guaranteed physical-type compatible);
@@ -2557,6 +2578,16 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
           case other => throw new IllegalArgumentException(
             s"graftlog: unsupported decimal physical type $other")
         }
+      // TYPE-WIDENING boundary: files written before an ALTER COLUMN
+      // TYPE store the NARROW physical — up-cast value-exactly here
+      case (LongType, p: org.apache.parquet.schema.PrimitiveType)
+        if p.getPrimitiveTypeName ==
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 =>
+        (g, i, r) => g.getInteger(i, r).toLong
+      case (DoubleType, p: org.apache.parquet.schema.PrimitiveType)
+        if p.getPrimitiveTypeName ==
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT =>
+        (g, i, r) => g.getFloat(i, r).toDouble
       case (LongType | TimestampType | TimestampNTZType, _) =>
         (g, i, r) => g.getLong(i, r)
       case (IntegerType | DateType, _) => (g, i, r) => g.getInteger(i, r)

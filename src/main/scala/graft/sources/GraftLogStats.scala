@@ -180,7 +180,9 @@ object GraftLogStats {
     * amortized into the write instead of repeated at every plan.
     */
   def describeFile(conf: Configuration, file: String,
-      schema: StructType): (Long, Long, Option[String]) = {
+      schema: StructType,
+      ndvOverride: Option[Map[String, String]] = None)
+      : (Long, Long, Option[String]) = {
     val p = new Path(file)
     val bytes = p.getFileSystem(conf).getFileStatus(p).getLen
     val footer = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
@@ -218,9 +220,15 @@ object GraftLogStats {
         }
       }
       nullsDropped.foreach(nulls.remove)
-      val ndv =
-        if (!conf.getBoolean("graft.log.ndv.enabled", true)) Map.empty
+      // the WRITER folds its own sketches as rows stream through
+      // (ndvOverride — zero extra I/O); the re-read below is the
+      // fallback for rewrites staged through Spark's parquet writer,
+      // where no per-row hook exists
+      val ndv = ndvOverride.getOrElse {
+        if (!conf.getBoolean("graft.log.ndv.enabled", true))
+          Map.empty[String, String]
         else ndvSketches(footer)
+      }
       val json =
         if (mins.isEmpty && nulls.isEmpty && ndv.isEmpty) None
         else Some(JsonMethods.compact(JsonMethods.render(JObject(
@@ -236,45 +244,72 @@ object GraftLogStats {
     } finally footer.close()
   }
 
-  /** One pass over the just-written file's TOP-LEVEL PRIMITIVE columns
-    * building a [[NdvSketch]] per column (base64 registers, keyed by
-    * the physical column name like every other stat). Runs on the
-    * EXECUTOR that wrote the file, straight off parquet-hadoop's
-    * column readers — no Spark job, no Group materialization. Hashing
-    * is by PHYSICAL parquet value (the same value every future writer
-    * of the column produces), so sketches merge consistently across
-    * files and schema generations.
+  /** One pass over the just-written file's PRIMITIVE LEAVES — top-level
+    * columns AND plain-struct leaves (keyed by their dotted physical
+    * path, like every other stat; array/map interiors are excluded:
+    * their leaves have no single per-row value) — building a
+    * [[NdvSketch]] per leaf. Runs on the EXECUTOR that wrote the file,
+    * straight off parquet-hadoop's column readers — no Spark job, no
+    * Group materialization. Hashing is by PHYSICAL parquet value (the
+    * same value every future writer of the column produces), so
+    * sketches merge consistently across files and schema generations —
+    * including across TYPE WIDENINGS (an INT32 value hashes as its
+    * long, identical to the INT64 a post-widening writer stores).
+    *
+    * This re-read path is the FALLBACK (rewrites staged through
+    * Spark's writer); the connector's own writer folds identical
+    * sketches as rows stream through ([[graft.sources
+    * .GraftLogDataWriter]]) and passes them via `ndvOverride` —
+    * NdvWriteFoldSpec pins the two forms byte-identical.
     */
-  private def ndvSketches(
+  private[graft] def ndvSketches(
       footer: ParquetFileReader): Map[String, String] = {
     import org.apache.parquet.column.impl.ColumnReadStoreImpl
     import org.apache.parquet.io.api.{Converter, GroupConverter, PrimitiveConverter}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.{GroupType, Type}
     val schema = footer.getFooter.getFileMetaData.getSchema
     val createdBy = footer.getFooter.getFileMetaData.getCreatedBy
-    val prims = schema.getFields.asScala.toArray.collect {
-      case t: org.apache.parquet.schema.PrimitiveType => t
+    // prune to the struct-only subtrees whose leaves are sketchable:
+    // keep primitives and plain (unannotated) struct groups, drop
+    // LIST/MAP groups wholesale
+    def prune(t: Type): Option[Type] = t match {
+      case p: org.apache.parquet.schema.PrimitiveType => Some(p)
+      case g: GroupType if g.getLogicalTypeAnnotation == null =>
+        val kept = g.getFields.asScala.flatMap(prune).toSeq
+        if (kept.isEmpty) None
+        else Some(g.withNewFields(kept.asJava))
+      case _ => None
     }
-    if (prims.isEmpty) return Map.empty
+    val kept = schema.getFields.asScala.flatMap(prune).toSeq
+    if (kept.isEmpty) return Map.empty
     val proj = new org.apache.parquet.schema.MessageType(
-      schema.getName, prims.map(t => t:
-        org.apache.parquet.schema.Type): _*)
-    val regs = prims.map(_ => NdvSketch.empty())
-    val inert = new GroupConverter {
-      override def getConverter(i: Int): Converter =
-        new PrimitiveConverter {}
+      schema.getName, kept.asJava)
+    // inert converter TREE shaped like the projection (the column read
+    // store walks group converters down each column's path)
+    def inertFor(g: GroupType): GroupConverter = new GroupConverter {
+      private val subs: Array[Converter] =
+        g.getFields.asScala.map {
+          case sg: GroupType => inertFor(sg)
+          case _ => new PrimitiveConverter {}
+        }.toArray
+      override def getConverter(i: Int): Converter = subs(i)
       override def start(): Unit = ()
       override def end(): Unit = ()
     }
+    val inert = inertFor(proj)
+    val cols = proj.getColumns.asScala.toArray
+    val names = cols.map(_.getPath.mkString("."))
+    val kinds = cols.map(_.getPrimitiveType.getPrimitiveTypeName)
+    val regs = cols.map(_ => NdvSketch.empty())
     var pages = footer.readNextRowGroup()
     while (pages != null) {
       val store = new ColumnReadStoreImpl(pages, inert, proj, createdBy)
-      val cols = proj.getColumns.asScala.toArray
       var c = 0
       while (c < cols.length) {
         val cr = store.getColumnReader(cols(c))
         val maxDef = cols(c).getMaxDefinitionLevel
-        val kind = prims(c).getPrimitiveTypeName
+        val kind = kinds(c)
         val reg = regs(c)
         var r = 0L
         val n = pages.getRowCount
@@ -300,8 +335,7 @@ object GraftLogStats {
       }
       pages = footer.readNextRowGroup()
     }
-    prims.indices.map(i =>
-      prims(i).getName -> NdvSketch.toB64(regs(i))).toMap
+    names.indices.map(i => names(i) -> NdvSketch.toB64(regs(i))).toMap
   }
 
   /** Parquet footer bound → canonical value, or None for unusable bounds

@@ -938,6 +938,90 @@ class GraftLogDataWriter(staging: String, fileName: String,
   private val finishedFiles = mutable.ArrayBuffer[String]()
   private val dirVisits = mutable.HashMap[String, Int]()
 
+  // ------------------------------------------------------------------
+  // NDV fold-at-write: the per-column HyperLogLog sketches the manifest
+  // carries are hashed HERE, as rows stream through — not by re-reading
+  // the just-written file (the measured ~26% worst-case write tax the
+  // re-read form pays; it remains only as the fallback for rewrites
+  // staged through Spark's writer). Hashing mirrors
+  // GraftLogStats.ndvSketches' BY-PHYSICAL-VALUE rule exactly —
+  // NdvWriteFoldSpec pins the two forms byte-identical — and covers
+  // the same leaf set: top-level primitives plus plain-struct leaves,
+  // keyed by dotted path.
+  // ------------------------------------------------------------------
+  private val ndvEnabled = conf.getBoolean("graft.log.ndv.enabled", true)
+
+  private def leafHash(dt: DataType): Option[
+      (org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+        Int) => Long] = {
+    import GraftLogStats.NdvSketch.{hashBytes, mix64}
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        Some((g, i) => mix64(g.getLong(i)))
+      case IntegerType | DateType => Some((g, i) => mix64(g.getInt(i).toLong))
+      case DoubleType => Some((g, i) =>
+        mix64(java.lang.Double.doubleToLongBits(g.getDouble(i))))
+      case FloatType => Some((g, i) =>
+        mix64(java.lang.Double.doubleToLongBits(g.getFloat(i).toDouble)))
+      case BooleanType => Some((g, i) =>
+        mix64(if (g.getBoolean(i)) 1L else 0L))
+      case StringType => Some((g, i) =>
+        hashBytes(g.getUTF8String(i).getBytes))
+      case BinaryType => Some((g, i) => hashBytes(g.getBinary(i)))
+      case dec: DecimalType =>
+        // by PHYSICAL encoding, mirroring addValue: INT32/INT64 carry
+        // the unscaled value (an INT32's getInteger.toLong round-trips
+        // sign-exactly), wider precisions the fixed-width bytes
+        if (dec.precision <= 18)
+          Some((g, i) =>
+            mix64(g.getDecimal(i, dec.precision, dec.scale)
+              .toUnscaledLong))
+        else {
+          val width = GraftLogWrite.decimalFixedWidth(dec.precision)
+          Some((g, i) => hashBytes(GraftLogWrite.decimalFixedBytes(
+            g.getDecimal(i, dec.precision, dec.scale)
+              .toJavaBigDecimal.unscaledValue(), width)))
+        }
+      case _ => None // array/map leaves: no single per-row value
+    }
+  }
+
+  /** Sketchable leaves of `st` as (dotted path, per-row folder): a
+    * folder hashes its (non-null, all-ancestors-present) value into
+    * the POSITIONAL register it is handed — the hot loop indexes an
+    * array, never a string-keyed map (150k rows × 50 columns of map
+    * lookups was a measurable write tax of its own).
+    */
+  private def collectLeaves(st: StructType, prefix: String,
+      parent: InternalRow => InternalRow)
+      : Seq[(String, (InternalRow, Array[Byte]) => Unit)] =
+    st.fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
+      val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      f.dataType match {
+        case nested: StructType =>
+          collectLeaves(nested, path, { row =>
+            val p = parent(row)
+            if (p == null || p.isNullAt(i)) null
+            else p.getStruct(i, nested.length)
+          })
+        case dt => leafHash(dt).map { h =>
+          (path, (row: InternalRow, reg: Array[Byte]) => {
+            val p = parent(row)
+            if (p != null && !p.isNullAt(i))
+              GraftLogStats.NdvSketch.update(reg, h(p, i))
+          })
+        }.toSeq
+      }
+    }
+
+  private val ndvLeaves: Array[(String, (InternalRow, Array[Byte]) => Unit)] =
+    (if (ndvEnabled) collectLeaves(schema, "", identity)
+     else Seq.empty).toArray
+  // per-FILE registers (a task may write several partition files),
+  // positionally parallel to ndvLeaves
+  private val fileNdv = mutable.HashMap[String, Array[Array[Byte]]]()
+  private var currentRegs: Array[Array[Byte]] = null
+
   private def fileFor(dir: String, visit: Int): String = {
     val name =
       if (visit == 0) fileName
@@ -948,6 +1032,8 @@ class GraftLogDataWriter(staging: String, fileName: String,
   private def closeCurrent(): Unit = if (currentWriter != null) {
     currentWriter.close()
     finishedFiles += currentFile
+    if (currentRegs != null) fileNdv(currentFile) = currentRegs
+    currentRegs = null
     currentWriter = null
     currentDir = null
     currentFile = null
@@ -962,6 +1048,12 @@ class GraftLogDataWriter(staging: String, fileName: String,
       currentWriter = GraftLogWrite.groupWriter(new Path(currentFile),
         msg, new Configuration(conf))
       currentDir = dir
+      if (ndvEnabled)
+        // every sketchable leaf gets a register set up front — an
+        // all-null column records an EMPTY sketch, exactly like the
+        // re-read form (byte-identity is spec-pinned)
+        currentRegs = Array.fill(ndvLeaves.length)(
+          GraftLogStats.NdvSketch.empty())
     }
     currentWriter
   }
@@ -1058,14 +1150,33 @@ class GraftLogDataWriter(staging: String, fileName: String,
       if (!row.isNullAt(i)) addValue(g, i, schema(i).dataType, row, i)
       i += 1
     }
+    if (currentRegs != null) {
+      val regs = currentRegs
+      var l = 0
+      while (l < ndvLeaves.length) {
+        ndvLeaves(l)._2(row, regs(l))
+        l += 1
+      }
+    }
     w.write(g)
   }
 
   override def commit(): WriterCommitMessage = {
     closeCurrent()
     val files = finishedFiles.toSeq.map { f =>
+      // the sketches were folded as rows streamed through — hand them
+      // to describeFile so it reads ONLY the footer (bounds/nulls),
+      // never the data pages. A leaf with no non-null value has no
+      // register entry, same as the re-read form skipping it; the
+      // kill switch hands an empty override (no sketches recorded).
+      val folded: Map[String, String] =
+        fileNdv.get(f).map { regs =>
+          ndvLeaves.indices.map(i => ndvLeaves(i)._1 ->
+            GraftLogStats.NdvSketch.toB64(regs(i))).toMap
+        }.getOrElse(Map.empty)
       val (rows, bytes, stats) =
-        GraftLogStats.describeFile(conf, f, schema)
+        GraftLogStats.describeFile(conf, f, schema,
+          ndvOverride = Some(folded))
       GraftLogFileCommit(f, rows, bytes, stats)
     }
     GraftLogCommitMessage(files)

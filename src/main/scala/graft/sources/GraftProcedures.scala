@@ -33,7 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object GraftProcedures {
 
   val Names: Seq[String] = Seq("optimize", "vacuum", "checkpoint",
-    "history", "detail", "schema_history")
+    "history", "detail", "schema_history", "describe_stats")
 
   /** Result set of zero or more audit rows. */
   private final case class AuditScan(schema: StructType,
@@ -313,6 +313,85 @@ private[sources] object GraftProcedures {
     * reads bind read-time names" (GraftLogScanBuilder's documented
     * colmap semantics).
     */
+  /** `describe_stats(table)` — one row per PRIMITIVE LEAF column
+    * (struct leaves included, dotted logical paths): the
+    * manifest-merged NDV estimate (the per-file HyperLogLog registers
+    * OR-folded — null when any live file lacks a sketch for the
+    * column), the exact null count (null when any file lacks it), and
+    * the file coverage counts. Folded entirely from the manifest —
+    * zero data I/O at any table size; the same register merge the
+    * scan's CBO columnStats serve.
+    */
+  private final class DescribeStats(rootOf: String => String)
+      extends UnboundProcedure {
+    override def name(): String = "describe_stats"
+    override def description(): String =
+      "one row per leaf column: merged NDV estimate, null count, coverage"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "describe_stats"
+        override def description(): String =
+          DescribeStats.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] =
+          Array(param("table", StringType))
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val s = session
+          val root = rootOf(input.getUTF8String(0).toString)
+          val conf = s.sessionState.newHadoopConf()
+          val latest = GraftLog.latestVersion(conf, root)
+          val meta = GraftLog.tableMeta(conf, root, latest)
+          val tblSchema = meta.schema.getOrElse(
+            GraftLog.inferSchema(conf, root, latest))
+          val entries = GraftLog.liveState(conf, root, latest).adds
+            .flatMap(GraftLog.expandRow(conf, root, _))
+          val described = entries.filterNot(_.rows.contains(0L))
+          // logical leaf paths in schema order (struct leaves dotted;
+          // array/map interiors carry no single per-row value)
+          def leaves(st: StructType, prefix: String): Seq[String] =
+            st.fields.toSeq.flatMap { f =>
+              val p = if (prefix.isEmpty) f.name
+                      else s"$prefix.${f.name}"
+              f.dataType match {
+                case nested: StructType => leaves(nested, p)
+                case _: ArrayType | _: MapType => Seq.empty
+                case _ => Seq(p)
+              }
+            }
+          val schema = StructType(Seq(
+            StructField("column", StringType, nullable = false),
+            StructField("ndv_estimate", LongType, nullable = true),
+            StructField("null_count", LongType, nullable = true),
+            StructField("files_sketched", LongType, nullable = false),
+            StructField("num_files", LongType, nullable = false)))
+          val rows = leaves(tblSchema, "").map { logical =>
+            val phys = meta.physicalPath(logical)
+            val sketches = described.flatMap(
+              _.stats.flatMap(_.ndv.get(phys))
+                .map(GraftLogStats.NdvSketch.fromB64))
+            val nullCounts = described.map(
+              _.stats.flatMap(_.nulls.get(phys)))
+            val ndv: Any =
+              if (described.nonEmpty &&
+                  sketches.length == described.length)
+                Long.box(GraftLogStats.NdvSketch.estimate(
+                  sketches.reduce(GraftLogStats.NdvSketch.merge)))
+              else null
+            val nulls: Any =
+              if (described.nonEmpty && nullCounts.forall(_.isDefined))
+                Long.box(nullCounts.flatten.sum)
+              else null
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(logical), ndv, nulls,
+              sketches.length.toLong, described.size.toLong))
+          }
+          Collections.singletonList(
+            AuditScan(schema, rows): Scan).iterator()
+        }
+      }
+  }
+
   private final class SchemaHistory(rootOf: String => String)
       extends UnboundProcedure {
     override def name(): String = "schema_history"
@@ -379,6 +458,7 @@ private[sources] object GraftProcedures {
       case "history"        => new History(rootOf)
       case "detail"         => new Detail(rootOf)
       case "schema_history" => new SchemaHistory(rootOf)
+      case "describe_stats" => new DescribeStats(rootOf)
       case other => throw new IllegalArgumentException(
         s"graft catalog: unknown procedure system.$other — available: " +
           Names.mkString(", "))

@@ -130,4 +130,41 @@ class GraftLogCboSpec extends SparkSpecBase {
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevJr)
     }
   }
+
+  test("a STRUCT-KEYED join keeps the broadcast shape: a small dim " +
+      "joined through its nested leaf broadcasts (manifest rows/bytes " +
+      "drive the size), and the nested leaf's NDV is served through " +
+      "describe_stats — Spark's attributeStats speak top-level " +
+      "attributes only, so that is the nested sketches' surface") {
+    val dir = Files.createTempDirectory("graft_cbo_nest").toString
+    val fact = s"$dir/factn"
+    spark.range(0, 50000)
+      .selectExpr("id AS f_id", "id % 64 AS jkey")
+      .write.format("graftlog").option("path", fact)
+      .option("schema", "f_id BIGINT, jkey BIGINT").mode("append").save()
+    val dim = s"$dir/dimn"
+    spark.range(0, 64)
+      .selectExpr(
+        "named_struct('key', id, 'attr', id * 2) AS meta")
+      .write.format("graftlog").option("path", dim)
+      .option("schema", "meta STRUCT<key: BIGINT, attr: BIGINT>")
+      .mode("append").save()
+    def t(root: String) =
+      spark.read.format("graftlog").option("path", root).load()
+    val q = t(fact).join(t(dim), col("jkey") === col("meta.key"))
+      .agg(sum(col("meta.attr")).as("s"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(q.head().getLong(0) ===
+      (0L until 50000L).map(i => (i % 64) * 2).sum)
+    // nested-leaf NDV: merged sketch within tolerance via the
+    // procedure surface
+    val parent = dim.substring(0, dim.lastIndexOf('/'))
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", parent)
+    val rows = spark.sql("CALL graft.system.describe_stats('dimn')")
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(math.abs(rows("meta.key").asInstanceOf[Long] - 64L) <= 10L)
+  }
 }
