@@ -41,6 +41,14 @@ import org.apache.spark.sql.SparkSession
   * the record is supposed to carry, protecting the driver's
   * 2×-of-baseline gate from spurious trips. The metric line records
   * how many queries escalated (`spread_escalations`) for forensics.
+  *
+  * NOISY-FINISH rerun (round-16; round-15's record passed the start
+  * gate then absorbed mid-run ambient load the per-query escalations
+  * could only partially defend): when the END load sample exceeds the
+  * quiet gate, the whole suite reruns ONCE after re-gating on a quiet
+  * host, and the record carries the better pass plus BOTH totals
+  * (`first_total`/`rerun_total`) so the adjudication round-15 needed a
+  * judge for is in the record itself.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -113,66 +121,109 @@ object Bench {
       case Some(names) => SparkEntry.benchQueries.filter(kv => names(kv._1))
       case None        => SparkEntry.benchQueries
     }
-    // RANDOMIZED measurement order (recorded seed): an alphabetical
-    // order couples each query to a fixed neighborhood — a load spike or
-    // a GC debt always lands on the same names, which round-over-round
-    // comparison then misreads as a per-query regression. The seed is
-    // recorded so any specific ordering can be replayed.
+    // one full measured pass over `selected` in a RANDOMIZED order
+    // (recorded seed): an alphabetical order couples each query to a
+    // fixed neighborhood — a load spike or a GC debt always lands on
+    // the same names, which round-over-round comparison then misreads
+    // as a per-query regression. The seed is recorded so any specific
+    // ordering can be replayed.
+    case class Pass(results: Seq[(String, Double)],
+        allRuns: Seq[(String, Seq[Double])], spreadEscalations: Int,
+        seed: Long) {
+      def total: Double = results.map(_._2).filter(_ >= 0).sum
+    }
+    def runPass(seed: Long): Pass = {
+      val order = new scala.util.Random(seed)
+        .shuffle(selected.toSeq.sortBy(_._1))
+      var spreadEscalations = 0
+      val allRuns =
+        scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+      val measured = order.map { case (name, fn) =>
+        def runOnce(): (Double, Boolean) = {
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+            }
+          ((System.nanoTime() - t0) / 1e9, ok)
+        }
+        val runs = scala.collection.mutable.ArrayBuffer[(Double, Boolean)]()
+        (1 to nRuns).foreach(_ => runs += runOnce())
+        // a failed run returns in milliseconds — it must not masquerade as
+        // the steady-state cost, so the min is over SUCCESSFUL runs; a query
+        // with NO successful run reports the sentinel -1 (stderr carries the
+        // failure message), so a regression-to-failure can never read as a
+        // speedup in round-over-round comparisons
+        def good = runs.collect { case (t, true) => t }.toSeq
+        // mid-run contention the start sample can't see: runs of ONE query
+        // disagreeing >2× measure the host, not the plan — take extra runs
+        // until the MOST RECENT pair of runs agrees (a quiet interval ends
+        // the loop; the accumulated max/min spread is monotone and could
+        // never settle) or the cap hits
+        var escalated = false
+        while (needsEscalation(good) && runs.size < MaxRunsPerQuery) {
+          escalated = true
+          runs += runOnce()
+        }
+        if (escalated) spreadEscalations += 1
+        allRuns(name) = good
+        name -> (if (good.nonEmpty) good.min else -1.0)
+      }
+      // output sorted by name regardless of measurement order, so
+      // records diff cleanly round over round
+      Pass(measured.sortBy(_._1), allRuns.toSeq.sortBy(_._1),
+        spreadEscalations, seed)
+    }
     val orderSeed = sys.env.get("SPARK_GRAFT_BENCH_SEED")
       .flatMap(_.toLongOption).getOrElse(System.nanoTime())
-    val order = new scala.util.Random(orderSeed)
-      .shuffle(selected.toSeq.sortBy(_._1))
-    var spreadEscalations = 0
-    val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    val measured = order.map { case (name, fn) =>
-      def runOnce(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
+    val first = runPass(orderSeed)
+    val loadEnd1 = load1()
+    // NOISY-FINISH RERUN (round-15: the record passed the start gate at
+    // load1 1.31, then ambient load rose to 3.36 MID-RUN and the total
+    // absorbed ~30% of noise the per-query escalations couldn't fully
+    // defend): when the END load sample exceeds the quiet gate, the
+    // start gate demonstrably didn't hold for the whole run — re-gate
+    // on a quiet host (the wait also lets this bench's own contribution
+    // decay out of the 1-minute average) and run the WHOLE suite once
+    // more, recording the better pass plus both totals. Bounded: at
+    // most one rerun, skippable with the same dev-loop escape hatch as
+    // the gate.
+    val rerun: Option[Pass] =
+      if (loadEnd1 <= QuietGateLoad ||
+        sys.env.contains("SPARK_GRAFT_BENCH_NO_GATE")) None
+      else {
+        val w = waitForQuietHost()
+        val p = runPass(orderSeed + 1)
+        System.err.println(
+          f"[bench] noisy finish (load1_end $loadEnd1%.2f) — reran " +
+            f"after ${w}%.0f s wait: first ${first.total}%.2f s, " +
+            f"rerun ${p.total}%.2f s")
+        Some(p)
       }
-      val runs = scala.collection.mutable.ArrayBuffer[(Double, Boolean)]()
-      (1 to nRuns).foreach(_ => runs += runOnce())
-      // a failed run returns in milliseconds — it must not masquerade as
-      // the steady-state cost, so the min is over SUCCESSFUL runs; a query
-      // with NO successful run reports the sentinel -1 (stderr carries the
-      // failure message), so a regression-to-failure can never read as a
-      // speedup in round-over-round comparisons
-      def good = runs.collect { case (t, true) => t }.toSeq
-      // mid-run contention the start sample can't see: runs of ONE query
-      // disagreeing >2× measure the host, not the plan — take extra runs
-      // until the MOST RECENT pair of runs agrees (a quiet interval ends
-      // the loop; the accumulated max/min spread is monotone and could
-      // never settle) or the cap hits
-      var escalated = false
-      while (needsEscalation(good) && runs.size < MaxRunsPerQuery) {
-        escalated = true
-        runs += runOnce()
-      }
-      if (escalated) spreadEscalations += 1
-      allRuns(name) = good
-      name -> (if (good.nonEmpty) good.min else -1.0)
-    }
-    // output sorted by name regardless of measurement order, so records
-    // diff cleanly round over round
-    val results = measured.sortBy(_._1)
+    // the rerun wins only on a FAIR comparison: a -1 failure sentinel
+    // is excluded from a pass's total, so a rerun that regressed a
+    // query to failure could otherwise masquerade as the faster pass
+    def failed(p: Pass): Int = p.results.count(_._2 < 0)
+    val chosen = rerun.filter(p =>
+      p.total < first.total && failed(p) <= failed(first))
+      .getOrElse(first)
+    val rerunInfo = rerun.map(p => (first.total, p.total))
     val loadEnd = load1()
     // forensic band line FIRST (may scroll out of the driver's bounded
     // tail): every successful run of every query, so the recorded min's
     // margin is auditable without a re-run
-    println(runsLine(allRuns.toSeq.sortBy(_._1)))
-    println(metricLine(results, sfDir, loadStart, loadEnd, hostCpus,
-      spreadEscalations, gateWait, orderSeed))
+    println(runsLine(chosen.allRuns))
+    println(metricLine(chosen.results, sfDir, loadStart, loadEnd,
+      hostCpus, chosen.spreadEscalations, gateWait, chosen.seed,
+      rerunInfo))
     // The per-query line above is ~4 KiB at 93 queries and the driver keeps
     // only a bounded stdout tail, parsing the LAST line as JSON — rounds 4-6
     // lost their totals when the big line overflowed that tail. So the very
     // last line printed is a compact total-only record that cannot outgrow
     // the tail no matter how many queries exist.
-    println(totalLine(results))
+    println(totalLine(chosen.results))
     spark.stop()
   }
 
@@ -185,7 +236,8 @@ object Bench {
       loadStart: Double = 0.0, loadEnd: Double = 0.0,
       hostCpus: Int = Runtime.getRuntime.availableProcessors,
       spreadEscalations: Int = 0, gateWaitSec: Double = 0.0,
-      orderSeed: Long = 0L): String = {
+      orderSeed: Long = 0L,
+      rerunInfo: Option[(Double, Double)] = None): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total sums successes only — the -1 sentinels must not deflate it
@@ -195,9 +247,14 @@ object Bench {
     // local[32] run can push it past any threshold), so it is recorded
     // for forensics but must not assert contention
     val noisy = isNoisy(loadStart, hostCpus)
+    // a noisy finish triggered a full second pass: both totals are
+    // recorded (the per-query map above is the BETTER pass's)
+    val rerunFields = rerunInfo.fold("") { case (f, r) =>
+      s""""first_total":$f,"rerun_total":$r,""" }
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""load1_start":$loadStart,"load1_end":$loadEnd,"noisy":$noisy,""" +
       s""""spread_escalations":$spreadEscalations,""" +
+      rerunFields +
       s""""gate_wait_sec":$gateWaitSec,"order_seed":$orderSeed,""" +
       s""""sf":"$sf"}"""
   }

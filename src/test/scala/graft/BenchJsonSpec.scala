@@ -26,6 +26,19 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(node.get("queries").size() === 3)
   }
 
+  test("a noisy-finish rerun records BOTH totals and stays parseable") {
+    val line = Bench.metricLine(Seq("q_a" -> 0.25), "/d", 0.5, 3.4,
+      hostCpus = 32, rerunInfo = Some((137.8, 104.2)))
+    val node = mapper.readTree(line)
+    assert(node.get("first_total").asDouble() === 137.8)
+    assert(node.get("rerun_total").asDouble() === 104.2)
+    // without a rerun the fields are simply absent
+    val plain = mapper.readTree(
+      Bench.metricLine(Seq("q_a" -> 0.25), "/d"))
+    assert(plain.get("first_total") == null)
+    assert(plain.get("rerun_total") == null)
+  }
+
   test("load fields land in the metric line and the noisy flag trips at " +
       "the absolute ambient threshold (capped by half-cores on small hosts)") {
     val quiet = mapper.readTree(
