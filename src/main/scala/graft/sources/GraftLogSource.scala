@@ -1117,8 +1117,14 @@ object GraftLog {
     */
   def toParquetPredicate(schema: StructType,
       f: Filter): Option[FilterPredicate] = {
+    // dotted paths resolve through the schema walk, so STRUCT-LEAF
+    // predicates push too — parquet's FilterApi column factories take
+    // dot-joined paths natively, and record-level filtering handles
+    // nested columns; the row reader (which owns every nested
+    // projection) drops the predicate per-file when the file predates
+    // the leaf or stores it narrower
     def typeOf(c: String): Option[DataType] =
-      schema.fields.find(_.name == c).map(_.dataType)
+      GraftLogStats.fieldAt(schema, c).map(_.dataType)
     def longVal(v: Any): Option[java.lang.Long] = v match {
       case n: Number => Some(java.lang.Long.valueOf(n.longValue()))
       case t: java.sql.Timestamp =>
@@ -2473,10 +2479,10 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
         (!synthFile || f.name != GraftLog.FileCol) }
 
   // captured from this FILE's footer so mixed-encoding logs (INT96 in
-  // one snapshot, INT64 micros in another) decode correctly per file,
-  // and columns a WIDENING appended after this file was written are
-  // null-filled instead of looked up
-  private var fileInt96: Set[String] = Set.empty
+  // one snapshot, INT64 micros in another) decode correctly per file
+  // (the decoders key on the file's own parquet types), and columns a
+  // WIDENING appended after this file was written are null-filled
+  // instead of looked up
   private var cachedFileSchema: MessageType = _
   // pruned data columns present in THIS file, with their output index;
   // group field order == this array's order
@@ -2488,37 +2494,50 @@ class GraftLogPartitionReader(file: String, pruned: StructType,
     val fileSchema = try footer.getFileMetaData.getSchema
     finally footer.close()
     cachedFileSchema = fileSchema
-    fileInt96 = fileSchema.getFields
-      .toArray(Array.empty[org.apache.parquet.schema.Type]).collect {
-        case t: org.apache.parquet.schema.PrimitiveType
-          if t.getPrimitiveTypeName ==
-            org.apache.parquet.schema.PrimitiveType
-              .PrimitiveTypeName.INT96 => t.getName
-      }.toSet
     present = dataFields.filter { case (f, _) =>
       fileSchema.containsField(f.name) }
-    // the pushed predicate is dropped for THIS file if any column it
-    // references is INT96 here (parquet's validator would reject
-    // longColumn-vs-INT96 at build), absent here (written before a
-    // column widening — its value is null for every row of this file),
-    // or stored under a NARROWER physical type than the predicate was
-    // built against (written before an ALTER COLUMN TYPE — the
-    // validator would reject longColumn-vs-INT32 the same way); Spark
-    // re-applies all filters as residuals either way. Deletion vectors
-    // do NOT drop it: the mask keys on parquet's own per-record row
-    // index, which stays file-absolute under record filtering and
-    // row-group skips (ParquetRowIndexSpec).
-    def physMismatch(r: String): Boolean =
-      pruned.fields.find(_.name == r).forall { pf =>
-        val expected = GraftLogWrite.toParquetType(r, pf.dataType)
-        val actual = fileSchema.getType(fileSchema.getFieldIndex(r))
-        !(expected.isPrimitive && actual.isPrimitive &&
-          expected.asPrimitiveType().getPrimitiveTypeName ==
-            actual.asPrimitiveType().getPrimitiveTypeName)
+    // per-file predicate drop (Spark re-applies all filters as
+    // residuals either way; deletion vectors do NOT drop it — the mask
+    // keys on parquet's own per-record row index, which stays
+    // file-absolute under record filtering and row-group skips,
+    // ParquetRowIndexSpec):
+    def resolveFilePath(path: String)
+        : Option[org.apache.parquet.schema.Type] = {
+      val segs = path.split('.')
+      var cur: org.apache.parquet.schema.Type = fileSchema
+      var i = 0
+      while (i < segs.length) {
+        cur match {
+          case g: org.apache.parquet.schema.GroupType
+            if g.containsField(segs(i)) =>
+            cur = g.getType(g.getFieldIndex(segs(i))); i += 1
+          case _ => return None
+        }
+      }
+      Some(cur)
+    }
+    // a ref (dotted struct-leaf paths included) drops the predicate
+    // for THIS file when it is absent here (written before a column or
+    // struct-field widening — null for every row), INT96 here, or
+    // stored under a NARROWER physical than the predicate was built
+    // against (written before an ALTER COLUMN TYPE) — the validator
+    // would reject the column mismatch at build either way
+    def predicateDrops(r: String): Boolean =
+      resolveFilePath(r) match {
+        case Some(t) if t.isPrimitive =>
+          val actual = t.asPrimitiveType().getPrimitiveTypeName
+          actual == org.apache.parquet.schema.PrimitiveType
+            .PrimitiveTypeName.INT96 ||
+            !GraftLogStats.fieldAt(pruned, r).exists { pf =>
+              val expected = GraftLogWrite.toParquetType(
+                r.split('.').last, pf.dataType)
+              expected.isPrimitive &&
+                expected.asPrimitiveType().getPrimitiveTypeName == actual
+            }
+        case _ => true // absent, or a group — no pushable value here
       }
     val filt =
-      if (predicateRefs.exists(r => fileInt96.contains(r) ||
-        !fileSchema.containsField(r) || physMismatch(r))) None
+      if (predicateRefs.exists(predicateDrops)) None
       else predicate
     // projection = the file's OWN field definitions filtered to the
     // pruned names present here (guaranteed physical-type compatible);

@@ -119,4 +119,59 @@ class GraftLogNestedSpec extends SparkSpecBase {
       col("_change_type") === "insert" && col("emb").isNotNull)
       .count() === 30L)
   }
+
+  test("a STRUCT-LEAF predicate pushes into parquet: record filtering " +
+      "cuts assembled records on the row reader, values equal the " +
+      "unpushed twin, and a file predating the leaf drops it per-file") {
+    val root = Files.createTempDirectory("graft_nestpush").toString
+    // one file, many row groups, monotone nested score
+    spark.conf.set("graft.log.write.rowgroup.bytes", "8192")
+    try spark.range(0, 40000)
+      .selectExpr("id",
+        "named_struct('score', CAST(id AS DOUBLE), " +
+          "'tag', CAST(id % 7 AS STRING)) AS meta")
+      .coalesce(1)
+      .write.format("graftlog").option("path", root)
+      .option("schema",
+        "id BIGINT, meta STRUCT<score: DOUBLE, tag: STRING>")
+      .mode("append").save()
+    finally spark.conf.unset("graft.log.write.rowgroup.bytes")
+    val df = spark.read.format("graftlog").option("path", root).load()
+    val want = df.collect().filter(_.getStruct(1).getDouble(0) >= 39000.0)
+      .map(_.toSeq).sortBy(_.toString)
+    GraftLog.scanRecordsRead.set(0L)
+    val got = df.filter(col("meta.score") >= 39000.0).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val recs = GraftLog.scanRecordsRead.get()
+    assert(got === want)
+    assert(want.size === 1000)
+    assert(recs > 0 && recs < 5000L,
+      s"expected nested record filtering: assembled $recs of 40000")
+    // a file written BEFORE the struct gained the leaf: the predicate
+    // drops for it per-file, residual null-semantics keep it correct
+    val root2 = Files.createTempDirectory("graft_nestpush2").toString
+    spark.range(0, 100)
+      .selectExpr("id", "named_struct('tag', 'a') AS meta")
+      .write.format("graftlog").option("path", root2)
+      .option("schema", "id BIGINT, meta STRUCT<tag: STRING>")
+      .mode("append").save()
+    // the struct gains the leaf through the catalog (nested ADD COLUMN)
+    val parent2 = root2.substring(0, root2.lastIndexOf('/'))
+    val table2 = root2.substring(root2.lastIndexOf('/') + 1)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", parent2)
+    spark.sql(
+      s"ALTER TABLE graft.`$table2` ADD COLUMN meta.score DOUBLE")
+    spark.range(100, 200)
+      .selectExpr("id",
+        "named_struct('tag', 'b', 'score', CAST(id AS DOUBLE)) AS meta")
+      .write.format("graftlog").option("path", root2)
+      .option("schema",
+        "id BIGINT, meta STRUCT<tag: STRING, score: DOUBLE>")
+      .mode("append").save()
+    val mixed = spark.read.format("graftlog").option("path", root2).load()
+    assert(mixed.filter(col("meta.score") >= 150.0).count() === 50L)
+    assert(mixed.filter(col("meta.score").isNull).count() === 100L)
+  }
 }
