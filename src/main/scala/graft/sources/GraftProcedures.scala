@@ -221,13 +221,21 @@ private[sources] object GraftProcedures {
                 case GraftLog.ManifestRow("schema", x, _, _, _) => x }
               d.isDefined && v > 1 && d != ddlOf(v - 1)
             }
-            val op =
+            // the commit's own OPERATION row names what happened
+            // (DELETE vs COMPACT vs MERGE — distinctions the row mix
+            // can't recover); legacy versions without one fall back to
+            // the shape-inferred class
+            val op = mrows.collectFirst {
+              case GraftLog.ManifestRow("op", o, _, _, _) =>
+                o.toUpperCase(java.util.Locale.ROOT)
+            }.getOrElse {
               if (adds > 0 && removes > 0) "REWRITE"
               else if (removes > 0) "REMOVE"
               else if (adds > 0) "WRITE"
               else if (v == 1) "CREATE"
               else if (schemaChanged) "ALTER"
               else "EMPTY"
+            }
             new GenericInternalRow(Array[Any](v.toLong,
               micros.map(Long.box).orNull,
               UTF8String.fromString(op), adds, removes))

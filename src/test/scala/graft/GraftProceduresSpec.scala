@@ -87,8 +87,10 @@ class GraftProceduresSpec extends SparkSpecBase {
     spark.sql("DELETE FROM graft.h WHERE id = 3")                  // v4
     val hist = spark.sql("CALL graft.system.history('h')").collect()
     assert(hist.map(_.getLong(0)).toSeq === Seq(4L, 3L, 2L, 1L))
+    // round 16: the recorded operation row names the command itself —
+    // a SQL DELETE audits as DELETE, not the shape-inferred REWRITE
     assert(hist.map(_.getString(2)).toSeq ===
-      Seq("REWRITE", "ALTER", "WRITE", "CREATE"))
+      Seq("DELETE", "ALTER", "APPEND", "CREATE"))
     // commit instants: present and non-decreasing oldest → newest
     val ts = hist.reverse.map(_.getTimestamp(1))
     assert(ts.forall(_ != null))
