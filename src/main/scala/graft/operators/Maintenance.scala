@@ -1048,7 +1048,10 @@ object Maintenance {
     * cents, so the oracle can state the whole history in closed form:
     * v1 inserts snapshot A; v2 is a remove-all/add-all transition
     * (delete A, insert B); v3 is a compaction (delete B, insert B —
-    * content-identical by the log's own law). A CDC bug anywhere — a
+    * content-identical by the log's own law; it surfaces here because
+    * this fixture's commits are LEGACY manifests with no operation
+    * row — connector compactions are excluded from the feed, pinned
+    * by q_log_cdc_rename's silent v7). A CDC bug anywhere — a
     * lost remove, a version tag off by one, a delete row read from the
     * wrong file — hash-fails. GraftLogManifestSpec additionally pins
     * the row-level fold of this feed equals the latest snapshot.
@@ -2296,14 +2299,9 @@ object Maintenance {
       |           AS BIGINT) AS c_pre,
       |         CAST(SUM(CAST(floor(o_totalprice * 2 * 100 + 0.5)
       |           AS BIGINT)) AS BIGINT) AS c_post
-      |  FROM orders WHERE o_orderkey % 16 = 3),
-      |fin AS (     -- v7 OPTIMIZE: content-identical remove+add of all
-      |  SELECT COUNT(*) AS n,
-      |         CAST(SUM(CAST(floor(
-      |           CASE WHEN o_orderkey % 16 = 3 THEN o_totalprice * 2
-      |                ELSE o_totalprice END * 100 + 0.5) AS BIGINT))
-      |           AS BIGINT) AS c
-      |  FROM orders)
+      |  FROM orders WHERE o_orderkey % 16 = 3)
+      |-- v7 OPTIMIZE emits NOTHING: a content-preserving rewrite
+      |-- (op=compact) is excluded from the change feed entirely
       |SELECT CAST(2 AS BIGINT) AS version, 'insert' AS change_type,
       |       n AS n_rows, c AS total_cents,
       |       CAST(3 AS BIGINT) AS n_schema_gens FROM a
@@ -2313,10 +2311,6 @@ object Maintenance {
       |       CAST(3 AS BIGINT) FROM bk3
       |UNION ALL SELECT CAST(6 AS BIGINT), 'insert', n, c_post,
       |       CAST(3 AS BIGINT) FROM bk3
-      |UNION ALL SELECT CAST(7 AS BIGINT), 'delete', n, c,
-      |       CAST(3 AS BIGINT) FROM fin
-      |UNION ALL SELECT CAST(7 AS BIGINT), 'insert', n, c,
-      |       CAST(3 AS BIGINT) FROM fin
       |ORDER BY version, change_type""".stripMargin
 
   /** The OPTIMIZE fixture: TWO appends of the bucket-partitioned

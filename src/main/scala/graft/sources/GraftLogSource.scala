@@ -1901,13 +1901,26 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
         running ++= GraftLog.liveState(conf.value, root, cdcStart - 1).dvs
       (cdcStart to version).flatMap { v =>
         val rows = GraftLog.versionRows(conf.value, root, v)
+        // CONTENT-PRESERVING rewrites (compaction / OPTIMIZE, named by
+        // the commit's op row) emit NOTHING in the change feed: the
+        // same logical rows merely moved files, and at 100 TB a single
+        // OPTIMIZE must not re-emit the whole table as delete+insert
+        // churn (Delta's CDF excludes dataChange=false actions the
+        // same way). The dv/live bookkeeping still folds — a folded
+        // file's mask dies with its remove — and the skipped version's
+        // removed files are never opened, so the feed stays
+        // reconstructible even after they are vacuumed. Legacy commits
+        // without an op row keep the old delete+insert behavior.
+        val preserving = rows.exists(r =>
+          r.action == "op" && r.file == "compact")
         rows.flatMap {
           case r @ GraftLog.ManifestRow("add", f, _, _, _) =>
             running -= f
+            if (preserving) Seq.empty
             // a MoR update/merge writes its transformed-row files with
             // a change-feed class in the stats JSON — surface it;
             // untagged adds are plain inserts
-            GraftLog.expandRow(conf.value, root, r)
+            else GraftLog.expandRow(conf.value, root, r)
               .map(e => PlannedFile(e,
                 Some((e.stats.flatMap(_.cdcClass).getOrElse("insert"),
                   v.toLong))))
@@ -1916,15 +1929,18 @@ case class GraftLogScan(root: String, version: Int, full: StructType,
             // already masked by an earlier dv commit were emitted as
             // deletes THEN and must not re-delete here
             val mask = running.remove(f)
-            val expanded = GraftLog.expandEntry(conf.value, root, f)
-            if (expanded.isEmpty) throw new IllegalStateException(
-              s"graftlog CDC: version $v removes $f but the file is gone " +
-                "(compacted away and vacuumed?) — the change feed for " +
-                "this range is no longer reconstructible; raise " +
-                "startingVersion past it")
-            expanded.map(p => PlannedFile(FileEntry(p),
-              Some(("delete", v.toLong)),
-              dvMask = mask.map(d => s"$root/${d.dv}")))
+            if (preserving) Seq.empty
+            else {
+              val expanded = GraftLog.expandEntry(conf.value, root, f)
+              if (expanded.isEmpty) throw new IllegalStateException(
+                s"graftlog CDC: version $v removes $f but the file is gone " +
+                  "(compacted away and vacuumed?) — the change feed for " +
+                  "this range is no longer reconstructible; raise " +
+                  "startingVersion past it")
+              expanded.map(p => PlannedFile(FileEntry(p),
+                Some(("delete", v.toLong)),
+                dvMask = mask.map(d => s"$root/${d.dv}")))
+            }
           case GraftLog.ManifestRow("dv", f, _, _, Some(json)) =>
             val d = GraftLog.decodeDv(json)
             running(f) = d
@@ -2195,6 +2211,12 @@ case class GraftLogOffset(version: Int)
   * identical gap is consistent on both paths. (CDC tails carry their
   * own `startingVersion`, watermark-checked at load.)
   *
+  * CONTENT-PRESERVING rewrites (compaction/OPTIMIZE, named by the
+  * commit's op row) emit NOTHING in either mode — the same logical
+  * rows merely moved files; deletion-vector commits emit their appends
+  * in snapshot mode and their delta positions as
+  * delete/update_preimage rows in CDC mode.
+  *
   * ADMISSION CONTROL: `option("maxVersionsPerTrigger", n)` caps each
   * micro-batch at n committed versions — a tail restarted after a long
   * outage catches up in bounded batches instead of one giant one (at
@@ -2320,8 +2342,12 @@ class GraftLogMicroBatchStream(root: String, pruned: StructType,
             "separate log, start a fresh stream from a snapshot, or tail " +
             "with option(\"readChangeFeed\", true) to consume removes as " +
             "delete rows")
+      // a content-preserving rewrite emits NOTHING in EITHER mode: the
+      // snapshot tail already emitted these rows, and the change feed
+      // must not re-emit them as churn (Delta-CDF semantics) — only
+      // the dv/live bookkeeping folds through
       val adds =
-        if (preserving && !cdc) Seq.empty
+        if (preserving) Seq.empty
         else rows.collect {
           case r @ GraftLog.ManifestRow("add", _, _, _, _) => r }
           .flatMap(GraftLog.expandRow(c, root, _))
@@ -2335,6 +2361,7 @@ class GraftLogMicroBatchStream(root: String, pruned: StructType,
       }
       val dels =
         if (!cdc) Seq.empty
+        else if (preserving) { removed.foreach(running.remove); Seq.empty }
         else removed.flatMap { f =>
           val mask = running.remove(f)
           GraftLog.expandEntry(c, root, f).map(p =>
