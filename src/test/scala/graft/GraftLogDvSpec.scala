@@ -422,6 +422,41 @@ class GraftLogDvSpec extends SparkSpecBase {
     assert(snap(root).count() === 398L)
   }
 
+  test("the STREAMING change feed classifies a MoR update and skips " +
+      "an OPTIMIZE fold, exactly like the batch feed") {
+    val root = mkTable("graft_dv_cdcstream")
+    GraftLogOps.updateLog(spark, root, col("id") % 16 === 3,
+      Map("v" -> (col("v") * 10)), GraftLogOps.DeleteModeMor) // v2
+    GraftLogOps.compactLog(spark, root) // v3: folds, op=compact
+    spark.range(1000, 1005)
+      .selectExpr("id", "id % 4 AS bucket",
+        "CAST(id * 10 AS DOUBLE) AS v")
+      .write.format("graftlog").option("path", root)
+      .mode("append").save() // v4
+    val out = Files.createTempDirectory("graft_dv_cdcs_out").toString
+    spark.readStream.format("graftlog").option("path", root)
+      .option("readChangeFeed", true).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_dv_cdcs_ckp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val byVt = spark.read.parquet(out)
+      .groupBy(col(GraftLog.CommitVersionCol),
+        col(GraftLog.ChangeTypeCol)).count()
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byVt === Map(
+      (1L, "insert") -> 400L,
+      (2L, "update_preimage") -> 25L,
+      (2L, "update_postimage") -> 25L,
+      // v3 OPTIMIZE: nothing — content-preserving
+      (4L, "insert") -> 5L), byVt.toString)
+  }
+
   test("the pushed predicate SURVIVES a deletion vector: row-group " +
       "skips and record filtering stay live on masked files, and both " +
       "reader paths equal the unpushed twin value-for-value") {
