@@ -1393,10 +1393,26 @@ object GraftLogOps {
     * crash mid-delete — or a reader racing the delete window — can
     * never resolve an expired version and then FileNotFound mid-scan;
     * the files merely linger until the next (idempotent) pass finishes
-    * the deletes. Returns (filesDeleted, filesRetained).
+    * the deletes.
+    *
+    * ORPHAN SWEEP (phase 3): a writer that CRASHED between staging its
+    * part-files under `data/` and committing the manifest leaves a
+    * write-scoped directory no version will ever reference — invisible
+    * to the manifest-derived dead set above, so without this it is
+    * unreclaimable garbage forever. The sweep lists `data/` once and
+    * deletes any file that (a) no RETAINED version references and
+    * (b) is older than `orphanAgeMs` — the age guard is what separates
+    * a crashed writer's debris from an IN-FLIGHT writer's staging (the
+    * same mtime-based discipline Delta's VACUUM uses for uncommitted
+    * files; a writer that stages longer than the threshold would be
+    * swept, hence the conservative default). Emptied staging
+    * directories are removed too. Returns (filesDeleted incl. orphans,
+    * filesRetained).
     */
-  def vacuumLog(s: SparkSession, root: String,
-      keepFrom: Int): (Int, Int) = {
+  val DefaultOrphanAgeMs: Long = 24L * 3600 * 1000
+
+  def vacuumLog(s: SparkSession, root: String, keepFrom: Int,
+      orphanAgeMs: Long = DefaultOrphanAgeMs): (Int, Int) = {
     val conf = s.sessionState.newHadoopConf()
     val latest = GraftLog.latestVersion(conf, root)
     require(keepFrom >= 1 && keepFrom <= latest,
@@ -1415,7 +1431,42 @@ object GraftLogOps {
     val deleted = dead.count { f =>
       fs.delete(new Path(s"$root/$f"), true)
     }
-    (deleted, keep.size)
+    // phase 3: sweep uncommitted orphans under data/ (referenced =
+    // exact path OR any ancestor directory — legacy manifest rows can
+    // reference directories)
+    val cutoff = System.currentTimeMillis() - orphanAgeMs
+    def referenced(rel: String): Boolean = {
+      if (keep.contains(rel) || expired.contains(rel)) return true
+      var p = rel
+      while (p.contains('/')) {
+        p = p.substring(0, p.lastIndexOf('/'))
+        if (keep.contains(p) || expired.contains(p)) return true
+      }
+      false
+    }
+    var orphans = 0
+    val dataRoot = new Path(s"$root/data")
+    if (fs.exists(dataRoot)) {
+      def sweep(dir: Path): Boolean = { // returns "directory now empty"
+        var empty = true
+        fs.listStatus(dir).foreach { st =>
+          if (st.isDirectory) {
+            if (sweep(st.getPath) && fs.delete(st.getPath, false)) ()
+            else empty = false
+          } else {
+            val rel = normPath(st.getPath.toString)
+              .stripPrefix(normPath(root)).stripPrefix("/")
+            if (!referenced(rel) &&
+              st.getModificationTime < cutoff &&
+              fs.delete(st.getPath, false)) orphans += 1
+            else empty = false
+          }
+        }
+        empty
+      }
+      sweep(dataRoot) // data/ itself stays (committed writes land there)
+    }
+    (deleted + orphans, keep.size)
   }
 
   /** Data-source Filter → Column, for the shapes SQL `DELETE FROM`

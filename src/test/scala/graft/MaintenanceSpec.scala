@@ -398,4 +398,48 @@ class MaintenanceSpec extends SparkSpecBase {
     // recovery refuses to delete a SEALED manifest
     assert(!Occ.occRecover(spark, root, 4))
   }
+
+  test("vacuum sweeps crashed-writer orphans under data/ by AGE: old " +
+      "uncommitted staging deletes (dir and all), fresh staging and " +
+      "every referenced file survive") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vac_orphan").toString
+    def append(from: Long, until: Long): Unit =
+      spark.range(from, until).selectExpr("id")
+        .write.format("graftlog").option("path", root)
+        .option("schema", "id BIGINT").mode("append").save()
+    append(0, 100) // v1
+    append(100, 200) // v2
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(root).getFileSystem(conf)
+    // crashed-writer debris: a stale staging dir (with a dv sidecar
+    // beside the part-file, the morDelete abort shape) and a FRESH
+    // in-flight one the age guard must protect
+    def mkOrphan(name: String, old: Boolean): Path = {
+      val p = new Path(s"$root/data/$name/part-junk.parquet")
+      fs.mkdirs(p.getParent)
+      fs.create(p, true).close()
+      if (old) {
+        val t = System.currentTimeMillis() - 48L * 3600 * 1000
+        fs.setTimes(p, t, -1)
+      }
+      p
+    }
+    val oldOrphan = mkOrphan("w_crashed_a", old = true)
+    val oldDv = mkOrphan("dv_crashed_b", old = true)
+    val fresh = mkOrphan("w_inflight_c", old = false)
+    val live = graft.sources.GraftLog.dataFiles(conf, root, 2)
+    assert(live.nonEmpty)
+    val (deleted, _) =
+      graft.sources.GraftLogOps.vacuumLog(spark, root, 2)
+    assert(deleted === 2, s"expected exactly the two old orphans: $deleted")
+    assert(!fs.exists(oldOrphan) && !fs.exists(oldOrphan.getParent))
+    assert(!fs.exists(oldDv) && !fs.exists(oldDv.getParent))
+    assert(fs.exists(fresh))
+    live.foreach(f => assert(fs.exists(new Path(f)), f))
+    graft.sources.GraftLog.clearPlanCaches()
+    assert(spark.read.format("graftlog").option("path", root).load()
+      .count() === 200L)
+  }
 }
