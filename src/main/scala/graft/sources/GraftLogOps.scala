@@ -707,6 +707,11 @@ object GraftLogOps {
         val staging =
           s"$root/data/w_update_${java.util.UUID.randomUUID()}"
         val dvBase = s"$staging/dv"
+        // the change feed CLASSIFIES this commit only when the whole
+        // matched set is sparse (same rule as MERGE): a dense file's
+        // copy-on-write removes surface as plain deletes, so tagging
+        // postimages beside them would leave the counts inconsistent
+        val classify = denseRel.isEmpty
         // the whole write sequence — sidecars included — sits inside
         // the cleanup try: a Spark job failure in the SIDECAR write
         // must delete the staging tree like every other abort path
@@ -714,15 +719,17 @@ object GraftLogOps {
           val (dvRows, dvFiles) = writeDvSidecars(s, conf, root, dvBase,
             matched.select(col("_g_file"), col("_g_pos")),
             sparseRel.map(_._1).toSeq, dvs, relByNorm,
-            cdcClass = Some("update_preimage"))
+            cdcClass = if (classify) Some("update_preimage") else None)
           val cols = schema.fieldNames.map(col).toSeq
           // ALL matched rows (sparse-masked and dense-removed alike)
-          // re-enter transformed as new files, change-feed-classified
-          // as postimages (their masked old versions are the preimages)
+          // re-enter transformed as new files — change-feed-classified
+          // as postimages (their masked old versions being the
+          // preimages) when the commit classifies at all
           val transformed = matched
             .select(applyAssignments(schema, assignments): _*)
           var adds = stageFiles(s, conf, transformed, physSchema,
-            staging, "upd", cdcClass = Some("update_postimage"))
+            staging, "upd",
+            cdcClass = if (classify) Some("update_postimage") else None)
           if (denseRel.nonEmpty) {
             val denseFiles = denseRel.map(e => s"$root/${e._1}").toSeq
             val kept = renameTo(maskedParquet(s, physSchema, denseFiles,
@@ -865,11 +872,16 @@ object GraftLogOps {
     // dedups, delta excludes them) semi-joined on the merge keys. The
     // positional-CAST rename keeps nested logical names resolvable
     // under column mapping, same as every other DML read.
-    // keys ride along so the change-feed classification below can
-    // split the source into updates vs inserts without a second
-    // candidate scan (matchedKeys folds from this cache)
+    // MASKED read (prior deletion vectors excluded): a key whose only
+    // table occurrences are already-deleted rows must classify as a
+    // plain INSERT in the change feed, not as an update with no
+    // preimage — and the density decision should count LIVE rows.
+    // (writeDvSidecars still unions the prior mask into each complete
+    // sidecar, so excluding masked positions here loses nothing.)
+    // Keys ride along so the classification below can split the source
+    // into updates vs inserts without a second candidate scan.
     val matched = maskedParquetWithPos(s, physSchema, schema,
-        candidates.map(c => s"$root/${c._1}"), Map.empty)
+        candidates.map(c => s"$root/${c._1}"), dvPathMap(root, dvs))
       .join(src.select(keys.map(col): _*), keys, "left_semi")
       .select(Seq(col("_g_file"), col("_g_pos")) ++ keys.map(col): _*)
       .cache()
@@ -883,25 +895,41 @@ object GraftLogOps {
       val dvBase = s"$staging/dv"
       // sidecar write inside the cleanup try: a failed sidecar job
       // deletes the staging tree like every other abort path
+      // the change feed CLASSIFIES this commit only when the whole
+      // matched set is sparse: a densely-matched file rewrites
+      // copy-on-write, whose removes surface as plain delete rows —
+      // tagging postimages beside them would leave preimage/postimage
+      // counts inconsistent. All-sparse commits (the MoR shape this
+      // mode exists for) classify exactly; mixed commits fall back to
+      // the plain delete/insert feed wholesale.
+      val classify = denseRel.isEmpty
       try {
         val (dvRows, dvFiles) = writeDvSidecars(s, conf, root, dvBase,
           matched.select(col("_g_file"), col("_g_pos")),
           sparseRel.map(_._1).toSeq, dvs, relByNorm,
-          cdcClass = Some("update_preimage"))
+          cdcClass = if (classify) Some("update_preimage") else None)
         // the source appends as new files — every insert AND every
         // update's new version; updates' OLD versions are masked (dv)
-        // or dropped by the dense rewrite. Staged SPLIT by match so the
-        // change feed classifies updates' new versions as postimages
-        // and genuinely-new keys as inserts (matchedKeys is bounded by
-        // the source's key cardinality and folds off the cache)
-        val matchedKeys = matched.select(keys.map(col): _*).distinct()
-        var adds = stageFiles(s, conf,
-          src.join(matchedKeys, keys, "left_semi").select(cols: _*),
-          physSchema, staging, "srcu",
-          cdcClass = Some("update_postimage"))
-        adds ++= stageFiles(s, conf,
-          src.join(matchedKeys, keys, "left_anti").select(cols: _*),
-          physSchema, staging, "srci")
+        // or dropped by the dense rewrite. Under classification the
+        // stage SPLITS by match so the feed tags updates' new versions
+        // as postimages and genuinely-new keys as inserts (matchedKeys
+        // is bounded by the source's key cardinality and folds off the
+        // cache; the source itself is caller-cached)
+        var adds =
+          if (!classify)
+            stageFiles(s, conf, src.select(cols: _*), physSchema,
+              staging, "src")
+          else {
+            val matchedKeys = matched.select(keys.map(col): _*)
+              .distinct()
+            stageFiles(s, conf,
+              src.join(matchedKeys, keys, "left_semi").select(cols: _*),
+              physSchema, staging, "srcu",
+              cdcClass = Some("update_postimage")) ++
+            stageFiles(s, conf,
+              src.join(matchedKeys, keys, "left_anti").select(cols: _*),
+              physSchema, staging, "srci")
+          }
         if (denseRel.nonEmpty) {
           val denseFiles = denseRel.map(e => s"$root/${e._1}").toSeq
           val kept = renameTo(maskedParquet(s, physSchema, denseFiles,
@@ -983,10 +1011,11 @@ object GraftLogOps {
         }.collect()
     // LOSER task attempts (retried or speculative) wrote attempt-named
     // sidecars that no collected row references — and dvBase can be a
-    // PERMANENT directory (morDelete's data/dv_<uuid>), where an
-    // unreferenced file would be unreclaimable garbage forever (vacuum's
-    // dead set is manifest-derived). Sweep now: keep exactly the
-    // winning attempts' files, delete the rest. One listing RPC.
+    // PERMANENT directory (morDelete's data/dv_<uuid>). Sweep now:
+    // keep the winning attempts' files, delete the rest. Best-effort
+    // (a zombie attempt may still be writing AFTER this listing — its
+    // debris is then caught by VACUUM's age-guarded orphan sweep);
+    // one listing RPC.
     val winning = dvMetaRaw.iterator
       .flatMap(m => Iterator(m._2, m._4))
       .map(p => new Path(p).getName).toSet
@@ -1447,11 +1476,19 @@ object GraftLogOps {
     var orphans = 0
     val dataRoot = new Path(s"$root/data")
     if (fs.exists(dataRoot)) {
+      // the age guard applies to DIRECTORIES too (an in-flight writer
+      // may have mkdir'd its staging and not yet written a file) —
+      // judged by the mtime captured BEFORE sweeping the children,
+      // since deleting them bumps the parent's mtime on most
+      // filesystems and would otherwise keep emptied debris one extra
+      // vacuum cycle
       def sweep(dir: Path): Boolean = { // returns "directory now empty"
         var empty = true
         fs.listStatus(dir).foreach { st =>
           if (st.isDirectory) {
-            if (sweep(st.getPath) && fs.delete(st.getPath, false)) ()
+            val dirMtime = st.getModificationTime
+            if (sweep(st.getPath) && dirMtime < cutoff &&
+              fs.delete(st.getPath, false)) ()
             else empty = false
           } else {
             val rel = normPath(st.getPath.toString)

@@ -92,6 +92,18 @@ object GraftLogStats {
       mix64(h)
     }
 
+    /** Unscaled-decimal hash, ENCODING-NORMALIZED: the same logical
+      * value must hash identically whether its file stores INT32,
+      * INT64, or a fixed/variable binary of any width (decimal
+      * precision growth is a legal type widening, and widths change
+      * with precision) — so values that fit a long hash through
+      * [[mix64]] exactly like the INT32/INT64 physical paths, and
+      * wider ones hash their MINIMAL two's-complement bytes.
+      */
+    def hashUnscaled(u: java.math.BigInteger): Long =
+      if (u.bitLength() <= 63) mix64(u.longValue())
+      else hashBytes(u.toByteArray)
+
     def update(reg: Array[Byte], hash: Long): Unit = {
       val idx = (hash >>> 56).toInt // top 8 bits pick the register
       val rest = hash << 8
@@ -301,6 +313,12 @@ object GraftLogStats {
     val cols = proj.getColumns.asScala.toArray
     val names = cols.map(_.getPath.mkString("."))
     val kinds = cols.map(_.getPrimitiveType.getPrimitiveTypeName)
+    // binary-stored DECIMALS hash their unscaled value encoding-
+    // normalized (precision growth changes the physical width)
+    val isDecBinary = cols.map(_.getPrimitiveType
+      .getLogicalTypeAnnotation.isInstanceOf[
+        org.apache.parquet.schema.LogicalTypeAnnotation
+          .DecimalLogicalTypeAnnotation])
     val regs = cols.map(_ => NdvSketch.empty())
     var pages = footer.readNextRowGroup()
     while (pages != null) {
@@ -324,6 +342,8 @@ object GraftLogStats {
                 java.lang.Double.doubleToLongBits(cr.getFloat.toDouble))
               case BOOLEAN => NdvSketch.mix64(
                 if (cr.getBoolean) 1L else 0L)
+              case _ if isDecBinary(c) => NdvSketch.hashUnscaled(
+                new java.math.BigInteger(cr.getBinary.getBytes))
               case _       => NdvSketch.hashBytes(cr.getBinary.getBytes)
             }
             NdvSketch.update(reg, h)

@@ -969,19 +969,18 @@ class GraftLogDataWriter(staging: String, fileName: String,
         hashBytes(g.getUTF8String(i).getBytes))
       case BinaryType => Some((g, i) => hashBytes(g.getBinary(i)))
       case dec: DecimalType =>
-        // by PHYSICAL encoding, mirroring addValue: INT32/INT64 carry
-        // the unscaled value (an INT32's getInteger.toLong round-trips
-        // sign-exactly), wider precisions the fixed-width bytes
+        // unscaled value, ENCODING-NORMALIZED (NdvSketch.hashUnscaled):
+        // INT32/INT64-stored decimals hash their unscaled long, wider
+        // ones their minimal bytes — so sketches merge across the
+        // physical-width changes decimal precision widening causes
         if (dec.precision <= 18)
           Some((g, i) =>
             mix64(g.getDecimal(i, dec.precision, dec.scale)
               .toUnscaledLong))
-        else {
-          val width = GraftLogWrite.decimalFixedWidth(dec.precision)
-          Some((g, i) => hashBytes(GraftLogWrite.decimalFixedBytes(
+        else
+          Some((g, i) => GraftLogStats.NdvSketch.hashUnscaled(
             g.getDecimal(i, dec.precision, dec.scale)
-              .toJavaBigDecimal.unscaledValue(), width)))
-        }
+              .toJavaBigDecimal.unscaledValue()))
       case _ => None // array/map leaves: no single per-row value
     }
   }

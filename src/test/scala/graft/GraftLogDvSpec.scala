@@ -422,6 +422,49 @@ class GraftLogDvSpec extends SparkSpecBase {
     assert(snap(root).count() === 398L)
   }
 
+  test("classification EDGES: a merge key matching only ALREADY-" +
+      "DELETED rows is a plain INSERT (no orphan postimage), and a " +
+      "mixed sparse+dense commit falls back to the unclassified feed") {
+    import spark.implicits._
+    val root = mkTable("graft_dvm_class")
+    GraftLogOps.deleteFromLog(spark, root, col("id") === 7L,
+      GraftLogOps.DeleteModeMor) // v2: id=7 masked
+    // id=7 matches only the deleted row -> semantically an insert;
+    // id=8 matches a live row -> a classified update
+    val source = Seq((7L, 3L, -7.0), (8L, 0L, -8.0))
+      .toDF("id", "bucket", "v")
+    GraftLogOps.mergeIntoLog(spark, root, source, Seq("id"),
+      GraftLogOps.DeleteModeMor) // v3
+    val ct = col(GraftLog.ChangeTypeCol)
+    val cdc3 = spark.read.format("graftlog").option("path", root)
+      .option("readChangeFeed", true).load()
+      .filter(col(GraftLog.CommitVersionCol) === 3L)
+    assert(cdc3.filter(ct === "insert").select("id")
+      .collect().map(_.getLong(0)).toSeq === Seq(7L))
+    assert(cdc3.filter(ct === "update_preimage").select("id")
+      .collect().map(_.getLong(0)).toSeq === Seq(8L))
+    assert(cdc3.filter(ct === "update_postimage").select("id")
+      .collect().map(_.getLong(0)).toSeq === Seq(8L))
+    // the deleted row re-enters via the merge INSERT (LWW semantics)
+    assert(snap(root).filter(col("id") === 7L).count() === 1L)
+    // MIXED commit: every bucket=1 key (dense) plus one bucket=2 key
+    // (sparse) — classification refuses wholesale, the feed falls back
+    // to plain delete/insert so pre/postimage counts can never disagree
+    val mixed = spark.range(0, 400)
+      .filter(pmod(col("id"), lit(4L)) === 1L)
+      .selectExpr("id", "CAST(1 AS BIGINT) AS bucket",
+        "CAST(-1.0 AS DOUBLE) AS v")
+      .union(Seq((2L, 2L, -2.0)).toDF("id", "bucket", "v"))
+    GraftLogOps.mergeIntoLog(spark, root, mixed, Seq("id"),
+      GraftLogOps.DeleteModeMor) // v4: dense rewrite + sparse dv
+    val cdc4 = spark.read.format("graftlog").option("path", root)
+      .option("readChangeFeed", true).load()
+      .filter(col(GraftLog.CommitVersionCol) === 4L)
+    assert(cdc4.filter(ct.startsWith("update")).count() === 0L)
+    assert(cdc4.filter(ct === "insert").count() >= 101L)
+    assert(cdc4.filter(ct === "delete").count() >= 101L)
+  }
+
   test("the STREAMING change feed classifies a MoR update and skips " +
       "an OPTIMIZE fold, exactly like the batch feed") {
     val root = mkTable("graft_dv_cdcstream")

@@ -421,8 +421,11 @@ class MaintenanceSpec extends SparkSpecBase {
       fs.mkdirs(p.getParent)
       fs.create(p, true).close()
       if (old) {
+        // age file AND dir: the sweep age-guards both (a fresh empty
+        // dir may be an in-flight writer's just-created staging)
         val t = System.currentTimeMillis() - 48L * 3600 * 1000
         fs.setTimes(p, t, -1)
+        fs.setTimes(p.getParent, t, -1)
       }
       p
     }

@@ -40,6 +40,10 @@ class NdvWriteFoldSpec extends SparkSpecBase {
         "CAST(id % 211 AS STRING) AS s",
         "CAST(CAST(id AS DECIMAL(9,2)) / 3 AS DECIMAL(9,2)) AS d9",
         "CAST(CAST(id AS DECIMAL(24,2)) * 1234567 AS DECIMAL(24,2)) AS d24",
+        // unscaled value beyond Long range: exercises the minimal-bytes
+        // arm of the encoding-normalized decimal hash
+        "CAST(CAST(id AS DECIMAL(30,2)) + 20000000000000000000 " +
+          "AS DECIMAL(30,2)) AS dhuge",
         "CAST(NULL AS BIGINT) AS nul",
         "named_struct('score', CAST(id % 31 AS DOUBLE), " +
           "'tag', CAST(id % 5 AS STRING), " +
@@ -49,6 +53,7 @@ class NdvWriteFoldSpec extends SparkSpecBase {
       .write.format("graftlog").option("path", root)
       .option("schema", "id BIGINT, i INT, dbl DOUBLE, flt FLOAT, " +
         "b BOOLEAN, s STRING, d9 DECIMAL(9,2), d24 DECIMAL(24,2), " +
+        "dhuge DECIMAL(30,2), " +
         "nul BIGINT, meta STRUCT<score: DOUBLE, tag: STRING, " +
         "inner: STRUCT<deep: BIGINT>>, arr ARRAY<BIGINT>")
       .mode("append").save()
@@ -65,7 +70,8 @@ class NdvWriteFoldSpec extends SparkSpecBase {
       // the leaf set: every primitive + struct leaves, no array, and
       // the all-null column still records an (empty) sketch
       assert(folded.keySet === Set("id", "i", "dbl", "flt", "b", "s",
-        "d9", "d24", "nul", "meta.score", "meta.tag", "meta.inner.deep"))
+        "d9", "d24", "dhuge", "nul", "meta.score", "meta.tag",
+        "meta.inner.deep"))
       folded.foreach { case (k, v) =>
         assert(v === reread(k), s"${e.path} leaf $k diverged")
       }
@@ -79,6 +85,7 @@ class NdvWriteFoldSpec extends SparkSpecBase {
       math.abs(got - want) <= math.max(3L, (want * 0.15).toLong)
     assert(within(est("id"), 5000))
     assert(within(est("i"), 97))
+    assert(within(est("dhuge"), 5000))
     assert(within(est("meta.score"), 31))
     assert(within(est("meta.inner.deep"), 17))
     assert(est("nul") === 0L)
