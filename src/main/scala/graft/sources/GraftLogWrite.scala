@@ -987,9 +987,11 @@ class GraftLogDataWriter(staging: String, fileName: String,
 
   /** Sketchable leaves of `st` as (dotted path, per-row folder): a
     * folder hashes its (non-null, all-ancestors-present) value into
-    * the POSITIONAL register it is handed — the hot loop indexes an
-    * array, never a string-keyed map (150k rows × 50 columns of map
-    * lookups was a measurable write tax of its own).
+    * the POSITIONAL register it is handed — the hot loop indexes
+    * parallel arrays, never a string-keyed map or a tuple, and FLAT
+    * (top-level) leaves skip the parent-resolution hop entirely: at
+    * a 50-column × millions-of-rows load, every virtual call per
+    * value is a measurable slice of the write.
     */
   private def collectLeaves(st: StructType, prefix: String,
       parent: InternalRow => InternalRow)
@@ -1004,11 +1006,18 @@ class GraftLogDataWriter(staging: String, fileName: String,
             else p.getStruct(i, nested.length)
           })
         case dt => leafHash(dt).map { h =>
-          (path, (row: InternalRow, reg: Array[Byte]) => {
-            val p = parent(row)
-            if (p != null && !p.isNullAt(i))
-              GraftLogStats.NdvSketch.update(reg, h(p, i))
-          })
+          val fold: (InternalRow, Array[Byte]) => Unit =
+            if (prefix.isEmpty) {
+              (row: InternalRow, reg: Array[Byte]) =>
+                if (!row.isNullAt(i))
+                  GraftLogStats.NdvSketch.update(reg, h(row, i))
+            } else
+              (row: InternalRow, reg: Array[Byte]) => {
+                val p = parent(row)
+                if (p != null && !p.isNullAt(i))
+                  GraftLogStats.NdvSketch.update(reg, h(p, i))
+              }
+          (path, fold)
         }.toSeq
       }
     }
@@ -1016,6 +1025,9 @@ class GraftLogDataWriter(staging: String, fileName: String,
   private val ndvLeaves: Array[(String, (InternalRow, Array[Byte]) => Unit)] =
     (if (ndvEnabled) collectLeaves(schema, "", identity)
      else Seq.empty).toArray
+  // parallel arrays for the hot loop (no tuple deref per value)
+  private val ndvLeafFolds: Array[(InternalRow, Array[Byte]) => Unit] =
+    ndvLeaves.map(_._2)
   // per-FILE registers (a task may write several partition files),
   // positionally parallel to ndvLeaves
   private val fileNdv = mutable.HashMap[String, Array[Array[Byte]]]()
@@ -1151,9 +1163,10 @@ class GraftLogDataWriter(staging: String, fileName: String,
     }
     if (currentRegs != null) {
       val regs = currentRegs
+      val folds = ndvLeafFolds
       var l = 0
-      while (l < ndvLeaves.length) {
-        ndvLeaves(l)._2(row, regs(l))
+      while (l < folds.length) {
+        folds(l)(row, regs(l))
         l += 1
       }
     }

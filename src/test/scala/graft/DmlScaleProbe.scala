@@ -160,6 +160,8 @@ object DmlScaleProbe {
     // data-width-proportional (a sidecar is rows x 16 B regardless of
     // column count) — measure it on a 50-column table, and the NDV
     // write tax beside it (sketches re-read the just-written file once)
+    val wideTimes =
+      scala.collection.mutable.LinkedHashMap[Boolean, Seq[Double]]()
     def mkWide(name: String, ndv: Boolean): String = {
       val root = s"$wh/$name"
       val wideCols = Seq(col("o_orderkey"),
@@ -180,12 +182,26 @@ object DmlScaleProbe {
         .option("partitionBy", "bucket")
         .mode("append").save()
       finally if (!ndv) spark.conf.unset("graft.log.ndv.enabled")
-      println(f"[dmlscale] wide_load_${if (ndv) "ndv" else "nondv"}%s " +
-        f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      wideTimes(ndv) =
+        wideTimes.getOrElse(ndv, Nil) :+ (System.nanoTime() - t0) / 1e9
       root
     }
+    // the FIRST wide write in the JVM pays one-time costs (codegen of
+    // the 50-column projection, committer init) that are not the tax
+    // under measurement — burn them on an unmeasured warm-up, then
+    // measure each leg TWICE in alternating order and report mins, so
+    // neither leg systematically absorbs warm-up or a load spike
+    mkWide("wide_warm", ndv = true)
+    wideTimes.clear()
     val wCow = mkWide("wide_cow", ndv = true)
     val wMor = mkWide("wide_mor", ndv = false)
+    mkWide("wide_cow_b", ndv = true)
+    mkWide("wide_mor_b", ndv = false)
+    Seq(true -> "ndv", false -> "nondv").foreach { case (k, tag) =>
+      val rs = wideTimes(k)
+      println(f"[dmlscale] wide_load_$tag%s ${rs.min}%8.2f s " +
+        s"(runs ${rs.map(t => f"$t%.2f").mkString(" ")})")
+    }
     timed("wdel_cow") {
       GraftLogOps.deleteFromLog(spark, wCow, cond,
         GraftLogOps.DeleteModeCow)

@@ -422,6 +422,36 @@ class GraftLogDvSpec extends SparkSpecBase {
     assert(snap(root).count() === 398L)
   }
 
+  test("CDC state folds across dv -> fold -> dv sequences and a " +
+      "MID-HISTORY startingVersion: the skipped compaction's " +
+      "bookkeeping still kills the old mask, and the second dv's " +
+      "delta emits against the compacted file") {
+    val root = mkTable("graft_dv_refold")
+    GraftLogOps.deleteFromLog(spark, root, col("id") % 16 === 3,
+      GraftLogOps.DeleteModeMor) // v2: dv on the bucket=3 file
+    GraftLogOps.compactLog(spark, root) // v3: fold (op=compact, CDC-silent)
+    GraftLogOps.deleteFromLog(spark, root, col("id") % 16 === 11,
+      GraftLogOps.DeleteModeMor) // v4: dv on the COMPACTED file
+    val ct = col(GraftLog.ChangeTypeCol)
+    val cv = col(GraftLog.CommitVersionCol)
+    // full-range feed: v2 and v4 deltas only, v3 silent
+    val feed = spark.read.format("graftlog").option("path", root)
+      .option("readChangeFeed", true).load()
+    val byV = feed.filter(ct === "delete")
+      .groupBy(cv).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byV === Map(2L -> 25L, 4L -> 25L), byV.toString)
+    assert(feed.filter(cv === 3L).count() === 0L) // fold is silent
+    // mid-history start AFTER the fold: the running-dv seed comes from
+    // the live state at startingVersion-1 (post-fold: no masks), so
+    // v4's delta emits fully and nothing re-deletes v2's positions
+    val tail = spark.read.format("graftlog").option("path", root)
+      .option("readChangeFeed", true).option("startingVersion", 4).load()
+    assert(tail.filter(ct === "delete").count() === 25L)
+    assert(tail.filter(ct === "delete")
+      .filter(col("id") % 16 === 11).count() === 25L)
+  }
+
   test("classification EDGES: a merge key matching only ALREADY-" +
       "DELETED rows is a plain INSERT (no orphan postimage), and a " +
       "mixed sparse+dense commit falls back to the unclassified feed") {
