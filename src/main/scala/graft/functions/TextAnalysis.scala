@@ -1131,28 +1131,39 @@ object TextAnalysis {
 
   def lmScore(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
-    val bigrams = Tables.documents(s, d)
+    // r16 optimization: every downstream consumer (vocab ranking, model
+    // counts, per-doc scoring) is derivable from the per-(doc, bigram)
+    // multiplicity table, so the tokenize + explode pass over the corpus
+    // runs ONCE — the predecessor referenced the raw exploded frame three
+    // times, and with no shared exchange below those references each one
+    // re-scanned and re-exploded the corpus (guide §1.2). The two
+    // arms that remain both sit on docCounts' identical aggregation
+    // exchange, which AQE's stage reuse dedupes at runtime.
+    val docCounts = Tables.documents(s, d)
       .select(col("doc_id"), explode(zip_with(
         slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
         slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val vocab = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("n_w"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    val fullCounts = docCounts.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("k")).as("c2"))
+    val vocab = fullCounts.groupBy(col("w1")).agg(sum(col("c2")).as("n_w"))
       .orderBy(col("n_w").desc, col("w1")).limit(LmVocabCap)
       .select(col("w1").as("w"))
-    val counts = bigrams
+    val counts = fullCounts
       .join(broadcast(vocab.select(col("w").as("w1"))), Seq("w1"))
       .join(broadcast(vocab.select(col("w").as("w2"))), Seq("w2"))
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c2"))
     val marg = counts.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val lm = counts.join(broadcast(marg), Seq("w1"))
       .select(col("w1"), col("w2"),
         expr("(1000000 * c2) div c1").as("cond_ppm"))
-    bigrams.join(broadcast(lm), Seq("w1", "w2"), "left")
+    docCounts.join(broadcast(lm), Seq("w1", "w2"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(coalesce(col("cond_ppm"), lit(LmOovPpm))).as("sum_ppm"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * coalesce(col("cond_ppm"), lit(LmOovPpm)))
+          .as("sum_ppm"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("sum_ppm div n_bigrams").as("score_ppm"))
       .orderBy(col("doc_id"))
@@ -1439,22 +1450,31 @@ object TextAnalysis {
     */
   def bm25(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val toks = docs.select(col("doc_id"),
-      explode(tokens(col("text"))).as("term"))
-    val dl = docs.select(col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
-    val tf = toks.filter(col("term").isin(Bm25Query: _*))
+    // r16 optimization: tokenize ONCE per arm and carry the document
+    // length WITH the query-term hits — the predecessor tokenized three
+    // times (tf arm, corpus stats arm, and a separate hit-length arm
+    // semi-joined back in; no shared exchange existed below those
+    // references, so each was a full re-tokenize of the corpus). `dl`
+    // now rides the tf rows (it is constant per doc), which also drops
+    // the hit-length semi-join outright; only the 1-row corpus stats
+    // still pay their own narrow pass (guide §1.2).
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        filter(col("t"), x => x.isin(Bm25Query: _*)).as("qt"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("l_tot"))
+    val tf = base.select(col("doc_id"), col("dl"),
+        explode(col("qt")).as("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // only hit docs need their length in the scoring join: the semi
-    // filter (broadcast — hit ids are |hits|-sized) keeps the corpus-row
-    // dl table out of the shuffle
-    val hitDl = dl.join(broadcast(tf.select(col("doc_id")).distinct()),
-      Seq("doc_id"), "left_semi")
-    val contrib = tf.join(broadcast(dfreq), Seq("term"))
-      .join(hitDl, Seq("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // per-term document frequency as a window over the (already
+    // |hits|-sized) tf rows — a separate dfreq aggregate + broadcast
+    // join re-derived tf from scratch (column pruning makes the two tf
+    // subtrees non-identical, so AQE cannot reuse the exchange), which
+    // meant a third full tokenize of the corpus
+    val contrib = tf
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
       .crossJoin(broadcast(stats))
       .withColumn("idf_c", expr("(n_docs - df + 1) * 100 div (df + 1)"))
       .withColumn("tfc_c",

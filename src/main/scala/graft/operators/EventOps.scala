@@ -518,42 +518,58 @@ object EventOps {
     * progressed through the full ordered prefix, plus the conversion rate
     * vs stage 1 in exact parts-per-million (integer `div` — portable).
     *
-    * Shape at scale: stage k's arrival time needs stage k−1's, so the
-    * computation is a chain of per-user min-aggregates with a join back
-    * to the event table — but every aggregate AND every join keys on
-    * `user_id`, so after the first exchange the per-user partitioning is
-    * reusable end-to-end (one logical shuffle key for the whole funnel;
-    * the stage tables are |users|-sized, far smaller than the event
-    * table, and broadcastable when users ≪ events). Nothing is
-    * quadratic: each stage touches each event at most once.
+    * Shape at scale: stage k's arrival time needs stage k−1's, so this
+    * is ONE pass over the event table: one exchange on `user_id`, then a
+    * chain of whole-partition window aggregates (`min(CASE type=stage_k
+    * AND ts > t_{k-1})`) that all share that single partitioning — no
+    * per-stage re-scan, no joins. (The r16-optimization predecessor
+    * phrased each stage as its own filter + per-user aggregate + join
+    * back to events; Spark shares NO common subtrees across plan
+    * branches — measured on the executed plan: zero ReusedExchange — so
+    * the 4-stage chain re-scanned the event table ELEVEN times. Guide
+    * §1.2/§2.4: one pass, one shuffle key.) The per-user window frames
+    * are unordered whole-partition aggregates, so no sort is required;
+    * per-user event counts bound the window buffer exactly as they
+    * bounded the old per-user joins. The |users|-sized reduction and the
+    * 4-row stack are exchange-free on top.
     */
   def funnel(s: SparkSession, d: String): DataFrame = {
     val e = withTsMs(Tables.events(s, d))
       .select(col("user_id"), col("event_type"), col("ts_ms"))
-    // stage 1: first arrival, unconditional
-    val s1 = e.filter(col("event_type") === FunnelStages.head)
-      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t1"))
-    // stages 2..k: first arrival strictly after the previous stage's;
-    // scanLeft keeps every prefix (|users|-sized frames, cheap) so each
-    // stage's reach count comes from its own chain link
-    val prefixes = FunnelStages.indices.tail.scanLeft(s1) { case (prev, i) =>
-      e.filter(col("event_type") === FunnelStages(i))
-        .join(prev, Seq("user_id"))
-        .filter(col("ts_ms") > col(s"t$i"))
-        .groupBy(col("user_id"))
-        .agg(min(col("ts_ms")).as(s"t${i + 1}"))
+    val w = Window.partitionBy(col("user_id"))
+    // t1..t4 attach to every event row via chained whole-partition
+    // windows over ONE user_id exchange: t1 = first stage-1 arrival;
+    // t_k = first stage-k arrival strictly after t_{k-1} (NULL t_{k-1}
+    // nulls the comparison, so an unreached prefix can never admit a
+    // later stage)
+    val staged = FunnelStages.indices.tail.foldLeft(
+      e.withColumn("t1", min(when(
+        col("event_type") === FunnelStages.head, col("ts_ms"))).over(w))) {
+      case (df, i) =>
+        df.withColumn(s"t${i + 1}", min(when(
+          col("event_type") === FunnelStages(i) &&
+            col("ts_ms") > col(s"t$i"), col("ts_ms"))).over(w))
     }
-    val base = s1.agg(count(lit(1)).as("stage1_users"))
-    prefixes.zipWithIndex.map { case (df, i) =>
-      df.agg(count(lit(1)).as("users"))
-        .select(lit(i + 1).cast("long").as("stage_idx"),
-          lit(FunnelStages(i)).as("stage"), col("users"))
-    }.reduce(_.unionByName(_))
-      .crossJoin(broadcast(base))
+    // one row per user (t1..t4 are per-user constants), then one tiny
+    // global conditional aggregate: stage-k reach = users with t_k set
+    val stageMaxes = FunnelStages.indices.map(i =>
+      max(col(s"t${i + 1}")).as(s"t${i + 1}"))
+    val perUser = staged
+      .groupBy(col("user_id"))
+      .agg(stageMaxes.head, stageMaxes.tail: _*)
+    val counts = perUser.agg(
+      count(col("t1")).as("u1"), count(col("t2")).as("u2"),
+      count(col("t3")).as("u3"), count(col("t4")).as("u4"))
+    val stages = FunnelStages.zipWithIndex.map { case (st, i) =>
+      s"${i + 1}L, '$st', u${i + 1}"
+    }.mkString(", ")
+    counts
+      .select(expr(s"stack(${FunnelStages.size}, $stages)")
+        .as(Seq("stage_idx", "stage", "users")), col("u1"))
       // greatest(_, 1): an event feed with no stage-1 arrivals yields an
       // all-zero funnel, not an ANSI divide-by-zero
       .withColumn("conv_ppm",
-        expr("users * 1000000 div greatest(stage1_users, 1)"))
+        expr("users * 1000000 div greatest(u1, 1)"))
       .select(col("stage_idx"), col("stage"), col("users"), col("conv_ppm"))
       .orderBy(col("stage_idx"))
   }
@@ -964,18 +980,24 @@ object EventOps {
     val e = withTsMs(Tables.events(s, d))
       .select(col("event_type"), col("ts_ms"),
         expr("ts_ms div 86400000").as("day"))
-    val g = e.agg(max(col("ts_ms")).as("gmax"))
-    val days = e.select(col("event_type"), col("day")).distinct()
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("days_active"))
+    // r16 optimization: ONE scan. days_active folds into the main
+    // per-type aggregate as a single countDistinct (Catalyst plans one
+    // distinct mixed with plain aggregates as a two-level aggregation on
+    // the same scan — no Expand, no second pass), and the global
+    // high-water mark is the max of the per-type maxima, so it rides a
+    // |domain|-sized window over the aggregate instead of its own
+    // whole-table pass + cross join. The predecessor scanned events
+    // three times (global max, distinct-days, main aggregate) with no
+    // shared exchange between them (guide §1.2).
+    val wAll = Window.partitionBy()
     e.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts_ms")).as("first_ms"),
         max(col("ts_ms")).as("last_ms"),
         min(col("day")).as("d0"),
-        max(col("day")).as("d1"))
-      .join(days, Seq("event_type"))
-      .crossJoin(broadcast(g))
+        max(col("day")).as("d1"),
+        countDistinct(col("day")).as("days_active"))
+      .withColumn("gmax", max(col("last_ms")).over(wAll))
       .select(col("event_type"), col("n_events"),
         col("first_ms"), col("last_ms"),
         (col("gmax") - col("last_ms")).as("staleness_ms"),
@@ -1035,8 +1057,15 @@ object EventOps {
     val intra = bucketed.withColumn("p_max", max(col("ts_ms")).over(wIn))
     val wOff = Window.orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = bucketed.groupBy(col("bkt"))
-      .agg(max(col("ts_ms")).as("b_max"))
+    // r16 optimization: each bucket's maximum is the maximum of its own
+    // running max (identical by monotonicity), so the offsets derive
+    // from INTRA's already-exchanged-and-sorted rows instead of
+    // re-bucketing the raw events — the shared exchange+sort+window
+    // subtree is then canonically identical in both arms and AQE stage
+    // reuse computes it once, where the predecessor's raw-side groupBy
+    // re-scanned the event table (guide §2.4).
+    val offs = intra.groupBy(col("bkt"))
+      .agg(max(col("p_max")).as("b_max"))
       .select(col("bkt"), max(col("b_max")).over(wOff).as("off_max"))
     intra.join(broadcast(offs), Seq("bkt"))
       .withColumn("run_max", greatest(col("p_max"),

@@ -1156,6 +1156,16 @@ object Relational {
     * back over the fact scan — no wide shuffle at any scale.
     */
   def anomalyRobust(s: SparkSession, d: String): DataFrame = {
+    // r16 optimization note: a support-based restructure (groupBy
+    // (priority, value) + frequency-weighted percentile, orders scanned
+    // once) was built, hash-verified, and A/B-measured SLOWER (1.67 s
+    // vs 1.21 s isolated min-of-N at sf0.1): it trades the three
+    // broadcast-pattern scans for a row-sized EXCHANGE, and this shape
+    // has no shuffle at all today — guide §2's "remove shuffles
+    // outright" outranks scan count, and the percentile aggregate
+    // already collapses duplicates in its own frequency map, so the
+    // support added nothing the aggregate wasn't doing. Kept the
+    // exchange-free 3-pass broadcast form deliberately.
     val base = Tables.orders(s, d)
       .select(col("o_orderpriority"),
         (cents(col("o_totalprice")) * 2L).as("x2"))
@@ -1394,15 +1404,26 @@ object Relational {
   def cdcApply(s: SparkSession, d: String): DataFrame = {
     val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
       cents(col("o_totalprice")).as("price_cents"))
-    val ins = base.select(col("k"), lit(1L).as("op_seq"),
-      lit("I").as("op"), col("price_cents"))
-    val upd = base.filter(col("k") % 3 === 0)
-      .select(col("k"), lit(2L).as("op_seq"), lit("U").as("op"),
-        (col("price_cents") + lit(1000L)).as("price_cents"))
-    val del = base.filter(col("k") % 7 === 0)
-      .select(col("k"), lit(3L).as("op_seq"), lit("D").as("op"),
-        lit(null).cast("long").as("price_cents"))
-    val ops = ins.unionByName(upd).unionByName(del)
+    // r16 optimization: each key's 1-3 log ops are generated IN-ROW
+    // (conditional struct array → explode) instead of the predecessor's
+    // three-armed union of filtered scans — same op tuples, but orders
+    // is scanned ONCE instead of three times (the arms shared no
+    // exchange, so each union branch was a full re-scan; guide §1.2).
+    val ops = base.select(col("k"), explode(expr(
+        """filter(array(
+          |  named_struct('op_seq', 1L, 'op', 'I',
+          |               'price_cents', price_cents),
+          |  IF(k % 3 = 0,
+          |     named_struct('op_seq', 2L, 'op', 'U',
+          |                  'price_cents', price_cents + 1000L),
+          |     NULL),
+          |  IF(k % 7 = 0,
+          |     named_struct('op_seq', 3L, 'op', 'D',
+          |                  'price_cents', CAST(NULL AS BIGINT)),
+          |     NULL)
+          |), x -> x IS NOT NULL)""".stripMargin)).as("o"))
+      .select(col("k"), col("o.op_seq").as("op_seq"), col("o.op").as("op"),
+        col("o.price_cents").as("price_cents"))
     val w = Window.partitionBy(col("k")).orderBy(col("op_seq").desc)
     ops.withColumn("rn", row_number().over(w))
       .withColumn("n_ops", count(lit(1)).over(Window.partitionBy(col("k"))))
@@ -1750,21 +1771,36 @@ object Relational {
   /** Warehouse FK audit: for every declared child→parent relationship,
     * the child row count, orphan row count (child rows whose key has no
     * parent — NULL keys count as orphans, matching NOT EXISTS), and
-    * distinct orphan key count. Each relationship is one LEFT ANTI join
-    * on the key (dim parents broadcast via Catalyst's size estimate;
-    * the fact-fact arms hash-partition) feeding 1-row aggregates — the
-    * whole audit output is 6 rows at any scale. The key projections
-    * prune to single columns at the scan.
+    * distinct orphan key count. Each relationship is ONE pass over the
+    * child: a LEFT join against the parent's distinct keys (dims
+    * broadcast via Catalyst's size estimate) feeding one conditional
+    * 1-row aggregate — `n_child` is the joined row count (exact because
+    * the join side is deduplicated first, so the join can never fan
+    * out), an orphan is a null parent key, and the distinct-orphan-key
+    * count rides the same aggregate. The r16-optimization predecessor
+    * computed `n_child` with a SEPARATE full scan of the child plus a
+    * cross join per relationship — 12 child scans for 6 relationships,
+    * with lineitem read six times; this shape halves every child scan
+    * and drops the per-relationship cross join outright (guide §1.2:
+    * don't compute things twice; §2.4: remove exchanges). The whole
+    * audit output is 6 rows at any scale; key projections prune to
+    * single columns at the scan.
     */
   def fkAudit(s: SparkSession, d: String): DataFrame = {
     def rel(name: String, child: DataFrame, fk: String,
         parent: DataFrame, pk: String): DataFrame = {
       val ch = child.select(col(fk).as("fk"))
-      val orphan = ch.join(parent.select(col(pk).as("pk")),
-        col("fk") === col("pk"), "left_anti")
-      ch.agg(count(lit(1)).as("n_child"))
-        .crossJoin(orphan.agg(count(lit(1)).as("n_orphan"),
-          countDistinct(col("fk")).as("n_orphan_keys")))
+      // distinct-ing the parent keys keeps the left join exactly
+      // row-preserving even if a parent ever carried duplicate keys —
+      // the NOT-EXISTS semantics the oracle states. The dedup aggregate
+      // is over the (small) parent side, partial-agg-compressed before
+      // its exchange.
+      val pks = parent.select(col(pk).as("pk")).distinct()
+      ch.join(pks, col("fk") === col("pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphan"),
+          countDistinct(when(col("pk").isNull, col("fk")))
+            .as("n_orphan_keys"))
         .select(lit(name).as("rel"), col("n_child"), col("n_orphan"),
           col("n_orphan_keys"))
     }

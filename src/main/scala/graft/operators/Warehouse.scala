@@ -247,28 +247,26 @@ object Warehouse {
     val c  = Tables.customer(s, d).select(col("c_custkey"))
     val li = Tables.lineitem(s, d)
 
-    // orders checks ride ONE full scan (conditional aggregation)
-    val ordersAgg = o.agg(
-      count(lit(1)).as("n_rows"),
-      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
-      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"),
-      sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L))
-        .as("v_enum"),
-      sum(when(col("o_totalprice") >= 0, 0L).otherwise(1L)).as("v_neg"))
-
-    def check(name: String, nRows: org.apache.spark.sql.Column,
-        viol: org.apache.spark.sql.Column)(df: DataFrame): DataFrame =
-      df.select(lit(name).as("check_name"), nRows.as("n_rows"),
-        viol.as("n_violations"))
-
-    val notNull = check("orders_custkey_not_null", col("n_rows"),
-      col("v_null"))(ordersAgg)
-    val unique  = check("orders_orderkey_unique", col("n_rows"),
-      col("v_dup"))(ordersAgg)
-    val enumChk = check("orders_status_domain", col("n_rows"),
-      col("v_enum"))(ordersAgg)
-    val nonNeg  = check("orders_totalprice_nonneg", col("n_rows"),
-      col("v_neg"))(ordersAgg)
+    // orders checks ride ONE full scan (conditional aggregation). The
+    // one aggregate row is UNPIVOTED into its four check rows with
+    // stack() — the r16-optimization predecessor union'd four SELECTs
+    // over the same aggregate frame, and Spark shares no common
+    // subtrees across union branches (measured: zero ReusedExchange on
+    // the executed plan), so "one scan" actually ran four times.
+    val ordersChecks = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"),
+        sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L))
+          .as("v_enum"),
+        sum(when(col("o_totalprice") >= 0, 0L).otherwise(1L)).as("v_neg"))
+      .select(expr(
+        """stack(4,
+          |  'orders_custkey_not_null', n_rows, v_null,
+          |  'orders_orderkey_unique', n_rows, v_dup,
+          |  'orders_status_domain', n_rows, v_enum,
+          |  'orders_totalprice_nonneg', n_rows, v_neg)""".stripMargin)
+        .as(Seq("check_name", "n_rows", "n_violations")))
 
     // FK: orders.o_custkey must exist in customer — broadcast the dim keys
     val fk = o.select(col("o_custkey"))
@@ -286,7 +284,7 @@ object Warehouse {
       .select(lit("lineitem_discount_range").as("check_name"),
         col("n_rows"), col("n_violations"))
 
-    notNull.union(unique).union(enumChk).union(nonNeg).union(fk).union(range)
+    ordersChecks.union(fk).union(range)
       .withColumn("pass", (col("n_violations") === 0L).cast("int"))
       .orderBy(col("check_name"))
   }
