@@ -79,7 +79,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
-    else plan.transformUp {
+    else plan.transformUpWithPruning(
+      // r16 optimization: tree-pattern pruning. This rule sits in the
+      // operator-optimization FIXED-POINT batch, so without pruning it
+      // walked every node of every plan on every iteration — for the
+      // 200+ join-free plans (and each recursive-CTE iteration's
+      // re-optimization) that is pure per-query planning tax. The
+      // JOIN-bit check makes join-free subtrees skip in O(1), exactly
+      // how Spark's own join rules are written (guide §1.2: per-task —
+      // here per-PLAN — work only where it can matter).
+      _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.JOIN)) {
       case j @ Join(l, r, Inner, Some(cond), hint)
           if j.getTagValue(generatedTag).isEmpty =>
         rewrite(j, l, r, cond, hint).getOrElse(j)
