@@ -1797,8 +1797,11 @@ object Relational {
       // its exchange.
       val pks = parent.select(col(pk).as("pk")).distinct()
       ch.join(pks, col("fk") === col("pk"), "left")
+        // count-of-condition, not sum-of-when: over an EMPTY child the
+        // ungrouped sum would yield NULL where the predecessor's
+        // count(*) yielded 0
         .agg(count(lit(1)).as("n_child"),
-          sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphan"),
+          count(when(col("pk").isNull, lit(1))).as("n_orphan"),
           countDistinct(when(col("pk").isNull, col("fk")))
             .as("n_orphan_keys"))
         .select(lit(name).as("rel"), col("n_child"), col("n_orphan"),
