@@ -722,16 +722,35 @@ object Dedup {
     * only steers.
     */
   private[operators] def labelComponents(pairs: DataFrame): DataFrame = {
+    // edges are REPARTITIONED on the per-round join key before caching:
+    // every propagation round joins the (large) edge set against the
+    // (small, changing) label set on `src`, so establishing the hash
+    // partitioning once lets each round's sort-merge/shuffled-hash join
+    // reuse the cached layout instead of re-exchanging the edges per
+    // round (guide §2.4 — two operations keyed the same way share one
+    // exchange; the init aggregate below rides the same partitioning).
     val edges = pairs.toDF("d1", "d2")
       .union(pairs.toDF("d1", "d2")
         .select(col("d2").as("d1"), col("d1").as("d2")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst")
+      .repartition(col("src"))
+      .cache()
     // every label round is localCheckpoint'd (eager): the plan — and the
     // recovery lineage — stays ONE round deep regardless of graph diameter,
     // instead of growing a round-per-iteration expression tree. Superseded
     // rounds' blocks are released by the context cleaner once unreferenced.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+    //
+    // Labels initialize at the NEIGHBORHOOD MIN (min of self and all
+    // direct neighbors), which is exactly the state identity-init reaches
+    // after its first propagation round: one aggregate over the already
+    // src-partitioned edges (no extra exchange) replaces a full round's
+    // join + union + aggregate + checkpoint. Near-dup components are
+    // cliques, so this init is already the fixpoint and the loop below
+    // terminates after ONE confirming round instead of two.
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("nmin")).as("label"))
+      .localCheckpoint()
     var converged = false
     var rounds    = 0
     while (!converged && rounds < MaxClusterRounds) {
