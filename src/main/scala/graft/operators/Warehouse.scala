@@ -54,10 +54,10 @@ object Warehouse {
   def scd2(s: SparkSession, d: String): DataFrame =
     scd2Unsorted(s, d).orderBy(col("o_custkey"), col("version"))
 
-  /** [[scd2]] without the presentation sort — for composition
-    * ([[scd2Lookup]]): the trailing global range sort survives under a
-    * downstream Union + re-exchange, so a consumer that immediately
-    * repartitions must start from the unsorted build.
+  /** [[scd2]] without the presentation sort: the trailing global range
+    * sort survives under a downstream Union + re-exchange, so any
+    * consumer that immediately repartitions must start from the
+    * unsorted build.
     */
   private def scd2Unsorted(s: SparkSession, d: String): DataFrame = {
     // o_orderdate arrives as TIMESTAMP_NTZ; the cast interprets the naive
@@ -303,24 +303,42 @@ object Warehouse {
     * Spark has no native temporal-join operator; the naive range join
     * pairs every fact with the customer's whole version history before
     * keeping one. This uses the same merge-scan formulation as
-    * [[EventOps.asofJoin]]: union version-start rows with fact rows on
-    * the customer key, sort each customer's timeline once, and carry the
-    * current version forward with `last(_, ignoreNulls)` — ONE exchange
-    * on `o_custkey`, O(rows) work, no fact×history intermediate at any
-    * scale. A version starting exactly at ship time wins (dim rows sort
-    * before fact rows at equal t), and a zero-width version (two runs
-    * starting the same millisecond) is immediately superseded by the
-    * higher version at the same t — both matching the oracle's
-    * half-open-interval join. A lineitem shipping BEFORE the customer's
-    * first version start (the driver's synthetic lineitem does not order
-    * ship after order) has no regime; those facts keep LEFT semantics and
-    * are labeled `'NONE'` — identically in the oracle's LEFT interval
-    * join — rather than dropped, so the rollup still conserves every
-    * fact row.
+    * [[EventOps.asofJoin]]: union the raw priority-update rows with fact
+    * rows on the customer key, sort each customer's timeline once, and
+    * carry the current priority forward with `last(_, ignoreNulls)` —
+    * ONE exchange on `o_custkey`, O(rows) work, no fact×history
+    * intermediate and no materialized dimension at any scale. An update
+    * landing exactly at ship time wins (update rows sort before fact
+    * rows at equal t), and of several updates in the same millisecond
+    * the highest o_orderkey wins — exactly the higher same-ms version of
+    * the dim form, both matching the oracle's half-open-interval join
+    * against the materialized [[scd2]]. A lineitem shipping BEFORE the
+    * customer's first update (the driver's synthetic lineitem does not
+    * order ship after order) has no regime; those facts keep LEFT
+    * semantics and are labeled `'NONE'` — identically in the oracle's
+    * LEFT interval join — rather than dropped, so the rollup still
+    * conserves every fact row.
     */
   def scd2Lookup(s: SparkSession, d: String): DataFrame = {
-    val dim = scd2Unsorted(s, d).select(col("o_custkey"),
-      col("valid_from_ms").as("t"), col("version"), col("priority"))
+    // r17 optimization (guide §1.2/§2.4): the regime in force at ship
+    // time is, by SCD2 construction, the priority of the LAST update row
+    // with eff_ms <= ship_ms (runs collapse consecutive equal priorities,
+    // so the last update's priority equals its run's priority; at equal
+    // eff_ms the higher o_orderkey wins, exactly the higher same-ms
+    // version of the dim form). Merging the RAW update rows with the
+    // facts therefore resolves versions in the SAME single timeline pass
+    // WITHOUT materializing the dimension first — which removes the
+    // whole scd2 build from this query's plan: one Exchange on
+    // o_custkey and two Window passes (lag/run-id + lead valid_to) plus
+    // a hash aggregate, all over the full orders table, for the price
+    // of |orders| vs |versions| rows riding the one merged exchange.
+    // The oracle still computes the explicit interval join against the
+    // materialized dim, so the equivalence is hash-checked, not argued.
+    val upd = Tables.orders(s, d).select(
+      col("o_custkey"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("t"),
+      col("o_orderkey").as("tie"),
+      col("o_orderpriority").as("priority"))
     val fact = Tables.lineitem(s, d)
       .select(col("l_orderkey"),
         unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
@@ -328,17 +346,17 @@ object Warehouse {
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
           col("o_orderpriority").as("order_priority")),
         col("l_orderkey") === col("o_orderkey"))
-    val merged = dim
+    val merged = upd
       .select(col("o_custkey"), col("t"), lit(1L).as("is_dim"),
-        col("version"), col("priority"),
+        col("tie"), col("priority"),
         lit(null).cast("string").as("order_priority"),
         lit(null).cast("long").as("price_cents"))
       .unionByName(fact.select(col("o_custkey"), col("ship_ms").as("t"),
-        lit(0L).as("is_dim"), lit(null).cast("long").as("version"),
+        lit(0L).as("is_dim"), lit(null).cast("long").as("tie"),
         lit(null).cast("string").as("priority"),
         col("order_priority"), col("price_cents")))
     val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("t"), col("is_dim").desc, col("version"))
+      .orderBy(col("t"), col("is_dim").desc, col("tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     merged
       .withColumn("regime_priority",
