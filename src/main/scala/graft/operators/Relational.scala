@@ -956,27 +956,46 @@ object Relational {
   /** Market-basket association mining: part pairs co-purchased in ≥
     * [[AssocMinSupport]] orders, with EXACT ppm confidences both ways and
     * lift as an exact rational — the classic support/confidence/lift
-    * triple. Shape: baskets are distinct (order, part) presence rows; the
-    * pair join is a SELF-equi-join on l_orderkey (hash-partitionable;
-    * pair volume is Σ basket-width² per order, bounded by the order
-    * shape — production caps basket width, the same posting-cap guard
-    * the n-gram dedup family ships); item supports are a |parts|-sized
-    * aggregate that BROADCASTS back into the pair table. No FP anywhere:
+    * triple. Shape: baskets are per-order sorted distinct part ARRAYS
+    * (one exchange on l_orderkey, map-side deduped); pairs are generated
+    * in-row from each sorted array (pair volume is Σ basket-width² per
+    * order, bounded by the order shape — production caps basket width,
+    * the same posting-cap guard the n-gram dedup family ships); item
+    * supports re-derive the same basket aggregate (exchange reused) and
+    * BROADCAST back into the pair table. No FP anywhere:
     * confidence is integer ppm (sup_ab·10⁶ div sup_a) and lift leaves as
     * (num, den) = (sup_ab·N, sup_a·sup_b), exact up to N ≈ 3·10⁹ orders.
     * Top-[[AssocTopK]] by (support, conf, pair) compiles to
     * TakeOrderedAndProject.
     */
   def associationRules(s: SparkSession, d: String): DataFrame = {
-    val baskets = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
     val nOrders = Tables.orders(s, d).agg(count(lit(1)).as("n_orders"))
-    val sup = baskets.groupBy(col("l_partkey"))
+    // r17 optimization (guide §1.2/§2.4): baskets as per-order SORTED
+    // distinct part arrays via ONE exchange on l_orderkey (collect_set
+    // dedupes map-side), instead of distinct-on-(order,part) + a basket
+    // self-join — which cost a second full re-shuffle (or, when AQE
+    // broadcasts the basket side, a |baskets|-row broadcast build) just
+    // to pair rows that already live in the same group. Pairs are
+    // generated IN-ROW from the sorted array (p1 < p2 by construction),
+    // and the item supports re-derive the same aggregate subtree, so
+    // the basket exchange is computed once and reused.
+    val orderParts = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val sup = orderParts.select(explode(col("parts")).as("l_partkey"))
+      .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("sup"))
-    val a = baskets.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val b = baskets.select(col("l_orderkey").as("ok2"),
-      col("l_partkey").as("p2"))
-    a.join(b, col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
+    // two chained codegen'd Generates (posexplode + explode over the
+    // element's strict suffix) rather than one nested
+    // transform/flatten/struct pipeline — higher-order functions run
+    // interpreted per row, generators run in whole-stage codegen
+    val pairs = orderParts
+      .select(col("parts"), posexplode(col("parts")).as(Seq("i", "p1")))
+      .select(col("p1"),
+        explode(slice(col("parts"), col("i") + lit(2),
+          greatest(size(col("parts")) - col("i") - lit(1), lit(0))))
+          .as("p2"))
+    pairs
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("sup_ab"))
       .filter(col("sup_ab") >= AssocMinSupport)
