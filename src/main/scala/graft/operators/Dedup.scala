@@ -729,10 +729,16 @@ object Dedup {
     // reuse the cached layout instead of re-exchanging the edges per
     // round (guide §2.4 — two operations keyed the same way share one
     // exchange; the init aggregate below rides the same partitioning).
+    // both orientations come from ONE derivation of the pair subtree
+    // (in-row explode), not a Union of two re-derivations — the pair
+    // join is the most expensive stage feeding this function, and union
+    // arms share no subtrees in the plan (AQE stage reuse inside a
+    // cache materialization is not guaranteed)
     val edges = pairs.toDF("d1", "d2")
-      .union(pairs.toDF("d1", "d2")
-        .select(col("d2").as("d1"), col("d1").as("d2")))
-      .toDF("src", "dst")
+      .select(explode(array(
+        struct(col("d1").as("src"), col("d2").as("dst")),
+        struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
       .cache()
     // every label round is localCheckpoint'd (eager): the plan — and the
@@ -764,14 +770,37 @@ object Dedup {
       // `own` is dropped before the checkpoint so the bookkeeping column is
       // never stored or carried into the next round.
       val obs = new org.apache.spark.sql.Observation(s"cc_round_$rounds")
-      val next = labels.withColumn("own", col("label"))
+      val prop = labels.withColumn("own", col("label"))
         .unionByName(viaEdges.withColumn("own", lit(Long.MaxValue)))
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"), min(col("own")).as("own"))
+      // pointer-jumping shortcut: follow the propagated label ONE hop
+      // through the previous round's mapping (label values are always
+      // member node ids, so the lookup hits; labels only ever decrease,
+      // so the stale-by-one mapping is safe). Edge propagation alone
+      // needs O(diameter) rounds — a chain-shaped component (embedding
+      // graphs at a loose threshold, unlike near-dup cliques) measured
+      // 16 rounds at sf0.1; the shortcut halves the remaining distance
+      // per round on top of the edge step, for O(log diameter) rounds
+      // at the cost of one |nodes|-sized join against the checkpointed
+      // labels per round (tiny beside the edge join it avoids repeating).
+      val next = prop.as("p")
+        .join(labels.select(col("doc_id").as("l_node"),
+          col("label").as("l_label")),
+          col("p.label") === col("l_node"), "left")
+        .select(col("p.doc_id").as("doc_id"),
+          least(col("p.label"), coalesce(col("l_label"), col("p.label")))
+            .as("label"),
+          col("p.own").as("own"))
         .observe(obs, count(when(col("label") < col("own"), 1)).as("improved"))
         .drop("own")
         .localCheckpoint()
       converged = obs.get("improved").asInstanceOf[Long] == 0L
+      // dev-only visibility (optimization rounds): per-round improvement
+      // counts make the round count auditable without event logs
+      if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
+        System.err.println(s"[cc] round=$rounds improved=" +
+          s"${obs.get("improved")} converged=$converged")
       labels = next
       rounds += 1
     }
