@@ -1293,6 +1293,14 @@ object TextAnalysis {
     val vocab = wdf.orderBy(col("n_w").desc, col("w")).limit(PmiVocabCap)
     val capped = presence
       .join(broadcast(vocab.select(col("w"))), Seq("w"))
+    // r17 A/B (recorded, NOT kept): the associationRules rewrite — per-doc
+    // sorted word arrays via collect_set + in-row pair generation with two
+    // chained generators, replacing this self-join — measured NO win here
+    // (paired runs, matched controls: rewrite 0.85/1.06 s vs this shape
+    // 0.97/0.99 s at sf0.1). Difference vs baskets: words are STRINGS
+    // (collect_set + sort_array on UTF8 beats long arrays' cost), and the
+    // capped-presence arm is narrow enough that AQE broadcasts the
+    // self-join cheaply. The self-join keeps whole-stage codegen.
     val pairs = capped.as("a")
       .join(capped.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
