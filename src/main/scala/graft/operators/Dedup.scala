@@ -156,12 +156,22 @@ object Dedup {
     */
   private def pairJoinTail(left: DataFrame, right: DataFrame,
       extraPred: Column): DataFrame =
-    left.as("a").join(right.as("b"),
+    jaccardTail(left.as("a").join(right.as("b"),
         col("a.h") === col("b.h") && extraPred &&
           col("a.n_sh") * lit(JaccardThreshold) <= col("b.n_sh") &&
           col("b.n_sh") * lit(JaccardThreshold) <= col("a.n_sh"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.n_sh").as("n1"), col("b.n_sh").as("n2"))
+        col("a.n_sh").as("n1"), col("b.n_sh").as("n2")))
+
+  /** The ONE Jaccard tail over candidate rows `(d1, d2, n1, n2)` — count
+    * common shingles per pair, compute the Jaccard, filter at the
+    * threshold. Shared by the asymmetric incremental join and the
+    * posting-list pair generation so denominator and threshold can never
+    * silently diverge between the reports DedupSpec pins against each
+    * other.
+    */
+  private def jaccardTail(candidates: DataFrame): DataFrame =
+    candidates
       .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
@@ -171,11 +181,35 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
 
   private[graft] def ngramPairsOf(docs: DataFrame, cap: Int): DataFrame = {
-    // Self-join through ONE aliased subtree (not two re-derived pipelines):
-    // the canonical plans of both sides match, so ReuseExchange computes the
-    // capped shingle index + its shuffle once instead of twice.
+    // r17 optimization (guide §1.2/§2.4): ONE exchange on the shingle
+    // hash builds per-shingle POSTING LISTS and pairs are generated
+    // in-row from each sorted list (two chained codegen'd generators),
+    // replacing the index self-join on h — which shuffled and sorted
+    // BOTH arms of the full index including the (majority) df = 1
+    // shingles that can never produce a pair; those now die in the
+    // size(ds) >= 2 filter without ever reaching a join. Pair volume,
+    // the size-ratio prefilter, and the Jaccard tail are unchanged; the
+    // d1 < d2 orientation comes from the doc_id-sorted list (the strict
+    // != guard covers the pathological same-doc double entry an
+    // xxhash64 collision inside one document would create, which the
+    // old a.doc_id < b.doc_id condition also excluded).
     val index = cappedShingleIndex(docs, cap)
-    pairJoinTail(index, index, col("a.doc_id") < col("b.doc_id"))
+    val postings = index
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"))))
+        .as("ds"))
+      .filter(col("h").isNotNull && size(col("ds")) >= 2)
+    postings
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ds"), col("i") + lit(2),
+          greatest(size(col("ds")) - col("i") - lit(1), lit(0)))).as("b"))
+      .filter(col("a.doc_id") =!= col("b.doc_id") &&
+        col("a.n_sh") * lit(JaccardThreshold) <= col("b.n_sh") &&
+        col("b.n_sh") * lit(JaccardThreshold) <= col("a.n_sh"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n_sh").as("n1"), col("b.n_sh").as("n2"))
+      .transform(jaccardTail)
   }
 
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
